@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall time over the headline query set (each query
+executed to completion via a count/collect action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+from kafka_spark_streaming_pipeline_spark.session import get_spark
+
+# Headline set: the flagship + the heaviest representatives of each
+# operator family (scan-agg, join, window, manifest state, dedup, ANN).
+HEADLINE = [
+    "p01_stream_health",
+    "q01_pricing_summary",
+    "q03_join_broadcast_dims",
+    "p10_range_join",
+    "q16_running_sum",
+    "p04_live_dvr_manifest",
+    "x03_minhash_lsh",
+    "x05_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footers with one tiny action
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.time()
+        df = q.builder(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with
+struct metadata.  The Spark-side machinery here is real — schemas,
+Arrow-batched ``mapInPandas`` decode, partition-friendly shapes; the
+actual codec step is STUBBED (this container has no image/audio libs):
+``decode_image``/``decode_audio`` raise ``NotImplementedError``, and
+``fake_decode_meta`` provides a deterministic stand-in with the same
+signature and schema so the distributed plumbing is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Output schema of the (stub) decoder — what a real image decode would emit.
+DECODE_META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width bigint, height bigint, n_frames bigint"
+)
+
+
+def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach an opaque binary column (here: utf-8 bytes of the text —
+    the stand-in for image/audio bytes) plus content metadata."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "content_type", F.lit("application/octet-stream")
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode — requires an image lib not present in this
+    environment.  STUB: see fake_decode_meta for the plumbing test."""
+    raise NotImplementedError("image decoding requires e.g. Pillow; not available here")
+
+
+def decode_audio(payload: bytes) -> dict:
+    raise NotImplementedError("audio decoding requires e.g. soundfile; not available here")
+
+
+def fake_decode_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Deterministic stand-in decoder run through ``mapInPandas`` — the
+    exact execution shape of a real decoder: Arrow batches of binary in,
+    typed metadata out, executed per-partition on executors."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "width": n_bytes % 640 + 16,
+                    "height": (n_bytes * 7) % 480 + 16,
+                    "n_frames": n_bytes % 30 + 1,
+                }
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)  # decode is per-row Python work: spread small files
+        .mapInPandas(decode_batches, schema=DECODE_META_SCHEMA)
+    )
+
+
+def frame_sample_plan(meta: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Frame-sampling as a lateral expansion: one row per sampled frame
+    index — sequence + explode, no Python in the loop."""
+    return meta.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_idx"),
+    )

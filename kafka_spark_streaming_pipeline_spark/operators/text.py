@@ -1,0 +1,99 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+Language-ID (marker heuristic), quality scoring, token counting, and
+document fingerprinting — all as built-in column expressions (no
+Python UDFs), so they stay inside whole-stage codegen and scale to
+100 TB document tables with zero serialization overhead.
+
+Every function here is deliberately expressible in ANSI SQL so the
+DuckDB oracle can verify it (plans/extensions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic language-ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lowercased).  split on single space —
+    the corpus is single-space separated; a production corpus would use
+    ``split(text, '\\\\s+')``."""
+    return F.split(F.lower(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-like upper bound: ceil(bytes / 4) — the rule-of-thumb
+    bytes-per-token constant, computed without any tokenizer model."""
+    return F.ceil(F.octet_length(text) / F.lit(4.0)).cast("long")
+
+
+def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are one of ``markers`` (exact word match)."""
+    toks = tokens(text)
+    hits = F.filter(toks, lambda t: t.isin(*markers))
+    return F.size(hits).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language = argmax marker-hit count; ties resolved in a
+    fixed lang order; all-zero -> 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr: Column = F.lit("und")
+    # reversed so the first language in LANG_MARKERS wins ties
+    for lang in reversed(list(scores)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def stopword_ratio(text: Column) -> Column:
+    return marker_hits(text, STOPWORDS) / token_count(text)
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.size(toks)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: rewards mid-length docs,
+    presence of stopwords (natural language), and sane word lengths.
+    Deterministic arithmetic only, deliberately UNROUNDED: identical
+    per-row IEEE ops are bit-identical across engines, while round()
+    itself diverges on decimal boundaries (see plans/relational._r)."""
+    n_tok = token_count(text)
+    length_ok = F.when((n_tok >= 20) & (n_tok <= 2000), F.lit(1.0)).otherwise(F.lit(0.5))
+    stop = stopword_ratio(text)
+    stop_ok = F.when((stop >= 0.01) & (stop <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    awl = avg_word_len(text)
+    word_ok = F.when((awl >= 2.0) & (awl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (length_ok + stop_ok + word_ok) / F.lit(3.0)
+
+
+def fingerprint(text: Column, length: int = 16) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text, truncated — the exact-dup clustering key."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
+    return F.substring(F.md5(normalized), 1, length)

@@ -1,0 +1,345 @@
+"""Training-data pipeline extensions, oracle-checked (SURVEY.md §7 Phase 5).
+
+Dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), embedding
+similarity search, text analysis, and multimodal-column plumbing over
+the driver's ``documents`` and ``embeddings`` tables.  Where the whole
+dataflow is expressible in DuckDB SQL the oracle verifies values; the
+md5-based portable hashing in operators/dedup.py exists precisely so
+these are value-checkable, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+# DuckDB-side shingling shared by the dedup oracles (3-word shingles of
+# the lowercased text, distinct).
+_SHINGLES_CTE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             )) AS shingles
+      FROM toks
+    )
+"""
+
+
+@query(
+    "x01_dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+      FROM documents
+    ), groups AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+      FROM fp GROUP BY fingerprint
+    )
+    SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
+           fp.doc_id = g.canonical_id AS is_canonical
+    FROM fp JOIN groups g USING (fingerprint)
+    """,
+)
+def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: one hash shuffle,
+    deterministic canonical survivor (min doc_id) per group."""
+    from ..operators.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@query(
+    "x02_ngram_jaccard",
+    oracle=_SHINGLES_CTE
+    + """
+    , blocked AS (
+      SELECT s.doc_id, t.t[1] || ' ' || t.t[2] AS blk, s.shingles
+      FROM shingled s JOIN toks t USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 + 1e-9, 4) AS jaccard
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on blocked candidate pairs (first-2-words
+    blocking) — the verification stage of a near-dup pipeline."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_k=3, block_words=2)
+
+
+@query(
+    "x03_minhash_lsh",
+    oracle=_SHINGLES_CTE
+    + """
+    , exploded AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), minh AS (
+      SELECT doc_id, seeds.seed,
+             min(md5(CAST(seeds.seed AS VARCHAR) || ':' || sh)) AS mh
+      FROM exploded CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+      GROUP BY doc_id, seeds.seed
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             md5(sig[b.band_idx*4+1] || ',' || sig[b.band_idx*4+2] || ','
+                 || sig[b.band_idx*4+3] || ',' || sig[b.band_idx*4+4]) AS band_hash
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+             a.sig AS sig_a, bb.sig AS sig_b
+      FROM bands a
+      JOIN bands bb ON a.band_idx = bb.band_idx AND a.band_hash = bb.band_hash
+                    AND a.doc_id < bb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_filter(list_transform(range(1, 17), i -> sig_a[i] = sig_b[i]),
+                                 x -> x)) / 16.0, 4) AS est_jaccard
+    FROM pairs
+    WHERE round(len(list_filter(list_transform(range(1, 17), i -> sig_a[i] = sig_b[i]),
+                                x -> x)) / 16.0, 4) >= 0.5
+    """,
+)
+def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs without the n²
+    cross product (16 hashes, 4 bands x 4 rows, est Jaccard >= 0.5).
+    The full shingle->minhash->band->bucket-join dataflow is verified
+    value-for-value against the SQL oracle."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
+
+
+@query(
+    "x04_simhash",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), sums AS (
+      SELECT doc_id, bits.i,
+             sum((ascii(substr(md5(tok), bits.i, 1)) % 2) * 2 - 1) AS sgn
+      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS i) bits
+      GROUP BY doc_id, bits.i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
+             AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (explode -> signed bit sums -> pack)."""
+    from ..operators.dedup import simhash16
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs)
+
+
+@query(
+    "x05_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   + 1e-9, 4) AS cosine_sim
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for 10 query vectors —
+    the ANN correctness baseline.  Queries broadcast; corpus partitions
+    score locally; one ranked window takes the top-k."""
+    from ..operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+@query("x06_lsh_cosine_topk", oracle=None)
+def x06_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k — the scale path for ANN
+    (rows-only check: approximate recall is compared against x05 in
+    tests/test_similarity.py instead of a SQL oracle)."""
+    from ..operators.similarity import lsh_cosine_topk
+
+    # Deterministic pseudo-random hyperplanes (fixed literals, no RNG).
+    planes = [
+        [(((7 * i + 13 * p) % 17) - 8) / 8.0 for i in range(64)] for p in range(4)
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb.filter(F.col("vec_id") < 10), emb, planes, k=5)
+
+
+@query(
+    "x07_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang AS declared_lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_en,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ('el', 'la', 'de', 'que'))) AS BIGINT) AS n_es,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS n_de,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t IN ('le', 'la', 'et', 'les'))) AS BIGINT) AS n_fr
+      FROM documents
+    )
+    SELECT doc_id, declared_lang, n_en, n_es, n_de, n_fr,
+           CASE WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+                WHEN n_en = greatest(n_en, n_es, n_de, n_fr) THEN 'en'
+                WHEN n_es = greatest(n_en, n_es, n_de, n_fr) THEN 'es'
+                WHEN n_de = greatest(n_en, n_es, n_de, n_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def x07_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: marker-word hit counts per language,
+    argmax with fixed tie order (en > es > de > fr), 'und' when no
+    marker fires."""
+    from ..operators.text import lang_id, lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        scores["en"].alias("n_en"),
+        scores["es"].alias("n_es"),
+        scores["de"].alias("n_de"),
+        scores["fr"].alias("n_fr"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "x08_text_quality",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_tokens_bpe_ish,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+             list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_tokens_bpe_ish, stopword_ratio, avg_word_len,
+           ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+             AS quality_score
+    FROM m
+    """,
+)
+def x08_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, BPE-ish token estimate, stopword
+    ratio, avg word length, composite score — all codegen'd built-ins."""
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_tokens_bpe_ish"),
+        tx.stopword_ratio(t).alias("stopword_ratio"),
+        tx.avg_word_len(t).alias("avg_word_len"),
+        tx.quality_score(t).alias("quality_score"),
+    )
+
+
+@query(
+    "x09_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(strlen(text) % 640 + 16 AS BIGINT) AS width,
+           CAST((strlen(text) * 7) % 480 + 16 AS BIGINT) AS height,
+           CAST(strlen(text) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def x09_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> Arrow-batched
+    mapInPandas 'decode' -> typed metadata.  The codec is a deterministic
+    stub (real decode needs image libs; operators/multimodal.py), but the
+    distributed execution shape — binary Arrow batches through Python on
+    executors — is the real one, and the oracle checks it end-to-end."""
+    from ..operators.multimodal import fake_decode_meta, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fake_decode_meta(with_binary_payload(docs))
+
+
+@query(
+    "x10_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, CAST(strlen(text) % 30 + 1 AS BIGINT), 5)) AS BIGINT)
+             AS frame_idx
+    FROM documents
+    """,
+)
+def x10_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded multimodal metadata: sequence+explode
+    lateral expansion (every 5th frame)."""
+    from ..operators.multimodal import fake_decode_meta, frame_sample_plan, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample_plan(fake_decode_meta(with_binary_payload(docs)), every_nth=5)
+
+
+@query(
+    "x11_embedding_centroids",
+    oracle="""
+    SELECT label, pos, round(avg(val) + 1e-9, 4) + 0.0 AS centroid_val, count(*) AS n_vectors
+    FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def x11_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode + grouped avg — the
+    vector-aggregation primitive (cluster centers, IVF coarse quantizer).
+    Scales as one shuffle keyed on (label, dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "pos0")
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("col").alias("val"))
+        .groupBy("label", "pos")
+        .agg((F.round(F.avg("val") + F.lit(1e-9), 4) + F.lit(0.0)).alias("centroid_val"), F.count("*").alias("n_vectors"))
+    )

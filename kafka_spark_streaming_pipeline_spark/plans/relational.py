@@ -1,0 +1,760 @@
+"""Batch relational core — oracle-checked queries (SURVEY.md §2, Phase 2).
+
+Covers scans/filters/projections (P1-P7), joins (§2.3: equi/broadcast/
+semi/anti/theta), aggregations (A1-A7 + rollup/cube), window functions
+(W1-W4 + ranking), sorts/limits/top-k (T1), set ops (§2.7), and the
+scalar-function surface (F1-F10) over the driver's TPC-H-ish tables.
+
+Each builder is the idiomatic Catalyst-friendly plan: filters first
+(parquet pushdown), dimension joins broadcast, aggregates expressed
+with built-ins so whole-stage codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _r(col, n: int):
+    """Boundary-safe rounding for float aggregates: Spark rounds via the
+    shortest decimal repr (HALF_UP) while DuckDB rounds the exact binary
+    value, so results sitting exactly on a decimal boundary (e.g. 4.475)
+    diverge.  A +1e-9 nudge (mirrored in every oracle) moves systematic
+    boundary values off the edge; genuine aggregate noise is ~1e-10.
+    Per-row deterministic arithmetic is NOT rounded at all — identical
+    IEEE ops give bit-identical doubles in both engines."""
+    return F.round(col + F.lit(1e-9), n)
+
+
+# ---------------------------------------------------------------- scans/aggs
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity) + 1e-9, 2)                                        AS sum_qty,
+           round(sum(l_extendedprice) + 1e-9, 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) + 1e-9, 2)  AS sum_charge,
+           round(avg(l_quantity) + 1e-9, 2)                                        AS avg_qty,
+           round(avg(l_extendedprice) + 1e-9, 2)                                   AS avg_price,
+           round(avg(l_discount) + 1e-9, 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: grouped multi-aggregate scan.
+
+    The reference's running counters (spark_streaming.py:74-100) are the
+    degenerate form of this; here it is one shuffle with map-side partial
+    aggregation, 8 aggregates in a single pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _r(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _r(F.sum(disc_price), 2).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _r(F.avg("l_quantity"), 2).alias("avg_qty"),
+            _r(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            _r(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filter_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q02_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicates (P1/P2/P4) — all pushed to the
+    parquet scan; revenue is a per-row codegen expression (TPC-H Q6 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+@query(
+    "q03_join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice) + 1e-9, 2) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join with broadcast dimensions: orders (fact) joined to
+    customer -> nation -> region.  nation/region are tiny — explicitly
+    broadcast so the fact table never shuffles for them; at 100 TB the
+    orders<->customer join is the only real shuffle (both sides keyed)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _r(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q04_join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def q04_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with a 1995+ order, by segment."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q05_join_anti",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, count(*) AS n_customers_no_big_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 250000)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q05_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no high-value
+    (>250k) order, per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers_no_big_orders"))
+    )
+
+
+@query(
+    "q06_join_theta",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           count(*) AS n_pairs,
+           round(avg(s.s_acctbal - c.c_acctbal) + 1e-9, 2) AS avg_gap
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    GROUP BY s.s_nationkey
+    """,
+)
+def q06_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + inequality (theta) join predicate: supplier/customer pairs in
+    the same nation where the supplier out-balances the customer.  The
+    equi key keeps it a hash join; the inequality is a post-join filter
+    Catalyst folds into the join condition."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = supplier.join(
+        customer,
+        (supplier.s_nationkey == customer.c_nationkey)
+        & (supplier.s_acctbal > customer.c_acctbal),
+    )
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_pairs"),
+        _r(F.avg(F.col("s_acctbal") - F.col("c_acctbal")), 2).alias("avg_gap"),
+    )
+
+
+# -------------------------------------------------------------- aggregations
+
+@query(
+    "q07_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity) + 1e-9, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q07_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (absent from the reference — SURVEY §2.4;
+    Catalyst expands to a single shuffle with grouping-id)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        _r(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "q08_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice) + 1e-9, 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q08_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status x priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _r(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q09_distinct_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           round(sum(c_acctbal) + 1e-9, 2) AS sum_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q09_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (A4's exact form; the streaming
+    layer uses approx_count_distinct for the gauge)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        _r(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@query(
+    "q10_histogram",
+    oracle="""
+    SELECT CASE WHEN l_quantity <= 10 THEN 'le_10'
+                WHEN l_quantity <= 20 THEN 'le_20'
+                WHEN l_quantity <= 30 THEN 'le_30'
+                WHEN l_quantity <= 40 THEN 'le_40'
+                ELSE 'gt_40' END AS bucket,
+           count(*) AS n,
+           round(avg(l_extendedprice) + 1e-9, 2) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket histogram aggregation (A3 — the Prometheus latency
+    histogram generalized): CASE bucketing + grouped count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") <= 10, "le_10")
+        .when(F.col("l_quantity") <= 20, "le_20")
+        .when(F.col("l_quantity") <= 30, "le_30")
+        .when(F.col("l_quantity") <= 40, "le_40")
+        .otherwise("gt_40")
+    )
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        _r(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+# ------------------------------------------------------------------- windows
+
+@query(
+    "q11_seq_gap_detect",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS gap_events,
+           CAST(sum(greatest(gap, 0)) AS BIGINT) AS missing_total
+    FROM (
+      SELECT user_id,
+             event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS gap
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def q11_seq_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — per-key sequence-gap detection, the reference's core stateful
+    computation (spark_streaming.py:379-385) as a lag() window: per user,
+    a gap is a jump in event_id; `missing_total` counts missing items
+    (the reference's inc(gap_size) semantics), `gap_events` counts jumps."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    gap = (F.col("event_id") - F.lag("event_id").over(w) - 1).alias("gap")
+    return (
+        events.select("user_id", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("gap") > 0, 1).otherwise(0)).cast("bigint").alias("gap_events"),
+            F.sum(F.greatest(F.col("gap"), F.lit(0))).cast("bigint").alias("missing_total"),
+        )
+    )
+
+
+@query(
+    "q12_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — top-1 per key (the reference's find_one(sort=chunk_index desc),
+    api/main.py:321-324): row_number over a desc window, rn = 1."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "q13_tail_window",
+    oracle="""
+    SELECT user_id, event_id, pos
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS pos
+      FROM events
+    ) WHERE pos <= 10
+    """,
+)
+def q13_tail_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — trailing-N window per key (the DVR last-10 slide,
+    spark_streaming.py:430-432): keep the 10 newest rows per user."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 10)
+        .select("user_id", "event_id", "pos")
+    )
+
+
+@query(
+    "q14_dvr_window_start",
+    oracle="""
+    SELECT user_id,
+           max(seq) AS last_seq,
+           greatest(0, max(seq) - 9) AS dvr_window_start
+    FROM (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+)
+def q14_dvr_window_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — the DVR base-sequence arithmetic greatest(0, idx - N + 1)
+    (spark_streaming.py:435), over a synthesized per-key chunk index."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (F.row_number().over(w) - 1).alias("seq")
+    return (
+        events.select("user_id", seq)
+        .groupBy("user_id")
+        .agg(
+            F.max("seq").alias("last_seq"),
+            F.greatest(F.lit(0), F.max("seq") - F.lit(9)).alias("dvr_window_start"),
+        )
+    )
+
+
+@query(
+    "q15_rank_in_group",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_custkey, c_acctbal AS acctbal,
+           bal_rank, bal_dense_rank
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             rank()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+             dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank
+      FROM customer
+    ) WHERE rn <= 5
+    """,
+)
+def q15_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (rank/dense_rank; absent from the reference
+    — SURVEY §2.5): top-5 customers by balance per nation."""
+    customer = load_table(spark, sf_dir, "customer")
+    w_det = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_rank = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        customer.select(
+            F.col("c_nationkey").alias("nationkey"),
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w_det).alias("rn"),
+            F.rank().over(w_rank).alias("bal_rank"),
+            F.dense_rank().over(w_rank).alias("bal_dense_rank"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@query(
+    "q16_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(1e-9 + sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           lead(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    """,
+)
+def q16_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame + lead() (analytic
+    surface beyond the reference): cumulative customer spend."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _r(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+        ).alias("running_spend"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# ------------------------------------------------------------- sorts / top-k
+
+@query(
+    "q17_orderby_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q17_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — global ORDER BY + LIMIT (Spark plans TakeOrderedAndProject:
+    per-partition top-k then a tiny driver merge — no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+@query(
+    "q18_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice AS totalprice, k
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS k
+      FROM orders
+    ) WHERE k <= 5
+    """,
+)
+def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (the scalable top-k idiom —
+    partial top-k happens map-side under AQE)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("k", F.row_number().over(w))
+        .filter(F.col("k") <= 5)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "k",
+        )
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+@query(
+    "q19_union",
+    oracle="""
+    SELECT nationkey, count(*) AS n_sources FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def q19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two keyed projections + re-aggregation (§2.7)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    u = customer.select(F.col("c_nationkey").alias("nationkey")).distinct().unionAll(
+        supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    )
+    return u.groupBy("nationkey").agg(F.count("*").alias("n_sources"))
+
+
+@query(
+    "q20_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q20_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q21_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def q21_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    high-balance supplier."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+# ----------------------------------------------------------- scalar surface
+
+@query(
+    "q22_scalar_checksum_paths",
+    oracle="""
+    SELECT event_id,
+           'live-' || CAST(user_id AS VARCHAR) AS stream_id,
+           md5('live-' || CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR)) AS checksum,
+           printf('%s/%s/%d.ts', 'live-' || CAST(user_id AS VARCHAR), '1080p', event_id) AS chunk_path,
+           substr(md5(CAST(event_id AS VARCHAR)), 1, 12) AS short_id
+    FROM events
+    WHERE event_id % 50 = 0
+    """,
+)
+def q22_scalar_checksum_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface F1/F2/F3/F10: md5 checksums, printf-style
+    object keys, deterministic short ids, and mod-sampling — all
+    vectorized built-ins (the reference computes each per-row in Python:
+    producer.py:130-136, spark_streaming.py:245, api/main.py:225)."""
+    events = load_table(spark, sf_dir, "events")
+    stream_id = F.concat(F.lit("live-"), F.col("user_id").cast("string"))
+    return events.filter(F.col("event_id") % 50 == 0).select(
+        "event_id",
+        stream_id.alias("stream_id"),
+        F.md5(F.concat(stream_id, F.lit("-"), F.col("event_id").cast("string"))).alias("checksum"),
+        F.format_string("%s/%s/%d.ts", stream_id, F.lit("1080p"), F.col("event_id")).alias(
+            "chunk_path"
+        ),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 12).alias("short_id"),
+    )
+
+
+@query(
+    "q23_time_buckets",
+    oracle="""
+    SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_bucket,
+           count(*) AS n_events,
+           round(sum(value) + 1e-9, 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q23_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A7 — event-time tumbling buckets (the batch form of the
+    streaming rate derivation, producer.py:361-375): hourly counts."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket")).agg(
+        F.count("*").alias("n_events"),
+        _r(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q24_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — JSON decode as a column expression (`from_json`; replaces the
+    reference's driver-side json.loads, spark_streaming.py:513)."""
+    from ..schemas import EVENT_PROPS_SCHEMA
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", EVENT_PROPS_SCHEMA)["k"]
+    return (
+        events.select("event_id", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .withColumn("k_mod", F.col("k") % 10)
+    )
+
+
+@query(
+    "q25_conditional_defaults",
+    oracle="""
+    SELECT event_id,
+           coalesce(value, 0.0) AS value_filled,
+           CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid' ELSE 'high' END AS value_class,
+           CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion' ELSE 'engagement' END AS funnel_stage
+    FROM events
+    """,
+)
+def q25_conditional_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F8 — coalesce defaults + CASE classification (the reference's
+    dict.get defaults, spark_streaming.py:209-216, as codegen'd exprs)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+        .alias("value_class"),
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .otherwise("engagement")
+        .alias("funnel_stage"),
+    )
+
+
+@query(
+    "q26_union_by_name",
+    oracle="""
+    SELECT user_id, kind, n FROM (
+      SELECT user_id, 'purchase' AS kind, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      UNION ALL
+      SELECT user_id, 'error' AS kind, count(*) AS n
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    """,
+)
+def q26_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — unionByName of two branch aggregations (the reference keeps
+    its two topics as separate queries; the engine unifies them)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("purchase"))
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("error"))
+    )
+    return purchases.unionByName(errors).select("user_id", "kind", "n")
+
+
+@query(
+    "q27_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type -> columns (explicit value list so no extra
+    distinct-scan pass; missing combinations coalesced to 0)."""
+    events = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pivoted = events.groupBy("user_id").pivot("event_type", kinds).count()
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
