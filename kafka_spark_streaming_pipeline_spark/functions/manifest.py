@@ -108,12 +108,14 @@ def live_manifests(
     """Batch materialization of the live DVR playlist per stream_id:
     keep only the trailing ``window_size`` segments; media sequence =
     greatest(0, max(chunk_index) - N + 1) (reference :430-435)."""
+    sorted_segs = F.array_sort(F.collect_list(F.struct("chunk_index", "duration_ms")))
+    # slice(arr, -N, N) yields NULL when the array is shorter than N —
+    # guard so young streams (< window_size chunks) keep all segments
+    tail = F.when(F.size(sorted_segs) <= window_size, sorted_segs).otherwise(
+        F.slice(sorted_segs, -window_size, window_size)
+    )
     agg = [
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("chunk_index", "duration_ms"))),
-            -window_size,
-            window_size,
-        ).alias("segments"),
+        tail.alias("segments"),
         F.greatest(F.lit(0), F.max("chunk_index") - F.lit(window_size - 1)).alias("media_sequence"),
     ]
     if ended_col:

@@ -1,0 +1,50 @@
+"""File-based batch & streaming sources.
+
+The reference reads only from Kafka; the engine adds first-class file
+sources (SURVEY.md §2.1 S11): parquet (the default — columnar,
+pushdown), json/csv with explicit schemas, and a *streaming* file
+source used to replay event batches deterministically in tests
+(``maxFilesPerTrigger=1`` -> one file per micro-batch, the stand-in
+for Kafka's offset-bounded triggers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def parquet_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming source over a directory of parquet files; each trigger
+    consumes ``max_files_per_trigger`` files — deterministic micro-batch
+    replay for tests and backfills."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def json_stream(
+    spark: SparkSession, path: str, schema: T.StructType, max_files_per_trigger: int = 1
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Built-in rate source — synthetic (timestamp, value) rows for
+    load/latency smoke tests (the analog of the reference's producer
+    cadence, producer.py:327-328)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

@@ -1,0 +1,161 @@
+"""Keyed cross-batch state (SURVEY.md §2.9 ST5/ST6 — the hard 20%).
+
+The reference keeps per-stream state in a plain driver dict
+(``_live_last_seq``, spark_job/spark_streaming.py:348-350 — lost on
+restart, admitted in its README:912) and rebuilds the DVR manifest by
+re-reading its own object-store output per event (:398-456).  Here
+both live in Spark's fault-tolerant keyed state via
+``applyInPandasWithState``: checkpointed, RocksDB-backed, partitioned
+by stream_id so per-key ordering is guaranteed within the operator.
+
+Ordering note (SURVEY §7 hard-item 1): within a micro-batch the rows
+of one key arrive as one pandas group; both operators sort the group
+by sequence/chunk index before folding it into state, which preserves
+the reference's single-threaded per-stream semantics under
+distributed execution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import DVR_WINDOW_SIZE
+
+# ------------------------------------------------------------ gap tracking
+
+GAP_OUTPUT_SCHEMA = (
+    "stream_id string, last_seq long, n_chunks long, gap_events long, missing_total long"
+)
+GAP_STATE_SCHEMA = "last_seq long, gap_events long, missing_total long"
+
+
+def _track_gaps_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch's sequence numbers into (last_seq,
+    gap_events, missing_total).  Gap semantics mirror the reference
+    exactly (spark_streaming.py:379-385): a jump seq > last+1 counts
+    one gap event and seq-last-1 missing chunks; missing_total is the
+    inc(gap_size) Prometheus counter."""
+    (stream_id,) = key
+    if state.exists:
+        last_seq, gap_events, missing_total = state.get
+    else:
+        last_seq, gap_events, missing_total = -1, 0, 0
+    n_chunks = 0
+    for pdf in batches:
+        for seq in sorted(pdf["sequence_number"].tolist()):
+            n_chunks += 1
+            if last_seq >= 0 and seq > last_seq + 1:
+                gap_events += 1
+                missing_total += seq - last_seq - 1
+            if seq > last_seq:
+                last_seq = seq
+    state.update((last_seq, gap_events, missing_total))
+    yield pd.DataFrame(
+        {
+            "stream_id": [stream_id],
+            "last_seq": [last_seq],
+            "n_chunks": [n_chunks],
+            "gap_events": [gap_events],
+            "missing_total": [missing_total],
+        }
+    )
+
+
+def track_gaps(chunks: DataFrame) -> DataFrame:
+    """ST5 — fault-tolerant per-stream sequence tracking: one updated
+    health row per stream per micro-batch."""
+    return chunks.groupBy("stream_id").applyInPandasWithState(
+        _track_gaps_fn,
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ------------------------------------------------------------ DVR manifest
+
+DVR_OUTPUT_SCHEMA = "stream_id string, media_sequence long, n_segments long, manifest string"
+DVR_STATE_SCHEMA = "chunk_indexes array<long>, durations array<long>, max_chunk long"
+
+
+def render_live_manifest_py(
+    stream_id: str,
+    segments: list[tuple[int, int]],
+    media_sequence: int,
+    ended: bool = False,
+) -> str:
+    """Python twin of functions/manifest.render_live_manifest — byte-
+    identical output (golden-tested against the batch column form) so
+    the streaming operator and the batch materialization agree."""
+    target = max(1, -(-max(d for _, d in segments) // 1000))  # ceil-div
+    lines = [
+        "#EXTM3U",
+        "#EXT-X-VERSION:3",
+        f"#EXT-X-TARGETDURATION:{target}",
+        "#EXT-X-PLAYLIST-TYPE:EVENT",
+        f"#EXT-X-MEDIA-SEQUENCE:{media_sequence}",
+    ]
+    for idx, dur in segments:
+        lines.append(f"#EXTINF:{dur // 1000}.{dur % 1000:03d},")
+        lines.append(f"{stream_id}/chunks/{idx}.ts")
+    if ended:
+        lines.append("#EXT-X-ENDLIST")
+    return "\n".join(lines)
+
+
+def _dvr_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Maintain the bounded last-N segment list + advancing media
+    sequence per stream (reference spark_streaming.py:398-456), without
+    ever re-reading sink output: the window IS the state."""
+    (stream_id,) = key
+    if state.exists:
+        idxs, durs, max_chunk = state.get
+        segments: dict[int, int] = dict(zip(list(idxs), list(durs)))
+    else:
+        segments, max_chunk = {}, -1
+    for pdf in batches:
+        for idx, dur in sorted(zip(pdf["chunk_index"].tolist(), pdf["duration_ms"].tolist())):
+            segments[int(idx)] = int(dur)
+            max_chunk = max(max_chunk, int(idx))
+    # slide: keep only the newest DVR_WINDOW_SIZE chunk indexes
+    kept = sorted(segments)[-DVR_WINDOW_SIZE:]
+    segments = {i: segments[i] for i in kept}
+    media_sequence = max(0, max_chunk - DVR_WINDOW_SIZE + 1)
+    state.update((kept, [segments[i] for i in kept], max_chunk))
+    manifest = render_live_manifest_py(
+        stream_id, [(i, segments[i]) for i in kept], media_sequence
+    )
+    yield pd.DataFrame(
+        {
+            "stream_id": [stream_id],
+            "media_sequence": [media_sequence],
+            "n_segments": [len(kept)],
+            "manifest": [manifest],
+        }
+    )
+
+
+def dvr_manifests(chunks: DataFrame) -> DataFrame:
+    """ST6 — the rolling DVR playlist as checkpointed keyed state: one
+    re-rendered manifest per stream per micro-batch."""
+    return chunks.groupBy("stream_id").applyInPandasWithState(
+        _dvr_fn,
+        outputStructType=DVR_OUTPUT_SCHEMA,
+        stateStructType=DVR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _noop(*_: Any) -> None:  # pragma: no cover
+    return None

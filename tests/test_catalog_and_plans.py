@@ -1,0 +1,57 @@
+"""Catalog + query-registry sanity (the oracle harness does the deep
+value checks; these pin the contract shape and a few hand-computed
+invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_pipeline_spark.catalog import TABLES, load_table, register_views
+from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+
+def test_all_tables_load_with_expected_keys(spark, sf_dir):
+    tables = register_views(spark, sf_dir)
+    assert set(tables) == set(TABLES)
+    assert dict(tables["events"].dtypes)["ts"] == "timestamp"  # nanos converted
+    assert tables["lineitem"].count() == 6000
+    assert spark.sql("SELECT count(*) n FROM region").collect()[0].n == 5
+
+
+def test_registry_contract():
+    assert len(QUERIES) >= 45
+    for name, q in QUERIES.items():
+        assert q.builder is not None
+        assert q.doc, f"{name} missing docstring"
+    no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
+    assert no_oracle == {"x06_lsh_cosine_topk"}  # everything else value-checked
+
+
+def test_flagship_matches_hand_computed_gaps(spark, sf_dir):
+    out = {r.user_id: r for r in QUERIES["p01_stream_health"].builder(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    ids = sorted(r.event_id for r in ev.filter(F.col("user_id") == 0).collect())
+    missing = sum(b - a - 1 for a, b in zip(ids, ids[1:]))
+    gaps = sum(1 for a, b in zip(ids, ids[1:]) if b - a > 1)
+    assert out[0].n_events == len(ids)
+    assert out[0].missing_total == missing
+    assert out[0].gap_events == gaps
+    assert out[0].last_event_id == ids[-1]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    got = qs["q17_orderby_limit"](spark, "/root/testdata/sf0.001")
+    assert got.count() == 10
+
+
+@pytest.mark.parametrize("name", ["q03_join_broadcast_dims", "x05_cosine_topk"])
+def test_plans_are_broadcast_where_expected(spark, sf_dir, name):
+    plan = QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

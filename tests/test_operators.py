@@ -1,0 +1,139 @@
+"""Unit tests for the extension operators (dedup, similarity, text,
+multimodal) on small synthetic frames — the oracle harness covers the
+driver tables; these cover edge semantics the oracle can't (near-dup
+recall, LSH vs brute-force agreement, stubs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from kafka_spark_streaming_pipeline_spark.operators.multimodal import (
+    decode_image,
+    fake_decode_meta,
+    frame_sample_plan,
+    with_binary_payload,
+)
+from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from kafka_spark_streaming_pipeline_spark.operators.text import lang_id, tokens
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0 (same block key)
+        (3, "completely different content about spark sql engines and shuffles "
+            "with many unrelated words appearing exactly once in this text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r.doc_id: r for r in exact_dedup_groups(_docs(spark)).collect()}
+    assert out[0].group_size == 2 and out[1].group_size == 2
+    assert out[0].is_canonical and not out[1].is_canonical
+    assert out[1].canonical_id == 0
+    assert out[2].group_size == 1  # near-dup is NOT an exact dup
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), block_words=2).collect()
+    }
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert 0.5 < pairs[(0, 2)] < 1.0
+
+
+def test_minhash_lsh_finds_dups_not_distinct(spark):
+    pairs = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_lsh_pairs(_docs(spark)).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)  # identical docs share all bands
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal_hash(spark):
+    out = {r.doc_id: r.simhash for r in simhash16(_docs(spark)).collect()}
+    assert out[0] == out[1]
+    assert 0 <= out[0] < 2 ** 16
+    ham02 = bin(out[0] ^ out[2]).count("1")
+    ham03 = bin(out[0] ^ out[3]).count("1")
+    assert ham02 <= ham03  # near-dup at least as close as unrelated doc
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_self_first(spark):
+    emb = _vecs(spark)
+    out = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=3).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert ranked[0].neighbor_id == 0 and ranked[0].cosine_sim == pytest.approx(1.0)
+    assert ranked[1].neighbor_id == 1
+    assert all(r.neighbor_id != 3 for r in ranked)  # opposite vector never top-3
+
+
+def test_lsh_cosine_agrees_with_brute_force_on_top1(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = [[(((7 * i + 13 * p) % 17) - 8) / 8.0 for i in range(64)] for p in range(4)]
+    brute = {r.query_id: r.neighbor_id for r in cosine_topk(queries, emb, k=1).collect()}
+    approx = {r.query_id: r.neighbor_id for r in lsh_cosine_topk(queries, emb, planes, k=1).collect()}
+    # self-match always lands in the query's own bucket -> top-1 agrees
+    assert approx == brute
+
+
+def test_multimodal_stub_and_fake_decode(spark):
+    docs = _docs(spark)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
+    meta = fake_decode_meta(with_binary_payload(docs))
+    rows = {r.doc_id: r for r in meta.collect()}
+    assert rows[0].n_bytes == len(BASE.encode())
+    assert rows[0].width == rows[0].n_bytes % 640 + 16
+    frames = frame_sample_plan(meta, every_nth=5)
+    n_frames0 = rows[0].n_frames
+    expect = len(range(0, n_frames0, 5))
+    assert frames.filter(F.col("doc_id") == 0).count() == expect
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog of a house"),
+        (1, "el gato y la casa de que"),
+        (2, "der hund und die katze das haus"),
+        (3, "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.pred for r in df.select("doc_id", lang_id(F.col("text")).alias("pred")).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "und"
+
+
+def test_tokens_lowercase_split(spark):
+    df = spark.createDataFrame([("A b C",)], "text string")
+    [row] = df.select(tokens(F.col("text")).alias("t")).collect()
+    assert row.t == ["a", "b", "c"]

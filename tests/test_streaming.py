@@ -1,0 +1,269 @@
+"""Streaming-layer tests: micro-batch replay of the generator's fault
+patterns (SURVEY.md §5 — gaps, duplicates, late events) through real
+Structured Streaming queries with file sources (one file = one
+micro-batch) and memory/foreachBatch sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_pipeline_spark.schemas import LIVE_CHUNK_SCHEMA
+from kafka_spark_streaming_pipeline_spark.sources.files import parquet_stream
+from kafka_spark_streaming_pipeline_spark.sources.kafka import decode_json_values
+from kafka_spark_streaming_pipeline_spark.streaming.pipeline import (
+    deduplicated_stream,
+    live_transform,
+    start_foreach_batch,
+    with_watermarked_windows,
+)
+from kafka_spark_streaming_pipeline_spark.streaming.sinks import make_live_sink, upsert_partitioned
+from kafka_spark_streaming_pipeline_spark.streaming.state import dvr_manifests, track_gaps
+
+
+def _event(stream_id: str, idx: int, seq: int | None = None, ts: str = "2024-01-01T00:00:00+00:00"):
+    import hashlib
+
+    size = 1000 + idx
+    return {
+        "stream_id": stream_id,
+        "chunk_index": idx,
+        "sequence_number": seq if seq is not None else idx,
+        "timestamp": ts,
+        "size_bytes": size,
+        "stream_type": "live",
+        "status": "received",
+        "checksum": hashlib.md5(f"{stream_id}-{idx}-{size}".encode()).hexdigest(),
+        "duration_ms": 2000,
+        "keyframe_aligned": True,
+        "audio_track_id": f"audio-{stream_id}",
+        "video_track_id": f"video-{stream_id}",
+        "match_home": "A",
+        "match_away": "B",
+        "competition": "X",
+    }
+
+
+def _write_batch_files(spark, tmpdir: str, batches: list[list[dict]]) -> str:
+    """One parquet FILE per micro-batch under tmpdir/in (the streaming
+    file source lists plain files, so the Spark-written part file is
+    moved up out of its directory)."""
+    import glob
+    import shutil
+
+    in_dir = os.path.join(tmpdir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        staging = os.path.join(tmpdir, f"stage_{i}")
+        spark.createDataFrame(rows, LIVE_CHUNK_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"batch_{i}.parquet"))
+    return in_dir
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+
+# --------------------------------------------------------------- decode
+
+
+def test_kafka_value_decode(spark):
+    raw = spark.createDataFrame(
+        [(json.dumps(_event("live-a", 0)),), ("not json at all",)], "value string"
+    )
+    decoded = decode_json_values(raw, LIVE_CHUNK_SCHEMA)
+    rows = decoded.collect()
+    assert len(rows) == 2
+    good = [r for r in rows if r.stream_id is not None]
+    assert good[0].chunk_index == 0 and good[0].stream_type == "live"
+    # malformed JSON -> null row, not an exception (vs reference's try/except)
+    assert any(r.stream_id is None for r in rows)
+
+
+def test_live_transform_checksum_and_paths(spark):
+    ev = _event("live-a", 3)
+    bad = _event("live-a", 4)
+    bad["checksum"] = "0" * 32
+    df = spark.createDataFrame([ev, bad], LIVE_CHUNK_SCHEMA)
+    out = live_transform(df).collect()
+    by_idx = {r.chunk_index: r for r in out}
+    assert by_idx[3].checksum_ok is True
+    assert by_idx[4].checksum_ok is False
+    assert by_idx[3].chunk_path == "live-a/chunks/3.ts"
+    assert by_idx[3].manifest_path == "live-a/playlist.m3u8"
+    assert by_idx[3].dvr_window_start == 0
+    assert by_idx[3].processing_latency_ms > 0
+
+
+# ----------------------------------------------------- stateful operators
+
+
+def test_gap_detection_across_batches(spark, tmp_path):
+    # reference fault pattern: one gap (skip 2 seqs) mid-stream
+    batches = [
+        [_event("s1", i, seq=i) for i in range(5)],
+        [_event("s1", i, seq=i + 2) for i in range(5, 10)],  # jump: 4 -> 7
+        [_event("s2", i, seq=i) for i in range(3)],
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    out = track_gaps(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gaps")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    final = {
+        r.stream_id: r
+        for r in spark.sql(
+            "SELECT * FROM gaps WHERE (stream_id, last_seq) IN "
+            "(SELECT stream_id, max(last_seq) FROM gaps GROUP BY stream_id)"
+        ).collect()
+    }
+    assert final["s1"].gap_events == 1
+    assert final["s1"].missing_total == 2  # counts MISSING chunks (ref :382)
+    assert final["s1"].last_seq == 11
+    assert final["s2"].gap_events == 0
+
+
+def test_dvr_state_slides_and_advances(spark, tmp_path):
+    batches = [
+        [_event("s1", i) for i in range(8)],
+        [_event("s1", i) for i in range(8, 14)],
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        dvr_manifests(stream)
+        .writeStream.format("memory")
+        .queryName("dvr")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM dvr ORDER BY media_sequence").collect()
+    last = rows[-1]
+    assert last.media_sequence == 4  # max_chunk 13 -> 13-10+1
+    assert last.n_segments == 10
+    assert "s1/chunks/13.ts" in last.manifest
+    assert "s1/chunks/3.ts" not in last.manifest
+    # earlier batch emitted the pre-slide view (cross-batch state is real)
+    assert rows[0].media_sequence == 0 and rows[0].n_segments == 8
+
+
+def test_windowed_aggregation_with_watermark(spark, tmp_path):
+    base = "2024-01-01T00:00:{s:02d}+00:00"
+    batch = [_event("s1", i, ts=base.format(s=i)) for i in range(20)]
+    in_dir = _write_batch_files(spark, str(tmp_path), [batch])
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    agg = with_watermarked_windows(live_transform(stream), window_duration="10 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM winagg").collect()
+    assert sum(r.n_chunks for r in rows) == 20
+    assert len(rows) == 2  # two 10s tumbling windows
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    ev = _event("s1", 0)
+    batch = [ev, dict(ev), _event("s1", 1)]  # duplicate chunk 0 (replay)
+    in_dir = _write_batch_files(spark, str(tmp_path), [batch])
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        deduplicated_stream(live_transform(stream))
+        .select("stream_id", "chunk_index")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM dedup").collect()
+    assert len(rows) == 2  # duplicate suppressed
+
+
+# ----------------------------------------------------------------- sinks
+
+
+def test_upsert_sink_idempotent_under_replay(spark, tmp_path):
+    table = str(tmp_path / "meta")
+    df = spark.createDataFrame([_event("s1", i) for i in range(4)], LIVE_CHUNK_SCHEMA)
+    upsert_partitioned(df, table, keys=["stream_id", "chunk_index"], order_col="sequence_number")
+    # replay the same batch (checkpoint recovery scenario, ST3)
+    upsert_partitioned(df, table, keys=["stream_id", "chunk_index"], order_col="sequence_number")
+    out = spark.read.parquet(table)
+    assert out.count() == 4
+    # update wins: new status for chunk 0 replaces the old row
+    upd = _event("s1", 0)
+    upd["status"] = "live"
+    upsert_partitioned(
+        spark.createDataFrame([upd], LIVE_CHUNK_SCHEMA),
+        table,
+        keys=["stream_id", "chunk_index"],
+        order_col="sequence_number",
+    )
+    out = spark.read.parquet(table)
+    assert out.count() == 4
+    assert out.filter(F.col("chunk_index") == 0).collect()[0].status == "live"
+
+
+def test_upsert_only_touched_partitions(spark, tmp_path):
+    table = str(tmp_path / "meta")
+    df = spark.createDataFrame(
+        [_event("s1", 0), _event("s2", 0)], LIVE_CHUNK_SCHEMA
+    )
+    upsert_partitioned(df, table, keys=["stream_id", "chunk_index"])
+    s2_files_before = set(os.listdir(os.path.join(table, "stream_id=s2")))
+    upsert_partitioned(
+        spark.createDataFrame([_event("s1", 1)], LIVE_CHUNK_SCHEMA),
+        table,
+        keys=["stream_id", "chunk_index"],
+    )
+    s2_files_after = set(os.listdir(os.path.join(table, "stream_id=s2")))
+    assert s2_files_before == s2_files_after  # untouched partition not rewritten
+    assert spark.read.parquet(table).count() == 3
+
+
+def test_end_to_end_live_query(spark, tmp_path):
+    """Full topology: file-source micro-batches -> transform ->
+    foreachBatch dual sink (metadata upsert + chunk objects)."""
+    batches = [
+        [_event("s1", i) for i in range(3)],
+        [_event("s1", i) for i in range(2, 5)],  # overlap: replayed chunk 2
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    meta = str(tmp_path / "meta")
+    chunks = str(tmp_path / "chunks")
+    q = start_foreach_batch(
+        live_transform(stream),
+        make_live_sink(meta, chunks),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="live_e2e",
+        available_now=False,
+    )
+    _drain(q)
+    out = spark.read.parquet(meta)
+    assert out.count() == 5  # chunk 2 upserted once
+    assert set(r.chunk_index for r in out.collect()) == set(range(5))
+    assert spark.read.parquet(chunks).count() >= 5
