@@ -92,30 +92,42 @@ def shingle_rows(
     )
 
 
-def _hash_hex(value: Column, seed: int) -> Column:
-    """Portable hash: md5 of 'seed:value' as a hex string.  Same-length
-    lowercase hex compares lexicographically == numerically, and md5 is
-    bit-identical in Spark and DuckDB — so min-over-hashes needs no
-    hex->int conversion at all."""
-    return F.md5(F.concat(F.lit(f"{seed}:"), value))
+def _hash64(value: Column, salt: str) -> Column:
+    """Portable 60-bit integer hash: the first 15 hex chars of
+    md5(salt||value) parsed as an integer.  Bit-identical in Spark
+    (``conv(...,16,10)``) and DuckDB (``('0x'||substr(...))::BIGINT``),
+    always non-negative, so ``%`` and ``min`` agree across engines."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), value)), 1, 15), 16, 10).cast("long")
+
+
+# Per-seed universal hashing (the MLlib MinHashLSH construction):
+# h_i(x) = (a_i*x + b_i) mod p with p = 2^31-1.  x < p and a_i < p keep
+# every product below 2^62 — overflow-safe in BOTH engines (DuckDB
+# errors on BIGINT overflow; Java would silently wrap).  Coefficients
+# are fixed at import from a seeded RNG so Spark and the SQL oracle
+# share them verbatim.
+MINHASH_PRIME = 2_147_483_647
+
+import random as _random
+
+_rng = _random.Random(20260813)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME)) for _ in range(64)
+]
+
+# Band hashes combine signature values with a rolling polynomial mod
+# 2^31 — intermediates stay < 2^36, overflow-safe everywhere.
+_BAND_MOD = 1 << 31
+
+
+def _band_hash(elements: list[Column]) -> Column:
+    acc = elements[0] % _BAND_MOD
+    for e in elements[1:]:
+        acc = (acc * 31 + e % _BAND_MOD) % _BAND_MOD
+    return acc
 
 
 # -------------------------------------------------------------- minhash
-
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
-    """MinHash signature: array of num_hashes (string) min-over-shingles
-    hashes.  NOTE: as a single nested expression this is fine for one
-    projection, but referencing it repeatedly downstream makes Catalyst
-    inline (= recompute) it per reference — use minhash_signatures (the
-    explode+groupBy form) for multi-stage pipelines."""
-    sh = word_shingles(text, shingle_k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: _hash_hex(s, seed)))
-            for seed in range(num_hashes)
-        ]
-    )
-
 
 def minhash_signatures(
     docs: DataFrame,
@@ -124,18 +136,30 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures as a DataFrame: explode shingles once, then ONE
-    grouped aggregation computing all num_hashes mins in a single pass.
+    """MinHash signatures as a DataFrame: explode shingles once, hash
+    each shingle exactly ONCE (not num_hashes times), then ONE grouped
+    aggregation computing all mins in a single pass.
 
-    The groupBy is a materialization barrier: downstream stages see
-    concrete signature values instead of re-inlining the hash expression
-    tree (which turned the naive column form into an exponential-size
-    plan — 200s instead of ~2s on 500 docs).  min() over duplicate
-    shingles equals min() over the distinct set, so no dedup pass is
-    needed before hashing."""
+    The per-seed hash family is universal hashing over the base hash —
+    h_i(x) = (a_i*x + b_i) mod 2^31-1, the same construction as
+    MLlib's MinHashLSH — so the seeds are pairwise independent but the
+    aggregate is num_hashes min(long) columns over ONE integer input:
+    tiny codegen, no per-seed md5.  The groupBy is also a
+    materialization barrier: downstream stages see concrete signature
+    values instead of re-inlining the hash expression tree.  min()
+    over duplicate shingles equals min() over the distinct set, so no
+    dedup pass is needed before hashing."""
+    if num_hashes > len(MINHASH_COEFFS):
+        raise ValueError(f"num_hashes > {len(MINHASH_COEFFS)} fixed coefficients")
     rows_df = shingle_rows(docs, text_col, id_col, shingle_k)
-    mins = rows_df.groupBy(id_col).agg(
-        *[F.min(_hash_hex(F.col("sh"), seed)).alias(f"mh{seed}") for seed in range(num_hashes)]
+    hashed = rows_df.select(
+        id_col, (_hash64(F.col("sh"), "") % MINHASH_PRIME).alias("h")
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{seed}")
+            for seed, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+        ]
     )
     return mins.select(
         id_col, F.array(*[F.col(f"mh{s}") for s in range(num_hashes)]).alias("sig")
@@ -155,9 +179,17 @@ def minhash_lsh_pairs(
 
     signature -> split into ``bands`` bands -> band hash -> docs sharing
     any band hash become candidates -> estimated Jaccard = fraction of
-    matching signature positions.  The only join is bucket-equality —
-    shuffle keys are (band_idx, band_hash), so skew is bounded by true
-    duplicate-cluster size, not corpus size.
+    matching signature positions.
+
+    There is NO self-join: a self-join would re-execute the whole
+    shingle->hash->aggregate pipeline once per side.  Instead docs are
+    grouped per (band_idx, band_hash) bucket into a sorted array and
+    intra-bucket pairs are emitted with array higher-order functions —
+    the signature pipeline runs exactly once and the only shuffles are
+    the bucket groupBy + the pair dedup.  Per-bucket arrays are safe at
+    scale because LSH bounds bucket size by true duplicate-cluster
+    size, not corpus size (a degenerate corpus of one giant cluster is
+    the caller's skew problem regardless of plan shape).
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
@@ -169,14 +201,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows + r + 1)
-                                    for r in range(rows)
-                                ],
-                            )
+                        _band_hash(
+                            [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
@@ -185,16 +211,33 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
-    left = banded.select(
-        F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
     )
-    right = banded.select(
-        F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    members = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     matches = F.size(

@@ -82,23 +82,36 @@ def x02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_k=3, block_words=2)
 
 
+from ..operators.dedup import MINHASH_COEFFS, MINHASH_PRIME
+
+# The oracle shares the Spark operator's fixed universal-hash
+# coefficients verbatim (seed, a, b) — h_i(x) = (a*x + b) mod p.
+_MINHASH_SEEDS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_COEFFS[:16])
+)
+
+
 @query(
     "x03_minhash_lsh",
     oracle=_SHINGLES_CTE
-    + """
+    + f"""
     , exploded AS (
       SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+      FROM exploded
     ), minh AS (
-      SELECT doc_id, seeds.seed,
-             min(md5(CAST(seeds.seed AS VARCHAR) || ':' || sh)) AS mh
-      FROM exploded CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+      SELECT doc_id, seeds.seed, min((seeds.a * h + seeds.b) % {MINHASH_PRIME}) AS mh
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_SEEDS_VALUES}) seeds(seed, a, b)
       GROUP BY doc_id, seeds.seed
     ), sigs AS (
       SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY doc_id
     ), bands AS (
       SELECT doc_id, sig, b.band_idx,
-             md5(sig[b.band_idx*4+1] || ',' || sig[b.band_idx*4+2] || ','
-                 || sig[b.band_idx*4+3] || ',' || sig[b.band_idx*4+4]) AS band_hash
+             ((((sig[b.band_idx*4+1] % 2147483648) * 31 + (sig[b.band_idx*4+2] % 2147483648))
+               % 2147483648 * 31 + (sig[b.band_idx*4+3] % 2147483648))
+               % 2147483648 * 31 + (sig[b.band_idx*4+4] % 2147483648)) % 2147483648 AS band_hash
       FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b,
