@@ -92,12 +92,7 @@ def shingle_rows(
     )
 
 
-def _hash64(value: Column, salt: str) -> Column:
-    """Portable 60-bit integer hash: the first 15 hex chars of
-    md5(salt||value) parsed as an integer.  Bit-identical in Spark
-    (``conv(...,16,10)``) and DuckDB (``('0x'||substr(...))::BIGINT``),
-    always non-negative, so ``%`` and ``min`` agree across engines."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), value)), 1, 15), 16, 10).cast("long")
+from .text import hash60 as _hash64  # portable 60-bit md5-based hash
 
 
 # Per-seed universal hashing (the MLlib MinHashLSH construction):

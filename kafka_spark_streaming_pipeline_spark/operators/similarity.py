@@ -66,6 +66,76 @@ def cosine_topk(
     )
 
 
+def int_srp_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-random-projection bucket over the INTEGER-quantized vector:
+    q_i = CAST(v_i * 1000 AS BIGINT) (truncation — bit-identical in
+    Spark and DuckDB, unlike float sign tests which can flip on
+    summation-order differences).  One bit per integer plane; all
+    arithmetic stays < 2^40, overflow-safe everywhere."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, y: (x * 1000).cast("long") * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucket blocking, then
+    exact cosine only within buckets.  Same scale shape as MinHash LSH
+    (dedup.minhash_lsh_pairs): NO self-join — vectors are grouped per
+    bucket and intra-bucket pairs expand via array higher-order
+    functions, so the embedding scan runs once and the only shuffle is
+    the bucket groupBy.  Blocking is approximate by design: pairs whose
+    signs differ on some plane are not candidates (recall grows with
+    fewer planes / multiple tables)."""
+    v = emb.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", int_srp_bucket(F.col("v"), planes))
+    buckets = (
+        v.groupBy("bucket")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    members = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("vec_a"),
+                    y["id"].alias("vec_b"),
+                    x["v"].alias("v_a"),
+                    y["v"].alias("v_b"),
+                ),
+            ),
+        )
+    )
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")) + F.lit(1e-9), 4)
+    # no dropDuplicates: with a single SRP table each vector has exactly
+    # one bucket, so a pair can only be emitted once
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane."""
     bucket = F.lit(0)

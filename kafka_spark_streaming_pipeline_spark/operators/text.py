@@ -44,6 +44,50 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.ceil(F.octet_length(text) / F.lit(4.0)).cast("long")
 
 
+# GPT-style pre-tokenizer shape: letter runs, single digits, punctuation
+# runs.  Kept to constructs that match identically under Java regex
+# (Spark) and RE2 (DuckDB) so the count is oracle-verifiable.
+BPE_PRETOKEN_PATTERN = "[a-z]+|[0-9]|[^a-z0-9 ]+"
+
+
+def bpe_regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches in the
+    lowercased text.  Closer to a real tokenizer's count than bytes/4
+    (digits split individually, punctuation separates) while staying a
+    pure JVM-side expression."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def hash60(value: Column, salt: str = "") -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of
+    md5(salt||value) as an integer.  Bit-identical in Spark
+    (``conv(...,16,10)``) and DuckDB (``('0x'||substr(...))::BIGINT``);
+    always non-negative so ``%`` and ``min`` agree across engines."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), value)), 1, 15), 16, 10).cast("long")
+
+
+# Rolling-hash parameters shared with the SQL oracles: polynomial fold
+# base 31 mod 2^31-1 — intermediates stay < 2^36, overflow-safe in
+# DuckDB (which errors on BIGINT overflow) as well as the JVM.
+ROLLING_PRIME = 2_147_483_647
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    the token-hash sequence, acc = (acc*31 + hash60(tok)) mod 2^31-1.
+    Unlike the md5 ``fingerprint`` (which normalizes whitespace), this
+    is the streaming-friendly form — computable incrementally per token
+    — and any token insertion/deletion/reorder changes it."""
+    hashed = F.transform(tokens(text), lambda t: hash60(t) % ROLLING_PRIME)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % ROLLING_PRIME,
+    )
+
+
 def marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """Number of tokens that are one of ``markers`` (exact word match)."""
     toks = tokens(text)

@@ -356,3 +356,117 @@ def x11_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg((F.round(F.avg("val") + F.lit(1e-9), 4) + F.lit(0.0)).alias("centroid_val"), F.count("*").alias("n_vectors"))
     )
+
+
+@query(
+    "x12_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]+')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(ceil(strlen(text) / 4.0) AS BIGINT) AS n_bytes_bound,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def x12_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: whitespace count, a
+    BPE-ish pre-tokenizer regex count (letter runs / single digits /
+    punctuation runs), and the bytes/4 rule-of-thumb bound — all
+    JVM-side expressions, one scan, no shuffle."""
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_ws_tokens"),
+        tx.bpe_regex_token_count(t).alias("n_bpe_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_bytes_bound"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "x13_rolling_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(lower(text), ' '),
+                   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+               (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_fp
+      FROM documents
+    )
+    SELECT doc_id, rolling_fp,
+           count(*) OVER (PARTITION BY rolling_fp) AS group_size
+    FROM fp
+    """,
+)
+def x13_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprinting: polynomial rolling hash
+    over the token-hash sequence (acc = acc*31 + h(tok) mod 2^31-1),
+    plus the fingerprint-group size — the incremental/streaming-friendly
+    dedup key (any token edit or reorder changes it, unlike bag-of-words
+    hashes)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp")
+    ).withColumn("group_size", F.count("*").over(W.partitionBy("rolling_fp")))
+
+
+# Deterministic integer hyperplanes for the near-dup SRP blocking —
+# shared verbatim by the Spark operator and the SQL oracle.
+NEARDUP_PLANES = [[((7 * i + 13 * p + 5) % 17) - 8 for i in range(64)] for p in range(4)]
+
+
+def _srp_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB expression for int_srp_bucket over column ``v`` — sign
+    bits of integer-quantized projections (CAST(v*1000 AS BIGINT) is
+    truncation, bit-identical to the Spark side)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(str(c) for c in plane) + "]"
+        # trunc() before the cast: DuckDB's double->BIGINT cast rounds
+        # half-even, Spark's cast truncates toward zero
+        proj = (
+            f"list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> CAST(trunc(v[i] * 1000) AS BIGINT) * ({lits})[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+@query(
+    "x14_embedding_neardup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket FROM v
+    )
+    SELECT a.id AS vec_a, bb.id AS vec_b,
+           round(list_dot_product(a.v, bb.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+                 + 1e-9, 4) AS cosine_sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+    WHERE round(list_dot_product(a.v, bb.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+                + 1e-9, 4) >= 0.4
+    """,
+)
+def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucket blocking (sign
+    bits over integer-quantized projections, so bucketing is exact in
+    both engines), exact cosine within buckets only — the same
+    join-free bucket-expansion shape as MinHash LSH."""
+    from ..operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, NEARDUP_PLANES, threshold=0.4)

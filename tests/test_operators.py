@@ -137,3 +137,42 @@ def test_tokens_lowercase_split(spark):
     df = spark.createDataFrame([("A b C",)], "text string")
     [row] = df.select(tokens(F.col("text")).alias("t")).collect()
     assert row.t == ["a", "b", "c"]
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[1]          # deterministic
+    assert fps[0] != fps[2]          # reorder changes it (bag-of-words wouldn't)
+    assert 0 <= fps[0] < 2_147_483_647
+
+
+def test_bpe_regex_token_count(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_regex_token_count
+
+    df = spark.createDataFrame([(0, "Hello, world 123 foo-bar")], "doc_id long, text string")
+    # hello | , | world | 1 | 2 | 3 | foo | - | bar  = 9 pre-tokens
+    assert df.select(bpe_regex_token_count(F.col("text")).alias("n")).first().n == 9
+
+
+def test_embedding_neardup_pairs(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import embedding_neardup_pairs
+
+    # 0 and 1 nearly parallel (cosine ~1), 2 orthogonal-ish, 3 = -0
+    rows = [
+        (0, [1.0, 0.5, 0.25, 0.0]),
+        (1, [0.9, 0.45, 0.2, 0.01]),
+        (2, [-0.5, 1.0, -0.25, 0.5]),
+        (3, [-1.0, -0.5, -0.25, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1, 1, 1, 1], [1, -1, 1, -1]]
+    pairs = {(r.vec_a, r.vec_b): r.cosine_sim for r in
+             embedding_neardup_pairs(emb, planes, threshold=0.9).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(a == 0 and b == 1 for a, b in pairs)  # no false positives above 0.9
