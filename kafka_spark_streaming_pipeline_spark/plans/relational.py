@@ -758,3 +758,132 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivoted.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
     )
+
+
+# ------------------------------------------------- grouping sets / subqueries
+
+@query(
+    "q28_grouping_sets",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS hour_bucket,
+           count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('hour', ts)), ())
+    """,
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube (q07/q08): per-type totals,
+    per-type-per-hour detail, and the grand total in ONE pass — Catalyst
+    expands to a single shuffle with a grouping-id column, replacing
+    three separate scans.  Runs through spark.sql to exercise the SQL
+    entry path (parser -> analyzer -> same optimized plan)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('hour', ts) AS hour_bucket,
+               count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (event_type, date_trunc('hour', ts)), ())
+        """
+    )
+
+
+@query(
+    "q29_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ntile(4)       OVER w AS price_quartile,
+           round(percent_rank() OVER w + 1e-9, 4) AS pct_rank,
+           round(cume_dist()    OVER w + 1e-9, 4) AS cume,
+           lead(o_orderkey)  OVER w AS next_orderkey,
+           lag(o_orderkey)   OVER w AS prev_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS nearby_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q29_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window surface SURVEY §2.5 marks absent from the
+    reference: ntile / percent_rank / cume_dist / lead / lag on a fully
+    deterministic order (price, orderkey tiebreak) plus a RANGE frame
+    (value-based, vs q16's ROWS frame).  One shuffle on o_custkey
+    shared by every window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wr = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50000, 0)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        _r(F.percent_rank().over(w), 4).alias("pct_rank"),
+        _r(F.cume_dist().over(w), 4).alias("cume"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        _r(F.sum("o_totalprice").over(wr), 2).alias("nearby_sum"),
+    )
+
+
+@query(
+    "q30_subqueries",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_big_orders,
+           round(sum(o_totalprice) + 1e-9, 2) AS big_total
+    FROM orders o
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+      AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+    GROUP BY o_custkey
+    """,
+)
+def q30_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery surface (SURVEY §4.2 decorrelation): scalar subquery
+    (global avg), correlated EXISTS (-> left-semi after decorrelation),
+    and uncorrelated IN — Catalyst rewrites all three into joins; the
+    two semi-joins against customer broadcast."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_custkey, count(*) AS n_big_orders,
+               round(sum(o_totalprice) + 1e-9, 2) AS big_total
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          AND EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 10)
+        GROUP BY o_custkey
+        """
+    )
+
+
+@query(
+    "q31_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25) + 1e-9, 4) AS p25,
+           round(quantile_cont(value, 0.50) + 1e-9, 4) AS p50,
+           round(quantile_cont(value, 0.75) + 1e-9, 4) AS p75,
+           round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (A3's precise form — the reference
+    only has fixed histogram buckets, spark_streaming.py:91-96).  Exact
+    `percentile` is oracle-comparable (linear interpolation in both
+    engines); the streaming layer uses percentile_approx instead where
+    a mergeable sketch is required."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        _r(F.percentile("value", 0.25), 4).alias("p25"),
+        _r(F.percentile("value", 0.50), 4).alias("p50"),
+        _r(F.percentile("value", 0.75), 4).alias("p75"),
+        _r(F.percentile("value", 0.99), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
