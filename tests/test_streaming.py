@@ -267,3 +267,49 @@ def test_end_to_end_live_query(spark, tmp_path):
     assert out.count() == 5  # chunk 2 upserted once
     assert set(r.chunk_index for r in out.collect()) == set(range(5))
     assert spark.read.parquet(chunks).count() >= 5
+
+
+# --------------------------------------------------------------- metrics
+
+
+def test_observed_metrics_listener(spark, tmp_path):
+    """S10 — observe() metrics ride the streaming plan and the listener
+    folds them into monotonic counters across micro-batches."""
+    from kafka_spark_streaming_pipeline_spark.streaming.metrics import (
+        PipelineMetricsListener,
+        with_pipeline_metrics,
+    )
+
+    batches = [
+        [_event("s1", i) for i in range(3)],
+        [_event("s1", i) for i in range(3, 5)] + [_event("s2", 0)],
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = live_transform(parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA))
+        observed = with_pipeline_metrics(stream)
+        q = start_foreach_batch(
+            observed,
+            lambda df, _id: df.count(),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+            query_name="metrics_test",
+        )
+        _drain(q)
+        # listener callbacks are async — poll briefly
+        import time
+
+        for _ in range(50):
+            if listener.counters.get("n_chunks", 0) >= 6:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.counters["n_chunks"] == 6          # monotonic across batches
+    assert listener.counters["n_checksum_failed"] == 0  # all checksums valid
+    assert listener.counters["rows_in_total"] == 6
+    assert listener.gauges["approx_streams"] >= 1
+    assert "max_latency_ms" in listener.gauges
+    assert listener.batches >= 1
