@@ -159,3 +159,63 @@ def dvr_manifests(chunks: DataFrame) -> DataFrame:
 
 def _noop(*_: Any) -> None:  # pragma: no cover
     return None
+
+
+# ----------------------------------------- transformWithState (Spark 4.x)
+
+try:  # Spark 4.x stateful processor API
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class GapTrackingProcessor(StatefulProcessor):
+        """ST5 on the transformWithStateInPandas API: same fold as
+        _track_gaps_fn but with typed ValueState and RocksDB-backed
+        storage — the engine's forward path (applyInPandasWithState
+        remains for HDFS-backed state stores).  Requires
+        spark.sql.streaming.stateStore.providerClass =
+        RocksDBStateStoreProvider."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("gap_state", GAP_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            (stream_id,) = key
+            existing = self._state.get() if self._state.exists() else None
+            last_seq, gap_events, missing_total = existing if existing else (-1, 0, 0)
+            n_chunks = 0
+            for pdf in rows:
+                for seq in sorted(pdf["sequence_number"].tolist()):
+                    n_chunks += 1
+                    if last_seq >= 0 and seq > last_seq + 1:
+                        gap_events += 1
+                        missing_total += seq - last_seq - 1
+                    if seq > last_seq:
+                        last_seq = seq
+            self._state.update((last_seq, gap_events, missing_total))
+            yield pd.DataFrame(
+                {
+                    "stream_id": [stream_id],
+                    "last_seq": [last_seq],
+                    "n_chunks": [n_chunks],
+                    "gap_events": [gap_events],
+                    "missing_total": [missing_total],
+                }
+            )
+
+        def close(self) -> None:
+            return None
+
+    def track_gaps_tws(chunks: DataFrame) -> DataFrame:
+        """track_gaps on the Spark 4.x transformWithStateInPandas API."""
+        return chunks.groupBy("stream_id").transformWithStateInPandas(
+            GapTrackingProcessor(),
+            outputStructType=GAP_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pre-4.x PySpark
+    GapTrackingProcessor = None  # type: ignore[assignment]
+    track_gaps_tws = None  # type: ignore[assignment]

@@ -313,3 +313,43 @@ def test_observed_metrics_listener(spark, tmp_path):
     assert listener.gauges["approx_streams"] >= 1
     assert "max_latency_ms" in listener.gauges
     assert listener.batches >= 1
+
+
+def test_gap_detection_transform_with_state(spark, tmp_path):
+    """ST5 via the Spark 4.x transformWithStateInPandas API: same
+    cross-batch fold as track_gaps, RocksDB-backed typed state."""
+    from kafka_spark_streaming_pipeline_spark.streaming.state import track_gaps_tws
+
+    if track_gaps_tws is None:
+        pytest.skip("transformWithState requires Spark 4.x")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState's Python runner needs google.protobuf")
+    batches = [
+        [_event("s1", i, seq=i) for i in (0, 1, 2)],
+        [_event("s1", i, seq=i) for i in (5, 6)],  # gap of 2 (3,4 missing)
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA)
+        out = track_gaps_tws(stream.select("stream_id", "sequence_number"))
+        results = []
+        q = start_foreach_batch(
+            out,
+            lambda df, _id: results.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / "ckpt_tws"),
+            available_now=True,
+            query_name="tws_test",
+        )
+        _drain(q)
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {r.stream_id: r for r in results}["s1"]
+    assert final.last_seq == 6
+    assert final.gap_events == 1
+    assert final.missing_total == 2
