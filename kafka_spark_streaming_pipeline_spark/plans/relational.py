@@ -887,3 +887,32 @@ def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percentile("value", 0.99), 4).alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "q32_skew_topk",
+    oracle="""
+    SELECT user_id, event_id, value, rank FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rank
+      FROM events
+    ) WHERE rank <= 3
+    """,
+)
+def q32_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user via the two-phase salted top-k
+    (operators/skew.two_phase_topk): per-(key,salt) partial rank, then
+    final rank over <= k*buckets survivors — no single task ever sorts
+    a hot key's full row set.  Oracle-checked equal to the plain
+    window form."""
+    from ..operators.skew import two_phase_topk
+
+    events = load_table(spark, sf_dir, "events")
+    return two_phase_topk(
+        events.select("user_id", "event_id", "value"),
+        keys=["user_id"],
+        order_col="value",
+        k=3,
+        tiebreak="event_id",
+    )
