@@ -175,3 +175,84 @@ def lsh_cosine_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ------------------------------------------------------------------ IVF
+
+def _centroids(assigned: DataFrame) -> DataFrame:
+    """Per-cell mean vector via posexplode + grouped avg (one shuffle
+    keyed on (cell, dim) — the same primitive as embedding centroids)."""
+    by_dim = assigned.select(
+        "cell", F.posexplode("v").alias("dim", "val")
+    ).groupBy("cell", "dim").agg(F.avg("val").alias("mean"), F.count("*").alias("n"))
+    return (
+        by_dim.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"),
+            F.first("n").alias("n_members"),
+        )
+        .select(
+            "cell",
+            F.transform("dm", lambda s: s["mean"]).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into ``nlist`` cells
+    (deterministic hash init + ONE Lloyd reassignment step, both pure
+    DataFrame ops), then score each query only against its ``nprobe``
+    nearest cells.
+
+    Scale shape: centroids are tiny (nlist x dim) and broadcast
+    everywhere; the corpus is scanned twice (assign, search) and
+    shuffled once on cell id; a query touches nprobe/nlist of the
+    corpus.  Versus SRP-LSH (lsh_cosine_topk) this adapts to the data
+    distribution instead of using fixed hyperplanes."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    # init: deterministic hash cells -> means; one Lloyd step: reassign
+    # each vector to its nearest centroid, recompute means
+    seeded = c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(nlist)))
+    cents0 = _centroids(seeded).select("cell", "centroid")
+
+    def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", cosine(F.col("v"), F.col("centroid"))
+        )
+        w = W.partitionBy(df.columns[0]).orderBy(F.desc("__sim"), F.asc("cell"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= n)
+            .drop("__sim", "__cr", "centroid")
+            .withColumnRenamed("cell", out)
+        )
+
+    reassigned = nearest_cells(c, cents0, 1, "cell")
+    cents = _centroids(reassigned).select("cell", "centroid")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probed = nearest_cells(q, cents, nprobe, "probe_cell").withColumnRenamed("v", "q_vec")
+    candidates = probed.join(
+        reassigned.withColumnRenamed("cell", "probe_cell").withColumnRenamed("v", "c_vec"),
+        "probe_cell",
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -470,3 +470,15 @@ def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, NEARDUP_PLANES, threshold=0.4)
+
+
+@query("x15_ivf_topk", oracle=None)
+def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (hash-seeded cells + one Lloyd step +
+    nprobe search) — the data-adaptive ANN scale path next to x06's
+    fixed-hyperplane LSH.  Rows-only check; recall vs the exact x05
+    baseline is asserted in tests/test_operators.py."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, nlist=16, nprobe=4, k=5)

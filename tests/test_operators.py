@@ -176,3 +176,23 @@ def test_embedding_neardup_pairs(spark):
              embedding_neardup_pairs(emb, planes, threshold=0.9).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert all(a == 0 and b == 1 for a, b in pairs)  # no false positives above 0.9
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import ivf_topk
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {r.query_id: r.neighbor_id for r in
+             cosine_topk(queries, emb, k=1).filter(F.col("rank") == 1).collect()}
+    approx_rows = ivf_topk(queries, emb, nlist=8, nprobe=4, k=5).collect()
+    approx_top1 = {r.query_id: r.neighbor_id for r in approx_rows if r.rank == 1}
+    # every query must at least find itself (cosine 1.0) when probing
+    # its own cell; recall@1 vs brute force should be high with nprobe=4/8
+    hits = sum(1 for q in exact if approx_top1.get(q) == exact[q])
+    assert hits >= 8
+    per_q = {}
+    for r in approx_rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
