@@ -156,3 +156,32 @@ def start_foreach_batch(
     elif trigger_seconds is not None:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def enrich_with_stream_start(
+    chunks: DataFrame,
+    starts: DataFrame,
+    watermark: str = "30 seconds",
+    max_stream_age: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9 — absent from the
+    reference, which correlates via external state): each live chunk
+    joins the stream-start control event for its stream_id that
+    happened at-or-before the chunk, no more than ``max_stream_age``
+    earlier.  Both sides are watermarked so Spark bounds the join state
+    buffer; starts outside the interval are dropped from state once the
+    watermark passes."""
+    c = chunks.withWatermark("event_ts", watermark)
+    s = (
+        starts.select(
+            F.col("stream_id").alias("s_stream_id"),
+            F.col("event_ts").alias("start_ts"),
+            F.col("title"),
+        ).withWatermark("start_ts", watermark)
+    )
+    cond = (
+        (F.col("stream_id") == F.col("s_stream_id"))
+        & (F.col("start_ts") <= F.col("event_ts"))
+        & (F.col("event_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {max_stream_age}"))
+    )
+    return c.join(s, cond, "inner").drop("s_stream_id")

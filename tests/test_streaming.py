@@ -353,3 +353,51 @@ def test_gap_detection_transform_with_state(spark, tmp_path):
     assert final.last_seq == 6
     assert final.gap_events == 1
     assert final.missing_total == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with watermarks: chunks pair with their
+    stream's start event within the interval; chunks of streams with
+    no start (or starts after the chunk) don't match."""
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import (
+        enrich_with_stream_start,
+    )
+
+    chunk_rows = [
+        _event("s1", 0, ts="2024-01-01T00:10:00+00:00"),
+        _event("s1", 1, ts="2024-01-01T00:11:00+00:00"),
+        _event("s2", 0, ts="2024-01-01T00:10:00+00:00"),  # no start event
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), [chunk_rows])
+    chunks = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA).withColumn(
+        "event_ts", F.to_timestamp("timestamp")
+    )
+    start_rows = [("s1", "2024-01-01T00:05:00+00:00", "Match A-B")]
+    starts_dir = os.path.join(str(tmp_path), "starts")
+    os.makedirs(starts_dir, exist_ok=True)
+    spark.createDataFrame(
+        start_rows, "stream_id string, start string, title string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(starts_dir, "d"))
+    import glob
+    import shutil
+
+    [part] = glob.glob(os.path.join(starts_dir, "d", "part-*.parquet"))
+    shutil.move(part, os.path.join(starts_dir, "b0.parquet"))
+    starts = (
+        spark.readStream.schema("stream_id string, start string, title string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(starts_dir)
+        .withColumn("event_ts", F.to_timestamp("start"))
+    )
+    out = enrich_with_stream_start(chunks.select("stream_id", "chunk_index", "event_ts"), starts)
+    results = []
+    q = start_foreach_batch(
+        out,
+        lambda df, _id: results.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_ss"),
+        available_now=True,
+        query_name="ss_join_test",
+    )
+    _drain(q)
+    matched = {(r.stream_id, r.chunk_index): r.title for r in results}
+    assert matched == {("s1", 0): "Match A-B", ("s1", 1): "Match A-B"}
