@@ -141,3 +141,85 @@ def fingerprint(text: Column, length: int = 16) -> Column:
     text, truncated — the exact-dup clustering key."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
     return F.substring(F.md5(normalized), 1, length)
+
+
+def winnow_fingerprints(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+):
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprinter):
+    hash every k-token shingle, slide a window of ``window`` consecutive
+    shingle hashes, keep each window's minimum — the selected set is a
+    position-robust local fingerprint (guaranteed to share fingerprints
+    with any copy that overlaps by >= window+k-1 tokens, unlike the
+    whole-document rolling hash).
+
+    One explode + one window-min + one distinct: the partition key is
+    the document, so selection never shuffles shingles across docs.
+    Returns distinct (id, fingerprint) rows.
+    """
+    from pyspark.sql import DataFrame, Window as W
+
+    assert isinstance(docs, DataFrame)
+    toks = tokens(F.col(text_col))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    exploded = docs.repartition(parallelism).select(
+        F.col(id_col),
+        F.size(toks).alias("n_tok"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    sh = F.concat_ws(" ", "tok", *[F.lead("tok", j).over(w) for j in range(1, k)])
+    hashed = (
+        exploded.select(F.col(id_col), "n_tok", "pos", sh.alias("sh"))
+        .filter(F.col("pos") <= F.greatest(F.col("n_tok") - F.lit(k), F.lit(0)))
+        .select(id_col, "pos", (hash60(F.col("sh")) % ROLLING_PRIME).alias("h"))
+    )
+    wmin = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.select(F.col(id_col), F.min("h").over(wmin).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def tfidf_top_terms(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_token_len: int = 3,
+):
+    """Top-k TF-IDF terms per document: explode tokens once, term
+    frequency per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1,
+    ranked window per doc.  Three shuffles total — (doc, term), (term),
+    (doc) — each on well-spread keys; the doc-count N is a broadcast
+    scalar.  Scores are rounded before ranking so rank order is
+    identical across engines."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.length("term") >= min_token_len)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1) + 1e-9,
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

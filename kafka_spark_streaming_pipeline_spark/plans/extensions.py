@@ -482,3 +482,67 @@ def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, nlist=16, nprobe=4, k=5)
+
+
+@query(
+    "x16_winnow_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2]), 1, 15))::BIGINT
+               % 2147483647 AS h
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    )
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+    FROM sh
+    """,
+)
+def x16_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local fingerprints: window-min over k-gram
+    hashes — overlap-robust near-dup keys (two docs sharing >= w+k-1
+    consecutive tokens are guaranteed to share a fingerprint), unlike
+    the whole-document rolling hash (x13)."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, window=4)
+
+
+@query(
+    "x17_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), filtered AS (
+      SELECT * FROM toks WHERE length(term) >= 3
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM filtered GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1) + 1e-9, 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: the keyword/topic primitive of
+    a text pipeline.  Scores round before ranking so order is engine-
+    independent; three shuffles, each on a well-spread key."""
+    from ..operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3, min_token_len=3)

@@ -916,3 +916,73 @@ def q32_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         tiebreak="event_id",
     )
+
+
+@query(
+    "q33_star_join_five_tables",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def q33_star_join_five_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style five-table star join: Catalyst reorders the join
+    graph, broadcasts every dimension (region/nation/customer), and
+    pushes both filters to the scans — lineitem, the fact, is joined
+    last and never shuffles for the dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q34_correlated_avg_subquery",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice) + 1e-9, 2) AS small_qty_revenue,
+           count(*) AS n
+    FROM lineitem l
+    JOIN (SELECT l_partkey, avg(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY l.l_partkey
+    """,
+)
+def q34_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated aggregate: each lineitem compared to
+    its part's average quantity.  Written as the decorrelated form a
+    correlated scalar subquery compiles to — one grouped aggregate
+    joined back to the fact (the join key is the correlation key)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            _r(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -196,3 +196,24 @@ def test_ivf_topk_recall(spark, sf_dir):
     for r in approx_rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_winnowing_shares_fingerprints_on_overlap(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import winnow_fingerprints
+
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words here {shared}"),
+            (1, f"{shared} totally different tail content follows"),
+            (2, "unrelated text with no overlap whatsoever in any span of words"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # winnowing guarantee: overlap of >= window+k-1 tokens shares a fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
