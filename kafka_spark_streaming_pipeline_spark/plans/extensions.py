@@ -546,3 +546,17 @@ def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3, min_token_len=3)
+
+
+@query("x18_hll_user_rollup", oracle=None)
+def x18_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-user sketches: pre-aggregate per
+    (event_type, day), roll up to event_type by sketch union — the
+    one-expensive-pass / cheap-rollup pattern.  Rows-only driver check;
+    merge-equals-direct and the 5% error bound are asserted in
+    tests/test_operators.py (approx values have no exact SQL oracle)."""
+    from ..operators.sketches import hll_rollup, hll_sketch_by
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    pre = hll_sketch_by(events, ["event_type", "day"], "user_id")
+    return hll_rollup(pre, ["event_type"]).drop("sketch")

@@ -27,7 +27,7 @@ def test_registry_contract():
     no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
     # everything else is value-checked; these two approximate ANN paths
     # are rows-only with recall asserted in tests/test_operators.py
-    assert no_oracle == {"x06_lsh_cosine_topk", "x15_ivf_topk"}
+    assert no_oracle == {"x06_lsh_cosine_topk", "x15_ivf_topk", "x18_hll_user_rollup"}
 
 
 def test_flagship_matches_hand_computed_gaps(spark, sf_dir):

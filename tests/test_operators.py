@@ -217,3 +217,29 @@ def test_winnowing_shares_fingerprints_on_overlap(spark):
     # winnowing guarantee: overlap of >= window+k-1 tokens shares a fingerprint
     assert by_doc[0] & by_doc[1]
     assert not (by_doc[0] & by_doc[2])
+
+
+def test_hll_sketch_rollup_matches_direct(spark, sf_dir):
+    """Merging per-day sketches must equal sketching the whole table
+    directly (identical registers), and estimates stay within 5% of
+    exact distinct counts."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        hll_rollup,
+        hll_sketch_by,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    pre = hll_sketch_by(events, ["event_type", "day"], "user_id")
+    rolled = {r.event_type: r.approx_distinct
+              for r in hll_rollup(pre, ["event_type"]).collect()}
+    direct = {r.event_type: r.approx_distinct
+              for r in hll_sketch_by(events, ["event_type"], "user_id").collect()}
+    exact = {r.event_type: r.n
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert rolled == direct  # merge-of-parts == single pass
+    for et, n in exact.items():
+        assert abs(rolled[et] - n) / n < 0.05
