@@ -76,3 +76,49 @@ def frame_sample_plan(meta: DataFrame, every_nth: int = 5) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
         ).alias("frame_idx"),
     )
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_SCHEMA = "doc_id bigint, sample_rate bigint, samples array<double>"
+
+
+def fake_decode_audio(docs_with_payload: DataFrame) -> DataFrame:
+    """Deterministic stand-in audio decoder (real one: decode_audio):
+    payload bytes -> normalized samples in [-1, 1), Arrow-batched
+    through mapInPandas exactly like a soundfile decode would be."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": 16000,
+                    "samples": pdf["payload"].map(
+                        lambda b: [(x - 128) / 128.0 for x in b]
+                    ),
+                }
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(decode, schema=AUDIO_SCHEMA)
+    )
+
+
+def audio_window_features(audio: DataFrame, window_size: int = 100) -> DataFrame:
+    """Windowed audio features (RMS energy, peak) per fixed-size sample
+    window: posexplode + grouped agg — the Python decode hands off to
+    JVM-side aggregation immediately, so the windowing never runs in
+    Python.  The +1e-9 nudges keep rounded values off half-even vs
+    half-up boundaries (samples are exact k/128 binaries)."""
+    s = audio.select("doc_id", F.posexplode("samples").alias("i", "s"))
+    return s.groupBy(
+        "doc_id", (F.col("i") / window_size).cast("long").alias("window_idx")
+    ).agg(
+        F.round(F.sqrt(F.avg(F.col("s") * F.col("s"))) + F.lit(1e-9), 6).alias("rms"),
+        F.round(F.max(F.abs(F.col("s"))) + F.lit(1e-9), 6).alias("peak"),
+        F.count("*").alias("n_samples"),
+    )

@@ -560,3 +560,34 @@ def x18_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     pre = hll_sketch_by(events, ["event_type", "day"], "user_id")
     return hll_rollup(pre, ["event_type"]).drop("sketch")
+
+
+@query(
+    "x19_audio_window_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.i - 1 AS i,
+             (ascii(substr(text, u.i, 1)) - 128) / 128.0 AS s
+      FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+    )
+    SELECT doc_id, i // 100 AS window_idx,
+           round(sqrt(avg(s * s)) + 1e-9, 6) AS rms,
+           round(max(abs(s)) + 1e-9, 6) AS peak,
+           count(*) AS n_samples
+    FROM s GROUP BY doc_id, i // 100
+    """,
+)
+def x19_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline plumbing: binary payload -> Arrow-batched waveform
+    decode stub (mapInPandas) -> JVM-side windowed RMS/peak features.
+    The decode is deterministic (bytes -> k/128 samples), so the whole
+    dataflow — including the Python batch boundary — is value-checked
+    against the SQL oracle."""
+    from ..operators.multimodal import (
+        audio_window_features,
+        fake_decode_audio,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_window_features(fake_decode_audio(with_binary_payload(docs)))
