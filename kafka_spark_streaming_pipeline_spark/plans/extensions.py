@@ -591,3 +591,40 @@ def x19_audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_window_features(fake_decode_audio(with_binary_payload(docs)))
+
+
+@query(
+    "x20_profile_events",
+    oracle="""
+    SELECT 'event_id' AS col_name, count(*) AS n_rows, count(event_id) AS n_non_null,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'ts', count(*), count(ts), count(DISTINCT ts),
+           CAST(epoch_ms(min(ts)) AS DOUBLE), CAST(epoch_ms(max(ts)) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'user_id', count(*), count(user_id), count(DISTINCT user_id),
+           CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', count(*), count(event_type), count(DISTINCT event_type), NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', count(*), count(value), count(DISTINCT value),
+           CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'props', count(*), count(props), count(DISTINCT props), NULL, NULL
+    FROM events
+    """,
+)
+def x20_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile of the events table: null rates,
+    exact cardinalities, numeric/timestamp ranges for every column in
+    a single aggregate (the oracle needs six scans to say the same)."""
+    from ..operators.profile import profile
+
+    events = load_table(spark, sf_dir, "events")
+    return profile(events)
