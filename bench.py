@@ -26,11 +26,13 @@ HEADLINE = [
     "p01_stream_health",
     "q01_pricing_summary",
     "q03_join_broadcast_dims",
+    "q33_star_join_five_tables",
     "p10_range_join",
     "q16_running_sum",
     "p04_live_dvr_manifest",
     "x03_minhash_lsh",
     "x05_cosine_topk",
+    "x17_tfidf_top_terms",
 ]
 
 
