@@ -52,43 +52,37 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
 
 # ------------------------------------------------------------- shingling
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of the lowercased text, as one column
-    expression.  WARNING: every element_at re-evaluates the split — fine
-    for a single projection, quadratic when a plan references it
-    repeatedly.  Pipelines should use shingle_rows (below)."""
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
-    )
-    return F.array_distinct(F.transform(idx, shingle))
+def shingle_arr(text: Column, k: int = 3) -> Column:
+    """All k-word shingles of the lowercased text as ONE array column,
+    with the split evaluated exactly once: the token array is bound as
+    a lambda variable (transform over a single-element array — the
+    let-binding trick), so the k element_at references per shingle hit
+    the bound variable instead of re-inlining the split expression.
+    Pure projection: no shuffle, no window, stays in codegen.
+
+    Docs shorter than k words yield one partial shingle (concat_ws
+    skips the nulls from try_element_at)."""
+    return F.transform(
+        F.array(tokens(text)),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.try_element_at(t, i + j) for j in range(k)]),
+        ),
+    )[0]
 
 
 def shingle_rows(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows via posexplode + window-lead: the text is split
-    exactly ONCE per document, shingles assemble from lead() over token
-    rows, and the per-key window repartitions the corpus — which also
-    fixes the small-file problem (a single-partition parquet otherwise
-    serializes the whole corpus onto one core).
-
-    Semantics match word_shingles: docs shorter than k words yield one
-    partial shingle (concat_ws skips the null leads)."""
-    toks = tokens(F.col(text_col))
+    """(id, shingle) rows: shingle_arr + posexplode — one projection and
+    one generate, NO shuffle (the previous form assembled shingles with
+    window lead(), paying a full hash-partition + sort per corpus pass).
+    The repartition spreads a single-partition parquet over the cluster
+    so the explode parallelizes."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    exploded = docs.repartition(parallelism).select(
-        F.col(id_col),
-        F.size(toks).alias("n_tok"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
-    w = W.partitionBy(id_col).orderBy("pos")
-    sh = F.concat_ws(" ", "tok", *[F.lead("tok", j).over(w) for j in range(1, k)])
     return (
-        exploded.select(F.col(id_col), "n_tok", "pos", sh.alias("sh"))
-        .filter(F.col("pos") <= F.greatest(F.col("n_tok") - F.lit(k), F.lit(0)))
-        .select(id_col, "sh")
+        docs.repartition(parallelism)
+        .select(F.col(id_col), F.explode(shingle_arr(F.col(text_col), k)).alias("sh"))
     )
 
 
