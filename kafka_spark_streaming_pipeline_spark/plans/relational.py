@@ -986,3 +986,32 @@ def q34_correlated_avg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "q35_set_ops_all",
+    oracle="""
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id FROM events WHERE value >= 50
+      INTERSECT ALL
+      SELECT user_id, event_id FROM events WHERE event_type IN ('click', 'view')
+    )
+    UNION ALL
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id FROM events WHERE value >= 50
+      EXCEPT ALL
+      SELECT user_id, event_id FROM events WHERE event_type IN ('click', 'view')
+    )
+    """,
+)
+def q35_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL — §2.7's bag
+    semantics variants; q20/q21 cover the distinct forms).  Their union
+    reconstructs the left branch, which the oracle verifies row-for-row
+    with duplicates preserved."""
+    events = load_table(spark, sf_dir, "events")
+    high = events.filter(F.col("value") >= 50).select("user_id", "event_id")
+    clicky = events.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id"
+    )
+    return high.intersectAll(clicky).unionAll(high.exceptAll(clicky))

@@ -51,3 +51,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """S5 sink layout at scale: a stream_id-partitioned table serves
+    per-stream reads by pruning to one directory (PartitionFilters in
+    the scan, not a post-scan filter)."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "bucket_id", (F.col("user_id") % 5).cast("long")
+    )
+    path = str(tmp_path / "part_events")
+    events.write.partitionBy("bucket_id").parquet(path)
+
+    one = spark.read.parquet(path).filter(F.col("bucket_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket_id" in plan
+    # pruned scan reads exactly the one partition's rows
+    expected = events.filter(F.col("user_id") % 5 == 3).count()
+    assert one.count() == expected
