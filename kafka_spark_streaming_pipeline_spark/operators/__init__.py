@@ -1,1 +1,29 @@
-from . import dedup, multimodal, similarity, text  # noqa: F401
+"""Reusable operator builders — the engine's public operator API."""
+
+from . import dedup, joins, multimodal, profile, similarity, sketches, skew, text  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from .joins import asof_join  # noqa: F401
+from .profile import profile as profile_table  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_cosine_topk,
+)
+from .sketches import hll_rollup, hll_sketch_by  # noqa: F401
+from .skew import skew_join, two_phase_topk, two_stage_distinct_count  # noqa: F401
+from .text import (  # noqa: F401
+    bpe_regex_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    tfidf_top_terms,
+    token_count,
+    winnow_fingerprints,
+)

@@ -1,1 +1,3 @@
-from . import pipeline, sinks, state  # noqa: F401
+"""Structured Streaming layer — pipeline, keyed state, sinks, metrics."""
+
+from . import metrics, pipeline, sinks, state  # noqa: F401
