@@ -312,3 +312,60 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ------------------------------------------------- dedup cluster closure
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs -> (id, component) with the
+    component labeled by its smallest member — the final stage of a
+    dedup pipeline (pairs from MinHash/SimHash blocking say A~B and
+    B~C; deduplication needs {A,B,C} as ONE group with one survivor).
+
+    Small-label propagation: every node repeatedly adopts the minimum
+    label among itself and its neighbors until a fixpoint.  Each
+    iteration is one join + one aggregate (both shuffle on well-spread
+    node ids); iterations needed = graph diameter (duplicate clusters
+    are tiny, so 2-3 in practice — max_iterations bounds adversarial
+    chains).  The driver loop only checks a scalar convergence count
+    per iteration; all data stays distributed."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    edges = edges.localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+        ).localCheckpoint()  # truncate lineage: iterative plans grow exponentially
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels

@@ -628,3 +628,39 @@ def x20_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return profile(events)
+
+
+from .registry import QUERIES as _REGISTRY
+
+_X03_ORACLE = _REGISTRY["x03_minhash_lsh"].oracle
+
+
+@query(
+    "x21_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_X03_ORACLE})
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id, min(comp) AS component FROM reach GROUP BY id
+    """,
+)
+def x21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pipeline: MinHash LSH candidate pairs ->
+    transitive closure via distributed small-label propagation
+    (operators/dedup.connected_components) -> (doc, component) with the
+    min member as canonical.  The oracle recomputes the closure with a
+    recursive CTE over the same pair set — end-to-end value parity for
+    an ITERATIVE distributed algorithm."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
+    return connected_components(pairs)

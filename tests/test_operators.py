@@ -243,3 +243,16 @@ def test_hll_sketch_rollup_matches_direct(spark, sf_dir):
     assert rolled == direct  # merge-of-parts == single pass
     for et, n in exact.items():
         assert abs(rolled[et] - n) / n < 0.05
+
+
+def test_connected_components_transitive_closure(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (one cluster), pair 10-11, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "doc_a long, doc_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == 20
