@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): distributed operators vs
+reference implementations on randomized inputs.  Example counts are
+small — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from kafka_spark_streaming_pipeline_spark.operators.joins import asof_join
+from kafka_spark_streaming_pipeline_spark.operators.text import rolling_fingerprint
+
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+@st.composite
+def asof_case(draw):
+    keys = ["a", "b"]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=8, unique=True,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50), st.integers(0, 99)),
+            min_size=0, max_size=8,
+            unique_by=lambda t: (t[0], t[1]),
+        )
+    )
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(asof_case())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    lpdf = pd.DataFrame(
+        [(k, BASE + dt.timedelta(seconds=s)) for k, s in left_rows],
+        columns=["k", "lts"],
+    ).sort_values("lts")
+    rpdf = pd.DataFrame(
+        [(k, BASE + dt.timedelta(seconds=s), v) for k, s, v in right_rows],
+        columns=["k", "rts", "v"],
+    ).sort_values("rts")
+
+    if len(rpdf):
+        expected = pd.merge_asof(
+            lpdf, rpdf, left_on="lts", right_on="rts", by="k", direction="backward"
+        )
+        exp = {
+            (r.k, r.lts.isoformat()): (None if pd.isna(r.v) else int(r.v))
+            for r in expected.itertuples()
+        }
+    else:  # merge_asof rejects an empty (object-dtype) right frame
+        exp = {(r.k, r.lts.isoformat()): None for r in lpdf.itertuples()}
+
+    ldf = spark.createDataFrame(lpdf, "k string, lts timestamp")
+    rdf = (
+        spark.createDataFrame(rpdf, "k string, rts timestamp, v long")
+        if len(rpdf)
+        else spark.createDataFrame([], "k string, rts timestamp, v long")
+    )
+    got = {
+        (r.k, r.lts.isoformat()): r.v_asof
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts").collect()
+    }
+    assert got == exp
+
+
+def _py_rolling_fp(text: str) -> int:
+    acc = 0
+    for tok in text.lower().split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2147483647
+        acc = (acc * 31 + h) % 2147483647
+    return acc
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg h", min_size=1, max_size=30).map(str.strip).filter(bool),
+        min_size=1, max_size=5,
+    )
+)
+def test_rolling_fingerprint_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert got == {i: _py_rolling_fp(t) for i, t in enumerate(texts)}
