@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(single exchange, broadcast dims, pushdown, no self-join recompute)
+asserted directly, so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import re
+
+from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    return (
+        QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_flagship_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p01_stream_health")
+    assert plan.count("Exchange hashpartitioning") == 1  # window + agg co-partitioned
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q33_star_join_five_tables")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # only the final groupBy
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q01_pricing_summary")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    read = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "l_comment" not in read and read.count(":") <= 7  # pruned
+
+
+def test_minhash_reads_text_once(spark, sf_dir):
+    # the join-free bucket expansion must not duplicate the scan
+    plan = _plan(spark, sf_dir, "x03_minhash_lsh")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_cosine_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x05_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # corpus side never shuffles pre-join

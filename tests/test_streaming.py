@@ -401,3 +401,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
     _drain(q)
     matched = {(r.stream_id, r.chunk_index): r.title for r in results}
     assert matched == {("s1", 0): "Match A-B", ("s1", 1): "Match A-B"}
+
+
+def test_vod_streaming_path_variants_and_manifest(spark, tmp_path):
+    """SURVEY §3.1 as a stream: VOD chunks -> transform (defaults,
+    checksum, 4-rendition fan-out) -> per-variant object rows + ordered
+    manifest materialization inside foreachBatch."""
+    from kafka_spark_streaming_pipeline_spark.functions.manifest import vod_manifests
+    from kafka_spark_streaming_pipeline_spark.schemas import VOD_RENDITIONS
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import vod_transform
+
+    batches = [
+        [dict(_event("ep-1", i), stream_type="vod", status="uploaded") for i in range(3)],
+        [dict(_event("ep-1", 3), stream_type="vod", status="uploaded")],
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = vod_transform(parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA))
+
+    variant_rows, manifests = [], {}
+
+    def sink(df, _id):
+        exploded = df.select(
+            "stream_id", "chunk_index", F.explode("variant_paths").alias("variant_path")
+        )
+        variant_rows.extend(exploded.collect())
+        for r in vod_manifests(df.select("stream_id", "chunk_index", "duration_ms")).collect():
+            manifests[r.stream_id] = r.manifest
+
+    q = start_foreach_batch(
+        stream, sink, checkpoint_dir=str(tmp_path / "ckpt_vod"),
+        available_now=True, query_name="vod_path",
+    )
+    _drain(q)
+    assert len(variant_rows) == 4 * len(VOD_RENDITIONS)  # 4 chunks x renditions
+    assert {r.variant_path for r in variant_rows if r.chunk_index == 0} == {
+        f"ep-1/{rend}/0.ts" for rend in VOD_RENDITIONS
+    }
+    # last batch's manifest covers only that batch's rows (per-batch view);
+    # full-table manifest semantics are oracle-checked in p03
+    assert "ep-1/" in manifests["ep-1"]
