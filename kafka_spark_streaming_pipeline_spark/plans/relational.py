@@ -1015,3 +1015,147 @@ def q35_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id"
     )
     return high.intersectAll(clicky).unionAll(high.exceptAll(clicky))
+
+
+@query(
+    "q36_null_aware_windows",
+    oracle="""
+    SELECT event_id, user_id, value,
+           first_value(value IGNORE NULLS) OVER w AS first_val,
+           last_value(value IGNORE NULLS) OVER w2 AS running_last_val,
+           nth_value(event_id, 2) OVER w2 AS second_event,
+           count(*) FILTER (WHERE value > 100) OVER w2 AS n_big_so_far
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+          FROM events)
+    WINDOW w  AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q36_null_aware_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware window surface: first/last IGNORE NULLS, nth_value,
+    and a filtered window count over a running frame (every 7th value
+    nulled to exercise the skip paths)."""
+    events = load_table(spark, sf_dir, "events")
+    nulled = events.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return nulled.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.first("value", ignorenulls=True).over(w).alias("first_val"),
+        F.last("value", ignorenulls=True).over(w2).alias("running_last_val"),
+        F.nth_value("event_id", 2).over(w2).alias("second_event"),
+        F.count(F.when(F.col("value") > 100, 1)).over(w2).alias("n_big_so_far"),
+    )
+
+
+@query(
+    "q37_array_functions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(toks)[1] AS first_sorted,
+           toks[2] AS second_tok,
+           list_position(toks, 'the') AS the_pos,
+           array_to_string(list_slice(toks, 1, 3), '_') AS head3,
+           len(list_distinct(toks)) AS n_distinct_toks
+    FROM t
+    """,
+)
+def q37_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface (§2.8 'array/map functions'): size,
+    contains, sort, index, position, slice+join, distinct — the token
+    array manipulated entirely JVM-side."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.sort_array(toks)[0].alias("first_sorted"),
+        F.element_at(toks, 2).alias("second_tok"),
+        F.array_position(toks, "the").alias("the_pos"),
+        F.array_join(F.slice(toks, 1, 3), "_").alias("head3"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_toks"),
+    )
+
+
+@query(
+    "q38_string_functions",
+    oracle="""
+    SELECT event_id, event_type,
+           levenshtein(event_type, 'click') AS dist_click,
+           translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+           lpad(CAST(event_id % 1000 AS VARCHAR), 6, '0') AS padded_id,
+           reverse(event_type) AS rev,
+           repeat(substr(event_type, 1, 2), 2) AS rep2,
+           length(event_type) AS type_len
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q38_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond F1-F5: edit distance, translate,
+    padding, reverse, repeat — all JVM built-ins with DuckDB twins."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        "event_type",
+        F.levenshtein("event_type", F.lit("click")).alias("dist_click"),
+        F.translate("event_type", "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad((F.col("event_id") % 1000).cast("string"), 6, "0").alias("padded_id"),
+        F.reverse("event_type").alias("rev"),
+        F.repeat(F.substring("event_type", 1, 2), 2).alias("rep2"),
+        F.length("event_type").alias("type_len"),
+    )
+
+
+@query(
+    "q39_datetime_functions",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS m, day(ts) AS d,
+           dayofweek(ts) + 1 AS dow,
+           CAST(last_day(CAST(ts AS DATE)) AS VARCHAR) AS month_end,
+           CAST(CAST(ts AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR AS plus_90d,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since_2024
+    FROM events WHERE event_id % 100 = 0
+    """,
+)
+def q39_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface beyond F6: field extraction, week-day numbering
+    (Spark's 1=Sunday vs DuckDB's 0=Sunday bridged in the oracle),
+    month boundaries, date arithmetic.  Dates cast to strings for the
+    comparison — identical ISO text in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") % 100 == 0).select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.dayofweek("ts").alias("dow"),
+        F.last_day("ts").cast("string").alias("month_end"),
+        F.date_add(F.col("ts").cast("date"), 90).cast("string").alias("plus_90d"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+    )
