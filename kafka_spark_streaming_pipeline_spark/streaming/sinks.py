@@ -78,25 +78,116 @@ def append_chunk_objects(batch_df: DataFrame, path: str, partition_col: str = "s
     batch_df.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
+N_PARTITION_BUCKETS = 64
+
+
+def with_partition_bucket(
+    df: DataFrame, key_col: str = "stream_id", buckets: int = N_PARTITION_BUCKETS
+) -> DataFrame:
+    """Bounded partition key: hash-bucket of the stream id.  Partitioning
+    a 100 TB table by raw stream_id means millions of directories (a
+    catalog/listing disaster) and single-stream batches rewriting one
+    tiny file per stream.  A fixed bucket count keeps partition dirs
+    bounded while per-stream reads still prune: filter on
+    ``part_bucket = pmod(xxhash64(id), buckets)`` + the id itself."""
+    return df.withColumn("part_bucket", F.pmod(F.xxhash64(key_col), F.lit(buckets)))
+
+
 def make_live_sink(metadata_path: str, chunks_path: str):
     """The live-path foreachBatch body (reference process_live_batch,
     spark_streaming.py:519-539, minus the collect()): dedup-upsert the
-    per-chunk metadata, append the chunk objects."""
+    per-chunk metadata, append the chunk objects.  Both sinks partition
+    on the bounded hash bucket, not the raw stream id."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.persist()
+        batch_df = with_partition_bucket(batch_df).persist()
         try:
             upsert_partitioned(
                 batch_df,
                 metadata_path,
                 keys=["stream_id", "chunk_index"],
+                partition_col="part_bucket",
                 order_col="sequence_number",
             )
             append_chunk_objects(
-                batch_df.select("stream_id", "chunk_index", "chunk_path", "size_bytes"),
+                batch_df.select(
+                    "stream_id", "chunk_index", "chunk_path", "size_bytes", "part_bucket"
+                ),
                 chunks_path,
+                partition_col="part_bucket",
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+# ----------------------------------------------------- merge-on-read log
+
+def append_log_upsert(batch_df: DataFrame, table_path: str, batch_id: int) -> None:
+    """Merge-on-read upsert: O(batch) append of the rows stamped with
+    the commit id — no read-modify-write on the hot path (the
+    copy-on-write ``upsert_partitioned`` pays a partition rewrite per
+    batch, which at high commit rates dominates; this is the
+    Hudi-MOR/Delta-CDF shape).  Readers resolve the latest row per key
+    via ``latest_view``; ``compact_log`` folds the log back to one row
+    per key when read amplification grows."""
+    batch_df.withColumn("__commit", F.lit(batch_id)).write.mode("append").parquet(table_path)
+
+
+def latest_view(
+    spark, table_path: str, keys: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Last-writer-wins view over the append log: one row per key,
+    newest commit (then ``order_col``) winning — the read-side half of
+    merge-on-read."""
+    log = spark.read.parquet(table_path)
+    order = [F.col("__commit").desc()] + (
+        [F.col(order_col).desc()] if order_col else []
+    )
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__commit")
+    )
+
+
+def compact_log(
+    spark, table_path: str, keys: list[str], order_col: str | None = None
+) -> None:
+    """Fold the log to one row per key (the background compaction that
+    bounds read amplification).  Rewrites into a fresh commit-0 log so
+    subsequent appends keep working."""
+    resolved = latest_view(spark, table_path, keys, order_col).withColumn(
+        "__commit", F.lit(0)
+    )
+    tmp = table_path.rstrip("/") + ".compact"
+    resolved.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
+    import shutil as _shutil
+
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def make_live_log_sink(metadata_path: str, chunks_path: str):
+    """Live-path sink on the merge-on-read log: the per-batch work is
+    two appends — constant in table size, linear in batch size."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = with_partition_bucket(batch_df).persist()
+        try:
+            append_log_upsert(batch_df, metadata_path, batch_id)
+            append_chunk_objects(
+                batch_df.select(
+                    "stream_id", "chunk_index", "chunk_path", "size_bytes", "part_bucket"
+                ),
+                chunks_path,
+                partition_col="part_bucket",
             )
         finally:
             batch_df.unpersist()

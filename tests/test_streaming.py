@@ -440,3 +440,39 @@ def test_vod_streaming_path_variants_and_manifest(spark, tmp_path):
     # last batch's manifest covers only that batch's rows (per-batch view);
     # full-table manifest semantics are oracle-checked in p03
     assert "ep-1/" in manifests["ep-1"]
+
+
+def test_log_sink_latest_view_and_compaction(spark, tmp_path):
+    """Merge-on-read: appends replace on key at read time; replays are
+    idempotent (same commit wins once); compaction preserves the view."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        append_log_upsert,
+        compact_log,
+        latest_view,
+    )
+
+    path = str(tmp_path / "log")
+    rows1 = spark.createDataFrame(
+        [("s1", 0, 1, "v1"), ("s1", 1, 1, "v1")],
+        "stream_id string, chunk_index long, sequence_number long, payload string",
+    )
+    rows2 = spark.createDataFrame(
+        [("s1", 0, 2, "v2")],  # update of (s1, 0)
+        "stream_id string, chunk_index long, sequence_number long, payload string",
+    )
+    append_log_upsert(rows1, path, batch_id=1)
+    append_log_upsert(rows2, path, batch_id=2)
+    append_log_upsert(rows2, path, batch_id=2)  # replay of batch 2
+
+    keys = ["stream_id", "chunk_index"]
+    view = latest_view(spark, path, keys, "sequence_number")
+    got = {(r.stream_id, r.chunk_index): r.payload for r in view.collect()}
+    assert got == {("s1", 0): "v2", ("s1", 1): "v1"}
+
+    compact_log(spark, path, keys, "sequence_number")
+    assert spark.read.parquet(path).count() == 2  # one row per key now
+    after = {
+        (r.stream_id, r.chunk_index): r.payload
+        for r in latest_view(spark, path, keys, "sequence_number").collect()
+    }
+    assert after == got

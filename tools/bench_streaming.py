@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Streaming throughput benchmark: events/s through the live pipeline.
+
+Pushes N synthetic live-chunk events (default 200k) through the full
+topology — decode-equivalent transform (defaults, checksum, latency,
+paths), keyed cross-batch gap state, idempotent upsert sink — using
+availableNow micro-batches, and prints ONE JSON line with events/s.
+
+The reference's measured live throughput is 1.32 events/s end-to-end
+(BASELINE.md: per-event driver Python + per-event S3/Mongo round
+trips).  This engine executes the same semantics as columnar plans +
+RocksDB state, so the comparable number is 4-5 orders of magnitude
+higher on one node.
+
+    python3 tools/bench_streaming.py [n_events] [n_batches]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_spark_streaming_pipeline_spark.schemas import LIVE_CHUNK_SCHEMA  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.sources.files import parquet_stream  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.streaming.pipeline import (  # noqa: E402
+    live_transform,
+    start_foreach_batch,
+)
+from kafka_spark_streaming_pipeline_spark.streaming.sinks import (  # noqa: E402
+    latest_view,
+    make_live_log_sink,
+)
+from kafka_spark_streaming_pipeline_spark.streaming.state import track_gaps  # noqa: E402
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    work = tempfile.mkdtemp(prefix="stream_bench_")
+    spark = get_spark(app_name="stream_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # synthesize events with generated checksums (1000 streams, in-order
+    # sequences with occasional gaps) directly as parquet micro-batches
+    in_dir = os.path.join(work, "in")
+    os.makedirs(in_dir)
+    per_batch = n_events // n_batches
+    gen_t0 = time.time()
+    for b in range(n_batches):
+        df = (
+            spark.range(b * per_batch, (b + 1) * per_batch)
+            .withColumn("stream_id", F.concat(F.lit("live-"), (F.col("id") % 1000).cast("string")))
+            .withColumn("chunk_index", (F.col("id") / 1000).cast("long"))
+            .withColumn(
+                "sequence_number",
+                F.col("chunk_index") + F.when(F.col("id") % 997 == 0, 2).otherwise(0),
+            )
+            .withColumn("timestamp", F.lit("2024-01-01T00:00:00+00:00"))
+            .withColumn("size_bytes", F.lit(1000) + F.col("chunk_index"))
+            .withColumn("stream_type", F.lit("live"))
+            .withColumn("status", F.lit("received"))
+            .withColumn(
+                "checksum",
+                F.md5(
+                    F.concat_ws(
+                        "-", "stream_id", F.col("chunk_index").cast("string"),
+                        F.col("size_bytes").cast("string"),
+                    )
+                ),
+            )
+            .withColumn("duration_ms", F.lit(2000))
+            .withColumn("keyframe_aligned", F.lit(True))
+            .withColumn("audio_track_id", F.lit("a"))
+            .withColumn("video_track_id", F.lit("v"))
+            .withColumn("match_home", F.lit("H"))
+            .withColumn("match_away", F.lit("A"))
+            .withColumn("competition", F.lit("L"))
+            .drop("id")
+        )
+        staging = os.path.join(work, f"stage_{b}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"batch_{b}.parquet"))
+    gen_s = time.time() - gen_t0
+
+    stream = live_transform(
+        parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    )
+    meta_path = os.path.join(work, "meta")
+    chunks_path = os.path.join(work, "chunks")
+
+    t0 = time.time()
+    queries = [
+        start_foreach_batch(
+            stream,
+            make_live_log_sink(meta_path, chunks_path),
+            checkpoint_dir=os.path.join(work, "ckpt_sink"),
+            available_now=True,
+            query_name="bench_sink",
+        ),
+        track_gaps(stream.select("stream_id", "sequence_number"))
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt_gaps"))
+        .trigger(availableNow=True)
+        .queryName("bench_gaps")
+        .start(),
+    ]
+    for q in queries:
+        q.awaitTermination(600)
+    wall = time.time() - t0
+
+    n_sunk = latest_view(spark, meta_path, ["stream_id", "chunk_index"], "sequence_number").count()
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_events_per_second",
+                "value": round(n_events / wall, 1),
+                "unit": "events/sec",
+                "n_events": n_events,
+                "n_batches": n_batches,
+                "wall_sec": round(wall, 2),
+                "gen_sec": round(gen_s, 2),
+                "rows_in_metadata_sink": n_sunk,
+                "reference_events_per_second": 1.32,
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
