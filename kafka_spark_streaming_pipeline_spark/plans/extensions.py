@@ -664,3 +664,36 @@ def x21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
     return connected_components(pairs)
+
+
+@query(
+    "x22_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_min(embedding::DOUBLE[]) AS mn,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> least(255, CAST(floor((x - mn) / scale) AS BIGINT)))
+                ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS q_vec,
+           mn AS min_val,
+           round(scale + 1e-9, 6) AS scale_r,
+           round(CASE WHEN scale > 0 THEN
+                   list_sum(list_transform(v, x ->
+                     abs(x - (mn + least(255, CAST(floor((x - mn) / scale) AS BIGINT)) * scale))))
+                   / len(v)
+                 ELSE 0.0 END + 1e-9, 6) AS mean_abs_err
+    FROM v
+    """,
+)
+def x22_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 affine quantization of the embedding column (4x
+    storage for ANN candidate stages) with dequantization error — all
+    array expressions, value-checked including the quantized vectors."""
+    from ..operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
