@@ -1159,3 +1159,62 @@ def q39_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_2024"
         ),
     )
+
+
+@query(
+    "q40_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))::TIMESTAMP AS bucket
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.bucket,
+           coalesce(h.n, 0) AS n_events,
+           h.sum_value,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def q40_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: a dense per-key hourly grid
+    (sequence + explode — no driver loop), left-joined to the actual
+    hourly aggregate, missing buckets forward-filled with an
+    IGNORE-NULLS running last.  The grid generation is a projection of
+    the per-key bounds aggregate, so the whole plan is two shuffles
+    (bounds agg + the grid-to-hourly join on well-spread keys)."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"), _r(F.sum("value"), 2).alias("sum_value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )
