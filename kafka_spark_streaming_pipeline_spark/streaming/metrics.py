@@ -33,6 +33,11 @@ def with_pipeline_metrics(df: DataFrame, name: str = OBSERVATION_NAME) -> DataFr
     failure count (overall — the per-label split is a grouped query,
     q/p02), distinct-stream estimate, latency extremes.  ``observe`` is
     valid on both batch and streaming DataFrames."""
+    # NOTE: attach to sinks that run ONE action per batch.  A
+    # foreachBatch body running several actions can re-execute source
+    # partitions on cache misses, in which case the plan's CollectMetrics
+    # node counts those partitions again (exact counters are asserted in
+    # tests with a single-action sink).
     cols = set(df.columns)
     metrics = [F.count(F.lit(1)).alias("n_chunks")]
     if "checksum_ok" in cols:
