@@ -369,3 +369,36 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact-verification stage of the two-phase near-dup pipeline:
+    compute TRUE Jaccard only for the candidate ``pairs`` (from LSH /
+    SimHash blocking) — never the cross product.  Two broadcast-or-hash
+    joins attach each side's distinct shingle set; the set arithmetic
+    is JVM array ops.  Output: (doc_a, doc_b, est_jaccard, jaccard)."""
+    sets = (
+        shingle_rows(docs, text_col, id_col, shingle_k)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias("shingles"))
+    )
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(inter / union + F.lit(1e-9), 4).alias("jaccard"),
+        )
+    )

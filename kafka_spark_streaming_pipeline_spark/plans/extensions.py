@@ -697,3 +697,39 @@ def x22_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings(emb)
+
+
+@query(
+    "x23_verified_neardups",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_a, doc_b, est_jaccard FROM ({_X03_ORACLE})
+    ), shingle_sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+               i -> string_split(lower(text), ' ')[i] || ' '
+                    || string_split(lower(text), ' ')[i+1] || ' '
+                    || string_split(lower(text), ' ')[i+2]
+             )) AS shingles
+      FROM documents
+    )
+    SELECT c.doc_a, c.doc_b, c.est_jaccard,
+           round(len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 + 1e-9, 4) AS jaccard
+    FROM cand c
+    JOIN shingle_sets a ON a.doc_id = c.doc_a
+    JOIN shingle_sets b ON b.doc_id = c.doc_b
+    """,
+)
+def x23_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase near-dup dedup end-to-end: LSH candidate generation
+    (estimated Jaccard) -> EXACT Jaccard verification computed only on
+    the candidates — the verify cost is O(|candidates|), never O(n²)."""
+    from ..operators.dedup import minhash_lsh_pairs, verify_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
+    return verify_candidate_pairs(docs, pairs)
