@@ -733,3 +733,41 @@ def x23_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
     return verify_candidate_pairs(docs, pairs)
+
+
+_X21_ORACLE = _REGISTRY["x21_dedup_clusters"].oracle
+
+
+@query(
+    "x24_deduplicated_corpus",
+    oracle=f"""
+    WITH comp AS ({_X21_ORACLE})
+    SELECT d.doc_id, d.lang, d.n_chars,
+           coalesce(c.component, d.doc_id) AS dup_group,
+           (c.id IS NULL OR c.component = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """,
+)
+def x24_deduplicated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: every document labeled with its
+    duplicate group and a ``kept`` flag — survivors are docs with no
+    near-dup cluster or the cluster's canonical (min) member.  Filter
+    ``kept`` for the deduplicated corpus; the full flag column is
+    returned so removal rates are auditable."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("dup_group"),
+            (F.col("id").isNull() | (F.col("component") == F.col("doc_id"))).alias("kept"),
+        )
+    )
