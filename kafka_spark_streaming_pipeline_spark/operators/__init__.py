@@ -1,6 +1,14 @@
 """Reusable operator builders — the engine's public operator API."""
 
-from . import dedup, joins, multimodal, profile, similarity, sketches, skew, text  # noqa: F401
+from . import curation, dedup, joins, multimodal, profile, similarity, sketches, skew, text  # noqa: F401
+from .curation import (  # noqa: F401
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    split_summary,
+    stratified_sample,
+    with_split,
+)
 from .dedup import (  # noqa: F401
     exact_dedup_groups,
     minhash_lsh_pairs,

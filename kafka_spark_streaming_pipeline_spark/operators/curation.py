@@ -1,0 +1,213 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference pipeline stops at ingest/validate/store
+(spark_job/spark_streaming.py); a training-data engine additionally
+needs the curation passes that sit between a raw crawl and a tokenized
+dataset.  This module adds the five standard ones:
+
+- eval-set decontamination (n-gram overlap against a held-out set),
+- deterministic hash-based train/val/test split,
+- token-budget sequence packing (context-window bin assignment),
+- stratified sampling (per-stratum deterministic hash rank),
+- repetition filtering (Gopher-style top-bigram fraction).
+
+Scale design:
+- decontamination broadcasts the (small) eval gram set — the 100 TB
+  train side is never shuffled, each partition probes the broadcast
+  hash set locally.
+- hash split / repetition are pure projections or one well-spread
+  shuffle keyed on doc_id — no global ordering anywhere.
+- packing is sequential *within a shard* by construction (a cumulative
+  sum), so it partitions by the shard column and orders only inside
+  each shard — 20 sources here, thousands of input files at 100 TB.
+- stratified sampling ranks within each stratum only (lang here), and
+  the rank key is a hash, so no stratum needs a global sort of more
+  than its own rows.
+
+All arithmetic is md5/integer-based (operators/text.hash60) so every
+operator is value-checkable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .dedup import shingle_arr
+from .text import hash60, token_count
+
+# ------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Per-train-document eval-set contamination report.
+
+    Both sides are reduced to their distinct k-word-gram sets; the eval
+    gram set (held-out benchmark, small by assumption) is broadcast and
+    left-joined against the exploded train grams, so the train corpus is
+    read once and never shuffled on the join.  Output per train doc:
+    distinct gram count, grams also present in the eval set, the overlap
+    ratio, and a ``contaminated`` flag at ``flag_threshold``.
+    """
+    train_grams = (
+        train.select(id_col, F.explode(F.array_distinct(shingle_arr(F.col(text_col), k))).alias("gram"))
+    )
+    eval_grams = (
+        eval_set.select(F.explode(F.array_distinct(shingle_arr(F.col(text_col), k))).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = train_grams.join(F.broadcast(eval_grams), "gram", "left")
+    ratio = F.round(
+        F.sum("hit") / F.count("*") + F.lit(1e-9), 4
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(ratio, F.lit(0.0)).alias("contamination_ratio"),
+        )
+        .withColumn("contaminated", F.col("contamination_ratio") >= flag_threshold)
+    )
+
+
+# ------------------------------------------------------------ hash split
+
+
+def with_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket =
+    hash60(id) % 100 — stable under corpus growth (a doc's split never
+    depends on other rows), the property random sampling lacks.  Pure
+    projection: no shuffle, survives any repartitioning."""
+    bucket = hash60(F.col(id_col).cast("string")) % 100
+    return docs.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, "train")
+        .when(F.col("split_bucket") < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def split_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-split corpus accounting: docs, whitespace tokens, chars, and
+    each split's token share — one map-side-combined shuffle on a
+    3-value key."""
+    tagged = with_split(docs)
+    per_split = tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+    )
+    total = per_split.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return per_split.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("corpus_tokens") + F.lit(1e-9), 4).alias("token_share"),
+    )
+
+
+# ------------------------------------------------------------- packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents to consecutive
+    context-window bins of ``budget`` tokens, contiguously in id order
+    within each shard (bin = floor(tokens-before-this-doc / budget)).
+
+    Packing is inherently a running sum, so the window partitions by
+    the shard column — each shard packs independently and in parallel;
+    there is no global ordering.  Returns per-(shard, bin) fill stats;
+    a doc whose tokens straddle a boundary counts toward the bin it
+    STARTS in (greedy-fill semantics)."""
+    toks = docs.select(
+        shard_col, id_col, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = toks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).cast("long"),
+    )
+    return binned.groupBy(shard_col, "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / F.lit(float(budget)) + F.lit(1e-9), 4).alias("fill_ratio"),
+    )
+
+
+# ------------------------------------------------------------- sampling
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction: float = 0.2,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum, rank rows
+    by a hash of their id and keep the first ceil(fraction * stratum
+    size).  Unlike ``df.sample``, the result is reproducible across
+    runs/engines and exact per stratum (every stratum retains its
+    proportion, no binomial variance).  One shuffle on the stratum key;
+    each stratum sorts only its own rows."""
+    w = W.partitionBy(stratum_col).orderBy(F.col("sample_key"), F.col(id_col))
+    keyed = docs.withColumn("sample_key", hash60(F.col(id_col).cast("string"), salt="sample:"))
+    ranked = keyed.withColumn("sample_rank", F.row_number().over(w)).withColumn(
+        "stratum_size", F.count("*").over(W.partitionBy(stratum_col))
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= F.ceil(F.col("stratum_size") * fraction))
+        .select(id_col, stratum_col, "sample_rank", "stratum_size")
+    )
+
+
+# ----------------------------------------------------------- repetition
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    flag_threshold: float = 0.2,
+) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of a document's
+    bigrams occupied by its single most-frequent bigram (Gopher's
+    top-2-gram threshold, 0.2).  Boilerplate and degenerate
+    generations score high; natural text scores low.
+    Two aggregations, both keyed on (doc, gram) / doc — well-spread,
+    map-side combinable."""
+    grams = docs.select(id_col, F.explode(shingle_arr(F.col(text_col), 2)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("cnt"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_count"),
+            F.round(F.max("cnt") / F.sum("cnt") + F.lit(1e-9), 4).alias("top_bigram_frac"),
+        )
+        .withColumn("repetitive", F.col("top_bigram_frac") >= flag_threshold)
+    )

@@ -771,3 +771,178 @@ def x24_deduplicated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id").isNull() | (F.col("component") == F.col("doc_id"))).alias("kept"),
         )
     )
+
+
+# --------------------------------------------------- corpus curation (x25+)
+
+
+@query(
+    "x25_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             )) AS grams
+      FROM toks
+    ), eg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+    ), tg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0
+    ), agg AS (
+      SELECT tg.doc_id, count(*) AS n_grams,
+             CAST(coalesce(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END), 0) AS BIGINT)
+               AS n_contaminated,
+             coalesce(round(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END)
+                            / CAST(count(*) AS DOUBLE) + 1e-9, 4), 0.0)
+               AS contamination_ratio
+      FROM tg LEFT JOIN eg ON tg.gram = eg.gram
+      GROUP BY tg.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated, contamination_ratio,
+           contamination_ratio >= 0.2 AS contaminated
+    FROM agg
+    """,
+)
+def x25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every 20th document plays the held-out
+    benchmark; each remaining train doc is scored by the fraction of its
+    distinct 5-gram set that also appears in the eval gram set.  The eval
+    side is broadcast, so the train corpus is scanned once and never
+    shuffled on the join — the shape that matters at 100 TB."""
+    from ..operators.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=5,
+    )
+
+
+@query(
+    "x26_train_split",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+             CAST(length(text) AS BIGINT) AS nc
+      FROM (SELECT text,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+            FROM documents)
+    ), p AS (
+      SELECT split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(nc) AS BIGINT) AS n_chars
+      FROM s GROUP BY split
+    )
+    SELECT split, n_docs, n_tokens, n_chars,
+           round(n_tokens / CAST((SELECT sum(n_tokens) FROM p) AS DOUBLE) + 1e-9, 4)
+             AS token_share
+    FROM p
+    """,
+)
+def x26_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (90/5/5) with
+    per-split corpus accounting.  A document's split depends only on
+    md5(doc_id) — stable as the corpus grows, reproducible across
+    engines (the property ``df.sample`` lacks) — and the assignment
+    itself is a pure projection, no shuffle."""
+    from ..operators.curation import split_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_summary(docs)
+
+
+@query(
+    "x27_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT source, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+                  AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) / 2048.0 + 1e-9, 4) AS fill_ratio
+    FROM b GROUP BY source, bin_id
+    """,
+)
+def x27_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents are assigned to
+    consecutive 2048-token context-window bins, contiguously in id
+    order within each source shard.  The running sum partitions by
+    shard, so shards pack in parallel and nothing needs a global sort —
+    at 100 TB the shard column is the input file/crawl segment."""
+    from ..operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=2048)
+
+
+@query(
+    "x28_stratified_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               AS sample_key
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY sample_key, doc_id) AS sample_rank,
+             count(*) OVER (PARTITION BY lang) AS stratum_size
+      FROM k
+    )
+    SELECT doc_id, lang, sample_rank, stratum_size
+    FROM r WHERE sample_rank <= ceil(stratum_size * 0.2)
+    """,
+)
+def x28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% stratified sample per language: rank by a
+    salted hash of doc_id within each stratum, keep the first
+    ceil(0.2 * stratum size).  Exact per-stratum proportions and fully
+    reproducible — each stratum sorts only its own rows."""
+    from ..operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, fraction=0.2, stratum_col="lang")
+
+
+@query(
+    "x29_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS gram
+      FROM t
+    ), c AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(max(cnt) AS BIGINT) AS top_bigram_count,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE) + 1e-9, 4) AS top_bigram_frac,
+           round(max(cnt) / CAST(sum(cnt) AS DOUBLE) + 1e-9, 4) >= 0.2 AS repetitive
+    FROM c GROUP BY doc_id
+    """,
+)
+def x29_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the fraction of a document's
+    bigrams occupied by its single most frequent bigram — boilerplate
+    and degenerate generations score high.  Two map-side-combinable
+    aggregations keyed on (doc, gram) then doc."""
+    from ..operators.curation import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)

@@ -1,0 +1,102 @@
+"""Unit tests for corpus-curation operators (operators/curation.py) —
+edge semantics the driver oracle can't express: planted contamination,
+budget invariants of packing, exact per-stratum proportions, split
+stability under corpus growth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_spark_streaming_pipeline_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_stats,
+    split_summary,
+    stratified_sample,
+    with_split,
+)
+
+
+def test_decontaminate_plants_and_finds_overlap(spark):
+    # train doc 1 contains the eval doc verbatim -> every eval gram hits;
+    # train doc 2 shares nothing.
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta epsilon zeta closing words here"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, eval_df, k=5).collect()}
+    assert out[1]["n_contaminated"] == 2  # both 5-grams of the 6-word eval doc
+    assert out[1]["contaminated"]
+    assert out[2]["n_contaminated"] == 0
+    assert not out[2]["contaminated"]
+    assert out[2]["contamination_ratio"] == 0.0
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    small = spark.range(100).withColumnRenamed("id", "doc_id")
+    big = spark.range(1000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"] for r in with_split(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in with_split(big).collect()}
+    assert all(s_big[i] == s_small[i] for i in s_small)  # growth never reassigns
+
+
+def test_split_summary_shares_sum_to_one(spark):
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    rows = split_summary(docs).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-3
+    total = sum(r["n_docs"] for r in rows)
+    assert total == 200
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark):
+    # 10 docs x 600 tokens in one shard, budget 2048 -> a doc starts a new
+    # bin exactly when the tokens before it cross a 2048 boundary.
+    docs = spark.createDataFrame(
+        [("s0", i, " ".join(["w"] * 600)) for i in range(10)],
+        ["source", "doc_id", "text"],
+    )
+    bins = {r["bin_id"]: r for r in pack_sequences(docs, budget=2048).collect()}
+    # cumulative-before: 0,600,...,5400 -> bins 0,0,0,0,1,1,1,2,2,2
+    assert [bins[b]["n_docs"] for b in sorted(bins)] == [4, 3, 3]
+    # a bin never overfills by more than one straddling doc, and all
+    # docs/tokens are accounted for exactly once
+    assert all(r["n_tokens"] <= 2048 + 600 for r in bins.values())
+    assert sum(r["n_docs"] for r in bins.values()) == 10
+    assert sum(r["n_tokens"] for r in bins.values()) == 6000
+
+
+def test_stratified_sample_exact_proportions(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)], ["doc_id", "lang"]
+    )
+    out = stratified_sample(docs, fraction=0.5, stratum_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["en"]) == 30  # ceil(60 * 0.5)
+    assert len(by_lang["de"]) == 15  # ceil(30 * 0.5)
+    # deterministic: a second run picks the identical ids
+    again = {r["doc_id"] for r in stratified_sample(docs, 0.5, "lang").collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_repetition_flags_degenerate_text(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a fresh sentence with entirely distinct successive words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["repetitive"] and out[1]["top_bigram_frac"] == 1.0
+    assert not out[2]["repetitive"]
