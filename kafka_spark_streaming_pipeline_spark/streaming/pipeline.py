@@ -123,6 +123,70 @@ def with_watermarked_windows(
     )
 
 
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    gap: str = "30 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """ST9's streaming form — per-stream sessions closed by inactivity.
+
+    The reference ends a live stream only by an explicit control-plane
+    call (api/main.py:421-462); ``session_window`` adds the timeout
+    path: chunks for a stream separated by more than ``gap`` fall into
+    distinct sessions, and a session finalizes (append mode) once the
+    watermark passes its close — the engine-native analog of
+    "stream ended, emit #EXT-X-ENDLIST".  State is per active session
+    per key, merged incrementally, RocksDB-backed at scale."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col("stream_id"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.min("chunk_index").alias("first_chunk"),
+            F.max("chunk_index").alias("last_chunk"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "stream_id",
+            "n_chunks",
+            "first_chunk",
+            "last_chunk",
+            "total_duration_ms",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    window_duration: str = "10 seconds",
+    slide: str = "5 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """A7's streaming form — per-stream ingest rate over overlapping
+    sliding windows (the reference samples counters once per second in
+    the producer, producer.py:361-375; here the rate is an event-time
+    aggregate, late-data-safe under the watermark)."""
+    secs = float(window_duration.split()[0])
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration, slide), F.col("stream_id"))
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.round(F.count("*") / F.lit(secs) + F.lit(1e-9), 4).alias("chunks_per_sec"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "stream_id",
+            "n_chunks",
+            "chunks_per_sec",
+        )
+    )
+
+
 def deduplicated_stream(
     events: DataFrame, ts_col: str = "event_ts", watermark: str = "30 seconds"
 ) -> DataFrame:

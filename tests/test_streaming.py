@@ -183,6 +183,60 @@ def test_windowed_aggregation_with_watermark(spark, tmp_path):
     assert len(rows) == 2  # two 10s tumbling windows
 
 
+def test_session_windows_split_on_inactivity(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import session_windows
+
+    # 3 chunks at t=0..2s, a >30s silence, then 2 chunks at t=120s —
+    # two sessions for the same stream.
+    early = [_event("s1", i, ts=f"2024-01-01T00:00:{i:02d}+00:00") for i in range(3)]
+    late = [_event("s1", 10 + i, ts=f"2024-01-01T00:02:{i:02d}+00:00") for i in range(2)]
+    # sessions only EMIT (append mode) once the watermark passes their
+    # close — the sentinel batch pushes the watermark far ahead
+    sentinel = [_event("s-sentinel", 0, ts="2024-01-01T00:10:00+00:00")]
+    in_dir = _write_batch_files(spark, str(tmp_path), [early + late, sentinel])
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        session_windows(live_transform(stream), gap="30 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = sorted(
+        spark.sql("SELECT * FROM sessions WHERE stream_id = 's1'").collect(),
+        key=lambda r: r.session_start,
+    )
+    assert len(rows) == 2
+    assert rows[0].n_chunks == 3 and rows[0].last_chunk == 2
+    assert rows[1].n_chunks == 2 and rows[1].first_chunk == 10
+    assert rows[1].total_duration_ms == 4000
+
+
+def test_sliding_rates_overlap(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import sliding_rates
+
+    # 20 chunks, one per second: every event lands in exactly two
+    # 10s/5s sliding windows.
+    batch = [_event("s1", i, ts=f"2024-01-01T00:00:{i:02d}+00:00") for i in range(20)]
+    in_dir = _write_batch_files(spark, str(tmp_path), [batch])
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        sliding_rates(live_transform(stream), window_duration="10 seconds", slide="5 seconds")
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM rates").collect()
+    assert sum(r.n_chunks for r in rows) == 40  # each event counted twice
+    full = [r for r in rows if r.n_chunks == 10]
+    assert full and all(r.chunks_per_sec == 1.0 for r in full)
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     ev = _event("s1", 0)
     batch = [ev, dict(ev), _event("s1", 1)]  # duplicate chunk 0 (replay)
