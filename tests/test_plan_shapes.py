@@ -44,3 +44,19 @@ def test_minhash_reads_text_once(spark, sf_dir):
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x05_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # corpus side never shuffles pre-join
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # the 100 TB train side must never shuffle on the join — the eval
+    # gram set is the broadcast build side
+    plan = _plan(spark, sf_dir, "x25_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_no_global_sort(spark, sf_dir):
+    # packing partitions by shard; a regression to a global running sum
+    # would show up as a single-partition exchange
+    plan = _plan(spark, sf_dir, "x27_pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # no global orderBy
