@@ -1218,3 +1218,123 @@ def q40_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
         )
     )
+
+
+@query(
+    "q41_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ), stages AS (
+      SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+    )
+    SELECT stage, n_users,
+           round(n_users / CAST((SELECT n_users FROM stages WHERE stage = '1_view')
+                                AS DOUBLE) + 1e-9, 4) AS pct_of_first
+    FROM stages
+    """,
+)
+def q41_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: first view ->
+    first click strictly after it -> first purchase strictly after
+    that.  Each stage reduces to one tiny per-user aggregate that is
+    BROADCAST back against the events scan, so the big table is read
+    per stage but never shuffled — the standard product-analytics
+    shape (strictly ordered, not min-per-type, so out-of-order
+    click-before-view doesn't count)."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = (
+        v.agg(F.lit("1_view").alias("stage"), F.count("*").alias("n_users"))
+        .unionAll(c.agg(F.lit("2_click").alias("stage"), F.count("*").alias("n_users")))
+        .unionAll(p.agg(F.lit("3_purchase").alias("stage"), F.count("*").alias("n_users")))
+    )
+    first = stages.filter(F.col("stage") == "1_view").select(
+        F.col("n_users").alias("n_first")
+    )
+    return stages.crossJoin(F.broadcast(first)).select(
+        "stage",
+        "n_users",
+        _r(F.col("n_users") / F.col("n_first"), 4).alias("pct_of_first"),
+    )
+
+
+@query(
+    "q42_cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort
+      FROM events GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort, count(*) AS n_cohort FROM first GROUP BY cohort
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS wk FROM events
+    )
+    SELECT f.cohort, date_diff('day', f.cohort::DATE, a.wk::DATE) // 7 AS week_offset,
+           count(*) AS n_active, s.n_cohort,
+           round(count(*) / CAST(s.n_cohort AS DOUBLE) + 1e-9, 4) AS retention
+    FROM act a JOIN first f ON a.user_id = f.user_id
+    JOIN sizes s ON f.cohort = s.cohort
+    GROUP BY f.cohort, week_offset, s.n_cohort
+    """,
+)
+def q42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    fraction of each cohort active N weeks later.  The (user, week)
+    activity set is the only big aggregate; cohorts and sizes are tiny
+    and broadcast.  Week arithmetic stays integral (both engines
+    truncate to Monday, so day-diff/7 is exact)."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    act = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        act.join(F.broadcast(first), "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7).cast("long"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            _r(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        )
+    )
