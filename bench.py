@@ -21,7 +21,8 @@ from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
 
 # Headline set: the flagship + the heaviest representatives of each
-# operator family (scan-agg, join, window, manifest state, dedup, ANN).
+# operator family (scan-agg, join, window, manifest state, dedup, ANN,
+# corpus curation, event analytics).
 HEADLINE = [
     "p01_stream_health",
     "q01_pricing_summary",
@@ -33,6 +34,8 @@ HEADLINE = [
     "x03_minhash_lsh",
     "x05_cosine_topk",
     "x17_tfidf_top_terms",
+    "x25_decontaminate",
+    "q41_funnel",
 ]
 
 
