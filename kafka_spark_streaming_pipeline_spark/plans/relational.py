@@ -1338,3 +1338,42 @@ def q42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+@query(
+    "q43_map_functions",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, user_id FROM events WHERE event_id % 50 = 0
+    )
+    SELECT event_id, 3 AS n_keys, 'EVENTS' AS src, k AS key, v AS value FROM (
+      SELECT event_id, 'type' AS k, upper(event_type) AS v FROM base
+      UNION ALL
+      SELECT event_id, 'user', CAST(user_id AS VARCHAR) FROM base
+    )
+    """,
+)
+def q43_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (§2.8 'array/map functions'): create_map,
+    map_concat, transform_values, map_filter, map_keys, element_at,
+    and map explode — the semi-structured column toolkit the reference
+    handles as raw Python dicts.  The oracle states the expected rows
+    relationally (DuckDB MAPs render differently), so the whole map
+    pipeline is value-checked through its exploded form."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+    m3 = F.transform_values(m2, lambda k, v: F.upper(v))
+    m4 = F.map_filter(m3, lambda k, v: k != F.lit("src"))
+    return (
+        events.filter(F.col("event_id") % 50 == 0)
+        .select(
+            "event_id",
+            F.size(F.map_keys(m2)).alias("n_keys"),
+            F.element_at(m3, F.lit("src")).alias("src"),
+            F.explode(m4).alias("key", "value"),
+        )
+    )
