@@ -39,6 +39,33 @@ def json_stream(
     )
 
 
+def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Batch JSON-lines reader with a MANDATORY explicit schema:
+    schema inference is a full extra pass over the data — never
+    acceptable at 100 TB — and silently widens types between runs.
+    Malformed rows surface as nulls (PERMISSIVE), mirroring the
+    engine-wide from_json posture instead of the reference's per-row
+    try/except (spark_streaming.py:511-516)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Batch CSV reader, explicit schema only (same rationale as
+    ``read_json``); header consumed but never trusted for types."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .csv(path)
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Built-in rate source — synthetic (timestamp, value) rows for
     load/latency smoke tests (the analog of the reference's producer

@@ -57,3 +57,29 @@ def test_entry_contract(spark):
 def test_plans_are_broadcast_where_expected(spark, sf_dir, name):
     plan = QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_batch_file_readers_explicit_schema(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafka_spark_streaming_pipeline_spark.sources.files import read_csv, read_json
+
+    schema = T.StructType(
+        [
+            T.StructField("stream_id", T.StringType()),
+            T.StructField("chunk_index", T.LongType()),
+            T.StructField("size_bytes", T.LongType()),
+        ]
+    )
+    (tmp_path / "d.jsonl").write_text(
+        '{"stream_id": "s1", "chunk_index": 0, "size_bytes": 10}\n'
+        '{"stream_id": "s1", "chunk_index": "BAD", "size_bytes": 20}\n'
+    )
+    rows = read_json(spark, str(tmp_path / "d.jsonl"), schema).collect()
+    assert len(rows) == 2
+    assert rows[0].chunk_index == 0
+    assert rows[1].chunk_index is None  # malformed -> null, not an exception
+
+    (tmp_path / "d.csv").write_text("stream_id,chunk_index,size_bytes\ns2,5,99\n")
+    crow = read_csv(spark, str(tmp_path / "d.csv"), schema).collect()[0]
+    assert (crow.stream_id, crow.chunk_index, crow.size_bytes) == ("s2", 5, 99)
