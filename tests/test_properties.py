@@ -96,3 +96,62 @@ def test_rolling_fingerprint_matches_python_reference(spark, texts):
         for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
     }
     assert got == {i: _py_rolling_fp(t) for i, t in enumerate(texts)}
+
+
+@st.composite
+def packing_case(draw):
+    # (shard, doc_id, n_tokens) with unique ids per shard
+    n = draw(st.integers(1, 12))
+    shards = draw(st.lists(st.sampled_from(["s0", "s1"]), min_size=n, max_size=n))
+    toks = draw(st.lists(st.integers(1, 300), min_size=n, max_size=n))
+    return [(shards[i], i, toks[i]) for i in range(n)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(packing_case(), st.sampled_from([128, 512]))
+def test_pack_sequences_matches_sequential_reference(spark, rows, budget):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(s, i, " ".join(["w"] * t)) for s, i, t in rows],
+        ["source", "doc_id", "text"],
+    )
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=budget).collect()
+    }
+    # sequential reference: walk each shard in id order, binning by the
+    # running total BEFORE each doc
+    expect: dict[tuple, list] = {}
+    for shard in sorted({s for s, _, _ in rows}):
+        cum = 0
+        for s, i, t in sorted(rows):
+            if s != shard:
+                continue
+            b = cum // budget
+            e = expect.setdefault((shard, b), [0, 0])
+            e[0] += 1
+            e[1] += t
+            cum += t
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.sampled_from(["en", "de", "fr"]), min_size=1, max_size=30),
+       st.sampled_from([0.25, 0.5, 1.0]))
+def test_stratified_sample_counts_property(spark, langs, fraction):
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import stratified_sample
+
+    docs = spark.createDataFrame(list(enumerate(langs)), ["doc_id", "lang"])
+    out = stratified_sample(docs, fraction=fraction, stratum_col="lang").collect()
+    per = {}
+    for r in out:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    from collections import Counter
+
+    sizes = Counter(langs)
+    assert per == {
+        lang: math.ceil(n * fraction) for lang, n in sizes.items()
+    }
