@@ -211,3 +211,49 @@ def repetition_stats(
         )
         .withColumn("repetitive", F.col("top_bigram_frac") >= flag_threshold)
     )
+
+
+# ------------------------------------------------------------- mixing
+
+
+def source_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    shard_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled data-mixing weights per source: raw token
+    share s_i is flattened to s_i^alpha / sum(s_j^alpha) (alpha<1
+    upweights small/rare sources — the standard multilingual/multi-
+    source mixing rule), plus the oversampling factor each source needs
+    to hit its target share in one training epoch.  One tiny aggregate
+    (n_sources rows) after a map-side-combined token count."""
+    per = docs.groupBy(shard_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "raw_share", F.col("n_tokens") / F.col("corpus_tokens")
+    )
+    powsum = shared.agg(
+        F.sum(F.pow("raw_share", F.lit(alpha))).alias("pow_sum")
+    )
+    return (
+        shared.crossJoin(F.broadcast(powsum))
+        .select(
+            shard_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("raw_share") + F.lit(1e-9), 6).alias("raw_share"),
+            F.round(
+                F.pow("raw_share", F.lit(alpha)) / F.col("pow_sum") + F.lit(1e-9), 6
+            ).alias("mix_weight"),
+            F.round(
+                (F.pow("raw_share", F.lit(alpha)) / F.col("pow_sum"))
+                / F.col("raw_share")
+                + F.lit(1e-9),
+                4,
+            ).alias("oversample_factor"),
+        )
+    )

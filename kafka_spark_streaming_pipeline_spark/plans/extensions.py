@@ -946,3 +946,36 @@ def x29_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_stats(docs)
+
+
+@query(
+    "x30_source_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n_tokens) AS corpus_tokens FROM per
+    ), sh AS (
+      SELECT per.*, n_tokens / CAST(corpus_tokens AS DOUBLE) AS raw_share FROM per, tot
+    ), ps AS (
+      SELECT sum(pow(raw_share, 0.5)) AS pow_sum FROM sh
+    )
+    SELECT source, n_docs, n_tokens,
+           round(raw_share + 1e-9, 6) AS raw_share,
+           round(pow(raw_share, 0.5) / pow_sum + 1e-9, 6) AS mix_weight,
+           round((pow(raw_share, 0.5) / pow_sum) / raw_share + 1e-9, 4) AS oversample_factor
+    FROM sh, ps
+    """,
+)
+def x30_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights (alpha=0.5): each
+    source's raw token share is flattened to share^alpha / sum — the
+    standard rule for upweighting rare sources/languages in a training
+    mixture — plus the oversampling factor needed to realize it.  Two
+    tiny broadcast-joined aggregates over one corpus scan."""
+    from ..operators.curation import source_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_mixture(docs, alpha=0.5)
