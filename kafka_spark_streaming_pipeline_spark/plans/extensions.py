@@ -979,3 +979,101 @@ def x30_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return source_mixture(docs, alpha=0.5)
+
+
+@query(
+    "x31_curation_funnel",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks,
+             ((CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 2000
+                    THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                     BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
+                     t -> length(t)))
+                     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                     BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0 AS quality
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             doc_id = min(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             ) AS is_canonical
+      FROM documents
+    ), rep AS (
+      SELECT doc_id, max(cnt) / CAST(sum(cnt) AS DOUBLE) < 0.2 AS clean FROM (
+        SELECT doc_id, gram, count(*) AS cnt FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                                       i -> t[i] || ' ' || t[i+1])) AS gram
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        ) GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    ), flags AS (
+      SELECT q.doc_id, q.n_toks, q.quality >= 0.8 AS pass_q,
+             c.is_canonical, r.clean
+      FROM q JOIN canon c USING (doc_id) JOIN rep r USING (doc_id)
+    )
+    SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+    FROM flags
+    UNION ALL
+    SELECT '2_quality', count(*), CAST(sum(n_toks) AS BIGINT)
+    FROM flags WHERE pass_q
+    UNION ALL
+    SELECT '3_dedup', count(*), CAST(sum(n_toks) AS BIGINT)
+    FROM flags WHERE pass_q AND is_canonical
+    UNION ALL
+    SELECT '4_clean', count(*), CAST(sum(n_toks) AS BIGINT)
+    FROM flags WHERE pass_q AND is_canonical AND clean
+    """,
+)
+def x31_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone: one funnel report over the whole corpus —
+    raw -> quality-filtered (composite score >= 0.8) -> exact-deduped
+    (canonical survivors) -> repetition-cleaned — with doc and token
+    counts per stage, the yield report every training-data pipeline
+    publishes.  All three per-doc flags compute independently on one
+    corpus scan lineage (projection, window-on-hash, one grouped agg)
+    and join on doc_id; the funnel itself is four tiny conditional
+    aggregates."""
+    from pyspark.sql import Window as W
+
+    from ..operators import text as tx
+    from ..operators.curation import repetition_stats
+    from ..operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_toks"),
+        (tx.quality_score(F.col("text")) >= 0.8).alias("pass_q"),
+    )
+    canon = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(W.partitionBy(fingerprint(F.col("text"))))
+        ).alias("is_canonical"),
+    )
+    rep = repetition_stats(docs).select("doc_id", (~F.col("repetitive")).alias("clean"))
+    flags = q.join(canon, "doc_id").join(rep, "doc_id")
+
+    def stage(label: str, cond):
+        return flags.filter(cond).agg(
+            F.lit(label).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+
+    return (
+        stage("1_raw", F.lit(True))
+        .unionAll(stage("2_quality", F.col("pass_q")))
+        .unionAll(stage("3_dedup", F.col("pass_q") & F.col("is_canonical")))
+        .unionAll(
+            stage("4_clean", F.col("pass_q") & F.col("is_canonical") & F.col("clean"))
+        )
+    )
