@@ -1377,3 +1377,43 @@ def q43_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(m4).alias("key", "value"),
         )
     )
+
+
+@query(
+    "q44_trailing_24h_frame",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value, epoch(ts) AS tsec FROM events
+    ), w AS (
+      SELECT event_id, user_id,
+             count(*) OVER win AS n_24h,
+             round(sum(value) OVER win + 1e-9, 2) AS value_24h
+      FROM t
+      WINDOW win AS (PARTITION BY user_id ORDER BY tsec
+                     RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, n_24h, value_24h FROM w WHERE event_id % 50 = 0
+    """,
+)
+def q44_trailing_24h_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (SURVEY §2.5 'range frames'): per-user
+    trailing-24-hour event count and value sum, ordered by event time in
+    epoch seconds (integral in both engines, so frame membership is
+    engine-independent).  The window computes over the full stream; the
+    output subset filters afterwards — predicate NOT pushed through the
+    window, by semantics."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, 0)
+    )
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.count("*").over(w).alias("n_24h"),
+            _r(F.sum("value").over(w), 2).alias("value_24h"),
+        )
+        .filter(F.col("event_id") % 50 == 0)
+    )
