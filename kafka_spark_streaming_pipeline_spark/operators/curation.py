@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import shingle_arr
-from .text import hash60, token_count
+from .text import hash60, token_count, tokens as tokens_of
 
 # ------------------------------------------------------- decontamination
 
@@ -255,5 +255,38 @@ def source_mixture(
                 + F.lit(1e-9),
                 4,
             ).alias("oversample_factor"),
+        )
+    )
+
+
+# ------------------------------------------------------------ lm scoring
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality score, reduced to its distributed core: a
+    unigram model estimated from the corpus itself, each document scored
+    by its mean token log-probability (higher = more typical text;
+    gibberish and off-distribution docs score low).
+
+    Two shuffles keyed on token (frequency estimate + the prob join) and
+    one on doc_id (the mean) — all well-spread.  The token-frequency
+    table is orders of magnitude smaller than the corpus; Catalyst/AQE
+    picks broadcast when it fits."""
+    toks = docs.select(id_col, F.explode(tokens_of(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    freqs = counts.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        toks.join(freqs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log("p")) + F.lit(1e-9), 6).alias("mean_logprob"),
         )
     )

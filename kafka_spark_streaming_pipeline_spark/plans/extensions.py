@@ -1077,3 +1077,31 @@ def x31_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage("4_clean", F.col("pass_q") & F.col("is_canonical") & F.col("clean"))
         )
     )
+
+
+@query(
+    "x32_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), freqs AS (
+      SELECT tok, cnt / CAST((SELECT sum(cnt) FROM counts) AS DOUBLE) AS p FROM counts
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           round(avg(ln(f.p)) + 1e-9, 6) AS mean_logprob
+    FROM toks t JOIN freqs f USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def x32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring on its distributed skeleton: a
+    corpus-estimated unigram model, each doc scored by mean token
+    log-probability — the perplexity-filter primitive (low scorers are
+    gibberish/off-distribution).  Frequency table joins back on the
+    well-spread token key; no driver-side state."""
+    from ..operators.curation import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
