@@ -3,13 +3,15 @@
 The reference pipeline stops at ingest/validate/store
 (spark_job/spark_streaming.py); a training-data engine additionally
 needs the curation passes that sit between a raw crawl and a tokenized
-dataset.  This module adds the five standard ones:
+dataset.  This module adds the standard ones:
 
 - eval-set decontamination (n-gram overlap against a held-out set),
 - deterministic hash-based train/val/test split,
 - token-budget sequence packing (context-window bin assignment),
 - stratified sampling (per-stratum deterministic hash rank),
-- repetition filtering (Gopher-style top-bigram fraction).
+- repetition filtering (Gopher-style top-bigram fraction),
+- temperature-scaled source-mixture weights (data mixing),
+- unigram LM quality scoring (CCNet-style mean log-probability).
 
 Scale design:
 - decontamination broadcasts the (small) eval gram set — the 100 TB
