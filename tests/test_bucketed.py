@@ -71,3 +71,30 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
     # pruned scan reads exactly the one partition's rows
     expected = events.filter(F.col("user_id") % 5 == 3).count()
     assert one.count() == expected
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a fact table partitioned on the join key must be pruned at
+    RUNTIME by a filter on the joined dimension — at 100 TB this is the
+    difference between scanning every date partition and only the ones
+    the dim filter selects.  The plan shows a dynamicpruning subquery
+    on the partition column."""
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    fact_path = str(tmp_path / "orders_by_nation")
+    # partition the fact by customer nation (via a join), small cardinality
+    (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "o_totalprice", F.col("c_nationkey").alias("nationkey"))
+        .write.partitionBy("nationkey")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    dim = nation.filter(F.col("n_name") == "NATION_3")
+    joined = fact.join(dim, fact.nationkey == dim.n_nationkey).agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("total")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.collect()[0]["n"] > 0
