@@ -71,18 +71,29 @@ def shingle_arr(text: Column, k: int = 3) -> Column:
     )[0]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to the cluster's default parallelism,
+    gated on the actual partition count.  A 100 TB corpus already arrives
+    in thousands of file splits — an unconditional repartition would
+    re-shuffle all the raw text for nothing — so only the
+    single/few-partition case (tiny test parquet, coalesced upstream)
+    pays the spread shuffle."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
+
 def shingle_rows(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """(id, shingle) rows: shingle_arr + posexplode — one projection and
     one generate, NO shuffle (the previous form assembled shingles with
     window lead(), paying a full hash-partition + sort per corpus pass).
-    The repartition spreads a single-partition parquet over the cluster
-    so the explode parallelizes."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    return (
-        docs.repartition(parallelism)
-        .select(F.col(id_col), F.explode(shingle_arr(F.col(text_col), k)).alias("sh"))
+    ``_spread`` parallelizes a single-partition parquet but leaves an
+    already-split input untouched."""
+    return _spread(docs).select(
+        F.col(id_col), F.explode(shingle_arr(F.col(text_col), k)).alias("sh")
     )
 
 
@@ -251,8 +262,7 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     structure (explode -> 16 signed sums -> sign bits -> pack) is the
     real SimHash dataflow and swaps in a stronger hash trivially.
     """
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.repartition(parallelism).select(
+    toks = _spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     digest = F.md5(F.col("tok"))
@@ -292,7 +302,7 @@ def ngram_jaccard_pairs(
     )
     prepared = docs.select(
         F.col(id_col),
-        F.concat_ws(" ", *[F.element_at(toks, i + 1) for i in range(block_words)]).alias("blk"),
+        F.concat_ws(" ", *[F.try_element_at(toks, F.lit(i + 1)) for i in range(block_words)]).alias("blk"),
     ).join(sets, id_col)
     a = prepared.select(
         F.col(id_col).alias("doc_a"), F.col("blk"), F.col("shingles").alias("sh_a")

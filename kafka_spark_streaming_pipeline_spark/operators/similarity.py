@@ -227,15 +227,28 @@ def ivf_topk(
     cents0 = _centroids(seeded).select("cell", "centroid")
 
     def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim", cosine(F.col("v"), F.col("centroid"))
+        """Attach each vector's ``n`` nearest cells WITHOUT shuffling
+        ``df``: the centroid set (nlist x dim — tiny by construction) is
+        folded into a one-row array, broadcast-nested-loop attached, and
+        the argmax is a pure array expression (sort of (neg_sim, cell)
+        structs, slice n, explode).  The previous form exploded df x
+        nlist and paid a row_number window — a shuffle of nlist times
+        the corpus just to pick the max of nlist scores."""
+        cent_arr = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
         )
-        w = W.partitionBy(df.columns[0]).orderBy(F.desc("__sim"), F.asc("cell"))
+        sims = F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-cosine(F.col("v"), s["centroid"])).alias("neg_sim"),
+                s["cell"].alias("cell"),
+            ),
+        )
+        top = F.slice(F.array_sort(sims), 1, n)
         return (
-            scored.withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= n)
-            .drop("__sim", "__cr", "centroid")
-            .withColumnRenamed("cell", out)
+            df.crossJoin(F.broadcast(cent_arr))
+            .withColumn(out, F.explode(F.transform(top, lambda s: s["cell"])))
+            .drop("__cents")
         )
 
     reassigned = nearest_cells(c, cents0, 1, "cell")

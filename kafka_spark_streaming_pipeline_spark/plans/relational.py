@@ -1248,11 +1248,13 @@ def q40_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the events stream: first view ->
     first click strictly after it -> first purchase strictly after
-    that.  Each stage reduces to one tiny per-user aggregate that is
-    BROADCAST back against the events scan, so the big table is read
-    per stage but never shuffled — the standard product-analytics
-    shape (strictly ordered, not min-per-type, so out-of-order
-    click-before-view doesn't count)."""
+    that (strictly ordered, not min-per-type, so out-of-order
+    click-before-view doesn't count).  The per-stage aggregates scale
+    with user cardinality, so the stage joins carry NO broadcast hint:
+    AQE broadcasts them when the runtime size is actually small and
+    falls back to a shuffled hash join when it isn't — a forced hint
+    here would OOM at 100x the users.  Only the single-row funnel
+    total is explicitly broadcast."""
     events = load_table(spark, sf_dir, "events")
     v = (
         events.filter(F.col("event_type") == "view")
@@ -1261,14 +1263,14 @@ def q41_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = (
         events.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     p = (
         events.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
@@ -1309,10 +1311,12 @@ def q41_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-active week,
-    fraction of each cohort active N weeks later.  The (user, week)
-    activity set is the only big aggregate; cohorts and sizes are tiny
-    and broadcast.  Week arithmetic stays integral (both engines
-    truncate to Monday, so day-diff/7 is exact)."""
+    fraction of each cohort active N weeks later.  The per-user
+    ``first`` aggregate scales with user cardinality, so its join gets
+    NO broadcast hint (AQE decides from the runtime size); only
+    ``sizes`` — one row per cohort WEEK, bounded by calendar time, not
+    users — is explicitly broadcast.  Week arithmetic stays integral
+    (both engines truncate to Monday, so day-diff/7 is exact)."""
     events = load_table(spark, sf_dir, "events")
     first = events.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort")
@@ -1322,7 +1326,7 @@ def q42_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").alias("wk")
     ).distinct()
     return (
-        act.join(F.broadcast(first), "user_id")
+        act.join(first, "user_id")
         .withColumn(
             "week_offset",
             (F.datediff(F.col("wk").cast("date"), F.col("cohort").cast("date")) / 7).cast("long"),

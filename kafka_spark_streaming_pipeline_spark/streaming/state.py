@@ -9,10 +9,13 @@ both live in Spark's fault-tolerant keyed state via
 by stream_id so per-key ordering is guaranteed within the operator.
 
 Ordering note (SURVEY §7 hard-item 1): within a micro-batch the rows
-of one key arrive as one pandas group; both operators sort the group
-by sequence/chunk index before folding it into state, which preserves
-the reference's single-threaded per-stream semantics under
-distributed execution.
+of one key arrive as one pandas group, possibly split across several
+UNORDERED Arrow chunks (spark.sql.execution.arrow.maxRecordsPerBatch).
+The gap tracker therefore materializes and globally sorts the group's
+sequence numbers across all chunks before folding; the DVR fold is
+commutative (dict upsert + max), so chunk order cannot affect it.
+This preserves the reference's single-threaded per-stream semantics
+under distributed execution.
 """
 
 from __future__ import annotations
@@ -47,15 +50,20 @@ def _track_gaps_fn(
         last_seq, gap_events, missing_total = state.get
     else:
         last_seq, gap_events, missing_total = -1, 0, 0
-    n_chunks = 0
-    for pdf in batches:
-        for seq in sorted(pdf["sequence_number"].tolist()):
-            n_chunks += 1
-            if last_seq >= 0 and seq > last_seq + 1:
-                gap_events += 1
-                missing_total += seq - last_seq - 1
-            if seq > last_seq:
-                last_seq = seq
+    # Materialize the WHOLE group before sorting: one key's micro-batch
+    # can span multiple Arrow chunks (arrow.maxRecordsPerBatch), and the
+    # chunks are not ordered — a per-chunk sort folded chunk-by-chunk
+    # would report spurious gaps (e.g. seqs 1-10 delivered as
+    # [6-10],[1-5] -> gap_events=1).  The group is bounded by one key's
+    # rows in one micro-batch, so this stays executor-memory-safe.
+    seqs = sorted(s for pdf in batches for s in pdf["sequence_number"].tolist())
+    n_chunks = len(seqs)
+    for seq in seqs:
+        if last_seq >= 0 and seq > last_seq + 1:
+            gap_events += 1
+            missing_total += seq - last_seq - 1
+        if seq > last_seq:
+            last_seq = seq
     state.update((last_seq, gap_events, missing_total))
     yield pd.DataFrame(
         {
@@ -184,15 +192,15 @@ try:  # Spark 4.x stateful processor API
             (stream_id,) = key
             existing = self._state.get() if self._state.exists() else None
             last_seq, gap_events, missing_total = existing if existing else (-1, 0, 0)
-            n_chunks = 0
-            for pdf in rows:
-                for seq in sorted(pdf["sequence_number"].tolist()):
-                    n_chunks += 1
-                    if last_seq >= 0 and seq > last_seq + 1:
-                        gap_events += 1
-                        missing_total += seq - last_seq - 1
-                    if seq > last_seq:
-                        last_seq = seq
+            # Global sort across Arrow chunks — see _track_gaps_fn.
+            seqs = sorted(s for pdf in rows for s in pdf["sequence_number"].tolist())
+            n_chunks = len(seqs)
+            for seq in seqs:
+                if last_seq >= 0 and seq > last_seq + 1:
+                    gap_events += 1
+                    missing_total += seq - last_seq - 1
+                if seq > last_seq:
+                    last_seq = seq
             self._state.update((last_seq, gap_events, missing_total))
             yield pd.DataFrame(
                 {

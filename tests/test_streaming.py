@@ -138,6 +138,36 @@ def test_gap_detection_across_batches(spark, tmp_path):
     assert final["s2"].gap_events == 0
 
 
+def test_gap_fold_is_chunk_order_independent():
+    """One key's micro-batch can arrive as several UNORDERED Arrow
+    chunks (arrow.maxRecordsPerBatch); the fold must globally sort
+    across chunks.  Regression: seqs 1-10 delivered as [6-10],[1-5]
+    used to report gap_events=1, missing_total=5."""
+    import pandas as pd
+
+    from kafka_spark_streaming_pipeline_spark.streaming.state import _track_gaps_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.value = value
+
+    state = FakeState()
+    chunks = iter(
+        [
+            pd.DataFrame({"sequence_number": [6, 7, 8, 9, 10]}),
+            pd.DataFrame({"sequence_number": [1, 2, 3, 4, 5]}),
+        ]
+    )
+    [out] = list(_track_gaps_fn(("s1",), chunks, state))
+    row = out.iloc[0]
+    assert row["gap_events"] == 0
+    assert row["missing_total"] == 0
+    assert row["last_seq"] == 10
+    assert row["n_chunks"] == 10
+
+
 def test_dvr_state_slides_and_advances(spark, tmp_path):
     batches = [
         [_event("s1", i) for i in range(8)],
