@@ -15,14 +15,21 @@ keys + merge — on parquet tables:
 
 Both are safe under checkpoint replay: re-running a batch rewrites the
 same keys to the same values (last-writer-wins on the compound key).
+Crash-atomicity comes from the commit-marker protocol in ``txn``: the
+merge-on-read log (the DEFAULT live path, ``make_live_log_sink``) and
+the compactor publish every mutation as an atomic manifest rename, so
+a writer dying mid-write can never tear the table.  The plain
+dynamic-partition-overwrite ``upsert_partitioned`` remains as the
+lightweight alternative where the storage layer already provides
+atomic directory swap semantics.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+
+from .txn import AtomicParquetTable, fs_exists
 
 
 def upsert_partitioned(
@@ -39,9 +46,13 @@ def upsert_partitioned(
     only* are read back, anti-joined on the key, and the union is
     written with dynamic partition overwrite — untouched partitions
     are never rewritten.
+
+    NOT crash-atomic: the per-partition overwrite can tear if the
+    writer dies mid-rewrite.  Where that matters (it does on object
+    stores), use ``txn.AtomicParquetTable.upsert`` — same MERGE
+    semantics behind an atomic commit.
     """
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # dedup within the batch (replay / duplicate events)
     order = F.col(order_col).desc() if order_col else F.monotonically_increasing_id().desc()
@@ -52,7 +63,8 @@ def upsert_partitioned(
         .drop("__rn")
     )
 
-    if os.path.exists(table_path):
+    # Hadoop FS probe, not os.path — the table may live on s3a://hdfs://
+    if fs_exists(spark, table_path):
         existing = spark.read.parquet(table_path)
         touched = deduped.select(partition_col).distinct()
         # rows already in the touched partitions that are NOT replaced
@@ -65,6 +77,8 @@ def upsert_partitioned(
         out = deduped
     (
         out.write.mode("overwrite")
+        # per-write option, NOT session conf: no cross-query leakage
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(table_path)
     )
@@ -94,10 +108,13 @@ def with_partition_bucket(
 
 
 def make_live_sink(metadata_path: str, chunks_path: str):
-    """The live-path foreachBatch body (reference process_live_batch,
-    spark_streaming.py:519-539, minus the collect()): dedup-upsert the
-    per-chunk metadata, append the chunk objects.  Both sinks partition
-    on the bounded hash bucket, not the raw stream id."""
+    """Copy-on-write variant of the live-path foreachBatch body
+    (reference process_live_batch, spark_streaming.py:519-539, minus
+    the collect()): dedup-upsert the per-chunk metadata, append the
+    chunk objects.  Both sinks partition on the bounded hash bucket,
+    not the raw stream id.  ``make_live_log_sink`` is the DEFAULT live
+    path — crash-atomic and O(batch) per commit; this COW variant
+    trades that for zero read-time merge."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -133,8 +150,12 @@ def append_log_upsert(batch_df: DataFrame, table_path: str, batch_id: int) -> No
     batch, which at high commit rates dominates; this is the
     Hudi-MOR/Delta-CDF shape).  Readers resolve the latest row per key
     via ``latest_view``; ``compact_log`` folds the log back to one row
-    per key when read amplification grows."""
-    batch_df.withColumn("__commit", F.lit(batch_id)).write.mode("append").parquet(table_path)
+    per key when read amplification grows.  The append itself is a
+    crash-atomic ``AtomicParquetTable`` commit: files written by a
+    dying batch are invisible until the manifest rename lands."""
+    AtomicParquetTable(table_path).append(
+        batch_df.withColumn("__commit", F.lit(batch_id))
+    )
 
 
 def latest_view(
@@ -143,7 +164,9 @@ def latest_view(
     """Last-writer-wins view over the append log: one row per key,
     newest commit (then ``order_col``) winning — the read-side half of
     merge-on-read."""
-    log = spark.read.parquet(table_path)
+    log = AtomicParquetTable(table_path).read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
     order = [F.col("__commit").desc()] + (
         [F.col(order_col).desc()] if order_col else []
     )
@@ -159,22 +182,25 @@ def compact_log(
     spark, table_path: str, keys: list[str], order_col: str | None = None
 ) -> None:
     """Fold the log to one row per key (the background compaction that
-    bounds read amplification).  Rewrites into a fresh commit-0 log so
-    subsequent appends keep working."""
+    bounds read amplification).  The rewrite is an atomic ``overwrite``
+    commit — a crash mid-compaction leaves the uncompacted log fully
+    intact — and superseded files are vacuumed only after the new
+    version is live."""
+    table = AtomicParquetTable(table_path)
     resolved = latest_view(spark, table_path, keys, order_col).withColumn(
         "__commit", F.lit(0)
     )
-    tmp = table_path.rstrip("/") + ".compact"
-    resolved.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
-    import shutil as _shutil
-
-    _shutil.rmtree(tmp, ignore_errors=True)
+    table.overwrite(resolved)
+    table.vacuum(spark)
 
 
 def make_live_log_sink(metadata_path: str, chunks_path: str):
-    """Live-path sink on the merge-on-read log: the per-batch work is
-    two appends — constant in table size, linear in batch size."""
+    """The DEFAULT live-path sink: merge-on-read log, so the per-batch
+    work is two appends — constant in table size, linear in batch
+    size — and the metadata append is a crash-atomic commit.  The
+    chunk-object append stays a plain file append by design: it models
+    per-object PUTs (each object is atomic on its own, reference
+    spark_streaming.py:300-320), not a table mutation."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -329,8 +329,14 @@ def test_upsert_only_touched_partitions(spark, tmp_path):
 
 
 def test_end_to_end_live_query(spark, tmp_path):
-    """Full topology: file-source micro-batches -> transform ->
-    foreachBatch dual sink (metadata upsert + chunk objects)."""
+    """Full topology on the DEFAULT (merge-on-read, crash-atomic) live
+    sink: file-source micro-batches -> transform -> foreachBatch dual
+    sink (metadata log upsert + chunk objects)."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        latest_view,
+        make_live_log_sink,
+    )
+
     batches = [
         [_event("s1", i) for i in range(3)],
         [_event("s1", i) for i in range(2, 5)],  # overlap: replayed chunk 2
@@ -341,16 +347,34 @@ def test_end_to_end_live_query(spark, tmp_path):
     chunks = str(tmp_path / "chunks")
     q = start_foreach_batch(
         live_transform(stream),
-        make_live_sink(meta, chunks),
+        make_live_log_sink(meta, chunks),
         checkpoint_dir=str(tmp_path / "ckpt"),
         query_name="live_e2e",
         available_now=False,
     )
     _drain(q)
-    out = spark.read.parquet(meta)
+    out = latest_view(spark, meta, ["stream_id", "chunk_index"], "sequence_number")
     assert out.count() == 5  # chunk 2 upserted once
     assert set(r.chunk_index for r in out.collect()) == set(range(5))
     assert spark.read.parquet(chunks).count() >= 5
+
+
+def test_cow_live_sink_still_works(spark, tmp_path):
+    """The copy-on-write alternative sink keeps its semantics."""
+    batches = [[_event("s1", i) for i in range(3)]]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    meta = str(tmp_path / "meta")
+    chunks = str(tmp_path / "chunks")
+    q = start_foreach_batch(
+        live_transform(stream),
+        make_live_sink(meta, chunks),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        query_name="live_cow",
+        available_now=False,
+    )
+    _drain(q)
+    assert spark.read.parquet(meta).count() == 3
 
 
 # --------------------------------------------------------------- metrics
@@ -554,7 +578,9 @@ def test_log_sink_latest_view_and_compaction(spark, tmp_path):
     assert got == {("s1", 0): "v2", ("s1", 1): "v1"}
 
     compact_log(spark, path, keys, "sequence_number")
-    assert spark.read.parquet(path).count() == 2  # one row per key now
+    from kafka_spark_streaming_pipeline_spark.streaming.txn import AtomicParquetTable
+
+    assert AtomicParquetTable(path).read(spark).count() == 2  # one row per key now
     after = {
         (r.stream_id, r.chunk_index): r.payload
         for r in latest_view(spark, path, keys, "sequence_number").collect()

@@ -39,7 +39,10 @@ from kafka_spark_streaming_pipeline_spark.streaming.pipeline import (  # noqa: E
     live_transform,
     start_foreach_batch,
 )
-from kafka_spark_streaming_pipeline_spark.streaming.sinks import make_live_sink  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.streaming.sinks import (  # noqa: E402
+    latest_view,
+    make_live_log_sink,
+)
 from kafka_spark_streaming_pipeline_spark.streaming.state import (  # noqa: E402
     dvr_manifests,
     track_gaps,
@@ -105,7 +108,7 @@ def main() -> None:
     queries = [
         start_foreach_batch(
             with_pipeline_metrics(transformed),
-            make_live_sink(meta_path, chunks_path),
+            make_live_log_sink(meta_path, chunks_path),
             checkpoint_dir=os.path.join(work, "ckpt_sink"),
             available_now=True,
             query_name="live_sink",
@@ -142,7 +145,7 @@ def main() -> None:
     print(row.manifest)
 
     print("\n=== sinks ===")
-    meta = spark.read.parquet(meta_path)
+    meta = latest_view(spark, meta_path, ["stream_id", "chunk_index"], "sequence_number")
     print(f"live_metadata rows (after dedup upserts): {meta.count()}")
     print(f"chunk objects written: {spark.read.parquet(chunks_path).count()}")
 
