@@ -43,11 +43,18 @@ def _segment_lines(segments: Column, stream_id: Column, quality: str) -> Column:
     )
 
 
+def _target_duration(segments: Column) -> Column:
+    """Reference-byte parity: the reference emits int(seconds) + 1
+    (spark_streaming.py:291,441), i.e. floor(ms/1000) + 1 — NOT ceil
+    (4000 ms renders 5, not 4).  Always >= 1 for non-negative
+    durations, so no clamp is needed on either renderer."""
+    max_ms = F.array_max(F.transform(segments, lambda s: s["duration_ms"]))
+    return (F.floor(max_ms / F.lit(1000)) + F.lit(1)).cast("long")
+
+
 def render_vod_manifest(segments: Column, stream_id: Column, quality: str = "1080p") -> Column:
     """Append-only VOD playlist (reference spark_streaming.py:286-316)."""
-    target_duration = F.ceil(
-        F.array_max(F.transform(segments, lambda s: s["duration_ms"])) / 1000.0
-    ).cast("long")
+    target_duration = _target_duration(segments)
     return F.concat(
         F.lit("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:"),
         target_duration.cast("string"),
@@ -66,9 +73,7 @@ def render_live_manifest(
     """Rolling DVR playlist: last-N segments + advancing media sequence
     (reference spark_streaming.py:438-449); ``#EXT-X-ENDLIST`` appended
     when the stream has ended (api/main.py:443-444)."""
-    target_duration = F.ceil(
-        F.array_max(F.transform(segments, lambda s: s["duration_ms"])) / 1000.0
-    ).cast("long")
+    target_duration = _target_duration(segments)
     body = F.concat(
         F.lit("#EXTM3U\n#EXT-X-VERSION:3\n#EXT-X-TARGETDURATION:"),
         target_duration.cast("string"),

@@ -124,7 +124,7 @@ def p02_checksum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT stream_id,
            '#EXTM3U' || chr(10) || '#EXT-X-VERSION:3' || chr(10)
-           || '#EXT-X-TARGETDURATION:' || CAST(CAST(ceil(max(duration_ms) / 1000.0) AS BIGINT) AS VARCHAR)
+           || '#EXT-X-TARGETDURATION:' || CAST(max(duration_ms) // 1000 + 1 AS VARCHAR)
            || chr(10) || '#EXT-X-PLAYLIST-TYPE:VOD' || chr(10)
            || string_agg('#EXTINF:' || CAST(duration_ms // 1000 AS VARCHAR) || '.'
                          || lpad(CAST(duration_ms % 1000 AS VARCHAR), 3, '0') || ','
@@ -157,7 +157,7 @@ def p03_vod_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT stream_id,
            greatest(0, max(chunk_index) - 9) AS media_sequence,
            '#EXTM3U' || chr(10) || '#EXT-X-VERSION:3' || chr(10)
-           || '#EXT-X-TARGETDURATION:' || CAST(CAST(ceil(max(duration_ms) / 1000.0) AS BIGINT) AS VARCHAR)
+           || '#EXT-X-TARGETDURATION:' || CAST(max(duration_ms) // 1000 + 1 AS VARCHAR)
            || chr(10) || '#EXT-X-PLAYLIST-TYPE:EVENT' || chr(10)
            || '#EXT-X-MEDIA-SEQUENCE:' || CAST(greatest(0, max(chunk_index) - 9) AS VARCHAR) || chr(10)
            || string_agg('#EXTINF:' || CAST(duration_ms // 1000 AS VARCHAR) || '.'

@@ -103,7 +103,9 @@ def render_live_manifest_py(
     """Python twin of functions/manifest.render_live_manifest — byte-
     identical output (golden-tested against the batch column form) so
     the streaming operator and the batch materialization agree."""
-    target = max(1, -(-max(d for _, d in segments) // 1000))  # ceil-div
+    # reference parity: int(seconds) + 1 (spark_streaming.py:441) —
+    # floor-div + 1, always >= 1, same formula as the column renderer
+    target = max(d for _, d in segments) // 1000 + 1
     lines = [
         "#EXTM3U",
         "#EXT-X-VERSION:3",

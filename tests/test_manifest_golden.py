@@ -25,7 +25,7 @@ def _chunks(spark, rows):
 GOLDEN_VOD = (
     "#EXTM3U\n"
     "#EXT-X-VERSION:3\n"
-    "#EXT-X-TARGETDURATION:4\n"
+    "#EXT-X-TARGETDURATION:5\n"  # reference: int(4.000s) + 1
     "#EXT-X-PLAYLIST-TYPE:VOD\n"
     "#EXTINF:3.211,\n"
     "live-1/1080p/0.ts\n"
