@@ -36,6 +36,12 @@ HEADLINE = [
     "x17_tfidf_top_terms",
     "x25_decontaminate",
     "q41_funnel",
+    # r02 additions (r01 set above stays frozen for round-over-round
+    # comparability): the two heaviest families absent from r01 —
+    # iterative graph (connected-component dedup closure) and dense
+    # time-grid resample/ffill.
+    "x21_dedup_clusters",
+    "q40_resample_ffill",
 ]
 
 
