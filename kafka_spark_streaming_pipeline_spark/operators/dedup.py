@@ -412,3 +412,51 @@ def verify_candidate_pairs(
             F.round(inter / union + F.lit(1e-9), 4).alias("jaccard"),
         )
     )
+
+
+# ------------------------------------------------- edit-distance verify
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 2,
+    max_rel_distance: float = 1.0,
+) -> DataFrame:
+    """Character-level near-dup verification: Levenshtein distance and
+    the derived similarity ratio 1 - lev/max(len), computed ONLY for
+    blocked candidate pairs (first ``block_words`` words shared — the
+    same bound-the-join blocking as ngram_jaccard_pairs).  Catches
+    small in-place edits that shingle Jaccard underweights (a one-char
+    typo changes k shingles) while staying O(candidates), never O(n^2).
+
+    ``F.levenshtein`` is a JVM codegen expression; cost is
+    O(len_a*len_b) per PAIR, which is why this belongs in the verify
+    stage behind blocking, never on the cross product."""
+    toks = tokens(F.col(text_col))
+    prepared = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.concat_ws(
+            " ", *[F.try_element_at(toks, F.lit(i + 1)) for i in range(block_words)]
+        ).alias("blk"),
+    )
+    a = prepared.select(
+        F.col(id_col).alias("doc_a"), F.col("blk"), F.col(text_col).alias("text_a")
+    )
+    b = prepared.select(
+        F.col(id_col).alias("doc_b"), F.col("blk"), F.col(text_col).alias("text_b")
+    )
+    lev = F.levenshtein("text_a", "text_b")
+    max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(lev <= F.ceil(max_len * F.lit(max_rel_distance)))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("lev_distance"),
+            F.round(F.lit(1.0) - lev / max_len + F.lit(1e-9), 4).alias("char_sim"),
+        )
+    )

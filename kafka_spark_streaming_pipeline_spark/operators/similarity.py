@@ -179,6 +179,33 @@ def lsh_cosine_topk(
 
 # ------------------------------------------------------------------ IVF
 
+def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
+    """Attach each vector's ``n`` nearest cells WITHOUT shuffling
+    ``df``: the centroid set (nlist x dim — tiny by construction) is
+    folded into a one-row array, broadcast-nested-loop attached, and
+    the argmax is a pure array expression (sort of (neg_sim, cell)
+    structs, slice n, explode).  The previous form exploded df x
+    nlist and paid a row_number window — a shuffle of nlist times
+    the corpus just to pick the max of nlist scores.  Expects the
+    vector in column ``v`` (array<double>)."""
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
+    )
+    sims = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            (-cosine(F.col("v"), s["centroid"])).alias("neg_sim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    top = F.slice(F.array_sort(sims), 1, n)
+    return (
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn(out, F.explode(F.transform(top, lambda s: s["cell"])))
+        .drop("__cents")
+    )
+
+
 def _centroids(assigned: DataFrame) -> DataFrame:
     """Per-cell mean vector via posexplode + grouped avg (one shuffle
     keyed on (cell, dim) — the same primitive as embedding centroids)."""
@@ -225,31 +252,6 @@ def ivf_topk(
     # each vector to its nearest centroid, recompute means
     seeded = c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(nlist)))
     cents0 = _centroids(seeded).select("cell", "centroid")
-
-    def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
-        """Attach each vector's ``n`` nearest cells WITHOUT shuffling
-        ``df``: the centroid set (nlist x dim — tiny by construction) is
-        folded into a one-row array, broadcast-nested-loop attached, and
-        the argmax is a pure array expression (sort of (neg_sim, cell)
-        structs, slice n, explode).  The previous form exploded df x
-        nlist and paid a row_number window — a shuffle of nlist times
-        the corpus just to pick the max of nlist scores."""
-        cent_arr = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
-        )
-        sims = F.transform(
-            F.col("__cents"),
-            lambda s: F.struct(
-                (-cosine(F.col("v"), s["centroid"])).alias("neg_sim"),
-                s["cell"].alias("cell"),
-            ),
-        )
-        top = F.slice(F.array_sort(sims), 1, n)
-        return (
-            df.crossJoin(F.broadcast(cent_arr))
-            .withColumn(out, F.explode(F.transform(top, lambda s: s["cell"])))
-            .drop("__cents")
-        )
 
     reassigned = nearest_cells(c, cents0, 1, "cell")
     cents = _centroids(reassigned).select("cell", "centroid")
@@ -303,4 +305,72 @@ def quantize_embeddings(
         mn.alias("min_val"),
         F.round(scale + F.lit(1e-9), 6).alias("scale_r"),
         F.round(dequant_err + F.lit(1e-9), 6).alias("mean_abs_err"),
+    )
+
+
+# ------------------------------------------------------------- k-means
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) over an embedding column — the
+    centroid trainer behind IVF indexing and semantic-cluster curation
+    (cluster-then-sample corpus balancing).
+
+    Scale shape per iteration: assignment is the shuffle-free
+    broadcast-centroid array-argmax (``nearest_cells``), so the corpus
+    is never shuffled for assignment; the centroid update is one
+    (cell, dim) aggregation — the only shuffle — and its output is
+    k x dim rows regardless of corpus size.  ``localCheckpoint`` after
+    each update truncates the iterative plan, same as
+    dedup.connected_components.  Driver sees nothing but the next
+    centroid set's lineage handle.
+
+    Returns (id, cell, sim) — each vector's cluster and its cosine
+    similarity to the final centroid."""
+    c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seeded = c.withColumn("cell", F.pmod(F.xxhash64(id_col), F.lit(k)))
+    cents = _centroids(seeded).select("cell", "centroid").localCheckpoint()
+    for _ in range(iterations):
+        assigned = nearest_cells(c, cents, 1, "cell")
+        cents = _centroids(assigned).select("cell", "centroid").localCheckpoint()
+    final = nearest_cells(c, cents, 1, "cell")
+    return final.join(cents, "cell").select(
+        id_col,
+        "cell",
+        F.round(cosine(F.col("v"), F.col("centroid")) + F.lit(1e-9), 4).alias("sim"),
+    )
+
+
+# ---------------------------------------------------------- matryoshka
+
+def matryoshka_truncate(
+    emb: DataFrame,
+    dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first
+    ``dims`` components and L2-renormalize — the cheap-retrieval tier
+    of an MRL-trained embedding stack (coarse search on the prefix,
+    rerank on the full vector).  Pure array expressions, map-only:
+    truncation cost is O(dims) per row and the scan never shuffles.
+
+    Returns (id, truncated, norm_retained): the renormalized prefix and
+    the fraction of the full vector's L2 norm the prefix retains —
+    the quality signal for choosing the truncation tier."""
+    v = _as_double(F.col(vec_col))
+    prefix = F.slice(v, 1, dims)
+    full_norm = F.sqrt(_dot(v, v))
+    pre_norm = F.sqrt(_dot(prefix, prefix))
+    return emb.select(
+        F.col(id_col),
+        F.when(
+            pre_norm > 0, F.transform(prefix, lambda x: F.round(x / pre_norm + F.lit(1e-9), 4))
+        ).otherwise(prefix).alias("truncated"),
+        F.round(pre_norm / full_norm + F.lit(1e-9), 4).alias("norm_retained"),
     )

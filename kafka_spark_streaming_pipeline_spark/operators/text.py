@@ -223,3 +223,75 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# ------------------------------------------------------------ PII / URLs
+#
+# Regexes restricted to constructs with identical semantics under Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# alternation — no lookaround, no backreferences.  A production corpus
+# scrub would extend PII_PATTERNS; the mechanism (count + replace as
+# pure codegen expressions) is the scale-relevant part — one text scan,
+# zero Python.
+
+PII_PATTERNS: dict[str, str] = {
+    # label -> (pattern, replacement)
+    "EMAIL": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}",
+    "IPV4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "PHONE": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+# Match order matters: IPV4 before PHONE is irrelevant (disjoint), but
+# EMAIL must be redacted before IPV4 so "user@10.0.0.1"-style hosts are
+# consumed by the email pass (both engines scan left-to-right,
+# leftmost-longest within the alternatives given).
+PII_ORDER: tuple[str, ...] = ("EMAIL", "IPV4", "PHONE")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (before redaction)."""
+    return {
+        label: F.size(F.regexp_extract_all(text, F.lit(PII_PATTERNS[label]), F.lit(0))).cast(
+            "long"
+        )
+        for label in PII_ORDER
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its [LABEL] token, in PII_ORDER.
+    Sequential regexp_replace passes — each is a single codegen'd scan
+    of the (already short) string, and ordering makes the composition
+    deterministic."""
+    out = text
+    for label in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[label], f"[{label}]")
+    return out
+
+
+URL_PATTERN = "https?://[a-zA-Z0-9.-]+(/[a-zA-Z0-9._/?=&%-]*)?"
+# capture group 1 of this applied to a URL = the host
+URL_HOST_PATTERN = "https?://([a-zA-Z0-9.-]+)"
+
+
+def extract_urls(text: Column) -> Column:
+    """All http(s) URLs in the text, in order (array<string>)."""
+    return F.regexp_extract_all(text, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_host(url: Column) -> Column:
+    """Host part of a URL.  regexp_extract (not parse_url) so the exact
+    same expression runs on the DuckDB oracle side."""
+    return F.regexp_extract(url, URL_HOST_PATTERN, 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two labels of the host (example.com from a.b.example.com) —
+    the blocklist join key.  A production system would use the public
+    suffix list; the two-label heuristic keeps the expression portable."""
+    parts = F.split(host, "\\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)

@@ -1,0 +1,78 @@
+"""Time-series operators over event streams: trailing EWMA and
+z-score anomaly flagging.
+
+A true EWMA is a recursive fold over the whole history — not a window
+aggregate.  The scale-honest form here is the TRUNCATED EWMA over the
+trailing ``span`` rows: weights below (1-alpha)^span are dropped (for
+alpha=0.3, span=20 the dropped tail carries < 0.1% of the mass), and
+the state per row is a bounded collect_list over a ROWS window — no
+unbounded state, no Python, and the exact same expression runs on the
+DuckDB oracle (list() window aggregate + list_transform/pow).
+
+Weighting: the frame's collect_list is ordered oldest -> newest, so
+element p (1-based) of an L-element list gets weight (1-alpha)^(L-p);
+the result is normalized by the weight sum (the "adjust=True" form of
+pandas ewm, which is also what a fresh stream restart computes — no
+dependence on pre-window history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def trailing_ewma(value_list: Column, alpha: float) -> Column:
+    """Normalized EWMA of an array ordered oldest->newest."""
+    size = F.size(value_list)
+    decay = F.lit(1.0 - alpha)
+    weighted = F.transform(
+        value_list, lambda x, i: x * F.pow(decay, (size - 1 - i).cast("double"))
+    )
+    weights = F.transform(
+        value_list, lambda x, i: F.pow(decay, (size - 1 - i).cast("double"))
+    )
+    tot = F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x)
+    wsum = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    return tot / wsum
+
+
+def ewma_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    span: int = 20,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key trailing EWMA + anomaly z-score.
+
+    One shuffle (the per-key window sort); every expression is codegen
+    array arithmetic.  The z-score compares each value against the
+    EWMA and plain stddev of the PRECEDING ``span`` rows (excluding the
+    current row, so a spike can't mask itself); rows with fewer than 3
+    trailing observations are unflagged (insufficient history).
+    """
+    order = [ts_col, "event_id"] if "event_id" in events.columns else [ts_col]
+    trail = (
+        W.partitionBy(key_col).orderBy(*order).rowsBetween(-span, -1)
+    )
+    vals = F.collect_list(value_col).over(trail)
+    n = F.size(vals)
+    ewma = trailing_ewma(vals, alpha)
+    mean = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / n
+    var = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)) / (n - 1)
+    std = F.sqrt(var)
+    z = (F.col(value_col) - ewma) / std
+    return events.select(
+        key_col,
+        ts_col,
+        value_col,
+        n.cast("long").alias("n_trailing"),
+        F.when(n >= 3, F.round(ewma + F.lit(1e-9), 4)).alias("ewma"),
+        F.when((n >= 3) & (std > 0), F.round(z + F.lit(1e-9), 4)).alias("zscore"),
+        F.when((n >= 3) & (std > 0), F.abs(z) > F.lit(z_threshold))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

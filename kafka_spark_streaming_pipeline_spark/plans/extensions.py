@@ -1105,3 +1105,274 @@ def x32_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+# --------------------------------------------------------- PII / URLs
+
+from ..operators.text import PII_PATTERNS  # noqa: E402
+
+# Planted-PII construction shared (textually) by the Spark builder and
+# the oracle: the synthetic corpus contains no real PII, so the query
+# layer plants deterministic instances derived from doc_id — the same
+# pattern as x25's planted contamination — and the scrubber must find
+# and redact every one.
+_PII_EMAIL = PII_PATTERNS["EMAIL"]
+_PII_IPV4 = PII_PATTERNS["IPV4"]
+_PII_PHONE = PII_PATTERNS["PHONE"]
+
+_X33_ORACLE = (
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com'
+                  || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END
+                  || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                  || ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '"""
+    + _PII_EMAIL
+    + """'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '"""
+    + _PII_IPV4
+    + """'))::BIGINT AS n_ips,
+           len(regexp_extract_all(t, '"""
+    + _PII_PHONE
+    + """'))::BIGINT AS n_phones,
+           substr(md5(
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '"""
+    + _PII_EMAIL
+    + """', '[EMAIL]', 'g'),
+               '"""
+    + _PII_IPV4
+    + """', '[IPV4]', 'g'),
+               '"""
+    + _PII_PHONE
+    + """', '[PHONE]', 'g')
+           ), 1, 16) AS redacted_fp
+    FROM planted
+    """
+)
+
+
+@query("x33_pii_redaction", oracle=_X33_ORACLE)
+def x33_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-category match counts + the redacted text
+    (fingerprinted to keep rows narrow).  Counting and replacement are
+    single-scan codegen regex expressions (operators/text.py
+    pii_counts/redact_pii) — the map-only shape a 100 TB scrub needs;
+    the corpus is synthetic so deterministic PII is planted from doc_id
+    first and every planted instance must come back redacted."""
+    from ..operators.text import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    counts = pii_counts(F.col("t"))
+    return planted.select(
+        "doc_id",
+        counts["EMAIL"].alias("n_emails"),
+        counts["IPV4"].alias("n_ips"),
+        counts["PHONE"].alias("n_phones"),
+        F.substring(F.md5(redact_pii(F.col("t"))), 1, 16).alias("redacted_fp"),
+    )
+
+
+from ..operators.text import URL_HOST_PATTERN, URL_PATTERN  # noqa: E402
+
+_X34_ORACLE = (
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' see https://' || source || '.example.com/d/' || doc_id
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN ' ref http://ads.tracker.net/p?x=1' ELSE '' END AS t
+      FROM documents
+    ), urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '"""
+    + URL_PATTERN
+    + """')) AS url
+      FROM planted
+    ), hosts AS (
+      SELECT doc_id, url, regexp_extract(url, '"""
+    + URL_HOST_PATTERN
+    + """', 1) AS host FROM urls
+    ), domains AS (
+      SELECT doc_id, url, host,
+             CASE WHEN len(string_split(host, '.')) >= 2
+                  THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                  ELSE host END AS domain
+      FROM hosts
+    )
+    SELECT domain,
+           count(*)::BIGINT AS n_urls,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           domain IN ('tracker.net') AS is_blocked
+    FROM domains GROUP BY domain
+    """
+)
+
+
+@query("x34_url_blocklist", oracle=_X34_ORACLE)
+def x34_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + registrable-domain rollup + blocklist flag: the
+    provenance-filter stage of a web-corpus pipeline.  Extraction and
+    domain parsing are regex/array codegen (operators/text.py); the
+    rollup is one domain-keyed aggregate; the blocklist membership is a
+    literal IN for the tiny list here (a real blocklist would be a
+    broadcast semi join — same plan shape as x25's gram set)."""
+    from ..operators.text import extract_urls, registrable_domain, url_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.col("source"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" ref http://ads.tracker.net/p?x=1")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    urls = planted.select("doc_id", F.explode(extract_urls(F.col("t"))).alias("url"))
+    domains = urls.select(
+        "doc_id", registrable_domain(url_host(F.col("url"))).alias("domain")
+    )
+    return domains.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.first(F.col("domain").isin("tracker.net")).alias("is_blocked"),
+    )
+
+
+@query(
+    "x35_edit_distance_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, t[1] || ' ' || t[2] AS blk
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text)::BIGINT AS lev_distance,
+           round(1.0 - levenshtein(a.text, b.text)
+                       / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE)
+                 + 1e-9, 4) AS char_sim
+    FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def x35_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup verification: Levenshtein distance +
+    similarity ratio on blocked candidate pairs only (same first-words
+    blocking as x02) — O(len^2) per pair is why this lives behind
+    blocking, never on the cross product."""
+    from ..operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return edit_distance_pairs(docs)
+
+
+@query(
+    "x36_matryoshka_truncate",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+    ), t AS (
+      SELECT vec_id, ve, list_slice(ve, 1, 16) AS pre,
+             sqrt(list_dot_product(ve, ve)) AS fn
+      FROM v
+    ), n AS (
+      SELECT vec_id, pre, fn, sqrt(list_dot_product(pre, pre)) AS pn FROM t
+    )
+    SELECT vec_id,
+           CASE WHEN pn > 0
+                THEN list_transform(pre, x -> round(x / pn + 1e-9, 4))
+                ELSE pre END AS truncated,
+           round(pn / fn + 1e-9, 4) AS norm_retained
+    FROM n
+    """,
+)
+def x36_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation tier: first-16-dims prefix, L2
+    renormalized, with the retained-norm quality signal.  Map-only
+    array expressions — the cheap-retrieval tier of an MRL stack."""
+    from ..operators.similarity import matryoshka_truncate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_truncate(emb, dims=16)
+
+
+@query("x37_kmeans_clusters", oracle=None)
+def x37_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means (Lloyd) cluster assignment over the embedding
+    table — the IVF centroid trainer exposed as an operator.  No SQL
+    oracle (iterative); convergence is asserted in
+    tests/test_operators.py (mean within-cluster similarity must not
+    decrease across refinement iterations, assignments must argmax the
+    final centroids)."""
+    from ..operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iterations=2)
+
+
+@query(
+    "x38_ewma_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             coalesce(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING), CAST([] AS DOUBLE[])) AS vals
+      FROM events
+    ), e AS (
+      SELECT *, len(vals) AS L,
+             list_sum(list_transform(range(1, len(vals) + 1),
+                                     i -> vals[i] * pow(0.7, len(vals) - i))) AS num,
+             list_sum(list_transform(range(1, len(vals) + 1),
+                                     i -> pow(0.7, len(vals) - i))) AS den,
+             list_sum(vals) AS s
+      FROM w
+    ), m AS (
+      SELECT *, num / den AS ewma_raw, s / L AS mean FROM e
+    ), v2 AS (
+      SELECT *, CASE WHEN L >= 2 THEN
+               sqrt(list_sum(list_transform(vals, x -> (x - mean) * (x - mean))) / (L - 1))
+             END AS std
+      FROM m
+    )
+    SELECT user_id, ts, value,
+           L::BIGINT AS n_trailing,
+           CASE WHEN L >= 3 THEN round(ewma_raw + 1e-9, 4) END AS ewma,
+           CASE WHEN L >= 3 AND std > 0 THEN round((value - ewma_raw) / std + 1e-9, 4) END AS zscore,
+           coalesce(L >= 3 AND std > 0 AND abs((value - ewma_raw) / std) > 2.0, false) AS is_anomaly
+    FROM v2
+    """,
+)
+def x38_ewma_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window EWMA + z-score anomaly flag per user: the
+    streaming-metrics outlier detector in batch form.  One shuffle (the
+    per-key window); the EWMA is a bounded collect_list + array fold —
+    no unbounded state, no Python (operators/timeseries.py)."""
+    from ..operators.timeseries import ewma_zscore
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_zscore(events, alpha=0.3, span=20, z_threshold=2.0)

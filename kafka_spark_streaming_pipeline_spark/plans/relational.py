@@ -1421,3 +1421,120 @@ def q44_trailing_24h_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_id") % 50 == 0)
     )
+
+
+@query(
+    "q45_resample_interpolate",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR))::TIMESTAMP AS bucket
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             count(*) AS n, round(avg(value) + 1e-9, 2) AS avg_value
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.user_id, g.bucket, coalesce(h.n, 0) AS n_events, h.avg_value
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    ), anchored AS (
+      SELECT *,
+        last_value(avg_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_bucket,
+        first_value(avg_value IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_bucket
+      FROM joined
+    )
+    SELECT user_id, bucket, n_events,
+      CASE
+        WHEN avg_value IS NOT NULL THEN avg_value
+        WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+          round(prev_val + (next_val - prev_val)
+                * (CAST(epoch(bucket) AS DOUBLE) - CAST(epoch(prev_bucket) AS DOUBLE))
+                / (CAST(epoch(next_bucket) AS DOUBLE) - CAST(epoch(prev_bucket) AS DOUBLE))
+                + 1e-9, 4)
+        ELSE coalesce(prev_val, next_val)
+      END AS value_interp,
+      CASE
+        WHEN avg_value IS NOT NULL THEN 'actual'
+        WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN 'interp'
+        WHEN prev_val IS NOT NULL THEN 'ffill'
+        ELSE 'bfill'
+      END AS fill_kind
+    FROM anchored
+    """,
+)
+def q45_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR INTERPOLATION (q40's sibling:
+    ffill -> straight-line gap fill).  Same two-shuffle dense-grid plan
+    — per-key bounds agg + grid-to-hourly join — plus one window pass
+    computing the surrounding anchors (last/first IGNORE NULLS, never a
+    self-join per gap); the interpolation itself is pure row
+    arithmetic on the anchor columns.  Known buckets pass through
+    unchanged; gaps before the first / after the last known point fall
+    back to nearest-value fill."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"), _r(F.avg("value"), 2).alias("avg_value"))
+    wp = W.partitionBy("user_id").orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.partitionBy("user_id").orderBy("bucket").rowsBetween(1, W.unboundedFollowing)
+    known_bucket = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    anchored = (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            "avg_value",
+            F.last("avg_value", ignorenulls=True).over(wp).alias("prev_val"),
+            F.last(known_bucket, ignorenulls=True).over(wp).alias("prev_bucket"),
+            F.first("avg_value", ignorenulls=True).over(wn).alias("next_val"),
+            F.first(known_bucket, ignorenulls=True).over(wn).alias("next_bucket"),
+        )
+    )
+    frac = (
+        F.unix_timestamp("bucket").cast("double")
+        - F.unix_timestamp("prev_bucket").cast("double")
+    ) / (
+        F.unix_timestamp("next_bucket").cast("double")
+        - F.unix_timestamp("prev_bucket").cast("double")
+    )
+    return anchored.select(
+        "user_id",
+        "bucket",
+        "n_events",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(
+            F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(),
+            F.round(
+                F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac + F.lit(1e-9),
+                4,
+            ),
+        )
+        .otherwise(F.coalesce("prev_val", "next_val"))
+        .alias("value_interp"),
+        F.when(F.col("avg_value").isNotNull(), F.lit("actual"))
+        .when(F.col("prev_val").isNotNull() & F.col("next_val").isNotNull(), F.lit("interp"))
+        .when(F.col("prev_val").isNotNull(), F.lit("ffill"))
+        .otherwise(F.lit("bfill"))
+        .alias("fill_kind"),
+    )

@@ -256,3 +256,123 @@ def test_connected_components_transitive_closure(spark):
     assert comp[1] == comp[2] == comp[3] == comp[4] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == 20
+
+
+def test_pii_redaction_counts_and_replacement(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail bob.smith+x@sub.example.org now"),
+        (1, "host 192.168.1.200 and 10.0.0.1 up"),
+        (2, "call 555-123-4567 today"),
+        (3, "clean text with no sensitive content"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = pii_counts(F.col("t"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            counts["EMAIL"].alias("e"),
+            counts["IPV4"].alias("i"),
+            counts["PHONE"].alias("p"),
+            redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[0].e, out[0].i, out[0].p) == (1, 0, 0)
+    assert out[0].red == "mail [EMAIL] now"
+    assert out[1].i == 2 and out[1].red == "host [IPV4] and [IPV4] up"
+    assert out[2].p == 1 and out[2].red == "call [PHONE] today"
+    assert out[3].red == rows[3][1]  # untouched
+
+
+def test_url_extraction_and_domain(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        extract_urls,
+        registrable_domain,
+        url_host,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "see https://a.b.example.com/x/y?k=1 and http://plain.net plus text")],
+        "id long, t string",
+    )
+    row = (
+        df.select(F.explode(extract_urls(F.col("t"))).alias("url"))
+        .select("url", url_host(F.col("url")).alias("h"), registrable_domain(url_host(F.col("url"))).alias("d"))
+        .collect()
+    )
+    assert [r.url for r in row] == ["https://a.b.example.com/x/y?k=1", "http://plain.net"]
+    assert [r.h for r in row] == ["a.b.example.com", "plain.net"]
+    assert [r.d for r in row] == ["example.com", "plain.net"]
+
+
+def test_edit_distance_pairs_verifies_small_edits(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import edit_distance_pairs
+
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in edit_distance_pairs(_docs(spark)).collect()
+    }
+    assert out[(0, 1)].lev_distance == 0 and out[(0, 1)].char_sim == pytest.approx(1.0)
+    # lazy -> sleepy: bounded character edit, high char_sim
+    assert 0 < out[(0, 2)].lev_distance <= 6
+    assert out[(0, 2)].char_sim > 0.95
+    assert (0, 3) not in out  # different block, never compared
+
+
+def test_matryoshka_truncate_norms(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import matryoshka_truncate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = matryoshka_truncate(emb, dims=16).collect()
+    assert all(len(r.truncated) == 16 for r in out)
+    assert all(0.0 <= r.norm_retained <= 1.0 + 1e-6 for r in out)
+    # renormalized prefix should be (approximately) unit length
+    for r in out[:20]:
+        norm = sum(x * x for x in r.truncated) ** 0.5
+        assert norm == pytest.approx(1.0, abs=5e-3)
+
+
+def test_kmeans_refinement_does_not_degrade(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sim0 = (
+        kmeans_assign(emb, k=8, iterations=0).agg(F.avg("sim").alias("s")).collect()[0].s
+    )
+    sim2 = (
+        kmeans_assign(emb, k=8, iterations=2).agg(F.avg("sim").alias("s")).collect()[0].s
+    )
+    # Lloyd refinement must improve (or at least not degrade) mean
+    # within-cluster cosine similarity vs the hash seeding
+    assert sim2 >= sim0 - 1e-6
+    # every vector assigned to exactly one of k cells
+    cells = kmeans_assign(emb, k=8, iterations=1).select("cell").distinct().collect()
+    assert 1 <= len(cells) <= 8
+
+
+def test_ewma_zscore_matches_reference(spark):
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import ewma_zscore
+
+    vals = [10.0, 11.0, 9.0, 10.5, 10.0, 50.0, 10.2, 9.8]
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double").withColumn(
+        "ts", F.timestamp_micros(F.col("event_id") * 1_000_000)
+    )
+    # python reference for row 5 (trailing = rows 0..4)
+    trail = vals[:5]
+    wts = [(1 - 0.3) ** (len(trail) - 1 - i) for i in range(len(trail))]
+    ref = sum(v * w for v, w in zip(trail, wts)) / sum(wts)
+    got = ewma_zscore(df, alpha=0.3, span=20).orderBy("ts").collect()
+    assert got[5].ewma == pytest.approx(ref, abs=1e-3)
+    mean = sum(trail) / len(trail)
+    std = math.sqrt(sum((v - mean) ** 2 for v in trail) / (len(trail) - 1))
+    assert got[5].zscore == pytest.approx((50.0 - ref) / std, abs=1e-3)
+    assert got[5].is_anomaly  # the 50.0 spike is flagged
+    assert not got[4].is_anomaly
+    assert got[0].ewma is None and got[1].ewma is None  # <3 trailing obs
