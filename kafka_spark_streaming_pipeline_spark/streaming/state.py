@@ -25,6 +25,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..schemas import DVR_WINDOW_SIZE
@@ -229,3 +230,76 @@ try:  # Spark 4.x stateful processor API
 except ImportError:  # pragma: no cover - pre-4.x PySpark
     GapTrackingProcessor = None  # type: ignore[assignment]
     track_gaps_tws = None  # type: ignore[assignment]
+
+
+# ------------------------------------------------------- EWMA anomalies
+
+EWMA_OUTPUT_SCHEMA = (
+    "stream_id string, sequence_number long, value double, n_seen long, "
+    "ewma double, zscore double, is_anomaly boolean"
+)
+EWMA_STATE_SCHEMA = "ewma double, ewvar double, n_seen long"
+
+EWMA_ALPHA = 0.3
+EWMA_Z_THRESHOLD = 2.0
+EWMA_MIN_OBS = 3
+
+
+def _ewma_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Recursive (online) EWMA + exponentially-weighted variance per
+    key — the streaming twin of operators/timeseries.ewma_zscore.  The
+    batch form uses a trailing-window normalized EWMA so a SQL oracle
+    can verify it; the streaming form is the classical O(1)-state
+    recursion (West's EW variance), which never re-reads history and
+    therefore survives restart from checkpoint with 3 doubles of state
+    per key.  Rows are globally sorted by sequence_number across Arrow
+    chunks before folding (same ordering hazard as _track_gaps_fn)."""
+    (stream_id,) = key
+    if state.exists:
+        ewma, ewvar, n_seen = state.get
+    else:
+        ewma, ewvar, n_seen = 0.0, 0.0, 0
+    rows = sorted(
+        (
+            (int(s), float(v))
+            for pdf in batches
+            for s, v in zip(pdf["sequence_number"].tolist(), pdf["value"].tolist())
+        ),
+    )
+    out: dict[str, list] = {c: [] for c in ("sequence_number", "value", "n_seen", "ewma", "zscore", "is_anomaly")}
+    for seq, x in rows:
+        if n_seen == 0:
+            z = None
+            ewma, ewvar = x, 0.0
+        else:
+            delta = x - ewma
+            std = ewvar ** 0.5
+            z = (delta / std) if (std > 0 and n_seen >= EWMA_MIN_OBS) else None
+            ewma += EWMA_ALPHA * delta
+            ewvar = (1.0 - EWMA_ALPHA) * (ewvar + EWMA_ALPHA * delta * delta)
+        n_seen += 1
+        out["sequence_number"].append(seq)
+        out["value"].append(x)
+        out["n_seen"].append(n_seen)
+        out["ewma"].append(round(ewma, 4))
+        out["zscore"].append(None if z is None else round(z, 4))
+        out["is_anomaly"].append(bool(z is not None and abs(z) > EWMA_Z_THRESHOLD))
+    state.update((ewma, ewvar, n_seen))
+    yield pd.DataFrame({"stream_id": [stream_id] * len(rows), **out})
+
+
+def ewma_anomalies(events: DataFrame, value_col: str = "size_bytes") -> DataFrame:
+    """ST+ — per-stream online anomaly detection over a metric column:
+    one flagged row per event, O(1) checkpointed state per key."""
+    keyed = events.select(
+        "stream_id", "sequence_number", F.col(value_col).cast("double").alias("value")
+    )
+    return keyed.groupBy("stream_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -659,3 +659,31 @@ def test_log_sink_latest_view_and_compaction(spark, tmp_path):
         for r in latest_view(spark, path, keys, "sequence_number").collect()
     }
     assert after == got
+
+
+def test_ewma_anomaly_stream_flags_spike_across_batches(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.streaming.state import ewma_anomalies
+
+    # steady sizes in batch 1; batch 2 opens with a 100x spike
+    b1 = [_event("s1", i, seq=i) for i in range(6)]          # sizes 1000..1005
+    spike = _event("s1", 6, seq=6)
+    spike["size_bytes"] = 200_000
+    b2 = [spike] + [_event("s1", i, seq=i) for i in range(7, 10)]
+    in_dir = _write_batch_files(spark, str(tmp_path), [b1, b2])
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        ewma_anomalies(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = {r.sequence_number: r for r in spark.sql("SELECT * FROM ewma_out").collect()}
+    assert rows[6].is_anomaly            # the spike, first row of batch 2:
+    # state (ewma/var of batch 1) survived the batch boundary
+    assert rows[9].n_seen == 10          # counter accumulated across batches
+    assert not rows[5].is_anomaly        # steady rows unflagged
+    assert not rows[9].is_anomaly        # recovered after the spike
+    assert rows[0].zscore is None        # warm-up rows unscored
