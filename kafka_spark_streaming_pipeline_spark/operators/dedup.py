@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding over MinHash signatures.
 
@@ -188,8 +189,15 @@ def minhash_lsh_pairs(
     the signature pipeline runs exactly once and the only shuffles are
     the bucket groupBy + the pair dedup.  Per-bucket arrays are safe at
     scale because LSH bounds bucket size by true duplicate-cluster
-    size, not corpus size (a degenerate corpus of one giant cluster is
-    the caller's skew problem regardless of plan shape).
+    size, not corpus size.  For corpora where that bound fails (mass
+    boilerplate that survived exact dedup), ``max_bucket_size`` caps
+    each bucket EXPLICITLY: oversized buckets are truncated to their
+    ``max_bucket_size`` smallest (id, sig) members — deterministic, and
+    never a silent drop because emitted pairs from a truncated bucket
+    carry ``bucket_truncated=true`` (output gains that column only when
+    the cap is set, so the default schema is unchanged).  Members cut
+    from a giant bucket still pair among the survivors via their OTHER
+    bands, which is the standard banding recall argument.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
@@ -220,6 +228,13 @@ def minhash_lsh_pairs(
         )
         .filter(F.size("members") >= 2)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            "band_idx",
+            "band_hash",
+            (F.size("members") > max_bucket_size).alias("bucket_truncated"),
+            F.slice("members", 1, max_bucket_size).alias("members"),
+        ).filter(F.size("members") >= 2)
     members = F.col("members")
     pair_arr = F.flatten(
         F.transform(
@@ -235,17 +250,28 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.*")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
     matches = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x
         )
     )
     est = F.round(matches / F.lit(num_hashes), 4)
+    if max_bucket_size is not None:
+        # a pair can surface from several buckets with different
+        # truncation flags; max-aggregate so truncated provenance wins
+        return (
+            buckets.select(F.col("bucket_truncated"), F.explode(pair_arr).alias("p"))
+            .select("bucket_truncated", "p.*")
+            .select("doc_a", "doc_b", est.alias("est_jaccard"), "bucket_truncated")
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .groupBy("doc_a", "doc_b", "est_jaccard")
+            .agg(F.max("bucket_truncated").alias("bucket_truncated"))
+        )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     return (
         pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)

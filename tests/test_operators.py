@@ -376,3 +376,18 @@ def test_ewma_zscore_matches_reference(spark):
     assert got[5].is_anomaly  # the 50.0 spike is flagged
     assert not got[4].is_anomaly
     assert got[0].ewma is None and got[1].ewma is None  # <3 trailing obs
+
+
+def test_minhash_bucket_cap_flags_truncation(spark):
+    # 5 identical docs -> every band bucket holds all 5; cap at 3
+    rows = [(i, BASE) for i in range(5)] + [(9, "totally unrelated words " * 8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(df, max_bucket_size=3).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in capped}
+    # only the 3 surviving members pair up: C(3,2) = 3 pairs
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.bucket_truncated for r in capped)
+    # uncapped keeps the full C(5,2) = 10 pairs and the default schema
+    full = minhash_lsh_pairs(df)
+    assert full.count() == 10
+    assert "bucket_truncated" not in full.columns
