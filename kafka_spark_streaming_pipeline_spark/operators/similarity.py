@@ -374,3 +374,69 @@ def matryoshka_truncate(
         ).otherwise(prefix).alias("truncated"),
         F.round(pre_norm / full_norm + F.lit(1e-9), 4).alias("norm_retained"),
     )
+
+
+# ------------------------------------------------- persisted IVF index
+
+def ivf_index_build(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build-once half of the IVF index: train centroids (hash seed +
+    one Lloyd reassignment, same as ivf_topk) and PERSIST the index —
+    the assigned corpus written as parquet PARTITIONED BY cell, plus a
+    tiny centroids table.
+
+    This is the shape that matters at 100 TB: index construction is
+    amortized across every later query batch, and because the posting
+    lists are physical partitions, a search that probes ``nprobe``
+    cells reads ``nprobe/nlist`` of the index from disk — the pruning
+    happens in the parquet scan (PartitionFilters), not after a full
+    load."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    seeded = c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(nlist)))
+    cents0 = _centroids(seeded).select("cell", "centroid")
+    assigned = nearest_cells(c, cents0, 1, "cell")
+    cents = _centroids(assigned).select("cell", "centroid")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_index_search(
+    spark,
+    queries: DataFrame,
+    path: str,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-many half: probe each query's ``nprobe`` nearest cells
+    against the persisted index.  The probe side is broadcast and the
+    postings scan is joined ON ITS PARTITION COLUMN, so Catalyst
+    inserts a dynamic-partition-pruning subquery: only the probed cell
+    directories are listed and read — never the whole index, and never
+    a driver-side collect of the cell list.  The centroids table is
+    nlist rows and folds into the broadcast argmax (nearest_cells)
+    like every other assignment."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probed = nearest_cells(q, cents, nprobe, "probe_cell").withColumnRenamed("v", "q_vec")
+    postings = spark.read.parquet(f"{path}/postings").withColumnRenamed("v", "c_vec")
+    candidates = postings.join(
+        F.broadcast(probed), postings.cell == probed.probe_cell
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -391,3 +391,26 @@ def test_minhash_bucket_cap_flags_truncation(spark):
     full = minhash_lsh_pairs(df)
     assert full.count() == 10
     assert "bucket_truncated" not in full.columns
+
+
+def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    ivf_index_build(emb, idx, nlist=8)
+    searched = ivf_index_search(spark, queries, idx, nprobe=4, k=5)
+    inline = ivf_topk(queries, emb, nlist=8, nprobe=4, k=5)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in searched.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in inline.collect()}
+    assert got == want  # same centroids training -> identical results
+    # the postings scan must be dynamically partition-pruned, not a
+    # full-index read
+    plan = searched._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
