@@ -376,14 +376,20 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
+        # partition ONCE by the join key: every iteration's
+        # edges-to-labels join reuses this layout, so only the (small)
+        # label side shuffles per round
+        .repartition("dst")
+        .localCheckpoint()
     )
+    # seed each node with min(self, neighbors) — the first propagation
+    # round fused into initialization (one aggregate instead of a
+    # join + aggregate + convergence action)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.col("id"), F.min("dst")).alias("component"))
+        .localCheckpoint()
     )
-    edges = edges.localCheckpoint()
-    labels = labels.localCheckpoint()
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
