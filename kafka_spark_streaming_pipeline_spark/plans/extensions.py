@@ -1376,3 +1376,156 @@ def x38_ewma_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return ewma_zscore(events, alpha=0.3, span=20, z_threshold=2.0)
+
+
+_CMS_SLOT_SQL = "('0x' || substr(md5('cms{d}|' || term), 1, 15))::BIGINT % 256"
+
+_X39_ORACLE = (
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), slots AS (
+      """
+    + "\n      UNION ALL\n      ".join(
+        f"SELECT {d} AS depth, {_CMS_SLOT_SQL.format(d=d)} AS slot, term FROM toks"
+        for d in range(4)
+    )
+    + """
+    ), sketch AS (
+      SELECT depth, slot, count(*) AS cnt FROM slots GROUP BY depth, slot
+    ), exact AS (
+      SELECT term, count(*) AS exact_count FROM toks GROUP BY term
+    ), top20 AS (
+      SELECT term, exact_count FROM exact
+      ORDER BY exact_count DESC, term LIMIT 20
+    ), probes AS (
+      """
+    + "\n      UNION ALL\n      ".join(
+        f"SELECT term, exact_count, {d} AS depth, {_CMS_SLOT_SQL.format(d=d)} AS slot FROM top20"
+        for d in range(4)
+    )
+    + """
+    )
+    SELECT p.term, p.exact_count,
+           min(coalesce(s.cnt, 0))::BIGINT AS cms_estimate,
+           (min(coalesce(s.cnt, 0)) - p.exact_count)::BIGINT AS overestimate
+    FROM probes p LEFT JOIN sketch s ON p.depth = s.depth AND p.slot = s.slot
+    GROUP BY p.term, p.exact_count
+    """
+)
+
+
+@query("x39_count_min_heavy_hitters", oracle=_X39_ORACLE)
+def x39_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation for the corpus's top-20
+    terms, with the exact count alongside — overestimate is the CMS
+    collision bias, always >= 0 (asserted in tests).  The sketch is
+    depth x width = 1024 counters regardless of corpus size and
+    mergeable cell-wise across shards (operators/sketches.cms_build);
+    estimation broadcasts those 1024 rows, so the heavy-hitter check
+    never rescans or shuffles the corpus."""
+    from ..operators.sketches import cms_build, cms_estimate
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term")
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact_count"))
+    top20 = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(20)
+    est = cms_estimate(sketch, top20.select("term"))
+    return (
+        top20.join(est, "term")
+        .select(
+            "term",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).cast("long").alias("overestimate"),
+        )
+    )
+
+
+_X16_ORACLE = _REGISTRY["x16_winnow_fingerprints"].oracle
+
+
+@query(
+    "x40_shared_spans",
+    oracle=f"""
+    WITH fps AS ({_X16_ORACLE})
+    SELECT fingerprint,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM fps
+    GROUP BY fingerprint
+    HAVING count(*) >= 2
+    """,
+)
+def x40_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span report (the Lee-et-al substring
+    dedup signal): winnowing fingerprints shared by >= 2 documents.
+    Any two docs overlapping by >= window+k-1 consecutive tokens are
+    guaranteed to share a fingerprint, so this surfaces copied spans
+    without any pairwise comparison — one fingerprint-keyed aggregate
+    over the x16 fingerprint set."""
+    from ..operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=3, window=4)
+    return (
+        fps.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "x41_token_budget_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             ('0x' || substr(md5('budget|' || doc_id), 1, 15))::BIGINT AS rk
+      FROM documents
+    ), ranked AS (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens::BIGINT AS n_tokens,
+           cum_tokens::BIGINT AS cum_tokens
+    FROM ranked WHERE cum_tokens <= 800
+    """,
+)
+def x41_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a data mixture: deterministic per-source sampling up
+    to an 800-token budget (chosen to actually cut the tiny test corpus) — docs ranked by a salted hash (stable across
+    reruns and growth, same property as x26/x28), kept while the
+    running token total fits.  One window per source partition; at
+    100 TB the budget check is the same cumulative-sum window, never a
+    driver loop."""
+    from pyspark.sql import Window as W
+
+    from ..operators.text import hash60, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        hash60(F.col("doc_id").cast("string"), salt="budget|").alias("rk"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("rk", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -414,3 +414,38 @@ def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
     # full-index read
     plan = searched._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import cms_build, cms_estimate
+    from kafka_spark_streaming_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = cms_build(toks, "term")
+    # sketch size is fixed: at most depth*width counters, total mass = depth * n_tokens
+    n_counters = sketch.count()
+    assert n_counters <= 4 * 256
+    n_tokens = toks.count()
+    assert sketch.agg(F.sum("cnt")).first()[0] == 4 * n_tokens
+    # CMS invariant: estimate >= exact count, for EVERY term
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact"))
+    est = cms_estimate(sketch, exact.select("term"))
+    joined = exact.join(est, "term")
+    assert joined.filter(F.col("cms_estimate") < F.col("exact")).count() == 0
+    # unseen terms estimate to >= 0 (possibly colliding, never negative)
+    unseen = spark.createDataFrame([("zzqqxx_never_seen",)], "term string")
+    [row] = cms_estimate(sketch, unseen).collect()
+    assert row.cms_estimate >= 0
+
+
+def test_token_budget_sample_respects_budget(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+    out = QUERIES["x41_token_budget_sample"].builder(spark, sf_dir)
+    per_source = out.groupBy("source").agg(
+        F.max("cum_tokens").alias("used"), F.count("*").alias("kept")
+    )
+    assert per_source.filter(F.col("used") > 800).count() == 0
+    assert per_source.filter(F.col("kept") < 1).count() == 0
