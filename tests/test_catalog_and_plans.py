@@ -25,9 +25,14 @@ def test_registry_contract():
         assert q.builder is not None
         assert q.doc, f"{name} missing docstring"
     no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
-    # everything else is value-checked; these two approximate ANN paths
-    # are rows-only with recall asserted in tests/test_operators.py
-    assert no_oracle == {"x06_lsh_cosine_topk", "x15_ivf_topk", "x18_hll_user_rollup"}
+    # everything else is value-checked; these approximate/iterative
+    # paths are rows-only with accuracy asserted in tests instead
+    assert no_oracle == {
+        "x06_lsh_cosine_topk",
+        "x15_ivf_topk",
+        "x18_hll_user_rollup",
+        "x37_kmeans_clusters",
+    }
 
 
 def test_flagship_matches_hand_computed_gaps(spark, sf_dir):
