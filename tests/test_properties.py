@@ -155,3 +155,35 @@ def test_stratified_sample_counts_property(spark, langs, fraction):
     assert per == {
         lang: math.ceil(n * fraction) for lang, n in sizes.items()
     }
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # reference: classic union-find with min-label components
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == expect
