@@ -249,3 +249,18 @@ def enrich_with_stream_start(
         & (F.col("event_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {max_stream_age}"))
     )
     return c.join(s, cond, "inner").drop("s_stream_id")
+
+
+def enrich_with_static_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "stream_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension table
+    (channel/competition metadata the reference reads per-event from
+    Mongo).  Stateless — Spark re-plans the static side per micro-batch,
+    so a refreshed dim parquet is picked up without restarting the
+    query; the broadcast hint keeps the stream side shuffle-free (the
+    dim is the small side by construction)."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -687,3 +687,26 @@ def test_ewma_anomaly_stream_flags_spike_across_batches(spark, tmp_path):
     assert not rows[5].is_anomaly        # steady rows unflagged
     assert not rows[9].is_anomaly        # recovered after the spike
     assert rows[0].zscore is None        # warm-up rows unscored
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import enrich_with_static_dim
+
+    batches = [[_event("s1", 0), _event("s2", 0)]]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    dim = spark.createDataFrame(
+        [("s1", "channel-A"), ("s3", "channel-C")], "stream_id string, channel string"
+    )
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    q = (
+        enrich_with_static_dim(stream, dim)
+        .select("stream_id", "chunk_index", "channel")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+    rows = {r.stream_id: r.channel for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {"s1": "channel-A", "s2": None}  # left join keeps unmatched
