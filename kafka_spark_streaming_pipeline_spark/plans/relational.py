@@ -1538,3 +1538,34 @@ def q45_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("bfill"))
         .alias("fill_kind"),
     )
+
+
+@query(
+    "q46_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS status, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+    FROM events
+    """,
+)
+def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC -> slowly-changing-dimension type 2: each change event
+    becomes a versioned validity interval ([valid_from, valid_to),
+    open-ended for the current row) — the standard materialization of
+    an upsert/change stream into a history table.  One window pass per
+    key; at scale this is the same single shuffle as any per-key
+    window, and the output is the join target for as-of lookups
+    (operators/joins.asof_join)."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        F.row_number().over(w).alias("version"),
+    )

@@ -219,3 +219,76 @@ def make_live_log_sink(metadata_path: str, chunks_path: str):
             batch_df.unpersist()
 
     return sink
+
+
+# ---------------------------------------------------- incremental rollup
+
+def make_rollup_sink(
+    rollup_path: str,
+    key_cols: list[str],
+    time_col: str = "event_ts",
+    value_col: str = "size_bytes",
+    window: str = "1 hour",
+):
+    """Incrementally-maintained aggregate table (the streaming
+    materialized-view pattern): each micro-batch appends its PARTIAL
+    per-(key, bucket) aggregate — count + sum are mergeable, so the
+    per-batch cost is O(batch) and the rollup table is never read on
+    the write path.  Readers merge partials with ``rollup_view``;
+    ``compact_rollup`` folds the log when partial-row amplification
+    grows.  Append is an AtomicParquetTable commit, and every partial
+    row carries its batch id, so a replayed batch (foreachBatch
+    at-least-once) deduplicates exactly at read time."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.groupBy(
+                *key_cols, F.window(time_col, window).alias("__w")
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(value_col).alias("value_sum"),
+            )
+            .select(
+                *key_cols,
+                F.col("__w.start").alias("bucket"),
+                "n_events",
+                "value_sum",
+            )
+        )
+        AtomicParquetTable(rollup_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def rollup_view(spark, rollup_path: str, key_cols: list[str]) -> DataFrame:
+    """Merged rollup: sum the partial aggregates per (key, bucket).
+    Replayed batches are deduplicated by (commit, key, bucket) first —
+    a retried foreachBatch recomputes the identical partial row, so
+    keeping one copy per commit makes the view exactly-once."""
+    log = AtomicParquetTable(rollup_path).read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {rollup_path}")
+    return (
+        log.dropDuplicates(["__commit", *key_cols, "bucket"])
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_sum").cast("long").alias("value_sum"),
+        )
+    )
+
+
+def compact_rollup(spark, rollup_path: str, key_cols: list[str]) -> None:
+    """Fold the partial-aggregate log to one row per (key, bucket);
+    atomic overwrite, crash leaves the uncompacted log intact."""
+    table = AtomicParquetTable(rollup_path)
+    folded = rollup_view(spark, rollup_path, key_cols).withColumn(
+        "__commit", F.lit(0)
+    )
+    table.overwrite(folded)
+    table.vacuum(spark)

@@ -710,3 +710,56 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     _drain(q)
     rows = {r.stream_id: r.channel for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {"s1": "channel-A", "s2": None}  # left join keeps unmatched
+
+
+def test_incremental_rollup_matches_batch_and_survives_replay(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_rollup,
+        make_rollup_sink,
+        rollup_view,
+    )
+
+    batches = [
+        [_event("s1", i) for i in range(4)],
+        [_event("s1", i) for i in range(4, 6)] + [_event("s2", i) for i in range(3)],
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA, max_files_per_trigger=1)
+    stream = stream.withColumn("event_ts", F.to_timestamp("timestamp"))
+    rollup_path = str(tmp_path / "rollup")
+    sink = make_rollup_sink(rollup_path, ["stream_id"])
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+
+    def view_rows():
+        return {
+            (r.stream_id, r.bucket): (r.n_events, r.value_sum)
+            for r in rollup_view(spark, rollup_path, ["stream_id"]).collect()
+        }
+
+    # merged view == direct batch aggregate over all the data
+    all_rows = [e for b in batches for e in b]
+    direct = (
+        spark.createDataFrame(all_rows, LIVE_CHUNK_SCHEMA)
+        .withColumn("event_ts", F.to_timestamp("timestamp"))
+        .groupBy("stream_id", F.window("event_ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("size_bytes").alias("s"))
+    )
+    want = {(r.stream_id, r.w.start): (r.n, r.s) for r in direct.collect()}
+    assert view_rows() == want
+
+    # replay batch 1 (at-least-once retry): same commit id, same partial
+    # rows appended again -> view must NOT double-count
+    replay_df = spark.createDataFrame(batches[1], LIVE_CHUNK_SCHEMA).withColumn(
+        "event_ts", F.to_timestamp("timestamp")
+    )
+    sink(replay_df, 1)
+    assert view_rows() == want
+
+    # compaction folds the log without changing the view
+    compact_rollup(spark, rollup_path, ["stream_id"])
+    assert view_rows() == want
