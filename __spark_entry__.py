@@ -26,6 +26,7 @@ def _prepare(spark: SparkSession) -> None:
     """Settings required for oracle-comparable results on any session."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,23 +40,28 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime-settable confs so even externally-provided sessions read the
+    # test tables identically:
+    # - UTC session timezone: the NTZ->LTZ read below (and every
+    #   date/time function in the plans) is only value-stable under UTC.
+    # - inferTimestampNTZ=false: parquet TIMESTAMP(isAdjustedToUTC=false)
+    #   surfaces as TIMESTAMP (ltz) *at the scan itself* — one timestamp
+    #   type across the whole query surface with NO post-scan cast
+    #   projection, so scan-level column pruning / filter pushdown are
+    #   untouched (a per-column withColumn cast here cost q16 3.6x in r2).
+    # - nanosAsLong: some driver builds write events.ts as
+    #   TIMESTAMP(NANOS), which the reader otherwise rejects.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # runtime-settable: needed even on externally-provided sessions
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it surfaces as bigint
-    # nanoseconds — convert to a proper timestamp (integer `div` so the
-    # 18-digit nano value never passes through a double).
+    # nanosAsLong surfaces TIMESTAMP(NANOS) as bigint nanoseconds —
+    # convert to a proper timestamp (integer `div` so the 18-digit nano
+    # value never passes through a double).  No-op when the file carries
+    # MICROS (ts already a timestamp).
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ
-    # under inferTimestampNTZ; with the engine's fixed UTC session
-    # timezone the cast to TIMESTAMP (ltz) is value-identical and keeps
-    # one timestamp type across the whole query surface.
-    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
-    for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

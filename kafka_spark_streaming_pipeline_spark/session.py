@@ -46,6 +46,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- determinism / oracle comparability ---
         .config("spark.sql.session.timeZone", "UTC")
+        # read parquet NTZ timestamps as TIMESTAMP (ltz) at the scan —
+        # value-identical under UTC, and avoids a post-scan cast projection
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long and convert in the catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
