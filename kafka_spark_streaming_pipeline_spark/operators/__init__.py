@@ -1,6 +1,17 @@
 """Reusable operator builders — the engine's public operator API."""
 
-from . import curation, dedup, joins, multimodal, profile, similarity, sketches, skew, text  # noqa: F401
+from . import (  # noqa: F401
+    curation,
+    dedup,
+    joins,
+    multimodal,
+    profile,
+    retrieval,
+    similarity,
+    sketches,
+    skew,
+    text,
+)
 from .curation import (  # noqa: F401
     decontaminate,
     pack_sequences,
@@ -17,6 +28,7 @@ from .dedup import (  # noqa: F401
     simhash16,
 )
 from .joins import asof_join  # noqa: F401
+from .retrieval import bm25_topk, inverted_index  # noqa: F401
 from .profile import profile as profile_table  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,

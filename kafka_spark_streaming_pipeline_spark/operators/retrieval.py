@@ -13,14 +13,24 @@ Scale design:
   length is the term's document frequency; the ``max_postings`` cap
   bounds the array for stopword-like terms EXPLICITLY (df stays exact,
   the stored list truncates, ``postings_truncated`` flags it) so one
-  hot term cannot blow an executor.
-- ``bm25_topk`` never touches documents that share no term with the
-  query: tokens are filtered to the (tiny, broadcast) query-term set
-  before any shuffle, so cost is O(matching postings), not O(corpus).
-  Both global scalars (N, avgdl) ride along as broadcast single rows.
+  hot term cannot blow an executor.  The output schema is
+  parameter-independent: ``postings_truncated`` is always present
+  (constant false when uncapped).
+- ``bm25_topk`` never explodes the corpus and never joins it: per-doc
+  term frequencies for the (tiny) query-term set are computed as pure
+  array expressions on one scan, so the only rows that ever reach a
+  shuffle are docs matching ≥1 query term.  Document frequency and the
+  (N, avgdl) scalars ride along as broadcast relations.  The final
+  top-k is ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject
+  (per-partition top-k + tiny driver merge), never a global
+  single-partition sort of every matching doc.
+- ``min_token_len`` guards both operators against stopword-like terms
+  ("a", "the"): sub-length terms are dropped from the index and from
+  the query before any work happens.
 
 Everything is built-in column expressions — no Python UDFs — and is
-mirrored 1:1 by a DuckDB oracle in plans/extensions.py.
+mirrored 1:1 by DuckDB oracles in plans/extensions.py
+(p17_inverted_index / p18_bm25_topk).
 """
 
 from __future__ import annotations
@@ -38,7 +48,8 @@ def inverted_index(
     min_token_len: int = 3,
     max_postings: int | None = None,
 ) -> DataFrame:
-    """(term, df, postings) with postings the sorted doc-id list.
+    """(term, df, postings, postings_truncated) with postings the
+    sorted doc-id list.
 
     ``df`` counts ALL documents containing the term even when
     ``max_postings`` truncates the stored list (slice happens after the
@@ -55,13 +66,13 @@ def inverted_index(
         F.array_sort(F.collect_list(id_col)).alias("postings"),
     )
     if max_postings is not None:
-        idx = idx.select(
+        return idx.select(
             "term",
             "df",
             F.slice("postings", 1, max_postings).alias("postings"),
             (F.col("df") > max_postings).alias("postings_truncated"),
         )
-    return idx
+    return idx.withColumn("postings_truncated", F.lit(False))
 
 
 def bm25_topk(
@@ -72,24 +83,60 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
+    min_token_len: int = 3,
 ) -> DataFrame:
     """Top-k documents for ``query_terms`` under BM25.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
-    uses the standard length normalization (dl / avgdl).  The score is
-    rounded BEFORE ranking (with the house +1e-9 nudge) so tie order
-    is engine-independent; final tiebreak is doc id."""
-    terms = [t.lower() for t in query_terms]
-    dl = docs.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).cast("long").alias("dl")
-    )
-    stats = dl.agg(
+    uses the standard length normalization (dl / avgdl).  Query terms
+    are lowercased, de-duplicated (bag-of-words: each unique term
+    scores once), and filtered by ``min_token_len`` so a stopword-like
+    term cannot match most of the corpus.  The score is rounded BEFORE
+    ranking (with the house +1e-9 nudge) so tie order is
+    engine-independent; final tiebreak is doc id."""
+    terms = [t for t in dict.fromkeys(t.lower() for t in query_terms)
+             if len(t) >= min_token_len]
+    if not terms:
+        return (
+            docs.select(F.col(id_col)).limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("n_terms_matched", F.lit(0).cast("long"))
+            .withColumn("rank", F.lit(0))
+        )
+
+    # Global (N, avgdl): one scalar-row aggregate, broadcast below.
+    stats = docs.select(F.size(tokens(F.col(text_col))).cast("long").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    qtok = tok.filter(F.col("term").isin(terms))
-    tf = qtok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # Per-doc tf for each query term as pure array expressions on ONE
+    # scan — the corpus is never exploded and never joined.  Docs with
+    # no matching term are dropped before anything shuffles.
+    toks = tokens(F.col(text_col))
+
+    def _match(term: str):
+        # N.B. a 2-arg lambda would be interpreted by F.filter as
+        # (element, index) — close over the term instead.
+        return lambda x: x == F.lit(term)
+
+    tf_structs = F.array(*[
+        F.struct(
+            F.lit(t).alias("term"),
+            F.size(F.filter(toks, _match(t))).cast("long").alias("tf"),
+        )
+        for t in terms
+    ])
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(F.filter(tf_structs, lambda s: s["tf"] > 0)).alias("t"),
+        )
+        .select(id_col, "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
+    )
+
+    # Document frequency per query term: at most len(terms) rows after
+    # the map-side partial aggregate — broadcast back.
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     idf = F.log(
@@ -103,7 +150,6 @@ def bm25_topk(
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
         .agg(
@@ -111,9 +157,10 @@ def bm25_topk(
             F.count("*").alias("n_terms_matched"),
         )
     )
+    # TakeOrderedAndProject: per-partition top-k, tiny driver-side
+    # merge.  The rank stamp afterwards windows over ≤ topk rows.
+    top = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(topk)
     w = W.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(id_col, "score", "n_terms_matched", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "n_terms_matched", "rank"
     )

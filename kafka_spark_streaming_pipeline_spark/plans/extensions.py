@@ -1529,3 +1529,90 @@ def x41_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "p17_inverted_index",
+    oracle="""
+    WITH term_docs AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+      FROM documents
+    ), agg AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             list_sort(list(doc_id)) AS postings
+      FROM term_docs WHERE length(term) >= 3
+      GROUP BY term
+    )
+    SELECT term, df,
+           array_to_string(list_slice(postings, 1, 64), ',') AS postings_csv,
+           df > 64 AS postings_truncated
+    FROM agg
+    """,
+)
+def p17_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: one explode + one grouped agg,
+    with the stopword-skew guard exercised (max_postings=64 truncates
+    the stored list while df stays exact).  Postings rendered as CSV
+    here only for the cross-engine value hash — the operator itself
+    returns the array."""
+    from ..operators.retrieval import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_token_len=3, max_postings=64).select(
+        "term",
+        "df",
+        F.array_join("postings", ",").alias("postings_csv"),
+        "postings_truncated",
+    )
+
+
+@query(
+    "p18_bm25_topk",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('customer', 'vector', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def p18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 4-term query (k1=1.2, b=0.75).  Per-doc term
+    frequencies are computed as array expressions on one corpus scan —
+    only matching docs ever shuffle — and the final ranking is
+    orderBy().limit(k), which Spark plans as TakeOrderedAndProject
+    (per-partition top-k + driver merge), never a global
+    single-partition sort."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, ["customer", "vector", "merge", "stream"], topk=10, min_token_len=3
+    )

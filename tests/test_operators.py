@@ -449,3 +449,59 @@ def test_token_budget_sample_respects_budget(spark, sf_dir):
     )
     assert per_source.filter(F.col("used") > 800).count() == 0
     assert per_source.filter(F.col("kept") < 1).count() == 0
+
+
+def test_inverted_index_schema_df_and_truncation(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta xx"),
+            (3, "alpha delta yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = inverted_index(docs, min_token_len=3)
+    capped = inverted_index(docs, min_token_len=3, max_postings=2)
+    # schema is parameter-independent (postings_truncated always present)
+    assert uncapped.columns == capped.columns
+
+    rows = {r["term"]: r for r in uncapped.collect()}
+    # min_token_len guard: sub-length tokens never indexed
+    assert "xx" not in rows and "yy" not in rows
+    assert rows["alpha"]["df"] == 3
+    assert rows["alpha"]["postings"] == [1, 2, 3]
+    assert not any(r["postings_truncated"] for r in rows.values())
+
+    crows = {r["term"]: r for r in capped.collect()}
+    # df stays exact while the stored list truncates, flagged
+    assert crows["alpha"]["df"] == 3
+    assert crows["alpha"]["postings"] == [1, 2]
+    assert crows["alpha"]["postings_truncated"]
+    assert not crows["delta"]["postings_truncated"]
+
+
+def test_bm25_topk_ranking_and_stopword_guard(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine spark query"),
+            (2, "spark query engine"),
+            (3, "spark only here"),
+            (4, "nothing relevant at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = bm25_topk(docs, ["spark", "query", "a"], topk=3)
+    rows = top.collect()
+    # doc 4 shares no term -> never scored; ranks are 1..n by score desc
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["n_terms_matched"] == 2 and rows[2]["n_terms_matched"] == 1
+    assert rows[0]["score"] > rows[1]["score"] > rows[2]["score"] > 0
+    # sub-min_token_len terms are dropped before any work
+    empty = bm25_topk(docs, ["a"], topk=3)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score", "n_terms_matched", "rank"]

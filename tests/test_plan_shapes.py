@@ -60,3 +60,17 @@ def test_pack_sequences_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x27_pack_sequences")
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" not in plan  # no global orderBy
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    # the final ranking must be per-partition top-k + driver merge;
+    # the only single-partition exchange allowed is the rank stamp
+    # over the already-limited <= k rows
+    plan = _plan(spark, sf_dir, "p18_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_inverted_index_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "p17_inverted_index")
+    assert plan.count("Scan parquet") == 1
