@@ -33,7 +33,7 @@ _SHINGLES_CTE = """
 
 
 @query(
-    "x01_dedup_exact",
+    "p11_dedup_exact",
     oracle="""
     WITH fp AS (
       SELECT doc_id,
@@ -48,7 +48,7 @@ _SHINGLES_CTE = """
     FROM fp JOIN groups g USING (fingerprint)
     """,
 )
-def x01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized-text fingerprint: one hash shuffle,
     deterministic canonical survivor (min doc_id) per group."""
     from ..operators.dedup import exact_dedup_groups
@@ -92,7 +92,7 @@ _MINHASH_SEEDS_VALUES = ", ".join(
 
 
 @query(
-    "x03_minhash_lsh",
+    "p12_minhash_lsh",
     oracle=_SHINGLES_CTE
     + f"""
     , exploded AS (
@@ -128,7 +128,7 @@ _MINHASH_SEEDS_VALUES = ", ".join(
                                 x -> x)) / 16.0, 4) >= 0.5
     """,
 )
-def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p12_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: near-dup candidate pairs without the n²
     cross product (16 hashes, 4 bands x 4 rows, est Jaccard >= 0.5).
     The full shingle->minhash->band->bucket-join dataflow is verified
@@ -165,7 +165,7 @@ def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x05_cosine_topk",
+    "p13_cosine_topk",
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10
@@ -185,7 +185,7 @@ def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rank <= 5
     """,
 )
-def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p13_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbors for 10 query vectors —
     the ANN correctness baseline.  Queries broadcast; corpus partitions
     score locally; one ranked window takes the top-k."""
@@ -198,7 +198,7 @@ def x05_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x06_lsh_cosine_topk", oracle=None)
 def x06_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k — the scale path for ANN
-    (rows-only check: approximate recall is compared against x05 in
+    (rows-only check: approximate recall is compared against p13_cosine_topk in
     tests/test_similarity.py instead of a SQL oracle)."""
     from ..operators.similarity import lsh_cosine_topk
 
@@ -476,7 +476,7 @@ def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (hash-seeded cells + one Lloyd step +
     nprobe search) — the data-adaptive ANN scale path next to x06's
-    fixed-hyperplane LSH.  Rows-only check; recall vs the exact x05
+    fixed-hyperplane LSH.  Rows-only check; recall vs the exact p13_cosine_topk
     baseline is asserted in tests/test_operators.py."""
     from ..operators.similarity import ivf_topk
 
@@ -632,14 +632,14 @@ def x20_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .registry import QUERIES as _REGISTRY
 
-_X03_ORACLE = _REGISTRY["x03_minhash_lsh"].oracle
+_P12_ORACLE = _REGISTRY["p12_minhash_lsh"].oracle
 
 
 @query(
-    "x21_dedup_clusters",
+    "p14_dedup_clusters",
     oracle=f"""
     WITH RECURSIVE pairs AS (
-      SELECT doc_a, doc_b FROM ({_X03_ORACLE})
+      SELECT doc_a, doc_b FROM ({_P12_ORACLE})
     ), edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION
@@ -652,7 +652,7 @@ _X03_ORACLE = _REGISTRY["x03_minhash_lsh"].oracle
     SELECT id, min(comp) AS component FROM reach GROUP BY id
     """,
 )
-def x21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p14_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup pipeline: MinHash LSH candidate pairs ->
     transitive closure via distributed small-label propagation
     (operators/dedup.connected_components) -> (doc, component) with the
@@ -700,10 +700,10 @@ def x22_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x23_verified_neardups",
+    "p15_verified_neardups",
     oracle=f"""
     WITH cand AS (
-      SELECT doc_a, doc_b, est_jaccard FROM ({_X03_ORACLE})
+      SELECT doc_a, doc_b, est_jaccard FROM ({_P12_ORACLE})
     ), shingle_sets AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -724,7 +724,7 @@ def x22_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN shingle_sets b ON b.doc_id = c.doc_b
     """,
 )
-def x23_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p15_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase near-dup dedup end-to-end: LSH candidate generation
     (estimated Jaccard) -> EXACT Jaccard verification computed only on
     the candidates — the verify cost is O(|candidates|), never O(n²)."""
@@ -735,20 +735,20 @@ def x23_verified_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_candidate_pairs(docs, pairs)
 
 
-_X21_ORACLE = _REGISTRY["x21_dedup_clusters"].oracle
+_P14_ORACLE = _REGISTRY["p14_dedup_clusters"].oracle
 
 
 @query(
-    "x24_deduplicated_corpus",
+    "p16_deduplicated_corpus",
     oracle=f"""
-    WITH comp AS ({_X21_ORACLE})
+    WITH comp AS ({_P14_ORACLE})
     SELECT d.doc_id, d.lang, d.n_chars,
            coalesce(c.component, d.doc_id) AS dup_group,
            (c.id IS NULL OR c.component = d.doc_id) AS kept
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
     """,
 )
-def x24_deduplicated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p16_deduplicated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's end product: every document labeled with its
     duplicate group and a ``kept`` flag — survivors are docs with no
     near-dup cluster or the cluster's canonical (min) member.  Filter

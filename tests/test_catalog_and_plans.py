@@ -58,7 +58,7 @@ def test_entry_contract(spark):
     assert got.count() == 10
 
 
-@pytest.mark.parametrize("name", ["q03_join_broadcast_dims", "x05_cosine_topk"])
+@pytest.mark.parametrize("name", ["q03_join_broadcast_dims", "p13_cosine_topk"])
 def test_plans_are_broadcast_where_expected(spark, sf_dir, name):
     plan = QUERIES[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -37,12 +37,12 @@ def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
 
 def test_minhash_reads_text_once(spark, sf_dir):
     # the join-free bucket expansion must not duplicate the scan
-    plan = _plan(spark, sf_dir, "x03_minhash_lsh")
+    plan = _plan(spark, sf_dir, "p12_minhash_lsh")
     assert plan.count("Scan parquet") == 1
 
 
 def test_cosine_topk_broadcasts_queries(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "x05_cosine_topk")
+    plan = _plan(spark, sf_dir, "p13_cosine_topk")
     assert "BroadcastNestedLoopJoin" in plan  # corpus side never shuffles pre-join
 
 
