@@ -306,6 +306,66 @@ def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------- n-gram jaccard
 
+def _capped_block_pairs(
+    prepared: DataFrame,
+    id_col: str,
+    payload_col: str,
+    max_block_size: int,
+) -> DataFrame:
+    """Intra-block pair expansion with an EXPLICIT block-size cap.
+
+    ``prepared`` must carry (id, blk, payload).  Blocks collapse to one
+    sorted member array each (one shuffle — cheaper than the two-sided
+    self-join on ``blk``), oversized blocks are truncated to their
+    ``max_block_size`` smallest ids — deterministic, never silent:
+    every emitted pair from a truncated block carries
+    ``block_truncated=true``.  This is the same skew guard
+    minhash_lsh_pairs applies to LSH buckets: on a web-scale corpus,
+    boilerplate prefixes ("copyright all ...") otherwise create giant
+    blocks whose pair expansion goes quadratic.  Members cut from a
+    truncated block are the block's largest ids; a production pipeline
+    routes such blocks to LSH (whose banding still pairs them) rather
+    than exact all-pairs verification.
+
+    Output: (doc_a, doc_b, payload_a, payload_b, block_truncated) —
+    each doc belongs to exactly ONE block, so no cross-block pair dedup
+    is needed."""
+    buckets = (
+        prepared.groupBy("blk")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("pl"))
+                )
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+        .select(
+            (F.size("members") > max_block_size).alias("block_truncated"),
+            F.slice("members", 1, max_block_size).alias("members"),
+        )
+        .filter(F.size("members") >= 2)
+    )
+    members = F.col("members")
+    pair_arr = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["pl"].alias("payload_a"),
+                    y["pl"].alias("payload_b"),
+                ),
+            ),
+        )
+    )
+    return buckets.select("block_truncated", F.explode(pair_arr).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.payload_a", "p.payload_b", "block_truncated"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -313,13 +373,20 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     block_words: int = 2,
     min_jaccard: float = 0.0,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over k-word shingle sets, restricted to
     blocked candidate pairs (docs sharing their first ``block_words``
     lowercased words).  Blocking bounds the join output; the exact
     verification runs only inside blocks.  Shingle sets are built by
     the explode+collect_set pipeline (one split per doc, aggregation
-    barrier) rather than a nested array expression."""
+    barrier) rather than a nested array expression.
+
+    ``max_block_size`` guards against block-key skew (boilerplate
+    prefixes): set, it switches to the capped bucket expansion
+    (_capped_block_pairs) and the output gains a ``block_truncated``
+    provenance column; unset, the default schema/semantics are
+    unchanged."""
     toks = tokens(F.col(text_col))
     sets = (
         shingle_rows(docs, text_col, id_col, shingle_k)
@@ -330,6 +397,16 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.concat_ws(" ", *[F.try_element_at(toks, F.lit(i + 1)) for i in range(block_words)]).alias("blk"),
     ).join(sets, id_col)
+    if max_block_size is not None:
+        pairs = _capped_block_pairs(prepared, id_col, "shingles", max_block_size)
+        inter = F.size(F.array_intersect("payload_a", "payload_b"))
+        union = F.size(F.array_union("payload_a", "payload_b"))
+        return pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union + F.lit(1e-9), 4).alias("jaccard"),
+            "block_truncated",
+        ).filter(F.col("jaccard") >= min_jaccard)
     a = prepared.select(
         F.col(id_col).alias("doc_a"), F.col("blk"), F.col("shingles").alias("sh_a")
     )
@@ -454,6 +531,7 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     block_words: int = 2,
     max_rel_distance: float = 1.0,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Character-level near-dup verification: Levenshtein distance and
     the derived similarity ratio 1 - lev/max(len), computed ONLY for
@@ -464,7 +542,11 @@ def edit_distance_pairs(
 
     ``F.levenshtein`` is a JVM codegen expression; cost is
     O(len_a*len_b) per PAIR, which is why this belongs in the verify
-    stage behind blocking, never on the cross product."""
+    stage behind blocking, never on the cross product.
+
+    ``max_block_size`` guards against block-key skew exactly as in
+    ngram_jaccard_pairs: capped bucket expansion + ``block_truncated``
+    provenance when set; unchanged schema/semantics when unset."""
     toks = tokens(F.col(text_col))
     prepared = docs.select(
         F.col(id_col),
@@ -473,6 +555,20 @@ def edit_distance_pairs(
             " ", *[F.try_element_at(toks, F.lit(i + 1)) for i in range(block_words)]
         ).alias("blk"),
     )
+    if max_block_size is not None:
+        pairs = _capped_block_pairs(prepared, id_col, text_col, max_block_size)
+        lev = F.levenshtein("payload_a", "payload_b")
+        max_len = F.greatest(F.length("payload_a"), F.length("payload_b"))
+        return (
+            pairs.filter(lev <= F.ceil(max_len * F.lit(max_rel_distance)))
+            .select(
+                "doc_a",
+                "doc_b",
+                lev.cast("long").alias("lev_distance"),
+                F.round(F.lit(1.0) - lev / max_len + F.lit(1e-9), 4).alias("char_sim"),
+                "block_truncated",
+            )
+        )
     a = prepared.select(
         F.col(id_col).alias("doc_a"), F.col("blk"), F.col(text_col).alias("text_a")
     )

@@ -505,3 +505,46 @@ def test_bm25_topk_ranking_and_stopword_guard(spark):
     empty = bm25_topk(docs, ["a"], topk=3)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "score", "n_terms_matched", "rank"]
+
+
+def test_blocked_verify_ops_cap_hot_blocks(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # planted hot block: 1000 docs sharing their first-2-words prefix
+    # (boilerplate), plus a small benign block
+    hot = [(i, f"copyright all rights reserved variant {i}") for i in range(1000)]
+    cold = [(2000, "unique doc one two three"), (2001, "unique doc one two four")]
+    docs = spark.createDataFrame(hot + cold, ["doc_id", "text"])
+
+    for op in (ngram_jaccard_pairs, edit_distance_pairs):
+        capped = op(docs, max_block_size=8).collect()
+        # bounded pair output: C(8,2)=28 from the truncated hot block
+        # + 1 benign pair, instead of C(1000,2)=499500
+        assert len(capped) == 28 + 1
+        hot_pairs = [r for r in capped if r["doc_a"] < 1000]
+        assert len(hot_pairs) == 28
+        assert all(r["block_truncated"] for r in hot_pairs)
+        # deterministic truncation: survivors are the smallest ids
+        kept = {r["doc_a"] for r in hot_pairs} | {r["doc_b"] for r in hot_pairs}
+        assert kept == set(range(8))
+        benign = [r for r in capped if r["doc_a"] == 2000]
+        assert len(benign) == 1 and not benign[0]["block_truncated"]
+
+    # on a skew-free corpus the capped path agrees with the join path
+    small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon"),
+         (3, "other prefix here now")],
+        ["doc_id", "text"],
+    )
+    base = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(small).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(small, max_block_size=100).collect()
+    }
+    assert base == capped
