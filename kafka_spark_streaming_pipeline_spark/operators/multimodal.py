@@ -2,11 +2,17 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with
 struct metadata.  The Spark-side machinery here is real — schemas,
-Arrow-batched ``mapInPandas`` decode, partition-friendly shapes; the
-actual codec step is STUBBED (this container has no image/audio libs):
-``decode_image``/``decode_audio`` raise ``NotImplementedError``, and
-``fake_decode_meta`` provides a deterministic stand-in with the same
-signature and schema so the distributed plumbing is testable end-to-end.
+Arrow-batched ``mapInPandas`` decode, partition-friendly shapes.  The
+codec step is import-guarded: when Pillow / soundfile are installed
+(richer environments) ``decode_image``/``decode_audio`` do the real
+decode and the ``decode_image_meta``/``decode_audio_samples``
+operators automatically run it; in this container (no image/audio
+libs) they fall back to the deterministic stand-ins
+``fake_decode_meta``/``fake_decode_audio`` — same signature, same
+schema, same Arrow execution shape — so the distributed plumbing is
+testable end-to-end either way.  Codec selection is a plain module
+function (``image_codec_available``/``audio_codec_available``) so
+tests monkeypatch the imported handle and assert the choice.
 """
 
 from __future__ import annotations
@@ -16,6 +22,24 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real image codec — absent in this container, present in richer envs
+    from PIL import Image as _pil_image  # type: ignore
+except ImportError:
+    _pil_image = None
+
+try:  # real audio codec
+    import soundfile as _soundfile  # type: ignore
+except ImportError:
+    _soundfile = None
+
+
+def image_codec_available() -> bool:
+    return _pil_image is not None
+
+
+def audio_codec_available() -> bool:
+    return _soundfile is not None
 
 # Output schema of the (stub) decoder — what a real image decode would emit.
 DECODE_META_SCHEMA = (
@@ -32,13 +56,35 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires an image lib not present in this
-    environment.  STUB: see fake_decode_meta for the plumbing test."""
-    raise NotImplementedError("image decoding requires e.g. Pillow; not available here")
+    """Real image decode via Pillow when importable; raises
+    NotImplementedError in environments without an image lib (this
+    container) — see fake_decode_meta for the plumbing stand-in."""
+    if _pil_image is None:
+        raise NotImplementedError(
+            "image decoding requires e.g. Pillow; not available here"
+        )
+    import io
+
+    with _pil_image.open(io.BytesIO(payload)) as img:
+        return {
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "n_frames": int(getattr(img, "n_frames", 1)),
+        }
 
 
 def decode_audio(payload: bytes) -> dict:
-    raise NotImplementedError("audio decoding requires e.g. soundfile; not available here")
+    """Real audio decode via soundfile when importable; raises
+    NotImplementedError otherwise — see fake_decode_audio."""
+    if _soundfile is None:
+        raise NotImplementedError(
+            "audio decoding requires e.g. soundfile; not available here"
+        )
+    import io
+
+    samples, sample_rate = _soundfile.read(io.BytesIO(payload))
+    return {"sample_rate": int(sample_rate), "samples": list(map(float, samples))}
 
 
 def fake_decode_meta(docs_with_payload: DataFrame) -> DataFrame:
@@ -65,6 +111,40 @@ def fake_decode_meta(docs_with_payload: DataFrame) -> DataFrame:
         .repartition(parallelism)  # decode is per-row Python work: spread small files
         .mapInPandas(decode_batches, schema=DECODE_META_SCHEMA)
     )
+
+
+def real_decode_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Pillow-backed image metadata decode through the SAME mapInPandas
+    shape as fake_decode_meta.  Only callable when Pillow is importable
+    (the executors re-import it; decode_image re-checks per process)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_image(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [m["n_bytes"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "n_frames": [m["n_frames"] for m in metas],
+                }
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(decode_batches, schema=DECODE_META_SCHEMA)
+    )
+
+
+def decode_image_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """The image-decode operator users call: real codec when available,
+    deterministic stub otherwise — identical schema either way."""
+    if image_codec_available():
+        return real_decode_meta(docs_with_payload)
+    return fake_decode_meta(docs_with_payload)
 
 
 def frame_sample_plan(meta: DataFrame, every_nth: int = 5) -> DataFrame:
@@ -106,6 +186,37 @@ def fake_decode_audio(docs_with_payload: DataFrame) -> DataFrame:
         .repartition(parallelism)
         .mapInPandas(decode, schema=AUDIO_SCHEMA)
     )
+
+
+def real_decode_audio(docs_with_payload: DataFrame) -> DataFrame:
+    """soundfile-backed decode through the same mapInPandas shape as
+    fake_decode_audio; only callable when soundfile is importable."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_audio(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "samples": [m["samples"] for m in metas],
+                }
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(decode, schema=AUDIO_SCHEMA)
+    )
+
+
+def decode_audio_samples(docs_with_payload: DataFrame) -> DataFrame:
+    """The audio-decode operator users call: real codec when available,
+    deterministic stub otherwise — identical schema either way."""
+    if audio_codec_available():
+        return real_decode_audio(docs_with_payload)
+    return fake_decode_audio(docs_with_payload)
 
 
 def audio_window_features(audio: DataFrame, window_size: int = 100) -> DataFrame:

@@ -548,3 +548,59 @@ def test_blocked_verify_ops_cap_hot_blocks(spark):
         for r in ngram_jaccard_pairs(small, max_block_size=100).collect()
     }
     assert base == capped
+
+
+def test_multimodal_codec_selection_via_monkeypatched_import(monkeypatch):
+    import pytest
+
+    from kafka_spark_streaming_pipeline_spark.operators import multimodal as mm
+
+    # this container has neither codec: selection must be the stub path
+    assert not mm.image_codec_available() and not mm.audio_codec_available()
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"\x00")
+    routed: list[str] = []
+    monkeypatch.setattr(mm, "fake_decode_meta", lambda df: routed.append("fake") or df)
+    monkeypatch.setattr(mm, "real_decode_meta", lambda df: routed.append("real") or df)
+    mm.decode_image_meta(object())
+    assert routed == ["fake"]
+
+    # monkeypatch the imported handles -> selection flips to the real codec
+    class _Img:
+        width, height, n_frames = 4, 3, 2
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+    class _Pil:
+        @staticmethod
+        def open(buf):
+            return _Img()
+
+    monkeypatch.setattr(mm, "_pil_image", _Pil)
+    assert mm.image_codec_available()
+    assert mm.decode_image(b"abcd") == {
+        "n_bytes": 4, "width": 4, "height": 3, "n_frames": 2,
+    }
+    routed.clear()
+    mm.decode_image_meta(object())
+    assert routed == ["real"]
+
+    class _Sf:
+        @staticmethod
+        def read(buf):
+            return [0.0, 0.5], 8000
+
+    monkeypatch.setattr(mm, "_soundfile", _Sf)
+    assert mm.audio_codec_available()
+    assert mm.decode_audio(b"xy") == {"sample_rate": 8000, "samples": [0.0, 0.5]}
+    routed.clear()
+    monkeypatch.setattr(mm, "fake_decode_audio", lambda df: routed.append("fake") or df)
+    monkeypatch.setattr(mm, "real_decode_audio", lambda df: routed.append("real") or df)
+    mm.decode_audio_samples(object())
+    assert routed == ["real"]
