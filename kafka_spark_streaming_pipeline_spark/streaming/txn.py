@@ -126,9 +126,23 @@ class AtomicParquetTable:
     ``overwrite``), the merge-on-read shape used by the live sink.
     """
 
-    def __init__(self, root: str, partition_col: str | None = None):
+    #: upsert() collects the batch's distinct partition values to the
+    #: driver to compute the COW entry list; this cap turns the implicit
+    #: assumption ("a batch touches few partitions") into a loud
+    #: contract instead of an unbounded driver materialization.  The
+    #: live sink's fixed 64-bucket hash partitioning keeps real batches
+    #: far below the default.
+    DEFAULT_MAX_TOUCHED_PARTITIONS = 10_000
+
+    def __init__(
+        self,
+        root: str,
+        partition_col: str | None = None,
+        max_touched_partitions: int = DEFAULT_MAX_TOUCHED_PARTITIONS,
+    ):
         self.root = root.rstrip("/")
         self.partition_col = partition_col
+        self.max_touched_partitions = max_touched_partitions
 
     # ------------------------------------------------------------ resolve
 
@@ -260,9 +274,18 @@ class AtomicParquetTable:
             .drop("__rn")
         )
 
-        touched = sorted(
-            str(r[0]) for r in deduped.select(pcol).distinct().collect()
-        )
+        # cap the driver-side list BEFORE collecting: limit(n+1) bounds
+        # the transfer, and exceeding the cap fails loudly instead of
+        # materializing an arbitrarily long partition list
+        cap = self.max_touched_partitions
+        touched_rows = deduped.select(pcol).distinct().limit(cap + 1).collect()
+        if len(touched_rows) > cap:
+            raise ValueError(
+                f"batch touches > {cap} distinct {pcol!r} partitions; "
+                "repartition the sink key (e.g. hash-bucket it) or raise "
+                "max_touched_partitions"
+            )
+        touched = sorted(str(r[0]) for r in touched_rows)
         existing = self.read(spark, partition_values=touched) if manifest else None
         if existing is not None:
             kept = existing.join(deduped.select(*keys).distinct(), keys, "left_anti")

@@ -138,3 +138,17 @@ def test_vacuum_removes_only_unreferenced(spark, tmp_path):
     assert len(removed) == 2  # the two superseded append dirs
     assert table.read(spark).count() == 2
     assert fs_exists(spark, root)
+
+
+def test_upsert_fails_loudly_over_partition_cap(spark, tmp_path):
+    table = AtomicParquetTable(
+        str(tmp_path / "capped"), partition_col="part", max_touched_partitions=5
+    )
+    wide = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("part"),
+        F.lit("v").alias("val"),
+    )
+    with pytest.raises(ValueError, match="> 5 distinct"):
+        table.upsert(wide, keys=["k"])
+    narrow = wide.filter(F.col("k") < 5)
+    assert table.upsert(narrow, keys=["k"]) == 1  # under the cap: commits
