@@ -49,6 +49,11 @@ HEADLINE = [
     # time-grid resample/ffill.
     "p14_dedup_clusters",
     "q40_resample_ffill",
+    # r03 additions: the two families previously unbenched — embedding
+    # near-dup (SRP sign-projection blocking) and retrieval (BM25
+    # top-k, TakeOrderedAndProject ranking).
+    "x14_embedding_neardup",
+    "p18_bm25_topk",
 ]
 
 
