@@ -434,6 +434,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 20,
+    salt: int | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs -> (id, component) with the
     component labeled by its smallest member — the final stage of a
@@ -446,19 +447,35 @@ def connected_components(
     node ids); iterations needed = graph diameter (duplicate clusters
     are tiny, so 2-3 in practice — max_iterations bounds adversarial
     chains).  The driver loop only checks a scalar convergence count
-    per iteration; all data stays distributed."""
+    per iteration; all data stays distributed.
+
+    Skew boundary: the per-iteration join keys edges by ``dst``, so a
+    power-law hub (one document near-duplicate to millions — think an
+    empty-page template) concentrates all its edges in ONE task.  For
+    such graphs pass ``salt``: edges pre-partition by (dst,
+    hash(src) % salt) and the label side — narrow (id, component)
+    rows — replicates salt-ways per iteration, splitting every hub's
+    edge list across ``salt`` tasks.  Same fixpoint, same labels; cost
+    is a salt-times larger (but still tiny) label shuffle, which is why
+    it is opt-in rather than the default for ordinary dedup clusters.
+    The neighbor-min and convergence aggregates are algebraic, so
+    map-side partial aggregation already absorbs hub skew there."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        # partition ONCE by the join key: every iteration's
-        # edges-to-labels join reuses this layout, so only the (small)
-        # label side shuffles per round
-        .repartition("dst")
-        .localCheckpoint()
     )
+    if salt is not None:
+        edges = edges.withColumn("salt", F.pmod(F.hash("src"), F.lit(salt)))
+        part_cols = ["dst", "salt"]
+    else:
+        part_cols = ["dst"]
+    # partition ONCE by the join key: every iteration's
+    # edges-to-labels join reuses this layout, so only the (small)
+    # label side shuffles per round
+    edges = edges.repartition(*part_cols).localCheckpoint()
     # seed each node with min(self, neighbors) — the first propagation
     # round fused into initialization (one aggregate instead of a
     # join + aggregate + convergence action)
@@ -468,10 +485,21 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        if salt is not None:
+            label_side = labels.select(
+                "id",
+                "component",
+                F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt"),
+            )
+            joined = edges.join(
+                label_side,
+                (edges.dst == label_side.id) & (edges.salt == label_side.salt),
+            )
+        else:
+            label_side = labels
+            joined = edges.join(label_side, edges.dst == label_side.id)
+        neighbor_min = joined.groupBy("src").agg(
+            F.min("component").alias("nbr_component")
         )
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")

@@ -604,3 +604,34 @@ def test_multimodal_codec_selection_via_monkeypatched_import(monkeypatch):
     monkeypatch.setattr(mm, "real_decode_audio", lambda df: routed.append("real") or df)
     mm.decode_audio_samples(object())
     assert routed == ["real"]
+
+
+def test_connected_components_salted_star_graph(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import connected_components
+
+    # power-law boundary case: a star of 10k edges into one hub node —
+    # unsalted, every edge keyed by the hub lands in one task; salted,
+    # the hub's edge list splits hash(src)-ways while labels stay exact
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 10_001)], ["doc_a", "doc_b"]
+    )
+    salted = connected_components(star, salt=8)
+    rows = salted.collect()
+    assert len(rows) == 10_001
+    assert {r["component"] for r in rows} == {0}
+
+    # salted and unsalted agree on a multi-component graph
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"],
+    )
+    plain = {(r["id"], r["component"]) for r in connected_components(pairs).collect()}
+    salted2 = {
+        (r["id"], r["component"])
+        for r in connected_components(pairs, salt=4).collect()
+    }
+    assert plain == salted2
+    assert plain == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20), (23, 20),
+    }
