@@ -47,17 +47,22 @@ def cosine_topk(
     The (small) query side is broadcast so the corpus never shuffles —
     each corpus partition scores its rows against every query and the
     per-query top-k is taken with one ranked window over |Q| x k rows.
+    Norms are computed once per vector BELOW the join (the join blocks
+    projection collapse), so each of the |Q| x |C| pairs evaluates one
+    dot product instead of three — same sqrt(dot(v,v)) expression,
+    bit-identical result.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
-    )
+    ).withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
-    )
+    ).withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+        F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -102,12 +107,17 @@ def embedding_neardup_pairs(
     the bucket groupBy.  Blocking is approximate by design: pairs whose
     signs differ on some plane are not candidates (recall grows with
     fewer planes / multiple tables)."""
-    v = emb.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", int_srp_bucket(F.col("v"), planes))
+    v = (
+        emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", int_srp_bucket(F.col("v"), planes))
+        # norm once per VECTOR (the aggregation below is a hard
+        # barrier), so each candidate pair pays one dot product, not
+        # three — same sqrt(dot(v,v)) expression, bit-identical value
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
     buckets = (
         v.groupBy("bucket")
-        .agg(F.array_sort(F.collect_list(F.struct("id", "v"))).alias("members"))
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
     members = F.col("members")
@@ -121,11 +131,15 @@ def embedding_neardup_pairs(
                     y["id"].alias("vec_b"),
                     x["v"].alias("v_a"),
                     y["v"].alias("v_b"),
+                    x["n"].alias("n_a"),
+                    y["n"].alias("n_b"),
                 ),
             ),
         )
     )
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")) + F.lit(1e-9), 4)
+    sim = F.round(
+        _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) + F.lit(1e-9), 4
+    )
     # no dropDuplicates: with a single SRP table each vector has exactly
     # one bucket, so a pair can only be emitted once
     return (
@@ -160,18 +174,27 @@ def lsh_cosine_topk(
     """Approximate top-k: only candidates in the query's SRP bucket are
     scored.  Recall grows with fewer planes / multiple tables; this is
     the scale path where |C| makes brute force infeasible."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("q_vec"),
-    ).withColumn("bucket", srp_bucket(F.col("q_vec"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("bucket", srp_bucket(F.col("c_vec"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("q_vec"),
+        )
+        .withColumn("bucket", srp_bucket(F.col("q_vec"), planes))
+        .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+        )
+        .withColumn("bucket", srp_bucket(F.col("c_vec"), planes))
+        .withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
     scored = c.join(F.broadcast(q), "bucket").select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+        F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -259,15 +282,22 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    probed = nearest_cells(q, cents, nprobe, "probe_cell").withColumnRenamed("v", "q_vec")
+    probed = (
+        nearest_cells(q, cents, nprobe, "probe_cell")
+        .withColumnRenamed("v", "q_vec")
+        .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
     candidates = probed.join(
-        reassigned.withColumnRenamed("cell", "probe_cell").withColumnRenamed("v", "c_vec"),
+        reassigned.withColumnRenamed("cell", "probe_cell")
+        .withColumnRenamed("v", "c_vec")
+        .withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))),
         "probe_cell",
     )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+        F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -428,15 +458,24 @@ def ivf_index_search(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     )
-    probed = nearest_cells(q, cents, nprobe, "probe_cell").withColumnRenamed("v", "q_vec")
-    postings = spark.read.parquet(f"{path}/postings").withColumnRenamed("v", "c_vec")
+    probed = (
+        nearest_cells(q, cents, nprobe, "probe_cell")
+        .withColumnRenamed("v", "q_vec")
+        .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .withColumnRenamed("v", "c_vec")
+        .withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
+    )
     candidates = postings.join(
         F.broadcast(probed), postings.cell == probed.probe_cell
     )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias("cosine_sim"),
+        F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
