@@ -292,3 +292,45 @@ def unigram_logprob(
             F.round(F.avg(F.log("p")) + F.lit(1e-9), 6).alias("mean_logprob"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-training / RAG chunking step (stride = chunk_tokens -
+    overlap; the final window clips at the document end).
+
+    Pure array expressions on ONE scan: the token array binds once per
+    row (let-binding via transform-over-single-element-array, the same
+    trick as dedup.shingle_arr), chunk starts are a sequence, each
+    chunk is a slice — then one posexplode.  No shuffle at all: output
+    partitioning inherits the scan, which is exactly what the
+    downstream packer (pack_sequences) wants at 100 TB.
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    chunks = F.transform(
+        F.array(tokens_of(F.col(text_col))),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(t) - F.lit(overlap), F.lit(1)),
+                F.lit(stride),
+            ),
+            lambda s: F.struct(
+                ((s - 1) / stride).cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(t, s, chunk_tokens)).alias("chunk_text"),
+                F.size(F.slice(t, s, chunk_tokens)).cast("long").alias("n_chunk_tokens"),
+            ),
+        ),
+    )[0]
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens"
+    )

@@ -1616,3 +1616,32 @@ def p18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, ["customer", "vector", "merge", "stream"], topk=10, min_token_len=3
     )
+
+
+@query(
+    "x42_chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 8, 1) + 1, 24)) AS s
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, s, least(s + 31, len(toks))), ' ')
+             AS chunk_text,
+           CAST(least(s + 31, len(toks)) - s + 1 AS BIGINT) AS n_chunk_tokens
+    FROM starts
+    """,
+)
+def x42_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap (32-token chunks,
+    8-token overlap): one scan, token array bound once per row, zero
+    shuffle — the pre-training / RAG chunking step ahead of
+    pack_sequences."""
+    from ..operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)

@@ -100,3 +100,35 @@ def test_repetition_flags_degenerate_text(spark):
     out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
     assert out[1]["repetitive"] and out[1]["top_bigram_frac"] == 1.0
     assert not out[2]["repetitive"]
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    import pytest
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=32, overlap=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 24: windows at tokens 1, 25, 49; final window clips
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in d1] == [32, 32, 22]
+    # consecutive chunks overlap by exactly `overlap` tokens
+    first, second = d1[0]["chunk_text"].split(" "), d1[1]["chunk_text"].split(" ")
+    assert first[-8:] == second[:8]
+    # short doc -> one clipped chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "a b c"
+    # every token is covered: union of chunks == original tokens
+    covered = set()
+    for r in d1:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(70)}
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
