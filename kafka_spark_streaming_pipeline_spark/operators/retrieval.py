@@ -134,6 +134,10 @@ def bm25_topk(
         )
         .select(id_col, "dl", F.col("t.term").alias("term"), F.col("t.tf").alias("tf"))
     )
+    # tf feeds both the df aggregate and the scoring join; the df side
+    # prunes to the term column only, so its recompute re-reads just
+    # (doc_id, text) — at extreme corpus scale a caller batching many
+    # queries should persist tf once instead.
 
     # Document frequency per query term: at most len(terms) rows after
     # the map-side partial aggregate — broadcast back.
