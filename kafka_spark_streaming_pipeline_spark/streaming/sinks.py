@@ -292,3 +292,77 @@ def compact_rollup(spark, rollup_path: str, key_cols: list[str]) -> None:
     )
     table.overwrite(folded)
     table.vacuum(spark)
+
+
+# ------------------------------------------------ incremental inverted index
+
+def make_index_sink(
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 3,
+):
+    """Incrementally-maintained inverted index (streaming corpus →
+    searchable index): each micro-batch appends its PARTIAL per-term
+    (df, postings) rows — df sums and posting lists concatenate, so
+    both are mergeable, per-batch cost is O(batch), and the index is
+    never read on the write path.  Same log shape as make_rollup_sink:
+    every partial row carries its batch id, a replayed batch
+    (foreachBatch at-least-once) recomputes the identical partial and
+    deduplicates at read time, and the append is an atomic commit.
+
+    Assumes each document arrives in exactly one batch (an append-only
+    corpus stream); upstream dedup handles re-crawls."""
+    from ..operators.retrieval import inverted_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = inverted_index(
+            batch_df, text_col=text_col, id_col=id_col, min_token_len=min_token_len
+        ).select("term", "df", "postings")
+        AtomicParquetTable(index_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def index_view(
+    spark, index_path: str, max_postings: int | None = None
+) -> DataFrame:
+    """Merged inverted index: sum partial dfs and concat+sort partial
+    posting lists per term, after per-commit dedup (exactly-once under
+    replay).  ``max_postings`` applies the same stopword truncation cap
+    as operators.retrieval.inverted_index, with df staying exact;
+    the output schema matches inverted_index exactly."""
+    log = AtomicParquetTable(index_path).read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {index_path}")
+    merged = (
+        log.dropDuplicates(["__commit", "term"])
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+        )
+    )
+    if max_postings is not None:
+        return merged.select(
+            "term",
+            "df",
+            F.slice("postings", 1, max_postings).alias("postings"),
+            (F.col("df") > max_postings).alias("postings_truncated"),
+        )
+    return merged.withColumn("postings_truncated", F.lit(False))
+
+
+def compact_index(spark, index_path: str) -> None:
+    """Fold the partial-index log to one row per term; atomic
+    overwrite, crash leaves the uncompacted log intact."""
+    table = AtomicParquetTable(index_path)
+    folded = index_view(spark, index_path).select(
+        "term", "df", "postings"
+    ).withColumn("__commit", F.lit(0))
+    table.overwrite(folded)
+    table.vacuum(spark)

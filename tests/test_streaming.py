@@ -763,3 +763,66 @@ def test_incremental_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     # compaction folds the log without changing the view
     compact_rollup(spark, rollup_path, ["stream_id"])
     assert view_rows() == want
+
+
+def test_incremental_index_matches_batch_and_survives_replay(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import inverted_index
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_index,
+        index_view,
+        make_index_sink,
+    )
+
+    DOC_SCHEMA = "doc_id bigint, text string"
+    batches = [
+        [(1, "alpha beta gamma"), (2, "alpha delta")],
+        [(3, "beta gamma gamma epsilon")],
+        [(4, "alpha zz epsilon")],
+    ]
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/b{i}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", DOC_SCHEMA, max_files_per_trigger=1
+    )
+    index_path = str(tmp_path / "index")
+    sink = make_index_sink(index_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _drain(q)
+
+    def view_rows(**kw):
+        return {
+            r.term: (r.df, r.postings, r.postings_truncated)
+            for r in index_view(spark, index_path, **kw).collect()
+        }
+
+    all_docs = spark.createDataFrame([r for b in batches for r in b], DOC_SCHEMA)
+    want = {
+        r.term: (r.df, r.postings, r.postings_truncated)
+        for r in inverted_index(all_docs).collect()
+    }
+    got = view_rows()
+    assert got == want
+    # sub-min_token_len tokens never indexed
+    assert "zz" not in got
+
+    # replay one batch (at-least-once retry): same commit id, identical
+    # partial -> the view is unchanged
+    replayed = spark.createDataFrame(batches[1], DOC_SCHEMA)
+    sink(replayed, 1)
+    assert view_rows() == want
+
+    # the truncation cap matches the batch operator's semantics
+    capped = view_rows(max_postings=2)
+    assert capped["alpha"] == (3, [1, 2], True)
+
+    # compaction folds the log without changing the merged view
+    compact_index(spark, index_path)
+    assert view_rows() == want
