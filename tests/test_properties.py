@@ -187,3 +187,56 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == expect
+
+
+@st.composite
+def bm25_case(draw):
+    vocab = ["aaa", "bbb", "ccc", "ddd", "eee"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+            min_size=1, max_size=8,
+        )
+    )
+    terms = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=3, unique=True))
+    return docs, terms
+
+
+def _bm25_reference(docs: list[list[str]], terms: list[str], k1=1.2, b=0.75):
+    """Pure-Python BM25 mirroring the operator's contract (rounded
+    score, (score desc, doc_id) order)."""
+    import math
+
+    n = len(docs)
+    avgdl = sum(len(d) for d in docs) / n
+    df = {t: sum(1 for d in docs if t in d) for t in terms}
+    out = []
+    for i, d in enumerate(docs):
+        score, matched = 0.0, 0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        if matched:
+            out.append((i, round(score + 1e-9, 6), matched))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return [(i, s, m, rank + 1) for rank, (i, s, m) in enumerate(out)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(bm25_case())
+def test_bm25_topk_matches_python_reference(spark, case):
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import bm25_topk
+
+    docs, terms = case
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["doc_id"], r["score"], r["n_terms_matched"], r["rank"])
+        for r in sorted(bm25_topk(df, terms, topk=100).collect(), key=lambda r: r["rank"])
+    ]
+    assert got == _bm25_reference(docs, terms)
