@@ -334,3 +334,45 @@ def chunk_documents(
     return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens"
     )
+
+
+def quality_yield_curve(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = (0.5, 0.667, 0.834, 1.0),
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation-tuning yield curve: documents and tokens retained at
+    each quality-score threshold (keep iff score >= threshold), with
+    the retained-docs fraction.  ONE corpus scan: each row fans out to
+    the (tiny, literal) threshold array it clears, then a grouped
+    count/sum — the corpus total rides along as a broadcast scalar.
+    Monotone by construction: raising the threshold never increases
+    yield."""
+    from .text import quality_score
+
+    scored = docs.select(
+        quality_score(F.col(text_col)).alias("q"),
+        token_count(F.col(text_col)).alias("nt"),
+    )
+    total = scored.agg(F.count("*").alias("total_docs"))
+    fanned = scored.select(
+        "q",
+        "nt",
+        F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
+    ).filter(F.col("q") >= F.col("threshold"))
+    return (
+        fanned.groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "threshold",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("total_docs") + F.lit(1e-9), 4).alias(
+                "pct_docs"
+            ),
+        )
+    )

@@ -1645,3 +1645,43 @@ def x42_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@query(
+    "x43_quality_yield_curve",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+        len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_r,
+        list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS awl
+      FROM documents
+    ), scored AS (
+      SELECT nt,
+             ((CASE WHEN nt BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN stop_r BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0 AS q
+      FROM m
+    ), fanned AS (
+      SELECT q, nt,
+             unnest(CAST([0.5, 0.667, 0.834, 1.0] AS DOUBLE[])) AS threshold
+      FROM scored
+    )
+    SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                 + 1e-9, 4) AS pct_docs
+    FROM fanned WHERE q >= threshold
+    GROUP BY threshold
+    """,
+)
+def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs/tokens retained per quality threshold — the curation
+    tuning curve, one scan + tiny fan-out."""
+    from ..operators.curation import quality_yield_curve
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_yield_curve(docs)

@@ -132,3 +132,25 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert covered == {f"w{i}" for i in range(70)}
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_quality_yield_curve_monotone(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quality_yield_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["the dog ran to the park and sat in it"] * 4)),
+            (2, "zz qq ww"),
+            (3, " ".join(f"w{i}" for i in range(25))),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(quality_yield_curve(docs).collect(), key=lambda r: r["threshold"])
+    # monotone: raising the threshold never increases yield
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["n_docs"] >= hi["n_docs"]
+        assert lo["n_tokens"] >= hi["n_tokens"]
+    # the lowest threshold (0.5) keeps everything: score is >= 0.5 by construction
+    assert rows[0]["n_docs"] == 3 and abs(rows[0]["pct_docs"] - 1.0) < 1e-6
