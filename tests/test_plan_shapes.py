@@ -74,3 +74,8 @@ def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
 def test_inverted_index_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "p17_inverted_index")
     assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "x42_chunk_documents")
+    assert plan.count("Exchange") == 0  # pure scan -> project -> generate

@@ -240,3 +240,35 @@ def test_bm25_topk_matches_python_reference(spark, case):
         for r in sorted(bm25_topk(df, terms, topk=100).collect(), key=lambda r: r["rank"])
     ]
     assert got == _bm25_reference(docs, terms)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 999).map(lambda i: f"t{i}"), min_size=1, max_size=90
+    ),
+    st.sampled_from([(8, 3), (16, 4), (32, 8)]),
+)
+def test_chunk_documents_reconstructs_original(spark, toks, cfg):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import chunk_documents
+
+    chunk_tokens, overlap = cfg
+    docs = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stitching chunks back together (dropping each successor's overlap
+    # prefix) reconstructs the document exactly — no token lost or
+    # duplicated by the windowing
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    pos = len(rebuilt)  # tokens consumed so far == 1-based next start - 1
+    stride = chunk_tokens - overlap
+    for r in rows[1:]:
+        start = r["chunk_idx"] * stride  # 0-based window start
+        chunk = r["chunk_text"].split(" ")
+        rebuilt.extend(chunk[pos - start:])
+        pos = start + len(chunk)
+    assert rebuilt == toks
+    # every chunk except possibly the last is full-size
+    assert all(r["n_chunk_tokens"] == chunk_tokens for r in rows[:-1])
