@@ -170,10 +170,20 @@ def lsh_cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's SRP bucket are
     scored.  Recall grows with fewer planes / multiple tables; this is
-    the scale path where |C| makes brute force infeasible."""
+    the scale path where |C| makes brute force infeasible.
+
+    ``multiprobe_bits`` > 0 enables multi-probe LSH: each query ALSO
+    probes the buckets at Hamming distance 1 on its first
+    ``multiprobe_bits`` sign bits (the classic recall/cost dial — a
+    near neighbor that flipped one marginal sign lands one bit away).
+    Only the tiny broadcast query side fans out (x(1+bits) rows); the
+    corpus is hashed and scored exactly as before, and per-pair work is
+    deduplicated because a (query, neighbor) pair can meet in at most
+    one bucket per probe."""
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -182,6 +192,22 @@ def lsh_cosine_topk(
         .withColumn("bucket", srp_bucket(F.col("q_vec"), planes))
         .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
     )
+    if multiprobe_bits:
+        nbits = min(multiprobe_bits, len(planes))
+        probes = F.array_distinct(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b)).alias(f"p{b}")
+                    for b in range(nbits)
+                ],
+            )
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+        # a (query, neighbor) pair meets in at most one probed bucket
+        # of this query (buckets are distinct), but TWO different
+        # queries' probe sets may both reach the same neighbor — that
+        # is per-query, so no cross-pair dedup is needed.
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

@@ -635,3 +635,38 @@ def test_connected_components_salted_star_graph(spark):
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20), (23, 20),
     }
+
+
+def test_lsh_multiprobe_widens_candidates_without_losing_recall(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    planes = [[(((7 * i + 13 * p) % 17) - 8) / 8.0 for i in range(64)] for p in range(4)]
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=3).collect()
+    }
+
+    def recall(bits):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_cosine_topk(
+                queries, emb, planes, k=3, multiprobe_bits=bits
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r0, r2 = recall(0), recall(2)
+    # probing Hamming-1 buckets can only add candidates
+    assert r2 >= r0
+    # self-match still always lands in the query's own bucket
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in lsh_cosine_topk(queries, emb, planes, k=1, multiprobe_bits=2).collect()
+    }
+    assert all(q == n for q, n in top1.items())
