@@ -227,6 +227,7 @@ def enrich_with_stream_start(
     starts: DataFrame,
     watermark: str = "30 seconds",
     max_stream_age: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY §2.9 — absent from the
     reference, which correlates via external state): each live chunk
@@ -234,7 +235,13 @@ def enrich_with_stream_start(
     happened at-or-before the chunk, no more than ``max_stream_age``
     earlier.  Both sides are watermarked so Spark bounds the join state
     buffer; starts outside the interval are dropped from state once the
-    watermark passes."""
+    watermark passes.
+
+    ``how='left_outer'`` keeps orphan chunks (no start event — e.g. the
+    control topic lagged or dropped): they emit with null start
+    columns once the watermark passes their interval, which is the
+    monitoring-friendly variant (an inner join silently hides broken
+    streams)."""
     c = chunks.withWatermark("event_ts", watermark)
     s = (
         starts.select(
@@ -248,7 +255,7 @@ def enrich_with_stream_start(
         & (F.col("start_ts") <= F.col("event_ts"))
         & (F.col("event_ts") <= F.col("start_ts") + F.expr(f"INTERVAL {max_stream_age}"))
     )
-    return c.join(s, cond, "inner").drop("s_stream_id")
+    return c.join(s, cond, how).drop("s_stream_id")
 
 
 def enrich_with_static_dim(

@@ -826,3 +826,86 @@ def test_incremental_index_matches_batch_and_survives_replay(spark, tmp_path):
     # compaction folds the log without changing the merged view
     compact_index(spark, index_path)
     assert view_rows() == want
+
+
+def test_stream_stream_interval_join_left_outer_emits_orphans(spark, tmp_path):
+    """Left-outer variant: a chunk whose stream never got a start event
+    emits with a null title once the watermark passes its interval —
+    the monitoring-friendly mode (inner silently hides broken streams)."""
+    import glob
+    import shutil
+
+    from kafka_spark_streaming_pipeline_spark.streaming.pipeline import (
+        enrich_with_stream_start,
+    )
+
+    def write_single(rows, schema, dest):
+        tmp = dest + ".tmp"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        [part] = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, dest)
+        shutil.rmtree(tmp)
+
+    chunks_dir = str(tmp_path / "chunks_in")
+    starts_dir = str(tmp_path / "starts_in")
+    os.makedirs(chunks_dir)
+    os.makedirs(starts_dir)
+    write_single(
+        [
+            _event("s1", 0, ts="2024-01-01T00:10:00+00:00"),
+            _event("s2", 0, ts="2024-01-01T00:10:00+00:00"),  # orphan
+        ],
+        LIVE_CHUNK_SCHEMA,
+        os.path.join(chunks_dir, "b0.parquet"),
+    )
+    write_single(
+        [("s1", "2024-01-01T00:05:00+00:00", "Match A-B")],
+        "stream_id string, start string, title string",
+        os.path.join(starts_dir, "b0.parquet"),
+    )
+
+    def run_once():
+        chunks = parquet_stream(spark, chunks_dir, LIVE_CHUNK_SCHEMA).withColumn(
+            "event_ts", F.to_timestamp("timestamp")
+        )
+        starts = (
+            spark.readStream.schema("stream_id string, start string, title string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(starts_dir)
+            .withColumn("event_ts", F.to_timestamp("start"))
+        )
+        out = enrich_with_stream_start(
+            chunks.select("stream_id", "chunk_index", "event_ts"),
+            starts,
+            how="left_outer",
+        )
+        results = []
+        q = start_foreach_batch(
+            out,
+            lambda df, _id: results.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / "ckpt_louter"),
+            available_now=True,
+            query_name="ss_louter_test",
+        )
+        _drain(q)
+        return results
+
+    got = {(r.stream_id, r.chunk_index): r.title for r in run_once()}
+    assert got[("s1", 0)] == "Match A-B"  # matched pair emits immediately
+
+    # sentinel events far in the future advance BOTH watermarks past the
+    # orphan's interval; the next run's batches flush the null-padded row
+    write_single(
+        [_event("s9", 0, ts="2024-01-01T03:00:00+00:00")],
+        LIVE_CHUNK_SCHEMA,
+        os.path.join(chunks_dir, "b1.parquet"),
+    )
+    write_single(
+        [("s9", "2024-01-01T03:00:00+00:00", "late sentinel")],
+        "stream_id string, start string, title string",
+        os.path.join(starts_dir, "b1.parquet"),
+    )
+    got2 = {(r.stream_id, r.chunk_index): r.title for r in run_once()}
+    assert ("s2", 0) in got2 and got2[("s2", 0)] is None
