@@ -88,3 +88,28 @@ def test_batch_file_readers_explicit_schema(spark, tmp_path):
     (tmp_path / "d.csv").write_text("stream_id,chunk_index,size_bytes\ns2,5,99\n")
     crow = read_csv(spark, str(tmp_path / "d.csv"), schema).collect()[0]
     assert (crow.stream_id, crow.chunk_index, crow.size_bytes) == ("s2", 5, 99)
+
+
+def test_no_ntz_leak_and_no_post_scan_cast(spark, sf_dir):
+    # the r2 per-column NTZ cast projection cost q16 3.6x; the fix reads
+    # TIMESTAMP (ltz) at the scan itself. A timestamp_ntz dtype leaking
+    # out of load_table means the scan-level normalization regressed.
+    from kafka_spark_streaming_pipeline_spark.catalog import load_tables
+
+    for name, df in load_tables(spark, sf_dir).items():
+        bad = [(c, t) for c, t in df.dtypes if t == "timestamp_ntz"]
+        assert not bad, (name, bad)
+
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["q16_running_sum"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # window partitioned by custkey: exactly one exchange, and the scan
+    # output feeds it without a cast projection on the date column
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "cast(o_orderdate" not in plan
