@@ -616,3 +616,56 @@ def edit_distance_pairs(
             F.round(F.lit(1.0) - lev / max_len + F.lit(1e-9), 4).alias("char_sim"),
         )
     )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 2,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """SimHash near-dup candidates: split the 16-bit signature into
+    ``bands`` equal slices; docs sharing ANY slice value become
+    candidates (a pair within Hamming distance d must agree on some
+    band whenever d < bands — the pigeonhole recall argument), then the
+    exact Hamming distance (bit_count of XOR — one codegen'd
+    expression) filters to ``max_hamming``.
+
+    Same join-free shape as MinHash banding: signatures compute once,
+    buckets expand via _capped_block_pairs (explicit ``max_block_size``
+    skew guard with truncation provenance — always emitted here since
+    banded blocking is coarser than prefix blocking), and the only
+    shuffles are the signature agg, the band groupBy, and the
+    cross-band pair dedup."""
+    width = 16 // bands
+    mask = (1 << width) - 1
+    sig = simhash16(docs, text_col, id_col)
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(b * (mask + 1) * bands)
+                    + F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("blk"),
+    )
+    pairs = _capped_block_pairs(banded, id_col, "simhash", max_block_size)
+    hamming = F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            hamming.cast("long").alias("hamming"),
+            "block_truncated",
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair can meet in several bands: keep one row, truncation wins
+        .groupBy("doc_a", "doc_b", "hamming")
+        .agg(F.max("block_truncated").alias("block_truncated"))
+    )

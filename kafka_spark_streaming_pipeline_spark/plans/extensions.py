@@ -1685,3 +1685,43 @@ def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_yield_curve(docs)
+
+
+@query(
+    "x44_simhash_neardup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), sums AS (
+      SELECT doc_id, bits.i,
+             sum((ascii(substr(md5(tok), bits.i, 1)) % 2) * 2 - 1) AS sgn
+      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS i) bits
+      GROUP BY doc_id, bits.i
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM sums GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 8)) & 255 AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS i) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.simhash AS sig_a, c.simhash AS sig_b
+      FROM banded a
+      JOIN banded c ON a.band = c.band AND a.bval = c.bval AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
+           false AS block_truncated
+    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def x44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates: byte-band blocking over the
+    16-bit signature, exact Hamming filter (bit_count of XOR), capped
+    bucket expansion with truncation provenance."""
+    from ..operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=2)

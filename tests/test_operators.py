@@ -670,3 +670,33 @@ def test_lsh_multiprobe_widens_candidates_without_losing_recall(spark, sf_dir):
         for r in lsh_cosine_topk(queries, emb, planes, k=1, multiprobe_bits=2).collect()
     }
     assert all(q == n for q, n in top1.items())
+
+
+def test_simhash_neardup_pairs_and_cap(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "alpha beta gamma delta zeta"),     # near dup
+            (4, "completely unrelated text body entirely other"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+            simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    assert rows[(1, 2)] == 0  # identical docs -> identical signature
+    # every emitted pair respects the hamming bound, ids ordered
+    assert all(h <= 3 and a < b for (a, b), h in rows.items())
+
+    # cap: a mass of identical docs truncates with provenance instead
+    # of quadratic expansion
+    flood = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(50)], ["doc_id", "text"]
+    )
+    capped = simhash_neardup_pairs(flood, max_block_size=5).collect()
+    assert len(capped) == 10  # C(5,2) survivors per both bands -> deduped
+    assert all(r["block_truncated"] for r in capped)
