@@ -669,3 +669,47 @@ def simhash_neardup_pairs(
         .groupBy("doc_a", "doc_b", "hamming")
         .agg(F.max("block_truncated").alias("block_truncated"))
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    history_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against corpus history —
+    the daily-ingest shape: the full corpus is never re-deduplicated,
+    only the new batch pays.  ``history_fingerprints`` is the
+    (pre-deduplicated, at scale bucketed-by-fingerprint) set of known
+    fingerprints with one column ``fingerprint``.
+
+    Output: one row per new doc with ``seen_in_history`` (exact text
+    already ingested), ``is_batch_canonical`` (min-id survivor among
+    this batch's in-batch duplicates), and ``keep`` (new to the corpus
+    AND batch survivor).  Two fingerprint-keyed joins: history lookup +
+    in-batch group stats."""
+    from .text import fingerprint
+
+    fp = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    hist = history_fingerprints.select("fingerprint").distinct().withColumn(
+        "__seen", F.lit(True)
+    )
+    batch_groups = fp.groupBy("fingerprint").agg(
+        F.min(id_col).alias("__batch_canonical")
+    )
+    return (
+        fp.join(hist, "fingerprint", "left")
+        .join(batch_groups, "fingerprint")
+        .select(
+            id_col,
+            "fingerprint",
+            F.coalesce(F.col("__seen"), F.lit(False)).alias("seen_in_history"),
+            (F.col(id_col) == F.col("__batch_canonical")).alias("is_batch_canonical"),
+            (
+                F.coalesce(F.col("__seen"), F.lit(False)).eqNullSafe(F.lit(False))
+                & (F.col(id_col) == F.col("__batch_canonical"))
+            ).alias("keep"),
+        )
+    )

@@ -295,3 +295,31 @@ def registrable_domain(host: Column) -> Column:
         n >= 2,
         F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
     ).otherwise(host)
+
+
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def canonical_url(url: Column) -> Column:
+    """Crawl-dedup canonical URL: lowercase scheme and host, drop the
+    fragment, strip tracking parameters (utm_*, fbclid, gclid, ref),
+    sort surviving query params, strip trailing path slashes.  The
+    canonicalization a crawl frontier / URL-level dedup keys on —
+    pure regex + array codegen, mirrored exactly by the SQL oracle."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(url, r"^[^:/]+://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[^:/]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    def _not_tracking(p):
+        tracked = p.startswith(F.lit(TRACKING_PARAM_PREFIXES[0]))
+        for pref in TRACKING_PARAM_PREFIXES[1:]:
+            tracked = tracked | p.startswith(F.lit(pref))
+        return (p != F.lit("")) & ~tracked
+
+    kept = F.array_sort(F.filter(F.split(query, "&"), _not_tracking))
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.concat(scheme, F.lit("://"), host, path, qs)

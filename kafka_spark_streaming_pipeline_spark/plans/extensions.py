@@ -1725,3 +1725,155 @@ def x44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3, bands=2)
+
+
+# Shared planted-URL expression for the URL canonical dedup oracle:
+# three raw variants per doc (case noise, utm/gclid tracking params,
+# fragment) that all collapse to .../page/<doc_id % 50>?v=1.
+_X45_RAW_URL_SQL = """
+    CASE doc_id % 3
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com/page/' || (doc_id % 50) || '/?utm_source=feed&v=1#top'
+      WHEN 1 THEN 'https://www.' || source || '.example.com/page/' || (doc_id % 50) || '?v=1'
+      ELSE 'https://www.' || source || '.example.com/page/' || (doc_id % 50) || '?v=1&gclid=abc'
+    END
+"""
+
+
+@query(
+    "x45_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_X45_RAW_URL_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+             || '://'
+             || lower(regexp_extract(url, '^[^:/]+://([^/?#]+)', 1))
+             || regexp_replace(regexp_extract(url, '^[^:/]+://[^/?#]+([^?#]*)', 1), '/+$', '')
+             || CASE WHEN len(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                                              OR starts_with(p, 'gclid=') OR starts_with(p, 'ref='))))) > 0
+                  THEN '?' || array_to_string(list_sort(list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                        p -> p <> '' AND NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                                              OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')))), '&')
+                  ELSE '' END
+               AS canonical
+      FROM raw
+    )
+    SELECT canonical, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+           min(doc_id) AS first_doc
+    FROM canon GROUP BY canonical
+    """,
+)
+def x45_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup: canonicalize (lowercase scheme/host, strip
+    tracking params + fragment + trailing slash, sort params) then one
+    grouped count — the frontier-dedup pass that runs BEFORE any
+    content fetch at crawl scale.  Map-only until a single canonical-key
+    aggregate."""
+    from ..operators.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.com/page/"), page, F.lit("/?utm_source=feed&v=1#top")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/page/"), page, F.lit("?v=1")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com/page/"), page, F.lit("?v=1&gclid=abc")),
+        )
+        .alias("url"),
+    )
+    return (
+        raw.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@query(
+    "x46_length_outlier_trim",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), bounds AS (
+      SELECT source,
+             round(quantile_cont(n_tokens, 0.01) + 1e-9, 4) AS p_lo,
+             round(quantile_cont(n_tokens, 0.99) + 1e-9, 4) AS p_hi
+      FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, b.p_lo, b.p_hi
+    FROM t JOIN bounds b USING (source)
+    WHERE t.n_tokens >= b.p_lo AND t.n_tokens <= b.p_hi
+    """,
+)
+def x46_length_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length-outlier trim: keep docs inside the [p01, p99]
+    token-count band of their source — the standard truncated/garbage
+    tail cut.  One grouped exact percentile + a broadcast bounds join;
+    bounds are rounded identically on both engines before comparing."""
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    bounds = t.groupBy("source").agg(
+        F.round(F.expr("percentile(n_tokens, 0.01)") + F.lit(1e-9), 4).alias("p_lo"),
+        F.round(F.expr("percentile(n_tokens, 0.99)") + F.lit(1e-9), 4).alias("p_hi"),
+    )
+    return (
+        t.join(F.broadcast(bounds), "source")
+        .filter((F.col("n_tokens") >= F.col("p_lo")) & (F.col("n_tokens") <= F.col("p_hi")))
+        .select("doc_id", "source", "n_tokens", "p_lo", "p_hi")
+    )
+
+
+@query(
+    "x47_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fingerprint
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250
+    ), newb AS (
+      SELECT * FROM fp WHERE doc_id >= 250
+    ), groups AS (
+      SELECT fingerprint, min(doc_id) AS batch_canonical FROM newb GROUP BY fingerprint
+    )
+    SELECT n.doc_id, n.fingerprint,
+           (h.fingerprint IS NOT NULL) AS seen_in_history,
+           n.doc_id = g.batch_canonical AS is_batch_canonical,
+           (h.fingerprint IS NULL) AND n.doc_id = g.batch_canonical AS keep
+    FROM newb n
+    LEFT JOIN hist h USING (fingerprint)
+    JOIN groups g USING (fingerprint)
+    """,
+)
+def x47_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the doc_id >= 250 half of the corpus
+    arrives as a new batch and is deduplicated against the < 250
+    history WITHOUT re-processing history text — only its fingerprint
+    set joins in."""
+    from ..operators.dedup import exact_dedup_groups, incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = exact_dedup_groups(docs.filter(F.col("doc_id") < 250)).select(
+        "fingerprint"
+    )
+    return incremental_dedup(docs.filter(F.col("doc_id") >= 250), history)

@@ -700,3 +700,47 @@ def test_simhash_neardup_pairs_and_cap(spark):
     capped = simhash_neardup_pairs(flood, max_block_size=5).collect()
     assert len(capped) == 10  # C(5,2) survivors per both bands -> deduped
     assert all(r["block_truncated"] for r in capped)
+
+
+def test_canonical_url_variants_collapse(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://WWW.Example.COM/a/b/?utm_source=x&id=3&ref=tw#frag"),
+            (2, "https://www.example.com/a/b?id=3"),
+            (3, "http://host.com/p?b=2&a=1&fbclid=zz"),
+            (4, "http://host.com/p"),
+        ],
+        ["i", "url"],
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == got[2] == "https://www.example.com/a/b?id=3"
+    assert got[3] == "http://host.com/p?a=1&b=2"  # params sorted, tracker dropped
+    assert got[4] == "http://host.com/p"
+
+
+def test_incremental_dedup_flags(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [("known text one",), ("known text two",)], ["text"]
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import fingerprint
+
+    hist_fps = history.select(fingerprint(F.col("text")).alias("fingerprint"))
+    new = spark.createDataFrame(
+        [
+            (10, "known text one"),        # already in history
+            (11, "fresh text"),            # new, unique
+            (12, "repeated fresh text"),   # new, batch dup canonical
+            (13, "repeated fresh text"),   # new, batch dup loser
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["seen_in_history"], r["is_batch_canonical"], r["keep"])
+           for r in incremental_dedup(new, hist_fps).collect()}
+    assert got[10] == (True, True, False)
+    assert got[11] == (False, True, True)
+    assert got[12] == (False, True, True)
+    assert got[13] == (False, False, False)
