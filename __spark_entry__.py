@@ -3,8 +3,10 @@
 - ``entry(spark)``: flagship per-stream health query on sf0.001.
 - ``queries()``: every implemented operator from SURVEY.md §2 + the
   training-data extensions, as (spark, sf_dir) -> DataFrame builders.
-- ``oracle_sql()``: DuckDB-equivalent SQL for each (omitted only for
-  the approximate LSH variant, which has no exact SQL semantics).
+- ``oracle_sql()``: DuckDB-equivalent SQL for each; omitted only for
+  the handful of approximate/iterative ops (LSH/IVF ANN, k-means,
+  HLL rollup) whose semantics have no exact SQL form — those carry
+  accuracy/property tests in tests/ instead.
 
 Implementation lives in ``kafka_spark_streaming_pipeline_spark/``.
 """
