@@ -376,3 +376,36 @@ def quality_yield_curve(
             ),
         )
     )
+
+
+def length_outlier_trim(
+    docs: DataFrame,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    by: str = "source",
+    text_col: str = "text",
+    approx: bool = True,
+) -> DataFrame:
+    """Keep docs inside their group's [lo, hi] token-count percentile
+    band — the truncated/garbage length-tail cut.
+
+    ``approx=True`` (the scale path) uses approx_percentile: a
+    MERGEABLE sketch, so the per-group aggregate combines map-side and
+    never buffers a group's values in one place.  ``approx=False``
+    uses exact interpolated percentiles — Spark's exact percentile
+    collects each group's values into aggregate state, which is only
+    sane at test scale; it exists here because exact interpolation is
+    what the DuckDB oracle can mirror value-for-value."""
+    t = docs.select(
+        "doc_id", F.col(by).alias("grp"), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    fn = "approx_percentile" if approx else "percentile"
+    bounds = t.groupBy("grp").agg(
+        F.round(F.expr(f"{fn}(n_tokens, {lo})") + F.lit(1e-9), 4).alias("p_lo"),
+        F.round(F.expr(f"{fn}(n_tokens, {hi})") + F.lit(1e-9), 4).alias("p_hi"),
+    )
+    return (
+        t.join(F.broadcast(bounds), "grp")
+        .filter((F.col("n_tokens") >= F.col("p_lo")) & (F.col("n_tokens") <= F.col("p_hi")))
+        .select("doc_id", F.col("grp").alias(by), "n_tokens", "p_lo", "p_hi")
+    )

@@ -1823,23 +1823,14 @@ def x45_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x46_length_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source length-outlier trim: keep docs inside the [p01, p99]
     token-count band of their source — the standard truncated/garbage
-    tail cut.  One grouped exact percentile + a broadcast bounds join;
-    bounds are rounded identically on both engines before comparing."""
-    from ..operators.text import token_count
+    tail cut.  Registered with approx=False (exact interpolated
+    percentiles) because that is what the DuckDB oracle mirrors; the
+    operator's default approx=True is the mergeable-sketch scale path
+    (see operators/curation.length_outlier_trim)."""
+    from ..operators.curation import length_outlier_trim
 
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
-    )
-    bounds = t.groupBy("source").agg(
-        F.round(F.expr("percentile(n_tokens, 0.01)") + F.lit(1e-9), 4).alias("p_lo"),
-        F.round(F.expr("percentile(n_tokens, 0.99)") + F.lit(1e-9), 4).alias("p_hi"),
-    )
-    return (
-        t.join(F.broadcast(bounds), "source")
-        .filter((F.col("n_tokens") >= F.col("p_lo")) & (F.col("n_tokens") <= F.col("p_hi")))
-        .select("doc_id", "source", "n_tokens", "p_lo", "p_hi")
-    )
+    return length_outlier_trim(docs, approx=False)
 
 
 @query(

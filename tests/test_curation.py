@@ -154,3 +154,22 @@ def test_quality_yield_curve_monotone(spark):
         assert lo["n_tokens"] >= hi["n_tokens"]
     # the lowest threshold (0.5) keeps everything: score is >= 0.5 by construction
     assert rows[0]["n_docs"] == 3 and abs(rows[0]["pct_docs"] - 1.0) < 1e-6
+
+
+def test_length_outlier_trim_approx_close_to_exact(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        length_outlier_trim,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src", " ".join(["w"] * n)) for i, n in enumerate(
+            [5] + [50] * 40 + [55] * 40 + [400]
+        )],
+        ["doc_id", "source", "text"],
+    )
+    exact = {r["doc_id"] for r in length_outlier_trim(docs, approx=False).collect()}
+    approx = {r["doc_id"] for r in length_outlier_trim(docs, approx=True).collect()}
+    # both paths cut the planted extreme outliers and keep the body
+    assert 0 not in exact and 81 not in exact
+    assert 0 not in approx and 81 not in approx
+    assert len(exact) >= 78 and len(approx) >= 78
