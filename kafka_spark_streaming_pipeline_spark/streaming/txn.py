@@ -162,16 +162,34 @@ class AtomicParquetTable:
     # --------------------------------------------------------------- read
 
     def read(
-        self, spark: SparkSession, partition_values: list | None = None
+        self,
+        spark: SparkSession,
+        partition_values: list | None = None,
+        version: int | None = None,
     ) -> DataFrame | None:
         """The latest committed snapshot; ``None`` if nothing committed.
+
+        ``version`` time-travels to an older commit: every commit file
+        is immutable and data dirs are copy-on-write, so any version
+        not yet vacuumed reads exactly as it was published (the same
+        mechanism as Delta's VERSION AS OF).  Raises KeyError for a
+        version that never existed or whose commit was vacuumed.
 
         ``partition_values`` prunes at MANIFEST level — only commit
         dirs owning a wanted partition are even listed, and within a
         dir only the wanted ``col=value`` subdirectories are read
         (the file-listing analogue of partition pruning)."""
         fs = _FS(spark, self.root)
-        _, manifest = self._resolve(fs)
+        if version is None:
+            _, manifest = self._resolve(fs)
+        else:
+            commit = f"{self.root}/{_COMMITS}/{_commit_name(version)}"
+            if not fs.exists(commit):
+                raise KeyError(
+                    f"version {version} does not exist at {self.root} "
+                    "(never committed, or vacuumed)"
+                )
+            manifest = json.loads(fs.read_text(commit))
         if manifest is None:
             return None
         wanted = (

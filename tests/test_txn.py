@@ -152,3 +152,24 @@ def test_upsert_fails_loudly_over_partition_cap(spark, tmp_path):
         table.upsert(wide, keys=["k"])
     narrow = wide.filter(F.col("k") < 5)
     assert table.upsert(narrow, keys=["k"]) == 1  # under the cap: commits
+
+
+def test_time_travel_reads_and_vacuum_expires(spark, tmp_path):
+    table = AtomicParquetTable(str(tmp_path / "tt"))
+    df1 = spark.range(3).withColumn("tag", F.lit("a"))
+    df2 = spark.range(3, 5).withColumn("tag", F.lit("b"))
+    v1 = table.append(df1)
+    v2 = table.append(df2)
+    v3 = table.overwrite(spark.range(100, 101).withColumn("tag", F.lit("c")))
+    assert (v1, v2, v3) == (1, 2, 3)
+    # commit files are immutable, data dirs copy-on-write: every
+    # un-vacuumed version reads exactly as published
+    assert table.read(spark, version=1).count() == 3
+    assert table.read(spark, version=2).count() == 5
+    assert table.read(spark).count() == 1
+    with pytest.raises(KeyError, match="version 9"):
+        table.read(spark, version=9)
+    table.vacuum(spark)
+    assert table.read(spark).count() == 1  # latest unaffected
+    with pytest.raises(KeyError, match="vacuumed"):
+        table.read(spark, version=1)
