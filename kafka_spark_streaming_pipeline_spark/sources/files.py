@@ -75,3 +75,28 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """Batch ORC reader (S11 file-format breadth): ORC is built into
+    Spark (no extra jar), columnar like parquet, with the same
+    predicate-pushdown/column-pruning behavior — an explicit schema
+    skips footer inference exactly as with parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def orc_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming ORC source — same file-source semantics as
+    parquet_stream (exactly-once file tracking in the checkpoint)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.orc(path)

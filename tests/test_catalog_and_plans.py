@@ -113,3 +113,24 @@ def test_no_ntz_leak_and_no_post_scan_cast(spark, sf_dir):
     # output feeds it without a cast projection on the date column
     assert plan.count("Exchange hashpartitioning") == 1
     assert "cast(o_orderdate" not in plan
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.sources.files import read_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    dest = str(tmp_path / "nation_orc")
+    nation.write.orc(dest)
+    back = read_orc(spark, dest)
+    assert back.count() == nation.count()
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in nation.collect()}
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        .select("n_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ORC scans push filters and prune columns like parquet
+    assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)" in plan
