@@ -77,14 +77,16 @@ def main() -> None:
             except Exception as exc:  # warm-up must never fail the bench
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
 
-    # Best-of-2 per query: the co-tenant host load varies by several x
-    # between runs; the min is the steady-state engine throughput (the
-    # quantity BASELINE.md envelopes describe), not one draw of noise.
+    # Best-of-3 per query: the co-tenant host load varies by an order
+    # of magnitude between runs (observed: the same query at 1.0s and
+    # 22.9s minutes apart); the min is the steady-state engine
+    # throughput (the quantity BASELINE.md envelopes describe), not one
+    # draw of noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = q.builder(spark, sf_dir)
             n = df.count()
