@@ -1,0 +1,91 @@
+"""One-object entry point: the surface a user coming from the
+reference pipeline drives.
+
+The reference exposes its data through an ad-hoc read API over the
+sink databases (api/main.py); here the same reachability — tables,
+ad-hoc SQL, every registered query, and the training-data operator
+tiers — hangs off a single ``Engine`` handle:
+
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(sf_dir="/root/testdata/sf0.01")
+    eng.table("lineitem")                  # catalog DataFrame
+    eng.sql("SELECT count(*) FROM orders") # views pre-registered
+    eng.query("p01_stream_health")         # any registry query
+    eng.search(["customer", "vector"])     # BM25 over documents
+    eng.near_dups()                        # MinHash+LSH candidate pairs
+    eng.dedup_clusters()                   # transitive-closure groups
+
+Everything returns a lazy DataFrame; nothing here adds plan nodes —
+it only wires existing operators to the session + catalog."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import DEFAULT_SF_DIR, register_views
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark or get_spark()
+        self.sf_dir = sf_dir
+        self._tables = register_views(self.spark, sf_dir)
+
+    # ------------------------------------------------------------ core
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc SQL over the registered table views."""
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run any registered query (see query_names())."""
+        from .plans import QUERIES
+
+        return QUERIES[name].builder(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        from .plans import QUERIES
+
+        return sorted(QUERIES)
+
+    # ----------------------------------------------------- training data
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 top-k over the documents table."""
+        from .operators.retrieval import bm25_topk
+
+        return bm25_topk(self.table("documents"), terms, topk=k)
+
+    def near_dups(self, **kwargs) -> DataFrame:
+        """MinHash+LSH candidate near-duplicate pairs over documents."""
+        from .operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(self.table("documents"), **kwargs)
+
+    def dedup_clusters(self, **kwargs) -> DataFrame:
+        """Transitive closure of near-dup pairs -> (doc, component)."""
+        from .operators.dedup import connected_components
+
+        return connected_components(self.near_dups(**kwargs))
+
+    def chunks(self, chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
+        """Fixed-token-window chunks of every document."""
+        from .operators.curation import chunk_documents
+
+        return chunk_documents(
+            self.table("documents"), chunk_tokens=chunk_tokens, overlap=overlap
+        )
+
+    def nearest_embeddings(self, queries: DataFrame | None = None, k: int = 5) -> DataFrame:
+        """Exact cosine top-k over the embeddings table (queries default
+        to the first 5 vectors)."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import cosine_topk
+
+        emb = self.table("embeddings")
+        q = queries if queries is not None else emb.filter(F.col("vec_id") < 5)
+        return cosine_topk(q, emb, k=k)

@@ -13,19 +13,27 @@ from . import (  # noqa: F401
     text,
 )
 from .curation import (  # noqa: F401
+    chunk_documents,
     decontaminate,
+    length_outlier_trim,
     pack_sequences,
+    quality_yield_curve,
     repetition_stats,
     split_summary,
     stratified_sample,
     with_split,
 )
 from .dedup import (  # noqa: F401
+    connected_components,
+    edit_distance_pairs,
     exact_dedup_groups,
+    incremental_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
+    simhash_neardup_pairs,
+    verify_candidate_pairs,
 )
 from .joins import asof_join  # noqa: F401
 from .retrieval import bm25_topk, inverted_index  # noqa: F401
@@ -40,6 +48,7 @@ from .sketches import hll_rollup, hll_sketch_by  # noqa: F401
 from .skew import skew_join, two_phase_topk, two_stage_distinct_count  # noqa: F401
 from .text import (  # noqa: F401
     bpe_regex_token_count,
+    canonical_url,
     lang_id,
     quality_score,
     rolling_fingerprint,

@@ -134,3 +134,18 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )
     # ORC scans push filters and prune columns like parquet
     assert "PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)" in plan
+
+
+def test_engine_facade_surfaces(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    assert eng.table("nation").count() == 25
+    assert eng.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
+    assert eng.query("q01_pricing_summary").count() == 6
+    assert "p18_bm25_topk" in eng.query_names()
+    top = eng.search(["customer", "vector"], k=3).collect()
+    assert len(top) == 3 and top[0]["rank"] == 1
+    assert eng.chunks().count() > 0
+    nn = eng.nearest_embeddings(k=1).collect()
+    assert all(r.query_id == r.neighbor_id for r in nn)  # self-match
