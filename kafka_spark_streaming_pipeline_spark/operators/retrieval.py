@@ -168,3 +168,43 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "n_terms_matched", "rank"
     )
+
+
+def write_search_index(
+    index: DataFrame, dest: str, n_buckets: int = 64
+) -> None:
+    """Persist an inverted index partitioned by a hash bucket of the
+    term, so a term lookup reads 1/n_buckets of the files (partition
+    pruning at the listing level — the same mechanism as the persisted
+    IVF postings).  ``index`` is inverted_index() output or
+    streaming.sinks.index_view()."""
+    (
+        index.withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(dest)
+    )
+
+
+def lookup_terms(spark, dest: str, terms: list[str], n_buckets: int = 64) -> DataFrame:
+    """Read postings for ``terms`` from a write_search_index() layout.
+
+    The wanted buckets are computed with the SAME hash Spark wrote
+    (one tiny local DataFrame evaluates xxhash64 over the term
+    literals — no corpus touch), then applied as a literal IN filter
+    on the partition column: only those bucket directories are listed
+    and scanned, and the residual term filter pushes into the parquet
+    scans of that 1/n_buckets slice."""
+    term_rows = spark.createDataFrame([(t,) for t in terms], ["term"])
+    buckets = sorted(
+        r["b"]
+        for r in term_rows.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    )
+    return (
+        spark.read.parquet(dest)
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("term_bucket")
+    )

@@ -744,3 +744,36 @@ def test_incremental_dedup_flags(spark):
     assert got[11] == (False, True, True)
     assert got[12] == (False, True, True)
     assert got[13] == (False, False, False)
+
+
+def test_search_index_persist_and_pruned_lookup(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        inverted_index,
+        lookup_terms,
+        write_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha term{i % 7} shared beta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    idx = inverted_index(docs)
+    dest = str(tmp_path / "searchidx")
+    write_search_index(idx, dest, n_buckets=16)
+
+    got = lookup_terms(spark, dest, ["alpha", "term3"], n_buckets=16)
+    rows = {r["term"]: r for r in got.collect()}
+    assert set(rows) == {"alpha", "term3"}
+    assert rows["alpha"]["df"] == 40
+    assert rows["term3"]["postings"] == [i for i in range(40) if i % 7 == 3]
+
+    # partition pruning: the bucket IN-list is a PartitionFilter (only
+    # those bucket dirs listed/scanned) and the term filter pushes into
+    # the parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[term_bucket[^\]]*IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) <= 2
+    assert "PushedFilters: [In(term" in plan
+    assert "term_bucket" not in got.columns
