@@ -1,15 +1,23 @@
-"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication operators: exact (full + incremental-vs-history),
+MinHash+LSH, SimHash (signatures + banded pairs), n-gram Jaccard and
+Levenshtein verification, transitive-closure clustering.
 
 Scale design (the point of each shape):
 - exact dedup: one hash-shuffle on the fingerprint — at 100 TB this is
-  the cheapest possible full-corpus pass (map-side partial combine).
-- MinHash+LSH: candidate generation NEVER compares all pairs — docs are
-  exploded to (band_hash) buckets and only bucket-mates are joined, so
-  cost is Σ bucket² instead of n².
-- SimHash: a single grouped aggregation produces a 16-bit signature;
-  near-dup candidates share the signature (or a band of it).
-- n-gram Jaccard: exact verification, run only on blocked/candidate
-  pairs, never the cross product.
+  the cheapest possible full-corpus pass (map-side partial combine);
+  the incremental form joins only the NEW batch against the history's
+  fingerprint set.
+- MinHash+LSH / SimHash bands: candidate generation NEVER compares all
+  pairs — docs group into (band) buckets and only bucket-mates pair,
+  so cost is Σ bucket² instead of n².  Every bucket/block expansion
+  takes an EXPLICIT size cap with truncation provenance
+  (max_bucket_size / max_block_size) — boilerplate skew fails loudly,
+  never quadratically.
+- n-gram Jaccard / edit distance: exact verification, run only on
+  blocked/candidate pairs, never the cross product.
+- connected_components: label propagation, one join + one aggregate
+  per round, lineage truncated per round; opt-in salt splits
+  power-law hubs across tasks.
 
 Hash functions are md5-based (not xxhash) on purpose: md5 is available
 and bit-identical in both Spark and DuckDB, so every operator here is
