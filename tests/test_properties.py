@@ -272,3 +272,39 @@ def test_chunk_documents_reconstructs_original(spark, toks, cfg):
     assert rebuilt == toks
     # every chunk except possibly the last is full-size
     assert all(r["n_chunk_tokens"] == chunk_tokens for r in rows[:-1])
+
+
+@st.composite
+def url_case(draw):
+    scheme = draw(st.sampled_from(["http", "HTTPS", "Http"]))
+    host = draw(st.sampled_from(["Example.COM", "www.site.org", "a.b.c.net"]))
+    path = draw(st.sampled_from(["", "/x", "/x/y/", "/x/y/z.html", "///"]))
+    params = draw(
+        st.lists(
+            st.sampled_from(
+                ["id=1", "v=2", "q=a+b", "utm_source=x", "utm_medium=y",
+                 "fbclid=z", "gclid=w", "ref=tw"]
+            ),
+            max_size=4, unique=True,
+        )
+    )
+    frag = draw(st.sampled_from(["", "#top", "#a/b?c=d"]))
+    qs = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{path}{qs}{frag}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(url_case(), min_size=1, max_size=6))
+def test_canonical_url_idempotent_and_tracker_free(spark, urls):
+    from kafka_spark_streaming_pipeline_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonical_url(F.col("url")).alias("url"))
+    c1 = [r["url"] for r in once.collect()]
+    c2 = [r["url"] for r in once.select(canonical_url(F.col("url")).alias("url")).collect()]
+    # canonicalization is a fixpoint, never emits trackers/fragments,
+    # and lowercases scheme+host
+    assert c1 == c2
+    for c in c1:
+        assert "#" not in c and "utm_" not in c and "fbclid" not in c
+        assert c.split("://")[0].islower()
