@@ -343,11 +343,13 @@ def quality_yield_curve(
 ) -> DataFrame:
     """Curation-tuning yield curve: documents and tokens retained at
     each quality-score threshold (keep iff score >= threshold), with
-    the retained-docs fraction.  ONE corpus scan: each row fans out to
-    the (tiny, literal) threshold array it clears, then a grouped
-    count/sum — the corpus total rides along as a broadcast scalar.
-    Monotone by construction: raising the threshold never increases
-    yield."""
+    the retained-docs fraction.  Every requested threshold appears in
+    the output — a threshold nothing clears yields an explicit
+    (t, 0, 0, 0.0) row, so the curve is always complete.  Two
+    column-pruned corpus passes (the scored fan-out and the total
+    count); the per-threshold fan-out itself is a tiny literal array
+    explode and the aggregates combine map-side.  Monotone by
+    construction: raising the threshold never increases yield."""
     from .text import quality_score
 
     scored = docs.select(
@@ -360,20 +362,23 @@ def quality_yield_curve(
         "nt",
         F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold"),
     ).filter(F.col("q") >= F.col("threshold"))
+    agg = fanned.groupBy("threshold").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    thr = docs.sparkSession.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
     return (
-        fanned.groupBy("threshold")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("nt").cast("long").alias("n_tokens"),
-        )
+        thr.join(agg, "threshold", "left")
         .crossJoin(F.broadcast(total))
         .select(
             "threshold",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_docs") / F.col("total_docs") + F.lit(1e-9), 4).alias(
-                "pct_docs"
-            ),
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("n_docs"), F.lit(0)) / F.col("total_docs") + F.lit(1e-9), 4
+            ).alias("pct_docs"),
         )
     )
 

@@ -337,22 +337,45 @@ def _capped_block_pairs(
 
     Output: (doc_a, doc_b, payload_a, payload_b, block_truncated) —
     each doc belongs to exactly ONE block, so no cross-block pair dedup
-    is needed."""
+    is needed.
+
+    The truncation happens BEFORE any payload is collected: phase 1
+    ranks ids inside each block through a window over NARROW (blk, id)
+    rows — linear, sort-spill-backed even for a pathological
+    million-member block — and only the <= max_block_size survivors
+    re-attach their payloads (one id-keyed join) and enter the
+    collect_list.  A collect-then-slice would materialize the whole
+    hot block's payloads in one aggregation buffer, which is exactly
+    the executor blow-up the cap exists to prevent."""
+    w_rank = W.partitionBy("blk").orderBy(id_col)
+    w_all = W.partitionBy("blk")
+    ranked = prepared.select(
+        "blk",
+        F.col(id_col),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count("*").over(w_all).alias("__bsz"),
+    )
+    # join back on (blk, id): a doc may sit in several blocks (e.g. one
+    # per signature band), and survivorship is per block
+    survivors = ranked.filter(
+        (F.col("__bsz") >= 2) & (F.col("__rn") <= max_block_size)
+    ).select("blk", id_col, "__bsz")
+    kept = prepared.join(survivors, ["blk", id_col])
     buckets = (
-        prepared.groupBy("blk")
+        kept.groupBy("blk")
         .agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(F.col(id_col).alias("id"), F.col(payload_col).alias("pl"))
                 )
-            ).alias("members")
+            ).alias("members"),
+            F.max("__bsz").alias("__bsz"),
         )
         .filter(F.size("members") >= 2)
         .select(
-            (F.size("members") > max_block_size).alias("block_truncated"),
-            F.slice("members", 1, max_block_size).alias("members"),
+            (F.col("__bsz") > max_block_size).alias("block_truncated"),
+            "members",
         )
-        .filter(F.size("members") >= 2)
     )
     members = F.col("members")
     pair_arr = F.flatten(
@@ -631,13 +654,16 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bands: int = 2,
+    bands: int = 4,
     max_block_size: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup candidates: split the 16-bit signature into
     ``bands`` equal slices; docs sharing ANY slice value become
     candidates (a pair within Hamming distance d must agree on some
-    band whenever d < bands — the pigeonhole recall argument), then the
+    band whenever d < bands — the pigeonhole recall argument; the
+    defaults keep that guarantee: max_hamming=3 < bands=4, so every
+    pair within the bound IS generated.  bands < max_hamming + 1 turns
+    the guarantee into plain banding recall), then the
     exact Hamming distance (bit_count of XOR — one codegen'd
     expression) filters to ``max_hamming``.
 

@@ -84,7 +84,14 @@ def decode_audio(payload: bytes) -> dict:
     import io
 
     samples, sample_rate = _soundfile.read(io.BytesIO(payload))
-    return {"sample_rate": int(sample_rate), "samples": list(map(float, samples))}
+    # multi-channel input arrives as (n, channels): downmix to mono so
+    # the output schema (array<double>) holds for any file
+    if getattr(samples, "ndim", 1) > 1:
+        samples = samples.mean(axis=1)
+    return {
+        "sample_rate": int(sample_rate),
+        "samples": [float(s) for s in samples],
+    }
 
 
 def fake_decode_meta(docs_with_payload: DataFrame) -> DataFrame:

@@ -194,7 +194,12 @@ def lookup_terms(spark, dest: str, terms: list[str], n_buckets: int = 64) -> Dat
     literals — no corpus touch), then applied as a literal IN filter
     on the partition column: only those bucket directories are listed
     and scanned, and the residual term filter pushes into the parquet
-    scans of that 1/n_buckets slice."""
+    scans of that 1/n_buckets slice.  An empty term list returns an
+    empty result with the index schema (no buckets touched)."""
+    if not terms:
+        return (
+            spark.read.parquet(dest).filter(F.lit(False)).drop("term_bucket")
+        )
     term_rows = spark.createDataFrame([(t,) for t in terms], ["term"])
     buckets = sorted(
         r["b"]

@@ -306,12 +306,16 @@ def canonical_url(url: Column) -> Column:
     sort surviving query params, strip trailing path slashes.  The
     canonicalization a crawl frontier / URL-level dedup keys on —
     pure regex + array codegen, mirrored exactly by the SQL oracle."""
-    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    host = F.lower(F.regexp_extract(url, r"^[^:/]+://([^/?#]+)", 1))
+    # fragment goes FIRST: a '?' inside the fragment must not be
+    # mistaken for the query separator ('https://h/p#sec?x=1' has no
+    # query at all)
+    base = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(base, r"^[^:/]+://([^/?#]+)", 1))
     path = F.regexp_replace(
-        F.regexp_extract(url, r"^[^:/]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+        F.regexp_extract(base, r"^[^:/]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
     )
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    query = F.regexp_extract(base, r"\?(.*)$", 1)
     def _not_tracking(p):
         tracked = p.startswith(F.lit(TRACKING_PARAM_PREFIXES[0]))
         for pref in TRACKING_PARAM_PREFIXES[1:]:

@@ -1670,12 +1670,21 @@ def x42_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(CAST([0.5, 0.667, 0.834, 1.0] AS DOUBLE[])) AS threshold
       FROM scored
     )
-    SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(nt) AS BIGINT) AS n_tokens,
-           round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)
-                 + 1e-9, 4) AS pct_docs
-    FROM fanned WHERE q >= threshold
-    GROUP BY threshold
+    , agg AS (
+      SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM fanned WHERE q >= threshold
+      GROUP BY threshold
+    ), thr AS (
+      SELECT unnest(CAST([0.5, 0.667, 0.834, 1.0] AS DOUBLE[])) AS threshold
+    )
+    SELECT thr.threshold,
+           COALESCE(agg.n_docs, 0) AS n_docs,
+           COALESCE(agg.n_tokens, 0) AS n_tokens,
+           round(COALESCE(agg.n_docs, 0)
+                 / CAST((SELECT count(*) FROM documents) AS DOUBLE) + 1e-9, 4)
+             AS pct_docs
+    FROM thr LEFT JOIN agg USING (threshold)
     """,
 )
 def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1703,8 +1712,8 @@ def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS simhash
       FROM sums GROUP BY doc_id
     ), banded AS (
-      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 8)) & 255 AS bval
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS i) b
+      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 4)) & 15 AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
              a.simhash AS sig_a, c.simhash AS sig_b
@@ -1724,7 +1733,7 @@ def x44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=3, bands=2)
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=4)
 
 
 # Shared planted-URL expression for the URL canonical dedup oracle:

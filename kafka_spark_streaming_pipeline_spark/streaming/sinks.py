@@ -285,10 +285,14 @@ def rollup_view(spark, rollup_path: str, key_cols: list[str]) -> DataFrame:
 
 def compact_rollup(spark, rollup_path: str, key_cols: list[str]) -> None:
     """Fold the partial-aggregate log to one row per (key, bucket);
-    atomic overwrite, crash leaves the uncompacted log intact."""
+    atomic overwrite, crash leaves the uncompacted log intact.
+    The folded rows carry __commit=-1: foreachBatch batch ids are
+    always >= 0, so a stream restarted on a FRESH checkpoint (batch
+    ids starting over at 0) can never collide with compacted history
+    in the per-commit dedup."""
     table = AtomicParquetTable(rollup_path)
     folded = rollup_view(spark, rollup_path, key_cols).withColumn(
-        "__commit", F.lit(0)
+        "__commit", F.lit(-1)
     )
     table.overwrite(folded)
     table.vacuum(spark)
@@ -359,10 +363,11 @@ def index_view(
 
 def compact_index(spark, index_path: str) -> None:
     """Fold the partial-index log to one row per term; atomic
-    overwrite, crash leaves the uncompacted log intact."""
+    overwrite, crash leaves the uncompacted log intact.  __commit=-1
+    for the same fresh-checkpoint-restart reason as compact_rollup."""
     table = AtomicParquetTable(index_path)
     folded = index_view(spark, index_path).select(
         "term", "df", "postings"
-    ).withColumn("__commit", F.lit(0))
+    ).withColumn("__commit", F.lit(-1))
     table.overwrite(folded)
     table.vacuum(spark)

@@ -154,6 +154,11 @@ def test_quality_yield_curve_monotone(spark):
         assert lo["n_tokens"] >= hi["n_tokens"]
     # the lowest threshold (0.5) keeps everything: score is >= 0.5 by construction
     assert rows[0]["n_docs"] == 3 and abs(rows[0]["pct_docs"] - 1.0) < 1e-6
+    # every requested threshold appears, including ones nothing clears
+    assert [r["threshold"] for r in rows] == [0.5, 0.667, 0.834, 1.0]
+    top = rows[-1]
+    if top["n_docs"] == 0:
+        assert top["n_tokens"] == 0 and abs(top["pct_docs"]) < 1e-6
 
 
 def test_length_outlier_trim_approx_close_to_exact(spark):

@@ -591,6 +591,8 @@ def test_multimodal_codec_selection_via_monkeypatched_import(monkeypatch):
     mm.decode_image_meta(object())
     assert routed == ["real"]
 
+    import numpy as np
+
     class _Sf:
         @staticmethod
         def read(buf):
@@ -599,6 +601,15 @@ def test_multimodal_codec_selection_via_monkeypatched_import(monkeypatch):
     monkeypatch.setattr(mm, "_soundfile", _Sf)
     assert mm.audio_codec_available()
     assert mm.decode_audio(b"xy") == {"sample_rate": 8000, "samples": [0.0, 0.5]}
+
+    class _SfStereo:
+        @staticmethod
+        def read(buf):
+            return np.array([[0.0, 1.0], [0.5, 0.5]]), 44100
+
+    # stereo files downmix to mono instead of crashing the decode task
+    monkeypatch.setattr(mm, "_soundfile", _SfStereo)
+    assert mm.decode_audio(b"xy") == {"sample_rate": 44100, "samples": [0.5, 0.5]}
     routed.clear()
     monkeypatch.setattr(mm, "fake_decode_audio", lambda df: routed.append("fake") or df)
     monkeypatch.setattr(mm, "real_decode_audio", lambda df: routed.append("real") or df)
@@ -711,13 +722,14 @@ def test_canonical_url_variants_collapse(spark):
             (2, "https://www.example.com/a/b?id=3"),
             (3, "http://host.com/p?b=2&a=1&fbclid=zz"),
             (4, "http://host.com/p"),
+            (5, "http://host.com/p#sec?x=1"),  # '?' inside fragment: no query
         ],
         ["i", "url"],
     )
     got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
     assert got[1] == got[2] == "https://www.example.com/a/b?id=3"
     assert got[3] == "http://host.com/p?a=1&b=2"  # params sorted, tracker dropped
-    assert got[4] == "http://host.com/p"
+    assert got[4] == got[5] == "http://host.com/p"
 
 
 def test_incremental_dedup_flags(spark):

@@ -827,6 +827,16 @@ def test_incremental_index_matches_batch_and_survives_replay(spark, tmp_path):
     compact_index(spark, index_path)
     assert view_rows() == want
 
+    # a stream restarted on a FRESH checkpoint re-delivers batch id 0;
+    # the compacted history (__commit=-1) must merge with it, not
+    # collide in the per-commit dedup
+    extra = spark.createDataFrame([(9, "alpha omega")], DOC_SCHEMA)
+    sink(extra, 0)
+    after = view_rows()
+    assert after["alpha"][0] == want["alpha"][0] + 1  # df merged
+    assert after["alpha"][1] == sorted(want["alpha"][1] + [9])
+    assert after["omega"][0] == 1
+
 
 def test_stream_stream_interval_join_left_outer_emits_orphans(spark, tmp_path):
     """Left-outer variant: a chunk whose stream never got a start event
