@@ -789,3 +789,8 @@ def test_search_index_persist_and_pruned_lookup(spark, tmp_path):
     assert m and len(m.group(1).split(",")) <= 2
     assert "PushedFilters: [In(term" in plan
     assert "term_bucket" not in got.columns
+
+    # empty term list: empty result, index schema, no crash
+    empty = lookup_terms(spark, dest, [], n_buckets=16)
+    assert empty.count() == 0
+    assert empty.columns == ["term", "df", "postings", "postings_truncated"]
