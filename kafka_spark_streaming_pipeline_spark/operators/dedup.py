@@ -227,6 +227,34 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
+    if max_bucket_size is not None:
+        # capped path: _capped_block_pairs truncates oversized buckets
+        # BEFORE collecting signatures (rank-first, memory-bounded) and
+        # flags survivors' pairs.  A pair can surface from several
+        # band buckets with different truncation flags; max-aggregate
+        # so truncated provenance wins.
+        prepared = banded.select(
+            (F.col("band_idx").cast("long") * F.lit(1 << 31) + F.col("band_hash")).alias("blk"),
+            F.col(id_col),
+            "sig",
+        )
+        pairs = _capped_block_pairs(prepared, id_col, "sig", max_bucket_size)
+        matches = F.size(
+            F.filter(
+                F.zip_with("payload_a", "payload_b", lambda a, b: a == b), lambda x: x
+            )
+        )
+        return (
+            pairs.select(
+                "doc_a",
+                "doc_b",
+                F.round(matches / F.lit(num_hashes), 4).alias("est_jaccard"),
+                F.col("block_truncated").alias("bucket_truncated"),
+            )
+            .filter(F.col("est_jaccard") >= min_est_jaccard)
+            .groupBy("doc_a", "doc_b", "est_jaccard")
+            .agg(F.max("bucket_truncated").alias("bucket_truncated"))
+        )
     buckets = (
         banded.groupBy("band_idx", "band_hash")
         .agg(
@@ -236,13 +264,6 @@ def minhash_lsh_pairs(
         )
         .filter(F.size("members") >= 2)
     )
-    if max_bucket_size is not None:
-        buckets = buckets.select(
-            "band_idx",
-            "band_hash",
-            (F.size("members") > max_bucket_size).alias("bucket_truncated"),
-            F.slice("members", 1, max_bucket_size).alias("members"),
-        ).filter(F.size("members") >= 2)
     members = F.col("members")
     pair_arr = F.flatten(
         F.transform(
@@ -264,17 +285,6 @@ def minhash_lsh_pairs(
         )
     )
     est = F.round(matches / F.lit(num_hashes), 4)
-    if max_bucket_size is not None:
-        # a pair can surface from several buckets with different
-        # truncation flags; max-aggregate so truncated provenance wins
-        return (
-            buckets.select(F.col("bucket_truncated"), F.explode(pair_arr).alias("p"))
-            .select("bucket_truncated", "p.*")
-            .select("doc_a", "doc_b", est.alias("est_jaccard"), "bucket_truncated")
-            .filter(F.col("est_jaccard") >= min_est_jaccard)
-            .groupBy("doc_a", "doc_b", "est_jaccard")
-            .agg(F.max("bucket_truncated").alias("bucket_truncated"))
-        )
     pairs = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.*")
