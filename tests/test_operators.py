@@ -794,3 +794,31 @@ def test_search_index_persist_and_pruned_lookup(spark, tmp_path):
     empty = lookup_terms(spark, dest, [], n_buckets=16)
     assert empty.count() == 0
     assert empty.columns == ["term", "df", "postings", "postings_truncated"]
+
+
+def test_simhash_banding_complete_within_hamming_bound(spark):
+    # pigeonhole guarantee: with bands=4 > max_hamming=3, EVERY pair
+    # within the bound must be generated — verify against brute force
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        simhash16,
+        simhash_neardup_pairs,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % len(words)] for j in range(i, i + 5)))
+         for i in range(24)],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    brute = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == brute
