@@ -1712,8 +1712,8 @@ def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS simhash
       FROM sums GROUP BY doc_id
     ), banded AS (
-      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 4)) & 15 AS bval
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
+      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 8)) & 255 AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS i) b
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
              a.simhash AS sig_a, c.simhash AS sig_b
@@ -1723,17 +1723,22 @@ def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
            false AS block_truncated
-    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 1
     """,
 )
 def x44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup candidates: byte-band blocking over the
     16-bit signature, exact Hamming filter (bit_count of XOR), capped
-    bucket expansion with truncation provenance."""
+    bucket expansion with truncation provenance.  Registered at the
+    tight bound (hamming <= 1 < bands = 2, so the pigeonhole
+    completeness guarantee holds): the synthetic corpus's 40-word
+    vocabulary makes 16-bit signatures collide en masse at looser
+    bounds — millions of "near-dup" rows that say nothing about the
+    operator.  Real corpora use the defaults (hamming <= 3, 4 bands)."""
     from ..operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=3, bands=4)
+    return simhash_neardup_pairs(docs, max_hamming=1, bands=2)
 
 
 # Shared planted-URL expression for the URL canonical dedup oracle:
