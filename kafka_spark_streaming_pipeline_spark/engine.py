@@ -79,6 +79,28 @@ class Engine:
             self.table("documents"), chunk_tokens=chunk_tokens, overlap=overlap
         )
 
+    def build_search_index(self, dest: str, n_buckets: int = 64) -> None:
+        """Persist the documents' inverted index in the term-hash-bucket
+        layout (pruned lookups via lookup())."""
+        from .operators.retrieval import inverted_index, write_search_index
+
+        write_search_index(inverted_index(self.table("documents")), dest, n_buckets)
+
+    def lookup(self, dest: str, terms: list[str], n_buckets: int = 64) -> DataFrame:
+        """Postings for ``terms`` from a build_search_index() layout."""
+        from .operators.retrieval import lookup_terms
+
+        return lookup_terms(self.spark, dest, terms, n_buckets)
+
+    def ingest_dedup(self, new_docs: DataFrame) -> DataFrame:
+        """Deduplicate an incoming batch against the documents table's
+        fingerprint history (seen_in_history / is_batch_canonical /
+        keep flags per new doc)."""
+        from .operators.dedup import exact_dedup_groups, incremental_dedup
+
+        history = exact_dedup_groups(self.table("documents")).select("fingerprint")
+        return incremental_dedup(new_docs, history)
+
     def nearest_embeddings(self, queries: DataFrame | None = None, k: int = 5) -> DataFrame:
         """Exact cosine top-k over the embeddings table (queries default
         to the first 5 vectors)."""

@@ -149,3 +149,19 @@ def test_engine_facade_surfaces(spark, sf_dir):
     assert eng.chunks().count() > 0
     nn = eng.nearest_embeddings(k=1).collect()
     assert all(r.query_id == r.neighbor_id for r in nn)  # self-match
+
+
+def test_engine_index_and_ingest(spark, sf_dir, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    dest = str(tmp_path / "eng_idx")
+    eng.build_search_index(dest, n_buckets=8)
+    hits = eng.lookup(dest, ["customer"], n_buckets=8).collect()
+    assert len(hits) == 1 and hits[0]["df"] > 0
+
+    new_docs = spark.createDataFrame(
+        [(10_000, "brand new never seen text")], ["doc_id", "text"]
+    )
+    flags = eng.ingest_dedup(new_docs).collect()
+    assert len(flags) == 1 and flags[0]["keep"]
