@@ -100,3 +100,23 @@ def orc_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.orc(path)
+
+
+def read_evolved(
+    spark: SparkSession,
+    path: str,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Read a parquet dataset whose schema evolved across writes
+    (columns added over time): ``mergeSchema`` unions the file footers
+    so old files surface the new columns as null, and ``defaults``
+    coalesces those nulls to the declared backfill value — the
+    standard long-lived-dataset pattern (a 100 TB corpus is written
+    over months; new enrichment columns must not invalidate old
+    files)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

@@ -165,3 +165,22 @@ def test_engine_index_and_ingest(spark, sf_dir, tmp_path):
     )
     flags = eng.ingest_dedup(new_docs).collect()
     assert len(flags) == 1 and flags[0]["keep"]
+
+
+def test_read_evolved_merges_schema_with_defaults(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.sources.files import read_evolved
+
+    root = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{root}/batch=1"
+    )
+    # later write adds a quality column
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    ).write.parquet(f"{root}/batch=2")
+
+    out = read_evolved(spark, root, defaults={"quality": 0.5})
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(out.columns) >= {"id", "name", "quality"}
+    assert rows[1]["quality"] == 0.5  # old files backfilled
+    assert rows[2]["quality"] == 0.9
