@@ -919,3 +919,23 @@ def test_stream_stream_interval_join_left_outer_emits_orphans(spark, tmp_path):
     )
     got2 = {(r.stream_id, r.chunk_index): r.title for r in run_once()}
     assert ("s2", 0) in got2 and got2[("s2", 0)] is None
+
+
+def test_orc_stream_source_end_to_end(spark, tmp_path):
+    from kafka_spark_streaming_pipeline_spark.sources.files import orc_stream
+
+    in_dir = str(tmp_path / "orc_in")
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, v string"
+    ).coalesce(1).write.orc(f"{in_dir}/b0")
+    stream = orc_stream(spark, f"{in_dir}/*", "id bigint, v string")
+    results = []
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _id: results.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_orc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    assert sorted((r.id, r.v) for r in results) == [(1, "a"), (2, "b")]
