@@ -17,7 +17,16 @@ tiers — hangs off a single ``Engine`` handle:
     eng.dedup_clusters()                   # transitive-closure groups
 
 Everything returns a lazy DataFrame; nothing here adds plan nodes —
-it only wires existing operators to the session + catalog."""
+it only wires existing operators to the session + catalog.
+
+Side effect to know about: registering the catalog views sets two
+SESSION-WIDE confs on the SparkSession you pass in — the session
+timezone is forced to UTC and ``inferTimestampNTZ`` is disabled —
+because every oracle-verified query depends on those timestamp
+semantics.  If you share the session with other workloads that need
+different timestamp confs, snapshot and restore them around Engine
+construction (or give the Engine its own session via the default
+``get_spark()``)."""
 
 from __future__ import annotations
 

@@ -305,7 +305,13 @@ def canonical_url(url: Column) -> Column:
     fragment, strip tracking parameters (utm_*, fbclid, gclid, ref),
     sort surviving query params, strip trailing path slashes.  The
     canonicalization a crawl frontier / URL-level dedup keys on —
-    pure regex + array codegen, mirrored exactly by the SQL oracle."""
+    pure regex + array codegen, mirrored exactly by the SQL oracle.
+
+    Non-absolute inputs (scheme-relative '//h/p', bare 'host/path')
+    pass through UNCHANGED: every extraction below anchors on
+    '^scheme://', so without the guard such URLs would all collapse to
+    the single garbage key '://' and spuriously dedup against each
+    other."""
     # fragment goes FIRST: a '?' inside the fragment must not be
     # mistaken for the query separator ('https://h/p#sec?x=1' has no
     # query at all)
@@ -326,4 +332,7 @@ def canonical_url(url: Column) -> Column:
     qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
     )
-    return F.concat(scheme, F.lit("://"), host, path, qs)
+    return F.when(
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
+        F.concat(scheme, F.lit("://"), host, path, qs),
+    ).otherwise(url)

@@ -185,10 +185,22 @@ def compact_log(
     bounds read amplification).  The rewrite is an atomic ``overwrite``
     commit — a crash mid-compaction leaves the uncompacted log fully
     intact — and superseded files are vacuumed only after the new
-    version is live."""
+    version is live.
+
+    Folded rows carry ``__commit=-1`` (as in compact_rollup /
+    compact_index): a stream restarted on a FRESH checkpoint replays
+    batch 0, and a folded row stamped 0 would tie with the replayed
+    batch in latest_view's ordering — the stale compacted row could
+    nondeterministically win.  -1 always loses to any live batch.
+
+    Compaction must only run against a quiesced, fully-checkpointed
+    log: if the stream appended a batch whose checkpoint commit had
+    not landed when compaction folded it, the restarted stream
+    re-appends that batch under its original id and per-commit dedup
+    cannot drop it (the original rows were folded into -1)."""
     table = AtomicParquetTable(table_path)
     resolved = latest_view(spark, table_path, keys, order_col).withColumn(
-        "__commit", F.lit(0)
+        "__commit", F.lit(-1)
     )
     table.overwrite(resolved)
     table.vacuum(spark)
@@ -289,7 +301,13 @@ def compact_rollup(spark, rollup_path: str, key_cols: list[str]) -> None:
     The folded rows carry __commit=-1: foreachBatch batch ids are
     always >= 0, so a stream restarted on a FRESH checkpoint (batch
     ids starting over at 0) can never collide with compacted history
-    in the per-commit dedup."""
+    in the per-commit dedup.
+
+    Run ONLY against a quiesced, fully-checkpointed log: folding an
+    appended-but-uncheckpointed batch loses its __commit identity, so
+    the stream's replay of that batch re-appends rows the per-commit
+    dedup can no longer match — partials double-count.  (Same
+    requirement for compact_index and compact_log.)"""
     table = AtomicParquetTable(rollup_path)
     folded = rollup_view(spark, rollup_path, key_cols).withColumn(
         "__commit", F.lit(-1)
@@ -364,7 +382,9 @@ def index_view(
 def compact_index(spark, index_path: str) -> None:
     """Fold the partial-index log to one row per term; atomic
     overwrite, crash leaves the uncompacted log intact.  __commit=-1
-    for the same fresh-checkpoint-restart reason as compact_rollup."""
+    for the same fresh-checkpoint-restart reason as compact_rollup,
+    and the same quiesced-log requirement applies (see
+    compact_rollup's docstring)."""
     table = AtomicParquetTable(index_path)
     folded = index_view(spark, index_path).select(
         "term", "df", "postings"

@@ -732,6 +732,30 @@ def test_canonical_url_variants_collapse(spark):
     assert got[4] == got[5] == "http://host.com/p"
 
 
+def test_canonical_url_non_absolute_passthrough(spark):
+    """Scheme-relative / bare-host URLs must NOT all collapse to the
+    '://'-anchored garbage key — they pass through unchanged, so
+    distinct non-absolute URLs stay distinct dedup keys."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "//cdn.example.com/asset.js"),
+            (2, "example.com/page?a=1"),
+            (3, "/relative/path"),
+            (4, "mailto:user@example.com"),  # scheme but no ://
+        ],
+        ["i", "url"],
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got == {
+        1: "//cdn.example.com/asset.js",
+        2: "example.com/page?a=1",
+        3: "/relative/path",
+        4: "mailto:user@example.com",
+    }
+
+
 def test_incremental_dedup_flags(spark):
     from kafka_spark_streaming_pipeline_spark.operators.dedup import incremental_dedup
 

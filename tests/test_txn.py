@@ -88,6 +88,32 @@ def test_crash_mid_compaction_preserves_log(spark, tmp_path, monkeypatch):
     assert AtomicParquetTable(path).read(spark).count() == 2
 
 
+def test_compacted_rows_lose_to_fresh_checkpoint_batch_zero(spark, tmp_path):
+    """Folded rows are stamped __commit=-1, so a stream restarted on a
+    FRESH checkpoint (batch ids starting over at 0) deterministically
+    beats compacted history in latest_view — a 0-stamp would tie and
+    let the stale row nondeterministically win."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        append_log_upsert,
+        compact_log,
+        latest_view,
+    )
+
+    path = str(tmp_path / "log")
+    keys = ["stream_id", "chunk_index"]
+    append_log_upsert(_df(spark, [("s1", 0, 5, "old")]), path, batch_id=7)
+    compact_log(spark, path, keys, "sequence_number")
+    folded = AtomicParquetTable(path).read(spark).collect()
+    assert [r["__commit"] for r in folded] == [-1]
+
+    # fresh checkpoint: the restarted stream's first batch is id 0, and
+    # its write must win even with a LOWER order_col value
+    append_log_upsert(_df(spark, [("s1", 0, 1, "new")]), path, batch_id=0)
+    got = {(r.stream_id, r.chunk_index): r.payload
+           for r in latest_view(spark, path, keys, "sequence_number").collect()}
+    assert got == {("s1", 0): "new"}
+
+
 def test_concurrent_commit_one_winner(spark, tmp_path):
     """Rename-if-absent is the put-if-absent primitive: a second writer
     preparing the same version loses with ConcurrentWriteError and the
