@@ -31,7 +31,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash64,
     simhash_neardup_pairs,
     verify_candidate_pairs,
 )

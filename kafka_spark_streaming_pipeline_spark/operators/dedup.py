@@ -298,28 +298,56 @@ def minhash_lsh_pairs(
 
 # --------------------------------------------------------------- simhash
 
-def simhash16(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document via one explode + grouped aggregation.
+SIMHASH_BITS = 64
+SIMHASH_BAND_BITS = 16
+SIMHASH_WORDS = SIMHASH_BITS // SIMHASH_BAND_BITS  # 4 sixteen-bit words
 
-    Bit i of a token's hash = parity of the i-th hex char of md5(token)
-    (ascii % 2) — weak but portable to SQL for oracle verification; the
-    structure (explode -> 16 signed sums -> sign bits -> pack) is the
-    real SimHash dataflow and swaps in a stronger hash trivially.
-    """
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document as FOUR 16-bit words
+    (``sig: array<long>``, little-endian: sig[0] holds bits 0-15).
+
+    Bit i of a token's hash = parity of a hex char of an md5 digest
+    (ascii % 2): bits 0-31 read md5(token) chars 1-32, bits 32-63 read
+    md5(token || '#') — two independent digests, portable to SQL for
+    oracle verification.  The structure (explode -> 64 signed sums ->
+    sign bits -> pack per word) is the real SimHash dataflow and swaps
+    in a stronger hash trivially.
+
+    Why words instead of one packed BIGINT: bit 63 of a 64-bit
+    signature would be the sign bit of a signed long — summing 2^63
+    overflows in BOTH engines (DuckDB errors, Java wraps) — and the
+    16-bit word IS the banding unit downstream, so the array
+    representation costs nothing.  The width matters at scale: a
+    16-bit signature gives ~2^4 distinct values per 4-bit band (~64
+    buckets corpus-wide — every bucket floods at web scale and the
+    block cap truncates recall away); 16-bit bands give 65,536 values
+    per band, so bucket count keeps growing with corpus size."""
     toks = _spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    digest = F.md5(F.col("tok"))
-    sums = [
-        F.sum((F.ascii(F.substring(digest, i + 1, 1)) % 2) * 2 - 1).alias(f"s{i}")
-        for i in range(16)
-    ]
+    d1 = F.md5(F.col("tok"))
+    d2 = F.md5(F.concat(F.col("tok"), F.lit("#")))
+
+    def _parity_sign(i: int):
+        src, pos = (d1, i + 1) if i < 32 else (d2, i - 31)
+        return (F.ascii(F.substring(src, pos, 1)) % 2) * 2 - 1
+
+    sums = [F.sum(_parity_sign(i)).alias(f"s{i}") for i in range(SIMHASH_BITS)]
     agg = toks.groupBy(id_col).agg(*sums)
-    packed = None
-    for i in range(16):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        packed = bit if packed is None else packed + bit
-    return agg.select(id_col, packed.cast("long").alias("simhash"))
+
+    def _word(b: int):
+        word = None
+        for j in range(SIMHASH_BAND_BITS):
+            bit = F.when(
+                F.col(f"s{b * SIMHASH_BAND_BITS + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            word = bit if word is None else word + bit
+        return word.cast("long")
+
+    return agg.select(
+        id_col, F.array(*[_word(b) for b in range(SIMHASH_WORDS)]).alias("sig")
+    )
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -570,7 +598,8 @@ def verify_candidate_pairs(
     compute TRUE Jaccard only for the candidate ``pairs`` (from LSH /
     SimHash blocking) — never the cross product.  Two broadcast-or-hash
     joins attach each side's distinct shingle set; the set arithmetic
-    is JVM array ops.  Output: (doc_a, doc_b, est_jaccard, jaccard)."""
+    is JVM array ops.  Output: every column of ``pairs`` (candidate
+    provenance rides through) plus the exact ``jaccard``."""
     sets = (
         shingle_rows(docs, text_col, id_col, shingle_k)
         .groupBy(id_col)
@@ -584,10 +613,49 @@ def verify_candidate_pairs(
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
+            *pairs.columns,
+            F.round(inter / union + F.lit(1e-9), 4).alias("jaccard"),
+        )
+    )
+
+
+def union_neardup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_hamming: int = 3,
+    simhash_bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs from BOTH detectors — MinHash-LSH (set-overlap
+    view of similarity) ∪ SimHash banding (weighted-token-profile
+    view) — with per-pair provenance.  The detectors miss different
+    pairs: LSH recall falls off below its Jaccard threshold while
+    SimHash catches small-Hamming profile matches, and vice versa, so
+    the union strictly improves candidate recall into the exact-verify
+    stage at the cost of the (tiny) second candidate set.
+
+    Output: (doc_a, doc_b, est_jaccard, from_lsh, from_simhash) —
+    ``est_jaccard`` is null for SimHash-only pairs.  The full outer
+    join runs on the two CANDIDATE sets (bounded by blocking), never
+    the corpus."""
+    lsh = minhash_lsh_pairs(
+        docs, text_col, id_col, num_hashes, bands, shingle_k, min_est_jaccard
+    ).select("doc_a", "doc_b", "est_jaccard", F.lit(True).alias("from_lsh"))
+    sh = simhash_neardup_pairs(
+        docs, text_col, id_col, max_hamming, simhash_bands
+    ).select("doc_a", "doc_b", F.lit(True).alias("from_simhash"))
+    return (
+        lsh.join(sh, ["doc_a", "doc_b"], "full")
+        .select(
             "doc_a",
             "doc_b",
             "est_jaccard",
-            F.round(inter / union + F.lit(1e-9), 4).alias("jaccard"),
+            F.coalesce("from_lsh", F.lit(False)).alias("from_lsh"),
+            F.coalesce("from_simhash", F.lit(False)).alias("from_simhash"),
         )
     )
 
@@ -667,15 +735,21 @@ def simhash_neardup_pairs(
     bands: int = 4,
     max_block_size: int = 10_000,
 ) -> DataFrame:
-    """SimHash near-dup candidates: split the 16-bit signature into
+    """SimHash near-dup candidates: split the 64-bit signature into
     ``bands`` equal slices; docs sharing ANY slice value become
     candidates (a pair within Hamming distance d must agree on some
     band whenever d < bands — the pigeonhole recall argument; the
     defaults keep that guarantee: max_hamming=3 < bands=4, so every
     pair within the bound IS generated.  bands < max_hamming + 1 turns
-    the guarantee into plain banding recall), then the
-    exact Hamming distance (bit_count of XOR — one codegen'd
+    the guarantee into plain banding recall), then the exact Hamming
+    distance (per-word bit_count of XOR, summed — pure codegen array
     expression) filters to ``max_hamming``.
+
+    Band width is ≥16 bits (bands=4 → 16-bit slices, 65,536 values
+    each; bands=2 → 32-bit slices): the band-value space grows with
+    corpus size instead of saturating, so the ``max_block_size`` skew
+    guard only fires on true boilerplate floods, not on the band space
+    itself.
 
     Same join-free shape as MinHash banding: signatures compute once,
     buckets expand via _capped_block_pairs (explicit ``max_block_size``
@@ -683,24 +757,41 @@ def simhash_neardup_pairs(
     banded blocking is coarser than prefix blocking), and the only
     shuffles are the signature agg, the band groupBy, and the
     cross-band pair dedup."""
-    width = 16 // bands
-    mask = (1 << width) - 1
-    sig = simhash16(docs, text_col, id_col)
+    if SIMHASH_WORDS % bands != 0:
+        raise ValueError(
+            f"bands must divide the {SIMHASH_WORDS}-word signature: "
+            f"one of {[d for d in (1, 2, 4) if d <= SIMHASH_WORDS]}"
+        )
+    words_per_band = SIMHASH_WORDS // bands
+    if words_per_band * SIMHASH_BAND_BITS > 32:
+        # a 64-bit single band would need the sign bit; also pointless
+        # (bands=1 is no blocking at all)
+        raise ValueError("bands must be >= 2 (band values must fit in 32 bits)")
+    sig = simhash64(docs, text_col, id_col)
+
+    def _band_val(b: int):
+        # combine the band's 16-bit words big-endian; < 2^32, no overflow
+        val = F.element_at("sig", b * words_per_band + 1)
+        for w in range(1, words_per_band):
+            val = val * F.lit(1 << SIMHASH_BAND_BITS) + F.element_at(
+                "sig", b * words_per_band + w + 1
+            )
+        # band index namespaces the block key (values < 2^32)
+        return F.lit(b * (1 << 32)) + val
+
     banded = sig.select(
         F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.lit(b * (mask + 1) * bands)
-                    + F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("blk"),
+        "sig",
+        F.explode(F.array(*[_band_val(b) for b in range(bands)])).alias("blk"),
     )
-    pairs = _capped_block_pairs(banded, id_col, "simhash", max_block_size)
-    hamming = F.bit_count(F.col("payload_a").bitwiseXOR(F.col("payload_b")))
+    pairs = _capped_block_pairs(banded, id_col, "sig", max_block_size)
+    hamming = F.aggregate(
+        F.zip_with(
+            "payload_a", "payload_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     return (
         pairs.select(
             "doc_a",

@@ -139,29 +139,49 @@ def p12_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
 
 
-@query(
-    "x04_simhash",
-    oracle="""
-    WITH t AS (
+# 64-bit SimHash signature as four 16-bit words, shared by the x04 and
+# x44 oracles.  Bits 1-32 (1-based) read md5(tok) hex chars, bits 33-64
+# read md5(tok || '#') — mirrors operators.dedup.simhash64 exactly.
+_SIMHASH64_SIG_SQL = """
+    t AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
     ), sums AS (
       SELECT doc_id, bits.i,
-             sum((ascii(substr(md5(tok), bits.i, 1)) % 2) * 2 - 1) AS sgn
-      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS i) bits
+             sum((ascii(substr(CASE WHEN bits.i <= 32 THEN md5(tok)
+                                    ELSE md5(tok || '#') END,
+                               CASE WHEN bits.i <= 32 THEN bits.i
+                                    ELSE bits.i - 32 END, 1)) % 2) * 2 - 1) AS sgn
+      FROM t CROSS JOIN (SELECT unnest(range(1, 65)) AS i) bits
       GROUP BY doc_id, bits.i
+    ), sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sgn > 0 AND i BETWEEN  1 AND 16 THEN (CAST(1 AS BIGINT) << (i -  1)) ELSE 0 END) AS BIGINT) AS band0,
+             CAST(sum(CASE WHEN sgn > 0 AND i BETWEEN 17 AND 32 THEN (CAST(1 AS BIGINT) << (i - 17)) ELSE 0 END) AS BIGINT) AS band1,
+             CAST(sum(CASE WHEN sgn > 0 AND i BETWEEN 33 AND 48 THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS band2,
+             CAST(sum(CASE WHEN sgn > 0 AND i BETWEEN 49 AND 64 THEN (CAST(1 AS BIGINT) << (i - 49)) ELSE 0 END) AS BIGINT) AS band3
+      FROM sums GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
-             AS simhash
-    FROM sums GROUP BY doc_id
+"""
+
+
+@query(
+    "x04_simhash",
+    oracle=f"""
+    WITH {_SIMHASH64_SIG_SQL}
+    SELECT doc_id, band0, band1, band2, band3 FROM sig
     """,
 )
 def x04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash signatures (explode -> signed bit sums -> pack)."""
-    from ..operators.dedup import simhash16
+    """64-bit SimHash signatures (explode -> 64 signed bit sums -> pack
+    into four 16-bit band words; see simhash64's docstring for why the
+    word representation beats one packed BIGINT)."""
+    from ..operators.dedup import simhash64
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash16(docs)
+    return simhash64(docs).select(
+        "doc_id",
+        *[F.element_at("sig", b + 1).alias(f"band{b}") for b in range(4)],
+    )
 
 
 @query(
@@ -1696,49 +1716,52 @@ def x43_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_yield_curve(docs)
 
 
-@query(
-    "x44_simhash_neardup",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
-    ), sums AS (
-      SELECT doc_id, bits.i,
-             sum((ascii(substr(md5(tok), bits.i, 1)) % 2) * 2 - 1) AS sgn
-      FROM t CROSS JOIN (SELECT unnest(range(1, 17)) AS i) bits
-      GROUP BY doc_id, bits.i
-    ), sig AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT)
-               AS simhash
-      FROM sums GROUP BY doc_id
-    ), banded AS (
-      SELECT doc_id, simhash, b.i AS band, (simhash >> (b.i * 8)) & 255 AS bval
-      FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS i) b
+# Complete SELECT producing the SimHash banded near-dup pairs
+# (doc_a, doc_b, hamming) at the registered bound (hamming <= 3,
+# 4 sixteen-bit bands) — shared by the x44 and x48 oracles.
+_SIMHASH64_PAIRS_SQL = f"""
+    WITH {_SIMHASH64_SIG_SQL}
+    , banded AS (
+      SELECT doc_id, band0, band1, band2, band3, b.i AS band,
+             CASE b.i WHEN 0 THEN band0 WHEN 1 THEN band1
+                      WHEN 2 THEN band2 ELSE band3 END AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
     ), pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-             a.simhash AS sig_a, c.simhash AS sig_b
+             a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+             c.band0 AS c0, c.band1 AS c1, c.band2 AS c2, c.band3 AS c3
       FROM banded a
       JOIN banded c ON a.band = c.band AND a.bval = c.bval AND a.doc_id < c.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming,
-           false AS block_truncated
-    FROM pairs WHERE bit_count(xor(sig_a, sig_b)) <= 1
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+"""
+
+
+@query(
+    "x44_simhash_neardup",
+    oracle=f"""
+    SELECT doc_a, doc_b, hamming, false AS block_truncated
+    FROM ({_SIMHASH64_PAIRS_SQL})
     """,
 )
 def x44_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup candidates: byte-band blocking over the
-    16-bit signature, exact Hamming filter (bit_count of XOR), capped
-    bucket expansion with truncation provenance.  Registered at the
-    tight bound (hamming <= 1 < bands = 2, so the pigeonhole
-    completeness guarantee holds): the synthetic corpus's 40-word
-    vocabulary makes 16-bit signatures collide en masse at looser
-    bounds — millions of "near-dup" rows that say nothing about the
-    operator.  Real corpora use the defaults (hamming <= 3, 4 bands)."""
+    """SimHash banded near-dup candidates: 16-bit-band blocking over
+    the 64-bit signature, exact Hamming filter (per-word bit_count of
+    XOR), capped bucket expansion with truncation provenance.
+    Registered at the defaults (hamming <= 3 < bands = 4, so the
+    pigeonhole completeness guarantee holds).  The 16-bit band space
+    (65,536 values per band) is the scale fix over the previous 16-bit
+    signature, whose 4-bit bands gave ~64 buckets corpus-wide and
+    flooded at any realistic corpus size."""
     from ..operators.dedup import simhash_neardup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=1, bands=2)
+    return simhash_neardup_pairs(docs, max_hamming=3, bands=4)
 
 
 # Shared planted-URL expression for the URL canonical dedup oracle:
@@ -1882,3 +1905,53 @@ def x47_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fingerprint"
     )
     return incremental_dedup(docs.filter(F.col("doc_id") >= 250), history)
+
+
+@query(
+    "x48_union_neardup_verify",
+    oracle=f"""
+    WITH lshc AS (
+      SELECT doc_a, doc_b, est_jaccard FROM ({_P12_ORACLE})
+    ), shc AS (
+      SELECT doc_a, doc_b FROM ({_SIMHASH64_PAIRS_SQL})
+    ), cand AS (
+      SELECT coalesce(l.doc_a, s.doc_a) AS doc_a,
+             coalesce(l.doc_b, s.doc_b) AS doc_b,
+             l.est_jaccard,
+             (l.doc_a IS NOT NULL) AS from_lsh,
+             (s.doc_a IS NOT NULL) AS from_simhash
+      FROM lshc l FULL JOIN shc s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+    ), shingle_sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+               i -> string_split(lower(text), ' ')[i] || ' '
+                    || string_split(lower(text), ' ')[i+1] || ' '
+                    || string_split(lower(text), ' ')[i+2]
+             )) AS shingles
+      FROM documents
+    )
+    SELECT c.doc_a, c.doc_b, c.est_jaccard, c.from_lsh, c.from_simhash,
+           round(len(list_intersect(a.shingles, b.shingles))
+                 / CAST(len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 + 1e-9, 4) AS jaccard
+    FROM cand c
+    JOIN shingle_sets a ON a.doc_id = c.doc_a
+    JOIN shingle_sets b ON b.doc_id = c.doc_b
+    """,
+)
+def x48_union_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-detector near-dup pipeline: MinHash-LSH ∪ SimHash banded
+    candidates (full outer join of the two CANDIDATE sets — bounded by
+    blocking, never the corpus) -> exact Jaccard verification, with
+    per-pair provenance (from_lsh / from_simhash).  The detectors
+    measure different similarity notions (set overlap vs weighted
+    token profile), so the union strictly increases verified-pair
+    recall over either detector alone — rows with from_lsh=false are
+    exactly the pairs LSH missed (test_union_candidates asserts the
+    increase on a planted corpus)."""
+    from ..operators.dedup import union_neardup_candidates, verify_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return verify_candidate_pairs(docs, union_neardup_candidates(docs))

@@ -12,7 +12,7 @@ from kafka_spark_streaming_pipeline_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash64,
 )
 from kafka_spark_streaming_pipeline_spark.operators.multimodal import (
     decode_image,
@@ -67,12 +67,16 @@ def test_minhash_lsh_finds_dups_not_distinct(spark):
     assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+def _sig_hamming(a: list[int], b: list[int]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
 def test_simhash_identical_docs_equal_hash(spark):
-    out = {r.doc_id: r.simhash for r in simhash16(_docs(spark)).collect()}
+    out = {r.doc_id: list(r.sig) for r in simhash64(_docs(spark)).collect()}
     assert out[0] == out[1]
-    assert 0 <= out[0] < 2 ** 16
-    ham02 = bin(out[0] ^ out[2]).count("1")
-    ham03 = bin(out[0] ^ out[3]).count("1")
+    assert len(out[0]) == 4 and all(0 <= w < 2 ** 16 for w in out[0])
+    ham02 = _sig_hamming(out[0], out[2])
+    ham03 = _sig_hamming(out[0], out[3])
     assert ham02 <= ham03  # near-dup at least as close as unrelated doc
 
 
@@ -713,6 +717,44 @@ def test_simhash_neardup_pairs_and_cap(spark):
     assert all(r["block_truncated"] for r in capped)
 
 
+def test_union_candidates_increase_verified_recall(spark):
+    """LSH ∪ SimHash beats LSH alone: a word-order-scrambled duplicate
+    has the SAME token bag (SimHash Hamming 0) but near-disjoint 3-word
+    shingles (LSH est Jaccard ~0, below threshold), so only the union
+    surfaces it into the verify stage."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        union_neardup_candidates,
+        verify_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "tonight dog lazy the over jumps fox brown quick the"),  # scrambled
+            (4, "completely different content entirely unrelated body text"),
+        ],
+        ["doc_id", "text"],
+    )
+    lsh_only = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()}
+    union = union_neardup_candidates(docs)
+    rows = {(r.doc_a, r.doc_b): r for r in union.collect()}
+    assert (1, 2) in rows and rows[(1, 2)].from_lsh and rows[(1, 2)].from_simhash
+    # the scrambled pair is SimHash-only
+    assert (1, 3) in rows and not rows[(1, 3)].from_lsh and rows[(1, 3)].from_simhash
+    assert (1, 3) not in lsh_only
+    assert rows[(1, 3)].est_jaccard is None
+
+    verified = verify_candidate_pairs(docs, union)
+    assert verified.columns == [
+        "doc_a", "doc_b", "est_jaccard", "from_lsh", "from_simhash", "jaccard"
+    ]
+    vrows = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    assert set(vrows) > lsh_only  # strictly more verified pairs
+    assert vrows[(1, 2)] == pytest.approx(1.0)
+    assert 0 <= vrows[(1, 3)] < 0.5  # verify stage correctly scores it low
+
+
 def test_canonical_url_variants_collapse(spark):
     from kafka_spark_streaming_pipeline_spark.operators.text import canonical_url
 
@@ -821,28 +863,77 @@ def test_search_index_persist_and_pruned_lookup(spark, tmp_path):
 
 
 def test_simhash_banding_complete_within_hamming_bound(spark):
-    # pigeonhole guarantee: with bands=4 > max_hamming=3, EVERY pair
-    # within the bound must be generated — verify against brute force
+    # pigeonhole guarantee at the 64-bit/16-bit-band width: with
+    # bands=4 > max_hamming=3, EVERY pair within the bound must be
+    # generated — verify against brute force over the signatures
     from kafka_spark_streaming_pipeline_spark.operators.dedup import (
-        simhash16,
+        simhash64,
         simhash_neardup_pairs,
     )
 
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
     docs = spark.createDataFrame(
+        # sliding windows (period-7 repeats -> exact-dup pairs) plus
+        # heavy-overlap variants so near-zero-but-nonzero Hamming
+        # distances appear too
         [(i, " ".join(words[j % len(words)] for j in range(i, i + 5)))
-         for i in range(24)],
+         for i in range(24)]
+        + [(100 + i, " ".join(words[j % len(words)] for j in range(i, i + 5)) + " omega")
+           for i in range(24)],
         ["doc_id", "text"],
     )
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    sigs = {r["doc_id"]: list(r["sig"]) for r in simhash64(docs).collect()}
     brute = {
-        (a, b)
+        (a, b): _sig_hamming(sigs[a], sigs[b])
         for a in sigs
         for b in sigs
-        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        if a < b and _sig_hamming(sigs[a], sigs[b]) <= 3
     }
     got = {
-        (r["doc_a"], r["doc_b"])
+        (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
     }
     assert got == brute
+    assert brute  # the planted corpus must actually exercise the bound
+
+
+def test_simhash_band_space_grows_with_corpus(spark):
+    """Flood guard for the widened signature: the number of DISTINCT
+    band buckets must keep growing with corpus size.  The old 16-bit
+    signature banded into 4-bit slices had at most 4*16=64 buckets
+    TOTAL, so at scale every bucket flooded and the block cap
+    truncated recall away; 16-bit bands give 4*65536 possible buckets
+    and distinct docs spread across them."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        SIMHASH_BAND_BITS,
+        simhash64,
+    )
+
+    vocab = [f"w{v}" for v in range(200)]
+
+    def corpus(n):
+        rows = [
+            (i, " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(30)))
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def n_buckets(docs):
+        sig = simhash64(docs)
+        return (
+            sig.select(
+                F.explode(
+                    F.array(*[F.struct(F.lit(b).alias("band"),
+                                       F.element_at("sig", b + 1).alias("val"))
+                              for b in range(4)])
+                ).alias("bb")
+            )
+            .select("bb.band", "bb.val")
+            .distinct()
+            .count()
+        )
+
+    assert SIMHASH_BAND_BITS >= 16
+    small, large = n_buckets(corpus(60)), n_buckets(corpus(240))
+    # far beyond the old 64-bucket ceiling, and still growing
+    assert large > small > 64
