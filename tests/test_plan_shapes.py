@@ -71,6 +71,21 @@ def test_bm25_topk_is_take_ordered_not_global_window(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_bm25_topk_single_corpus_scan(spark, sf_dir):
+    # the documents parquet must feed ONLY the persisted narrow frame:
+    # every textual 'Scan parquet' is the cached child replica printed
+    # under an InMemoryTableScan, so the corpus is physically scanned
+    # once (at cache population) — stats/df/scoring all read the cache.
+    # The previous shape paid 3 independent corpus reads per query.
+    plan = _plan(spark, sf_dir, "p18_bm25_topk")
+    n_cached_readers = plan.count("InMemoryTableScan")
+    assert n_cached_readers >= 2  # stats aggregate + scoring both hit cache
+    assert plan.count("Scan parquet") == n_cached_readers
+    # and there is no per-term groupBy: the only hash exchange is the
+    # final per-doc score aggregation
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_inverted_index_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "p17_inverted_index")
     assert plan.count("Scan parquet") == 1
