@@ -41,6 +41,7 @@ class Engine:
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
         self._tables = register_views(self.spark, sf_dir)
+        self._dedup_history_path: str | None = None
 
     # ------------------------------------------------------------ core
     def table(self, name: str) -> DataFrame:
@@ -101,14 +102,70 @@ class Engine:
 
         return lookup_terms(self.spark, dest, terms, n_buckets)
 
-    def ingest_dedup(self, new_docs: DataFrame) -> DataFrame:
-        """Deduplicate an incoming batch against the documents table's
-        fingerprint history (seen_in_history / is_batch_canonical /
-        keep flags per new doc)."""
-        from .operators.dedup import exact_dedup_groups, incremental_dedup
+    def build_dedup_history(self, dest: str, rebuild: bool = False) -> None:
+        """Persist the documents table's fingerprint set at ``dest``
+        (an AtomicParquetTable) and point ingest_dedup at it.  This is
+        the ONE full-corpus hashing pass; every subsequent batch joins
+        the persisted fingerprints only — re-hashing 100 TB of history
+        text per ingest batch is exactly what incremental dedup exists
+        to avoid.  No-op if the table already exists (pass
+        ``rebuild=True`` after the corpus itself changes)."""
+        from .operators.dedup import exact_dedup_groups
+        from .streaming.txn import AtomicParquetTable
 
-        history = exact_dedup_groups(self.table("documents")).select("fingerprint")
+        table = AtomicParquetTable(dest)
+        if rebuild or table.read(self.spark) is None:
+            table.overwrite(
+                exact_dedup_groups(self.table("documents"))
+                .select("fingerprint")
+                .distinct()
+            )
+        self._dedup_history_path = dest
+
+    def ingest_dedup(self, new_docs: DataFrame, history_path: str | None = None) -> DataFrame:
+        """Deduplicate an incoming batch against the fingerprint
+        history (seen_in_history / is_batch_canonical / keep flags per
+        new doc).
+
+        With a history table (``build_dedup_history`` called, or
+        ``history_path`` pointing at one), the batch plan reads ONLY
+        the persisted fingerprints — the documents table is never
+        scanned.  Without one, it falls back to hashing the whole
+        corpus on the fly (correct, but pays a full-corpus read per
+        batch — fine ad hoc, wrong as a loop)."""
+        from .operators.dedup import exact_dedup_groups, incremental_dedup
+        from .streaming.txn import AtomicParquetTable
+
+        path = history_path or self._dedup_history_path
+        if path is not None:
+            history = AtomicParquetTable(path).read(self.spark)
+            if history is None:
+                raise FileNotFoundError(
+                    f"no committed fingerprint history at {path} — "
+                    "call build_dedup_history(dest) first"
+                )
+            if history_path is not None:
+                self._dedup_history_path = path
+            history = history.select("fingerprint")
+        else:
+            history = exact_dedup_groups(self.table("documents")).select("fingerprint")
         return incremental_dedup(new_docs, history)
+
+    def accept_ingest(self, ingest_result: DataFrame) -> None:
+        """Append an accepted batch's new fingerprints (the
+        ``keep=true`` rows of an ingest_dedup result) to the persisted
+        history, so the NEXT batch sees them — the update half of the
+        incremental-dedup loop.  O(batch) append; the history is never
+        rewritten."""
+        from pyspark.sql import functions as F
+
+        from .streaming.txn import AtomicParquetTable
+
+        if self._dedup_history_path is None:
+            raise RuntimeError("build_dedup_history(dest) before accept_ingest")
+        AtomicParquetTable(self._dedup_history_path).append(
+            ingest_result.filter(F.col("keep")).select("fingerprint").distinct()
+        )
 
     def nearest_embeddings(self, queries: DataFrame | None = None, k: int = 5) -> DataFrame:
         """Exact cosine top-k over the embeddings table (queries default

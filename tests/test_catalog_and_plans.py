@@ -167,6 +167,44 @@ def test_engine_index_and_ingest(spark, sf_dir, tmp_path):
     assert len(flags) == 1 and flags[0]["keep"]
 
 
+def test_engine_persisted_dedup_history_no_corpus_scan(spark, sf_dir, tmp_path):
+    """The incremental-dedup loop: build the fingerprint history ONCE,
+    then every batch plan reads only the persisted fingerprints — the
+    documents table never appears in the batch plan — and accepted
+    batches append their fingerprints for the next batch to see."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    dest = str(tmp_path / "fp_history")
+    eng.build_dedup_history(dest)
+    # idempotent: a second call must NOT rebuild (capture version dir count)
+    import os
+
+    commits = os.listdir(f"{dest}/_commits")
+    eng.build_dedup_history(dest)
+    assert os.listdir(f"{dest}/_commits") == commits
+
+    batch1 = spark.createDataFrame(
+        [(10_000, "persisted history batch text"),
+         (10_001, "persisted history batch text")],  # in-batch dup
+        ["doc_id", "text"],
+    )
+    result = eng.ingest_dedup(batch1)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # history table only, corpus untouched
+    rows = {r["doc_id"]: r for r in result.collect()}
+    assert not rows[10_000]["seen_in_history"] and rows[10_000]["keep"]
+    assert not rows[10_001]["keep"]  # loses the in-batch dedup
+
+    # accept the batch; the SAME text arriving later is now history
+    eng.accept_ingest(result)
+    batch2 = spark.createDataFrame(
+        [(10_002, "persisted history batch text")], ["doc_id", "text"]
+    )
+    again = eng.ingest_dedup(batch2).collect()
+    assert again[0]["seen_in_history"] and not again[0]["keep"]
+
+
 def test_read_evolved_merges_schema_with_defaults(spark, tmp_path):
     from kafka_spark_streaming_pipeline_spark.sources.files import read_evolved
 
