@@ -226,6 +226,85 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_cosine_topk_multi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 0,
+) -> DataFrame:
+    """Multi-table SRP-LSH: ``tables`` is a list of independent
+    hyperplane sets; a candidate only needs to share a bucket in ANY
+    table.  This is the standard recall dial for web-scale ANN — with
+    per-table collision probability p, the miss probability drops
+    exponentially, (1-p)^n_tables — at a linear candidate-volume cost.
+    ``multiprobe_bits`` composes: each query also probes Hamming-1
+    buckets within every table.
+
+    One scan per side: every table's bucket is computed in the SAME
+    projection and exploded to (table, bucket) rows, so adding tables
+    never re-reads the corpus.  Candidates join on (table, bucket)
+    with the (tiny, fanned-out) query side broadcast; a pair meeting
+    in several tables is collapsed by a (query, neighbor) dedup AFTER
+    scoring — the score is deterministic, so dedup keys on ids only
+    and never shuffles the vectors."""
+    if not tables:
+        raise ValueError("at least one hyperplane table required")
+
+    def _probes(bucket, n_planes: int):
+        if not multiprobe_bits:
+            return F.array(bucket)
+        nbits = min(multiprobe_bits, n_planes)
+        return F.array_distinct(
+            F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << b)) for b in range(nbits)])
+        )
+
+    def _tag(t: int):
+        # closure, not a default arg: F.transform reads a 2-param
+        # lambda as (element, index)
+        return lambda bkt: F.struct(F.lit(t).alias("tbl"), bkt.alias("bucket"))
+
+    def _with_table_buckets(df: DataFrame, vec: str, probe: bool) -> DataFrame:
+        entries = []
+        for t, planes in enumerate(tables):
+            bucket = srp_bucket(F.col(vec), planes)
+            buckets = _probes(bucket, len(planes)) if probe else F.array(bucket)
+            entries.append(F.transform(buckets, _tag(t)))
+        tb = F.explode(F.array_distinct(F.flatten(F.array(*entries)))).alias("tb")
+        return df.select("*", tb).select(
+            *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+        )
+
+    q = _with_table_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ).withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec")))),
+        "q_vec",
+        probe=True,
+    )
+    c = _with_table_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("c_vec")
+        ).withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))),
+        "c_vec",
+        probe=False,
+    )
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
+    scored = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 # ------------------------------------------------------------------ IVF
 
 def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:

@@ -1955,3 +1955,30 @@ def x48_union_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return verify_candidate_pairs(docs, union_neardup_candidates(docs))
+
+
+def _srp_tables(n_tables: int, n_planes: int = 4, dim: int = 64) -> list:
+    """Deterministic pseudo-random hyperplane tables (fixed literals,
+    no RNG) — the x06 family with a per-table offset."""
+    return [
+        [
+            [(((7 * i + 13 * p + 29 * t) % 17) - 8) / 8.0 for i in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+@query("x49_multi_table_lsh", oracle=None)
+def x49_multi_table_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH approximate top-k (3 independent hyperplane
+    tables, union of bucket joins, per-pair dedup) — the recall dial
+    over x06's single table.  Rows-only check: recall monotonicity in
+    n_tables vs the exact baseline is pinned in
+    tests/test_operators.py::test_multi_table_lsh_recall_monotone."""
+    from ..operators.similarity import lsh_cosine_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk_multi(
+        emb.filter(F.col("vec_id") < 10), emb, _srp_tables(3), k=5
+    )

@@ -687,6 +687,49 @@ def test_lsh_multiprobe_widens_candidates_without_losing_recall(spark, sf_dir):
     assert all(q == n for q, n in top1.items())
 
 
+def test_multi_table_lsh_recall_monotone(spark, sf_dir):
+    """More hash tables -> candidate superset -> recall vs the exact
+    baseline is monotone non-decreasing, and the multi-table run at
+    least matches the single-table (x06-shaped) run."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk_multi,
+    )
+    from kafka_spark_streaming_pipeline_spark.plans.extensions import _srp_tables
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(queries, emb, k=3).collect()
+    }
+    tables = _srp_tables(3)
+
+    def hits(n_tables):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_cosine_topk_multi(
+                queries, emb, tables[:n_tables], k=3
+            ).collect()
+        }
+        return len(got & brute)
+
+    h1, h2, h3 = hits(1), hits(2), hits(3)
+    assert h1 <= h2 <= h3  # tables[:n] is a prefix: candidate superset
+    # self-match lands in its own bucket in every table
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in lsh_cosine_topk_multi(queries, emb, tables, k=1).collect()
+    }
+    assert all(q == n for q, n in top1.items())
+    # ranks are contiguous per query and dedup keeps one row per pair
+    full = lsh_cosine_topk_multi(queries, emb, tables, k=3).collect()
+    per_q = {}
+    for r in full:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_simhash_neardup_pairs_and_cap(spark):
     from kafka_spark_streaming_pipeline_spark.operators.dedup import (
         simhash_neardup_pairs,
