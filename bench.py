@@ -95,17 +95,39 @@ def main() -> None:
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # Streaming layer throughput (the reference's actual workload —
+    # BASELINE.md measures 1.32 events/s end-to-end): run the live
+    # pipeline (transform + keyed gap state + idempotent log sink)
+    # over synthetic micro-batches and report events/s alongside the
+    # query wall times, so the streaming tier gets round-over-round
+    # tracking too.  Size via SPARK_GRAFT_STREAM_EVENTS (0 disables).
+    streaming_eps = None
+    n_stream_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "100000"))
+    if n_stream_events > 0:
+        try:
+            from tools.bench_streaming import measure
+
+            stream_metrics = measure(spark, n_events=n_stream_events, n_batches=4)
+            streaming_eps = stream_metrics["value"]
+            print(
+                f"# streaming: {stream_metrics['n_events']} events in "
+                f"{stream_metrics['wall_sec']}s -> {streaming_eps} events/s",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # the query bench must still report
+            print(f"# streaming bench failed: {exc}", file=sys.stderr)
+
+    out = {
+        "metric": "headline_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if streaming_eps is not None:
+        out["streaming_events_per_sec"] = streaming_eps
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -43,12 +43,11 @@ from kafka_spark_streaming_pipeline_spark.streaming.sinks import (  # noqa: E402
 from kafka_spark_streaming_pipeline_spark.streaming.state import track_gaps  # noqa: E402
 
 
-def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+def measure(spark, n_events: int = 200_000, n_batches: int = 4) -> dict:
+    """Run the live-pipeline throughput measurement on an existing
+    session and return the metrics dict (importable from bench.py so
+    the per-round BENCH json carries a streaming number too)."""
     work = tempfile.mkdtemp(prefix="stream_bench_")
-    spark = get_spark(app_name="stream_bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
     # synthesize events with generated checksums (1000 streams, in-order
     # sequences with occasional gaps) directly as parquet micro-batches
@@ -121,22 +120,27 @@ def main() -> None:
     wall = time.time() - t0
 
     n_sunk = latest_view(spark, meta_path, ["stream_id", "chunk_index"], "sequence_number").count()
-    print(
-        json.dumps(
-            {
-                "metric": "streaming_events_per_second",
-                "value": round(n_events / wall, 1),
-                "unit": "events/sec",
-                "n_events": n_events,
-                "n_batches": n_batches,
-                "wall_sec": round(wall, 2),
-                "gen_sec": round(gen_s, 2),
-                "rows_in_metadata_sink": n_sunk,
-                "reference_events_per_second": 1.32,
-            }
-        )
-    )
+    result = {
+        "metric": "streaming_events_per_second",
+        "value": round(n_events / wall, 1),
+        "unit": "events/sec",
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "wall_sec": round(wall, 2),
+        "gen_sec": round(gen_s, 2),
+        "rows_in_metadata_sink": n_sunk,
+        "reference_events_per_second": 1.32,
+    }
     shutil.rmtree(work, ignore_errors=True)
+    return result
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    spark = get_spark(app_name="stream_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, n_events, n_batches)))
 
 
 if __name__ == "__main__":
