@@ -237,3 +237,37 @@ def lookup_terms(spark, dest: str, terms: list[str], n_buckets: int = 64) -> Dat
         .filter(F.col("term").isin(terms))
         .drop("term_bucket")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings into one hybrid ranking.
+
+    Each input must carry (``id_col``, ``rank``) — e.g. BM25 top-n and
+    dense-cosine top-n — and contributes 1/(k+rank) per appearance
+    (Cormack & Clarke's RRF, k=60 by convention).  Scale shape: the
+    inputs are already top-n (tiny), so the union + one grouped
+    aggregate + TakeOrderedAndProject never touches the corpus; the
+    only exchange is over at most N*n rows.  ``rrf_score`` is rounded
+    (house +1e-9 nudge) before ranking and ties break on id, so the
+    order is engine-independent.  ``n_sources`` counts how many input
+    rankings contained the id (fusion provenance)."""
+    parts = [r.select(F.col(id_col), F.col("rank").cast("long")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))) + F.lit(1e-9), 6
+        ).alias("rrf_score"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "rrf_score", "n_sources", "rank"
+    )

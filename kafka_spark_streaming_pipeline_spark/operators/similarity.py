@@ -584,3 +584,109 @@ def ivf_index_search(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -------------------------------------------------------- semantic dedup
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_block: int = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    assign every vector to its nearest centroid, then prune
+    near-duplicates WITHIN each cluster by exact cosine, keeping the
+    lowest-id member of every duplicate pair.
+
+    Output: one row per pruned vector — (removed_id, kept_id, cell,
+    cosine_sim) where kept_id is the LOWEST-id in-cluster neighbor
+    with cosine >= threshold (the deterministic witness).
+
+    Scale shape — the whole point of SemDeDup vs all-pairs:
+    - assignment is shuffle-free: the centroid set (k x dim — tiny by
+      construction) folds into one broadcast row and the argmax is a
+      pure array expression (sims rounded to 6 decimals, ties break on
+      cell id, so the assignment is engine-independent);
+    - pairwise cosine runs only inside a cluster: one groupBy(cell)
+      shuffle, then intra-cluster pairs expand via array higher-order
+      functions over the id-sorted member list (norms computed once
+      per vector below the barrier, one dot product per pair);
+    - clusters larger than ``max_cluster_block`` are truncated to the
+      lowest-id members with ``cluster_truncated=true`` provenance
+      (same honest-cap convention as dedup._capped_block_pairs) —
+      at real scale the centroid count is sized so clusters stay far
+      below the cap.
+    """
+    v = (
+        emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cent_arr = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
+    )
+    # argmax over (neg rounded sim, cell): first element after sort
+    sims = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            (
+                -F.round(
+                    _dot(F.col("v"), s["centroid"])
+                    / (
+                        F.col("n")
+                        * F.sqrt(_dot(s["centroid"], s["centroid"]))
+                    )
+                    + F.lit(1e-9),
+                    6,
+                )
+            ).alias("neg_sim"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    assigned = (
+        v.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cell", F.element_at(F.array_sort(sims), 1)["cell"])
+        .drop("__cents")
+    )
+    clusters = (
+        assigned.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("all_members"))
+        .withColumn("cluster_truncated", F.size("all_members") > max_cluster_block)
+        .withColumn("members", F.slice("all_members", 1, max_cluster_block))
+        .drop("all_members")
+        .filter(F.size("members") >= 2)
+    )
+    members = F.col("members")
+
+    def _witnesses(x, i):
+        # hits among the i members BEFORE x (id-sorted => lowest id first)
+        priors = F.slice(members, 1, i)
+        hits = F.filter(
+            F.transform(
+                priors,
+                lambda y: F.struct(
+                    y["id"].alias("kept_id"),
+                    F.round(
+                        _dot(x["v"], y["v"]) / (x["n"] * y["n"]) + F.lit(1e-9), 4
+                    ).alias("cosine_sim"),
+                ),
+            ),
+            lambda h: h["cosine_sim"] >= F.lit(threshold),
+        )
+        # F.get is null-safe on the empty-hits case (ANSI element_at throws)
+        return F.struct(
+            x["id"].alias("removed_id"),
+            F.get(hits, 0)["kept_id"].alias("kept_id"),
+            F.get(hits, 0)["cosine_sim"].alias("cosine_sim"),
+        )
+
+    pruned = F.filter(
+        F.transform(members, _witnesses),
+        lambda p: p["kept_id"].isNotNull(),
+    )
+    return (
+        clusters.select("cell", "cluster_truncated", F.explode(pruned).alias("p"))
+        .select("p.removed_id", "p.kept_id", "cell", "p.cosine_sim", "cluster_truncated")
+    )

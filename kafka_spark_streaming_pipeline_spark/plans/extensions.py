@@ -1982,3 +1982,142 @@ def x49_multi_table_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk_multi(
         emb.filter(F.col("vec_id") < 10), emb, _srp_tables(3), k=5
     )
+
+
+@query(
+    "x50_hybrid_rrf",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('customer', 'vector', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS score
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), sparse AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dsc AS (
+      SELECT c.doc_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   + 1e-9, 4) AS cosine_sim
+      FROM q CROSS JOIN c
+    ), dense AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM dsc ORDER BY cosine_sim DESC, doc_id LIMIT 20
+    ), u AS (
+      SELECT doc_id, rank FROM sparse UNION ALL SELECT doc_id, rank FROM dense
+    ), fused AS (
+      SELECT doc_id,
+             round(sum(1.0 / (60.0 + rank)) + 1e-9, 6) AS rrf_score,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+)
+def x50_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of BM25 top-20 (sparse,
+    p18's query) with exact-cosine top-20 for query vector 0 (dense,
+    p13's scorer), k=60 — the standard fusion for RAG corpus search.
+    Both inputs are already top-n, so the fusion's union + grouped agg
+    + TakeOrderedAndProject touch at most 40 rows; the corpus is
+    scanned once per branch."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+    from ..operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sparse = bm25_topk(
+        docs, ["customer", "vector", "merge", "stream"], topk=20, min_token_len=3
+    ).select("doc_id", "rank")
+    dense = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([sparse, dense], id_col="doc_id", k=60, topk=10)
+
+
+@query(
+    "x51_semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), en AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM e
+    ), cents AS (
+      SELECT id AS cell, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+      FROM e WHERE id < 8
+    ), sims AS (
+      SELECT en.id, cents.cell,
+             round(list_dot_product(en.v, cents.cv) / (en.n * cents.cn) + 1e-9, 6)
+               AS sim
+      FROM en CROSS JOIN cents
+    ), assign AS (
+      SELECT id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT b.id AS removed_id, a.id AS kept_id, a.cell,
+             round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n) + 1e-9, 4)
+               AS cosine_sim
+      FROM assign a
+      JOIN assign b ON a.cell = b.cell AND a.id < b.id
+      JOIN en ea ON ea.id = a.id
+      JOIN en eb ON eb.id = b.id
+    ), hits AS (
+      SELECT * FROM pairs WHERE cosine_sim >= 0.3
+    )
+    SELECT removed_id, kept_id, cell, cosine_sim,
+           false AS cluster_truncated
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY removed_id ORDER BY kept_id) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: nearest-centroid assignment
+    (8 deterministic centroids — the first 8 corpus vectors; no RNG)
+    then within-cluster cosine pruning at threshold 0.3 (the synthetic
+    embeddings are near-orthogonal: in-cluster p99 cosine is ~0.32, so
+    0.3 prunes the genuinely-similar ~1% tail), keeping the
+    lowest-id witness per removed vector.  Assignment is a broadcast
+    argmax (shuffle-free); pairwise cosine runs only inside clusters
+    via array HOF pair expansion (one groupBy shuffle)."""
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+    )
+    return semantic_dedup(emb, cents, threshold=0.3)

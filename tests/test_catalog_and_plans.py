@@ -32,6 +32,7 @@ def test_registry_contract():
         "x15_ivf_topk",
         "x18_hll_user_rollup",
         "x37_kmeans_clusters",
+        "x49_multi_table_lsh",
     }
 
 

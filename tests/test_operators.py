@@ -980,3 +980,72 @@ def test_simhash_band_space_grows_with_corpus(spark):
     small, large = n_buckets(corpus(60)), n_buckets(corpus(240))
     # far beyond the old 64-bucket ceiling, and still growing
     assert large > small > 64
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny rankings matches the hand-computed fusion:
+    ids in both lists outrank single-source ids, scores are
+    1/(60+r_a) + 1/(60+r_b)."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2), (10, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], topk=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[20].n_sources == 2 and out[30].n_sources == 1
+    assert abs(out[20].rrf_score - (1 / 62 + 1 / 61)) < 1e-5
+    assert abs(out[10].rrf_score - (1 / 61 + 1 / 63)) < 1e-5
+    # both-source ids fuse ahead of either single-source id
+    assert out[20].rank == 1 and out[10].rank == 2
+    assert {out[30].rank, out[40].rank} == {3, 4}
+
+
+def test_semantic_dedup_prunes_planted_duplicates(spark):
+    """Planted near-identical vectors in the same cluster are pruned
+    against the lowest-id witness; cross-cluster near-dups are NOT
+    candidates (the SemDeDup approximation), and orthogonal vectors
+    survive."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    near_e1 = [0.98, 0.02, 0.0, 0.0]
+    rows = [
+        (0, e1),          # cluster 0 anchor
+        (1, e2),          # cluster 1 anchor
+        (2, near_e1),     # dup of 0 -> removed, witness 0
+        (3, [0.97, 0.0, 0.05, 0.0]),  # dup of 0 -> removed, witness 0
+        (4, [0.0, 0.0, 1.0, 0.0]),    # orthogonal-ish, survives
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, e1), (1, e2)], ["cell", "centroid"]
+    )
+    out = {r.removed_id: r for r in semantic_dedup(
+        emb, cents, threshold=0.9
+    ).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].kept_id == 0 and out[3].kept_id == 0
+    assert out[2].cell == 0
+    assert not out[2].cluster_truncated
+    assert out[2].cosine_sim >= 0.9
+
+
+def test_semantic_dedup_cluster_cap_truncates_loudly(spark):
+    """A cluster above max_cluster_block is truncated to the lowest-id
+    members and every emitted pair carries cluster_truncated=true —
+    the same honest-cap convention as the blocked dedup operators."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 10 copies of the same direction -> one cluster of 10
+    rows = [(i, [1.0, 0.0, float(i) * 1e-4, 0.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], ["cell", "centroid"])
+    out = semantic_dedup(emb, cents, threshold=0.5, max_cluster_block=4).collect()
+    # only members 1..3 can be pruned (0 is the root; 4..9 truncated away)
+    assert {r.removed_id for r in out} == {1, 2, 3}
+    assert all(r.cluster_truncated for r in out)
+    assert all(r.kept_id == 0 for r in out)

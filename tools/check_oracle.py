@@ -5,12 +5,18 @@ Runs every query in the registry through BOTH Spark and DuckDB at the
 given scale factor and compares row count, column names, and an
 order-insensitive value hash.  Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With ``--json`` the per-query results are also written as a single
+JSON object in the driver's CORRECTNESS_r*.json shape, so the queries
+outside the driver's 50-slot window keep an in-repo green record
+(ORACLE_FULL_r{N}.json, committed per round).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -36,8 +42,14 @@ def canonical(rows: list[tuple], cols: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -54,6 +66,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     failures = []
+    record: dict[str, dict] = {}
     for name, q in sorted(QUERIES.items()):
         if only and name not in only:
             continue
@@ -65,9 +78,11 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {"err": f"spark: {e}"[:300]}
             continue
         if q.oracle is None:
             print(f"ok   {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            record[name] = {"err": None, "spark_rows": len(s_rows), "rows_only": True}
             continue
         try:
             res = con.execute(q.oracle)
@@ -76,6 +91,7 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {"err": f"duckdb: {e}"[:300]}
             continue
         problems = []
         if len(s_rows) != len(d_rows):
@@ -98,7 +114,20 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+        record[name] = {
+            "err": None,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": not problems,
+        }
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": record}, f, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out} ({len(record)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
