@@ -414,3 +414,99 @@ def length_outlier_trim(
         .filter((F.col("n_tokens") >= F.col("p_lo")) & (F.col("n_tokens") <= F.col("p_hi")))
         .select("doc_id", F.col("grp").alias(by), "n_tokens", "p_lo", "p_hi")
     )
+
+
+# ------------------------------------------------------- training order
+
+def training_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shuffle|",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: the final
+    step of a data pipeline — fix a pseudo-random training order
+    WITHOUT an RNG, so re-runs (and the DuckDB oracle) reproduce it
+    bit-for-bit.
+
+    Each doc gets a portable md5-derived 60-bit shuffle key; its shard
+    is ``key % n_shards`` and its position is the rank of the key
+    within the shard.  Scale shape: ONE exchange (the per-shard
+    window); shards are hash-balanced so each window sorts
+    ~|corpus|/n_shards rows — at 100 TB you raise ``n_shards`` to keep
+    the per-shard sort in memory, exactly how training shards are
+    sized in practice.  No global sort, no single-partition exchange.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        hash60(F.col(id_col).cast("string"), salt=salt).alias("shuffle_key"),
+    ).withColumn("shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int"))
+    w = W.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return keyed.withColumn("pos", F.row_number().over(w)).select(
+        id_col, "shard", "pos", "n_tokens", "shuffle_key"
+    )
+
+
+# ------------------------------------------------- rule-based filtering
+
+def gopher_quality_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_alpha_frac: float = 0.8,
+    max_dup_trigram_frac: float = 0.1,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1):
+    per-document metrics + one boolean per rule + the conjunction
+    ``keep``, so downstream yield analysis can attribute every
+    rejection to a rule (not just a score).
+
+    Rules: word-count bounds, mean-word-length bounds, >=N stopwords
+    (natural-language evidence), >=80% tokens containing a letter, and
+    duplicated-trigram fraction (1 - distinct/total trigrams — the
+    repetition signal; complements repetition_stats' top-bigram
+    fraction).  Pure single-scan column expressions — token array and
+    trigram array bound once per row, zero shuffle, stays in
+    whole-stage codegen."""
+    toks = tokens_of(F.col(text_col))
+    tris = shingle_arr(F.col(text_col), 3)
+    from .text import STOPWORDS
+
+    out = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks)
+        ).alias("mean_word_len"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
+        (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks)
+        ).alias("alpha_frac"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(tris)) / F.size(tris)
+        ).alias("dup_trigram_frac"),
+    )
+    rules = out.select(
+        "*",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias("r_len"),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("r_word_len"),
+        (F.col("stop_hits") >= min_stop_hits).alias("r_stop"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("r_alpha"),
+        (F.col("dup_trigram_frac") <= max_dup_trigram_frac).alias("r_dup"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("r_len") & F.col("r_word_len") & F.col("r_stop")
+        & F.col("r_alpha") & F.col("r_dup"),
+    )

@@ -2121,3 +2121,81 @@ def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
     return semantic_dedup(emb, cents, threshold=0.3)
+
+
+@query(
+    "x52_training_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shuffle|' || doc_id), 1, 15))::BIGINT AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shuffle_key % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+                                   ORDER BY shuffle_key, doc_id) AS INT) AS pos,
+           n_tokens, shuffle_key
+    FROM keyed
+    """,
+)
+def x52_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards — the final
+    pipeline step that fixes a reproducible pseudo-random training
+    order with no RNG.  One exchange (the per-shard rank window);
+    shards are hash-balanced, so the per-shard sort stays bounded at
+    scale by raising n_shards."""
+    from ..operators.curation import training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shards(docs, n_shards=8)
+
+
+@query(
+    "x53_gopher_rules",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), tri AS (
+      SELECT doc_id, toks,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             ) AS tris
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE)
+               AS dup_trigram_frac
+      FROM tri
+    ), r AS (
+      SELECT *,
+             n_words BETWEEN 30 AND 10000 AS r_len,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+             stop_hits >= 2 AS r_stop,
+             alpha_frac >= 0.8 AS r_alpha,
+             dup_trigram_frac <= 0.1 AS r_dup
+      FROM m
+    )
+    SELECT *, r_len AND r_word_len AND r_stop AND r_alpha AND r_dup AS keep
+    FROM r
+    """,
+)
+def x53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter: word-count bounds,
+    mean-word-length bounds, stopword evidence, alpha-token fraction,
+    and duplicated-trigram fraction, each as an attributable boolean
+    plus the conjunction ``keep``.  Single scan, zero shuffle."""
+    from ..operators.curation import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs)

@@ -98,3 +98,64 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert joined.collect()[0]["n"] > 0
+
+
+def test_zorder_layout_prunes_2d_box_and_is_exact(spark, sf_dir, tmp_path):
+    """Z-order layout: a 2-D box predicate must (a) return exactly the
+    rows a direct filter returns, and (b) prune partition DIRECTORIES
+    — the scan lists only the Z-buckets whose cells intersect the box,
+    which no 1-D layout can do for a conjunctive 2-D predicate."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.sources.zorder import (
+        read_zordered_box,
+        write_zordered,
+        zbuckets_for_box,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    xr, yr = (0.0, 51.0), (0.0, 100000.0)
+    path = str(tmp_path / "zorder_li")
+    write_zordered(
+        li, path, "l_quantity", "l_extendedprice", xr, yr, bits=4, prefix_bits=4
+    )
+
+    box = dict(x_lo=5.0, x_hi=15.0, y_lo=1000.0, y_hi=20000.0)
+    got = read_zordered_box(
+        spark, path, "l_quantity", "l_extendedprice",
+        box["x_lo"], box["x_hi"], box["y_lo"], box["y_hi"],
+        xr, yr, bits=4, prefix_bits=4,
+    )
+    expected = li.filter(
+        (F.col("l_quantity").between(box["x_lo"], box["x_hi"]))
+        & (F.col("l_extendedprice").between(box["y_lo"], box["y_hi"]))
+    )
+    assert got.count() == expected.count() > 0
+
+    # pruning: candidate buckets are a strict subset of all buckets,
+    # and the scan's PartitionFilters carry the IN-list
+    buckets = zbuckets_for_box(
+        box["x_lo"], box["x_hi"], box["y_lo"], box["y_hi"], xr, yr, 4, 4
+    )
+    total = spark.read.parquet(path).select("zbucket").distinct().count()
+    assert 0 < len(buckets) < total
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "zbucket" in plan
+
+
+def test_zvalue_locality_beats_1d_layout(spark):
+    """The point of Z-order: for a square box over a uniform grid, the
+    Z-prefix bucket set is (much) smaller than the fraction of a 1-D
+    layout's partitions the same box touches on its SECOND dimension
+    (a 1-D layout prunes nothing for the other column: all partitions
+    contain every y)."""
+    from kafka_spark_streaming_pipeline_spark.sources.zorder import (
+        zbuckets_for_box,
+    )
+
+    xr = yr = (0.0, 256.0)
+    # a 1/4 x 1/4 box in the corner
+    z = zbuckets_for_box(0.0, 63.0, 0.0, 63.0, xr, yr, bits=4, prefix_bits=4)
+    # 16 prefix buckets total; the quarter-box touches only its quadrant
+    assert len(z) <= 4

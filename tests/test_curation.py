@@ -181,3 +181,57 @@ def test_length_outlier_trim_approx_close_to_exact(spark):
     # outlier survives; the high outlier is cut and the body kept
     assert 401 not in approx
     assert len(exact) >= 398 and len(approx) >= 399
+
+
+def test_training_shards_is_deterministic_permutation(spark, sf_dir):
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = training_shards(docs, n_shards=4).collect()
+    n_docs = docs.count()
+    # every doc exactly once
+    assert len(out) == n_docs
+    assert len({r.doc_id for r in out}) == n_docs
+    # positions are contiguous 1..len(shard) within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic: a second run yields the identical order
+    again = training_shards(docs, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+
+
+def test_gopher_rules_attribute_rejections(spark):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        gopher_quality_rules,
+    )
+
+    good = (
+        "the quick brown fox jumps over a lazy dog near the old mill and "
+        "then it runs down to the river where a tall heron waits for fish "
+        "in the cold clear water of that quiet valley every single morning"
+    )
+    rows = [
+        (1, good),                                    # passes all rules
+        (2, "too short for the corpus"),              # r_len
+        (3, " ".join(f"w{i}" for i in range(40))),    # r_stop (no stopwords)
+        (4, "the " + " ".join(["1 2 3"] * 20)),       # r_alpha + r_dup
+        (5, "the a " + "spam ham eggs " * 15),        # r_dup (repeated trigram)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert out[1].keep
+    assert not out[2].keep and not out[2].r_len
+    assert not out[3].keep and not out[3].r_stop and out[3].r_len
+    assert not out[4].keep and not out[4].r_alpha and not out[4].r_dup
+    assert not out[5].keep and not out[5].r_dup and out[5].r_stop
+    # metrics are attributable, not just the final boolean
+    assert out[5].dup_trigram_frac > 0.1 and out[1].dup_trigram_frac <= 0.1
