@@ -158,15 +158,76 @@ def append_log_upsert(batch_df: DataFrame, table_path: str, batch_id: int) -> No
     )
 
 
+def _drop_replays_behind_watermark(log: DataFrame) -> DataFrame:
+    """Replay guard for logs compacted ONLINE (``quiesced=False``):
+    folded rows encode the highest batch id they absorbed as
+    ``__commit = -(wm + 2)``; a batch the stream replays after a crash
+    re-appends under its ORIGINAL id <= wm, and since its first copy
+    was folded away, per-commit dedup alone can no longer drop it.
+    This filter can: keep folded rows (negative) and live rows with
+    ``__commit > wm`` only.  Quiesced compaction stamps -1, which
+    decodes to wm = -1 — every live row passes, today's semantics.
+    The watermark is derived IN-PLAN (tiny aggregate, broadcast back);
+    no driver-side collect."""
+    wm = log.agg(
+        F.coalesce(
+            F.max(F.when(F.col("__commit") < -1, -F.col("__commit") - 2)),
+            F.lit(-1),
+        ).alias("__wm")
+    )
+    return (
+        log.crossJoin(F.broadcast(wm))
+        .filter((F.col("__commit") < 0) | (F.col("__commit") > F.col("__wm")))
+        .drop("__wm")
+    )
+
+
+def _stamp_folded(resolved: DataFrame, log: DataFrame, quiesced: bool) -> DataFrame:
+    """Attach the ``__commit`` stamp compaction puts on folded rows.
+
+    Quiesced (default): -1 — folded history can never collide with a
+    stream restarted on a FRESH checkpoint (ids restart at 0), which
+    is the supported restart path after an offline compaction.
+
+    Online (``quiesced=False``): -(wm + 2) where wm is the highest
+    batch id being folded (carried forward across successive online
+    folds) — safe to run UNDER a live stream, because a replayed
+    uncheckpointed batch (id <= wm) is dropped by
+    ``_drop_replays_behind_watermark`` while future batches (id > wm)
+    merge normally.  Before restarting on a fresh checkpoint, run one
+    quiesced compaction to reset the stamp to -1.  The watermark is a
+    tiny in-plan aggregate broadcast onto the folded rows."""
+    if quiesced:
+        return resolved.withColumn("__commit", F.lit(-1))
+    wm = log.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("__commit") >= 0, F.col("__commit")).otherwise(
+                    -F.col("__commit") - 2
+                )
+            ),
+            F.lit(-1),
+        ).alias("__fold_wm")
+    )
+    return (
+        resolved.crossJoin(F.broadcast(wm))
+        .withColumn("__commit", -(F.col("__fold_wm") + F.lit(2)))
+        .drop("__fold_wm")
+    )
+
+
 def latest_view(
     spark, table_path: str, keys: list[str], order_col: str | None = None
 ) -> DataFrame:
     """Last-writer-wins view over the append log: one row per key,
     newest commit (then ``order_col``) winning — the read-side half of
-    merge-on-read."""
+    merge-on-read.  Replays of batches folded by an online compaction
+    are dropped via the in-band watermark (see
+    ``_drop_replays_behind_watermark``)."""
     log = AtomicParquetTable(table_path).read(spark)
     if log is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
+    log = _drop_replays_behind_watermark(log)
     order = [F.col("__commit").desc()] + (
         [F.col(order_col).desc()] if order_col else []
     )
@@ -179,7 +240,11 @@ def latest_view(
 
 
 def compact_log(
-    spark, table_path: str, keys: list[str], order_col: str | None = None
+    spark,
+    table_path: str,
+    keys: list[str],
+    order_col: str | None = None,
+    quiesced: bool = True,
 ) -> None:
     """Fold the log to one row per key (the background compaction that
     bounds read amplification).  The rewrite is an atomic ``overwrite``
@@ -193,14 +258,21 @@ def compact_log(
     batch in latest_view's ordering — the stale compacted row could
     nondeterministically win.  -1 always loses to any live batch.
 
-    Compaction must only run against a quiesced, fully-checkpointed
-    log: if the stream appended a batch whose checkpoint commit had
-    not landed when compaction folded it, the restarted stream
-    re-appends that batch under its original id and per-commit dedup
-    cannot drop it (the original rows were folded into -1)."""
+    With the default ``quiesced=True`` the log must be quiesced and
+    fully checkpointed when compaction runs — if the stream appended a
+    batch whose checkpoint commit had not landed when compaction
+    folded it, the restarted stream re-appends that batch under its
+    original id and per-commit dedup cannot drop it (the original
+    rows were folded into -1).  ``quiesced=False`` lifts that
+    requirement for a LIVE stream: the fold stamps the in-band
+    watermark instead (see ``_stamp_folded``) and the views drop such
+    replays."""
     table = AtomicParquetTable(table_path)
-    resolved = latest_view(spark, table_path, keys, order_col).withColumn(
-        "__commit", F.lit(-1)
+    log = table.read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    resolved = _stamp_folded(
+        latest_view(spark, table_path, keys, order_col), log, quiesced
     )
     table.overwrite(resolved)
     table.vacuum(spark)
@@ -286,7 +358,8 @@ def rollup_view(spark, rollup_path: str, key_cols: list[str]) -> DataFrame:
     if log is None:
         raise FileNotFoundError(f"no committed version at {rollup_path}")
     return (
-        log.dropDuplicates(["__commit", *key_cols, "bucket"])
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", *key_cols, "bucket"])
         .groupBy(*key_cols, "bucket")
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
@@ -295,22 +368,30 @@ def rollup_view(spark, rollup_path: str, key_cols: list[str]) -> DataFrame:
     )
 
 
-def compact_rollup(spark, rollup_path: str, key_cols: list[str]) -> None:
+def compact_rollup(
+    spark, rollup_path: str, key_cols: list[str], quiesced: bool = True
+) -> None:
     """Fold the partial-aggregate log to one row per (key, bucket);
     atomic overwrite, crash leaves the uncompacted log intact.
-    The folded rows carry __commit=-1: foreachBatch batch ids are
+    Quiesced folds carry __commit=-1: foreachBatch batch ids are
     always >= 0, so a stream restarted on a FRESH checkpoint (batch
     ids starting over at 0) can never collide with compacted history
     in the per-commit dedup.
 
-    Run ONLY against a quiesced, fully-checkpointed log: folding an
-    appended-but-uncheckpointed batch loses its __commit identity, so
-    the stream's replay of that batch re-appends rows the per-commit
-    dedup can no longer match — partials double-count.  (Same
-    requirement for compact_index and compact_log.)"""
+    The default requires a quiesced, fully-checkpointed log: folding
+    an appended-but-uncheckpointed batch loses its __commit identity,
+    so the stream's replay of that batch re-appends rows the
+    per-commit dedup can no longer match — partials double-count.
+    ``quiesced=False`` makes compaction safe UNDER a live stream
+    instead: the fold stamps the in-band replay watermark
+    (``_stamp_folded``) and the views drop replayed batches behind it.
+    (Same contract for compact_index and compact_log.)"""
     table = AtomicParquetTable(rollup_path)
-    folded = rollup_view(spark, rollup_path, key_cols).withColumn(
-        "__commit", F.lit(-1)
+    log = table.read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {rollup_path}")
+    folded = _stamp_folded(
+        rollup_view(spark, rollup_path, key_cols), log, quiesced
     )
     table.overwrite(folded)
     table.vacuum(spark)
@@ -362,7 +443,8 @@ def index_view(
     if log is None:
         raise FileNotFoundError(f"no committed version at {index_path}")
     merged = (
-        log.dropDuplicates(["__commit", "term"])
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "term"])
         .groupBy("term")
         .agg(
             F.sum("df").cast("long").alias("df"),
@@ -379,15 +461,19 @@ def index_view(
     return merged.withColumn("postings_truncated", F.lit(False))
 
 
-def compact_index(spark, index_path: str) -> None:
+def compact_index(spark, index_path: str, quiesced: bool = True) -> None:
     """Fold the partial-index log to one row per term; atomic
-    overwrite, crash leaves the uncompacted log intact.  __commit=-1
-    for the same fresh-checkpoint-restart reason as compact_rollup,
-    and the same quiesced-log requirement applies (see
-    compact_rollup's docstring)."""
+    overwrite, crash leaves the uncompacted log intact.  Quiesced
+    folds stamp __commit=-1 for the same fresh-checkpoint-restart
+    reason as compact_rollup; ``quiesced=False`` stamps the in-band
+    replay watermark so compaction is safe under a live stream (see
+    compact_rollup's docstring for the full contract)."""
     table = AtomicParquetTable(index_path)
-    folded = index_view(spark, index_path).select(
-        "term", "df", "postings"
-    ).withColumn("__commit", F.lit(-1))
+    log = table.read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed version at {index_path}")
+    folded = _stamp_folded(
+        index_view(spark, index_path).select("term", "df", "postings"), log, quiesced
+    )
     table.overwrite(folded)
     table.vacuum(spark)

@@ -939,3 +939,105 @@ def test_orc_stream_source_end_to_end(spark, tmp_path):
     )
     _drain(q)
     assert sorted((r.id, r.v) for r in results) == [(1, "a"), (2, "b")]
+
+
+def test_online_compaction_drops_replayed_uncheckpointed_batch(spark, tmp_path):
+    """compact_rollup(quiesced=False) under a live stream: a batch that
+    was appended but NOT yet checkpointed gets folded; the restarted
+    stream replays it under its original id.  The in-band watermark
+    must drop that replay (no double count) while still merging truly
+    new batches — the exact scenario the quiesced-only contract used
+    to forbid."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_rollup,
+        make_rollup_sink,
+        rollup_view,
+    )
+
+    rollup_path = str(tmp_path / "rollup")
+    sink = make_rollup_sink(rollup_path, ["stream_id"])
+
+    def batch_df(events):
+        return spark.createDataFrame(events, LIVE_CHUNK_SCHEMA).withColumn(
+            "event_ts", F.to_timestamp("timestamp")
+        )
+
+    b0 = [_event("s1", i) for i in range(4)]
+    b1 = [_event("s1", i) for i in range(4, 6)] + [_event("s2", i) for i in range(2)]
+    sink(batch_df(b0), 0)
+    sink(batch_df(b1), 1)  # appended; checkpoint for batch 1 never lands
+
+    def view_rows():
+        return {
+            (r.stream_id, r.bucket): (r.n_events, r.value_sum)
+            for r in rollup_view(spark, rollup_path, ["stream_id"]).collect()
+        }
+
+    want = view_rows()
+
+    # online compaction while the stream is live
+    compact_rollup(spark, rollup_path, ["stream_id"], quiesced=False)
+    assert view_rows() == want
+
+    # crash-restart replays batch 1 under its original id -> dropped
+    sink(batch_df(b1), 1)
+    assert view_rows() == want
+
+    # a second online fold carries the watermark forward
+    compact_rollup(spark, rollup_path, ["stream_id"], quiesced=False)
+    sink(batch_df(b1), 1)
+    assert view_rows() == want
+
+    # a genuinely new batch (id above the watermark) still merges
+    b2 = [_event("s3", i) for i in range(3)]
+    sink(batch_df(b2), 2)
+    after = view_rows()
+    assert sum(v[0] for v in after.values()) == sum(v[0] for v in want.values()) + 3
+
+    # a quiesced fold resets the stamp to -1, restoring the
+    # fresh-checkpoint restart path (new batch id 0 must be ACCEPTED)
+    compact_rollup(spark, rollup_path, ["stream_id"])
+    fresh = [_event("s4", i) for i in range(2)]
+    sink(batch_df(fresh), 0)
+    final = view_rows()
+    assert sum(v[0] for v in final.values()) == sum(v[0] for v in after.values()) + 2
+
+
+def test_online_index_compaction_drops_replays(spark, tmp_path):
+    """Same watermark contract for the incremental inverted index:
+    online compaction + replay of the folded batch must not
+    double-count df/postings."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import inverted_index
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_index,
+        index_view,
+        make_index_sink,
+    )
+
+    DOC_SCHEMA = "doc_id bigint, text string"
+    index_path = str(tmp_path / "index")
+    sink = make_index_sink(index_path)
+    b0 = [(1, "alpha beta gamma"), (2, "alpha delta")]
+    b1 = [(3, "beta gamma epsilon")]
+    sink(spark.createDataFrame(b0, DOC_SCHEMA), 0)
+    sink(spark.createDataFrame(b1, DOC_SCHEMA), 1)
+
+    def view_rows():
+        return {
+            r.term: (r.df, r.postings)
+            for r in index_view(spark, index_path).collect()
+        }
+
+    want = {
+        r.term: (r.df, r.postings)
+        for r in inverted_index(spark.createDataFrame(b0 + b1, DOC_SCHEMA)).collect()
+    }
+    assert view_rows() == want
+
+    compact_index(spark, index_path, quiesced=False)
+    sink(spark.createDataFrame(b1, DOC_SCHEMA), 1)  # replay of folded batch
+    assert view_rows() == want
+
+    sink(spark.createDataFrame([(7, "alpha omega")], DOC_SCHEMA), 2)  # new batch
+    after = view_rows()
+    assert after["alpha"] == (want["alpha"][0] + 1, sorted(want["alpha"][1] + [7]))
