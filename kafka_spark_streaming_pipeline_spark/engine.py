@@ -177,3 +177,51 @@ class Engine:
         emb = self.table("embeddings")
         q = queries if queries is not None else emb.filter(F.col("vec_id") < 5)
         return cosine_topk(q, emb, k=k)
+
+    def hybrid_search(
+        self, terms: list[str], query_vec_id: int = 0, n: int = 20, k: int = 10
+    ) -> DataFrame:
+        """Hybrid retrieval: RRF fusion of BM25 top-n (terms over
+        documents) with exact-cosine top-n (query_vec_id over
+        embeddings) — doc ids and vec ids share the id space in this
+        catalog."""
+        from pyspark.sql import functions as F
+
+        from .operators.retrieval import bm25_topk, rrf_fuse
+        from .operators.similarity import cosine_topk
+
+        sparse = bm25_topk(self.table("documents"), terms, topk=n).select(
+            "doc_id", "rank"
+        )
+        emb = self.table("embeddings")
+        dense = cosine_topk(
+            emb.filter(F.col("vec_id") == query_vec_id), emb, k=n
+        ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return rrf_fuse([sparse, dense], id_col="doc_id", topk=k)
+
+    def semantic_dedup(self, n_centroids: int = 8, threshold: float = 0.3) -> DataFrame:
+        """SemDeDup pruning over the embeddings table (first
+        ``n_centroids`` vectors seed the deterministic centroids)."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import semantic_dedup
+
+        emb = self.table("embeddings")
+        cents = emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
+        )
+        return semantic_dedup(emb, cents, threshold=threshold)
+
+    def quality_report(self, **kwargs) -> DataFrame:
+        """Gopher-style per-document quality rules with per-rule
+        attribution (see operators.curation.gopher_quality_rules)."""
+        from .operators.curation import gopher_quality_rules
+
+        return gopher_quality_rules(self.table("documents"), **kwargs)
+
+    def shards(self, n_shards: int = 8) -> DataFrame:
+        """Deterministic RNG-free training order: (doc, shard, pos)."""
+        from .operators.curation import training_shards
+
+        return training_shards(self.table("documents"), n_shards=n_shards)

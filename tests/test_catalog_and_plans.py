@@ -223,3 +223,28 @@ def test_read_evolved_merges_schema_with_defaults(spark, tmp_path):
     assert set(out.columns) >= {"id", "name", "quality"}
     assert rows[1]["quality"] == 0.5  # old files backfilled
     assert rows[2]["quality"] == 0.9
+
+
+def test_engine_round4_surfaces(spark, sf_dir):
+    """The round-4 facade additions: hybrid search, SemDeDup, the
+    quality report, and training shards all return live DataFrames
+    consistent with their underlying registered queries."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    hy = eng.hybrid_search(["customer", "vector", "merge", "stream"], k=5).collect()
+    assert len(hy) == 5 and hy[0]["rank"] == 1
+    assert all(r.n_sources in (1, 2) for r in hy)
+
+    sd = eng.semantic_dedup().limit(5).collect()
+    assert all(r.removed_id > r.kept_id for r in sd)
+
+    qr = eng.quality_report()
+    n_docs = eng.table("documents").count()
+    assert qr.count() == n_docs
+    kept = qr.filter("keep").count()
+    assert 0 < kept < n_docs  # the rules discriminate
+
+    sh = eng.shards(n_shards=4)
+    assert sh.count() == n_docs
+    assert sh.select("shard").distinct().count() == 4
