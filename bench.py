@@ -54,6 +54,11 @@ HEADLINE = [
     # top-k, TakeOrderedAndProject ranking).
     "x14_embedding_neardup",
     "p18_bm25_topk",
+    # r04 additions: semantic dedup (centroid assign + in-cluster
+    # cosine pruning) and the deterministic full-corpus shuffle into
+    # training shards (hash-balanced global reorder).
+    "x51_semantic_dedup",
+    "x52_training_shards",
 ]
 
 

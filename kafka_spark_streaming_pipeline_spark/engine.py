@@ -199,7 +199,7 @@ class Engine:
         ).select(F.col("neighbor_id").alias("doc_id"), "rank")
         return rrf_fuse([sparse, dense], id_col="doc_id", topk=k)
 
-    def semantic_dedup(self, n_centroids: int = 8, threshold: float = 0.3) -> DataFrame:
+    def semantic_dedup(self, n_centroids: int = 32, threshold: float = 0.3) -> DataFrame:
         """SemDeDup pruning over the embeddings table (first
         ``n_centroids`` vectors seed the deterministic centroids)."""
         from pyspark.sql import functions as F

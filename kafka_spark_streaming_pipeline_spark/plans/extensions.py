@@ -2074,7 +2074,7 @@ def x50_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM e
     ), cents AS (
       SELECT id AS cell, v AS cv, sqrt(list_dot_product(v, v)) AS cn
-      FROM e WHERE id < 8
+      FROM e WHERE id < 32
     ), sims AS (
       SELECT en.id, cents.cell,
              round(list_dot_product(en.v, cents.cv) / (en.n * cents.cn) + 1e-9, 6)
@@ -2106,7 +2106,9 @@ def x50_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: nearest-centroid assignment
-    (8 deterministic centroids — the first 8 corpus vectors; no RNG)
+    (32 deterministic centroids — the first 32 corpus vectors; no RNG;
+    SemDeDup sizes the centroid count with the corpus so cluster-local
+    pairing stays subquadratic)
     then within-cluster cosine pruning at threshold 0.3 (the synthetic
     embeddings are near-orthogonal: in-cluster p99 cosine is ~0.32, so
     0.3 prunes the genuinely-similar ~1% tail), keeping the
@@ -2116,7 +2118,7 @@ def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    cents = emb.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
