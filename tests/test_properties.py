@@ -308,3 +308,74 @@ def test_canonical_url_idempotent_and_tracker_free(spark, urls):
     for c in c1:
         assert "#" not in c and "utm_" not in c and "fbclid" not in c
         assert c.split("://")[0].islower()
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=2, max_size=30, unique=True),
+    extra=st.lists(st.integers(10_001, 20_000), min_size=1, max_size=10, unique=True),
+)
+@settings(max_examples=6, deadline=None)
+def test_training_shards_stable_under_corpus_growth(spark, ids, extra):
+    """Hash-based sharding must be STABLE: adding documents never moves
+    an existing document to a different shard (its shuffle key is a
+    pure function of its id), and within a shard the relative order of
+    surviving docs is preserved — the property that makes incremental
+    shard maintenance possible at all."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        training_shards,
+    )
+
+    def run(id_list):
+        docs = spark.createDataFrame(
+            [(i, f"text for doc {i}") for i in id_list], ["doc_id", "text"]
+        )
+        return {
+            r.doc_id: (r.shard, r.pos)
+            for r in training_shards(docs, n_shards=4).collect()
+        }
+
+    before = run(ids)
+    after = run(ids + extra)
+    for doc_id, (shard, _pos) in before.items():
+        assert after[doc_id][0] == shard  # shard never changes
+    # relative order within a shard is preserved for surviving docs
+    for shard in {s for s, _ in before.values()}:
+        old_order = [d for d, (s, p) in sorted(before.items(), key=lambda kv: kv[1][1]) if s == shard]
+        new_order = [d for d, (s, p) in sorted(after.items(), key=lambda kv: kv[1][1])
+                     if s == shard and d in before]
+        assert new_order == old_order
+
+
+@given(
+    n_lists=st.integers(2, 4),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=6, deadline=None)
+def test_rrf_fuse_permutation_invariant_and_bounded(spark, n_lists, seed):
+    """RRF is a set-level fusion: the ORDER the rankings are passed in
+    must not change any fused score or rank, and every fused score is
+    bounded by n_lists / (k + 1)."""
+    import random
+
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(seed)
+    rankings = []
+    for _ in range(n_lists):
+        ids = rng.sample(range(100), rng.randint(1, 8))
+        rankings.append(
+            spark.createDataFrame(
+                [(d, r + 1) for r, d in enumerate(ids)], ["doc_id", "rank"]
+            )
+        )
+    fused = {
+        r.doc_id: (r.rrf_score, r.n_sources, r.rank)
+        for r in rrf_fuse(rankings, topk=200).collect()
+    }
+    shuffled = rankings[::-1]
+    fused2 = {
+        r.doc_id: (r.rrf_score, r.n_sources, r.rank)
+        for r in rrf_fuse(shuffled, topk=200).collect()
+    }
+    assert fused == fused2
+    assert all(s <= n_lists / 61.0 + 1e-9 for s, _, _ in fused.values())
