@@ -690,3 +690,42 @@ def semantic_dedup(
         clusters.select("cell", "cluster_truncated", F.explode(pruned).alias("p"))
         .select("p.removed_id", "p.kept_id", "cell", "p.cosine_sim", "cluster_truncated")
     )
+
+
+def ivf_search_postings(
+    queries: DataFrame,
+    cents: DataFrame,
+    postings: DataFrame,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score queries against an ALREADY-ASSIGNED postings frame
+    (cell, neighbor_id, v) — the search half shared by the persisted
+    index (ivf_index_search reads postings from its partitioned
+    layout) and the STREAMING index (streaming/sinks.ivf_stream_view
+    merges them from the append log).  Probe side broadcast; a query
+    scores only its ``nprobe`` cells' postings."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probed = (
+        nearest_cells(q, cents, nprobe, "probe_cell")
+        .withColumnRenamed("v", "q_vec")
+        .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
+    )
+    cands = postings.withColumnRenamed("v", "c_vec").withColumn(
+        "c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec")))
+    ).join(F.broadcast(probed), F.col("cell") == F.col("probe_cell"))
+    sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
+    scored = (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            F.round(sim + F.lit(1e-9), 4).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -477,3 +477,80 @@ def compact_index(spark, index_path: str, quiesced: bool = True) -> None:
     )
     table.overwrite(folded)
     table.vacuum(spark)
+
+
+# ------------------------------------------------ incremental IVF ANN index
+
+def make_ivf_sink(
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incrementally-maintained IVF postings (streaming embedding
+    corpus → searchable ANN index): centroids are FIXED at build time
+    (written by ``operators.similarity.ivf_index_build`` at
+    ``{index_path}/centroids`` — retraining is an offline rebuild, as
+    in every production IVF system); each micro-batch assigns its
+    vectors with the broadcast argmax (shuffle-free) and APPENDS
+    (cell, neighbor_id, v) rows — O(batch) per batch, the index is
+    never read on the write path.  Same log contract as
+    make_rollup_sink/make_index_sink: every row carries its batch id,
+    replays dedupe at read time, appends are atomic commits."""
+    from ..operators.similarity import _as_double, nearest_cells
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cents = spark.read.parquet(f"{index_path}/centroids")
+        c = batch_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        assigned = nearest_cells(c, cents, 1, "cell")
+        AtomicParquetTable(f"{index_path}/postings_log").append(
+            assigned.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def ivf_stream_view(spark, index_path: str) -> DataFrame:
+    """Merged streaming postings: per-commit dedup (exactly-once under
+    replay, with the online-compaction watermark honored) → the
+    (cell, neighbor_id, v) frame ``ivf_search_postings`` scores
+    against."""
+    log = AtomicParquetTable(f"{index_path}/postings_log").read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed postings log under {index_path}")
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "neighbor_id"])
+        .select("cell", "neighbor_id", "v")
+    )
+
+
+def ivf_stream_search(
+    spark, queries: DataFrame, index_path: str, nprobe: int = 4, k: int = 5
+) -> DataFrame:
+    """ANN top-k over the STREAMING index: probe the fixed centroids,
+    score only the probed cells' postings from the merged view."""
+    from ..operators.similarity import ivf_search_postings
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    return ivf_search_postings(
+        queries, cents, ivf_stream_view(spark, index_path), nprobe=nprobe, k=k
+    )
+
+
+def compact_ivf(spark, index_path: str, quiesced: bool = True) -> None:
+    """Fold the postings log to one row per vector; atomic overwrite.
+    Same quiesced/online contract as compact_rollup (the online fold
+    stamps the in-band replay watermark)."""
+    table = AtomicParquetTable(f"{index_path}/postings_log")
+    log = table.read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed postings log under {index_path}")
+    folded = _stamp_folded(ivf_stream_view(spark, index_path), log, quiesced)
+    table.overwrite(folded)
+    table.vacuum(spark)

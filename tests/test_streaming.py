@@ -1041,3 +1041,78 @@ def test_online_index_compaction_drops_replays(spark, tmp_path):
     sink(spark.createDataFrame([(7, "alpha omega")], DOC_SCHEMA), 2)  # new batch
     after = view_rows()
     assert after["alpha"] == (want["alpha"][0] + 1, sorted(want["alpha"][1] + [7]))
+
+
+def test_streaming_ivf_index_matches_batch_and_survives_replay(spark, tmp_path):
+    """Incremental IVF: vectors streamed batch-by-batch through
+    make_ivf_sink must be searchable with results IDENTICAL to a
+    one-shot assignment of the same vectors against the same fixed
+    centroids; replays dedupe; online compaction + replay stays
+    exact."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        _as_double,
+        ivf_index_build,
+        ivf_search_postings,
+        nearest_cells,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_ivf,
+        ivf_stream_search,
+        ivf_stream_view,
+        make_ivf_sink,
+    )
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(8)]) for i in ids],
+            ["vec_id", "embedding"],
+        )
+
+    index_path = str(tmp_path / "ivf_stream")
+    # centroids fixed at build time from an initial corpus
+    ivf_index_build(vecs(range(40)), index_path, nlist=4)
+    sink = make_ivf_sink(index_path)
+
+    b0, b1 = list(range(100, 120)), list(range(120, 135))
+    sink(vecs(b0), 0)
+    sink(vecs(b1), 1)
+
+    queries = vecs(range(3))
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_stream_search(spark, queries, index_path, k=3).collect()
+    }
+
+    # parity: one-shot assignment of the same vectors, same centroids
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    allv = vecs(b0 + b1).select(
+        F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_search_postings(
+            queries, cents, nearest_cells(allv, cents, 1, "cell"), k=3
+        ).collect()
+    }
+    assert got == want
+
+    # replay batch 1 -> per-commit dedup, unchanged results
+    sink(vecs(b1), 1)
+    assert {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_stream_search(spark, queries, index_path, k=3).collect()
+    } == want
+    assert ivf_stream_view(spark, index_path).count() == len(b0) + len(b1)
+
+    # online compaction then replay of the folded batch -> still exact
+    compact_ivf(spark, index_path, quiesced=False)
+    sink(vecs(b1), 1)
+    assert ivf_stream_view(spark, index_path).count() == len(b0) + len(b1)
+    assert {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_stream_search(spark, queries, index_path, k=3).collect()
+    } == want
+
+    # a new batch above the watermark still lands
+    sink(vecs([500]), 2)
+    assert ivf_stream_view(spark, index_path).count() == len(b0) + len(b1) + 1
