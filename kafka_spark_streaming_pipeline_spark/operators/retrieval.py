@@ -271,3 +271,112 @@ def rrf_fuse(
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col, "rrf_score", "n_sources", "rank"
     )
+
+
+def rerank_blend(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w_retrieval: float = 0.7,
+    topk: int = 10,
+) -> DataFrame:
+    """Second-stage reranker over first-stage ``candidates``
+    (id, score, rank — e.g. BM25 top-n): blend the min-max-normalized
+    retrieval score with the query↔document token Jaccard, then re-rank.
+    The candidate set is top-n (tiny), so the text join broadcasts the
+    candidates against the corpus scan and every downstream op touches
+    n rows — the standard retrieve-then-rerank shape where stage 2 can
+    afford per-candidate features stage 1 cannot.
+
+    All arithmetic is column expressions (oracle-mirrorable); for
+    model-based scorers see ``rerank_with_model`` (same contract, the
+    scoring hop runs in Arrow batches)."""
+    terms = sorted(set(t.lower() for t in query_terms))
+    with_text = docs.select(F.col(id_col), F.col(text_col)).join(
+        F.broadcast(candidates), id_col
+    )
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    qarr = F.array(*[F.lit(t) for t in terms])
+    jacc = (
+        F.size(F.array_intersect(toks, qarr))
+        / F.size(F.array_union(toks, qarr))
+    )
+    bounds = candidates.agg(
+        F.min("score").alias("__lo"), F.max("score").alias("__hi")
+    )
+    norm = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (F.col("score") - F.col("__lo")) / (F.col("__hi") - F.col("__lo")),
+    ).otherwise(F.lit(1.0))
+    blended = (
+        with_text.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col(id_col),
+            F.col("score").alias("retrieval_score"),
+            F.round(
+                F.lit(w_retrieval) * norm
+                + F.lit(1.0 - w_retrieval) * jacc
+                + F.lit(1e-9),
+                6,
+            ).alias("rerank_score"),
+        )
+    )
+    top = blended.orderBy(F.desc("rerank_score"), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.desc("rerank_score"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "retrieval_score", "rerank_score", "rank"
+    )
+
+
+def rerank_with_model(
+    candidates_with_text: DataFrame,
+    model_fn=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topk: int = 10,
+) -> DataFrame:
+    """Model-based second-stage reranker: score each candidate with a
+    Python model over Arrow batches (``mapInPandas``) — the hop a
+    cross-encoder / learned reranker runs in.  The candidate set is
+    already top-n, so the Python boundary sees n rows per query, never
+    the corpus; this is the ONE place in the retrieval stack where
+    Python-side scoring is the right trade (the model can't be a
+    column expression).
+
+    ``model_fn(pdf) -> iterable of float`` scores a pandas frame with
+    [id_col, text_col] columns.  The default is a deterministic stub
+    (md5-derived, no model weights in this environment — same honest
+    boundary as operators.multimodal): real deployments pass their own
+    ``model_fn`` loading the actual cross-encoder per executor."""
+    import pandas as pd
+
+    if model_fn is None:
+        def model_fn(pdf):
+            import hashlib
+
+            return [
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+                for t in pdf[text_col]
+            ]
+
+    out_schema = f"{id_col} long, model_score double"
+
+    def score_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "model_score": [round(s + 1e-9, 6) for s in model_fn(pdf)],
+                }
+            )
+
+    scored = candidates_with_text.select(id_col, text_col).mapInPandas(
+        score_batches, schema=out_schema
+    )
+    top = scored.orderBy(F.desc("model_score"), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.desc("model_score"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -2201,3 +2201,73 @@ def x53_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return gopher_quality_rules(docs)
+
+
+@query(
+    "x54_reranked_search",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('customer', 'vector', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), bm AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS score
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), cand AS (
+      SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    ), bounds AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM cand
+    ), feat AS (
+      SELECT c.doc_id, c.score,
+             len(list_intersect(
+               list_distinct(string_split(lower(d.text), ' ')),
+               ['customer', 'merge', 'stream', 'vector']))
+             / CAST(len(list_distinct(list_concat(
+                 list_distinct(string_split(lower(d.text), ' ')),
+                 ['customer', 'merge', 'stream', 'vector']))) AS DOUBLE) AS jacc
+      FROM cand c JOIN documents d USING (doc_id)
+    ), blended AS (
+      SELECT doc_id, score AS retrieval_score,
+             round(0.7 * (CASE WHEN b.hi > b.lo
+                               THEN (score - b.lo) / (b.hi - b.lo)
+                               ELSE 1.0 END)
+                   + 0.3 * jacc + 1e-9, 6) AS rerank_score
+      FROM feat CROSS JOIN bounds b
+    )
+    SELECT doc_id, retrieval_score, rerank_score,
+           CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS INT) AS rank
+    FROM blended ORDER BY rerank_score DESC, doc_id LIMIT 10
+    """,
+)
+def x54_reranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: BM25 top-20 candidates re-scored by a
+    blend of the min-max-normalized retrieval score and the query-doc
+    token Jaccard (w=0.7/0.3).  The rerank stage touches only the
+    candidate set (broadcast against one corpus scan for text), which
+    is what makes per-candidate features affordable at 100 TB.  The
+    Arrow/model variant of stage 2 is
+    operators.retrieval.rerank_with_model (parity-tested)."""
+    from ..operators.retrieval import bm25_topk, rerank_blend
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["customer", "vector", "merge", "stream"]
+    cands = bm25_topk(docs, terms, topk=20, min_token_len=3)
+    return rerank_blend(cands, docs, terms, topk=10)

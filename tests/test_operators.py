@@ -1049,3 +1049,49 @@ def test_semantic_dedup_cluster_cap_truncates_loudly(spark):
     assert {r.removed_id for r in out} == {1, 2, 3}
     assert all(r.cluster_truncated for r in out)
     assert all(r.kept_id == 0 for r in out)
+
+
+def test_rerank_blend_and_model_parity(spark, sf_dir):
+    """Stage-2 rerank: the Arrow (mapInPandas) scorer given the SAME
+    scoring function as the column-expression blend must produce the
+    identical ranking — proving the model hop is plumbing, not
+    semantics.  The default md5-stub model also runs end-to-end (the
+    honest no-model-weights boundary)."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        rerank_blend,
+        rerank_with_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["customer", "vector", "merge", "stream"]
+    cands = bm25_topk(docs, terms, topk=20, min_token_len=3)
+    blended = rerank_blend(cands, docs, terms, topk=10).collect()
+    assert len(blended) == 10 and blended[0].rank == 1
+
+    # replicate the blend inside a model_fn: same candidates, same rank order
+    rows = {r.doc_id: r.score for r in cands.collect()}
+    lo, hi = min(rows.values()), max(rows.values())
+    tset = set(terms)
+
+    def model(pdf):
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = set(text.lower().split())
+            jacc = len(toks & tset) / len(toks | tset)
+            norm = (rows[doc_id] - lo) / (hi - lo) if hi > lo else 1.0
+            out.append(0.7 * norm + 0.3 * jacc)
+        return out
+
+    with_text = docs.select("doc_id", "text").join(
+        spark.createDataFrame([(d,) for d in rows], ["doc_id"]), "doc_id"
+    )
+    modeled = rerank_with_model(with_text, model_fn=model, topk=10).collect()
+    assert [r.doc_id for r in modeled] == [r.doc_id for r in blended]
+
+    # default stub model: deterministic, runs through Arrow
+    stub1 = rerank_with_model(with_text, topk=5).collect()
+    stub2 = rerank_with_model(with_text, topk=5).collect()
+    assert [r.doc_id for r in stub1] == [r.doc_id for r in stub2]
+    assert len(stub1) == 5
