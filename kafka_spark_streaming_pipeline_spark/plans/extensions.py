@@ -2271,3 +2271,79 @@ def x54_reranked_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["customer", "vector", "merge", "stream"]
     cands = bm25_topk(docs, terms, topk=20, min_token_len=3)
     return rerank_blend(cands, docs, terms, topk=10)
+
+
+@query(
+    "x55_dedup_yield_report",
+    oracle=f"""
+    WITH comp AS ({{p14}}),
+    fp AS (
+      SELECT doc_id,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM documents
+    ), canon AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint
+    ), flags AS (
+      SELECT d.source, d.doc_id,
+             (fp.doc_id = c.canonical_id) AS exact_survivor,
+             (cm.id IS NULL OR cm.component = d.doc_id) AS neardup_survivor
+      FROM documents d
+      JOIN fp ON fp.doc_id = d.doc_id
+      JOIN canon c USING (fingerprint)
+      LEFT JOIN comp cm ON cm.id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN exact_survivor THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_survivors,
+           CAST(sum(CASE WHEN neardup_survivor THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neardup_survivors,
+           round(sum(CASE WHEN exact_survivor THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS exact_yield,
+           round(sum(CASE WHEN neardup_survivor THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS neardup_yield
+    FROM flags GROUP BY source
+    """.replace("{p14}", _P14_ORACLE),
+)
+def x55_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-source yield at each dedup tier — how
+    many documents survive exact dedup and the MinHash near-dup
+    closure.  This is the report a pipeline operator watches to catch
+    a source turning into boilerplate.  Survivors attribute to the
+    CANONICAL doc's source for cross-source duplicate groups (the
+    survivor is the kept doc).  Composes the p11 fingerprint pass and
+    the p14 closure; one extra groupBy(source) on top."""
+    from ..operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dedup_groups(docs).select("doc_id", "is_canonical")
+    comp = connected_components(
+        minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5)
+    )
+    flags = (
+        docs.select("doc_id", "source")
+        .join(exact, "doc_id")
+        .join(comp, docs.doc_id == comp.id, "left")
+        .select(
+            "source",
+            F.col("is_canonical").alias("exact_survivor"),
+            (F.col("id").isNull() | (F.col("component") == F.col("doc_id"))).alias(
+                "neardup_survivor"
+            ),
+        )
+    )
+    n = F.count("*")
+    ne = F.sum(F.when(F.col("exact_survivor"), 1).otherwise(0))
+    nn = F.sum(F.when(F.col("neardup_survivor"), 1).otherwise(0))
+    return flags.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        ne.cast("long").alias("n_exact_survivors"),
+        nn.cast("long").alias("n_neardup_survivors"),
+        F.round(ne / n + F.lit(1e-9), 4).alias("exact_yield"),
+        F.round(nn / n + F.lit(1e-9), 4).alias("neardup_yield"),
+    )

@@ -353,3 +353,45 @@ class AtomicParquetTable:
             if not keep and (name.endswith(".json")):
                 fs.delete(f"{self.root}/{_COMMITS}/{name}")
         return removed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: "AtomicParquetTable",
+    keys: list[str],
+    v_old: int,
+    v_new: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two committed snapshots (the audit
+    companion to time travel — Delta's CDF shape computed after the
+    fact): one row per changed key with ``change`` in
+    ('inserted', 'deleted', 'updated').
+
+    Works on any two not-yet-vacuumed versions because commits are
+    immutable.  Scale shape: ONE full-outer join keyed on ``keys``
+    (hash-spread, map-side combinable md5 row digests computed below
+    the join), so the cost is a single co-partitioned shuffle of the
+    two snapshots — never a collect, never per-row Python.  Rows
+    whose digests match are dropped BEFORE the output (unchanged keys
+    never leave the join stage)."""
+    old = table.read(spark, version=v_old)
+    new = table.read(spark, version=v_new) if v_new is not None else table.read(spark)
+    if old is None or new is None:
+        raise FileNotFoundError(f"missing snapshot(s) at {table.root}")
+
+    def digested(df: DataFrame, tag: str) -> DataFrame:
+        non_key = [c for c in df.columns if c not in keys]
+        digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key]))
+        return df.select(*keys, digest.alias(f"__d_{tag}"))
+
+    j = digested(old, "old").join(digested(new, "new"), keys, "full_outer")
+    change = (
+        F.when(F.col("__d_old").isNull(), F.lit("inserted"))
+        .when(F.col("__d_new").isNull(), F.lit("deleted"))
+        .when(F.col("__d_old") != F.col("__d_new"), F.lit("updated"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

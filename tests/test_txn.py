@@ -199,3 +199,34 @@ def test_time_travel_reads_and_vacuum_expires(spark, tmp_path):
     assert table.read(spark).count() == 1  # latest unaffected
     with pytest.raises(KeyError, match="vacuumed"):
         table.read(spark, version=1)
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """Row-level diff between immutable snapshots: inserted / deleted /
+    updated keys, unchanged keys absent — the audit companion to time
+    travel."""
+    from kafka_spark_streaming_pipeline_spark.streaming.txn import snapshot_diff
+
+    table = AtomicParquetTable(str(tmp_path / "diff"))
+    v1 = table.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "tag", "val"]
+        )
+    )
+    v2 = table.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10),          # unchanged
+             (2, "b", 99),          # updated
+             (4, "d", 40)],         # inserted; 3 deleted
+            ["id", "tag", "val"],
+        )
+    )
+    out = {r.id: r.change for r in snapshot_diff(spark, table, ["id"], v1, v2).collect()}
+    assert out == {2: "updated", 3: "deleted", 4: "inserted"}
+
+    # v_new defaults to the latest snapshot
+    out2 = {r.id: r.change for r in snapshot_diff(spark, table, ["id"], v1).collect()}
+    assert out2 == out
+
+    # diff of a version against itself is empty
+    assert snapshot_diff(spark, table, ["id"], v2, v2).count() == 0
