@@ -1,0 +1,78 @@
+"""Link-graph operators: PageRank-style authority scoring.
+
+Web-corpus curation uses link authority as a quality prior (domain
+PageRank / harmonic centrality over the interdomain graph is a
+standard Common-Crawl-curation signal).  The reference app has no
+graph surface; this joins connected_components (operators/dedup) as
+the second iterative-algorithm family in the engine.
+
+Scale design: every iteration is ONE join (edges x ranks, keyed on
+src — co-partitioned with the out-degree join) + ONE aggregate keyed
+on dst (map-side combinable sum).  The edge set is partitioned once
+up front and reused across iterations (same localCheckpoint pattern
+as connected_components); ranks are narrow (node, rank) rows.  A
+FIXED iteration count keeps the computation deterministic and lets
+the DuckDB oracle unroll the same iterations as CTEs; each
+iteration's output is rounded (house +1e-9 nudge) so float drift
+cannot accumulate across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    decimals: int = 6,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list -> (node,
+    rank) after ``iterations`` steps from the uniform start.
+
+    r'(v) = round((1-d)/N + d * sum_{u->v} r(u)/outdeg(u), decimals)
+
+    No dangling-mass redistribution: intended for graphs where every
+    node has out-edges (symmetric graphs like co-occurrence or mutual
+    links trivially qualify); callers with true dangling nodes should
+    add self-loops first.  N counts distinct sources (== all nodes
+    under that precondition).  The per-iteration rounding is what
+    makes the result engine-portable: both engines sum in arbitrary
+    order, but agree once rounded, and agreement at iteration k feeds
+    identical inputs to iteration k+1."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # partition once on the per-iteration join key; reuse across rounds
+    e = e.repartition("src").localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n = deg.agg(F.count("*").alias("n_nodes"))
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"),
+            F.round(F.lit(1.0) / F.col("n_nodes") + F.lit(1e-9), decimals).alias("rank"),
+        )
+    )
+    with_deg = e.join(deg, "src")
+    for _ in range(iterations):
+        contribs = (
+            with_deg.join(ranks, with_deg.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
+        )
+        ranks = (
+            contribs.crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    F.lit(1 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("mass")
+                    + F.lit(1e-9),
+                    decimals,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -2347,3 +2347,70 @@ def x55_dedup_yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ne / n + F.lit(1e-9), 4).alias("exact_yield"),
         F.round(nn / n + F.lit(1e-9), 4).alias("neardup_yield"),
     )
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration (mirrors operators.graph.pagerank:
+    round((1-d)/N + d*sum(r/deg) + 1e-9, 6))."""
+    return f"""{cur} AS (
+      SELECT e.dst AS node,
+             round(0.15 / nn + 0.85 * sum(p.r / d.deg) + 1e-9, 6) AS r
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN {prev} p ON p.node = e.src
+      CROSS JOIN n
+      GROUP BY e.dst, nn
+    )"""
+
+
+@query(
+    "x56_supplier_pagerank",
+    oracle=f"""
+    WITH sup AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM sup a JOIN sup b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS nn FROM deg
+    ), r0 AS (
+      SELECT src AS node, round(1.0 / nn + 1e-9, 6) AS r FROM deg CROSS JOIN n
+    ), {_pr_iter_sql("r0", "r1")}, {_pr_iter_sql("r1", "r2")}, {_pr_iter_sql("r2", "r3")}
+    SELECT node AS supp_key, r AS rank_score FROM r3
+    """,
+)
+def x56_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank authority over the supplier co-purchase graph (suppliers
+    sharing an order link both ways — the engine-portable stand-in for
+    the interdomain link graph a web-corpus pipeline scores as a
+    quality prior).  Edges are built WITHOUT a self-join: per-order
+    supplier sets aggregate once and pairs expand via array HOFs, then
+    3 fixed power iterations (operators/graph.pagerank) with
+    per-iteration rounding so the DuckDB oracle can unroll the exact
+    same computation as CTEs."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sets = (
+        li.select("l_orderkey", "l_suppkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ss = F.col("ss")
+    pair_arr = F.flatten(
+        F.transform(
+            ss,
+            lambda x: F.transform(
+                F.filter(ss, lambda y: y != x),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = sets.select(F.explode(pair_arr).alias("p")).select("p.src", "p.dst").distinct()
+    return pagerank(edges, iterations=3).select(
+        F.col("node").alias("supp_key"), F.col("rank").alias("rank_score")
+    )

@@ -1095,3 +1095,20 @@ def test_rerank_blend_and_model_parity(spark, sf_dir):
     stub2 = rerank_with_model(with_text, topk=5).collect()
     assert [r.doc_id for r in stub1] == [r.doc_id for r in stub2]
     assert len(stub1) == 5
+
+
+def test_pagerank_hub_outranks_and_mass_conserved(spark):
+    """On a symmetric star graph the hub must outrank every leaf, total
+    mass stays ~1 per iteration (symmetric graph -> no dangling loss),
+    and leaves are symmetric (identical ranks)."""
+    from kafka_spark_streaming_pipeline_spark.operators.graph import pagerank
+
+    hub, leaves = 0, [1, 2, 3, 4, 5]
+    edges = spark.createDataFrame(
+        [(hub, l) for l in leaves] + [(l, hub) for l in leaves], ["src", "dst"]
+    )
+    out = {r.node: r.rank for r in pagerank(edges, iterations=5).collect()}
+    assert set(out) == {hub, *leaves}
+    assert all(out[hub] > out[l] for l in leaves)
+    assert len({out[l] for l in leaves}) == 1
+    assert abs(sum(out.values()) - 1.0) < 1e-3
