@@ -380,3 +380,70 @@ def rerank_with_model(
     top = scored.orderBy(F.desc("model_score"), F.col(id_col)).limit(topk)
     w = W.orderBy(F.desc("model_score"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def positional_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, positions) with
+    1-based token positions, sorted.  Same build shape as
+    ``inverted_index`` (one posexplode + one grouped agg) with the
+    position list kept — the structure phrase and proximity queries
+    need.  Unlike the df index, positions are per (term, doc) so no
+    single row aggregates a stopword's whole corpus: row width is
+    bounded by one document's length."""
+    toks = tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "term")
+    ).filter(F.length("term") >= min_token_len)
+    return (
+        exploded.groupBy("term", id_col)
+        .agg(F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> DataFrame:
+    """Exact phrase query over the positional index: documents where
+    ``phrase``'s terms occur at consecutive positions, ranked by
+    occurrence count.  The positional postings of each phrase term are
+    narrow (doc, positions) frames joined on doc_id — len(phrase)-1
+    equi joins over only the docs containing EVERY term (the rarest
+    term bounds the join size) — and adjacency is an array-HOF
+    intersection, no re-scan of text.  Ranking is
+    orderBy().limit(topk) (TakeOrderedAndProject)."""
+    terms = [t.lower() for t in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase_search needs >= 2 terms")
+    post = positional_postings(docs, text_col, id_col)
+    base = post.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("positions").alias("pos_0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"pos_{i}")
+        )
+        base = base.join(nxt, id_col)
+    # a phrase occurrence starts at p iff every term i sits at p+i.
+    # closure factory, NOT a default-arg lambda: pyspark treats a
+    # 2-parameter lambda as (element, index)
+    def _adjacent(i: int):
+        return lambda p: F.exists(F.col(f"pos_{i}"), lambda q: q == p + F.lit(i))
+
+    starts = F.col("pos_0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _adjacent(i))
+    scored = base.select(
+        F.col(id_col), F.size(starts).cast("long").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)
+    top = scored.orderBy(F.desc("n_occurrences"), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.desc("n_occurrences"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

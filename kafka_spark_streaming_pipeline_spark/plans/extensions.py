@@ -2414,3 +2414,37 @@ def x56_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3).select(
         F.col("node").alias("supp_key"), F.col("rank").alias("rank_score")
     )
+
+
+@query(
+    "x57_phrase_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = 'customer' AND toks[i+1] = 'vector'))
+               AS BIGINT) AS n_occurrences
+      FROM t
+    )
+    SELECT doc_id, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS INT)
+             AS rank
+    FROM m WHERE n_occurrences > 0
+    ORDER BY n_occurrences DESC, doc_id LIMIT 10
+    """,
+)
+def x57_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("customer vector") over the positional
+    index: per-term positional postings join on doc_id (only docs
+    containing EVERY term survive — the rarest term bounds the join)
+    and adjacency resolves with array intersections, ranked by
+    occurrence count via TakeOrderedAndProject.  The oracle verifies
+    against a direct token-window scan — same result, different
+    algorithm, which is the point: the index path never re-reads
+    text."""
+    from ..operators.retrieval import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["customer", "vector"], topk=10)

@@ -1112,3 +1112,32 @@ def test_pagerank_hub_outranks_and_mass_conserved(spark):
     assert all(out[hub] > out[l] for l in leaves)
     assert len({out[l] for l in leaves}) == 1
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_phrase_search_consecutive_positions_only(spark):
+    """Phrase match requires CONSECUTIVE positions in order: scattered
+    terms and reversed order must not match; 3-term phrases chain the
+    adjacency; occurrence counts rank repeats first."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "alpha beta gamma end"),            # "alpha beta gamma" x1
+        (2, "alpha beta gamma alpha beta gamma"),  # x2 -> outranks 1
+        (3, "alpha gamma beta"),                 # scattered: no match
+        (4, "beta alpha gamma"),                 # reversed: no match
+        (5, "alpha beta delta gamma"),           # broken chain: no 3-term match
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out3 = {r.doc_id: r for r in phrase_search(docs, ["alpha", "beta", "gamma"]).collect()}
+    assert set(out3) == {1, 2}
+    assert out3[2].n_occurrences == 2 and out3[2].rank == 1
+    assert out3[1].n_occurrences == 1 and out3[1].rank == 2
+
+    out2 = {r.doc_id: r.n_occurrences for r in phrase_search(docs, ["alpha", "beta"]).collect()}
+    assert out2 == {1: 1, 2: 2, 5: 1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(docs, ["alpha"])
