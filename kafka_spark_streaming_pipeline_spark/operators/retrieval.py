@@ -423,7 +423,19 @@ def phrase_search(
     terms = [t.lower() for t in phrase]
     if len(terms) < 2:
         raise ValueError("phrase_search needs >= 2 terms")
-    post = positional_postings(docs, text_col, id_col)
+    # restrict the postings to the phrase's terms BEFORE aggregating and
+    # persist the (tiny) result: the corpus is scanned ONCE to populate
+    # it, and the per-term branches below read the cache — the same
+    # narrow-frame pattern as bm25_topk.  With a PERSISTED positional
+    # index the restriction becomes a pruned index read instead.
+    toks = tokens(F.col(text_col))
+    post = (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos0", "term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("term", id_col)
+        .agg(F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"))
+        .persist()
+    )
     base = post.filter(F.col("term") == terms[0]).select(
         F.col(id_col), F.col("positions").alias("pos_0")
     )
