@@ -510,3 +510,32 @@ def gopher_quality_rules(
         F.col("r_len") & F.col("r_word_len") & F.col("r_stop")
         & F.col("r_alpha") & F.col("r_dup"),
     )
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    salt: str = "qsample|",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli downsample: keep each
+    document with probability ``min(1, scale * weight)`` using the
+    md5-derived uniform draw u(doc) = hash60(id)/2^60 instead of an
+    RNG — the same stability property as the hash split (x26): a
+    document's keep decision never changes as the corpus grows or the
+    job re-runs, so incremental pipelines can re-derive the sample
+    without storing it.
+
+    Map-only (zero shuffle): one projection computes the draw, the
+    acceptance bound, and the flag.  ``weight_col`` is any column
+    expression in [0, 1] — a quality score, a language preference, a
+    source prior; ``scale`` dials the overall sampling rate without
+    changing relative weights (capped at 1)."""
+    u = hash60(F.col(id_col).cast("string"), salt=salt) / F.lit(float(2**60))
+    bound = F.least(F.lit(1.0), F.lit(float(scale)) * weight_col)
+    return docs.select(
+        F.col(id_col),
+        F.round(u + F.lit(1e-9), 6).alias("draw"),
+        F.round(bound + F.lit(1e-9), 6).alias("accept_below"),
+    ).withColumn("kept", F.col("draw") < F.col("accept_below"))

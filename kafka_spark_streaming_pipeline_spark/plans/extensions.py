@@ -2448,3 +2448,47 @@ def x57_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return phrase_search(docs, ["customer", "vector"], topk=10)
+
+
+@query(
+    "x58_quality_weighted_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_r,
+             list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS awl
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN stop_r BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+               AS w
+      FROM m
+    )
+    SELECT doc_id,
+           round(('0x' || substr(md5('qsample|' || doc_id), 1, 15))::BIGINT
+                 / 1152921504606846976.0 + 1e-9, 6) AS draw,
+           round(least(1.0, 0.8 * w) + 1e-9, 6) AS accept_below,
+           round(('0x' || substr(md5('qsample|' || doc_id), 1, 15))::BIGINT
+                 / 1152921504606846976.0 + 1e-9, 6)
+             < round(least(1.0, 0.8 * w) + 1e-9, 6) AS kept
+    FROM q
+    """,
+)
+def x58_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted Bernoulli downsample at scale 0.8: keep
+    probability proportional to the composite quality score, decided
+    by the RNG-free md5 uniform draw — per-doc decisions stable under
+    corpus growth and re-runs.  Map-only, zero shuffle."""
+    from ..operators.curation import quality_weighted_sample
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_weighted_sample(
+        docs, quality_score(F.col("text")), scale=0.8
+    )

@@ -235,3 +235,30 @@ def test_gopher_rules_attribute_rejections(spark):
     assert not out[5].keep and not out[5].r_dup and out[5].r_stop
     # metrics are attributable, not just the final boolean
     assert out[5].dup_trigram_frac > 0.1 and out[1].dup_trigram_frac <= 0.1
+
+
+def test_quality_weighted_sample_rate_and_stability(spark, sf_dir):
+    """Empirical keep rate tracks scale * mean(weight) (md5 draws are
+    uniform), and a doc's decision never changes when the corpus
+    grows — the property that lets incremental pipelines re-derive
+    the sample instead of storing it."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quality_weighted_sample,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_weighted_sample(docs, quality_score(F.col("text")), scale=0.8)
+    n = docs.count()
+    kept = out.filter("kept").count()
+    mean_w = docs.select(F.avg(quality_score(F.col("text")))).first()[0]
+    expect = 0.8 * mean_w
+    assert abs(kept / n - expect) < 0.08  # binomial noise at n=500
+
+    # stability: decisions on a subset equal decisions on the full corpus
+    sub = quality_weighted_sample(
+        docs.filter("doc_id < 100"), quality_score(F.col("text")), scale=0.8
+    )
+    full = {r.doc_id: r.kept for r in out.filter("doc_id < 100").collect()}
+    assert {r.doc_id: r.kept for r in sub.collect()} == full

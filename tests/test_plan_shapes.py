@@ -94,3 +94,81 @@ def test_inverted_index_single_scan(spark, sf_dir):
 def test_chunking_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x42_chunk_documents")
     assert plan.count("Exchange") == 0  # pure scan -> project -> generate
+
+
+def test_lint_catches_planted_antipatterns(spark):
+    """The linter must flag each planted anti-pattern: a cartesian
+    product, a global window funneling a scan through one partition,
+    and a row-at-a-time Python UDF — and pass their fixed forms."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import udf
+
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    df = spark.range(100).withColumnRenamed("id", "k")
+
+    # small sides auto-broadcast, hiding the cartesian — plant it with
+    # broadcast disabled, the state a big-x-big cross join is always in
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cart = df.crossJoin(df.withColumnRenamed("k", "k2"))
+        assert any("cartesian" in f for f in lint_plan(cart))
+        fixed_cart = df.crossJoin(F.broadcast(df.withColumnRenamed("k", "k2")))
+        assert not any("cartesian" in f for f in lint_plan(fixed_cart))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    row_udf = udf(lambda x: x + 1, "long")
+    bad_udf = df.select(row_udf(F.col("k")).alias("v"))
+    assert any("row-python" in f for f in lint_plan(bad_udf))
+
+    assert lint_plan(df.groupBy("k").count()) == []
+
+
+def test_lint_flags_single_partition_scan(spark, sf_dir, tmp_path):
+    """A global window over a parquet scan is the single-partition
+    anti-pattern; the same rank computed after orderBy().limit() (the
+    TakeOrderedAndProject shape every registered query uses) passes."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # a global running sum can't be rewritten to TakeOrderedAndProject
+    # (unlike rank<=k): the whole table funnels through one partition
+    bad = li.withColumn(
+        "rs", F.sum("l_quantity").over(Window.orderBy("l_shipdate", "l_orderkey"))
+    )
+    assert any("single-partition-scan" in f for f in lint_plan(bad))
+
+    # the partitioned form (the q16 shape) passes
+    good = li.withColumn(
+        "rs",
+        F.sum("l_quantity").over(
+            Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey")
+        ),
+    )
+    assert not any("single-partition-scan" in f for f in lint_plan(good))
+
+    # scalar aggregates are the benign SinglePartition shape
+    assert not any(
+        "single-partition-scan" in f
+        for f in lint_plan(li.agg(F.sum("l_quantity"), F.count("*")))
+    )
+
+
+def test_headline_queries_lint_clean(spark, sf_dir):
+    """Every bench headline query must pass the linter — the
+    enforceable form of PLANS.md's audit claims."""
+    import bench
+
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    for name in bench.HEADLINE:
+        findings = lint_plan(QUERIES[name].builder(spark, sf_dir))
+        assert findings == [], (name, findings)
