@@ -225,3 +225,22 @@ class Engine:
         from .operators.curation import training_shards
 
         return training_shards(self.table("documents"), n_shards=n_shards)
+
+    def phrase(self, phrase: list[str], topk: int = 10) -> DataFrame:
+        """Exact phrase query over the documents table (positional
+        adjacency; see operators.retrieval.phrase_search)."""
+        from .operators.retrieval import phrase_search
+
+        return phrase_search(self.table("documents"), phrase, topk=topk)
+
+    def weighted_sample(self, scale: float = 1.0) -> DataFrame:
+        """Quality-weighted RNG-free Bernoulli downsample of the
+        documents table (keep probability ∝ quality score)."""
+        from pyspark.sql import functions as F
+
+        from .operators.curation import quality_weighted_sample
+        from .operators.text import quality_score
+
+        return quality_weighted_sample(
+            self.table("documents"), quality_score(F.col("text")), scale=scale
+        )

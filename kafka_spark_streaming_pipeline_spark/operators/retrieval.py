@@ -459,3 +459,44 @@ def phrase_search(
     top = scored.orderBy(F.desc("n_occurrences"), F.col(id_col)).limit(topk)
     w = W.orderBy(F.desc("n_occurrences"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def phrase_search_indexed(
+    spark,
+    dest: str,
+    phrase: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> DataFrame:
+    """Phrase query against a PERSISTED positional index — the 100 TB
+    path: ``write_search_index(positional_postings(docs), dest)``
+    amortizes the corpus scan once, and each phrase query reads only
+    the term-hash buckets its words live in (lookup_terms' pruned
+    listing), never the corpus.  Adjacency/ranking semantics are
+    identical to ``phrase_search`` (parity-tested)."""
+    terms = [t.lower() for t in phrase]
+    if len(terms) < 2:
+        raise ValueError("phrase_search_indexed needs >= 2 terms")
+    post = lookup_terms(spark, dest, terms, n_buckets)
+    base = post.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("positions").alias("pos_0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = post.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias(f"pos_{i}")
+        )
+        base = base.join(nxt, id_col)
+
+    def _adjacent(i: int):
+        return lambda p: F.exists(F.col(f"pos_{i}"), lambda q: q == p + F.lit(i))
+
+    starts = F.col("pos_0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _adjacent(i))
+    scored = base.select(
+        F.col(id_col), F.size(starts).cast("long").alias("n_occurrences")
+    ).filter(F.col("n_occurrences") > 0)
+    top = scored.orderBy(F.desc("n_occurrences"), F.col(id_col)).limit(topk)
+    w = W.orderBy(F.desc("n_occurrences"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -1141,3 +1141,31 @@ def test_phrase_search_consecutive_positions_only(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         phrase_search(docs, ["alpha"])
+
+
+def test_phrase_search_indexed_parity_and_pruning(spark, sf_dir, tmp_path):
+    """The persisted-index phrase path must return exactly what the
+    inline path returns, while reading only the phrase terms' hash
+    buckets (partition filter in the scan, no documents scan at all)."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        phrase_search,
+        phrase_search_indexed,
+        positional_postings,
+        write_search_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "pos_idx")
+    write_search_index(positional_postings(docs), dest, n_buckets=16)
+
+    phrase = ["customer", "vector"]
+    want = [(r.doc_id, r.n_occurrences, r.rank)
+            for r in phrase_search(docs, phrase).collect()]
+    got_df = phrase_search_indexed(spark, dest, phrase, n_buckets=16)
+    got = [(r.doc_id, r.n_occurrences, r.rank) for r in got_df.collect()]
+    assert got == want and len(got) > 0
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan          # bucket IN-list reached the scan
+    assert "documents.parquet" not in plan  # corpus never touched
