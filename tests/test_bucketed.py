@@ -159,3 +159,53 @@ def test_zvalue_locality_beats_1d_layout(spark):
     z = zbuckets_for_box(0.0, 63.0, 0.0, 63.0, xr, yr, bits=4, prefix_bits=4)
     # 16 prefix buckets total; the quarter-box touches only its quadrant
     assert len(z) <= 4
+
+
+def test_sorted_export_global_order_and_pruned_range_reads(spark, sf_dir, tmp_path):
+    """write_sorted: shards are range-DISJOINT and internally sorted
+    (concatenation in shard order is the global order), and a range
+    probe reads only intersecting shards with exact results."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.sources.sorted_export import (
+        read_sorted_range,
+        write_sorted,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dest = str(tmp_path / "sorted_li")
+    write_sorted(li, dest, "l_extendedprice", n_shards=8)
+
+    manifest = {
+        r.shard: (r.key_min, r.key_max, r.n_rows)
+        for r in spark.read.parquet(f"{dest}/_manifest").collect()
+    }
+    # ranges are disjoint and ordered by shard id; counts total correctly
+    bounds = [manifest[s] for s in sorted(manifest)]
+    for (_, hi_prev, _), (lo_next, _, _) in zip(bounds, bounds[1:]):
+        assert hi_prev <= lo_next
+    assert sum(b[2] for b in bounds) == li.count()
+
+    # each shard is internally sorted
+    data = spark.read.parquet(f"{dest}/data")
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        data.withColumn("prev", F.lag("l_extendedprice").over(w))
+        .filter(F.col("prev") > F.col("l_extendedprice"))
+        .count()
+    )
+    assert disorder == 0
+
+    # range probe: exact vs direct filter, and fewer shards touched
+    lo, hi = 1000.0, 5000.0
+    got = read_sorted_range(spark, dest, "l_extendedprice", lo, hi)
+    expect = li.filter(F.col("l_extendedprice").between(lo, hi)).count()
+    assert got.count() == expect > 0
+    touched = {
+        s for s, (mn, mx, _) in manifest.items() if mn <= hi and mx >= lo
+    }
+    assert 0 < len(touched) < len(manifest)
