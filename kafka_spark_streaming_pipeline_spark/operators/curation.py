@@ -539,3 +539,43 @@ def quality_weighted_sample(
         F.round(u + F.lit(1e-9), 6).alias("draw"),
         F.round(bound + F.lit(1e-9), 6).alias("accept_below"),
     ).withColumn("kept", F.col("draw") < F.col("accept_below"))
+
+
+def novelty_scores(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT k-word shingles that appear in no other document — the
+    diversity/novelty signal used to up-weight unique content (and
+    down-weight boilerplate) in corpus mixing.
+
+    Shape: one shingle explode -> corpus-wide shingle df (map-side
+    combinable) -> rejoin on the shingle -> per-doc fraction.  Both
+    shuffles key on well-spread values (shingle hash, doc id); no
+    per-doc corpus scan, no self-join.  Documents with no shingles of
+    length k (shorter than k words yield 1 partial shingle, which
+    still counts) never divide by zero."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_arr(F.col(text_col), k))).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    return (
+        grams.join(df_counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique_grams"),
+            F.round(
+                F.sum(F.when(F.col("gram_df") == 1, 1).otherwise(0))
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            ).alias("novelty"),
+        )
+    )

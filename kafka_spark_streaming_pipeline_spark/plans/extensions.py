@@ -2492,3 +2492,33 @@ def x58_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_weighted_sample(
         docs, quality_score(F.col("text")), scale=0.8
     )
+
+
+@query(
+    "x59_novelty_scores",
+    oracle=f"""
+    {_SHINGLES_CTE},
+    grams AS (
+      SELECT doc_id, unnest(shingles) AS gram FROM shingled
+    ), dfc AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS gram_df FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique_grams,
+           round(sum(CASE WHEN d.gram_df = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS novelty
+    FROM grams g JOIN dfc d USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def x59_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (fraction of the doc's distinct
+    shingles appearing nowhere else) — the diversity weighting signal
+    for corpus mixing.  One explode, one corpus-wide df aggregate, one
+    rejoin; no self-join."""
+    from ..operators.curation import novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return novelty_scores(docs, k=3)

@@ -262,3 +262,25 @@ def test_quality_weighted_sample_rate_and_stability(spark, sf_dir):
     )
     full = {r.doc_id: r.kept for r in out.filter("doc_id < 100").collect()}
     assert {r.doc_id: r.kept for r in sub.collect()} == full
+
+
+def test_novelty_scores_planted(spark):
+    """A doc sharing every shingle with a twin scores 0 novelty; a doc
+    of globally-unique text scores 1; a half-shared doc lands between."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        novelty_scores,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, shared),
+        (2, shared),                                    # exact twin -> 0
+        (3, "unique one two three four five six"),      # all unique -> 1
+        (4, shared + " seven eight nine ten"),          # mixed
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in novelty_scores(docs, k=3).collect()}
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert out[3].novelty == 1.0
+    assert 0.0 < out[4].novelty < 1.0
+    assert out[3].n_grams == out[3].n_unique_grams
