@@ -554,3 +554,52 @@ def compact_ivf(spark, index_path: str, quiesced: bool = True) -> None:
     folded = _stamp_folded(ivf_stream_view(spark, index_path), log, quiesced)
     table.overwrite(folded)
     table.vacuum(spark)
+
+
+# ------------------------------------------- incremental count-min sketch
+
+def make_cms_sink(sketch_path: str, term_col: str = "term"):
+    """Incrementally-maintained count-min sketch (streaming term
+    frequencies → bounded-size frequency oracle): each micro-batch
+    appends its PARTIAL counter matrix — depth*width rows regardless
+    of batch size, cell-wise additive, so the merged sketch equals the
+    batch-built sketch over all data (count-min is exactly mergeable).
+    Same log contract as make_rollup_sink: per-commit replay dedup,
+    atomic appends, online-compaction watermark honored."""
+    from ..operators.sketches import cms_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = cms_build(batch_df, term_col)
+        AtomicParquetTable(sketch_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def cms_view(spark, sketch_path: str) -> DataFrame:
+    """Merged sketch: cell-wise sum of the partial counter matrices
+    after per-commit dedup — feed to operators.sketches.cms_estimate."""
+    log = AtomicParquetTable(sketch_path).read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed sketch log at {sketch_path}")
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "depth", "slot"])
+        .groupBy("depth", "slot")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
+    """Fold the partial-sketch log to one counter matrix; same
+    quiesced/online contract as the other compactors."""
+    table = AtomicParquetTable(sketch_path)
+    log = table.read(spark)
+    if log is None:
+        raise FileNotFoundError(f"no committed sketch log at {sketch_path}")
+    folded = _stamp_folded(cms_view(spark, sketch_path), log, quiesced)
+    table.overwrite(folded)
+    table.vacuum(spark)

@@ -1116,3 +1116,51 @@ def test_streaming_ivf_index_matches_batch_and_survives_replay(spark, tmp_path):
     # a new batch above the watermark still lands
     sink(vecs([500]), 2)
     assert ivf_stream_view(spark, index_path).count() == len(b0) + len(b1) + 1
+
+
+def test_streaming_cms_merges_exactly_and_never_underestimates(spark, tmp_path):
+    """The streamed sketch must equal the batch-built sketch cell for
+    cell (count-min merges exactly), survive replay and online
+    compaction, and its estimates never undercount true frequencies."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        cms_view,
+        compact_cms,
+        make_cms_sink,
+    )
+
+    path = str(tmp_path / "cms")
+    sink = make_cms_sink(path)
+    b0 = [("alpha",)] * 5 + [("beta",)] * 2
+    b1 = [("alpha",)] * 3 + [("gamma",)] * 4
+    sink(spark.createDataFrame(b0, ["term"]), 0)
+    sink(spark.createDataFrame(b1, ["term"]), 1)
+
+    def cells():
+        return {
+            (r.depth, r.slot): r.cnt for r in cms_view(spark, path).collect()
+        }
+
+    want = {
+        (r.depth, r.slot): r.cnt
+        for r in cms_build(
+            spark.createDataFrame(b0 + b1, ["term"]), "term"
+        ).collect()
+    }
+    assert cells() == want
+
+    sink(spark.createDataFrame(b1, ["term"]), 1)  # replay -> deduped
+    assert cells() == want
+    compact_cms(spark, path, quiesced=False)
+    sink(spark.createDataFrame(b1, ["term"]), 1)  # replay of folded batch
+    assert cells() == want
+
+    terms = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["term"])
+    est = {
+        r.term: r.cms_estimate
+        for r in cms_estimate(cms_view(spark, path), terms).collect()
+    }
+    assert est["alpha"] >= 8 and est["beta"] >= 2 and est["gamma"] >= 4
