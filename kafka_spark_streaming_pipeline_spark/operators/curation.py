@@ -424,6 +424,7 @@ def training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "shuffle|",
+    epoch: int | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle into training shards: the final
     step of a data pipeline — fix a pseudo-random training order
@@ -438,6 +439,11 @@ def training_shards(
     the per-shard sort in memory, exactly how training shards are
     sized in practice.  No global sort, no single-partition exchange.
     """
+    # epoch reshuffling: folding the epoch into the salt yields an
+    # INDEPENDENT deterministic permutation per epoch — the standard
+    # between-epoch reshuffle, still RNG-free and growth-stable
+    if epoch is not None:
+        salt = f"{salt}epoch{epoch}|"
     keyed = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),

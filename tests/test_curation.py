@@ -284,3 +284,33 @@ def test_novelty_scores_planted(spark):
     assert out[3].novelty == 1.0
     assert 0.0 < out[4].novelty < 1.0
     assert out[3].n_grams == out[3].n_unique_grams
+
+
+def test_training_shards_epoch_reshuffle(spark):
+    """Each epoch is an independent deterministic permutation: orders
+    differ between epochs, while every epoch is reproducible and epoch
+    None equals the base salt (the x52 oracle contract)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(60)], ["doc_id", "text"]
+    )
+
+    def order(epoch):
+        return [
+            r.doc_id
+            for r in training_shards(docs, n_shards=2, epoch=epoch)
+            .orderBy("shard", "pos")
+            .collect()
+        ]
+
+    e0, e1 = order(0), order(1)
+    assert e0 != e1 and sorted(e0) == sorted(e1)
+    assert order(0) == e0  # reproducible
+    base = [
+        r.doc_id
+        for r in training_shards(docs, n_shards=2).orderBy("shard", "pos").collect()
+    ]
+    assert base != e0  # epoch salt is distinct from the base salt
