@@ -669,6 +669,7 @@ def edit_distance_pairs(
     block_words: int = 2,
     max_rel_distance: float = 1.0,
     max_block_size: int | None = None,
+    max_abs_distance: int | None = None,
 ) -> DataFrame:
     """Character-level near-dup verification: Levenshtein distance and
     the derived similarity ratio 1 - lev/max(len), computed ONLY for
@@ -683,7 +684,16 @@ def edit_distance_pairs(
 
     ``max_block_size`` guards against block-key skew exactly as in
     ngram_jaccard_pairs: capped bucket expansion + ``block_truncated``
-    provenance when set; unchanged schema/semantics when unset."""
+    provenance when set; unchanged schema/semantics when unset.
+
+    ``max_abs_distance`` switches to Spark's BANDED Levenshtein
+    (3-arg form): cost per pair drops from O(len_a*len_b) to
+    O(len * threshold) with early exit once the band is exceeded, and
+    only pairs within the bound are emitted — the realistic verify
+    semantic (a verify stage always thresholds) and a multiple-x
+    speedup when most blocked pairs are far apart.  For emitted pairs
+    the banded distance equals the exact distance, so the oracle can
+    mirror with full Levenshtein + the same filter."""
     toks = tokens(F.col(text_col))
     prepared = docs.select(
         F.col(id_col),
@@ -694,10 +704,14 @@ def edit_distance_pairs(
     )
     if max_block_size is not None:
         pairs = _capped_block_pairs(prepared, id_col, text_col, max_block_size)
-        lev = F.levenshtein("payload_a", "payload_b")
+        if max_abs_distance is not None:
+            lev = F.levenshtein("payload_a", "payload_b", max_abs_distance)
+        else:
+            lev = F.levenshtein("payload_a", "payload_b")
         max_len = F.greatest(F.length("payload_a"), F.length("payload_b"))
+        bounded = (lev >= 0) if max_abs_distance is not None else F.lit(True)
         return (
-            pairs.filter(lev <= F.ceil(max_len * F.lit(max_rel_distance)))
+            pairs.filter(bounded & (lev <= F.ceil(max_len * F.lit(max_rel_distance))))
             .select(
                 "doc_a",
                 "doc_b",
@@ -712,12 +726,16 @@ def edit_distance_pairs(
     b = prepared.select(
         F.col(id_col).alias("doc_b"), F.col("blk"), F.col(text_col).alias("text_b")
     )
-    lev = F.levenshtein("text_a", "text_b")
+    if max_abs_distance is not None:
+        lev = F.levenshtein("text_a", "text_b", max_abs_distance)
+    else:
+        lev = F.levenshtein("text_a", "text_b")
     max_len = F.greatest(F.length("text_a"), F.length("text_b"))
+    bounded = (lev >= 0) if max_abs_distance is not None else F.lit(True)
     return (
         a.join(b, "blk")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(lev <= F.ceil(max_len * F.lit(max_rel_distance)))
+        .filter(bounded & (lev <= F.ceil(max_len * F.lit(max_rel_distance))))
         .select(
             "doc_a",
             "doc_b",

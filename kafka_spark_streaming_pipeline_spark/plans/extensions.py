@@ -1297,17 +1297,21 @@ def x34_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / CAST(greatest(len(a.text), len(b.text)) AS DOUBLE)
                  + 1e-9, 4) AS char_sim
     FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 100
     """,
 )
 def x35_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-dup verification: Levenshtein distance +
-    similarity ratio on blocked candidate pairs only (same first-words
-    blocking as x02) — O(len^2) per pair is why this lives behind
-    blocking, never on the cross product."""
+    """Character-level near-dup verification: BANDED Levenshtein
+    (threshold 100) + similarity ratio on blocked candidate pairs only
+    (same first-words blocking as x02).  The band caps per-pair cost at
+    O(len * 100) with early exit — most blocked pairs are far apart
+    and terminate almost immediately — while emitted distances equal
+    the exact Levenshtein, so the oracle mirrors with the full
+    computation + the same filter."""
     from ..operators.dedup import edit_distance_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return edit_distance_pairs(docs)
+    return edit_distance_pairs(docs, max_abs_distance=100)
 
 
 @query(
