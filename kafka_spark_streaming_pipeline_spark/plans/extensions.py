@@ -2526,3 +2526,120 @@ def x59_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return novelty_scores(docs, k=3)
+
+
+@query(
+    "x60_hash_embeddings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), comp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('embdim|' || tok), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             sum(CAST(('0x' || substr(md5('embsign|' || tok), 1, 15))::BIGINT % 2
+                      * 2 - 1 AS DOUBLE)) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM toks
+      GROUP BY doc_id, d
+    ), folded AS (
+      SELECT doc_id, map(list(d), list(v)) AS m, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM comp GROUP BY doc_id
+    ), dense AS (
+      SELECT doc_id, n_tokens,
+             list_transform(range(0, 64), d -> coalesce(m[d][1], 0.0::DOUBLE)) AS vec
+      FROM folded
+    ), normed AS (
+      SELECT doc_id, n_tokens,
+             sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm, vec
+      FROM dense
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(vec, x -> format('{:.6f}',
+               round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END + 1e-9, 6))),
+             ',') AS embedding_csv,
+           n_tokens
+    FROM normed
+    """,
+)
+def x60_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing text embeddings (64-dim, L2-normalized,
+    md5-derived dims/signs — deterministic, model-free): the "embed"
+    stage that lets the ANN / semantic-dedup tier run on raw text with
+    no external model.  One explode + two combinable aggregates, no
+    joins.  Components rendered as CSV here only for the cross-engine
+    value hash — the operator itself returns the dense array."""
+    from ..operators.embed import hash_embeddings
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embeddings(docs, dim=64)
+    return emb.select(
+        "doc_id",
+        F.array_join(
+            F.transform("embedding", lambda x: F.format_string("%.6f", x)), ","
+        ).alias("embedding_csv"),
+        "n_tokens",
+    )
+
+
+_HASH_EMBED_CTE = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ), comp AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('embdim|' || tok), 1, 15))::BIGINT % 64 AS INT)
+               AS d,
+             sum(CAST(('0x' || substr(md5('embsign|' || tok), 1, 15))::BIGINT % 2
+                      * 2 - 1 AS DOUBLE)) AS v
+      FROM toks GROUP BY doc_id, d
+    ), folded AS (
+      SELECT doc_id, map(list(d), list(v)) AS m FROM comp GROUP BY doc_id
+    ), dense AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), d -> coalesce(m[d][1], 0.0::DOUBLE)) AS raw
+      FROM folded
+    ), embedded AS (
+      SELECT doc_id,
+             list_transform(raw, x -> round(
+               CASE WHEN sqrt(list_sum(list_transform(raw, y -> y * y))) > 0
+                    THEN x / sqrt(list_sum(list_transform(raw, y -> y * y)))
+                    ELSE 0.0 END + 1e-9, 6)) AS v
+      FROM dense
+    )
+"""
+
+
+@query(
+    "x61_text_embedding_neardup",
+    oracle=f"""
+    WITH {_HASH_EMBED_CTE},
+    b AS (
+      SELECT doc_id AS id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket
+      FROM embedded
+    )
+    SELECT a.id AS vec_a, bb.id AS vec_b,
+           round(list_dot_product(a.v, bb.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+                 + 1e-9, 4) AS cosine_sim
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+    WHERE round(list_dot_product(a.v, bb.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+                + 1e-9, 4) >= 0.95
+    """,
+)
+def x61_text_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT near-dup detection through embedding space, end to end and
+    model-free: hash-embed the corpus (x60) then SRP-blocked exact
+    cosine at 0.95 (x14's machinery) — near/exact duplicate texts land
+    at cosine ~1 in the hashed bag-of-words space.  The composed
+    dataflow (embed -> block -> verify) is value-verified by one
+    stacked oracle."""
+    from ..operators.embed import hash_embeddings
+    from ..operators.similarity import embedding_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embeddings(docs, dim=64)
+    return embedding_neardup_pairs(
+        emb, NEARDUP_PLANES, threshold=0.95, id_col="doc_id"
+    )

@@ -1169,3 +1169,29 @@ def test_phrase_search_indexed_parity_and_pruning(spark, sf_dir, tmp_path):
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "term_bucket" in plan          # bucket IN-list reached the scan
     assert "documents.parquet" not in plan  # corpus never touched
+
+
+def test_hash_embeddings_twins_and_unit_norm(spark):
+    """Identical texts embed identically (cosine 1), disjoint-vocab
+    texts are near-orthogonal, vectors are unit-norm, and re-runs are
+    bit-identical (no RNG)."""
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        hash_embeddings,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),     # twin
+        (3, "zeta eta theta iota kappa lambada"),  # disjoint vocab
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: list(r.embedding) for r in hash_embeddings(docs).collect()}
+    assert out[1] == out[2]
+    import math
+
+    for v in out.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    cos13 = sum(a * b for a, b in zip(out[1], out[3]))
+    assert abs(cos13) < 0.5  # disjoint vocab -> far from parallel
+    again = {r.doc_id: list(r.embedding) for r in hash_embeddings(docs).collect()}
+    assert again == out
