@@ -244,3 +244,10 @@ class Engine:
         return quality_weighted_sample(
             self.table("documents"), quality_score(F.col("text")), scale=scale
         )
+
+    def embed_corpus(self, dim: int = 64) -> DataFrame:
+        """Model-free feature-hashing embeddings of the documents table
+        (deterministic; feeds the ANN / semantic-dedup tier directly)."""
+        from .operators.embed import hash_embeddings
+
+        return hash_embeddings(self.table("documents"), dim=dim)

@@ -729,3 +729,101 @@ def ivf_search_postings(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs_multi(
+    emb: DataFrame,
+    tables: list[list[list[int]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    center: bool = True,
+) -> DataFrame:
+    """Multi-table, MEAN-CENTERED SRP near-dup pairs — the variant for
+    ANISOTROPIC embedding distributions.
+
+    Raw SRP blocking assumes directions spread around the sphere;
+    corpora whose vectors cluster in a narrow cone (hashed bag-of-words
+    over a shared vocabulary, most real sentence-embedding spaces) put
+    nearly every vector on the same side of every hyperplane — ONE
+    bucket floods and within-bucket pairing goes quadratic (observed:
+    71 s vs 1.5 s at sf0.1).  Subtracting the corpus mean re-spreads
+    the directions (the standard centering trick), and unioning
+    multiple independent hyperplane tables dials recall back up
+    exactly as in lsh_cosine_topk_multi.
+
+    Blocking uses the CENTERED vectors; the verified cosine uses the
+    ORIGINAL vectors, so emitted similarities are unchanged semantics.
+    The mean is one tiny per-dimension aggregate (rounded, engine-
+    portable) broadcast below the bucket computation.  Pairs dedupe
+    across tables by id pair."""
+    v = (
+        emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    if center:
+        dim_rows = v.select(F.posexplode("v").alias("d", "x"))
+        mu = dim_rows.groupBy("d").agg(
+            F.round(F.avg("x") + F.lit(1e-9), 6).alias("m")
+        )
+        mu_arr = mu.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("__mu")
+        )
+        v = v.crossJoin(F.broadcast(mu_arr)).withColumn(
+            "c",
+            F.zip_with(
+                "v", "__mu", lambda x, m: F.round(x - m + F.lit(1e-9), 6)
+            ),
+        ).drop("__mu")
+    else:
+        v = v.withColumn("c", F.col("v"))
+
+    # persist the prepared frame: every table branch (and the pair
+    # expansion inside each) re-reads these narrow rows instead of
+    # recomputing the upstream embedding/centering subtree per branch —
+    # without this the input plan executes once per table
+    v = v.persist()
+
+    out = None
+    for planes in tables:
+        tagged = v.withColumn("bucket", int_srp_bucket(F.col("c"), planes))
+        buckets = (
+            tagged.groupBy("bucket")
+            .agg(F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("members"))
+            .filter(F.size("members") >= 2)
+        )
+        members = F.col("members")
+        pair_arr = F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(
+                        members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))
+                    ),
+                    lambda y: F.struct(
+                        x["id"].alias("vec_a"),
+                        y["id"].alias("vec_b"),
+                        x["v"].alias("v_a"),
+                        y["v"].alias("v_b"),
+                        x["n"].alias("n_a"),
+                        y["n"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+        sim = F.round(
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+            + F.lit(1e-9),
+            4,
+        )
+        pairs = (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.*")
+            .select("vec_a", "vec_b", sim.alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    # a pair can meet in several tables: keep one copy
+    return out.dropDuplicates(["vec_a", "vec_b"])

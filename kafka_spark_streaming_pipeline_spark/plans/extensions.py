@@ -2610,36 +2610,78 @@ _HASH_EMBED_CTE = """
 """
 
 
+def _centered_tables(n_tables: int, n_planes: int = 8, dim: int = 64) -> list:
+    """Deterministic hyperplane tables for the centered multi-table
+    blocking (x61) — same literal family as x49's _srp_tables with the
+    x14 offset."""
+    return [
+        [
+            [(((7 * i + 13 * p + 29 * t + 5) % 17) - 8) for i in range(dim)]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _centered_bucket_sql(t: int) -> str:
+    return _srp_bucket_sql(_centered_tables(3)[t]).replace("len(v)", "len(c)").replace("v[i]", "c[i]")
+
+
 @query(
     "x61_text_embedding_neardup",
     oracle=f"""
     WITH {_HASH_EMBED_CTE},
-    b AS (
-      SELECT doc_id AS id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket
-      FROM embedded
+    dims AS (
+      SELECT doc_id, dd.d AS d, v[dd.d] AS x
+      FROM embedded CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+    ), mean AS (
+      SELECT list(mm ORDER BY d) AS mu FROM (
+        SELECT d, round(avg(x) + 1e-9, 6) AS mm FROM dims GROUP BY d)
+    ), centered AS (
+      SELECT e.doc_id, e.v,
+             list_transform(range(1, 65), d -> round(e.v[d] - mu[d] + 1e-9, 6)) AS c
+      FROM embedded e CROSS JOIN mean
+    ), b AS (
+      SELECT doc_id, v, {{b0}} AS k0, {{b1}} AS k1, {{b2}} AS k2 FROM centered
+    ), cand AS (
+      SELECT a.doc_id AS vec_a, bb.doc_id AS vec_b, a.v AS va, bb.v AS vb
+      FROM b a JOIN b bb ON a.k0 = bb.k0 AND a.doc_id < bb.doc_id
+      UNION
+      SELECT a.doc_id, bb.doc_id, a.v, bb.v
+      FROM b a JOIN b bb ON a.k1 = bb.k1 AND a.doc_id < bb.doc_id
+      UNION
+      SELECT a.doc_id, bb.doc_id, a.v, bb.v
+      FROM b a JOIN b bb ON a.k2 = bb.k2 AND a.doc_id < bb.doc_id
     )
-    SELECT a.id AS vec_a, bb.id AS vec_b,
-           round(list_dot_product(a.v, bb.v)
-                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+    SELECT vec_a, vec_b,
+           round(list_dot_product(va, vb)
+                 / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
                  + 1e-9, 4) AS cosine_sim
-    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
-    WHERE round(list_dot_product(a.v, bb.v)
-                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+    FROM cand
+    WHERE round(list_dot_product(va, vb)
+                / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
                 + 1e-9, 4) >= 0.95
-    """,
+    """.replace("{b0}", _centered_bucket_sql(0))
+       .replace("{b1}", _centered_bucket_sql(1))
+       .replace("{b2}", _centered_bucket_sql(2)),
 )
 def x61_text_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXT near-dup detection through embedding space, end to end and
-    model-free: hash-embed the corpus (x60) then SRP-blocked exact
-    cosine at 0.95 (x14's machinery) — near/exact duplicate texts land
-    at cosine ~1 in the hashed bag-of-words space.  The composed
-    dataflow (embed -> block -> verify) is value-verified by one
-    stacked oracle."""
+    model-free: hash-embed the corpus (x60), then MEAN-CENTERED
+    3-table SRP blocking with exact cosine verification at 0.95.
+    Centering matters here specifically: hashed bag-of-words vectors
+    over a shared vocabulary cluster in a narrow cone, so RAW SRP
+    signs collapse into one flooded bucket (quadratic pairing —
+    observed 71 s vs ~2 s at sf0.1); subtracting the corpus mean
+    re-spreads directions and the 3-table union restores recall
+    (~76% of true 0.95-pairs at sf0.1, 100% of exact-dup pairs, which
+    always co-bucket in every table).  The composed dataflow is
+    value-verified by one stacked oracle."""
     from ..operators.embed import hash_embeddings
-    from ..operators.similarity import embedding_neardup_pairs
+    from ..operators.similarity import embedding_neardup_pairs_multi
 
     docs = load_table(spark, sf_dir, "documents")
     emb = hash_embeddings(docs, dim=64)
-    return embedding_neardup_pairs(
-        emb, NEARDUP_PLANES, threshold=0.95, id_col="doc_id"
+    return embedding_neardup_pairs_multi(
+        emb, _centered_tables(3), threshold=0.95, id_col="doc_id"
     )

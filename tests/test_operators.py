@@ -1195,3 +1195,34 @@ def test_hash_embeddings_twins_and_unit_norm(spark):
     assert abs(cos13) < 0.5  # disjoint vocab -> far from parallel
     again = {r.doc_id: list(r.embedding) for r in hash_embeddings(docs).collect()}
     assert again == out
+
+
+def test_centered_multi_table_neardup_on_coned_vectors(spark):
+    """Vectors clustered in a narrow cone: planted near-dup pairs must
+    be found, far pairs must not, pairs are unique across tables, and
+    exact twins are ALWAYS found (identical vectors co-bucket in every
+    table)."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs_multi,
+    )
+
+    base = [1.0, 1.0, 1.0, 1.0, 0.9, 1.1, 1.0, 1.0]
+    rows = [
+        (0, base),
+        (1, base),                                   # exact twin of 0
+        (2, [x + (0.01 if i == 2 else 0) for i, x in enumerate(base)]),  # near 0
+        (3, [x + (0.8 if i < 4 else -0.8) for i, x in enumerate(base)]), # far
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tables = [
+        [[((7 * i + 13 * p + 29 * t + 5) % 17) - 8 for i in range(8)]
+         for p in range(4)]
+        for t in range(3)
+    ]
+    out = {(r.vec_a, r.vec_b): r.cosine_sim for r in
+           embedding_neardup_pairs_multi(emb, tables, threshold=0.99).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 0.999  # twins always found
+    assert (0, 2) in out                            # near pair found
+    assert all(3 not in pair for pair in out)       # far vector excluded
+    # no duplicate pair rows despite 3 tables
+    assert len(out) == len(set(out))
