@@ -82,7 +82,12 @@ def main() -> int:
             continue
         if q.oracle is None:
             print(f"ok   {name}: rows-only, {len(s_rows)} rows ({time.time()-t0:.1f}s)")
-            record[name] = {"err": None, "spark_rows": len(s_rows), "rows_only": True}
+            record[name] = {
+                "err": None,
+                "spark_rows": len(s_rows),
+                "rows_only": True,
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             res = con.execute(q.oracle)
@@ -121,6 +126,7 @@ def main() -> int:
             "rows_match": len(s_rows) == len(d_rows),
             "schema_match": sorted(s_cols) == sorted(d_cols),
             "hash_match": not problems,
+            "sec": round(time.time() - t0, 2),
         }
 
     if json_out:

@@ -44,6 +44,9 @@ AUDITED = {
     "x55_dedup_yield_report": "dedup yield: one groupBy(source) over the composed fingerprint+closure flags",
     "x56_supplier_pagerank": "pagerank: edges partitioned once; per-iteration join + combinable aggregate, no collect",
     "x57_phrase_search": "phrase: per-term postings joined on doc_id; rarest term bounds the join; no text re-scan",
+    "x59_novelty_scores": "novelty: one explode + corpus df aggregate + rejoin; no self-join",
+    "x60_hash_embeddings": "hash embed: one explode + two combinable aggregates, no joins",
+    "x61_text_embedding_neardup": "centered multi-table blocking: persisted prep frame, per-table bucket groupBy, no self-join",
 }
 
 
