@@ -57,6 +57,11 @@ def pagerank(
         )
     )
     with_deg = e.join(deg, "src")
+    # the stable node universe: every node has out-edges (precondition),
+    # so deg's keys are ALL nodes — a node with zero IN-degree must
+    # still appear each iteration with mass 0, or its (1-d)/N base rank
+    # and its outgoing contribution silently vanish from round 2 on
+    nodes = deg.select(F.col("src").alias("node"))
     for _ in range(iterations):
         contribs = (
             with_deg.join(ranks, with_deg.src == ranks.node)
@@ -64,12 +69,13 @@ def pagerank(
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("mass"))
         )
         ranks = (
-            contribs.crossJoin(F.broadcast(n))
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(n))
             .select(
-                F.col("dst").alias("node"),
+                "node",
                 F.round(
                     F.lit(1 - damping) / F.col("n_nodes")
-                    + F.lit(damping) * F.col("mass")
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
                     + F.lit(1e-9),
                     decimals,
                 ).alias("rank"),

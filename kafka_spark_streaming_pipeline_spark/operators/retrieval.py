@@ -114,9 +114,14 @@ def bm25_topk(
     # and the scoring all read the cached narrow rows — the documents
     # table itself is scanned exactly once (at cache population),
     # where the previous shape paid three full corpus reads per query.
-    # The cache is a few small columns per doc (no text); entries are
-    # LRU-evicted under memory pressure, and a caller batching many
-    # queries amortizes the population scan across them.
+    # The cache is a few small columns per doc (no text) and is
+    # LRU-evicted under memory pressure.  Lifecycle note: the entry is
+    # NOT unpersisted here — the returned frame is lazy and still
+    # reads it — and the cache key depends on the query's term set, so
+    # it is not reused across different queries; a long-lived service
+    # issuing many distinct queries on one session should call
+    # spark.catalog.clearCache() periodically (the entries hold no
+    # corpus text, only the narrow stats rows).
     toks = tokens(F.col(text_col))
 
     def _match(term: str):
@@ -361,7 +366,10 @@ def rerank_with_model(
                 for t in pdf[text_col]
             ]
 
-    out_schema = f"{id_col} long, model_score double"
+    # derive the id field's type from the input — string/long/etc. ids
+    # all work, matching the rest of the retrieval surface
+    id_type = candidates_with_text.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, model_score double"
 
     def score_batches(batches):
         for pdf in batches:

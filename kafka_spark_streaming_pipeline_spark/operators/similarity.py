@@ -605,6 +605,15 @@ def semantic_dedup(
     cosine_sim) where kept_id is the LOWEST-id in-cluster neighbor
     with cosine >= threshold (the deterministic witness).
 
+    Removal semantics are the greedy-prefix rule (SemDeDup's form): a
+    vector is removed iff SOME lower-id cluster member is within the
+    threshold — including members that are themselves removed.  Chains
+    A~B~C (with A!~C) therefore keep only A; ``kept_id`` names the
+    WITNESS that caused removal, which may itself be a removed row,
+    not necessarily a surviving representative.  Consumers wanting the
+    surviving representative of a duplicate group should run the pairs
+    through dedup.connected_components instead of following kept_id.
+
     Scale shape — the whole point of SemDeDup vs all-pairs:
     - assignment is shuffle-free: the centroid set (k x dim — tiny by
       construction) folds into one broadcast row and the argmax is a
@@ -757,6 +766,8 @@ def embedding_neardup_pairs_multi(
     The mean is one tiny per-dimension aggregate (rounded, engine-
     portable) broadcast below the bucket computation.  Pairs dedupe
     across tables by id pair."""
+    if not tables:
+        raise ValueError("at least one hyperplane table required")
     v = (
         emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))

@@ -31,15 +31,25 @@ def write_sorted(
     n_shards: int = 32,
 ) -> None:
     """Write ``df`` as ``n_shards`` range-disjoint shards, each sorted
-    on ``key_col``, plus a shard manifest at ``{dest}/_manifest``."""
+    on ``key_col``, plus a shard manifest at ``{dest}/_manifest``.
+
+    The manifest is computed by reading BACK the written files (key
+    column only — a narrow pruned scan), never by re-executing the
+    input plan: repartitionByRange samples the key distribution, so a
+    re-execution of a non-deterministic input could assign rows to
+    different shards than the files actually written, and the manifest
+    would prune wrongly.  Reading what was written is the only source
+    of truth (and avoids paying the range shuffle twice)."""
     sharded = (
         df.repartitionByRange(n_shards, F.col(key_col))
         .sortWithinPartitions(key_col)
         .withColumn("shard", F.spark_partition_id())
     )
     sharded.write.mode("overwrite").partitionBy("shard").parquet(f"{dest}/data")
+    spark = df.sparkSession
     manifest = (
-        sharded.groupBy("shard")
+        spark.read.parquet(f"{dest}/data")
+        .groupBy("shard")
         .agg(
             F.min(key_col).alias("key_min"),
             F.max(key_col).alias("key_max"),

@@ -216,17 +216,39 @@ def _stamp_folded(resolved: DataFrame, log: DataFrame, quiesced: bool) -> DataFr
     )
 
 
-def latest_view(
-    spark, table_path: str, keys: list[str], order_col: str | None = None
-) -> DataFrame:
-    """Last-writer-wins view over the append log: one row per key,
-    newest commit (then ``order_col``) winning — the read-side half of
-    merge-on-read.  Replays of batches folded by an online compaction
-    are dropped via the in-band watermark (see
-    ``_drop_replays_behind_watermark``)."""
+def _read_log(spark, table_path: str) -> DataFrame:
     log = AtomicParquetTable(table_path).read(spark)
     if log is None:
         raise FileNotFoundError(f"no committed version at {table_path}")
+    return log
+
+
+def _compact(spark, table_path: str, fold_of, quiesced: bool) -> None:
+    """Shared compaction driver: resolve ONE version, read exactly that
+    snapshot, build the fold AND the watermark from that single
+    DataFrame, and publish with compare-and-swap at version+1.
+
+    The CAS is what makes online compaction sound: without it, a batch
+    the live stream commits between the fold's read and the overwrite
+    would be silently dropped (the new manifest references only the
+    folded files), and a batch appended between two independent reads
+    could be folded yet excluded from the watermark — re-admitting its
+    replay.  With the pinned snapshot neither interleaving exists, and
+    a concurrent commit surfaces as txn.ConcurrentWriteError with the
+    table untouched — the caller simply re-runs compaction."""
+    table = AtomicParquetTable(table_path)
+    version = table.version(spark)
+    if version == 0:
+        raise FileNotFoundError(f"no committed version at {table_path}")
+    log = table.read(spark, version=version)
+    folded = _stamp_folded(fold_of(log), log, quiesced)
+    table.overwrite(folded, expect_version=version)
+    table.vacuum(spark)
+
+
+def _latest_view_of(
+    log: DataFrame, keys: list[str], order_col: str | None = None
+) -> DataFrame:
     log = _drop_replays_behind_watermark(log)
     order = [F.col("__commit").desc()] + (
         [F.col(order_col).desc()] if order_col else []
@@ -237,6 +259,17 @@ def latest_view(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__commit")
     )
+
+
+def latest_view(
+    spark, table_path: str, keys: list[str], order_col: str | None = None
+) -> DataFrame:
+    """Last-writer-wins view over the append log: one row per key,
+    newest commit (then ``order_col``) winning — the read-side half of
+    merge-on-read.  Replays of batches folded by an online compaction
+    are dropped via the in-band watermark (see
+    ``_drop_replays_behind_watermark``)."""
+    return _latest_view_of(_read_log(spark, table_path), keys, order_col)
 
 
 def compact_log(
@@ -266,16 +299,14 @@ def compact_log(
     rows were folded into -1).  ``quiesced=False`` lifts that
     requirement for a LIVE stream: the fold stamps the in-band
     watermark instead (see ``_stamp_folded``) and the views drop such
-    replays."""
-    table = AtomicParquetTable(table_path)
-    log = table.read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed version at {table_path}")
-    resolved = _stamp_folded(
-        latest_view(spark, table_path, keys, order_col), log, quiesced
+    replays.  Fold, watermark, and publish all pin ONE snapshot with a
+    CAS commit (see ``_compact``)."""
+    _compact(
+        spark,
+        table_path,
+        lambda log: _latest_view_of(log, keys, order_col),
+        quiesced,
     )
-    table.overwrite(resolved)
-    table.vacuum(spark)
 
 
 def make_live_log_sink(metadata_path: str, chunks_path: str):
@@ -354,9 +385,10 @@ def rollup_view(spark, rollup_path: str, key_cols: list[str]) -> DataFrame:
     Replayed batches are deduplicated by (commit, key, bucket) first —
     a retried foreachBatch recomputes the identical partial row, so
     keeping one copy per commit makes the view exactly-once."""
-    log = AtomicParquetTable(rollup_path).read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed version at {rollup_path}")
+    return _rollup_view_of(_read_log(spark, rollup_path), key_cols)
+
+
+def _rollup_view_of(log: DataFrame, key_cols: list[str]) -> DataFrame:
     return (
         _drop_replays_behind_watermark(log)
         .dropDuplicates(["__commit", *key_cols, "bucket"])
@@ -385,16 +417,12 @@ def compact_rollup(
     ``quiesced=False`` makes compaction safe UNDER a live stream
     instead: the fold stamps the in-band replay watermark
     (``_stamp_folded``) and the views drop replayed batches behind it.
-    (Same contract for compact_index and compact_log.)"""
-    table = AtomicParquetTable(rollup_path)
-    log = table.read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed version at {rollup_path}")
-    folded = _stamp_folded(
-        rollup_view(spark, rollup_path, key_cols), log, quiesced
+    (Same contract for compact_index and compact_log.)  Fold,
+    watermark, and publish all pin ONE snapshot with a CAS commit
+    (see ``_compact``)."""
+    _compact(
+        spark, rollup_path, lambda log: _rollup_view_of(log, key_cols), quiesced
     )
-    table.overwrite(folded)
-    table.vacuum(spark)
 
 
 # ------------------------------------------------ incremental inverted index
@@ -439,9 +467,10 @@ def index_view(
     replay).  ``max_postings`` applies the same stopword truncation cap
     as operators.retrieval.inverted_index, with df staying exact;
     the output schema matches inverted_index exactly."""
-    log = AtomicParquetTable(index_path).read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed version at {index_path}")
+    return _index_view_of(_read_log(spark, index_path), max_postings)
+
+
+def _index_view_of(log: DataFrame, max_postings: int | None = None) -> DataFrame:
     merged = (
         _drop_replays_behind_watermark(log)
         .dropDuplicates(["__commit", "term"])
@@ -467,16 +496,14 @@ def compact_index(spark, index_path: str, quiesced: bool = True) -> None:
     folds stamp __commit=-1 for the same fresh-checkpoint-restart
     reason as compact_rollup; ``quiesced=False`` stamps the in-band
     replay watermark so compaction is safe under a live stream (see
-    compact_rollup's docstring for the full contract)."""
-    table = AtomicParquetTable(index_path)
-    log = table.read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed version at {index_path}")
-    folded = _stamp_folded(
-        index_view(spark, index_path).select("term", "df", "postings"), log, quiesced
+    compact_rollup's docstring for the full contract; pinned-snapshot
+    CAS semantics in ``_compact``)."""
+    _compact(
+        spark,
+        index_path,
+        lambda log: _index_view_of(log).select("term", "df", "postings"),
+        quiesced,
     )
-    table.overwrite(folded)
-    table.vacuum(spark)
 
 
 # ------------------------------------------------ incremental IVF ANN index
@@ -520,9 +547,10 @@ def ivf_stream_view(spark, index_path: str) -> DataFrame:
     replay, with the online-compaction watermark honored) → the
     (cell, neighbor_id, v) frame ``ivf_search_postings`` scores
     against."""
-    log = AtomicParquetTable(f"{index_path}/postings_log").read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed postings log under {index_path}")
+    return _ivf_view_of(_read_log(spark, f"{index_path}/postings_log"))
+
+
+def _ivf_view_of(log: DataFrame) -> DataFrame:
     return (
         _drop_replays_behind_watermark(log)
         .dropDuplicates(["__commit", "neighbor_id"])
@@ -545,15 +573,9 @@ def ivf_stream_search(
 
 def compact_ivf(spark, index_path: str, quiesced: bool = True) -> None:
     """Fold the postings log to one row per vector; atomic overwrite.
-    Same quiesced/online contract as compact_rollup (the online fold
-    stamps the in-band replay watermark)."""
-    table = AtomicParquetTable(f"{index_path}/postings_log")
-    log = table.read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed postings log under {index_path}")
-    folded = _stamp_folded(ivf_stream_view(spark, index_path), log, quiesced)
-    table.overwrite(folded)
-    table.vacuum(spark)
+    Same quiesced/online contract as compact_rollup (pinned-snapshot
+    CAS semantics in ``_compact``)."""
+    _compact(spark, f"{index_path}/postings_log", _ivf_view_of, quiesced)
 
 
 # ------------------------------------------- incremental count-min sketch
@@ -582,9 +604,10 @@ def make_cms_sink(sketch_path: str, term_col: str = "term"):
 def cms_view(spark, sketch_path: str) -> DataFrame:
     """Merged sketch: cell-wise sum of the partial counter matrices
     after per-commit dedup — feed to operators.sketches.cms_estimate."""
-    log = AtomicParquetTable(sketch_path).read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed sketch log at {sketch_path}")
+    return _cms_view_of(_read_log(spark, sketch_path))
+
+
+def _cms_view_of(log: DataFrame) -> DataFrame:
     return (
         _drop_replays_behind_watermark(log)
         .dropDuplicates(["__commit", "depth", "slot"])
@@ -595,11 +618,6 @@ def cms_view(spark, sketch_path: str) -> DataFrame:
 
 def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
     """Fold the partial-sketch log to one counter matrix; same
-    quiesced/online contract as the other compactors."""
-    table = AtomicParquetTable(sketch_path)
-    log = table.read(spark)
-    if log is None:
-        raise FileNotFoundError(f"no committed sketch log at {sketch_path}")
-    folded = _stamp_folded(cms_view(spark, sketch_path), log, quiesced)
-    table.overwrite(folded)
-    table.vacuum(spark)
+    quiesced/online contract as the other compactors (pinned-snapshot
+    CAS semantics in ``_compact``)."""
+    _compact(spark, sketch_path, _cms_view_of, quiesced)

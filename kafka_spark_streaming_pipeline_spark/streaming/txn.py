@@ -240,13 +240,24 @@ class AtomicParquetTable:
         )
         return version + 1
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, expect_version: int | None = None) -> int:
         """Atomically replace the whole table content (compaction /
         full rewrite).  Old dirs stay until ``vacuum`` — a reader that
-        resolved the previous version keeps a consistent snapshot."""
+        resolved the previous version keeps a consistent snapshot.
+
+        ``expect_version`` makes the replace a compare-and-swap: the
+        new manifest publishes at ``expect_version + 1``, and if any
+        writer committed that slot in the meantime ``_publish``'s
+        rename-if-absent raises ConcurrentWriteError and the table is
+        untouched — the guard compaction needs so a concurrently
+        appended batch can never be silently dropped by a fold computed
+        from an older snapshot."""
         spark = df.sparkSession
         fs = _FS(spark, self.root)
-        version, _ = self._resolve(fs)
+        if expect_version is not None:
+            version = expect_version
+        else:
+            version, _ = self._resolve(fs)
         rel = f"{_DATA}/{uuid.uuid4().hex[:12]}"
         df.write.parquet(f"{self.root}/{rel}")
         _publish(
@@ -381,7 +392,15 @@ def snapshot_diff(
 
     def digested(df: DataFrame, tag: str) -> DataFrame:
         non_key = [c for c in df.columns if c not in keys]
-        digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in non_key]))
+        # NULL-sensitive encoding: concat_ws silently drops nulls AND
+        # their separators, so ('x', NULL) and (NULL, 'x') would hash
+        # identically; tag every cell with a null marker first
+        cells = [
+            F.when(F.col(c).isNull(), F.lit("\x00"))
+            .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+            for c in non_key
+        ]
+        digest = F.md5(F.concat_ws("\x1f", *cells))
         return df.select(*keys, digest.alias(f"__d_{tag}"))
 
     j = digested(old, "old").join(digested(new, "new"), keys, "full_outer")

@@ -1226,3 +1226,20 @@ def test_centered_multi_table_neardup_on_coned_vectors(spark):
     assert all(3 not in pair for pair in out)       # far vector excluded
     # no duplicate pair rows despite 3 tables
     assert len(out) == len(set(out))
+
+
+def test_pagerank_keeps_source_only_nodes(spark):
+    """A node with out-edges but ZERO in-edges must stay in the result
+    at the base rank (1-d)/N every iteration and keep feeding its
+    neighbors — dropping it after round 1 silently deletes rank mass."""
+    from kafka_spark_streaming_pipeline_spark.operators.graph import pagerank
+
+    # C -> A, A <-> B : C has no in-edges (the A<->B 2-cycle makes the
+    # A/B split oscillate by parity, so assert parity-independent facts)
+    edges = spark.createDataFrame([(2, 0), (0, 1), (1, 0)], ["src", "dst"])
+    out = {r.node: r.rank for r in pagerank(edges, iterations=4).collect()}
+    assert set(out) == {0, 1, 2}  # C present despite zero in-degree
+    assert abs(out[2] - (1 - 0.85) / 3) < 1e-4  # base rank, every round
+    assert out[0] > out[2] and out[1] > out[2]
+    # C's mass keeps flowing: total stays ~1 (no silent mass deletion)
+    assert abs(sum(out.values()) - 1.0) < 1e-3

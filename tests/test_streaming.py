@@ -1164,3 +1164,50 @@ def test_streaming_cms_merges_exactly_and_never_underestimates(spark, tmp_path):
         for r in cms_estimate(cms_view(spark, path), terms).collect()
     }
     assert est["alpha"] >= 8 and est["beta"] >= 2 and est["gamma"] >= 4
+
+
+def test_compaction_cas_rejects_concurrent_commit(spark, tmp_path):
+    """The pinned-snapshot CAS: an overwrite prepared against version V
+    must FAIL (table untouched) if another writer committed V+1 in the
+    meantime — the interleaving where a non-CAS compaction would
+    silently drop the concurrent batch or stamp a stale watermark."""
+    import pytest
+
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        make_rollup_sink,
+        rollup_view,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.txn import (
+        AtomicParquetTable,
+        ConcurrentWriteError,
+    )
+
+    rollup_path = str(tmp_path / "rollup")
+    sink = make_rollup_sink(rollup_path, ["stream_id"])
+
+    def batch_df(events):
+        return spark.createDataFrame(events, LIVE_CHUNK_SCHEMA).withColumn(
+            "event_ts", F.to_timestamp("timestamp")
+        )
+
+    sink(batch_df([_event("s1", i) for i in range(3)]), 0)
+    table = AtomicParquetTable(rollup_path)
+    pinned = table.version(spark)
+
+    # a compactor pins `pinned`, then the live stream commits batch 1
+    folded = table.read(spark, version=pinned)
+    sink(batch_df([_event("s2", i) for i in range(2)]), 1)
+    before = {
+        (r.stream_id, r.bucket): (r.n_events, r.value_sum)
+        for r in rollup_view(spark, rollup_path, ["stream_id"]).collect()
+    }
+    assert len(before) == 2  # both streams present
+
+    with pytest.raises(ConcurrentWriteError):
+        table.overwrite(folded, expect_version=pinned)
+    # the losing CAS left the table untouched: both batches still merge
+    after = {
+        (r.stream_id, r.bucket): (r.n_events, r.value_sum)
+        for r in rollup_view(spark, rollup_path, ["stream_id"]).collect()
+    }
+    assert after == before

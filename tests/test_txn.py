@@ -230,3 +230,14 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
 
     # diff of a version against itself is empty
     assert snapshot_diff(spark, table, ["id"], v2, v2).count() == 0
+
+    # NULL-swap updates are real updates: ('x', NULL) -> (NULL, 'x')
+    # must be reported (a null-skipping digest would hash them equal)
+    v3 = table.overwrite(
+        spark.createDataFrame([(1, "x", None)], "id int, tag string, note string")
+    )
+    v4 = table.overwrite(
+        spark.createDataFrame([(1, None, "x")], "id int, tag string, note string")
+    )
+    nulls = {r.id: r.change for r in snapshot_diff(spark, table, ["id"], v3, v4).collect()}
+    assert nulls == {1: "updated"}
