@@ -740,6 +740,265 @@ def ivf_search_postings(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ------------------------------------------------- product quantization
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_codebooks(corpus: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
+    """Train per-subspace PQ codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): split each vector into
+    ``m`` subvectors of ``dsub`` dims, then per subspace run the same
+    deterministic hash-seed + one-Lloyd-step k-means the IVF tier uses.
+
+    Returns ONE row: ``__cb`` = array[m] of array[<=ksub] of centroid
+    (array<double>) — tiny (m x ksub x dsub doubles) by construction,
+    ready to broadcast.  Codes index POSITIONS in each subspace's
+    deterministically-sorted centroid list, so encode and ADC lookup
+    align even if a Lloyd step empties a cell.
+
+    Scale shape: training shuffles only (sub, cell, dim) aggregates —
+    output is m*ksub*dsub rows regardless of corpus size; the corpus is
+    scanned twice (seed means, one reassignment) and never shuffled on
+    its own key.  Expects column ``v`` (array<double>, normalized by
+    the caller if inner-product ADC is intended)."""
+    subs = (
+        corpus.select(
+            F.col("id"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.alias("sub"),
+                        F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)).alias("sv"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("id", "e.sub", "e.sv")
+    )
+
+    def _means(assigned: DataFrame) -> DataFrame:
+        by_dim = (
+            assigned.select("sub", "cell", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "cell", "dim")
+            .agg(F.avg("val").alias("mean"))
+        )
+        return (
+            by_dim.groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
+            .select(
+                "sub",
+                "cell",
+                F.transform("dm", lambda s: s["mean"]).alias("centroid"),
+            )
+        )
+
+    seeded = subs.withColumn(
+        "cell", F.pmod(F.xxhash64("id") + F.col("sub"), F.lit(ksub))
+    )
+    cb0 = _means(seeded)
+    cb0_row = (
+        cb0.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cells"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cells"))).alias("sc"))
+        .select(
+            F.transform(
+                "sc", lambda s: F.transform(s["cells"], lambda c: c["centroid"])
+            ).alias("__cb")
+        )
+    )
+    # one Lloyd step: reassign each subvector to its nearest seed
+    # centroid (by position), recompute means
+    cb_s = F.element_at(F.col("__cb"), F.col("sub") + 1)
+    argmin = F.element_at(
+        F.array_sort(
+            F.transform(
+                cb_s,
+                lambda cent, ci: F.struct(
+                    F.round(_l2sq(F.col("sv"), cent) + F.lit(1e-9), 6).alias("d"),
+                    ci.alias("pos"),
+                ),
+            )
+        ),
+        1,
+    )["pos"]
+    reassigned = (
+        subs.crossJoin(F.broadcast(cb0_row))
+        .withColumn("cell", argmin)
+        .drop("__cb")
+    )
+    return (
+        _means(reassigned)
+        .groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cells"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cells"))).alias("sc"))
+        .select(
+            F.transform(
+                "sc", lambda s: F.transform(s["cells"], lambda c: c["centroid"])
+            ).alias("__cb")
+        )
+    )
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int, dsub: int) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes — the position of its
+    nearest centroid in each subspace's codebook.  Map-only over the
+    vector scan (the one-row codebook frame is broadcast-nested-loop
+    attached); at 100 TB this is the pass that shrinks the corpus
+    32x (64 floats -> 8 codes) before any search touches it.
+    Expects columns ``id`` and ``v``; emits (id, codes array<int>)."""
+    code_for_sub = lambda s: F.element_at(  # noqa: E731
+        F.array_sort(
+            F.transform(
+                F.element_at(F.col("__cb"), s + 1),
+                lambda cent, ci: F.struct(
+                    F.round(
+                        _l2sq(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
+                        + F.lit(1e-9),
+                        6,
+                    ).alias("d"),
+                    ci.alias("pos"),
+                ),
+            )
+        ),
+        1,
+    )["pos"]
+    return (
+        vectors.crossJoin(F.broadcast(codebooks))
+        .withColumn(
+            "codes", F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for_sub)
+        )
+        .drop("__cb")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """PQ approximate top-k cosine via asymmetric distance computation
+    (ADC): vectors are L2-normalized (cosine == dot), the corpus is
+    compressed to ``m`` codebook codes, and each QUERY precomputes a
+    lookup table LUT[sub][pos] = dot(q_sub, centroid) so scoring a
+    corpus row is ``m`` array lookups + adds — no per-pair float
+    vector math at all.
+
+    This is the missing compression tier between int8 affine
+    quantization (quantize_embeddings — 4x) and raw vectors: PQ is
+    32x smaller (64 floats -> 8 bytes) and the ADC scan's per-row cost
+    is O(m), independent of dim.  At 100 TB the scan reads ONLY the
+    codes column (64-dim vectors never leave the encode pass), and the
+    LUT rides the tiny broadcast query side.  Composes with IVF by
+    running the same ADC expression over ivf postings instead of the
+    full codes frame.  Everything is hash-seeded and fold-ordered —
+    no RNG — so results are reproducible run to run.
+
+    ``rerank`` > 0 enables the standard two-stage production shape:
+    the ADC scan keeps a per-query shortlist of ``rerank`` candidates
+    (lossy, cheap), then ONLY those |Q| x rerank rows fetch their full
+    vectors for exact cosine rescoring — the expensive float math
+    never touches the rest of the corpus, and recall approaches exact
+    as the shortlist grows.  Output column is ``cosine_sim`` (exact)
+    when reranking, ``adc_score`` (approximate dot of reconstructions)
+    when not."""
+    if dim is None:  # probe once when the caller doesn't know the width
+        dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(df: DataFrame, out_id: str) -> DataFrame:
+        vv = _as_double(F.col(vec_col))
+        nn = F.sqrt(_dot(vv, vv))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.when(nn > 0, F.transform(vv, lambda x: x / nn)).otherwise(vv).alias("v"),
+        )
+
+    c = _unit(corpus, "id")
+    cb = pq_train_codebooks(c, m, ksub, dsub).localCheckpoint()
+    encoded = pq_encode(c, cb, m, dsub).select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+
+    # per-query LUT: same sorted codebook arrays => positions align
+    luts = F.transform(
+        F.col("__cb"),
+        lambda cells, s: F.transform(
+            cells,
+            lambda cent: F.round(
+                _dot(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
+                + F.lit(1e-9),
+                6,
+            ),
+        ),
+    )
+    q = (
+        _unit(queries, "query_id")
+        .crossJoin(F.broadcast(cb))
+        .withColumn("luts", luts)
+        .select("query_id", "luts")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda code, lut: F.element_at(lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(score + F.lit(1e-9), 4).alias("adc_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescoring touches only |Q| x rerank rows: the shortlist ids
+    # semi-drive a join back to the corpus vectors, the (tiny) query
+    # vectors broadcast, and the final top-k ranks exact cosine
+    cv = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"))
+    qv = _unit(queries, "query_id").withColumnRenamed("v", "q_vec")
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs_multi(
     emb: DataFrame,
     tables: list[list[list[int]]],
