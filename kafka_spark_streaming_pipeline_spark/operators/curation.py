@@ -81,6 +81,52 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter contamination screen — ``decontaminate``'s shape at
+    the scale where even the BROADCAST eval gram set is too big: the
+    eval set folds into a fixed ~8 KB bit array (sketches.bloom_build /
+    bloom_pack) and each train gram tests membership with a pure column
+    expression — NO join against the gram set at all, so the train scan
+    is map-only up to the final per-doc aggregate.
+
+    Bloom semantics: no false negatives (every truly-shared gram is
+    flagged — the guarantee decontamination needs: contaminated docs
+    cannot slip through), false positives at the sketch's tunable rate
+    only INFLATE the score.  Screen with this, then confirm flagged
+    docs with the exact join (decontaminate) on the tiny flagged
+    subset — the same two-phase economics as LSH -> exact verify."""
+    from .sketches import bloom_build, bloom_pack, bloom_probe
+
+    eval_grams = (
+        eval_set.select(
+            F.explode(F.array_distinct(shingle_arr(F.col(text_col), k))).alias("gram")
+        )
+        .distinct()
+    )
+    packed = bloom_pack(bloom_build(eval_grams, "gram"))
+    train_grams = train.select(
+        id_col,
+        F.explode(F.array_distinct(shingle_arr(F.col(text_col), k))).alias("gram"),
+    )
+    probed = bloom_probe(packed, train_grams, "gram")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("bloom_hit").cast("long").alias("n_flagged"),
+            F.round(
+                F.sum("bloom_hit") / F.count("*") + F.lit(1e-9), 4
+            ).alias("bloom_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------------------ hash split
 
 

@@ -112,3 +112,96 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cms_estimate"))
     )
+
+
+# ------------------------------------------------------- bloom filter
+
+BLOOM_BITS = 65_536  # 2^16 bits -> ~1041 63-bit words
+BLOOM_K = 4
+_WORD = 63  # usable bits per BIGINT word: 1<<63 overflows DuckDB
+
+
+def _bloom_bit(value, i: int, bits: int):
+    from .text import hash60
+
+    return hash60(value, salt=f"bf{i}|") % bits
+
+
+def bloom_build(df: DataFrame, col: str, bits: int = BLOOM_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Bloom filter over a value column as (word, bits) BIGINT rows —
+    at most ``bits/63`` rows TOTAL regardless of input size (63 usable
+    bits per word: ``1 << 63`` overflows DuckDB's BIGINT, so the top
+    bit is never used and the sketch stays oracle-portable).
+
+    Like the count-min sketch above it is MERGEABLE — word-wise
+    ``bit_or`` folds per-shard / per-day filters together — and built
+    by one explode (value -> k set-bit positions) + one
+    map-side-combinable ``bit_or``.  Membership has NO false negatives
+    and a tunable false-positive rate ((1-e^{-kn/m})^k); at the default
+    sizing the whole filter is ~8 KB — it rides a broadcast join, never
+    a shuffle.  The classic use: a 100 TB corpus probes a filter built
+    from a small eval/blocklist set without materializing the set on
+    every executor as an equi-join build side."""
+    positions = df.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col(col), i, bits) for i in range(k)])
+        ).alias("bit")
+    )
+    return (
+        positions.select(
+            (F.col("bit") / _WORD).cast("long").alias("word"),
+            (F.col("bit") % _WORD).cast("int").alias("pos"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(F.call_function("shiftleft", F.lit(1).cast("long"), F.col("pos"))).alias("bits")
+        )
+    )
+
+
+def bloom_pack(sketch: DataFrame, bits: int = BLOOM_BITS) -> DataFrame:
+    """Fold the (word, bits) rows into ONE dense array row (missing
+    words -> 0) — ~8 KB at the default sizing, the broadcast-ready
+    form ``bloom_probe`` consumes."""
+    n_words = (bits + _WORD - 1) // _WORD
+    return (
+        sketch.groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("m"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda w: F.coalesce(
+                    F.element_at(F.col("m"), w.cast("long")), F.lit(0).cast("long")
+                ),
+            ).alias("__bloom")
+        )
+    )
+
+
+def bloom_probe(
+    packed: DataFrame,
+    df: DataFrame,
+    col: str,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Append ``bloom_hit`` (1/0) to ``df``: 1 iff ALL k of the value's
+    bits are set in the filter.  The packed one-row filter is
+    broadcast-nested-loop attached and the test is a PURE column
+    expression (k array lookups + shifts) — the probed scan never
+    shuffles, never explodes, and reads only ``col``.  This is the
+    whole point at 100 TB: membership against a small set costs a
+    map-only pass."""
+    checks = []
+    for i in range(k):
+        bit = _bloom_bit(F.col(col), i, bits)
+        word_bits = F.element_at(F.col("__bloom"), (bit / _WORD).cast("int") + 1)
+        checks.append(
+            F.call_function("shiftright", word_bits, (bit % _WORD).cast("int")).bitwiseAND(F.lit(1))
+        )
+    hit = F.least(*checks) if k > 1 else checks[0]
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("bloom_hit", hit.cast("int"))
+        .drop("__bloom")
+    )

@@ -2703,3 +2703,67 @@ def x62_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb.filter(F.col("vec_id") < 10), emb, m=16, ksub=16, k=5, dim=64, rerank=50
     )
+
+
+def _bf_bits_sql(val: str) -> str:
+    """The 4 bloom bit positions of ``val`` — DuckDB twin of
+    sketches._bloom_bit (md5 hash60, salts bf0|..bf3|, mod 65536)."""
+    return (
+        "["
+        + ", ".join(
+            f"('0x' || substr(md5('bf{i}|' || {val}), 1, 15))::BIGINT % 65536"
+            for i in range(4)
+        )
+        + "]"
+    )
+
+
+@query(
+    "x63_bloom_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             )) AS grams
+      FROM toks
+    ), eg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0
+    ), ebits AS (
+      SELECT DISTINCT unnest({_bf_bits_sql('gram')}) AS bit FROM eg
+    ), tg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0
+    ), tbits AS (
+      SELECT doc_id, gram, unnest({_bf_bits_sql('gram')}) AS bit FROM tg
+    ), flags AS (
+      SELECT doc_id, gram,
+             min(CASE WHEN ebits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM tbits LEFT JOIN ebits USING (bit)
+      GROUP BY doc_id, gram
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(hit) AS BIGINT) AS n_flagged,
+           round(sum(hit) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS bloom_ratio
+    FROM flags GROUP BY doc_id
+    """,
+)
+def x63_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen (x25's scale tier): the eval
+    gram set folds into a fixed 8 KB bit array and every train gram
+    tests membership as a pure column expression — map-only until the
+    per-doc aggregate, no gram join.  No false negatives (superset of
+    x25's exact hits — asserted in tests); false positives only inflate
+    the score, and flagged docs re-verify exactly on the tiny flagged
+    subset.  The oracle rebuilds the same md5-derived bit set in SQL,
+    so the value check pins the whole bit arithmetic."""
+    from ..operators.curation import bloom_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=5,
+    )

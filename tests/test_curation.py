@@ -38,6 +38,32 @@ def test_decontaminate_plants_and_finds_overlap(spark):
     assert out[2]["contamination_ratio"] == 0.0
 
 
+def test_bloom_decontaminate_has_no_false_negatives(spark, sf_dir):
+    """The bloom screen must flag EVERY gram the exact join finds (no
+    false negatives — the decontamination guarantee); false positives
+    only inflate the ratio, so bloom_ratio >= exact ratio per doc."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    exact = {r.doc_id: r for r in decontaminate(train, eval_set, k=5).collect()}
+    bloom = {r.doc_id: r for r in bloom_decontaminate(train, eval_set, k=5).collect()}
+    assert set(bloom) == set(exact)
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b.n_grams == e.n_grams
+        assert b.n_flagged >= e.n_contaminated, d  # superset: no false negatives
+    # the screen must stay USEFUL: false positives bounded (the sketch
+    # is sized so fp-rate << 1 at this gram load)
+    extra = sum(bloom[d].n_flagged - e.n_contaminated for d, e in exact.items())
+    total = sum(e.n_grams for e in exact.values())
+    assert extra / total < 0.05
+
+
 def test_split_is_stable_under_corpus_growth(spark):
     small = spark.range(100).withColumnRenamed("id", "doc_id")
     big = spark.range(1000).withColumnRenamed("id", "doc_id")
