@@ -127,6 +127,90 @@ def bloom_decontaminate(
     )
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 64,
+    select_quantile: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how target-like its
+    HASHED N-GRAM feature distribution is, then select the top tail.
+
+    Both corpora reduce to ``n_buckets`` hashed feature counts
+    (unigrams + bigrams, md5-bucketed — the paper's hashed n-gram
+    generative model): p = target bucket distribution, q = raw bucket
+    distribution, both add-1 smoothed.  A document's weight is the MEAN
+    per-feature log importance ratio ln(p_b/q_b) over its feature
+    occurrences (mean, not sum, so length doesn't bias selection);
+    ``selected`` marks the top ``1-select_quantile`` tail by exact
+    percentile.
+
+    Scale shape: the bucket tables are ``n_buckets`` rows TOTAL
+    regardless of corpus size (one map-side-combinable count each); the
+    log-ratio table broadcasts; per-doc scoring is one scan + one
+    per-doc aggregate.  The quantile is one tiny scalar aggregate over
+    doc weights — nothing global ever sorts."""
+    feats = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.concat(
+                shingle_arr(F.col(text_col), 1), shingle_arr(F.col(text_col), 2)
+            )
+        ).alias("feat"),
+    ).select(
+        id_col, (hash60(F.col("feat"), salt="dsir|") % n_buckets).alias("bucket")
+    )
+    raw_b = feats(raw)
+    tgt_b = feats(target)
+    tc = tgt_b.groupBy("bucket").agg(F.count("*").alias("tc"))
+    rc = raw_b.groupBy("bucket").agg(F.count("*").alias("rc"))
+    grid = raw_b.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    totals = (
+        tc.agg(F.sum("tc").alias("t_tot"))
+        .crossJoin(rc.agg(F.sum("rc").alias("r_tot")))
+    )
+    lr = (
+        grid.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                     / (F.col("t_tot") + n_buckets).cast("double"))
+                    / ((F.coalesce(F.col("rc"), F.lit(0)) + 1)
+                       / (F.col("r_tot") + n_buckets).cast("double"))
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("log_ratio"),
+        )
+    )
+    weights = (
+        raw_b.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.avg("log_ratio") + F.lit(1e-9), 4).alias("dsir_weight"),
+        )
+    )
+    cut = weights.agg(
+        F.round(
+            F.percentile("dsir_weight", F.lit(select_quantile)) + F.lit(1e-9), 4
+        ).alias("__cut")
+    )
+    return (
+        weights.crossJoin(F.broadcast(cut))
+        .withColumn("selected", F.col("dsir_weight") >= F.col("__cut"))
+        .drop("__cut")
+    )
+
+
 # ------------------------------------------------------------ hash split
 
 

@@ -2767,3 +2767,62 @@ def x63_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
         k=5,
     )
+
+
+@query(
+    "x64_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), f AS (
+      SELECT doc_id, unnest(list_concat(
+               list_transform(range(1, greatest(len(t) - 0, 1) + 1), i -> concat_ws(' ', t[i])),
+               list_transform(range(1, greatest(len(t) - 1, 1) + 1), i -> concat_ws(' ', t[i], t[i+1]))
+             )) AS feat
+      FROM toks
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('dsir|' || feat), 1, 15))::BIGINT % 64 AS bucket
+      FROM f
+    ), tc AS (
+      SELECT bucket, count(*) AS tc FROM b WHERE doc_id % 20 = 0 GROUP BY bucket
+    ), rc AS (
+      SELECT bucket, count(*) AS rc FROM b WHERE doc_id % 20 <> 0 GROUP BY bucket
+    ), lr AS (
+      SELECT g.bucket,
+             round(ln( ((coalesce(tc.tc, 0) + 1)
+                        / CAST((SELECT sum(tc) FROM tc) + 64 AS DOUBLE))
+                     / ((coalesce(rc.rc, 0) + 1)
+                        / CAST((SELECT sum(rc) FROM rc) + 64 AS DOUBLE)) )
+                   + 1e-9, 6) AS log_ratio
+      FROM (SELECT unnest(range(0, 64)) AS bucket) g
+      LEFT JOIN tc ON g.bucket = tc.bucket
+      LEFT JOIN rc ON g.bucket = rc.bucket
+    ), w AS (
+      SELECT b.doc_id, count(*) AS n_feats,
+             round(avg(lr.log_ratio) + 1e-9, 4) AS dsir_weight
+      FROM b JOIN lr USING (bucket)
+      WHERE b.doc_id % 20 <> 0
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_feats, dsir_weight,
+           dsir_weight >= (SELECT round(quantile_cont(dsir_weight, 0.8) + 1e-9, 4)
+                           FROM w) AS selected
+    FROM w
+    """,
+)
+def x64_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling data selection: every-20th docs play
+    the target domain; the rest are scored by mean hashed-ngram log
+    importance ratio (64 buckets, unigram+bigram features) and the top
+    20% tail is selected.  Bucket tables are 64 rows regardless of
+    corpus size; the ratio table broadcasts; nothing global sorts."""
+    from ..operators.curation import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n_buckets=64,
+        select_quantile=0.8,
+    )

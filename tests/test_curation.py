@@ -64,6 +64,31 @@ def test_bloom_decontaminate_has_no_false_negatives(spark, sf_dir):
     assert extra / total < 0.05
 
 
+def test_dsir_upweights_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must outscore one
+    written off-distribution, and the top-tail selection must pick it."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "quantum physics entangles photons across optical cavities")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "quantum physics entangles photons in optical experiments"),
+            (2, "cheap pills buy now discount offer click here free"),
+            (3, "weather report rain tomorrow sunny weekend mild temperatures"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, select_quantile=0.67).collect()}
+    assert out[1].dsir_weight > out[2].dsir_weight
+    assert out[1].dsir_weight > out[3].dsir_weight
+    assert out[1].selected
+    assert not out[2].selected
+
+
 def test_split_is_stable_under_corpus_growth(spark):
     small = spark.range(100).withColumnRenamed("id", "doc_id")
     big = spark.range(1000).withColumnRenamed("id", "doc_id")
