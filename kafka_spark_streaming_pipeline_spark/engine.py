@@ -42,6 +42,7 @@ class Engine:
         self.sf_dir = sf_dir
         self._tables = register_views(self.spark, sf_dir)
         self._dedup_history_path: str | None = None
+        self._neardup_history_path: str | None = None
 
     # ------------------------------------------------------------ core
     def table(self, name: str) -> DataFrame:
@@ -166,6 +167,60 @@ class Engine:
         AtomicParquetTable(self._dedup_history_path).append(
             ingest_result.filter(F.col("keep")).select("fingerprint").distinct()
         )
+
+    def build_neardup_history(self, dest: str, rebuild: bool = False) -> None:
+        """Persist the documents table's MinHash SIGNATURE table at
+        ``dest`` — the near-dup sibling of build_dedup_history.  One
+        full-corpus shingling pass; afterwards every ingest batch
+        matches against the ~128-byte/doc signature rows only, never
+        the history text.  No-op if the table exists (``rebuild=True``
+        after the corpus changes)."""
+        from .operators.dedup import minhash_signatures
+        from .streaming.txn import AtomicParquetTable
+
+        table = AtomicParquetTable(dest)
+        if rebuild or table.read(self.spark) is None:
+            table.overwrite(minhash_signatures(self.table("documents")))
+        self._neardup_history_path = dest
+
+    def ingest_neardup(
+        self,
+        new_docs: DataFrame,
+        history_path: str | None = None,
+        min_est_jaccard: float = 0.5,
+    ) -> DataFrame:
+        """Near-dup-match an incoming batch against the persisted
+        signature history (build_neardup_history first): (new_id,
+        matched_id, est_jaccard, from_history) candidate pairs.  The
+        batch plan reads the signature table, not the documents."""
+        from .operators.dedup import incremental_neardup
+        from .streaming.txn import AtomicParquetTable
+
+        path = history_path or getattr(self, "_neardup_history_path", None)
+        if path is None:
+            raise RuntimeError("build_neardup_history(dest) before ingest_neardup")
+        history = AtomicParquetTable(path).read(self.spark)
+        if history is None:
+            raise FileNotFoundError(
+                f"no committed signature history at {path} — "
+                "call build_neardup_history(dest) first"
+            )
+        self._neardup_history_path = path
+        return incremental_neardup(
+            new_docs, history, min_est_jaccard=min_est_jaccard
+        )
+
+    def accept_neardup(self, accepted_docs: DataFrame) -> None:
+        """Append the accepted new docs' signatures to the persisted
+        history so the NEXT batch sees them — O(batch) shingling +
+        append, the history is never rewritten."""
+        from .operators.dedup import minhash_signatures
+        from .streaming.txn import AtomicParquetTable
+
+        path = getattr(self, "_neardup_history_path", None)
+        if path is None:
+            raise RuntimeError("build_neardup_history(dest) before accept_neardup")
+        AtomicParquetTable(path).append(minhash_signatures(accepted_docs))
 
     def nearest_embeddings(self, queries: DataFrame | None = None, k: int = 5) -> DataFrame:
         """Exact cosine top-k over the embeddings table (queries default

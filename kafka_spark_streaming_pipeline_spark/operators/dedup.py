@@ -174,6 +174,33 @@ def minhash_signatures(
     )
 
 
+def banded_signatures(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a (id, sig) signature frame into (id, sig, band_idx,
+    band_hash) rows — the LSH banding step shared by the batch pair
+    finder (minhash_lsh_pairs) and the incremental ingest path
+    (incremental_neardup), so both block with identical keys."""
+    rows = num_hashes // bands
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _band_hash(
+                            [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -207,25 +234,8 @@ def minhash_lsh_pairs(
     from a giant bucket still pair among the survivors via their OTHER
     bands, which is the standard banding recall argument.
     """
-    rows = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        _band_hash(
-                            [F.element_at("sig", b * rows + r + 1) for r in range(rows)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "sig", "band.band_idx", "band.band_hash")
+    banded = banded_signatures(sig, num_hashes, bands, id_col)
 
     if max_bucket_size is not None:
         # capped path: _capped_block_pairs truncates oversized buckets
@@ -865,4 +875,100 @@ def incremental_dedup(
                 & (F.col(id_col) == F.col("__batch_canonical"))
             ).alias("keep"),
         )
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup detection of a new batch — the MinHash
+    sibling of ``incremental_dedup``: history is represented purely by
+    its persisted SIGNATURE table (id, sig), so matching a batch costs
+    O(batch shingling + band joins) and the history TEXT is never
+    re-read (a 16-long signature row is ~128 bytes vs the document —
+    the whole reason the signature table is the persisted artifact).
+
+    Candidates come from two band joins with identical blocking keys
+    (banded_signatures): new x history, and new x new within the
+    batch.  Estimated Jaccard is computed from the signatures exactly
+    as in minhash_lsh_pairs and filtered at ``min_est_jaccard``.
+
+    Output: (new_id, matched_id, est_jaccard, from_history) — one row
+    per candidate pair; in-batch pairs are ordered new_id < matched_id
+    and flagged from_history=false.  Feed accepted new docs' signatures
+    back into the history table (Engine.accept_neardup) to close the
+    ingest loop."""
+    # localCheckpoint: the batch signature frame feeds BOTH the history
+    # join and a self-join — without the barrier the shingle->minhash
+    # pipeline would execute once per reference
+    new_sigs = minhash_signatures(
+        new_docs, text_col, id_col, num_hashes, shingle_k
+    ).localCheckpoint()
+    new_b = banded_signatures(new_sigs, num_hashes, bands, id_col)
+    hist_b = banded_signatures(
+        history_sigs.select(F.col(id_col), "sig"), num_hashes, bands, id_col
+    )
+
+    def _est(a: Column, b: Column) -> Column:
+        matches = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m))
+        return F.round(matches / F.lit(num_hashes), 4)
+
+    hist_cand = (
+        new_b.select(
+            F.col(id_col).alias("new_id"),
+            F.col("sig").alias("sig_a"),
+            "band_idx",
+            "band_hash",
+        )
+        .join(
+            hist_b.select(
+                F.col(id_col).alias("matched_id"),
+                F.col("sig").alias("sig_b"),
+                "band_idx",
+                "band_hash",
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .dropDuplicates(["new_id", "matched_id"])
+        .select(
+            "new_id",
+            "matched_id",
+            _est(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+            F.lit(True).alias("from_history"),
+        )
+    )
+    batch_cand = (
+        new_b.select(
+            F.col(id_col).alias("new_id"),
+            F.col("sig").alias("sig_a"),
+            "band_idx",
+            "band_hash",
+        )
+        .join(
+            new_b.select(
+                F.col(id_col).alias("matched_id"),
+                F.col("sig").alias("sig_b"),
+                "band_idx",
+                "band_hash",
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("new_id") < F.col("matched_id"))
+        .dropDuplicates(["new_id", "matched_id"])
+        .select(
+            "new_id",
+            "matched_id",
+            _est(F.col("sig_a"), F.col("sig_b")).alias("est_jaccard"),
+            F.lit(False).alias("from_history"),
+        )
+    )
+    return hist_cand.unionByName(batch_cand).filter(
+        F.col("est_jaccard") >= min_est_jaccard
     )

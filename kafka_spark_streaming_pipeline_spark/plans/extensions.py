@@ -2826,3 +2826,70 @@ def x64_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=64,
         select_quantile=0.8,
     )
+
+
+@query(
+    "x65_incremental_neardup",
+    oracle=_SHINGLES_CTE
+    + f"""
+    , exploded AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_PRIME} AS h
+      FROM exploded
+    ), minh AS (
+      SELECT doc_id, seeds.seed, min((seeds.a * h + seeds.b) % {MINHASH_PRIME}) AS mh
+      FROM hashed CROSS JOIN (VALUES {_MINHASH_SEEDS_VALUES}) seeds(seed, a, b)
+      GROUP BY doc_id, seeds.seed
+    ), sigs AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM minh GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, sig, b.band_idx,
+             ((((sig[b.band_idx*4+1] % 2147483648) * 31 + (sig[b.band_idx*4+2] % 2147483648))
+               % 2147483648 * 31 + (sig[b.band_idx*4+3] % 2147483648))
+               % 2147483648 * 31 + (sig[b.band_idx*4+4] % 2147483648)) % 2147483648 AS band_hash
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b
+    ), newb AS (
+      SELECT * FROM bands WHERE doc_id >= 250
+    ), hb AS (
+      SELECT * FROM bands WHERE doc_id < 250
+    ), hist_cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, h.doc_id AS matched_id,
+             n.sig AS sig_a, h.sig AS sig_b, true AS from_history
+      FROM newb n JOIN hb h
+        ON n.band_idx = h.band_idx AND n.band_hash = h.band_hash
+    ), batch_cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, bb.doc_id AS matched_id,
+             a.sig AS sig_a, bb.sig AS sig_b, false AS from_history
+      FROM newb a JOIN newb bb
+        ON a.band_idx = bb.band_idx AND a.band_hash = bb.band_hash
+       AND a.doc_id < bb.doc_id
+    ), cand AS (
+      SELECT * FROM hist_cand UNION ALL SELECT * FROM batch_cand
+    )
+    SELECT new_id, matched_id,
+           round(len(list_filter(list_transform(range(1, 17), i -> sig_a[i] = sig_b[i]),
+                                 x -> x)) / 16.0, 4) AS est_jaccard,
+           from_history
+    FROM cand
+    WHERE round(len(list_filter(list_transform(range(1, 17), i -> sig_a[i] = sig_b[i]),
+                                x -> x)) / 16.0, 4) >= 0.5
+    """,
+)
+def x65_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (x47's MinHash sibling): the
+    doc_id >= 250 half of the corpus arrives as a new batch and is
+    matched against the < 250 history through the history's persisted
+    SIGNATURE table only — the history text contributes nothing to the
+    batch plan (here the signature table is derived inline because the
+    oracle run is stateless; Engine.build_neardup_history persists it).
+    Two band joins with identical blocking keys: new x history and
+    new x new, est Jaccard >= 0.5."""
+    from ..operators.dedup import incremental_neardup, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    history_sigs = minhash_signatures(docs.filter(F.col("doc_id") < 250))
+    return incremental_neardup(
+        docs.filter(F.col("doc_id") >= 250), history_sigs, min_est_jaccard=0.5
+    )

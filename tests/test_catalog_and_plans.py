@@ -206,6 +206,35 @@ def test_engine_persisted_dedup_history_no_corpus_scan(spark, sf_dir, tmp_path):
     assert again[0]["seen_in_history"] and not again[0]["keep"]
 
 
+def test_engine_persisted_neardup_history_no_corpus_scan(spark, sf_dir, tmp_path):
+    """The incremental NEAR-dup loop: signatures persisted once; a
+    batch plan reads only the signature table (no documents scan);
+    accepted batches append their signatures for the next batch."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    dest = str(tmp_path / "sig_history")
+    eng.build_neardup_history(dest)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch1 = spark.createDataFrame(
+        [(20_000, base), (20_001, base + " extra")], ["doc_id", "text"]
+    )
+    result = eng.ingest_neardup(batch1, min_est_jaccard=0.3)
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # signature table only, corpus untouched
+    pairs = {(r.new_id, r.matched_id): r for r in result.collect()}
+    assert (20_000, 20_001) in pairs  # in-batch near-dup found
+    assert not pairs[(20_000, 20_001)].from_history
+
+    # accept batch1; a later near-identical doc must match via HISTORY
+    eng.accept_neardup(batch1)
+    batch2 = spark.createDataFrame([(20_002, base + " anew")], ["doc_id", "text"])
+    later = eng.ingest_neardup(batch2, min_est_jaccard=0.3).collect()
+    hist_matches = {r.matched_id for r in later if r.from_history}
+    assert 20_000 in hist_matches
+
+
 def test_read_evolved_merges_schema_with_defaults(spark, tmp_path):
     from kafka_spark_streaming_pipeline_spark.sources.files import read_evolved
 
