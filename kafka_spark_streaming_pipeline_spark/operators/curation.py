@@ -166,8 +166,11 @@ def dsir_weights(
     )
     raw_b = feats(raw)
     tgt_b = feats(target)
-    tc = tgt_b.groupBy("bucket").agg(F.count("*").alias("tc"))
-    rc = raw_b.groupBy("bucket").agg(F.count("*").alias("rc"))
+    # localCheckpoint the two <= n_buckets-row count tables: totals and
+    # the ratio grid both re-reference them, and without the barrier
+    # every reference re-runs the full corpus feature scan
+    tc = tgt_b.groupBy("bucket").agg(F.count("*").alias("tc")).localCheckpoint()
+    rc = raw_b.groupBy("bucket").agg(F.count("*").alias("rc")).localCheckpoint()
     grid = raw_b.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
     totals = (
         tc.agg(F.sum("tc").alias("t_tot"))
@@ -191,6 +194,10 @@ def dsir_weights(
             ).alias("log_ratio"),
         )
     )
+    # persist the narrow per-doc weight frame: the percentile cut and
+    # the final selection both read it — without the barrier the raw
+    # corpus feature scan would run once per reference (standard
+    # two-pass threshold shape; (id, count, weight) rows spill fine)
     weights = (
         raw_b.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
@@ -198,6 +205,7 @@ def dsir_weights(
             F.count("*").alias("n_feats"),
             F.round(F.avg("log_ratio") + F.lit(1e-9), 4).alias("dsir_weight"),
         )
+        .persist()
     )
     cut = weights.agg(
         F.round(

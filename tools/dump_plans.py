@@ -47,6 +47,10 @@ AUDITED = {
     "x59_novelty_scores": "novelty: one explode + corpus df aggregate + rejoin; no self-join",
     "x60_hash_embeddings": "hash embed: one explode + two combinable aggregates, no joins",
     "x61_text_embedding_neardup": "centered multi-table blocking: persisted prep frame, per-table bucket groupBy, no self-join",
+    "x62_pq_topk": "PQ ANN: codes scan + broadcast LUT scoring; exact rerank touches only |Q| x 50 shortlist rows",
+    "x63_bloom_decontaminate": "bloom screen: packed filter broadcast, membership is a pure column expression — map-only until the per-doc agg",
+    "x64_dsir_weights": "DSIR: 64-row bucket tables, broadcast log-ratio join, scalar percentile — nothing global sorts",
+    "x65_incremental_neardup": "incremental near-dup: batch signatures checkpointed once; band joins against history signatures — history text never read",
 }
 
 
