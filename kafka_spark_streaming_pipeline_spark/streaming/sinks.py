@@ -621,3 +621,75 @@ def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
     quiesced/online contract as the other compactors (pinned-snapshot
     CAS semantics in ``_compact``)."""
     _compact(spark, sketch_path, _cms_view_of, quiesced)
+
+
+# --------------------------------------- incremental signature history
+
+def make_signature_sink(
+    history_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+):
+    """Incrementally-maintained MinHash signature history (streaming
+    document ingest → the near-dup matching substrate): each
+    micro-batch shingles ONLY its own documents and appends their
+    (id, sig) rows — O(batch) per batch, the history is never read on
+    the write path, and downstream near-dup checks
+    (``neardup_stream_check``) match against ~128-byte signature rows
+    instead of re-reading corpus text.  Same log contract as the other
+    incremental sinks: per-commit replay dedup, atomic appends,
+    online-compaction watermark honored."""
+    from ..operators.dedup import minhash_signatures
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signatures(batch_df, text_col, id_col, num_hashes, shingle_k)
+        AtomicParquetTable(history_path).append(
+            sigs.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def signature_view(spark, history_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Merged signature history: per-commit dedup (exactly-once under
+    replay) → the (id, sig) frame ``incremental_neardup`` consumes."""
+    return _signature_view_of(_read_log(spark, history_path), id_col)
+
+
+def _signature_view_of(log: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", id_col])
+        .select(id_col, "sig")
+    )
+
+
+def neardup_stream_check(
+    spark,
+    new_docs: DataFrame,
+    history_path: str,
+    min_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup-match a candidate batch against the STREAMING signature
+    history: band joins against the merged view — history text is
+    never touched."""
+    from ..operators.dedup import incremental_neardup
+
+    return incremental_neardup(
+        new_docs,
+        signature_view(spark, history_path, id_col),
+        id_col=id_col,
+        min_est_jaccard=min_est_jaccard,
+    )
+
+
+def compact_signatures(spark, history_path: str, quiesced: bool = True) -> None:
+    """Fold the signature log to one row per document; same
+    quiesced/online contract as the other compactors (pinned-snapshot
+    CAS semantics in ``_compact``)."""
+    _compact(spark, history_path, _signature_view_of, quiesced)

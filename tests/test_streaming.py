@@ -1211,3 +1211,62 @@ def test_compaction_cas_rejects_concurrent_commit(spark, tmp_path):
         for r in rollup_view(spark, rollup_path, ["stream_id"]).collect()
     }
     assert after == before
+
+
+def test_streaming_signature_history_matches_batch_and_survives_replay(spark, tmp_path):
+    """Signatures streamed batch-by-batch through make_signature_sink
+    must equal a one-shot batch signature pass over the same docs;
+    replays dedupe; online compaction + replay stays exact; and the
+    streaming near-dup check finds a planted near-dup through the
+    merged view without touching history text."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_signatures,
+        make_signature_sink,
+        neardup_stream_check,
+        signature_view,
+    )
+
+    base = "shared canonical text about stream histories repeated verbatim here"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    path = str(tmp_path / "sig_history")
+    sink = make_signature_sink(path)
+    b0 = [(i, f"unique document number {i} with its own words {i * 7}") for i in range(5)]
+    b0.append((5, base))
+    b1 = [(i, f"other batch doc {i} talking about {i * 13}") for i in range(10, 14)]
+    sink(docs(b0), 0)
+    sink(docs(b1), 1)
+
+    merged = {r.doc_id: list(r.sig) for r in signature_view(spark, path).collect()}
+    want = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(docs(b0 + b1)).collect()
+    }
+    assert merged == want
+
+    # replay batch 1 -> per-commit dedup, unchanged
+    sink(docs(b1), 1)
+    assert {
+        r.doc_id: list(r.sig) for r in signature_view(spark, path).collect()
+    } == want
+
+    # a near-identical new doc matches the history row via signatures
+    batch = docs([(100, base + " appended")])
+    hits = neardup_stream_check(spark, batch, path, min_est_jaccard=0.3).collect()
+    assert any(r.matched_id == 5 and r.from_history for r in hits)
+
+    # online compaction then replay of the folded batch -> still exact
+    compact_signatures(spark, path, quiesced=False)
+    sink(docs(b1), 1)
+    assert {
+        r.doc_id: list(r.sig) for r in signature_view(spark, path).collect()
+    } == want
+
+    # a new batch above the watermark still lands
+    sink(docs([(200, "fresh post-compaction document arrives")]), 2)
+    assert signature_view(spark, path).count() == len(want) + 1
