@@ -219,6 +219,79 @@ def dsir_weights(
     )
 
 
+def split_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a text column into (id, line_no, line) rows on newlines
+    — the input shape ``line_dedup`` consumes.  Map-only."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet / RefinedWeb-style LINE-level deduplication: a line whose
+    normalized hash appears in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, nav bars, cookie banners, license blurbs)
+    and is removed from every document that carries it.
+
+    Input: (id, line_no, line) rows (``split_lines``, or any
+    segmenter).  Output per document: line counts, the duplicated-line
+    ratio, and the md5 fingerprint of the CLEANED text (kept lines
+    re-joined in order with newlines) — the fingerprint keeps result
+    rows narrow, same convention as the PII scrubber.
+
+    Scale shape: one line-hash aggregate for the cross-doc frequency
+    (count-distinct over the well-spread hash key), one hash-keyed
+    join back (never a self-join), one per-doc aggregate.  No
+    broadcast of the line set is assumed — boilerplate sets are small
+    but not provably tiny, so the join shuffles on the hash key."""
+    hashed = lines.select(
+        id_col,
+        "line_no",
+        "line",
+        hash60(F.trim(F.lower(F.col("line")))).alias("__h"),
+    )
+    freq = (
+        hashed.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__docs"))
+        .withColumn("__dup", F.col("__docs") >= min_docs)
+        .select("__h", "__dup")
+    )
+    flagged = hashed.join(freq, "__h")
+    kept_fp = F.md5(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__dup"), F.struct("line_no", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__dup").cast("int")).cast("long").alias("n_dup_lines"),
+            F.round(
+                F.sum(F.col("__dup").cast("int")) / F.count("*") + F.lit(1e-9), 4
+            ).alias("dup_line_ratio"),
+            kept_fp.alias("cleaned_fingerprint"),
+        )
+    )
+
+
 # ------------------------------------------------------------ hash split
 
 

@@ -2893,3 +2893,55 @@ def x65_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_neardup(
         docs.filter(F.col("doc_id") >= 250), history_sigs, min_est_jaccard=0.5
     )
+
+
+@query(
+    "x66_line_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), l AS (
+      SELECT doc_id, u.i AS line_no,
+             array_to_string(t[u.i*8+1 : u.i*8+8], ' ') AS line
+      FROM toks, unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) u(i)
+    ), h AS (
+      SELECT doc_id, line_no, line,
+             ('0x' || substr(md5(trim(lower(line))), 1, 15))::BIGINT AS hh
+      FROM l
+    ), freq AS (
+      SELECT hh, count(DISTINCT doc_id) >= 2 AS dup FROM h GROUP BY hh
+    ), fl AS (
+      SELECT h.doc_id, h.line_no, h.line, freq.dup FROM h JOIN freq USING (hh)
+    )
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           round(sum(CASE WHEN dup THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                 + 1e-9, 4) AS dup_line_ratio,
+           md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                          FILTER (WHERE NOT dup), '')) AS cleaned_fingerprint
+    FROM fl GROUP BY doc_id
+    """,
+)
+def x66_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup: lines appearing in >= 2
+    distinct documents are boilerplate and removed everywhere; per doc
+    the duplicated-line ratio and the cleaned-text fingerprint.  The
+    corpus has no newlines, so 8-token windows play the lines (same
+    planting convention as x33's PII) — the operator itself consumes
+    any (doc_id, line_no, line) frame (curation.split_lines for real
+    newline corpora).  One line-hash aggregate + one hash-keyed join
+    back + one per-doc aggregate; no self-join, no broadcast
+    assumption on the boilerplate set."""
+    from ..operators.curation import line_dedup
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(t) / F.lit(8.0)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(t, i * 8 + 1, F.lit(8)), " "),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
+    )
+    return line_dedup(lines, min_docs=2)

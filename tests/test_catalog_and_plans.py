@@ -33,6 +33,7 @@ def test_registry_contract():
         "x18_hll_user_rollup",
         "x37_kmeans_clusters",
         "x49_multi_table_lsh",
+        "x62_pq_topk",
     }
 
 

@@ -365,3 +365,34 @@ def test_training_shards_epoch_reshuffle(spark):
         for r in training_shards(docs, n_shards=2).orderBy("shard", "pos").collect()
     ]
     assert base != e0  # epoch salt is distinct from the base salt
+
+
+def test_line_dedup_removes_cross_doc_boilerplate_only(spark):
+    """A line shared by two docs is boilerplate and removed from both;
+    a line repeated twice WITHIN one doc only is kept (the rule counts
+    distinct documents, not occurrences)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        line_dedup,
+        split_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first line\ncookie banner text\nown content one"),
+            (2, "cookie banner text\nother body text"),
+            (3, "self repeated line\nself repeated line\nsolo content"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(split_lines(docs), min_docs=2).collect()}
+    assert out[1].n_dup_lines == 1 and out[2].n_dup_lines == 1
+    assert out[3].n_dup_lines == 0  # within-doc repeat is not boilerplate
+    import hashlib
+
+    assert out[1].cleaned_fingerprint == hashlib.md5(
+        b"unique first line\nown content one"
+    ).hexdigest()
+    assert out[2].cleaned_fingerprint == hashlib.md5(b"other body text").hexdigest()
+    assert out[3].cleaned_fingerprint == hashlib.md5(
+        b"self repeated line\nself repeated line\nsolo content"
+    ).hexdigest()
