@@ -336,3 +336,46 @@ def canonical_url(url: Column) -> Column:
         url.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"),
         F.concat(scheme, F.lit("://"), host, path, qs),
     ).otherwise(url)
+
+
+# ------------------------------------------------------ BPE pair stats
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top: int = 20
+) -> DataFrame:
+    """One round of byte-pair-encoding merge statistics (Sennrich et
+    al. 2016) — the tokenizer-training primitive: count every adjacent
+    CHARACTER pair across the corpus, weighted by word frequency, and
+    rank the merge candidates.
+
+    The scale trick is the same one real BPE trainers use: the corpus
+    is scanned ONCE for word frequencies (vocabulary-sized output —
+    orders of magnitude smaller than the corpus), and all pair
+    arithmetic runs over the distinct vocabulary weighted by those
+    frequencies.  Adjacent pairs expand via array expressions over the
+    word (each occurrence position counts, as in BPE), one
+    map-side-combinable sum per pair, TakeOrderedAndProject for the
+    top-``top`` — nothing global sorts."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    n = F.length("word")
+    pair_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.substr(F.col("word"), i, F.lit(1)).alias("left"),
+                F.substr(F.col("word"), i + 1, F.lit(1)).alias("right"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    return (
+        words.select("freq", F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+        .limit(top)
+    )

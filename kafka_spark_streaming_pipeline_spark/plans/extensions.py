@@ -2945,3 +2945,34 @@ def x66_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(lines_arr).alias("line_no", "line")
     )
     return line_dedup(lines, min_docs=2)
+
+
+@query(
+    "x67_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      GROUP BY word
+    ), pairs AS (
+      SELECT substr(word, u.i, 1) AS left_c, substr(word, u.i + 1, 1) AS right_c,
+             freq
+      FROM words, unnest(range(1, length(word))) u(i)
+      WHERE length(word) >= 2
+    )
+    SELECT left_c AS "left", right_c AS "right",
+           CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY left_c, right_c
+    ORDER BY pair_count DESC, "left", "right"
+    LIMIT 20
+    """,
+)
+def x67_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training statistics: the top-20 adjacent character
+    pairs across the corpus, weighted by word frequency — one corpus
+    scan for word counts, then all pair arithmetic over the (tiny)
+    distinct vocabulary; TakeOrderedAndProject ranking."""
+    from ..operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top=20)

@@ -1294,3 +1294,17 @@ def test_pagerank_keeps_source_only_nodes(spark):
     assert out[0] > out[2] and out[1] > out[2]
     # C's mass keeps flowing: total stays ~1 (no silent mass deletion)
     assert abs(sum(out.values()) - 1.0) < 1e-3
+
+
+def test_bpe_pair_counts_weighting_and_positions(spark):
+    """Pair counts weight by word frequency and count EVERY adjacent
+    position ('aaa' has two 'aa' pairs); 1-char words contribute none."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaa ab ab a"), (2, "ab")], ["doc_id", "text"]
+    )
+    out = {(r.left, r.right): r.pair_count for r in bpe_pair_counts(docs).collect()}
+    assert out[("a", "b")] == 3   # 'ab' x3 occurrences
+    assert out[("a", "a")] == 2   # 'aaa' once, two positions
+    assert sum(out.values()) == 5  # the lone 'a' adds nothing
