@@ -59,6 +59,10 @@ HEADLINE = [
     # training shards (hash-balanced global reorder).
     "x51_semantic_dedup",
     "x52_training_shards",
+    # r04 second batch: the compression-tier ANN (PQ ADC scan + exact
+    # rerank) and the zero-shuffle bloom decontamination screen.
+    "x62_pq_topk",
+    "x63_bloom_decontaminate",
 ]
 
 
