@@ -172,3 +172,19 @@ def test_headline_queries_lint_clean(spark, sf_dir):
     for name in bench.HEADLINE:
         findings = lint_plan(QUERIES[name].builder(spark, sf_dir))
         assert findings == [], (name, findings)
+
+
+def test_entire_registry_lints_clean(spark, sf_dir):
+    """EVERY registered query passes the anti-pattern linter — not
+    just the bench headliners.  A new query that sneaks in a cartesian
+    product, a data-bearing single-partition exchange, or row-at-a-time
+    Python fails here before it ever reaches a cluster."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    flagged = {}
+    for name, q in sorted(QUERIES.items()):
+        findings = lint_plan(q.builder(spark, sf_dir))
+        if findings:
+            flagged[name] = findings
+    assert flagged == {}
