@@ -205,3 +205,79 @@ def bloom_probe(
         .withColumn("bloom_hit", hit.cast("int"))
         .drop("__bloom")
     )
+
+
+# ------------------------------------------------- k-minimum-values
+
+KMV_K = 64
+_HASH_SPACE = float(1 << 60)  # hash60 draws uniformly from [0, 2^60)
+
+
+def kmv_sketch(df: DataFrame, col, k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.): the ``k``
+    smallest 60-bit hashes of the column's distinct values, as ONE
+    sorted-array row.  TakeOrderedAndProject does the heavy lifting —
+    per-partition top-k then a k-row driver merge, never a global
+    sort — so the sketch costs one scan regardless of input size.
+
+    Mergeable: the union sketch of two sets is the k smallest of the
+    concatenated sketches (kmv_overlap), which is what makes distinct /
+    union / intersection questions answerable from per-shard sketches
+    without rescanning.  Everything is md5-derived — no RNG — so the
+    sketch and every estimate from it are engine-portable and
+    reproducible."""
+    from .text import hash60
+
+    h = (
+        df.select(hash60(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    return h.agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+
+
+def _kmv_est(arr, k: int):
+    """Distinct-count estimate: exact below k, else (k-1) * space /
+    kth-smallest-hash."""
+    n = F.size(arr)
+    kth = F.element_at(arr, F.least(n, F.lit(k)))
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double")
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Set-overlap report from two KMV sketches (one-row frames from
+    ``kmv_sketch``): estimated distinct counts, union estimate from
+    the merged sketch, KMV Jaccard (shared fraction of the union
+    sketch), and the intersection estimate jaccard * union — the
+    dataset-overlap audit (did corpus B leak into corpus A?) computed
+    from 2k hashes instead of the corpora."""
+    ab = a.select(F.col("kmv").alias("a")).crossJoin(
+        b.select(F.col("kmv").alias("b"))
+    )
+    un = F.slice(F.array_sort(F.array_distinct(F.concat(F.col("a"), F.col("b")))), 1, k)
+    stats = ab.select(
+        F.col("a"), F.col("b"), un.alias("u")
+    ).select(
+        F.round(_kmv_est(F.col("a"), k) + F.lit(1e-9), 2).alias("est_distinct_a"),
+        F.round(_kmv_est(F.col("b"), k) + F.lit(1e-9), 2).alias("est_distinct_b"),
+        F.round(_kmv_est(F.col("u"), k) + F.lit(1e-9), 2).alias("est_union"),
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("u"),
+                    lambda x: F.array_contains(F.col("a"), x)
+                    & F.array_contains(F.col("b"), x),
+                )
+            )
+            / F.size(F.col("u"))
+            + F.lit(1e-9),
+            4,
+        ).alias("kmv_jaccard"),
+    )
+    return stats.withColumn(
+        "est_intersection",
+        F.round(F.col("kmv_jaccard") * F.col("est_union") + F.lit(1e-9), 2),
+    )

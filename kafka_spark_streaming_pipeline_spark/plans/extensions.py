@@ -2976,3 +2976,69 @@ def x67_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, top=20)
+
+
+@query(
+    "x68_kmv_corpus_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id % 2 AS half,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+             ))) AS gram
+      FROM toks
+    ), h AS (
+      SELECT DISTINCT half,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+      FROM g
+    ), la AS (
+      SELECT list_sort(list(hv)) AS a
+      FROM (SELECT hv FROM h WHERE half = 0 ORDER BY hv LIMIT 64)
+    ), lb AS (
+      SELECT list_sort(list(hv)) AS b
+      FROM (SELECT hv FROM h WHERE half = 1 ORDER BY hv LIMIT 64)
+    ), m AS (
+      SELECT a, b,
+             (list_sort(list_distinct(list_concat(a, b))))[1:64] AS u
+      FROM la, lb
+    ), est AS (
+      SELECT
+        round(CASE WHEN len(a) < 64 THEN len(a)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / a[least(len(a), 64)] END
+              + 1e-9, 2) AS est_distinct_a,
+        round(CASE WHEN len(b) < 64 THEN len(b)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / b[least(len(b), 64)] END
+              + 1e-9, 2) AS est_distinct_b,
+        round(CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / u[least(len(u), 64)] END
+              + 1e-9, 2) AS est_union,
+        round(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x)))
+              / CAST(len(u) AS DOUBLE) + 1e-9, 4) AS kmv_jaccard
+      FROM m
+    )
+    SELECT est_distinct_a, est_distinct_b, est_union, kmv_jaccard,
+           round(kmv_jaccard * est_union + 1e-9, 2) AS est_intersection
+    FROM est
+    """,
+)
+def x68_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-overlap audit via KMV sketches: the two corpus halves
+    (doc_id parity) reduce to 64 minimum shingle hashes each; distinct
+    counts, union, Jaccard, and intersection are estimated from 128
+    hashes instead of the corpora.  The oracle rebuilds the identical
+    md5 sketch in SQL, pinning the whole estimator arithmetic;
+    estimate-vs-exact accuracy is asserted in tests."""
+    from ..operators.dedup import shingle_arr
+    from ..operators.sketches import kmv_overlap, kmv_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(shingle_arr(F.col("text"), 3))).alias("gram"),
+    )
+    a = kmv_sketch(grams.filter(F.col("half") == 0), F.col("gram"))
+    b = kmv_sketch(grams.filter(F.col("half") == 1), F.col("gram"))
+    return kmv_overlap(a, b)

@@ -1308,3 +1308,41 @@ def test_bpe_pair_counts_weighting_and_positions(spark):
     assert out[("a", "b")] == 3   # 'ab' x3 occurrences
     assert out[("a", "a")] == 2   # 'aaa' once, two positions
     assert sum(out.values()) == 5  # the lone 'a' adds nothing
+
+
+def test_kmv_estimates_track_exact_counts(spark, sf_dir):
+    """KMV distinct/union/intersection estimates must land within the
+    sketch's error envelope (~1/sqrt(k-1) ≈ 13% for k=64; assert 3x
+    that), and the whole pipeline is md5-deterministic."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import shingle_arr
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.array_distinct(shingle_arr(F.col("text"), 3))).alias("gram"),
+    )
+    exact_a = grams.filter("half = 0").select("gram").distinct().count()
+    exact_b = grams.filter("half = 1").select("gram").distinct().count()
+    exact_u = grams.select("gram").distinct().count()
+    exact_i = exact_a + exact_b - exact_u
+
+    a = kmv_sketch(grams.filter(F.col("half") == 0), F.col("gram"))
+    b = kmv_sketch(grams.filter(F.col("half") == 1), F.col("gram"))
+    row = kmv_overlap(a, b).first()
+
+    def rel_ok(est, exact):
+        return abs(est - exact) / exact < 0.4
+
+    assert rel_ok(row.est_distinct_a, exact_a)
+    assert rel_ok(row.est_distinct_b, exact_b)
+    assert rel_ok(row.est_union, exact_u)
+    # intersection compounds two estimates; allow a wider band
+    assert abs(row.est_intersection - exact_i) / exact_u < 0.25
+
+    again = kmv_overlap(a, b).first()
+    assert again == row  # deterministic
