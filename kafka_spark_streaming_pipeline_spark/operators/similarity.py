@@ -890,6 +890,7 @@ def pq_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     rerank: int = 0,
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """PQ approximate top-k cosine via asymmetric distance computation
     (ADC): vectors are L2-normalized (cosine == dot), the corpus is
@@ -915,7 +916,14 @@ def pq_topk(
     never touches the rest of the corpus, and recall approaches exact
     as the shortlist grows.  Output column is ``cosine_sim`` (exact)
     when reranking, ``adc_score`` (approximate dot of reconstructions)
-    when not."""
+    when not.
+
+    ``train_sample_mod`` = N trains the codebooks on the deterministic
+    1/N hash-sample of the corpus (ids with xxhash64 % N == 0) — the
+    standard production move (FAISS trains on a fixed sample, never
+    the full corpus): codebook quality needs a representative sample,
+    not every vector, and at 100 TB a full-corpus training pass would
+    dwarf the encode itself."""
     if dim is None:  # probe once when the caller doesn't know the width
         dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
@@ -931,7 +939,12 @@ def pq_topk(
         )
 
     c = _unit(corpus, "id")
-    cb = pq_train_codebooks(c, m, ksub, dsub).localCheckpoint()
+    train = (
+        c.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
+        if train_sample_mod
+        else c
+    )
+    cb = pq_train_codebooks(train, m, ksub, dsub).localCheckpoint()
     encoded = pq_encode(c, cb, m, dsub).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
@@ -982,6 +995,137 @@ def pq_topk(
     # exact rescoring touches only |Q| x rerank rows: the shortlist ids
     # semi-drive a join back to the corpus vectors, the (tiny) query
     # vectors broadcast, and the final top-k ranks exact cosine
+    cv = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"))
+    qv = _unit(queries, "query_id").withColumnRenamed("v", "q_vec")
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed FAISS-style index shape
+    and the full 100 TB ANN stack in one operator: an IVF coarse
+    quantizer prunes the corpus to ``nprobe/nlist``, and inside the
+    probed cells scoring runs over PQ codes of the RESIDUALS
+    (v - cell centroid) via ADC lookup tables.
+
+    The inner-product decomposition makes residual ADC exact-in-shape:
+    dot(q, v) = dot(q, c_cell) + dot(q, residual), so each (query,
+    probed cell) carries one scalar ``cell_dot`` plus the LUT of q's
+    subvectors against the residual codebooks — scoring a posting is
+    m lookups + adds, vectors never touch the scan.  Residual encoding
+    is what PQ gains from IVF: residuals are smaller and better
+    centered than raw vectors, so the same code budget quantizes
+    finer.
+
+    All three training passes (cells, Lloyd step, codebooks) are
+    hash-seeded and deterministic; ``rerank`` adds the exact-rescore
+    stage over the per-query shortlist exactly as in pq_topk."""
+    if dim is None:
+        dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    def _unit(df: DataFrame, out_id: str) -> DataFrame:
+        vv = _as_double(F.col(vec_col))
+        nn = F.sqrt(_dot(vv, vv))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.when(nn > 0, F.transform(vv, lambda x: x / nn)).otherwise(vv).alias("v"),
+        )
+
+    c = _unit(corpus, "id")
+    # IVF coarse quantizer: hash seed + one Lloyd step (as ivf_topk)
+    seeded = c.withColumn("cell", F.pmod(F.xxhash64("id"), F.lit(nlist)))
+    cents0 = _centroids(seeded).select("cell", "centroid")
+    assigned = nearest_cells(c, cents0, 1, "cell")
+    cents = _centroids(assigned).select("cell", "centroid").localCheckpoint()
+
+    # residual postings + PQ codebooks trained ON the residuals
+    resid = (
+        assigned.join(F.broadcast(cents), "cell")
+        .withColumn("r", F.zip_with("v", "centroid", lambda x, y: x - y))
+        .select("cell", "id", F.col("r").alias("v"))
+    )
+    cb = pq_train_codebooks(resid, m, ksub, dsub).localCheckpoint()
+    postings = pq_encode(resid, cb, m, dsub).select("cell", "id", "codes")
+
+    # probe side: nprobe cells per query; per probed cell one scalar
+    # dot(q, centroid) + the LUT of q's subvectors vs residual codebooks
+    q = _unit(queries, "query_id")
+    probed = nearest_cells(q, cents, nprobe, "probe_cell").join(
+        F.broadcast(cents.withColumnRenamed("cell", "probe_cell")), "probe_cell"
+    )
+    luts = F.transform(
+        F.col("__cb"),
+        lambda cells, s: F.transform(
+            cells,
+            lambda cent: F.round(
+                _dot(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
+                + F.lit(1e-9),
+                6,
+            ),
+        ),
+    )
+    qside = (
+        probed.crossJoin(F.broadcast(cb))
+        .withColumn("luts", luts)
+        .withColumn(
+            "cell_dot", F.round(_dot(F.col("v"), F.col("centroid")) + F.lit(1e-9), 6)
+        )
+        .select("query_id", "probe_cell", "cell_dot", "luts")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda code, lut: F.element_at(lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        postings.join(F.broadcast(qside), postings.cell == qside.probe_cell)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.col("cell_dot") + adc + F.lit(1e-9), 4).alias("adc_score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
     cv = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"))
     qv = _unit(queries, "query_id").withColumnRenamed("v", "q_vec")
     rescored = (

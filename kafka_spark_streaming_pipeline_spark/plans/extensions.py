@@ -3042,3 +3042,19 @@ def x68_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = kmv_sketch(grams.filter(F.col("half") == 0), F.col("gram"))
     b = kmv_sketch(grams.filter(F.col("half") == 1), F.col("gram"))
     return kmv_overlap(a, b)
+
+
+@query("x69_ivfpq_topk", oracle=None)
+def x69_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k: the composed FAISS-style index — IVF coarse cells
+    prune the corpus to nprobe/nlist, residual-PQ ADC scores the
+    probed postings (m lookups per row, vectors never read), exact
+    rerank on the 50-candidate shortlist.  Rows-only; recall and
+    nprobe monotonicity are asserted in tests/test_operators.py."""
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10), emb,
+        nlist=8, nprobe=4, m=16, ksub=16, k=5, dim=64, rerank=50,
+    )
