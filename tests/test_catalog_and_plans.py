@@ -34,6 +34,7 @@ def test_registry_contract():
         "x37_kmeans_clusters",
         "x49_multi_table_lsh",
         "x62_pq_topk",
+        "x69_ivfpq_topk",
     }
 
 

@@ -51,6 +51,10 @@ AUDITED = {
     "x63_bloom_decontaminate": "bloom screen: packed filter broadcast, membership is a pure column expression — map-only until the per-doc agg",
     "x64_dsir_weights": "DSIR: 64-row bucket tables, broadcast log-ratio join, scalar percentile — nothing global sorts",
     "x65_incremental_neardup": "incremental near-dup: batch signatures checkpointed once; band joins against history signatures — history text never read",
+    "x66_line_dedup": "line dedup: one line-hash aggregate + hash-keyed join back + per-doc agg; no self-join",
+    "x67_bpe_pair_counts": "BPE pairs: one corpus scan to vocabulary counts; pair math over distinct words; TakeOrderedAndProject",
+    "x68_kmv_corpus_overlap": "KMV: per-half TakeOrderedAndProject to 64 hashes; all estimates from 128-element arrays",
+    "x69_ivfpq_topk": "IVF-PQ: probed cells only; residual ADC over codes; broadcast LUT+cell_dot; exact rerank on the shortlist",
 }
 
 
