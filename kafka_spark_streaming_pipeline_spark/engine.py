@@ -306,3 +306,64 @@ class Engine:
         from .operators.embed import hash_embeddings
 
         return hash_embeddings(self.table("documents"), dim=dim)
+
+    def pq_search(
+        self, queries: DataFrame | None = None, k: int = 5, rerank: int = 50
+    ) -> DataFrame:
+        """Compressed-tier ANN over the embeddings table: PQ ADC scan +
+        exact rerank of the shortlist (queries default to the first 5
+        vectors)."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import pq_topk
+
+        emb = self.table("embeddings")
+        q = queries if queries is not None else emb.filter(F.col("vec_id") < 5)
+        return pq_topk(q, emb, m=16, ksub=16, k=k, rerank=rerank)
+
+    def contamination_screen(
+        self, train: DataFrame, eval_set: DataFrame, k: int = 5
+    ) -> DataFrame:
+        """Bloom-filter contamination screen (no false negatives):
+        per-train-doc flagged-gram counts against the eval set's packed
+        8 KB filter — map-only over the train side."""
+        from .operators.curation import bloom_decontaminate
+
+        return bloom_decontaminate(train, eval_set, k=k)
+
+    def dsir_select(self, target: DataFrame, quantile: float = 0.8) -> DataFrame:
+        """DSIR importance-resampling selection: score every document
+        by target-likeness (hashed n-gram bucket model) and mark the
+        top tail."""
+        from .operators.curation import dsir_weights
+
+        return dsir_weights(self.table("documents"), target, select_quantile=quantile)
+
+    def dedup_lines(self, min_docs: int = 2) -> DataFrame:
+        """Cross-document line dedup over the documents table (newline
+        segmentation; per-doc boilerplate ratio + cleaned-text
+        fingerprint)."""
+        from .operators.curation import line_dedup, split_lines
+
+        return line_dedup(split_lines(self.table("documents")), min_docs=min_docs)
+
+    def corpus_overlap(self, other_docs: DataFrame, shingle_k: int = 3) -> DataFrame:
+        """KMV dataset-overlap audit: estimated distinct/union/Jaccard/
+        intersection of shingle sets between this catalog's documents
+        and ``other_docs`` — from 128 hashes, not the corpora."""
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import shingle_arr
+        from .operators.sketches import kmv_overlap, kmv_sketch
+
+        def grams(df):
+            return df.select(
+                F.explode(
+                    F.array_distinct(shingle_arr(F.col("text"), shingle_k))
+                ).alias("gram")
+            )
+
+        return kmv_overlap(
+            kmv_sketch(grams(self.table("documents")), F.col("gram")),
+            kmv_sketch(grams(other_docs), F.col("gram")),
+        )

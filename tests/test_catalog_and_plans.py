@@ -279,3 +279,31 @@ def test_engine_round4_surfaces(spark, sf_dir):
     sh = eng.shards(n_shards=4)
     assert sh.count() == n_docs
     assert sh.select("shard").distinct().count() == 4
+
+
+def test_engine_round4_surface(spark, sf_dir):
+    """The facade exposes the round-4 tiers: PQ search, bloom screen,
+    DSIR selection, line dedup, KMV corpus overlap."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    pq = eng.pq_search(k=1).collect()
+    assert all(r.query_id == r.neighbor_id for r in pq if r.rank == 1)  # self-match
+
+    docs = eng.table("documents")
+    screen = eng.contamination_screen(
+        docs.filter(F.col("doc_id") % 20 != 0), docs.filter(F.col("doc_id") % 20 == 0)
+    )
+    assert screen.count() > 0
+
+    target = docs.filter(F.col("doc_id") < 25)
+    sel = eng.dsir_select(target)
+    assert {"dsir_weight", "selected"} <= set(sel.columns) and sel.count() > 0
+
+    ld = eng.dedup_lines()
+    assert {"dup_line_ratio", "cleaned_fingerprint"} <= set(ld.columns)
+
+    ov = eng.corpus_overlap(docs.filter(F.col("doc_id") % 2 == 1)).first()
+    assert 0.0 <= ov.kmv_jaccard <= 1.0 and ov.est_union > 0
