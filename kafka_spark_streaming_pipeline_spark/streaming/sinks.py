@@ -693,3 +693,50 @@ def compact_signatures(spark, history_path: str, quiesced: bool = True) -> None:
     quiesced/online contract as the other compactors (pinned-snapshot
     CAS semantics in ``_compact``)."""
     _compact(spark, history_path, _signature_view_of, quiesced)
+
+
+# ------------------------------------------- incremental bloom filter
+
+def make_bloom_sink(sketch_path: str, value_col: str):
+    """Incrementally-maintained Bloom filter (streaming values → a
+    bounded-size membership oracle): each micro-batch appends its
+    PARTIAL (word, bits) rows — at most bits/63 rows regardless of
+    batch size, word-wise OR-mergeable, so the merged filter equals
+    the batch-built filter over all data.  The streamed form of the
+    decontamination / blocklist screen: keep the filter current as
+    eval sets or blocklists arrive.  Same log contract as the other
+    sketch sinks: per-commit replay dedup, atomic appends,
+    online-compaction watermark honored."""
+    from ..operators.sketches import bloom_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = bloom_build(batch_df, value_col)
+        AtomicParquetTable(sketch_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def bloom_stream_view(spark, sketch_path: str) -> DataFrame:
+    """Merged filter: word-wise bit_or of the partial filters after
+    per-commit dedup — feed through operators.sketches.bloom_pack to
+    probe."""
+    return _bloom_view_of(_read_log(spark, sketch_path))
+
+
+def _bloom_view_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "word"])
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def compact_bloom(spark, sketch_path: str, quiesced: bool = True) -> None:
+    """Fold the partial-filter log to one (word, bits) set; same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, sketch_path, _bloom_view_of, quiesced)

@@ -1270,3 +1270,50 @@ def test_streaming_signature_history_matches_batch_and_survives_replay(spark, tm
     # a new batch above the watermark still lands
     sink(docs([(200, "fresh post-compaction document arrives")]), 2)
     assert signature_view(spark, path).count() == len(want) + 1
+
+
+def test_streaming_bloom_filter_merges_exactly_no_false_negatives(spark, tmp_path):
+    """The streamed bloom filter must equal the batch-built filter
+    word for word (bit_or merges exactly), survive replay + online
+    compaction, and never miss a streamed value."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_pack,
+        bloom_probe,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        bloom_stream_view,
+        compact_bloom,
+        make_bloom_sink,
+    )
+
+    path = str(tmp_path / "bloom")
+    sink = make_bloom_sink(path, "gram")
+    b0 = [(f"gram number {i}",) for i in range(30)]
+    b1 = [(f"other gram {i}",) for i in range(20)]
+    sink(spark.createDataFrame(b0, ["gram"]), 0)
+    sink(spark.createDataFrame(b1, ["gram"]), 1)
+
+    def words():
+        return {r.word: r.bits for r in bloom_stream_view(spark, path).collect()}
+
+    want = {
+        r.word: r.bits
+        for r in bloom_build(
+            spark.createDataFrame(b0 + b1, ["gram"]), "gram"
+        ).collect()
+    }
+    assert words() == want
+
+    sink(spark.createDataFrame(b1, ["gram"]), 1)  # replay dedupes
+    assert words() == want
+    compact_bloom(spark, path, quiesced=False)
+    sink(spark.createDataFrame(b1, ["gram"]), 1)  # replay of folded batch
+    assert words() == want
+
+    # no false negatives: every streamed value probes positive
+    packed = bloom_pack(bloom_stream_view(spark, path))
+    probed = bloom_probe(
+        packed, spark.createDataFrame(b0 + b1, ["gram"]), "gram"
+    )
+    assert probed.filter("bloom_hit = 0").count() == 0
