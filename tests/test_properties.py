@@ -379,3 +379,55 @@ def test_rrf_fuse_permutation_invariant_and_bounded(spark, n_lists, seed):
     }
     assert fused == fused2
     assert all(s <= n_lists / 61.0 + 1e-9 for s, _, _ in fused.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=12),
+             min_size=1, max_size=25, unique=True),
+    st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=12),
+             min_size=1, max_size=25, unique=True),
+)
+def test_bloom_never_misses_members(spark, members, probes):
+    """Bloom membership has NO false negatives on arbitrary inputs:
+    every built-in value probes positive, whatever the collisions."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        bloom_build,
+        bloom_pack,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], ["v"])
+    packed = bloom_pack(bloom_build(mdf, "v"))
+    both = spark.createDataFrame([(p,) for p in set(members) | set(probes)], ["v"])
+    hits = {r.v: r.bloom_hit for r in bloom_probe(packed, both, "v").collect()}
+    assert all(hits[m] == 1 for m in members)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+)
+def test_kmv_overlap_invariants(spark, xs, ys):
+    """KMV sketch invariants on arbitrary sets: below k everything is
+    exact — distinct counts, union, Jaccard, and intersection all equal
+    the true set arithmetic (the estimator's exact regime), and the
+    report is symmetric in its inputs."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    a = kmv_sketch(spark.createDataFrame([(str(x),) for x in xs], ["v"]), F.col("v"))
+    b = kmv_sketch(spark.createDataFrame([(str(y),) for y in ys], ["v"]), F.col("v"))
+    row = kmv_overlap(a, b).first()
+    sx, sy = set(xs), set(ys)
+    assert row.est_distinct_a == len(sx)
+    assert row.est_distinct_b == len(sy)
+    assert row.est_union == len(sx | sy)
+    true_j = len(sx & sy) / len(sx | sy)
+    assert abs(row.kmv_jaccard - true_j) < 1e-3
+    assert abs(row.est_intersection - len(sx & sy)) < 0.01
+    swapped = kmv_overlap(b, a).first()
+    assert (swapped.est_union, swapped.kmv_jaccard) == (row.est_union, row.kmv_jaccard)
