@@ -367,3 +367,27 @@ class Engine:
             kmv_sketch(grams(self.table("documents")), F.col("gram")),
             kmv_sketch(grams(other_docs), F.col("gram")),
         )
+
+    def build_pq_index(self, dest: str, m: int = 16, ksub: int = 16) -> None:
+        """Persist the PQ index of the embeddings table (codebooks +
+        32x-compressed codes) — the one-time pass that makes every
+        later pq_index_search pay only the ADC codes scan."""
+        from .operators.similarity import pq_index_build
+
+        pq_index_build(self.table("embeddings"), dest, m=m, ksub=ksub)
+
+    def pq_index_search(
+        self, dest: str, queries: DataFrame | None = None, k: int = 5, rerank: int = 50
+    ) -> DataFrame:
+        """ANN top-k against a build_pq_index() layout (queries default
+        to the first 5 vectors); rerank fetches originals from the
+        embeddings table."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import pq_index_search
+
+        emb = self.table("embeddings")
+        q = queries if queries is not None else emb.filter(F.col("vec_id") < 5)
+        return pq_index_search(
+            self.spark, q, dest, k=k, rerank=rerank, corpus=emb if rerank else None
+        )

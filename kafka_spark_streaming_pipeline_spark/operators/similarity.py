@@ -1012,6 +1012,139 @@ def pq_topk(
     return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
 
 
+def pq_index_build(
+    corpus: DataFrame,
+    path: str,
+    m: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    train_sample_mod: int | None = None,
+) -> None:
+    """Build-once half of the PQ index: train codebooks, encode the
+    (normalized) corpus, persist codes + codebooks.  This is how the
+    6-seconds-per-query cost of ``pq_topk`` amortizes at scale:
+    training + the full-corpus encode happen ONCE; every later query
+    batch reads the codes column only (32x smaller than the vectors)
+    and pays just the ADC scan.  Codes carry the vector id, so the
+    exact-rerank stage can fetch originals from the corpus table."""
+    if dim is None:
+        dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    vv = _as_double(F.col(vec_col))
+    nn = F.sqrt(_dot(vv, vv))
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.when(nn > 0, F.transform(vv, lambda x: x / nn)).otherwise(vv).alias("v"),
+    )
+    train = (
+        c.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
+        if train_sample_mod
+        else c
+    )
+    cb = pq_train_codebooks(train, m, ksub, dsub).localCheckpoint()
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    pq_encode(c, cb, m, dsub).select("id", "codes").write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+
+
+def pq_index_search(
+    spark,
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-many half: ADC top-k against a persisted PQ index.  The
+    scan touches ONLY the codes table — the embedding column never
+    loads — and the per-query LUTs ride the broadcast side, so a
+    query batch costs one codes scan + m lookups per row.  With
+    ``rerank`` > 0 the shortlist fetches original vectors from
+    ``corpus`` (required then) for exact rescoring."""
+    cb = spark.read.parquet(f"{path}/codebooks")
+    first = cb.first()["__cb"]
+    m, dsub = len(first), len(first[0][0])
+    codes = spark.read.parquet(f"{path}/codes").select(
+        F.col("id").alias("neighbor_id"), "codes"
+    )
+    vv = _as_double(F.col(vec_col))
+    nn = F.sqrt(_dot(vv, vv))
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.when(nn > 0, F.transform(vv, lambda x: x / nn)).otherwise(vv).alias("v"),
+    )
+    luts = F.transform(
+        F.col("__cb"),
+        lambda cells, s: F.transform(
+            cells,
+            lambda cent: F.round(
+                _dot(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
+                + F.lit(1e-9),
+                6,
+            ),
+        ),
+    )
+    q = (
+        qn.crossJoin(F.broadcast(cb))
+        .withColumn("luts", luts)
+        .select("query_id", "luts")
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("luts"),
+            lambda code, lut: F.element_at(lut, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(score + F.lit(1e-9), 4).alias("adc_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("neighbor_id"))
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    if corpus is None:
+        raise ValueError("rerank requires the corpus frame for exact rescoring")
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    cvv = _as_double(F.col(vec_col))
+    cnn = F.sqrt(_dot(cvv, cvv))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.when(cnn > 0, F.transform(cvv, lambda x: x / cnn)).otherwise(cvv).alias("c_vec"),
+    )
+    qv = qn.withColumnRenamed("v", "q_vec")
+    rescored = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("q_vec"), F.col("c_vec")) + F.lit(1e-9), 4).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return rescored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1386,3 +1386,36 @@ def test_ivfpq_topk_recall_and_probe_monotonicity(spark, sf_dir):
     r8 = recall(8)
     assert r8 >= r4  # probing every cell never loses candidates
     assert r8 >= 45  # measured 48/50: only PQ shortlist misses remain
+
+
+def test_pq_index_build_then_search_parity_and_codes_only_scan(spark, sf_dir, tmp_path):
+    """The persisted PQ index amortizes training: build once, then a
+    search (a) matches the one-shot pq_topk results exactly, and (b)
+    reads ONLY the codes table — the embedding column never appears in
+    the no-rerank search plan."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        pq_index_build,
+        pq_index_search,
+        pq_topk,
+    )
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "pq_idx")
+    pq_index_build(emb, path, m=16, ksub=16, dim=64)
+
+    got = pq_index_search(spark, queries, path, k=5, rerank=50, corpus=emb)
+    want = pq_topk(queries, emb, m=16, ksub=16, k=5, dim=64, rerank=50)
+    assert sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect()) == sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in want.collect()
+    )
+
+    adc_only = pq_index_search(spark, queries, path, k=5)
+    plan = adc_only._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE embeddings scan — the 10-row QUERY side (filter
+    # pushed); the corpus vectors never load, only the codes table
+    assert plan.count("embeddings.parquet") == 1
+    assert "LessThan(vec_id,10)" in plan
+    assert "codes" in plan
+    assert adc_only.count() == 50
