@@ -172,9 +172,11 @@ def dsir_weights(
     tc = tgt_b.groupBy("bucket").agg(F.count("*").alias("tc")).localCheckpoint()
     rc = raw_b.groupBy("bucket").agg(F.count("*").alias("rc")).localCheckpoint()
     grid = raw_b.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    # coalesce: an EMPTY side sums to null; add-1 smoothing keeps the
+    # ratio defined either way (empty target -> uniform smoothed target)
     totals = (
-        tc.agg(F.sum("tc").alias("t_tot"))
-        .crossJoin(rc.agg(F.sum("rc").alias("r_tot")))
+        tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"))
+        .crossJoin(rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r_tot")))
     )
     lr = (
         grid.join(tc, "bucket", "left")

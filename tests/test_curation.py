@@ -396,3 +396,34 @@ def test_line_dedup_removes_cross_doc_boilerplate_only(spark):
     assert out[3].cleaned_fingerprint == hashlib.md5(
         b"self repeated line\nself repeated line\nsolo content"
     ).hexdigest()
+
+
+def test_new_operators_degrade_gracefully_on_empty_inputs(spark):
+    """Empty corpora/batches are the boundary every ingest loop hits;
+    none of the round-4 operators may crash or emit nulls there."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bloom_decontaminate,
+        dsir_weights,
+        line_dedup,
+        split_lines,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_signatures,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_pair_counts
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, "some real text here")], ["doc_id", "text"])
+
+    [row] = bloom_decontaminate(docs, empty).collect()
+    assert row.n_flagged == 0 and row.bloom_ratio == 0.0
+    assert bloom_decontaminate(empty, docs).collect() == []
+
+    [w] = dsir_weights(docs, empty).collect()
+    assert w.dsir_weight is not None and w.selected is not None
+
+    assert line_dedup(split_lines(empty)).collect() == []
+    assert bpe_pair_counts(empty).collect() == []
+    assert incremental_neardup(docs, minhash_signatures(empty)).collect() == []
+    assert incremental_neardup(empty, minhash_signatures(docs)).collect() == []
