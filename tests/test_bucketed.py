@@ -209,3 +209,33 @@ def test_sorted_export_global_order_and_pruned_range_reads(spark, sf_dir, tmp_pa
         s for s, (mn, mx, _) in manifest.items() if mn <= hi and mx >= lo
     }
     assert 0 < len(touched) < len(manifest)
+
+
+def test_bucketed_fingerprint_corpus_dedups_without_exchange(spark, sf_dir, tmp_path):
+    """Physical design for the dedup tier: a corpus persisted BUCKETED
+    on its text fingerprint lets the exact-dedup aggregation (groupBy
+    fingerprint) and the history join both run with ZERO shuffle
+    exchanges — at 100 TB the fingerprint shuffle IS the cost of exact
+    dedup, and bucketing pays it once at write time."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.text import fingerprint
+    from kafka_spark_streaming_pipeline_spark.sources.bucketed import (
+        shuffle_exchange_count,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", fingerprint(F.col("text"))
+    )
+    write_bucketed(docs, "docs_by_fp", ["fingerprint"], 8)
+    try:
+        t = spark.table("docs_by_fp")
+        groups = t.groupBy("fingerprint").agg(
+            F.count("*").alias("n"), F.min("doc_id").alias("canonical_id")
+        )
+        assert shuffle_exchange_count(groups) == 0  # bucketing feeds the agg
+        assert groups.count() == docs.select("fingerprint").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_by_fp")
