@@ -85,8 +85,22 @@ def _spread(df: DataFrame) -> DataFrame:
     in thousands of file splits — an unconditional repartition would
     re-shuffle all the raw text for nothing — so only the
     single/few-partition case (tiny test parquet, coalesced upstream)
-    pays the spread shuffle."""
+    pays the spread shuffle.
+
+    The gate reads ``inputFiles()`` — a file-index listing, no job and
+    no physical planning — when the input is a file scan (the common
+    case here: documents straight off parquet).  The ``df.rdd``
+    partition probe, which forces the input to plan twice, is only the
+    fallback for non-file inputs (in-memory test frames)."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) >= parallelism:
+            return df
+        return df.repartition(parallelism)
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
