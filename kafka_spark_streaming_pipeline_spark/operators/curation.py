@@ -209,9 +209,17 @@ def dsir_weights(
         )
         .persist()
     )
-    cut = weights.agg(
+    # exact percentile with BOUNDED state: weights are rounded to 4 dp,
+    # so the (weight, freq) histogram has a bounded number of rows no
+    # matter the corpus size; percentile-with-frequency over it equals
+    # the exact percentile over the raw multiset (same definition), but
+    # the aggregate buffers the histogram, never one value per document
+    wc = weights.groupBy("dsir_weight").agg(F.count("*").alias("__freq"))
+    cut = wc.agg(
         F.round(
-            F.percentile("dsir_weight", F.lit(select_quantile)) + F.lit(1e-9), 4
+            F.percentile("dsir_weight", F.lit(select_quantile), F.col("__freq"))
+            + F.lit(1e-9),
+            4,
         ).alias("__cut")
     )
     return (
