@@ -379,3 +379,48 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
         .limit(top)
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-coverage report: build the top-``vocab_size`` word
+    vocabulary by corpus frequency (deterministic ties on the word),
+    then score every document's out-of-vocabulary token fraction — the
+    signal that sizes a word/BPE vocabulary against a corpus (high OOV
+    -> vocabulary too small or corpus off-domain).
+
+    Scale shape: one corpus scan aggregates word frequencies
+    (vocabulary-sized output), TakeOrderedAndProject keeps the top-V,
+    and the OOV join broadcasts the vocabulary — the second corpus
+    scan never shuffles.  Per doc: token count, OOV count, OOV rate."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(vocab_size)
+        .select("word", F.lit(1).alias("__in_vocab"))
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    return (
+        toks.join(F.broadcast(words), "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            ).alias("oov_rate"),
+        )
+    )

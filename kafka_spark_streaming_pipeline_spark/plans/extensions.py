@@ -3058,3 +3058,34 @@ def x69_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10), emb,
         nlist=8, nprobe=4, m=16, ksub=16, k=5, dim=64, rerank=50,
     )
+
+
+@query(
+    "x70_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, count(*) AS freq FROM toks GROUP BY word
+        ORDER BY freq DESC, word LIMIT 1000
+      )
+    )
+    SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS oov_rate
+    FROM toks t LEFT JOIN vocab v USING (word)
+    GROUP BY t.doc_id
+    """,
+)
+def x70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: top-1000 corpus vocabulary by
+    frequency (deterministic ties), per-doc OOV token fraction — the
+    vocabulary-sizing signal next to x67's BPE merge statistics.  One
+    frequency aggregate + broadcast vocabulary join; the scoring scan
+    never shuffles."""
+    from ..operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=1000)

@@ -1419,3 +1419,20 @@ def test_pq_index_build_then_search_parity_and_codes_only_scan(spark, sf_dir, tm
     assert "LessThan(vec_id,10)" in plan
     assert "codes" in plan
     assert adc_only.count() == 50
+
+
+def test_vocab_coverage_flags_oov_tokens(spark):
+    """With a 2-word vocabulary, rare words count as OOV; frequency
+    ties break on the word so the vocabulary is deterministic."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common other other rare"),
+            (2, "common other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
+    assert out[1].n_tokens == 6 and out[1].n_oov == 1  # 'rare' only
+    assert out[2].n_oov == 0 and out[2].oov_rate == 0.0
