@@ -892,6 +892,67 @@ def incremental_dedup(
     )
 
 
+def duplicate_span_trim(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated-SUBSTRING removal (the k-gram
+    approximation of Lee et al.'s suffix-array exact-substring dedup,
+    at token granularity): any k-token window whose hash appears in
+    >= ``min_docs`` distinct documents marks its k token positions as
+    duplicated in every document carrying it; duplicated tokens are
+    cut.  Two docs sharing any >= k consecutive tokens are guaranteed
+    to share a window, so every shared run of length >= k is removed
+    in full — boilerplate, licenses, and copy-pasted passages go, at
+    finer grain than whole-line dedup (line_dedup) and with exact
+    (not fingerprint-sampled) coverage, unlike winnowing (x40).
+
+    Output per doc: token counts, duplicated-token ratio, and the md5
+    fingerprint of the cleaned text (kept tokens in order).
+
+    Scale shape: one window-hash aggregate for the cross-doc
+    frequency, one hash-keyed join back, one positions aggregate per
+    doc, one rejoin to the token array — never a self-join, and the
+    shared-window set shuffles on the well-spread hash key."""
+    toks_arr = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("t"))
+    g = docs.select(
+        F.col(id_col),
+        F.posexplode(shingle_arr(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), _hash64(F.col("gram"), "").alias("h"))
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("__d"))
+        .filter(F.col("__d") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        g.join(shared, "h")
+        .select(id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("tok_i"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("tok_i")).alias("cov"))
+    )
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    # partial windows of short docs can nominally cover past the end
+    in_range = F.filter(cov, lambda i: i <= F.size("t"))
+    kept = F.filter(F.col("t"), lambda x, i: ~F.array_contains(in_range, (i + 1).cast("int")))
+    return (
+        toks_arr.join(covered, id_col, "left")
+        .select(
+            id_col,
+            F.size("t").alias("n_tokens"),
+            F.size(in_range).alias("n_dup_tokens"),
+            F.round(F.size(in_range) / F.size("t") + F.lit(1e-9), 4).alias(
+                "dup_token_ratio"
+            ),
+            F.md5(F.concat_ws(" ", kept)).alias("cleaned_fingerprint"),
+        )
+    )
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     history_sigs: DataFrame,

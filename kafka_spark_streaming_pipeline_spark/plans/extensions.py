@@ -3089,3 +3089,48 @@ def x70_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, vocab_size=1000)
+
+
+@query(
+    "x71_duplicate_span_trim",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), base AS (
+      SELECT doc_id, t, len(t) AS n FROM toks
+    ), g AS (
+      SELECT doc_id, u.i AS pos,
+             ('0x' || substr(md5(concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2], t[u.i+3],
+                                           t[u.i+4], t[u.i+5], t[u.i+6], t[u.i+7])),
+                             1, 15))::BIGINT AS h
+      FROM toks, unnest(range(1, greatest(len(t) - 7, 1) + 1)) u(i)
+    ), shared AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), covs AS (
+      SELECT DISTINCT g.doc_id, u2.j
+      FROM g JOIN shared USING (h), unnest(range(g.pos, g.pos + 8)) u2(j)
+    ), tok_rows AS (
+      SELECT doc_id, u.i AS i, t[u.i] AS tok FROM base, unnest(range(1, n + 1)) u(i)
+    ), flag AS (
+      SELECT tr.doc_id, tr.i, tr.tok, (c.j IS NOT NULL) AS dup
+      FROM tok_rows tr LEFT JOIN covs c ON tr.doc_id = c.doc_id AND c.j = tr.i
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+           round(sum(CASE WHEN dup THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                 + 1e-9, 4) AS dup_token_ratio,
+           md5(coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE NOT dup), ''))
+             AS cleaned_fingerprint
+    FROM flag GROUP BY doc_id
+    """,
+)
+def x71_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring removal (the k-gram form of Lee et al.'s
+    exact-substring dedup): every 8-token window shared by >= 2 docs
+    marks its positions duplicated everywhere it occurs; duplicated
+    tokens are cut and the cleaned text fingerprinted.  Finer grain
+    than line dedup (x66), exact coverage unlike winnowing (x40)."""
+    from ..operators.dedup import duplicate_span_trim
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_trim(docs, k=8, min_docs=2)

@@ -1436,3 +1436,41 @@ def test_vocab_coverage_flags_oov_tokens(spark):
     out = {r.doc_id: r for r in vocab_coverage(docs, vocab_size=2).collect()}
     assert out[1].n_tokens == 6 and out[1].n_oov == 1  # 'rare' only
     assert out[2].n_oov == 0 and out[2].oov_rate == 0.0
+
+
+def test_duplicate_span_trim_cuts_shared_runs_only(spark):
+    """A >= k-token run shared by two docs is removed from both in
+    full; unique surroundings survive; a doc with no shared window is
+    untouched."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        duplicate_span_trim,
+    )
+
+    shared = "one two three four"  # k=4 window shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon"),
+            (3, "totally unrelated words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in duplicate_span_trim(docs, k=4).collect()}
+    assert out[1].n_dup_tokens == 4 and out[2].n_dup_tokens == 4
+    assert out[1].cleaned_fingerprint == hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert out[2].cleaned_fingerprint == hashlib.md5(b"delta epsilon").hexdigest()
+    assert out[3].n_dup_tokens == 0
+    assert out[3].cleaned_fingerprint == hashlib.md5(
+        b"totally unrelated words here now"
+    ).hexdigest()
+
+    # a longer shared run is removed IN FULL (every sliding window hits)
+    longer = "p q r s t u"  # 6 tokens, k=4 -> 3 windows, all 6 positions covered
+    docs2 = spark.createDataFrame(
+        [(10, f"head {longer}"), (11, f"{longer} tail")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r for r in duplicate_span_trim(docs2, k=4).collect()}
+    assert out2[10].n_dup_tokens == 6 and out2[11].n_dup_tokens == 6
+    assert out2[10].cleaned_fingerprint == hashlib.md5(b"head").hexdigest()
