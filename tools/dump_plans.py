@@ -55,6 +55,8 @@ AUDITED = {
     "x67_bpe_pair_counts": "BPE pairs: one corpus scan to vocabulary counts; pair math over distinct words; TakeOrderedAndProject",
     "x68_kmv_corpus_overlap": "KMV: per-half TakeOrderedAndProject to 64 hashes; all estimates from 128-element arrays",
     "x69_ivfpq_topk": "IVF-PQ: probed cells only; residual ADC over codes; broadcast LUT+cell_dot; exact rerank on the shortlist",
+    "x70_vocab_coverage": "vocab coverage: one frequency agg + TakeOrderedAndProject top-V; OOV join broadcasts the vocabulary",
+    "x71_duplicate_span_trim": "span trim: window-hash agg + hash-keyed join back + per-doc positions agg; no self-join",
 }
 
 
