@@ -424,3 +424,65 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information: adjacent
+    word pairs scored by ln(p(ab) / (p(a) p(b))) — high-PMI pairs are
+    phrases (named entities, multiword terms) worth protecting from
+    tokenization splits or using as phrase-query candidates.
+
+    One corpus scan feeds both the unigram and bigram counts
+    (vocabulary-sized outputs); the totals fold into broadcast
+    scalars; ``min_count`` suppresses noise pairs and
+    TakeOrderedAndProject keeps the top-``top`` — nothing global
+    sorts."""
+    from .dedup import shingle_arr
+
+    uni = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        docs.select(F.explode(shingle_arr(F.col(text_col), 2)).alias("bg"))
+        .filter(F.col("bg").contains(" "))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("left"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("right"),
+            "cab",
+        )
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_bi = docs.select(F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")).filter(
+        F.col("bg").contains(" ")
+    ).agg(F.count("*").alias("n_bi"))
+    la = uni.select(F.col("w").alias("left"), F.col("c").alias("ca"))
+    rb = uni.select(F.col("w").alias("right"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab") / F.col("n_bi"))
+            / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+        )
+        + F.lit(1e-9),
+        4,
+    )
+    # unigram tables are vocabulary-sized: well-spread word-keyed joins,
+    # NOT forced broadcasts (AQE may still broadcast when tiny)
+    return (
+        bi.join(la, "left")
+        .join(rb, "right")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("left", "right", F.col("cab").alias("pair_count"), pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("left"), F.asc("right"))
+        .limit(top)
+    )

@@ -76,3 +76,62 @@ def ewma_zscore(
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def session_sequences(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Behavioral-sequence dataset construction: sessionize each user's
+    event stream (gap > ``gap_ms`` starts a new session — the same
+    lag+cumsum idiom as p07) and materialize one TRAINING EXAMPLE per
+    session: the ordered event-type sequence, its length, duration,
+    and value total.  This is the batch form of turning a clickstream
+    into sequence-model training data.
+
+    Scale shape: one per-user window pass for the boundaries, one
+    grouped aggregate per session; the sequence is assembled with an
+    ordered in-group sort (array_sort over (ts, id) structs), bounded
+    by session length — no global sort, no self-join."""
+    w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    flagged = events.select(
+        user_col,
+        ts_col,
+        "event_id",
+        "event_type",
+        "value",
+        F.when(gap > gap_ms, 1)
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        user_col,
+        ts_col,
+        "event_id",
+        "event_type",
+        "value",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    seq = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(ts_col, "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+    )
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.count("*").alias("n_events"),
+        seq.alias("sequence"),
+        (F.unix_millis(F.max(ts_col)) - F.unix_millis(F.min(ts_col)))
+        .cast("long")
+        .alias("duration_ms"),
+        F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
+    )

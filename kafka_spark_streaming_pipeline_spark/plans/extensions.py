@@ -3134,3 +3134,76 @@ def x71_duplicate_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_span_trim(docs, k=8, min_docs=2)
+
+
+@query(
+    "x72_session_sequences",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS sequence,
+           CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+           round(sum(value) + 1e-9, 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def x72_session_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence dataset construction: one training example
+    per 30-minute-gap session — the ordered event-type sequence plus
+    length/duration/value features (p07's sessionization composed into
+    a sequence-model data builder).  One window pass + one grouped
+    aggregate; sequences assemble with bounded in-group sorts."""
+    from ..operators.timeseries import session_sequences
+
+    events = load_table(spark, sf_dir, "events")
+    return session_sequences(events)
+
+
+@query(
+    "x73_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), bg AS (
+      SELECT t[u.i] AS l, t[u.i+1] AS r
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+    ), bi AS (
+      SELECT l, r, count(*) AS cab FROM bg GROUP BY l, r HAVING count(*) >= 5
+    )
+    SELECT bi.l AS "left", bi.r AS "right",
+           CAST(bi.cab AS BIGINT) AS pair_count,
+           round(ln( (bi.cab / CAST((SELECT count(*) FROM bg) AS DOUBLE))
+                   / ((la.c / CAST((SELECT sum(c) FROM uni) AS DOUBLE))
+                      * (rb.c / CAST((SELECT sum(c) FROM uni) AS DOUBLE))) )
+                 + 1e-9, 4) AS pmi
+    FROM bi JOIN uni la ON bi.l = la.w JOIN uni rb ON bi.r = rb.w
+    ORDER BY pmi DESC, "left", "right"
+    LIMIT 20
+    """,
+)
+def x73_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word pairs by pointwise
+    mutual information (min pair count 5) — phrase discovery for
+    tokenizer protection and phrase-query candidates.  Vocabulary-
+    sized count tables, scalar totals broadcast,
+    TakeOrderedAndProject ranking."""
+    from ..operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top=20)

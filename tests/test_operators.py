@@ -1474,3 +1474,39 @@ def test_duplicate_span_trim_cuts_shared_runs_only(spark):
     out2 = {r.doc_id: r for r in duplicate_span_trim(docs2, k=4).collect()}
     assert out2[10].n_dup_tokens == 6 and out2[11].n_dup_tokens == 6
     assert out2[10].cleaned_fingerprint == hashlib.md5(b"head").hexdigest()
+
+
+def test_pmi_collocations_rank_fixed_phrases_first(spark):
+    """A pair that always co-occurs outranks independent frequent
+    words; min_count suppresses one-off pairs."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import pmi_collocations
+
+    # 'hong kong' always together; 'the' everywhere, independently
+    rows = [(i, "the hong kong office and the other the office") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(docs, min_count=5, top=5).collect()
+    assert out[0].left == "hong" and out[0].right == "kong"
+    assert all(r.pair_count >= 5 for r in out)
+
+
+def test_session_sequences_orders_and_splits_on_gap(spark):
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        session_sequences,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "view", 1.0),
+        (1, base + dt.timedelta(minutes=5), 11, "click", 2.0),
+        (1, base + dt.timedelta(minutes=90), 12, "purchase", 3.0),  # new session
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    out = sorted(session_sequences(events).collect(), key=lambda r: r.session_id)
+    assert len(out) == 2
+    assert out[0].sequence == "view click" and out[0].n_events == 2
+    assert out[0].duration_ms == 300_000
+    assert out[1].sequence == "purchase" and out[1].duration_ms == 0
