@@ -57,6 +57,8 @@ AUDITED = {
     "x69_ivfpq_topk": "IVF-PQ: probed cells only; residual ADC over codes; broadcast LUT+cell_dot; exact rerank on the shortlist",
     "x70_vocab_coverage": "vocab coverage: one frequency agg + TakeOrderedAndProject top-V; OOV join broadcasts the vocabulary",
     "x71_duplicate_span_trim": "span trim: window-hash agg + hash-keyed join back + per-doc positions agg; no self-join",
+    "x72_session_sequences": "session sequences: one per-user window pass + one grouped agg; in-group ordered assembly, no global sort",
+    "x73_pmi_collocations": "PMI: vocabulary-sized count tables, word-keyed joins (no forced broadcast), TakeOrderedAndProject",
 }
 
 
