@@ -515,6 +515,64 @@ def unigram_logprob(
     )
 
 
+def bigram_cross_entropy(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full CCNet/KenLM-style perplexity filter skeleton: an add-k
+    smoothed BIGRAM model estimated from the corpus itself, each
+    document scored by its mean negative log conditional probability
+    (cross-entropy; perplexity = exp of it).  A bigram LM separates
+    shuffled-word salad from fluent text, which the unigram score
+    (``unigram_logprob``) cannot — the standard quality gate before
+    tokenization.
+
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ._) + k·V), with V the corpus
+    vocabulary size and c(w1 ._) the count of w1 as a bigram context.
+
+    Scale shape: bigram extraction is a pure projection (shingle_arr,
+    no window); the model tables are vocabulary-sized grouped counts;
+    V folds into a broadcast scalar; the scoring join is keyed on the
+    well-spread bigram string.  One corpus scan feeds tokens and
+    bigrams; nothing global-sorts and no driver state exists."""
+    toks = docs.select(id_col, F.explode(tokens_of(F.col(text_col))).alias("tok"))
+    bg = docs.select(
+        F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+
+    vocab = toks.agg(F.countDistinct("tok").alias("v"))
+    # c(w1 ._): every bigram's first word — derived from bg itself so the
+    # last token of each doc is correctly excluded from context counts
+    ctx = (
+        bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    probs = (
+        bgc.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            (
+                (F.col("c2") + F.lit(k_smooth))
+                / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(probs, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")) + F.lit(1e-9), 6).alias("cross_entropy"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 32,

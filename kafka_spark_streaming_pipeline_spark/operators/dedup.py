@@ -1047,3 +1047,75 @@ def incremental_neardup(
     return hist_cand.unionByName(batch_cand).filter(
         F.col("est_jaccard") >= min_est_jaccard
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_df: int = 16,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup detection: directional shingle-set
+    containment |A∩B| / |A| — the metric that catches one document
+    QUOTED or WRAPPED inside another (a small doc inside a big one has
+    high containment but low Jaccard, so every symmetric detector —
+    MinHash, SimHash, Jaccard verify — misses it).
+
+    Candidate generation is prefix-filter style (the PPJoin family):
+    docs pair only through a shared RARE shingle (corpus doc-frequency
+    in [2, ``max_df``]).  A truly contained doc shares most of its
+    shingles with its container and almost all of those are rare, so
+    recall is high; frequent boilerplate shingles generate no pairs,
+    which is what bounds the blocking — per-shingle pair expansion is
+    <= max_df(max_df-1)/2 and the candidate count is linear in the
+    corpus, never quadratic.  Shuffles: shingle df count, bucket
+    groupBy, pair dedup, and the two id-keyed set joins — all on
+    well-spread keys.
+
+    Output: (doc_a, doc_b, containment_a, containment_b, jaccard) for
+    pairs whose max directional containment >= ``min_containment``."""
+    sh = shingle_rows(docs, text_col, id_col, shingle_k).distinct()
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh")
+    buckets = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("m"))
+        .filter(F.size("m") >= 2)
+    )
+    m = F.col("m")
+    pair_arr = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shingles"))
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    c_a = inter / F.size("sh_a")
+    c_b = inter / F.size("sh_b")
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.greatest(c_a, c_b) >= F.lit(min_containment))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_a + F.lit(1e-9), 4).alias("containment_a"),
+            F.round(c_b + F.lit(1e-9), 4).alias("containment_b"),
+            F.round(jac + F.lit(1e-9), 4).alias("jaccard"),
+        )
+    )

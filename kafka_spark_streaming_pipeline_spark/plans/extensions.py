@@ -3207,3 +3207,82 @@ def x73_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pmi_collocations(docs, min_count=5, top=20)
+
+
+@query(
+    "x74_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS bg
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+    ), vocab AS (
+      SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
+    ), ctx AS (
+      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), bgc AS (
+      SELECT bg, count(*) AS c2 FROM bg GROUP BY 1
+    ), probs AS (
+      SELECT bgc.bg,
+             (c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vocab)) AS p
+      FROM bgc JOIN ctx ON string_split(bgc.bg, ' ')[1] = ctx.w1
+    )
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(-ln(p.p)) + 1e-9, 6) AS cross_entropy
+    FROM bg b JOIN probs p ON b.bg = p.bg
+    GROUP BY b.doc_id
+    """,
+)
+def x74_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style perplexity filtering with a real conditional
+    model: corpus-estimated add-k bigram LM, each doc scored by mean
+    negative log p(w2|w1) (cross-entropy) — catches shuffled-word salad
+    the unigram score (x32) cannot.  Bigram extraction is a pure
+    projection; model tables are vocabulary-sized; V broadcasts; the
+    scoring join keys on the well-spread bigram string."""
+    from ..operators.curation import bigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_cross_entropy(docs, k_smooth=0.5)
+
+
+@query(
+    "x75_containment_pairs",
+    oracle=_SHINGLES_CTE
+    + """
+    , sh AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    ), rare AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 16
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN rare USING (sh) JOIN sh b USING (sh)
+      WHERE a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(A.shingles, B.shingles))::DOUBLE AS i,
+             len(A.shingles)::DOUBLE AS na, len(B.shingles)::DOUBLE AS nb
+      FROM cand c
+      JOIN shingled A ON A.doc_id = c.doc_a
+      JOIN shingled B ON B.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i / na + 1e-9, 4) AS containment_a,
+           round(i / nb + 1e-9, 4) AS containment_b,
+           round(i / (na + nb - i) + 1e-9, 4) AS jaccard
+    FROM scored
+    WHERE greatest(i / na, i / nb) >= 0.8
+    """,
+)
+def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (|A∩B|/|A| over shingle sets): the
+    quote/boilerplate-inclusion detector every symmetric metric misses
+    — a small doc embedded in a big one has high containment but low
+    Jaccard.  Candidates via prefix-filter (PPJoin-style) rare-shingle
+    blocking: docs pair only through a shingle with corpus df in
+    [2,16], so pair expansion is df-bounded and linear in corpus size."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, shingle_k=3, max_df=16, min_containment=0.8)

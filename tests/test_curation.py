@@ -427,3 +427,61 @@ def test_new_operators_degrade_gracefully_on_empty_inputs(spark):
     assert bpe_pair_counts(empty).collect() == []
     assert incremental_neardup(docs, minhash_signatures(empty)).collect() == []
     assert incremental_neardup(empty, minhash_signatures(docs)).collect() == []
+
+
+def test_bigram_cross_entropy_separates_word_salad(spark):
+    """The bigram LM must score shuffled-word salad WORSE (higher
+    cross-entropy) than fluent text built from the same vocabulary —
+    exactly the separation the unigram score cannot make (identical
+    unigram distribution on both docs)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bigram_cross_entropy,
+        unigram_logprob,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the mat"
+    # same multiset of words, adjacency destroyed
+    salad = "mat the on dog sat the and cat mat the on the sat"
+    # corpus context: several fluent docs establish the bigram stats
+    docs = spark.createDataFrame(
+        [(i, fluent) for i in range(8)] + [(100, salad)], ["doc_id", "text"]
+    )
+    ce = {r.doc_id: r.cross_entropy for r in bigram_cross_entropy(docs).collect()}
+    assert ce[100] > ce[0], "salad must have higher bigram cross-entropy"
+
+    uni = {r.doc_id: r.mean_logprob for r in unigram_logprob(docs).collect()}
+    assert abs(uni[100] - uni[0]) < 1e-6, "unigram score cannot separate them"
+
+    # docs shorter than 2 tokens produce no bigrams and no row
+    tiny = spark.createDataFrame([(1, "word"), (2, "two words")], ["doc_id", "text"])
+    out = {r.doc_id for r in bigram_cross_entropy(tiny).collect()}
+    assert out == {2}
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one: containment
+    ~1.0 in the contained direction while Jaccard is far below any
+    symmetric near-dup threshold."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    container = (
+        "intro words before the quoted passage now "
+        + quote
+        + " and a long tail of unrelated trailing commentary goes here "
+        + "with many extra filler tokens one two three four five six seven"
+    )
+    unrelated = "completely different content about other topics entirely now"
+    docs = spark.createDataFrame(
+        [(1, quote), (2, container), (3, unrelated)], ["doc_id", "text"]
+    )
+    rows = containment_pairs(docs, min_containment=0.8).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a >= 0.99  # every shingle of the quote is in the container
+    assert r.jaccard < 0.5  # symmetric metric would never flag it
+
+    # empty corpus: no pairs, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert containment_pairs(empty).collect() == []
