@@ -3286,3 +3286,21 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, shingle_k=3, max_df=16, min_containment=0.8)
+
+
+@query("x76_dd_quantiles", oracle=None)
+def x76_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantiles (relative-error-guaranteed, mergeable): per
+    order-priority p50/p95/p99 of o_totalprice from log-bucket counts —
+    scan once, persist the tiny (key, bucket, cnt) state, answer any
+    quantile without rescanning.  Rows-only: bucket boundaries sit on
+    ln() values whose last-ulp differs across engines; the alpha
+    relative-error bound and exact mergeability are asserted in
+    tests/test_operators.py (test_ddsketch_relative_error_and_merge)."""
+    from ..operators.sketches import dd_build, dd_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    pre = dd_build(orders, "o_totalprice", keys=["o_orderpriority"])
+    return dd_quantiles(pre, [0.5, 0.95, 0.99], keys=["o_orderpriority"]).orderBy(
+        "o_orderpriority", "q"
+    )

@@ -1510,3 +1510,39 @@ def test_session_sequences_orders_and_splits_on_gap(spark):
     assert out[0].sequence == "view click" and out[0].n_events == 2
     assert out[0].duration_ms == 300_000
     assert out[1].sequence == "purchase" and out[1].duration_ms == 0
+
+
+def test_ddsketch_relative_error_and_merge(spark, sf_dir):
+    """DDSketch contract on a long-tailed real column: every estimated
+    quantile within alpha relative error of the exact percentile, and
+    per-shard sketches merged equal the one-pass sketch exactly."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        dd_build,
+        dd_merge,
+        dd_quantiles,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    alpha = 0.01
+    qs = [0.5, 0.9, 0.95, 0.99]
+    sketch = dd_build(orders, "o_totalprice", alpha=alpha)
+    est = {r.q: r.estimate for r in dd_quantiles(sketch, qs, alpha=alpha).collect()}
+    exact = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({','.join(map(str, qs))}))").alias("p")
+    ).first().p
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) / ex <= alpha + 1e-9, (q, est[q], ex)
+
+    # mergeability: shard by order priority, merge, identical buckets
+    pre = dd_build(orders, "o_totalprice", keys=["o_orderpriority"], alpha=alpha)
+    merged = dd_merge(pre.drop("o_orderpriority"))
+    direct = {(r.bucket): r.cnt for r in sketch.collect()}
+    assert {(r.bucket): r.cnt for r in merged.collect()} == direct
+
+    # zero/negative values land in the reserved bucket and report 0.0
+    # for ranks inside it
+    vals = spark.createDataFrame([(0.0,), (-3.0,), (100.0,)], ["v"])
+    s = dd_build(vals, "v", alpha=alpha)
+    out = {r.q: r.estimate for r in dd_quantiles(s, [0.5, 0.99], alpha=alpha).collect()}
+    assert out[0.5] == 0.0
+    assert abs(out[0.99] - 100.0) / 100.0 <= alpha
