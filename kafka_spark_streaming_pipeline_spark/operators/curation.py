@@ -529,34 +529,47 @@ def bigram_cross_entropy(
     (``unigram_logprob``) cannot — the standard quality gate before
     tokenization.
 
-    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ._) + k·V), with V the corpus
-    vocabulary size and c(w1 ._) the count of w1 as a bigram context.
+    p(w2|w1) = (c(w1 w2) + k) / (c(w1 ._) + k·V), with c(w1 ._) the
+    count of w1 as a bigram context and V the CONTEXT vocabulary size
+    (distinct w1) — the branching-factor denominator the smoothing
+    spreads mass over.
 
-    Scale shape: bigram extraction is a pure projection (shingle_arr,
-    no window); the model tables are vocabulary-sized grouped counts;
-    V folds into a broadcast scalar; the scoring join is keyed on the
-    well-spread bigram string.  One corpus scan feeds tokens and
-    bigrams; nothing global-sorts and no driver state exists."""
-    toks = docs.select(id_col, F.explode(tokens_of(F.col(text_col))).alias("tok"))
-    bg = docs.select(
-        F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
-    ).filter(F.col("bg").contains(" "))
-
-    vocab = toks.agg(F.countDistinct("tok").alias("v"))
-    # c(w1 ._): every bigram's first word — derived from bg itself so the
-    # last token of each doc is correctly excluded from context counts
-    ctx = (
-        bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
+    Scale shape: ONE corpus scan (the same persisted-narrow-frame
+    pattern as bm25_topk).  A single projection explodes bigrams and
+    immediately compacts each to two portable 60-bit hashes — the
+    bigram key and its context-word key — so the persisted frame is
+    three longs per bigram occurrence, no strings.  Model counts,
+    context counts c(w1) (= sum of bigram counts per context key), V,
+    and the scoring join all read that cache; hash collisions merge
+    counts identically in Spark and the DuckDB oracle because both
+    compute the same md5-derived keys.  Nothing global-sorts and no
+    driver state exists."""
+    narrow = (
+        docs.select(
+            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
+        )
+        .filter(F.col("bg").contains(" "))
+        .select(
+            F.col(id_col),
+            hash60(F.col("bg"), "blm|").alias("bg_h"),
+            hash60(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)), "blm|").alias("w1_h"),
+        )
+        .persist()
     )
-    bgc = bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    bgc = narrow.groupBy("bg_h").agg(
+        F.count("*").alias("c2"), F.min("w1_h").alias("w1_h")
+    )
+    # c(w1 ._) and V from the bigram count table (vocabulary-sized):
+    # sum of c2 per context key == count of w1 as context; the last
+    # token of each doc never starts a bigram, so it is correctly
+    # excluded from context counts
+    ctx = bgc.groupBy("w1_h").agg(F.sum("c2").alias("c1"))
+    vocab = ctx.agg(F.count("*").alias("v"))
     probs = (
-        bgc.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
-        .join(ctx, "w1")
+        bgc.join(ctx, "w1_h")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "bg",
+            "bg_h",
             (
                 (F.col("c2") + F.lit(k_smooth))
                 / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
@@ -564,7 +577,7 @@ def bigram_cross_entropy(
         )
     )
     return (
-        bg.join(probs, "bg")
+        narrow.join(probs, "bg_h")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -1070,14 +1070,27 @@ def containment_pairs(
     recall is high; frequent boilerplate shingles generate no pairs,
     which is what bounds the blocking — per-shingle pair expansion is
     <= max_df(max_df-1)/2 and the candidate count is linear in the
-    corpus, never quadratic.  Shuffles: shingle df count, bucket
-    groupBy, pair dedup, and the two id-keyed set joins — all on
-    well-spread keys.
+    corpus, never quadratic.
+
+    ONE corpus scan (the bm25_topk persisted-narrow-frame pattern):
+    one projection explodes shingles and compacts each to a portable
+    60-bit hash, so the persisted frame is two longs per shingle
+    occurrence — no strings.  The df count, the rare-shingle bucket
+    join, and the per-doc set aggregates all read that cache, each
+    deduplicating repeated shingles natively (countDistinct /
+    collect_set).  All set arithmetic (intersection, sizes) runs on
+    the hashed elements, which both Spark and the DuckDB oracle
+    derive identically, so collisions (negligible at 60 bits) merge
+    the same way in both engines.
 
     Output: (doc_a, doc_b, containment_a, containment_b, jaccard) for
     pairs whose max directional containment >= ``min_containment``."""
-    sh = shingle_rows(docs, text_col, id_col, shingle_k).distinct()
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sh = (
+        shingle_rows(docs, text_col, id_col, shingle_k)
+        .select(F.col(id_col), (_hash64(F.col("sh"), "cnt|")).alias("sh"))
+        .persist()
+    )
+    dfreq = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df"))
     rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh")
     buckets = (
         sh.join(rare, "sh")

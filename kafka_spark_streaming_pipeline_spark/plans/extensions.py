@@ -3217,21 +3217,25 @@ def x73_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bg AS (
       SELECT doc_id, t[u.i] || ' ' || t[u.i+1] AS bg
       FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
-    ), vocab AS (
-      SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)
-    ), ctx AS (
-      SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1 FROM bg GROUP BY 1
+    ), narrow AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('blm|' || bg), 1, 15))::BIGINT AS bg_h,
+             ('0x' || substr(md5('blm|' || string_split(bg, ' ')[1]), 1, 15))::BIGINT AS w1_h
+      FROM bg
     ), bgc AS (
-      SELECT bg, count(*) AS c2 FROM bg GROUP BY 1
+      SELECT bg_h, count(*) AS c2, min(w1_h) AS w1_h FROM narrow GROUP BY bg_h
+    ), ctx AS (
+      SELECT w1_h, sum(c2) AS c1 FROM bgc GROUP BY w1_h
+    ), vocab AS (
+      SELECT count(*) AS v FROM ctx
     ), probs AS (
-      SELECT bgc.bg,
-             (c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vocab)) AS p
-      FROM bgc JOIN ctx ON string_split(bgc.bg, ' ')[1] = ctx.w1
+      SELECT bg_h, (c2 + 0.5) / (c1 + 0.5 * (SELECT v FROM vocab)) AS p
+      FROM bgc JOIN ctx USING (w1_h)
     )
-    SELECT b.doc_id, count(*) AS n_bigrams,
+    SELECT n.doc_id, count(*) AS n_bigrams,
            round(avg(-ln(p.p)) + 1e-9, 6) AS cross_entropy
-    FROM bg b JOIN probs p ON b.bg = p.bg
-    GROUP BY b.doc_id
+    FROM narrow n JOIN probs p USING (bg_h)
+    GROUP BY n.doc_id
     """,
 )
 def x74_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3251,8 +3255,13 @@ def x74_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x75_containment_pairs",
     oracle=_SHINGLES_CTE
     + """
-    , sh AS (
-      SELECT doc_id, unnest(shingles) AS sh FROM shingled
+    , hashed AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5('cnt|' || s), 1, 15))::BIGINT)) AS shingles
+      FROM shingled
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS sh FROM hashed
     ), rare AS (
       SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 16
     ), cand AS (
@@ -3264,8 +3273,8 @@ def x74_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_intersect(A.shingles, B.shingles))::DOUBLE AS i,
              len(A.shingles)::DOUBLE AS na, len(B.shingles)::DOUBLE AS nb
       FROM cand c
-      JOIN shingled A ON A.doc_id = c.doc_a
-      JOIN shingled B ON B.doc_id = c.doc_b
+      JOIN hashed A ON A.doc_id = c.doc_a
+      JOIN hashed B ON B.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b,
            round(i / na + 1e-9, 4) AS containment_a,

@@ -91,6 +91,26 @@ def test_inverted_index_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_bigram_perplexity_single_corpus_scan(spark, sf_dir):
+    # model counts, context counts, V, and the scoring join must all
+    # read the persisted hashed-narrow frame: every textual scan is a
+    # cached-child replica under an InMemoryTableScan.
+    plan = _plan(spark, sf_dir, "x74_bigram_perplexity")
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 2
+    assert plan.count("Scan parquet") == n_cached
+
+
+def test_containment_pairs_single_corpus_scan(spark, sf_dir):
+    # df count, rare-shingle bucket join, and both per-doc set
+    # aggregates read the persisted hashed shingle frame — the corpus
+    # text is scanned once, and no branch re-derives shingles.
+    plan = _plan(spark, sf_dir, "x75_containment_pairs")
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 3
+    assert plan.count("Scan parquet") == n_cached
+
+
 def test_chunking_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x42_chunk_documents")
     assert plan.count("Exchange") == 0  # pure scan -> project -> generate

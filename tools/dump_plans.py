@@ -59,6 +59,9 @@ AUDITED = {
     "x71_duplicate_span_trim": "span trim: window-hash agg + hash-keyed join back + per-doc positions agg; no self-join",
     "x72_session_sequences": "session sequences: one per-user window pass + one grouped agg; in-group ordered assembly, no global sort",
     "x73_pmi_collocations": "PMI: vocabulary-sized count tables, word-keyed joins (no forced broadcast), TakeOrderedAndProject",
+    "x74_bigram_perplexity": "bigram LM: ONE corpus scan (persisted hashed-narrow frame); context counts and V derived from the vocabulary-sized bigram count table",
+    "x75_containment_pairs": "containment: ONE corpus scan (persisted hashed shingle frame); rare-shingle (df-capped) blocking, never all-pairs",
+    "x76_dd_quantiles": "DDSketch: one grouped count to log-bucket state; quantile lookup windows over hundreds of bucket rows, never the data",
 }
 
 
