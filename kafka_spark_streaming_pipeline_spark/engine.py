@@ -391,3 +391,30 @@ class Engine:
         return pq_index_search(
             self.spark, q, dest, k=k, rerank=rerank, corpus=emb if rerank else None
         )
+
+    def perplexity_scores(self, k_smooth: float = 0.5) -> DataFrame:
+        """Bigram-LM cross-entropy per document (CCNet-style perplexity
+        filter): high scorers are word salad / off-distribution."""
+        from .operators.curation import bigram_cross_entropy
+
+        return bigram_cross_entropy(self.table("documents"), k_smooth=k_smooth)
+
+    def contained_docs(self, min_containment: float = 0.8) -> DataFrame:
+        """Asymmetric containment pairs (quote/boilerplate inclusion
+        that symmetric Jaccard misses), rare-shingle blocked."""
+        from .operators.dedup import containment_pairs
+
+        return containment_pairs(
+            self.table("documents"), min_containment=min_containment
+        )
+
+    def price_quantiles(
+        self, qs: list[float] | None = None, keys: list[str] | None = None
+    ) -> DataFrame:
+        """DDSketch quantiles over order totals — the mergeable,
+        relative-error-bounded percentile path."""
+        from .operators.sketches import dd_build, dd_quantiles
+
+        keys = keys if keys is not None else ["o_orderpriority"]
+        pre = dd_build(self.table("orders"), "o_totalprice", keys=keys)
+        return dd_quantiles(pre, qs or [0.5, 0.95, 0.99], keys=keys)

@@ -623,6 +623,52 @@ def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
     _compact(spark, sketch_path, _cms_view_of, quiesced)
 
 
+# ------------------------------------ incremental ddsketch quantiles
+
+def make_dd_sink(sketch_path: str, value_col: str, keys: list[str] | None = None):
+    """Incrementally-maintained DDSketch (streaming values → quantile
+    oracle with a relative-error guarantee): each micro-batch appends
+    its partial log-bucket counts — bucket cardinality is log-range-
+    sized regardless of batch size, bucket-wise additive, so the
+    merged sketch equals the batch-built sketch over all data
+    (DDSketch merge is exact).  The streaming answer to "p99 latency
+    right now" without ever re-scanning history.  Same log contract
+    as make_cms_sink: per-commit replay dedup, atomic appends,
+    online-compaction watermark honored."""
+    from ..operators.sketches import dd_build
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = dd_build(batch_df, value_col, keys=keys)
+        AtomicParquetTable(sketch_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def dd_stream_view(spark, sketch_path: str, keys: list[str] | None = None) -> DataFrame:
+    """Merged sketch: bucket-wise sum of the partials after per-commit
+    dedup — feed to operators.sketches.dd_quantiles."""
+    return _dd_view_of(_read_log(spark, sketch_path), keys or [])
+
+
+def _dd_view_of(log: DataFrame, keys=()) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", *keys, "bucket"])
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_dd(spark, sketch_path: str, keys: list[str] | None = None, quiesced: bool = True) -> None:
+    """Fold the partial-sketch log to one bucket table; same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, sketch_path, lambda log: _dd_view_of(log, keys or []), quiesced)
+
+
 # --------------------------------------- incremental signature history
 
 def make_signature_sink(

@@ -152,6 +152,11 @@ def test_engine_facade_surfaces(spark, sf_dir):
     assert eng.chunks().count() > 0
     nn = eng.nearest_embeddings(k=1).collect()
     assert all(r.query_id == r.neighbor_id for r in nn)  # self-match
+    ppl = eng.perplexity_scores()
+    assert {"doc_id", "n_bigrams", "cross_entropy"} <= set(ppl.columns)
+    assert eng.contained_docs().columns[:2] == ["doc_a", "doc_b"]
+    pq = eng.price_quantiles(qs=[0.5])
+    assert pq.count() > 0 and "estimate" in pq.columns
 
 
 def test_engine_index_and_ingest(spark, sf_dir, tmp_path):

@@ -1317,3 +1317,52 @@ def test_streaming_bloom_filter_merges_exactly_no_false_negatives(spark, tmp_pat
         packed, spark.createDataFrame(b0 + b1, ["gram"]), "gram"
     )
     assert probed.filter("bloom_hit = 0").count() == 0
+
+
+def test_streaming_ddsketch_merges_exactly_with_replay_and_compaction(spark, tmp_path):
+    """The streamed DDSketch must equal the batch-built sketch bucket
+    for bucket (merge is exact), survive replay and online compaction,
+    and keep the alpha relative-error guarantee on quantiles."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        dd_build,
+        dd_quantiles,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_dd,
+        dd_stream_view,
+        make_dd_sink,
+    )
+
+    path = str(tmp_path / "dd")
+    sink = make_dd_sink(path, "v")
+    b0 = [(float(x),) for x in range(1, 101)]
+    b1 = [(float(x * 10),) for x in range(1, 51)] + [(0.0,)]
+    sink(spark.createDataFrame(b0, ["v"]), 0)
+    sink(spark.createDataFrame(b1, ["v"]), 1)
+
+    def buckets():
+        return {r.bucket: r.cnt for r in dd_stream_view(spark, path).collect()}
+
+    want = {
+        r.bucket: r.cnt
+        for r in dd_build(spark.createDataFrame(b0 + b1, ["v"]), "v").collect()
+    }
+    assert buckets() == want
+
+    sink(spark.createDataFrame(b1, ["v"]), 1)  # replay -> deduped
+    assert buckets() == want
+    compact_dd(spark, path, quiesced=False)
+    sink(spark.createDataFrame(b1, ["v"]), 1)  # replay of folded batch
+    assert buckets() == want
+
+    # quantiles from the streamed state obey the alpha bound
+    import math
+
+    vals = sorted(v for (v,) in b0 + b1)
+    est = {
+        r.q: r.estimate
+        for r in dd_quantiles(dd_stream_view(spark, path), [0.5, 0.99]).collect()
+    }
+    for q in (0.5, 0.99):
+        exact = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(est[q] - exact) / exact <= 0.01 + 1e-9
