@@ -63,6 +63,10 @@ HEADLINE = [
     # rerank) and the zero-shuffle bloom decontamination screen.
     "x62_pq_topk",
     "x63_bloom_decontaminate",
+    # r04 third batch: corpus LM scoring (bigram cross-entropy — the
+    # heaviest pure-text family: model build + per-doc scoring in one
+    # persisted-frame scan).
+    "x74_bigram_perplexity",
 ]
 
 

@@ -486,3 +486,90 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("left"), F.asc("right"))
         .limit(top)
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016): iteratively
+    pick the most frequent adjacent symbol pair and merge it, for
+    ``n_merges`` rounds — the ranked merge list IS the tokenizer.
+
+    Scale shape: the corpus is scanned ONCE into the word-frequency
+    vocabulary (like bpe_pair_counts); every round then runs over that
+    vocabulary-sized frame — one pair aggregate (map-side combinable),
+    a 1-row argmax collect (bounded by n_merges, the standard
+    iterative-driver pattern shared with k-means/PageRank), and a
+    map-only leftmost-non-overlapping merge via an array fold.  The
+    frame is localCheckpoint'ed per round to truncate the growing
+    lineage.  Ties break deterministically (count desc, then left,
+    then right asc) so the merge sequence is reproducible.
+
+    Output: (merge_rank, left, right, pair_count) — one row per
+    learned merge, rank 1 = first merge."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+        .select(
+            F.split(F.col("word"), "").alias("syms"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_arr = F.zip_with(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+        )
+        best = (
+            words.select("freq", F.explode(pair_arr).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].pair_count <= 0:
+            break
+        l, r, cnt = best[0].left, best[0].right, best[0].pair_count
+        merges.append((rank, l, r, cnt))
+        # leftmost-non-overlapping merge: fold the symbol array; a pair
+        # merged this step cannot immediately re-merge through its
+        # right half (the `just` flag), matching reference BPE
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.array().cast("array<string>").alias("arr"),
+                F.lit(False).alias("just"),
+            ),
+            lambda acc, s: F.when(
+                (~acc["just"])
+                & (F.size(acc["arr"]) > 0)
+                & (F.element_at(acc["arr"], -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.struct(
+                    F.concat(
+                        F.slice(acc["arr"], 1, F.size(acc["arr"]) - 1),
+                        F.array(F.lit(l + r)),
+                    ).alias("arr"),
+                    F.lit(True).alias("just"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(s)).alias("arr"),
+                    F.lit(False).alias("just"),
+                )
+            ),
+            lambda acc: acc["arr"],
+        )
+        words = words.select(merged.alias("syms"), "freq").localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )

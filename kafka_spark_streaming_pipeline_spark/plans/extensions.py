@@ -3313,3 +3313,18 @@ def x76_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd_quantiles(pre, [0.5, 0.95, 0.99], keys=["o_orderpriority"]).orderBy(
         "o_orderpriority", "q"
     )
+
+
+@query("x77_bpe_train", oracle=None)
+def x77_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training: 10 iterative most-frequent-pair
+    merges over the corpus's word-frequency vocabulary — completes the
+    tokenizer story (x67 is one round of pair stats; this is the
+    loop).  Rows-only: the merge loop is iterative/driver-bounded, not
+    SQL-expressible; exact equivalence to a sequential reference BPE
+    (ties, leftmost-non-overlap) is property-tested in
+    tests/test_properties.py."""
+    from ..operators.text import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, n_merges=10)

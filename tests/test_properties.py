@@ -431,3 +431,52 @@ def test_kmv_overlap_invariants(spark, xs, ys):
     assert abs(row.est_intersection - len(sx & sy)) < 0.01
     swapped = kmv_overlap(b, a).first()
     assert (swapped.est_union, swapped.kmv_jaccard) == (row.est_union, row.kmv_jaccard)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=12
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_train_matches_python_reference(spark, words_list, n_merges):
+    """The distributed BPE loop must learn the exact merge sequence a
+    sequential reference implementation learns (same tie-breaks, same
+    leftmost-non-overlapping merge semantics)."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_train
+
+    text = " ".join(words_list)
+
+    # sequential reference BPE over the same whitespace tokenization
+    from collections import Counter
+
+    freqs = Counter(words_list)
+    vocab = {w: list(w) for w in freqs if len(w) >= 2}
+    expected = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freqs[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        expected.append((rank, l, r, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (rw.merge_rank, rw.left, rw.right, rw.pair_count)
+        for rw in bpe_train(docs, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
