@@ -784,19 +784,13 @@ def pq_train_codebooks(corpus: DataFrame, m: int, ksub: int, dsub: int) -> DataF
     )
 
     def _means(assigned: DataFrame) -> DataFrame:
-        by_dim = (
-            assigned.select("sub", "cell", F.posexplode("sv").alias("dim", "val"))
-            .groupBy("sub", "cell", "dim")
-            .agg(F.avg("val").alias("mean"))
-        )
-        return (
-            by_dim.groupBy("sub", "cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mean"))).alias("dm"))
-            .select(
-                "sub",
-                "cell",
-                F.transform("dm", lambda s: s["mean"]).alias("centroid"),
-            )
+        # dsub is a build-time constant, so the per-dim means are dsub
+        # avg() columns in ONE aggregation — no posexplode (x dsub row
+        # blow-up) and no second regroup shuffle
+        return assigned.groupBy("sub", "cell").agg(
+            F.array(
+                *[F.avg(F.element_at(F.col("sv"), d + 1)) for d in range(dsub)]
+            ).alias("centroid")
         )
 
     seeded = subs.withColumn(
