@@ -416,5 +416,6 @@ class Engine:
         from .operators.sketches import dd_build, dd_quantiles
 
         keys = keys if keys is not None else ["o_orderpriority"]
+        qs = qs if qs is not None else [0.5, 0.95, 0.99]
         pre = dd_build(self.table("orders"), "o_totalprice", keys=keys)
-        return dd_quantiles(pre, qs or [0.5, 0.95, 0.99], keys=keys)
+        return dd_quantiles(pre, qs, keys=keys)

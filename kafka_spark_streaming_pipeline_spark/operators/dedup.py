@@ -376,6 +376,26 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # ------------------------------------------------------- n-gram jaccard
 
+def unordered_pairs_expr(members: Column, inner=None) -> Column:
+    """All unordered pairs (i<j) of a SORTED members array, as one
+    array-HOF expression — the shared intra-block pair expansion
+    (no self-join).  ``inner`` maps (x, y) -> struct; default emits
+    struct(doc_a, doc_b).  Callers cap/bound the member array BEFORE
+    expansion (LSH bucket caps, df-capped blocking): the expression
+    itself is quadratic in the array it is given."""
+    if inner is None:
+        inner = lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b"))  # noqa: E731
+    return F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
+                lambda y: inner(x, y),
+            ),
+        )
+    )
+
+
 def _capped_block_pairs(
     prepared: DataFrame,
     id_col: str,
@@ -1098,18 +1118,8 @@ def containment_pairs(
         .agg(F.array_sort(F.collect_set(id_col)).alias("m"))
         .filter(F.size("m") >= 2)
     )
-    m = F.col("m")
-    pair_arr = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.greatest(F.size(m) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode(unordered_pairs_expr(F.col("m"))).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
@@ -1119,7 +1129,7 @@ def containment_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     c_a = inter / F.size("sh_a")
     c_b = inter / F.size("sh_b")
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")

@@ -1368,3 +1368,61 @@ def embedding_neardup_pairs_multi(
         out = pairs if out is None else out.unionByName(pairs)
     # a pair can meet in several tables: keep one copy
     return out.dropDuplicates(["vec_a", "vec_b"])
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    planes: list[list[int]],
+    pos_threshold: float = 0.4,
+    neg_threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Training-data construction for contrastive embedding models:
+    (anchor, positive, hard-negative) triplets.  Positives are
+    intra-bucket pairs with cosine >= ``pos_threshold``; the hard
+    negative for each anchor is the HIGHEST-cosine vector in the same
+    SRP bucket that still falls below ``neg_threshold`` — close in
+    hash space but far in meaning, exactly the negatives that make
+    contrastive losses learn (random negatives are trivially easy).
+
+    One embedding scan: the intra-bucket pair expansion (the
+    embedding_neardup_pairs machinery, threshold disabled) yields every
+    bucket-mate pair with its exact cosine; positives and negatives
+    are two filters over its symmetrized form, and the hardest
+    negative is a per-anchor top-1 window over the (bounded)
+    intra-bucket candidate rows.  Deterministic end to end: integer
+    SRP buckets, 4-decimal rounded sims, id tiebreaks."""
+    pairs = embedding_neardup_pairs(
+        emb, planes, threshold=-1.0, id_col=id_col, vec_col=vec_col
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("anchor_id"),
+        F.col("vec_b").alias("other_id"),
+        "cosine_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("anchor_id"),
+            F.col("vec_a").alias("other_id"),
+            "cosine_sim",
+        )
+    )
+    pos = sym.filter(F.col("cosine_sim") >= pos_threshold).select(
+        "anchor_id",
+        F.col("other_id").alias("positive_id"),
+        F.col("cosine_sim").alias("pos_sim"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("other_id")
+    )
+    neg = (
+        sym.filter(F.col("cosine_sim") < neg_threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("other_id").alias("negative_id"),
+            F.col("cosine_sim").alias("neg_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id")

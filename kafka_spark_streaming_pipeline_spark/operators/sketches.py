@@ -318,6 +318,9 @@ def dd_build(
     )
     return (
         df.select(*keys, F.col(col).cast("double").alias("__v"))
+        # NULL values are ignored (standard sketch semantics) — only
+        # non-positive NUMBERS land in the reserved zero bucket
+        .filter(F.col("__v").isNotNull())
         .select(*keys, bucket.alias("bucket"))
         .groupBy(*keys, "bucket")
         .agg(F.count("*").alias("cnt"))

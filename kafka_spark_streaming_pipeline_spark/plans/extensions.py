@@ -25,7 +25,7 @@ _SHINGLES_CTE = """
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
              )) AS shingles
       FROM toks
     )
@@ -62,7 +62,7 @@ def p11_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SHINGLES_CTE
     + """
     , blocked AS (
-      SELECT s.doc_id, t.t[1] || ' ' || t.t[2] AS blk, s.shingles
+      SELECT s.doc_id, concat_ws(' ', t.t[1], t.t[2]) AS blk, s.shingles
       FROM shingled s JOIN toks t USING (doc_id)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -511,7 +511,7 @@ def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, u.i AS pos,
-             ('0x' || substr(md5(t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2]), 1, 15))::BIGINT
+             ('0x' || substr(md5(concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2])), 1, 15))::BIGINT
                % 2147483647 AS h
       FROM toks, unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
     )
@@ -728,9 +728,9 @@ def x22_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
-               i -> string_split(lower(text), ' ')[i] || ' '
-                    || string_split(lower(text), ' ')[i+1] || ' '
-                    || string_split(lower(text), ' ')[i+2]
+               i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                              string_split(lower(text), ' ')[i+1],
+                              string_split(lower(text), ' ')[i+2])
              )) AS shingles
       FROM documents
     )
@@ -805,7 +805,7 @@ def p16_deduplicated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(t) - 4, 1) + 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
              )) AS grams
       FROM toks
     ), eg AS (
@@ -945,7 +945,7 @@ def x28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), g AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-                                   i -> t[i] || ' ' || t[i+1])) AS gram
+                                   i -> concat_ws(' ', t[i], t[i+1]))) AS gram
       FROM t
     ), c AS (
       SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
@@ -1029,7 +1029,7 @@ def x30_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, gram, count(*) AS cnt FROM (
           SELECT doc_id,
                  unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-                                       i -> t[i] || ' ' || t[i+1])) AS gram
+                                       i -> concat_ws(' ', t[i], t[i+1]))) AS gram
           FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
         ) GROUP BY doc_id, gram
       ) GROUP BY doc_id
@@ -1929,9 +1929,9 @@ def x47_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
-               i -> string_split(lower(text), ' ')[i] || ' '
-                    || string_split(lower(text), ' ')[i+1] || ' '
-                    || string_split(lower(text), ' ')[i+2]
+               i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                              string_split(lower(text), ' ')[i+1],
+                              string_split(lower(text), ' ')[i+2])
              )) AS shingles
       FROM documents
     )
@@ -2167,7 +2167,7 @@ def x52_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks,
              list_transform(
                range(1, greatest(len(toks) - 2, 1) + 1),
-               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
              ) AS tris
       FROM t
     ), m AS (
@@ -2727,7 +2727,7 @@ def _bf_bits_sql(val: str) -> str:
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len(t) - 4, 1) + 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
              )) AS grams
       FROM toks
     ), eg AS (
@@ -2987,7 +2987,7 @@ def x67_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id % 2 AS half,
              unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
              ))) AS gram
       FROM toks
     ), h AS (
@@ -3328,3 +3328,52 @@ def x77_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=10)
+
+
+@query(
+    "x78_contrastive_triplets",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket FROM v
+    ), pairs AS (
+      SELECT a.id AS vec_a, bb.id AS vec_b,
+             round(list_dot_product(a.v, bb.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(bb.v, bb.v)))
+                   + 1e-9, 4) AS cosine_sim
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+    ), sym AS (
+      SELECT vec_a AS anchor_id, vec_b AS other_id, cosine_sim FROM pairs
+      UNION ALL
+      SELECT vec_b AS anchor_id, vec_a AS other_id, cosine_sim FROM pairs
+    ), pos AS (
+      SELECT anchor_id, other_id AS positive_id, cosine_sim AS pos_sim
+      FROM sym WHERE cosine_sim >= 0.4
+    ), neg AS (
+      SELECT anchor_id, other_id AS negative_id, cosine_sim AS neg_sim
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY anchor_id ORDER BY cosine_sim DESC, other_id ASC
+        ) AS rn
+        FROM sym WHERE cosine_sim < 0.2
+      ) WHERE rn = 1
+    )
+    SELECT p.anchor_id, p.positive_id, p.pos_sim, n.negative_id, n.neg_sim
+    FROM pos p JOIN neg n USING (anchor_id)
+    """,
+)
+def x78_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: positives are SRP-bucket
+    near-dups (cosine >= 0.4); each anchor's hard negative is the
+    highest-cosine bucket-mate still below 0.2 — near in hash space,
+    far in meaning.  One embedding scan through the bucket-expansion
+    machinery; everything integer-bucketed/rounded so both engines
+    agree exactly."""
+    from ..operators.similarity import contrastive_triplets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return contrastive_triplets(
+        emb, NEARDUP_PLANES, pos_threshold=0.4, neg_threshold=0.2
+    )

@@ -648,13 +648,17 @@ def make_dd_sink(sketch_path: str, value_col: str, keys: list[str] | None = None
     return sink
 
 
-def dd_stream_view(spark, sketch_path: str, keys: list[str] | None = None) -> DataFrame:
+def dd_stream_view(spark, sketch_path: str) -> DataFrame:
     """Merged sketch: bucket-wise sum of the partials after per-commit
-    dedup — feed to operators.sketches.dd_quantiles."""
-    return _dd_view_of(_read_log(spark, sketch_path), keys or [])
+    dedup — feed to operators.sketches.dd_quantiles.  Sketch keys are
+    derived from the log's own columns (everything that is not
+    bucket/cnt/__commit), so a keyed sketch can never be silently
+    folded without its keys."""
+    return _dd_view_of(_read_log(spark, sketch_path))
 
 
-def _dd_view_of(log: DataFrame, keys=()) -> DataFrame:
+def _dd_view_of(log: DataFrame) -> DataFrame:
+    keys = [c for c in log.columns if c not in ("bucket", "cnt", "__commit")]
     return (
         _drop_replays_behind_watermark(log)
         .dropDuplicates(["__commit", *keys, "bucket"])
@@ -663,10 +667,11 @@ def _dd_view_of(log: DataFrame, keys=()) -> DataFrame:
     )
 
 
-def compact_dd(spark, sketch_path: str, keys: list[str] | None = None, quiesced: bool = True) -> None:
-    """Fold the partial-sketch log to one bucket table; same
-    quiesced/online contract as the other compactors."""
-    _compact(spark, sketch_path, lambda log: _dd_view_of(log, keys or []), quiesced)
+def compact_dd(spark, sketch_path: str, quiesced: bool = True) -> None:
+    """Fold the partial-sketch log to one bucket table (keys derived
+    from the log's columns, like dd_stream_view); same quiesced/online
+    contract as the other compactors."""
+    _compact(spark, sketch_path, _dd_view_of, quiesced)
 
 
 # --------------------------------------- incremental signature history

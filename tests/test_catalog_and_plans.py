@@ -35,6 +35,8 @@ def test_registry_contract():
         "x49_multi_table_lsh",
         "x62_pq_topk",
         "x69_ivfpq_topk",
+        "x76_dd_quantiles",
+        "x77_bpe_train",
     }
 
 
@@ -312,3 +314,43 @@ def test_engine_round4_surface(spark, sf_dir):
 
     ov = eng.corpus_overlap(docs.filter(F.col("doc_id") % 2 == 1)).first()
     assert 0.0 <= ov.kmv_jaccard <= 1.0 and ov.est_union > 0
+
+
+def test_shingle_oracles_agree_on_short_docs(spark, tmp_path):
+    """Spark's shingle_arr emits ONE PARTIAL shingle for docs shorter
+    than k words (concat_ws skips the nulls); the DuckDB oracles must
+    mirror that (concat_ws, not ||, which nulls the whole shingle and
+    silently drops short docs).  Regression for the family-wide
+    divergence found in round 4: a corpus with 1-2-token duplicate
+    docs must produce IDENTICAL results from both engines."""
+    import duckdb
+
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from tools.check_oracle import canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "hello world", "en", "web", 11),
+            (3, "solo", "en", "web", 4),
+            (4, "solo", "en", "web", 4),
+            (5, "alpha beta gamma delta epsilon common tail", "en", "web", 43),
+            (6, "alpha beta gamma delta epsilon common tail", "en", "web", 43),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    for name in ("x02_ngram_jaccard", "x75_containment_pairs", "x29_repetition_stats"):
+        q = QUERIES[name]
+        sdf = q.builder(spark, sf_dir)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        o = con.execute(q.oracle).fetchall()
+        o_cols = [d[0] for d in con.description]
+        assert len(s_rows) == len(o), (name, len(s_rows), len(o))
+        assert canonical(s_rows, sdf.columns) == canonical(o, o_cols), name

@@ -1540,9 +1540,44 @@ def test_ddsketch_relative_error_and_merge(spark, sf_dir):
     assert {(r.bucket): r.cnt for r in merged.collect()} == direct
 
     # zero/negative values land in the reserved bucket and report 0.0
-    # for ranks inside it
-    vals = spark.createDataFrame([(0.0,), (-3.0,), (100.0,)], ["v"])
+    # for ranks inside it; NULLs are ignored entirely (sketch
+    # semantics), never counted as zeros
+    vals = spark.createDataFrame(
+        [(0.0,), (-3.0,), (100.0,), (None,), (None,)], "v double"
+    )
     s = dd_build(vals, "v", alpha=alpha)
+    assert s.agg(F.sum("cnt")).first()[0] == 3  # nulls not counted
     out = {r.q: r.estimate for r in dd_quantiles(s, [0.5, 0.99], alpha=alpha).collect()}
     assert out[0.5] == 0.0
     assert abs(out[0.99] - 100.0) / 100.0 <= alpha
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Triplets must pair every positive with its anchor's HARDEST
+    valid negative: same SRP bucket, highest cosine strictly below the
+    negative threshold; anchors with no positive or no negative emit
+    nothing."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    # one plane -> 2 buckets; craft vectors so bucket 1 holds: two
+    # near-identical (positive pair), one far-but-same-bucket
+    # (negative candidate), one mid-similarity (excluded: >= neg_t,
+    # < pos_t)
+    planes = [[1] + [0] * 3]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),       # positive of 1
+        (3, [0.01, 1.0, 0.0, 0.0]),         # hard negative (cos ~0.01)
+        (4, [0.5, 0.8, 0.0, 0.0]),          # mid: neither pos nor neg
+        (5, [-1.0, 0.0, 0.0, 0.0]),         # other bucket: never appears
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = contrastive_triplets(
+        emb, planes, pos_threshold=0.9, neg_threshold=0.2
+    ).collect()
+    got = {(r.anchor_id, r.positive_id, r.negative_id) for r in out}
+    assert got == {(1, 2, 3), (2, 1, 3)}
+    for r in out:
+        assert r.pos_sim >= 0.9 and r.neg_sim < 0.2

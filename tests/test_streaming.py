@@ -1366,3 +1366,15 @@ def test_streaming_ddsketch_merges_exactly_with_replay_and_compaction(spark, tmp
     for q in (0.5, 0.99):
         exact = vals[math.ceil(q * len(vals)) - 1]
         assert abs(est[q] - exact) / exact <= 0.01 + 1e-9
+
+    # keyed sketch: the view derives the keys from the log's own
+    # columns — a caller can never silently fold regions together
+    kpath = str(tmp_path / "dd_keyed")
+    ksink = make_dd_sink(kpath, "v", keys=["region"])
+    ksink(spark.createDataFrame([("eu", 10.0), ("us", 1000.0)], ["region", "v"]), 0)
+    ksink(spark.createDataFrame([("eu", 12.0)], ["region", "v"]), 1)
+    view = dd_stream_view(spark, kpath)
+    assert "region" in view.columns
+    per_key = {r.region: r.total for r in view.groupBy("region").agg(
+        F.sum("cnt").alias("total")).collect()}
+    assert per_key == {"eu": 2, "us": 1}
