@@ -73,3 +73,93 @@ def hash_embeddings(
     return folded.select(
         F.col(id_col), normalized.alias("embedding"), "n_tokens"
     )
+
+
+def top_principal_component(
+    emb,
+    n_iter: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Dominant principal component of the (mean-centered) embedding
+    matrix via distributed power iteration.
+
+    Each round is ONE map-side-combinable aggregate: with the current
+    direction v broadcast as a literal, every row contributes
+    ((x-mu)·v)·(x-mu), whose per-dimension sums are dim sum() columns —
+    no posexplode, no shuffle of vectors, no driver-side matrix.  The
+    driver holds only the dim-float direction between rounds (the same
+    bounded-driver-state pattern as k-means/BPE).  Deterministic: the
+    start direction is the all-ones unit vector, no RNG.
+
+    Returns (mu, pc, eigenvalue_estimate) as plain Python lists/float.
+    """
+    from pyspark.sql import functions as F
+
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("x"))
+    mu_row = v.agg(
+        *[F.avg(F.element_at("x", i + 1)).alias(f"m{i}") for i in range(dim)]
+    ).first()
+    mu = [mu_row[f"m{i}"] for i in range(dim)]
+
+    vec = [1.0 / dim ** 0.5] * dim
+    eig = 0.0
+    n = v.count()
+    for _ in range(n_iter):
+        mu_lit = F.array(*[F.lit(m) for m in mu])
+        v_lit = F.array(*[F.lit(c) for c in vec])
+        centered = F.zip_with("x", mu_lit, lambda a, b: a - b)
+        s = F.aggregate(
+            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        contrib = v.select(centered.alias("c"), s.alias("s"))
+        z_row = contrib.agg(
+            *[
+                F.sum(F.element_at("c", i + 1) * F.col("s")).alias(f"z{i}")
+                for i in range(dim)
+            ]
+        ).first()
+        z = [z_row[f"z{i}"] for i in range(dim)]
+        norm = sum(c * c for c in z) ** 0.5
+        if norm == 0:
+            break
+        eig = norm / n  # Rayleigh estimate: ||C v|| with unit v
+        vec = [c / norm for c in z]
+    return mu, vec, eig
+
+
+def all_but_the_top(
+    emb,
+    n_iter: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """All-but-the-top embedding postprocess (Mu & Viswanath 2018):
+    mean-center every vector and remove its projection onto the
+    corpus's dominant principal component — the standard fix for the
+    anisotropy that makes raw embedding cosines saturate.  The PC
+    comes from the power iteration above (driver holds dim floats);
+    the correction itself is a map-only projection, so the full pass
+    over 100 TB of vectors is one scan with two broadcast literals.
+
+    Output: (id, processed array, removed-component magnitude)."""
+    from pyspark.sql import functions as F
+
+    mu, pc, _ = top_principal_component(emb, n_iter, id_col, vec_col)
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    pc_lit = F.array(*[F.lit(c) for c in pc])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu_lit, lambda a, b: a - b)
+    proj = F.aggregate(
+        F.zip_with(centered, pc_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    bound = emb.select(F.col(id_col), centered.alias("c"), proj.alias("p"))
+    return bound.select(
+        id_col,
+        F.zip_with("c", pc_lit, lambda c, pcv: c - F.col("p") * pcv).alias("processed"),
+        F.round(F.abs(F.col("p")) + F.lit(1e-9), 6).alias("removed_magnitude"),
+    )

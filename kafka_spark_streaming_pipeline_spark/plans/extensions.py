@@ -3377,3 +3377,66 @@ def x78_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrastive_triplets(
         emb, NEARDUP_PLANES, pos_threshold=0.4, neg_threshold=0.2
     )
+
+
+@query(
+    "x79_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), first AS (
+      SELECT user_id, min(d) AS cohort_day FROM act GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY cohort_day
+    ), ret AS (
+      SELECT f.cohort_day, a.d - f.cohort_day AS day_offset,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN first f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_day, CAST(r.day_offset AS BIGINT) AS day_offset,
+           r.n_active, s.cohort_size,
+           round(r.n_active / CAST(s.cohort_size AS DOUBLE) + 1e-9, 4) AS retention
+    FROM ret r JOIN sizes s USING (cohort_day)
+    """,
+)
+def x79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, retention =
+    distinct active users at each day offset / cohort size — the
+    standard product-analytics rollup the reference's dashboards would
+    need.  Two user-keyed aggregates + one vocabulary-sized join; the
+    events table is scanned once into the distinct (user, day) frame
+    every branch derives from."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    ret = (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return ret.join(sizes, "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size") + F.lit(1e-9), 4
+        ).alias("retention"),
+    )
+
+
+@query("x80_all_but_the_top", oracle=None)
+def x80_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding postprocess (Mu & Viswanath 2018):
+    mean-center + remove the dominant principal component found by
+    distributed power iteration (one combinable aggregate per round,
+    driver holds dim floats) — the standard anisotropy fix before
+    cosine retrieval.  Rows-only: float-iterative; numpy eigenvector
+    parity on planted-anisotropy data and the exact zero-projection /
+    zero-mean invariants are asserted in tests/test_operators.py."""
+    from ..operators.embed import all_but_the_top
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return all_but_the_top(emb, n_iter=12)

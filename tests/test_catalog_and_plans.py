@@ -37,6 +37,7 @@ def test_registry_contract():
         "x69_ivfpq_topk",
         "x76_dd_quantiles",
         "x77_bpe_train",
+        "x80_all_but_the_top",
     }
 
 

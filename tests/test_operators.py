@@ -1581,3 +1581,54 @@ def test_contrastive_triplets_semantics(spark):
     assert got == {(1, 2, 3), (2, 1, 3)}
     for r in out:
         assert r.pos_sim >= 0.9 and r.neg_sim < 0.2
+
+
+def test_all_but_the_top_matches_numpy(spark, sf_dir):
+    """Power iteration must converge to numpy's dominant eigenvector
+    of the covariance (up to sign), and the postprocessed vectors must
+    be mean-centered with ~zero variance along the removed PC."""
+    import numpy as np
+
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        all_but_the_top,
+        top_principal_component,
+    )
+
+    # numpy parity needs a spectral gap, so plant one: anisotropic
+    # cloud with a dominant direction (the regime the postprocess
+    # exists for — real embedding spaces are anisotropic)
+    rng = np.random.RandomState(7)
+    d = 16
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    X = rng.randn(300, d) * 0.1 + np.outer(rng.randn(300) * 2.0, direction) + 0.5
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+    mu_np = X.mean(axis=0)
+    C = np.cov((X - mu_np).T, bias=True)
+    w, V = np.linalg.eigh(C)
+    pc_np = V[:, -1]
+
+    mu, pc, eig = top_principal_component(emb, n_iter=20)
+    assert np.allclose(mu, mu_np, atol=1e-9)
+    align = abs(float(np.dot(pc, pc_np)))
+    assert align > 0.999, align
+    assert abs(eig - w[-1]) / w[-1] < 0.05
+
+    out = all_but_the_top(emb, n_iter=20)
+    P = np.array([r.processed for r in out.orderBy("vec_id").collect()])
+    # projections onto the removed direction are ~0 and the mean is gone
+    assert np.abs(P @ np.array(pc)).max() < 1e-9
+    assert np.abs(P.mean(axis=0)).max() < 1e-9
+
+    # on the real (near-isotropic) table the EXACT invariants still
+    # hold for whatever direction the iteration found
+    real = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, pc_r, _ = top_principal_component(real, n_iter=5)
+    R = np.array(
+        [r.processed for r in all_but_the_top(real, n_iter=5).collect()]
+    )
+    assert np.abs(R @ np.array(pc_r)).max() < 1e-9
+    assert np.abs(R.mean(axis=0)).max() < 1e-9
