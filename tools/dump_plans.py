@@ -62,6 +62,8 @@ AUDITED = {
     "x74_bigram_perplexity": "bigram LM: ONE corpus scan (persisted hashed-narrow frame); context counts and V derived from the vocabulary-sized bigram count table",
     "x75_containment_pairs": "containment: ONE corpus scan (persisted hashed shingle frame); rare-shingle (df-capped) blocking, never all-pairs",
     "x76_dd_quantiles": "DDSketch: one grouped count to log-bucket state; quantile lookup windows over hundreds of bucket rows, never the data",
+    "x78_contrastive_triplets": "triplets: one embedding scan through the SRP bucket expansion; pos/neg are filters over the symmetrized pairs, hardest-negative is a bounded per-anchor window",
+    "x79_cohort_retention": "cohort retention: distinct (user,day) frame feeds both branches; user-keyed aggregates, vocabulary-sized join",
 }
 
 
