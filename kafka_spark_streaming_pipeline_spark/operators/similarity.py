@@ -1393,9 +1393,13 @@ def contrastive_triplets(
     negative is a per-anchor top-1 window over the (bounded)
     intra-bucket candidate rows.  Deterministic end to end: integer
     SRP buckets, 4-decimal rounded sims, id tiebreaks."""
+    # the symmetrizing union and the pos/neg branches would otherwise
+    # re-execute the whole bucket-expansion subtree (4 embedding scans
+    # in the static plan); the candidate-pair frame is 3 narrow
+    # columns, so persist it and every branch reads the cache
     pairs = embedding_neardup_pairs(
         emb, planes, threshold=-1.0, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
     sym = pairs.select(
         F.col("vec_a").alias("anchor_id"),
         F.col("vec_b").alias("other_id"),

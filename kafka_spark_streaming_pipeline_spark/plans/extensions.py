@@ -3408,7 +3408,10 @@ def x79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events table is scanned once into the distinct (user, day) frame
     every branch derives from."""
     events = load_table(spark, sf_dir, "events")
-    act = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    # (user, day) distinct is users x active-days — tiny next to the
+    # event log; persist it so the cohort and activity branches share
+    # one events scan
+    act = events.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
     first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
     ret = (
