@@ -96,7 +96,10 @@ def top_principal_component(
     """
     from pyspark.sql import functions as F
 
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:  # empty input: no direction to find
+        return [], [], 0.0
+    dim = probe["d"]
     v = emb.select(F.col(vec_col).cast("array<double>").alias("x"))
     mu_row = v.agg(
         *[F.avg(F.element_at("x", i + 1)).alias(f"m{i}") for i in range(dim)]
@@ -149,6 +152,12 @@ def all_but_the_top(
     from pyspark.sql import functions as F
 
     mu, pc, _ = top_principal_component(emb, n_iter, id_col, vec_col)
+    if not pc:  # empty input: empty output with the right schema
+        return emb.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("processed"),
+            F.lit(0.0).alias("removed_magnitude"),
+        ).limit(0)
     mu_lit = F.array(*[F.lit(m) for m in mu])
     pc_lit = F.array(*[F.lit(c) for c in pc])
     centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu_lit, lambda a, b: a - b)

@@ -485,3 +485,31 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     # empty corpus: no pairs, no crash
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert containment_pairs(empty).collect() == []
+
+
+def test_round4_operators_degrade_gracefully_on_empty_inputs(spark):
+    """Every round-4 operator must return an empty, correctly-typed
+    frame on an empty corpus instead of crashing."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bigram_cross_entropy,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.embed import all_but_the_top
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        dd_build,
+        dd_quantiles,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_train
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    empty_vals = spark.createDataFrame([], "v double")
+
+    assert bigram_cross_entropy(empty_docs).collect() == []
+    assert bpe_train(empty_docs).collect() == []
+    assert dd_quantiles(dd_build(empty_vals, "v"), [0.5]).collect() == []
+    assert contrastive_triplets(empty_emb, [[1, 0], [0, 1]]).collect() == []
+    out = all_but_the_top(empty_emb)
+    assert out.collect() == [] and "processed" in out.columns

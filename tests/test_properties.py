@@ -480,3 +480,112 @@ def test_bpe_train_matches_python_reference(spark, words_list, n_merges):
         for rw in bpe_train(docs, n_merges=n_merges).orderBy("merge_rank").collect()
     ]
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_containment_pairs_matches_bruteforce(spark, texts):
+    """Every emitted containment pair must carry the exact brute-force
+    metrics, and every pair that shares a rare shingle (df in the
+    blocking band) with max directional containment >= threshold must
+    be emitted — completeness within the blocking contract."""
+    from collections import Counter
+
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    max_df, thr, k = 4, 0.5, 2
+
+    def shingles(t):
+        ws = t.lower().split(" ")
+        if len(ws) < k:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in docs}
+    df = Counter(s for ss in sets.values() for s in ss)
+    rare = {s for s, c in df.items() if 2 <= c <= max_df}
+
+    expected = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not (sets[a] & sets[b] & rare):
+                continue
+            inter = len(sets[a] & sets[b])
+            ca, cb = inter / len(sets[a]), inter / len(sets[b])
+            if max(ca, cb) >= thr:
+                jac = inter / len(sets[a] | sets[b])
+                expected[(a, b)] = (
+                    round(ca + 1e-9, 4),
+                    round(cb + 1e-9, 4),
+                    round(jac + 1e-9, 4),
+                )
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b, r.jaccard)
+        for r in containment_pairs(
+            sdf, shingle_k=k, max_df=max_df, min_containment=thr
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=1, max_size=5).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_bigram_cross_entropy_matches_python(spark, texts):
+    """The distributed bigram LM must reproduce a sequential reference
+    exactly (same smoothing, same context counts, 6-decimal rounds)."""
+    import math
+    from collections import Counter
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bigram_cross_entropy,
+    )
+
+    k = 0.5
+    doc_bgs = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        doc_bgs[i] = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    bgc = Counter(bg for bgs in doc_bgs.values() for bg in bgs)
+    ctx = Counter()
+    for bg, c in bgc.items():
+        ctx[bg.split(" ")[0]] += c
+    V = len(ctx)
+    expected = {}
+    for i, bgs in doc_bgs.items():
+        if not bgs:
+            continue
+        h = [
+            -math.log((bgc[bg] + k) / (ctx[bg.split(" ")[0]] + k * V))
+            for bg in bgs
+        ]
+        expected[i] = (len(bgs), round(sum(h) / len(h) + 1e-9, 6))
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_cross_entropy(sdf, k_smooth=k).collect()
+    }
+    assert got == expected
