@@ -419,3 +419,33 @@ class Engine:
         qs = qs if qs is not None else [0.5, 0.95, 0.99]
         pre = dd_build(self.table("orders"), "o_totalprice", keys=keys)
         return dd_quantiles(pre, qs, keys=keys)
+
+    def build_lm(self, dest: str, k_smooth: float = 0.5) -> None:
+        """Train-once half of the perplexity gate: persist the bigram
+        LM's count tables at ``dest`` (see save_bigram_lm)."""
+        from .operators.curation import save_bigram_lm
+
+        save_bigram_lm(self.table("documents"), dest, k_smooth=k_smooth)
+
+    def score_batch(self, batch: DataFrame, dest: str) -> DataFrame:
+        """Per-doc cross-entropy of a new batch under the persisted LM
+        (add-k backoff for unseen events); O(batch), zero corpus
+        reads."""
+        from .operators.curation import score_with_bigram_lm
+
+        return score_with_bigram_lm(batch, dest)
+
+    def mine_triplets(
+        self, pos_threshold: float = 0.4, neg_threshold: float = 0.2
+    ) -> DataFrame:
+        """Contrastive (anchor, positive, hard-negative) triplets from
+        the embeddings table via SRP-bucket mining."""
+        from .plans.extensions import NEARDUP_PLANES
+        from .operators.similarity import contrastive_triplets
+
+        return contrastive_triplets(
+            self.table("embeddings"),
+            NEARDUP_PLANES,
+            pos_threshold=pos_threshold,
+            neg_threshold=neg_threshold,
+        )

@@ -544,27 +544,7 @@ def bigram_cross_entropy(
     counts identically in Spark and the DuckDB oracle because both
     compute the same md5-derived keys.  Nothing global-sorts and no
     driver state exists."""
-    narrow = (
-        docs.select(
-            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
-        )
-        .filter(F.col("bg").contains(" "))
-        .select(
-            F.col(id_col),
-            hash60(F.col("bg"), "blm|").alias("bg_h"),
-            hash60(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)), "blm|").alias("w1_h"),
-        )
-        .persist()
-    )
-    bgc = narrow.groupBy("bg_h").agg(
-        F.count("*").alias("c2"), F.min("w1_h").alias("w1_h")
-    )
-    # c(w1 ._) and V from the bigram count table (vocabulary-sized):
-    # sum of c2 per context key == count of w1 as context; the last
-    # token of each doc never starts a bigram, so it is correctly
-    # excluded from context counts
-    ctx = bgc.groupBy("w1_h").agg(F.sum("c2").alias("c1"))
-    vocab = ctx.agg(F.count("*").alias("v"))
+    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, k_smooth, id_col, text_col)
     probs = (
         bgc.join(ctx, "w1_h")
         .crossJoin(F.broadcast(vocab))
@@ -875,5 +855,97 @@ def novelty_scores(
                 + F.lit(1e-9),
                 4,
             ).alias("novelty"),
+        )
+    )
+
+
+def _bigram_model_tables(
+    docs: DataFrame, k_smooth: float, id_col: str, text_col: str
+):
+    """Shared model-estimation pass for the bigram LM: the hashed
+    narrow frame, the bigram count table, the context count table,
+    and the scalar V — the same one-scan shape as
+    bigram_cross_entropy."""
+    narrow = (
+        docs.select(
+            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
+        )
+        .filter(F.col("bg").contains(" "))
+        .select(
+            F.col(id_col),
+            hash60(F.col("bg"), "blm|").alias("bg_h"),
+            hash60(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)), "blm|").alias("w1_h"),
+        )
+        .persist()
+    )
+    bgc = narrow.groupBy("bg_h").agg(
+        F.count("*").alias("c2"), F.min("w1_h").alias("w1_h")
+    )
+    ctx = bgc.groupBy("w1_h").agg(F.sum("c2").alias("c1"))
+    vocab = ctx.agg(F.count("*").alias("v"))
+    return narrow, bgc, ctx, vocab
+
+
+def save_bigram_lm(
+    docs: DataFrame,
+    path: str,
+    k_smooth: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Train-once half of the perplexity gate: estimate the bigram LM
+    from the corpus and persist its two vocabulary-sized count tables
+    + the scalar meta — after this, scoring a new batch or stream
+    never touches the training corpus again (the same amortization as
+    the persisted PQ/search indexes)."""
+    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, k_smooth, id_col, text_col)
+    bgc.write.mode("overwrite").parquet(f"{path}/bigrams")
+    ctx.write.mode("overwrite").parquet(f"{path}/contexts")
+    vocab.withColumn("k_smooth", F.lit(k_smooth)).write.mode("overwrite").parquet(
+        f"{path}/meta"
+    )
+    narrow.unpersist()
+
+
+def score_with_bigram_lm(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score-many half: per-document cross-entropy of a NEW batch under
+    the persisted model, with the standard add-k backoff for unseen
+    events — unseen bigram in a seen context: (0+k)/(c1+kV); unseen
+    context: 1/V.  The batch joins two vocabulary-sized tables (left
+    joins, so novel text is scored, not dropped); O(batch) work,
+    zero training-corpus reads."""
+    spark = batch.sparkSession
+    bgc = spark.read.parquet(f"{path}/bigrams")
+    ctx = spark.read.parquet(f"{path}/contexts")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    v, k = meta["v"], meta["k_smooth"]
+
+    bg = (
+        batch.select(
+            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
+        )
+        .filter(F.col("bg").contains(" "))
+        .select(
+            F.col(id_col),
+            hash60(F.col("bg"), "blm|").alias("bg_h"),
+            hash60(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)), "blm|").alias("w1_h"),
+        )
+    )
+    p = (
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(k))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.lit(v))
+    )
+    return (
+        bg.join(bgc.select("bg_h", "c2"), "bg_h", "left")
+        .join(ctx, "w1_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)) + F.lit(1e-9), 6).alias("cross_entropy"),
         )
     )

@@ -160,6 +160,8 @@ def test_engine_facade_surfaces(spark, sf_dir):
     assert eng.contained_docs().columns[:2] == ["doc_a", "doc_b"]
     pq = eng.price_quantiles(qs=[0.5])
     assert pq.count() > 0 and "estimate" in pq.columns
+    trip = eng.mine_triplets()
+    assert {"anchor_id", "positive_id", "negative_id"} <= set(trip.columns)
 
 
 def test_engine_index_and_ingest(spark, sf_dir, tmp_path):

@@ -513,3 +513,55 @@ def test_round4_operators_degrade_gracefully_on_empty_inputs(spark):
     assert contrastive_triplets(empty_emb, [[1, 0], [0, 1]]).collect() == []
     out = all_but_the_top(empty_emb)
     assert out.collect() == [] and "processed" in out.columns
+
+
+def test_persisted_bigram_lm_scores_match_and_backoff(spark, tmp_path):
+    """Scoring a batch against the persisted model must equal the
+    in-corpus score for documents the model saw, apply the documented
+    add-k backoff to novel text instead of dropping it, and never read
+    the training corpus (only the two persisted count tables)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bigram_cross_entropy,
+        save_bigram_lm,
+        score_with_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the mat"
+    corpus = spark.createDataFrame(
+        [(i, fluent) for i in range(6)] + [(10, "the cat ran home")],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "lm")
+    save_bigram_lm(corpus, path)
+
+    # scoring the training docs through the persisted model == the
+    # one-shot in-corpus computation
+    want = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in bigram_cross_entropy(corpus).collect()
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy)
+        for r in score_with_bigram_lm(corpus, path).collect()
+    }
+    assert got == want
+
+    # novel text scores via backoff (higher CE than seen text), and
+    # entirely-unseen contexts still produce a finite score
+    new_batch = spark.createDataFrame(
+        [(100, fluent), (101, "zebra quantum flux unseen words here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.cross_entropy for r in score_with_bigram_lm(new_batch, path).collect()}
+    assert out[100] == want[0][1]
+    assert out[101] > out[100]
+
+    # the scoring plan reads the persisted tables, never the corpus
+    plan = (
+        score_with_bigram_lm(new_batch, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "w1_h:bigint,c1:bigint" in plan  # contexts table scanned
+    assert "bg_h:bigint,c2:bigint" in plan  # bigrams table scanned
