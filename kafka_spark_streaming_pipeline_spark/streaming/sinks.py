@@ -791,3 +791,85 @@ def compact_bloom(spark, sketch_path: str, quiesced: bool = True) -> None:
     """Fold the partial-filter log to one (word, bits) set; same
     quiesced/online contract as the other compactors."""
     _compact(spark, sketch_path, _bloom_view_of, quiesced)
+
+
+# ---------------------------------------------- streaming quality gate
+
+def make_quality_gate_sink(
+    accept_path: str,
+    reject_path: str,
+    lm_path: str,
+    fingerprint_history_path: str,
+    max_cross_entropy: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The full production ingest gate as ONE foreachBatch sink: each
+    micro-batch of raw documents is (1) scored under the PERSISTED
+    bigram LM (perplexity filter — O(batch), two vocabulary-sized
+    joins, the training corpus never re-read), (2) exact-deduplicated
+    against the PERSISTED fingerprint history (O(batch) join against
+    fingerprints only), and routed to the accept or reject log with
+    per-doc rejection attribution.  Accepted fingerprints append to
+    the history so the NEXT batch sees them — the complete
+    incremental curation loop.
+
+    Same log contract as the other incremental sinks: per-commit
+    replay dedup on the compound (__commit, id) key, atomic appends.
+    A replayed batch re-derives identical decisions (the model and
+    the pre-batch history state it joins are versioned tables), so
+    the gate is idempotent under checkpoint replay."""
+    from ..operators.curation import score_with_bigram_lm
+    from ..operators.dedup import incremental_dedup
+    from ..operators.text import fingerprint
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        scored = score_with_bigram_lm(batch_df, lm_path, id_col, text_col)
+        history = AtomicParquetTable(fingerprint_history_path).read(spark)
+        if history is None:
+            history = spark.createDataFrame([], "fingerprint string, __commit long")
+        # exclude THIS batch's own commit: a replayed batch must see the
+        # same pre-batch history it saw the first time, or it would
+        # classify itself as a duplicate — that exclusion is what makes
+        # the gate idempotent under checkpoint replay
+        deduped = incremental_dedup(
+            batch_df,
+            history.filter(F.col("__commit") < batch_id).select("fingerprint"),
+            text_col=text_col,
+            id_col=id_col,
+        )
+        decided = (
+            batch_df.select(id_col, text_col)
+            .join(scored.select(id_col, "cross_entropy"), id_col, "left")
+            .join(deduped.select(id_col, "keep"), id_col)
+            .withColumn(
+                "reject_reason",
+                F.when(~F.col("keep"), F.lit("duplicate")).when(
+                    F.coalesce(F.col("cross_entropy"), F.lit(0.0))
+                    > F.lit(max_cross_entropy),
+                    F.lit("high_perplexity"),
+                ),
+            )
+            .withColumn("__commit", F.lit(batch_id))
+        )
+        accepted = decided.filter(F.col("reject_reason").isNull()).drop(
+            "keep", "reject_reason"
+        )
+        rejected = decided.filter(F.col("reject_reason").isNotNull()).drop("keep")
+        AtomicParquetTable(accept_path).append(accepted)
+        AtomicParquetTable(reject_path).append(rejected)
+        AtomicParquetTable(fingerprint_history_path).append(
+            accepted.select(fingerprint(F.col(text_col)).alias("fingerprint"))
+            .distinct()
+            .withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def gate_view(spark, path: str, id_col: str = "doc_id") -> DataFrame:
+    """Replay-deduplicated view of an accept/reject log."""
+    return _read_log(spark, path).dropDuplicates(["__commit", id_col])

@@ -1378,3 +1378,54 @@ def test_streaming_ddsketch_merges_exactly_with_replay_and_compaction(spark, tmp
     per_key = {r.region: r.total for r in view.groupBy("region").agg(
         F.sum("cnt").alias("total")).collect()}
     assert per_key == {"eu": 2, "us": 1}
+
+
+def test_streaming_quality_gate_routes_and_replays_idempotently(spark, tmp_path):
+    """The one-sink ingest gate must (1) score against the persisted
+    LM and reject word salad, (2) reject cross-batch exact dups via
+    the fingerprint history, (3) attribute each rejection, and (4)
+    re-derive IDENTICAL decisions when a batch replays after a crash
+    (the history read excludes the batch's own commit)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import save_bigram_lm
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        gate_view,
+        make_quality_gate_sink,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the mat"
+    corpus = spark.createDataFrame([(i, fluent) for i in range(8)], ["doc_id", "text"])
+    lm = str(tmp_path / "lm")
+    save_bigram_lm(corpus, lm)
+
+    acc, rej, hist = (str(tmp_path / n) for n in ("acc", "rej", "hist"))
+    # threshold between the fluent CE and the salad CE
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        score_with_bigram_lm,
+    )
+    # threshold between doc 4's mildly-novel CE (~1.13: two unseen
+    # bigrams pay backoff) and the salad's CE (~2.43)
+    fluent_ce = score_with_bigram_lm(corpus.limit(1), lm).first().cross_entropy
+    sink = make_quality_gate_sink(acc, rej, lm, hist, max_cross_entropy=fluent_ce + 1.2)
+
+    salad = "mat dog the and sat cat the mat on the sat on the"
+    b0 = spark.createDataFrame(
+        [(1, fluent), (2, salad)], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(3, fluent), (4, "the cat sat on the mat quite happily")],
+        ["doc_id", "text"],
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    accepted = {r.doc_id for r in gate_view(spark, acc).collect()}
+    rejected = {r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()}
+    assert accepted == {1, 4}
+    assert rejected == {2: "high_perplexity", 3: "duplicate"}
+
+    # crash replay: batch 1 re-runs — decisions identical, views stable
+    sink(b1, 1)
+    assert {r.doc_id for r in gate_view(spark, acc).collect()} == {1, 4}
+    assert {
+        r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()
+    } == {2: "high_perplexity", 3: "duplicate"}
