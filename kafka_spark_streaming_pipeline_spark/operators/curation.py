@@ -544,7 +544,7 @@ def bigram_cross_entropy(
     counts identically in Spark and the DuckDB oracle because both
     compute the same md5-derived keys.  Nothing global-sorts and no
     driver state exists."""
-    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, k_smooth, id_col, text_col)
+    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, id_col, text_col)
     probs = (
         bgc.join(ctx, "w1_h")
         .crossJoin(F.broadcast(vocab))
@@ -859,13 +859,11 @@ def novelty_scores(
     )
 
 
-def _bigram_model_tables(
-    docs: DataFrame, k_smooth: float, id_col: str, text_col: str
-):
+def _bigram_model_tables(docs: DataFrame, id_col: str, text_col: str):
     """Shared model-estimation pass for the bigram LM: the hashed
     narrow frame, the bigram count table, the context count table,
-    and the scalar V — the same one-scan shape as
-    bigram_cross_entropy."""
+    and the scalar V (pure counts — smoothing applies at scoring
+    time)."""
     narrow = (
         docs.select(
             F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
@@ -898,7 +896,7 @@ def save_bigram_lm(
     + the scalar meta — after this, scoring a new batch or stream
     never touches the training corpus again (the same amortization as
     the persisted PQ/search indexes)."""
-    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, k_smooth, id_col, text_col)
+    narrow, bgc, ctx, vocab = _bigram_model_tables(docs, id_col, text_col)
     bgc.write.mode("overwrite").parquet(f"{path}/bigrams")
     ctx.write.mode("overwrite").parquet(f"{path}/contexts")
     vocab.withColumn("k_smooth", F.lit(k_smooth)).write.mode("overwrite").parquet(

@@ -288,20 +288,14 @@ def minhash_lsh_pairs(
         )
         .filter(F.size("members") >= 2)
     )
-    members = F.col("members")
-    pair_arr = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
-        )
+    pair_arr = unordered_pairs_expr(
+        F.col("members"),
+        inner=lambda x, y: F.struct(
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            x["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        ),
     )
     matches = F.size(
         F.filter(
@@ -459,20 +453,14 @@ def _capped_block_pairs(
             "members",
         )
     )
-    members = F.col("members")
-    pair_arr = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    x["pl"].alias("payload_a"),
-                    y["pl"].alias("payload_b"),
-                ),
-            ),
-        )
+    pair_arr = unordered_pairs_expr(
+        F.col("members"),
+        inner=lambda x, y: F.struct(
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            x["pl"].alias("payload_a"),
+            y["pl"].alias("payload_b"),
+        ),
     )
     return buckets.select("block_truncated", F.explode(pair_arr).alias("p")).select(
         "p.doc_a", "p.doc_b", "p.payload_a", "p.payload_b", "block_truncated"

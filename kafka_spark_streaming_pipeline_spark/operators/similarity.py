@@ -120,22 +120,18 @@ def embedding_neardup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    members = F.col("members")
-    pair_arr = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.greatest(F.size(members) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["id"].alias("vec_a"),
-                    y["id"].alias("vec_b"),
-                    x["v"].alias("v_a"),
-                    y["v"].alias("v_b"),
-                    x["n"].alias("n_a"),
-                    y["n"].alias("n_b"),
-                ),
-            ),
-        )
+    from .dedup import unordered_pairs_expr
+
+    pair_arr = unordered_pairs_expr(
+        F.col("members"),
+        inner=lambda x, y: F.struct(
+            x["id"].alias("vec_a"),
+            y["id"].alias("vec_b"),
+            x["v"].alias("v_a"),
+            y["v"].alias("v_b"),
+            x["n"].alias("n_a"),
+            y["n"].alias("n_b"),
+        ),
     )
     sim = F.round(
         _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")) + F.lit(1e-9), 4

@@ -1288,7 +1288,7 @@ def x34_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x35_edit_distance_pairs",
     oracle="""
     WITH p AS (
-      SELECT doc_id, text, t[1] || ' ' || t[2] AS blk
+      SELECT doc_id, text, concat_ws(' ', t[1], t[2]) AS blk
       FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

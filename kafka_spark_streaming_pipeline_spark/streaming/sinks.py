@@ -810,64 +810,89 @@ def make_quality_gate_sink(
     joins, the training corpus never re-read), (2) exact-deduplicated
     against the PERSISTED fingerprint history (O(batch) join against
     fingerprints only), and routed to the accept or reject log with
-    per-doc rejection attribution.  Accepted fingerprints append to
-    the history so the NEXT batch sees them — the complete
-    incremental curation loop.
+    per-doc rejection attribution (``duplicate`` / ``unscoreable`` /
+    ``high_perplexity``).  EVERY input doc lands in exactly one log:
+    NULL text normalizes to empty, and docs with no scorable bigram
+    (empty / single-token) are rejected as ``unscoreable`` rather
+    than silently bypassing the threshold.  Accepted fingerprints
+    append to the history commit-stamped so the NEXT batch sees them
+    — the complete incremental curation loop.
 
-    Same log contract as the other incremental sinks: per-commit
-    replay dedup on the compound (__commit, id) key, atomic appends.
-    A replayed batch re-derives identical decisions (the model and
-    the pre-batch history state it joins are versioned tables), so
-    the gate is idempotent under checkpoint replay."""
+    Replay contract: the history read excludes rows carrying THIS
+    batch's own commit id, so a batch replayed after a crash joins
+    the identical pre-batch history and re-derives byte-identical
+    decisions.  Restarting the stream on a FRESH checkpoint resets
+    batch ids; run ``compact_gate_history`` first (it folds history
+    to the reserved commit -1, which no live batch ever excludes) —
+    the same quiesced-restart contract the other incremental sinks
+    document.  The per-batch decision frame is persisted so the
+    accept/reject/history appends run the scoring and dedup joins
+    once, not three times."""
     from ..operators.curation import score_with_bigram_lm
     from ..operators.dedup import incremental_dedup
-    from ..operators.text import fingerprint
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        scored = score_with_bigram_lm(batch_df, lm_path, id_col, text_col)
+        batch = batch_df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        scored = score_with_bigram_lm(batch, lm_path, id_col, text_col)
         history = AtomicParquetTable(fingerprint_history_path).read(spark)
         if history is None:
             history = spark.createDataFrame([], "fingerprint string, __commit long")
-        # exclude THIS batch's own commit: a replayed batch must see the
-        # same pre-batch history it saw the first time, or it would
-        # classify itself as a duplicate — that exclusion is what makes
-        # the gate idempotent under checkpoint replay
         deduped = incremental_dedup(
-            batch_df,
-            history.filter(F.col("__commit") < batch_id).select("fingerprint"),
+            batch,
+            history.filter(F.col("__commit") != batch_id).select("fingerprint"),
             text_col=text_col,
             id_col=id_col,
         )
         decided = (
-            batch_df.select(id_col, text_col)
+            batch.select(id_col, text_col)
             .join(scored.select(id_col, "cross_entropy"), id_col, "left")
-            .join(deduped.select(id_col, "keep"), id_col)
+            .join(deduped.select(id_col, "fingerprint", "keep"), id_col)
             .withColumn(
                 "reject_reason",
-                F.when(~F.col("keep"), F.lit("duplicate")).when(
-                    F.coalesce(F.col("cross_entropy"), F.lit(0.0))
-                    > F.lit(max_cross_entropy),
+                F.when(~F.col("keep"), F.lit("duplicate"))
+                .when(F.col("cross_entropy").isNull(), F.lit("unscoreable"))
+                .when(
+                    F.col("cross_entropy") > F.lit(max_cross_entropy),
                     F.lit("high_perplexity"),
                 ),
             )
             .withColumn("__commit", F.lit(batch_id))
+            .persist()
         )
-        accepted = decided.filter(F.col("reject_reason").isNull()).drop(
-            "keep", "reject_reason"
+        accepted = decided.filter(F.col("reject_reason").isNull())
+        rejected = decided.filter(F.col("reject_reason").isNotNull()).drop(
+            "keep", "fingerprint"
         )
-        rejected = decided.filter(F.col("reject_reason").isNotNull()).drop("keep")
-        AtomicParquetTable(accept_path).append(accepted)
+        AtomicParquetTable(accept_path).append(
+            accepted.drop("keep", "fingerprint", "reject_reason")
+        )
         AtomicParquetTable(reject_path).append(rejected)
         AtomicParquetTable(fingerprint_history_path).append(
-            accepted.select(fingerprint(F.col(text_col)).alias("fingerprint"))
+            accepted.select("fingerprint")
             .distinct()
             .withColumn("__commit", F.lit(batch_id))
         )
+        decided.unpersist()
 
     return sink
+
+
+def compact_gate_history(spark, fingerprint_history_path: str) -> None:
+    """Fold the gate's fingerprint history to one distinct-fingerprint
+    table stamped with the reserved commit -1 (never a live batch id,
+    so no batch's own-commit exclusion can hide it).  Run against a
+    quiesced stream before restarting on a fresh checkpoint — with
+    batch ids reset, un-compacted history rows whose commit collides
+    with a new batch id would be invisible to exactly that batch."""
+    table = AtomicParquetTable(fingerprint_history_path)
+    log = table.read(spark)
+    if log is None:
+        return
+    folded = log.select("fingerprint").distinct().withColumn("__commit", F.lit(-1))
+    table.overwrite(folded)
 
 
 def gate_view(spark, path: str, id_col: str = "doc_id") -> DataFrame:

@@ -349,7 +349,12 @@ def test_shingle_oracles_agree_on_short_docs(spark, tmp_path):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
     )
-    for name in ("x02_ngram_jaccard", "x75_containment_pairs", "x29_repetition_stats"):
+    for name in (
+        "x02_ngram_jaccard",
+        "x75_containment_pairs",
+        "x29_repetition_stats",
+        "x35_edit_distance_pairs",
+    ):
         q = QUERIES[name]
         sdf = q.builder(spark, sf_dir)
         s_rows = [tuple(r) for r in sdf.collect()]

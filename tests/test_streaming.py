@@ -1429,3 +1429,25 @@ def test_streaming_quality_gate_routes_and_replays_idempotently(spark, tmp_path)
     assert {
         r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()
     } == {2: "high_perplexity", 3: "duplicate"}
+
+    # unscoreable and NULL-text docs are REJECTED with attribution,
+    # never silently accepted or dropped
+    b2 = spark.createDataFrame(
+        [(5, "spam"), (6, None), (7, fluent + " again")], ["doc_id", "text"]
+    )
+    sink(b2, 2)
+    rej_now = {r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()}
+    assert rej_now[5] == "unscoreable" and rej_now[6] == "unscoreable"
+    assert 7 in {r.doc_id for r in gate_view(spark, acc).collect()}
+
+    # fresh-checkpoint restart: compact first (reserved commit -1), so
+    # the restarted batch 0 still sees the WHOLE history and re-rejects
+    # an exact duplicate of an accepted doc
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_gate_history,
+    )
+
+    compact_gate_history(spark, hist)
+    sink(spark.createDataFrame([(8, fluent)], ["doc_id", "text"]), 0)
+    rej_final = {r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()}
+    assert rej_final[8] == "duplicate"
