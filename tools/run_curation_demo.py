@@ -7,6 +7,7 @@ one Engine handle, each stage a registered, oracle-verified operator.
     -> exact dedup                    (p11: fingerprint survivors)
     -> near-dup clusters              (p14: MinHash LSH + closure)
     -> semantic dedup                 (x51: SemDeDup over embeddings)
+    -> perplexity filter              (x74: bigram-LM cross-entropy tail)
     -> eval decontamination           (x25: 5-gram overlap)
     -> quality-weighted sampling      (x58: RNG-free Bernoulli)
     -> training shards                (x52: deterministic order)
@@ -59,6 +60,16 @@ def main() -> None:
     survivors = survivors.join(removed, "doc_id", "left_anti")
     n4 = survivors.count()
     print(f"after semantic dedup: {n4} ({n4 / n0:.1%})")
+
+    # 4b. perplexity filter: drop the high-cross-entropy tail (worst 5%)
+    ppl = eng.perplexity_scores()
+    cutoff = ppl.agg(
+        F.expr("percentile(cross_entropy, 0.95)").alias("c")
+    ).first()["c"]
+    fluent = ppl.filter(F.col("cross_entropy") <= cutoff).select("doc_id")
+    survivors = survivors.join(fluent, "doc_id")
+    n4b = survivors.count()
+    print(f"after perplexity filter: {n4b} ({n4b / n0:.1%})")
 
     # 5. decontamination: drop eval-overlapping docs
     clean = eng.query("x25_decontaminate").filter(~F.col("contaminated")).select("doc_id")
