@@ -449,3 +449,13 @@ class Engine:
             pos_threshold=pos_threshold,
             neg_threshold=neg_threshold,
         )
+
+    def update_clusters(
+        self, prev_labels: DataFrame, new_pairs: DataFrame
+    ) -> DataFrame:
+        """Fold a new batch of candidate pairs into an existing
+        (id, component) labeling without re-clustering the corpus
+        (see operators.dedup.incremental_components)."""
+        from .operators.dedup import incremental_components
+
+        return incremental_components(prev_labels, new_pairs)

@@ -1130,3 +1130,58 @@ def containment_pairs(
             F.round(jac + F.lit(1e-9), 4).alias("jaccard"),
         )
     )
+
+
+def incremental_components(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Incremental maintenance of near-dup components: fold a batch of
+    NEW candidate pairs into an existing (id, component) labeling
+    without re-clustering the whole graph — the cluster-side
+    complement of incremental_neardup's candidate generation.
+
+    Edges only MERGE components (never split), so the update reduces
+    to a component-level graph: each new edge maps its endpoints to
+    their current labels (a previously-unseen doc is its own label)
+    and the transitive closure runs over THOSE super-edges — a graph
+    whose size is O(new pairs), independent of corpus size.  The
+    resulting merge map (old label -> merged label) is tiny and
+    broadcast; applying it to the full labeling is one map-only pass.
+    Labels stay canonical (smallest member id), so the output is
+    EXACTLY what connected_components would produce on the union of
+    all edges ever seen — equality is property-tested.
+
+    Output: (id, component) covering every previously-labeled doc
+    plus the new docs that appear in ``new_pairs``."""
+    la = prev_labels.select(
+        F.col("id").alias(a_col), F.col("component").alias("__ca")
+    )
+    lb = prev_labels.select(
+        F.col("id").alias(b_col), F.col("component").alias("__cb")
+    )
+    sup = (
+        new_pairs.select(a_col, b_col)
+        .join(la, a_col, "left")
+        .join(lb, b_col, "left")
+        .select(
+            F.coalesce("__ca", F.col(a_col)).alias("doc_a"),
+            F.coalesce("__cb", F.col(b_col)).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    merge = connected_components(sup, max_iterations=max_iterations)
+    merge_map = merge.select(
+        F.col("id").alias("component"), F.col("component").alias("__new")
+    )
+    relabeled = (
+        prev_labels.join(F.broadcast(merge_map), "component", "left")
+        .select("id", F.coalesce("__new", "component").alias("component"))
+    )
+    new_nodes = merge.join(prev_labels.select("id"), "id", "left_anti").select(
+        "id", "component"
+    )
+    return relabeled.unionByName(new_nodes)

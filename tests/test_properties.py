@@ -589,3 +589,40 @@ def test_bigram_cross_entropy_matches_python(spark, texts):
         for r in bigram_cross_entropy(sdf, k_smooth=k).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=0, max_size=12
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_incremental_components_equals_batch(spark, edges1, edges2):
+    """Folding a second edge batch into an existing labeling must give
+    EXACTLY the labeling a from-scratch closure over all edges gives
+    (components only merge; labels stay the min member id)."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    e1 = [(a, b) for a, b in edges1 if a != b]
+    e2 = [(a, b) for a, b in edges2 if a != b]
+
+    def df(edges):
+        if not edges:
+            return spark.createDataFrame([], "doc_a long, doc_b long")
+        return spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    prev = connected_components(df(e1))
+    incr = {
+        (r.id, r.component)
+        for r in incremental_components(prev, df(e2)).collect()
+    }
+    batch = {
+        (r.id, r.component) for r in connected_components(df(e1 + e2)).collect()
+    }
+    assert incr == batch
