@@ -1451,3 +1451,64 @@ def test_streaming_quality_gate_routes_and_replays_idempotently(spark, tmp_path)
     sink(spark.createDataFrame([(8, fluent)], ["doc_id", "text"]), 0)
     rej_final = {r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()}
     assert rej_final[8] == "duplicate"
+
+
+def test_quality_gate_through_real_stream(spark, tmp_path):
+    """The gate driven by an ACTUAL Structured Streaming query (file
+    source -> foreachBatch(make_quality_gate_sink)): per-file
+    micro-batches route correctly and cross-batch dedup holds."""
+    import glob
+    import os
+    import shutil
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import save_bigram_lm
+    from kafka_spark_streaming_pipeline_spark.sources.files import parquet_stream
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        gate_view,
+        make_quality_gate_sink,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the mat"
+    corpus = spark.createDataFrame([(i, fluent) for i in range(8)], ["doc_id", "text"])
+    lm = str(tmp_path / "lm")
+    save_bigram_lm(corpus, lm)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batches = [
+        [(1, fluent), (2, "mat dog the and sat cat the mat on the sat on the")],
+        [(3, fluent), (4, "the cat sat on the mat happily wagging")],
+    ]
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"stage_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(staging)
+        [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+        shutil.move(part, os.path.join(in_dir, f"batch_{i}.parquet"))
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    acc, rej, hist = (str(tmp_path / n) for n in ("acc", "rej", "hist"))
+    stream = parquet_stream(spark, in_dir, schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            make_quality_gate_sink(acc, rej, lm, hist, max_cross_entropy=1.8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    assert {r.doc_id for r in gate_view(spark, acc).collect()} == {1, 4}
+    assert {
+        r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()
+    } == {2: "high_perplexity", 3: "duplicate"}
