@@ -93,6 +93,47 @@ def main() -> None:
             spark, probe, f"{work}/stream_sigs", min_est_jaccard=0.3
         ).count()
         print(f"streaming history: {n} signatures, probe matched {hits} docs")
+
+        # ---- the full quality gate as one sink: persisted-LM
+        # perplexity filter + fingerprint-history dedup, with
+        # attribution
+        from kafka_spark_streaming_pipeline_spark.operators.curation import (
+            save_bigram_lm,
+        )
+        from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+            gate_view,
+            make_quality_gate_sink,
+        )
+
+        save_bigram_lm(eng.table("documents"), f"{work}/lm")
+        # threshold = corpus p95 cross-entropy: everything more
+        # surprising than 95% of the training corpus is rejected
+        from kafka_spark_streaming_pipeline_spark.operators.curation import (
+            score_with_bigram_lm,
+        )
+
+        max_ce = score_with_bigram_lm(eng.table("documents"), f"{work}/lm").agg(
+            F.expr("percentile(cross_entropy, 0.95)")
+        ).first()[0]
+        gate = make_quality_gate_sink(
+            f"{work}/acc", f"{work}/rej", f"{work}/lm", f"{work}/gate_fp",
+            max_cross_entropy=max_ce,
+        )
+        # NOTE: this synthetic corpus is bag-of-words text, so it has
+        # no adjacency structure for the perplexity filter to defend —
+        # the high_perplexity path is exercised on fluent corpora in
+        # tests/test_streaming.py.  Here the gate demonstrates its
+        # other two rejections: unscoreable junk and duplicates.
+        doc_text = eng.table("documents").first()["text"]
+        gate(spark.createDataFrame(
+            [(90_010, doc_text), (90_011, "singleword")],
+            ["doc_id", "text"],
+        ), 0)
+        gate(spark.createDataFrame([(90_012, doc_text)], ["doc_id", "text"]), 1)
+        acc_n = gate_view(spark, f"{work}/acc").count()
+        rejs = {r.doc_id: r.reject_reason
+                for r in gate_view(spark, f"{work}/rej").collect()}
+        print(f"quality gate: accepted {acc_n}, rejected {rejs}")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
