@@ -1174,6 +1174,18 @@ def incremental_components(
         .filter(F.col("doc_a") != F.col("doc_b"))
     )
     merge = connected_components(sup, max_iterations=max_iterations)
+    # docs whose ONLY edge is a self-pair: the a!=b filter removed them
+    # from the super-graph, but connected_components on the union would
+    # still label them — keep exact equality by adding them back as
+    # singletons (unless already labeled via prev or a real edge)
+    selfers = (
+        new_pairs.filter(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("id"))
+        .distinct()
+        .join(prev_labels.select("id"), "id", "left_anti")
+        .join(merge.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
     merge_map = merge.select(
         F.col("id").alias("component"), F.col("component").alias("__new")
     )
@@ -1184,4 +1196,4 @@ def incremental_components(
     new_nodes = merge.join(prev_labels.select("id"), "id", "left_anti").select(
         "id", "component"
     )
-    return relabeled.unionByName(new_nodes)
+    return relabeled.unionByName(new_nodes).unionByName(selfers)

@@ -862,20 +862,22 @@ def make_quality_gate_sink(
             .withColumn("__commit", F.lit(batch_id))
             .persist()
         )
-        accepted = decided.filter(F.col("reject_reason").isNull())
-        rejected = decided.filter(F.col("reject_reason").isNotNull()).drop(
-            "keep", "fingerprint"
-        )
-        AtomicParquetTable(accept_path).append(
-            accepted.drop("keep", "fingerprint", "reject_reason")
-        )
-        AtomicParquetTable(reject_path).append(rejected)
-        AtomicParquetTable(fingerprint_history_path).append(
-            accepted.select("fingerprint")
-            .distinct()
-            .withColumn("__commit", F.lit(batch_id))
-        )
-        decided.unpersist()
+        try:
+            accepted = decided.filter(F.col("reject_reason").isNull())
+            rejected = decided.filter(F.col("reject_reason").isNotNull()).drop(
+                "keep", "fingerprint"
+            )
+            AtomicParquetTable(accept_path).append(
+                accepted.drop("keep", "fingerprint", "reject_reason")
+            )
+            AtomicParquetTable(reject_path).append(rejected)
+            AtomicParquetTable(fingerprint_history_path).append(
+                accepted.select("fingerprint")
+                .distinct()
+                .withColumn("__commit", F.lit(batch_id))
+            )
+        finally:
+            decided.unpersist()
 
     return sink
 
@@ -886,13 +888,16 @@ def compact_gate_history(spark, fingerprint_history_path: str) -> None:
     so no batch's own-commit exclusion can hide it).  Run against a
     quiesced stream before restarting on a fresh checkpoint — with
     batch ids reset, un-compacted history rows whose commit collides
-    with a new batch id would be invisible to exactly that batch."""
-    table = AtomicParquetTable(fingerprint_history_path)
-    log = table.read(spark)
-    if log is None:
-        return
-    folded = log.select("fingerprint").distinct().withColumn("__commit", F.lit(-1))
-    table.overwrite(folded)
+    with a new batch id would be invisible to exactly that batch.
+    Goes through the shared ``_compact`` driver: pinned-snapshot CAS
+    (a fingerprint batch appended mid-fold surfaces as
+    ConcurrentWriteError instead of vanishing) + vacuum."""
+    _compact(
+        spark,
+        fingerprint_history_path,
+        lambda log: log.select("fingerprint").distinct(),
+        quiesced=True,
+    )
 
 
 def gate_view(spark, path: str, id_col: str = "doc_id") -> DataFrame:

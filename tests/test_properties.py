@@ -609,8 +609,10 @@ def test_incremental_components_equals_batch(spark, edges1, edges2):
         incremental_components,
     )
 
-    e1 = [(a, b) for a, b in edges1 if a != b]
-    e2 = [(a, b) for a, b in edges2 if a != b]
+    # self-pairs INCLUDED: a doc whose only candidate pair is itself
+    # must still come out labeled as a singleton
+    e1 = [(a, b) for a, b in edges1 if a != b]  # prev built from real edges
+    e2 = list(edges2)
 
     def df(edges):
         if not edges:

@@ -66,8 +66,11 @@ def main() -> None:
     cutoff = ppl.agg(
         F.expr("percentile(cross_entropy, 0.95)").alias("c")
     ).first()["c"]
-    fluent = ppl.filter(F.col("cross_entropy") <= cutoff).select("doc_id")
-    survivors = survivors.join(fluent, "doc_id")
+    # drop only MEASURED high-CE docs; docs with no scorable bigram
+    # are not silently removed (the streaming gate attributes those
+    # as 'unscoreable' — here they just pass through)
+    too_surprising = ppl.filter(F.col("cross_entropy") > cutoff).select("doc_id")
+    survivors = survivors.join(too_surprising, "doc_id", "left_anti")
     n4b = survivors.count()
     print(f"after perplexity filter: {n4b} ({n4b / n0:.1%})")
 
