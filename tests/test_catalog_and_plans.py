@@ -354,6 +354,12 @@ def test_shingle_oracles_agree_on_short_docs(spark, tmp_path):
         "x75_containment_pairs",
         "x29_repetition_stats",
         "x35_edit_distance_pairs",
+        "p12_minhash_lsh",
+        "p15_verified_neardups",
+        "x16_winnow_fingerprints",
+        "x53_gopher_rules",
+        "x68_kmv_corpus_overlap",
+        "x74_bigram_perplexity",
     ):
         q = QUERIES[name]
         sdf = q.builder(spark, sf_dir)
