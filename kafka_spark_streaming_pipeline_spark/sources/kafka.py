@@ -45,17 +45,42 @@ def kafka_stream(
     return reader.load()
 
 
-def decode_json_values(raw: DataFrame, schema: T.StructType) -> DataFrame:
+def decode_json_values(
+    raw: DataFrame, schema: T.StructType, dead_letter: bool = False
+) -> DataFrame:
     """S3 — executor-side JSON decode replacing the reference's
     driver-side per-row json.loads (spark_streaming.py:513,536):
     ``CAST(value AS STRING)`` -> ``from_json`` -> flatten.  Malformed
-    rows surface as a null struct (filterable), not an exception."""
+    rows surface as a null struct (filterable), not an exception.
+
+    ``dead_letter=True`` adds a ``_raw_value`` column carrying the
+    ORIGINAL payload for rows whose decode failed (null elsewhere) —
+    the dead-letter-queue pattern: route
+    ``filter(_raw_value IS NOT NULL)`` to a quarantine sink for
+    inspection/replay instead of silently dropping bad events (the
+    reference logs-and-drops, spark_streaming.py:536)."""
     if "timestamp" in raw.columns:  # kafka record timestamp (P1's projection)
         raw = raw.withColumnRenamed("timestamp", "kafka_timestamp")
     decoded = raw.withColumn(
         "data", F.from_json(F.col("value").cast("string"), schema)
     )
     extra = ["kafka_timestamp"] if "kafka_timestamp" in decoded.columns else []
+    if dead_letter:
+        # the canonical Spark DLQ mechanism: PERMISSIVE from_json with
+        # columnNameOfCorruptRecord captures the raw payload on decode
+        # failure (null on success)
+        dl_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_raw_value", T.StringType())]
+        )
+        redecoded = raw.withColumn(
+            "data",
+            F.from_json(
+                F.col("value").cast("string"),
+                dl_schema,
+                {"columnNameOfCorruptRecord": "_raw_value"},
+            ),
+        )
+        return redecoded.select("data.*", *extra)
     return decoded.select("data.*", *extra)
 
 

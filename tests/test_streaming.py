@@ -88,6 +88,14 @@ def test_kafka_value_decode(spark):
     # malformed JSON -> null row, not an exception (vs reference's try/except)
     assert any(r.stream_id is None for r in rows)
 
+    # dead-letter mode: the original payload rides along for EXACTLY
+    # the rows whose decode failed — route them to a quarantine sink
+    # instead of dropping (the reference logs-and-drops)
+    dl = decode_json_values(raw, LIVE_CHUNK_SCHEMA, dead_letter=True).collect()
+    bad = [r for r in dl if r._raw_value is not None]
+    assert len(bad) == 1 and bad[0]._raw_value == "not json at all"
+    assert all(r._raw_value is None for r in dl if r.stream_id is not None)
+
 
 def test_live_transform_checksum_and_paths(spark):
     ev = _event("live-a", 3)
