@@ -131,6 +131,24 @@ def main() -> None:
         except Exception as exc:  # the query bench must still report
             print(f"# streaming bench failed: {exc}", file=sys.stderr)
 
+    # Quality-gate throughput (LM scoring + history dedup + routing),
+    # the curation-ingest analog of the live-pipeline number above.
+    gate_dps = None
+    n_gate_docs = int(os.environ.get("SPARK_GRAFT_GATE_DOCS", "20000"))
+    if n_gate_docs > 0:
+        try:
+            from tools.bench_streaming import measure_gate
+
+            gate_metrics = measure_gate(spark, sf_dir, n_docs=n_gate_docs)
+            gate_dps = gate_metrics["value"]
+            print(
+                f"# gate: {gate_metrics['n_docs']} docs in "
+                f"{gate_metrics['wall_sec']}s -> {gate_dps} docs/s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# gate bench failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -140,6 +158,8 @@ def main() -> None:
     }
     if streaming_eps is not None:
         out["streaming_events_per_sec"] = streaming_eps
+    if gate_dps is not None:
+        out["gate_docs_per_sec"] = gate_dps
     print(json.dumps(out))
 
 

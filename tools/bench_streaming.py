@@ -145,3 +145,48 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def measure_gate(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4) -> dict:
+    """Quality-gate throughput: docs/s through the full ingest gate
+    (persisted-LM perplexity scoring + fingerprint-history dedup +
+    accept/reject routing).  The LM build is train-once and excluded
+    from the measured window; each batch is half exact-duplicates of
+    earlier batches and half novel text, so both the dedup and the
+    scoring paths are exercised."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        save_bigram_lm,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        make_quality_gate_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="gate_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        save_bigram_lm(docs, f"{work}/lm")
+        sink = make_quality_gate_sink(
+            f"{work}/acc", f"{work}/rej", f"{work}/lm", f"{work}/fp",
+            max_cross_entropy=100.0,
+        )
+        per_batch = max(1, n_docs // n_batches)
+        base = docs.limit(per_batch).select("doc_id", "text")
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = base.select(
+                (F.col("doc_id") + F.lit(b * 1_000_000)).alias("doc_id"),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.col("text")  # dup across batches
+                ).otherwise(F.concat(F.col("text"), F.lit(f" novel{b}"))).alias("text"),
+            )
+            sink(batch, b)
+        wall = round(time.time() - t0, 3)
+        n = per_batch * n_batches
+        return {
+            "metric": "gate_docs_per_second",
+            "value": round(n / wall, 1),
+            "n_docs": n,
+            "wall_sec": wall,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
