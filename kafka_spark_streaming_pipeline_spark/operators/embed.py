@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import hash60, tokens
+from .text import hash60, let_expr, tokens
 
 
 def hash_embeddings(
@@ -60,34 +60,22 @@ def hash_embeddings(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda d: F.coalesce(F.try_element_at(F.col("m"), d), F.lit(0.0)),
     )
-    # let-bind dense, then the norm, with the single-element-array
-    # trick (same as shingle_arr): without it the generated expression
-    # re-inlines the dim-lookup `dense` for EVERY component and the
-    # norm for every division — O(dim^2) map probes per row instead of
-    # O(dim)
-    normalized = F.element_at(
-        F.transform(
-            F.array(dense),
-            lambda dn: F.element_at(
-                F.transform(
-                    F.array(
-                        F.sqrt(
-                            F.aggregate(dn, F.lit(0.0), lambda acc, x: acc + x * x)
-                        )
-                    ),
-                    lambda nr: F.transform(
-                        dn,
-                        lambda x: F.round(
-                            F.when(nr > 0, x / nr).otherwise(F.lit(0.0))
-                            + F.lit(1e-9),
-                            decimals,
-                        ),
-                    ),
+    # let-bind dense, then the norm (text.let_expr): without the
+    # bindings the generated expression re-inlines the dim-lookup
+    # `dense` for EVERY component and the norm for every division —
+    # O(dim^2) map probes per row instead of O(dim)
+    normalized = let_expr(
+        dense,
+        lambda dn: let_expr(
+            F.sqrt(F.aggregate(dn, F.lit(0.0), lambda acc, x: acc + x * x)),
+            lambda nr: F.transform(
+                dn,
+                lambda x: F.round(
+                    F.when(nr > 0, x / nr).otherwise(F.lit(0.0)) + F.lit(1e-9),
+                    decimals,
                 ),
-                1,
             ),
         ),
-        1,
     )
     return folded.select(
         F.col(id_col), normalized.alias("embedding"), "n_tokens"

@@ -26,15 +26,7 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _let(value: Column, body) -> Column:
-    """Single-binding 'let' for column expressions: evaluate ``value``
-    ONCE per row and reference it via the lambda variable.  Catalyst
-    re-inlines a column expression everywhere it is referenced, and
-    codegen's common-subexpression elimination cannot cross lambda
-    boundaries — so an O(dim) aggregate referenced inside a per-element
-    transform otherwise costs O(dim^2) per row (measured 12x on
-    hash_embeddings)."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+from .text import let_expr as _let  # single-binding 'let' (shared)
 
 
 def _unit_arr(vv: Column) -> Column:
@@ -959,7 +951,6 @@ def pq_topk(
 
     def _unit(df: DataFrame, out_id: str) -> DataFrame:
         vv = _as_double(F.col(vec_col))
-        nn = F.sqrt(_dot(vv, vv))
         return df.select(
             F.col(id_col).alias(out_id),
             _unit_arr(vv).alias("v"),
@@ -1062,7 +1053,6 @@ def pq_index_build(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     vv = _as_double(F.col(vec_col))
-    nn = F.sqrt(_dot(vv, vv))
     c = corpus.select(
         F.col(id_col).alias("id"),
         _unit_arr(vv).alias("v"),
@@ -1102,7 +1092,6 @@ def pq_index_search(
         F.col("id").alias("neighbor_id"), "codes"
     )
     vv = _as_double(F.col(vec_col))
-    nn = F.sqrt(_dot(vv, vv))
     qn = queries.select(
         F.col(id_col).alias("query_id"),
         _unit_arr(vv).alias("v"),
@@ -1211,7 +1200,6 @@ def ivfpq_topk(
 
     def _unit(df: DataFrame, out_id: str) -> DataFrame:
         vv = _as_double(F.col(vec_col))
-        nn = F.sqrt(_dot(vv, vv))
         return df.select(
             F.col(id_col).alias(out_id),
             _unit_arr(vv).alias("v"),

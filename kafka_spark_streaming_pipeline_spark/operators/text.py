@@ -27,6 +27,18 @@ STOPWORDS: tuple[str, ...] = (
 )
 
 
+def let_expr(value: Column, body) -> Column:
+    """Single-binding 'let' for column expressions: evaluate ``value``
+    ONCE per row and reference it via the lambda variable
+    (single-element-array transform).  Catalyst re-inlines a column
+    expression everywhere it is referenced and codegen's
+    common-subexpression elimination cannot cross lambda boundaries,
+    so an O(n) expression referenced inside a per-element lambda
+    otherwise costs O(n^2) per row (measured 12x on
+    embed.hash_embeddings)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (lowercased).  split on single space —
     the corpus is single-space separated; a production corpus would use

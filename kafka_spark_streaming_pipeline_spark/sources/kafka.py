@@ -54,25 +54,24 @@ def decode_json_values(
     rows surface as a null struct (filterable), not an exception.
 
     ``dead_letter=True`` adds a ``_raw_value`` column carrying the
-    ORIGINAL payload for rows whose decode failed (null elsewhere) —
-    the dead-letter-queue pattern: route
-    ``filter(_raw_value IS NOT NULL)`` to a quarantine sink for
-    inspection/replay instead of silently dropping bad events (the
-    reference logs-and-drops, spark_streaming.py:536)."""
+    ORIGINAL payload for every row that did not decode CLEANLY —
+    unparseable JSON and partially-corrupt records alike (PERMISSIVE
+    ``from_json`` with columnNameOfCorruptRecord sets it on any
+    malformed field, while possibly still decoding the others).  The
+    routing contract is therefore a PARTITION on this one column:
+    main path = ``filter(_raw_value IS NULL)``, quarantine =
+    ``filter(_raw_value IS NOT NULL)`` — never route on a decoded
+    field's nullness, or a partially-corrupt record would reach both
+    sinks.  This replaces the reference's log-and-drop
+    (spark_streaming.py:536) with inspect-and-replay."""
     if "timestamp" in raw.columns:  # kafka record timestamp (P1's projection)
         raw = raw.withColumnRenamed("timestamp", "kafka_timestamp")
-    decoded = raw.withColumn(
-        "data", F.from_json(F.col("value").cast("string"), schema)
-    )
-    extra = ["kafka_timestamp"] if "kafka_timestamp" in decoded.columns else []
+    extra = ["kafka_timestamp"] if "kafka_timestamp" in raw.columns else []
     if dead_letter:
-        # the canonical Spark DLQ mechanism: PERMISSIVE from_json with
-        # columnNameOfCorruptRecord captures the raw payload on decode
-        # failure (null on success)
         dl_schema = T.StructType(
             list(schema.fields) + [T.StructField("_raw_value", T.StringType())]
         )
-        redecoded = raw.withColumn(
+        decoded = raw.withColumn(
             "data",
             F.from_json(
                 F.col("value").cast("string"),
@@ -80,7 +79,10 @@ def decode_json_values(
                 {"columnNameOfCorruptRecord": "_raw_value"},
             ),
         )
-        return redecoded.select("data.*", *extra)
+    else:
+        decoded = raw.withColumn(
+            "data", F.from_json(F.col("value").cast("string"), schema)
+        )
     return decoded.select("data.*", *extra)
 
 

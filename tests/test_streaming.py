@@ -88,13 +88,26 @@ def test_kafka_value_decode(spark):
     # malformed JSON -> null row, not an exception (vs reference's try/except)
     assert any(r.stream_id is None for r in rows)
 
-    # dead-letter mode: the original payload rides along for EXACTLY
-    # the rows whose decode failed — route them to a quarantine sink
-    # instead of dropping (the reference logs-and-drops)
+    # dead-letter mode: _raw_value carries the original payload for
+    # every row that did not decode cleanly; routing PARTITIONS on
+    # this one column (main = IS NULL, quarantine = IS NOT NULL)
     dl = decode_json_values(raw, LIVE_CHUNK_SCHEMA, dead_letter=True).collect()
     bad = [r for r in dl if r._raw_value is not None]
     assert len(bad) == 1 and bad[0]._raw_value == "not json at all"
     assert all(r._raw_value is None for r in dl if r.stream_id is not None)
+
+    # partially-corrupt record (type mismatch on one field): decoded
+    # fields may be populated, but _raw_value is SET, so the partition
+    # contract sends it to quarantine only — never to both sinks
+    partial = json.dumps({**_event("live-b", 1), "chunk_index": "oops"})
+    dl2 = decode_json_values(
+        spark.createDataFrame([(partial,)], "value string"),
+        LIVE_CHUNK_SCHEMA,
+        dead_letter=True,
+    ).collect()
+    assert len(dl2) == 1 and dl2[0]._raw_value == partial
+    main = [r for r in dl2 if r._raw_value is None]
+    assert main == []  # the row belongs to exactly one side
 
 
 def test_live_transform_checksum_and_paths(spark):

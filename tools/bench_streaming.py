@@ -171,6 +171,9 @@ def measure_gate(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4) -
         )
         per_batch = max(1, n_docs // n_batches)
         base = docs.limit(per_batch).select("doc_id", "text")
+        # the corpus may be smaller than requested: report what actually
+        # flowed, never the ask (docs/s would silently inflate)
+        n_base = base.count()
         t0 = time.time()
         for b in range(n_batches):
             batch = base.select(
@@ -181,7 +184,7 @@ def measure_gate(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4) -
             )
             sink(batch, b)
         wall = round(time.time() - t0, 3)
-        n = per_batch * n_batches
+        n = n_base * n_batches
         return {
             "metric": "gate_docs_per_second",
             "value": round(n / wall, 1),
