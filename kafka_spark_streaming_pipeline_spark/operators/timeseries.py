@@ -135,3 +135,89 @@ def session_sequences(
         .alias("duration_ms"),
         F.round(F.sum("value") + F.lit(1e-9), 2).alias("total_value"),
     )
+
+
+def session_affinity(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    min_sessions: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Within-session event-type affinity (market-basket association
+    over sessions): for every unordered pair of event types, the
+    number of sessions containing both, its support, and its LIFT
+    (support / product of marginals — >1 means the types co-occur
+    more than independence predicts).  The recommendation/affinity
+    rollup next to x72's sequence construction.
+
+    Scale shape: the same one-window sessionization, then a distinct
+    (user, session, type) frame feeding three counts — per-session
+    type sets (bounded by the type vocabulary, so the in-set pair
+    expansion is tiny), per-type session counts, and the scalar
+    session total (broadcast).  No self-join of the event log; the
+    pair join touches only type-vocabulary-sized tables."""
+    from .dedup import unordered_pairs_expr
+
+    w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    flagged = events.select(
+        user_col,
+        ts_col,
+        "event_id",
+        "event_type",
+        F.when(gap > gap_ms, 1)
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    st = (
+        flagged.select(
+            user_col,
+            "event_type",
+            F.sum("new_session")
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .alias("session_id"),
+        )
+        .select(user_col, "session_id", "event_type")
+        .distinct()
+    )
+    sess_types = st.groupBy(user_col, "session_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    n_sessions = sess_types.agg(F.count("*").alias("n"))
+    singles = st.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    pairs = (
+        sess_types.select(
+            F.explode(
+                unordered_pairs_expr(
+                    F.col("types"),
+                    inner=lambda x, y: F.struct(
+                        x.alias("type_a"), y.alias("type_b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_sessions)
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n") + F.lit(1e-9), 4).alias("support"),
+            F.round(
+                F.col("n_ab") * F.col("n") / (F.col("n_a") * F.col("n_b"))
+                + F.lit(1e-9),
+                4,
+            ).alias("lift"),
+        )
+    )

@@ -3443,3 +3443,50 @@ def x80_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return all_but_the_top(emb, n_iter=12)
+
+
+@query(
+    "x81_session_affinity",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), st AS (
+      SELECT DISTINCT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), n AS (
+      SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_id FROM st)
+    ), singles AS (
+      SELECT event_type, count(*) AS n_t FROM st GROUP BY 1
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(p.n_ab / CAST(n.n AS DOUBLE) + 1e-9, 4) AS support,
+           round(p.n_ab * n.n / CAST(sa.n_t * sb.n_t AS DOUBLE) + 1e-9, 4) AS lift
+    FROM pairs p
+    CROSS JOIN n
+    JOIN singles sa ON p.type_a = sa.event_type
+    JOIN singles sb ON p.type_b = sb.event_type
+    """,
+)
+def x81_session_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type affinity: sessions containing both
+    types, support, and lift (market-basket association over the
+    sessionized stream) — the recommendation rollup next to x72's
+    sequence construction.  Pair expansion runs over per-session TYPE
+    SETS (vocabulary-bounded), never a self-join of the event log."""
+    from ..operators.timeseries import session_affinity
+
+    events = load_table(spark, sf_dir, "events")
+    return session_affinity(events, min_sessions=3)

@@ -1632,3 +1632,37 @@ def test_all_but_the_top_matches_numpy(spark, sf_dir):
     )
     assert np.abs(R @ np.array(pc_r)).max() < 1e-9
     assert np.abs(R.mean(axis=0)).max() < 1e-9
+
+
+def test_session_affinity_lift_semantics(spark):
+    """Planted sessions with a known co-occurrence structure: the
+    (view, click) pair occurs in every session containing either, so
+    its lift is 1/support_product; a type pair never co-occurring is
+    absent; min_sessions suppresses rare pairs."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        session_affinity,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 users x 1 session each: all contain view+click; 2 also contain buy
+    for u in range(4):
+        for i, et in enumerate(["view", "click"] + (["buy"] if u < 2 else [])):
+            rows.append((u, base + dt.timedelta(minutes=i), eid, et))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        (r.type_a, r.type_b): r
+        for r in session_affinity(events, min_sessions=2).collect()
+    }
+    vc = out[("click", "view")]
+    assert vc.n_ab == 4 and vc.support == 1.0 and vc.lift == 1.0
+    bc = out[("buy", "click")]
+    # buy in 2/4 sessions, click in 4/4 -> lift = (2/4) / (0.5 * 1.0) = 1
+    assert bc.n_ab == 2 and bc.support == 0.5 and bc.lift == 1.0
+    assert len(out) == 3  # (buy,view) too; nothing else
