@@ -55,3 +55,31 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE pass:
+    all k(k-1)/2 co-moment aggregates run in a single map-side-
+    combinable aggregation over one scan (never k² scans or a driver
+    loop) and unpivot to (col_a, col_b, corr) rows — the feature-
+    redundancy screen of dataset profiling."""
+    aggs = []
+    pairs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.corr(a, b).alias(f"{a}|{b}"))
+            pairs.append((a, b))
+    wide = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(F.col(f"`{a}|{b}`") + F.lit(1e-9), 4).alias("corr"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("p")
+    return wide.select(stacked).select("p.col_a", "p.col_b", "p.corr")

@@ -585,3 +585,62 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+
+
+def rake_keyphrases(
+    docs: DataFrame,
+    top: int = 20,
+    min_count: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = summed length of the phrases it appears
+    in); a phrase scores the sum of its words' scores.  Corpus-level:
+    identical phrases aggregate, and the top-``top`` by score are the
+    corpus's keyphrases — the classic model-free keyword extractor
+    next to TF-IDF (per-doc salience) and PMI (two-word collocations).
+
+    Scale shape: phrase splitting is a pure regex projection; word
+    statistics and phrase scores are vocabulary-sized grouped counts;
+    ranking is TakeOrderedAndProject.  The stopword split regex is
+    shared verbatim with the SQL oracle."""
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    phrases = (
+        docs.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), stop_re, "|"), r"\|")
+            ).alias("p")
+        )
+        .select(F.trim(F.col("p")).alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phrases.select(
+        "phrase",
+        F.size(F.split(F.col("phrase"), " ")).alias("len"),
+        F.explode(F.split(F.col("phrase"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    words = pw.groupBy("word").agg(
+        F.count("*").alias("freq"), F.sum("len").alias("degree")
+    )
+    scored = (
+        pw.join(words, "word")
+        .groupBy("phrase")
+        .agg(
+            (F.count("*") / F.first("len")).alias("n_occurrences_raw"),
+            F.sum(F.col("degree") / F.col("freq")).alias("score_sum"),
+            F.first("len").alias("len"),
+        )
+    )
+    return (
+        scored.select(
+            "phrase",
+            (F.col("n_occurrences_raw")).cast("long").alias("n_occurrences"),
+            F.round(F.col("score_sum") / F.col("n_occurrences_raw") + F.lit(1e-9), 4).alias(
+                "rake_score"
+            ),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(top)
+    )

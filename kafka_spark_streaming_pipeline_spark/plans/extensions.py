@@ -3490,3 +3490,84 @@ def x81_session_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return session_affinity(events, min_sessions=3)
+
+
+@query(
+    "x82_correlation_matrix",
+    oracle="""
+    WITH w AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c01,
+             corr(l_quantity, l_discount) AS c02,
+             corr(l_quantity, l_tax) AS c03,
+             corr(l_extendedprice, l_discount) AS c12,
+             corr(l_extendedprice, l_tax) AS c13,
+             corr(l_discount, l_tax) AS c23
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(c01 + 1e-9, 4) AS corr FROM w
+    UNION ALL SELECT 'l_quantity', 'l_discount', round(c02 + 1e-9, 4) FROM w
+    UNION ALL SELECT 'l_quantity', 'l_tax', round(c03 + 1e-9, 4) FROM w
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', round(c12 + 1e-9, 4) FROM w
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', round(c13 + 1e-9, 4) FROM w
+    UNION ALL SELECT 'l_discount', 'l_tax', round(c23 + 1e-9, 4) FROM w
+    """,
+)
+def x82_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-profiling correlation screen: all pairwise Pearson
+    correlations of the lineitem measures computed as co-moment
+    aggregates in ONE scan (a single combinable aggregation, never k²
+    scans), unpivoted to (col_a, col_b, corr) rows."""
+    from ..operators.profile import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+from ..operators.text import STOPWORDS as _RAKE_STOP  # noqa: E402
+
+_RAKE_RE = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
+
+
+@query(
+    "x83_rake_keyphrases",
+    oracle=f"""
+    WITH ph AS (
+      SELECT trim(p) AS phrase FROM (
+        SELECT unnest(string_split(
+          regexp_replace(lower(text), '{_RAKE_RE}', '|', 'g'), '|')) AS p
+        FROM documents
+      ) WHERE trim(p) <> ''
+    ), pw AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS l,
+             unnest(string_split(phrase, ' ')) AS word
+      FROM ph
+    ), pw2 AS (
+      SELECT * FROM pw WHERE word <> ''
+    ), w AS (
+      SELECT word, count(*) AS freq, sum(l) AS degree FROM pw2 GROUP BY word
+    ), s AS (
+      SELECT phrase, count(*) / first(l) AS n_raw,
+             sum(degree::DOUBLE / freq) AS score_sum
+      FROM pw2 JOIN w USING (word) GROUP BY phrase
+    )
+    SELECT phrase, CAST(n_raw AS BIGINT) AS n_occurrences,
+           round(score_sum / n_raw + 1e-9, 4) AS rake_score
+    FROM s
+    WHERE CAST(n_raw AS BIGINT) >= 3
+    ORDER BY rake_score DESC, phrase
+    LIMIT 20
+    """,
+)
+def x83_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE corpus keyphrases: stopword-free token runs scored by
+    summed word degree/frequency — the model-free keyword extractor
+    next to TF-IDF (per-doc salience) and PMI (adjacent-pair
+    collocations).  Regex phrase split is a pure projection; word and
+    phrase statistics are vocabulary-sized; TakeOrderedAndProject
+    ranks."""
+    from ..operators.text import rake_keyphrases
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rake_keyphrases(docs, top=20, min_count=3)

@@ -1666,3 +1666,29 @@ def test_session_affinity_lift_semantics(spark):
     # buy in 2/4 sessions, click in 4/4 -> lift = (2/4) / (0.5 * 1.0) = 1
     assert bc.n_ab == 2 and bc.support == 0.5 and bc.lift == 1.0
     assert len(out) == 3  # (buy,view) too; nothing else
+
+
+def test_rake_scores_multiword_phrases_over_common_words(spark):
+    """RAKE's degree/frequency scoring must rank a recurring
+    multi-word technical phrase above its individual common words,
+    and stopwords must never appear inside any phrase."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        STOPWORDS,
+        rake_keyphrases,
+    )
+
+    doc = "deep neural network training of the deep neural network for data"
+    docs = spark.createDataFrame([(i, doc) for i in range(3)], ["doc_id", "text"])
+    out = rake_keyphrases(docs, top=5, min_count=2).collect()
+    assert out, "keyphrases expected"
+    top = out[0]
+    # the longest stopword-free run wins (degree rewards longer runs)
+    assert top.phrase == "deep neural network training"
+    assert {r.phrase for r in out} >= {"deep neural network training",
+                                       "deep neural network"}
+    for r in out:
+        assert not any(w in STOPWORDS for w in r.phrase.split(" "))
+    # degree/freq: the 3-word phrase outranks the single word 'data'
+    singles = {r.phrase: r.rake_score for r in out}
+    if "data" in singles:
+        assert singles["deep neural network"] > singles["data"]
