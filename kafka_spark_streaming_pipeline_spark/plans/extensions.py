@@ -3571,3 +3571,38 @@ def x83_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return rake_keyphrases(docs, top=20, min_count=3)
+
+
+@query(
+    "x84_leadlag_xcorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), lags AS (
+      SELECT unnest(range(-3, 4)) AS lag_hours
+    ), j AS (
+      SELECT a.t AS type_a, b.t AS type_b, l.lag_hours, a.cnt AS ca, b.cnt AS cb
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly b
+        ON b.h = a.h + to_hours(l.lag_hours) AND a.t < b.t
+    )
+    SELECT type_a, type_b, CAST(lag_hours AS BIGINT) AS lag_hours,
+           count(*) AS n_hours,
+           round(corr(ca, cb) + 1e-9, 4) AS xcorr
+    FROM j
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 10 AND corr(ca, cb) IS NOT NULL
+    """,
+)
+def x84_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between event-type hourly series
+    (does type A's activity predict type B's L hours later?): one
+    event-log pass to a tiny hours x types series table, then Pearson
+    at every lag in [-3, +3] over the aggregated series only."""
+    from ..operators.timeseries import leadlag_xcorr
+
+    events = load_table(spark, sf_dir, "events")
+    return leadlag_xcorr(events, max_lag_hours=3, min_hours=10)

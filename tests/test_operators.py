@@ -1692,3 +1692,35 @@ def test_rake_scores_multiword_phrases_over_common_words(spark):
     singles = {r.phrase: r.rake_score for r in out}
     if "data" in singles:
         assert singles["deep neural network"] > singles["data"]
+
+
+def test_leadlag_xcorr_detects_planted_lead(spark):
+    """A planted series where 'purchase' counts copy 'view' counts
+    shifted one hour later must peak (xcorr == 1.0) at lag +1 for the
+    (purchase, view)... i.e. the (a<b) pair at the lag mapping a's
+    hours onto b's."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        leadlag_xcorr,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    counts = [3, 7, 2, 9, 5, 8, 1, 6, 4, 10, 2, 7]
+    for h, c in enumerate(counts):
+        for _ in range(c):  # 'view' at hour h
+            rows.append((base + dt.timedelta(hours=h, minutes=1), "view", eid)); eid += 1
+        for _ in range(c):  # 'purchase' copies it at hour h+1
+            rows.append((base + dt.timedelta(hours=h + 1, minutes=2), "purchase", eid)); eid += 1
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string, event_id long")
+    out = {
+        r.lag_hours: r.xcorr
+        for r in leadlag_xcorr(events, max_lag_hours=2, min_hours=5).collect()
+    }
+    # pair is (purchase, view) with a<b; purchase at h equals view at
+    # h-1, so view's series at hb = ha + (-1)... the perfect lag is -1
+    # for (purchase -> view) i.e. +1 for view leading purchase
+    assert out[-1] == 1.0
+    assert all(v < 1.0 for lag, v in out.items() if lag != -1)
