@@ -273,3 +273,51 @@ def leadlag_xcorr(
             F.round(F.col("xc") + F.lit(1e-9), 4).alias("xcorr"),
         )
     )
+
+
+def seasonal_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: build the hour-of-day
+    baseline (mean/stddev of hourly counts per (type, hour-of-day))
+    and flag concrete hours whose count deviates more than
+    ``z_threshold`` sigmas from THEIR OWN seasonal slot — the
+    complement of the sequential EWMA detector (x38): a 2am spike is
+    judged against 2am behavior, not the global or trailing mean.
+
+    One event-log pass to the hours x types count table; the baseline
+    is a 24 x |types| aggregate joined back to the tiny series —
+    nothing after the first aggregate touches the log."""
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    baseline = hourly.groupBy(
+        F.col("t"), F.hour("h").alias("hod")
+    ).agg(
+        F.avg("cnt").alias("mu"),
+        F.stddev_samp("cnt").alias("sigma"),
+        F.count("*").alias("n_obs"),
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.withColumn("hod", F.hour("h"))
+        .join(baseline, ["t", "hod"])
+        .filter(
+            (F.col("sigma") > 0)
+            & (F.abs(z) > z_threshold)
+            & (F.col("n_obs") >= 3)
+        )
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("h").alias("hour"),
+            "cnt",
+            F.round(F.col("mu") + F.lit(1e-9), 4).alias("seasonal_mean"),
+            F.round(z + F.lit(1e-9), 4).alias("z_score"),
+        )
+    )

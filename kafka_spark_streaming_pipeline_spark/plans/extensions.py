@@ -3606,3 +3606,124 @@ def x84_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return leadlag_xcorr(events, max_lag_hours=3, min_hours=10)
+
+
+@query(
+    "x85_seasonal_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), baseline AS (
+      SELECT t, extract(hour FROM h) AS hod,
+             avg(cnt) AS mu, stddev_samp(cnt) AS sigma, count(*) AS n_obs
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT hh.t AS event_type, hh.h AS hour, hh.cnt,
+           round(b.mu + 1e-9, 4) AS seasonal_mean,
+           round((hh.cnt - b.mu) / b.sigma + 1e-9, 4) AS z_score
+    FROM hourly hh
+    JOIN baseline b ON hh.t = b.t AND extract(hour FROM hh.h) = b.hod
+    WHERE b.sigma > 0 AND abs((hh.cnt - b.mu) / b.sigma) > 2.0 AND b.n_obs >= 3
+    """,
+)
+def x85_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomalies: each hour judged against ITS OWN
+    hour-of-day baseline (mean/sigma per (type, hour-of-day)) — the
+    seasonal complement of the sequential EWMA detector (x38).  One
+    log pass; everything after runs on the 24 x |types| baseline and
+    the tiny hourly series."""
+    from ..operators.timeseries import seasonal_anomalies
+
+    events = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(events, z_threshold=2.0)
+
+
+@query(
+    "x86_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT max(o_orderdate) AS max_d FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT max_d FROM mx)) AS recency_days,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), bounds AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM per_cust
+    ), scored AS (
+      SELECT p.*,
+             6 - (1 + (p.recency_days > rb[1])::INT + (p.recency_days > rb[2])::INT
+                    + (p.recency_days > rb[3])::INT + (p.recency_days > rb[4])::INT) AS r_score,
+             1 + (p.frequency > fb[1])::INT + (p.frequency > fb[2])::INT
+               + (p.frequency > fb[3])::INT + (p.frequency > fb[4])::INT AS f_score,
+             1 + (p.monetary > mb[1])::INT + (p.monetary > mb[2])::INT
+               + (p.monetary > mb[3])::INT + (p.monetary > mb[4])::INT AS m_score
+      FROM per_cust p CROSS JOIN bounds
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           round(avg(monetary) + 1e-9, 2) AS avg_monetary
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def x86_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation without a single global sort:
+    per-customer recency/frequency/monetary from one orders pass, the
+    three quintile BOUNDARY vectors from one tiny exact-percentile
+    aggregate (broadcast), and score assignment as a map-only
+    boundary comparison — 5 = best on every axis.  The classic
+    behavioral-segmentation rollup in the shape that survives a
+    billion customers (an ntile window would funnel them through one
+    task; the plan linter rejects exactly that)."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
+    bounds = per_cust.agg(
+        F.percentile("recency_days", qs).alias("rb"),
+        F.percentile("frequency", qs).alias("fb"),
+        F.percentile("monetary", qs).alias("mb"),
+    )
+
+    def _bucket(col, b):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) > F.element_at(F.col(b), i + 1)).cast("int")
+                for i in range(4)
+            )
+        )
+
+    scored = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "monetary",
+        (F.lit(6) - _bucket("recency_days", "rb")).alias("r_score"),
+        _bucket("frequency", "fb").alias("f_score"),
+        _bucket("monetary", "mb").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary") + F.lit(1e-9), 2).alias("avg_monetary"),
+    )
