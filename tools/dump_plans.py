@@ -64,6 +64,9 @@ AUDITED = {
     "x76_dd_quantiles": "DDSketch: one grouped count to log-bucket state; quantile lookup windows over hundreds of bucket rows, never the data",
     "x78_contrastive_triplets": "triplets: one embedding scan through the SRP bucket expansion; pos/neg are filters over the symmetrized pairs, hardest-negative is a bounded per-anchor window",
     "x79_cohort_retention": "cohort retention: distinct (user,day) frame feeds both branches; user-keyed aggregates, vocabulary-sized join",
+    "x81_session_affinity": "session affinity: pair expansion over per-session TYPE SETS (vocabulary-bounded), never a self-join of the event log",
+    "x84_leadlag_xcorr": "lead-lag xcorr: one log pass to hours x types; all lag joins/corr run on the aggregated series only",
+    "x86_rfm_segments": "RFM: broadcast quintile boundaries + map-only scoring — no single-partition ntile window (linter-enforced)",
 }
 
 
