@@ -63,6 +63,8 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     combinable aggregation over one scan (never k² scans or a driver
     loop) and unpivot to (col_a, col_b, corr) rows — the feature-
     redundancy screen of dataset profiling."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs at least 2 columns")
     aggs = []
     pairs = []
     for i, a in enumerate(cols):

@@ -615,9 +615,13 @@ def rake_keyphrases(
         .select(F.trim(F.col("p")).alias("phrase"))
         .filter(F.col("phrase") != "")
     )
+    # len counts NON-EMPTY words only (consecutive spaces in the source
+    # text otherwise inflate len and deflate the occurrence count)
     pw = phrases.select(
         "phrase",
-        F.size(F.split(F.col("phrase"), " ")).alias("len"),
+        F.size(
+            F.filter(F.split(F.col("phrase"), " "), lambda w: w != "")
+        ).alias("len"),
         F.explode(F.split(F.col("phrase"), " ")).alias("word"),
     ).filter(F.col("word") != "")
     words = pw.groupBy("word").agg(

@@ -78,6 +78,42 @@ def ewma_zscore(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    carry: tuple[str, ...] = ("event_id", "event_type", "value"),
+) -> DataFrame:
+    """Shared sessionization: the lag+cumsum idiom (gap > ``gap_ms``
+    starts a new session) producing one row per event with a
+    ``session_id`` column — the single definition of "session" that
+    session_sequences and session_affinity both build on.  Orders by
+    (ts, event_id) when an event_id column exists, by ts alone
+    otherwise (the ewma_zscore degradation convention)."""
+    carry = tuple(c for c in carry if c in events.columns)
+    order = [ts_col, "event_id"] if "event_id" in events.columns else [ts_col]
+    w = W.partitionBy(user_col).orderBy(*order)
+    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    flagged = events.select(
+        user_col,
+        ts_col,
+        *carry,
+        F.when(gap > gap_ms, 1)
+        .when(F.lag(ts_col).over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.select(
+        user_col,
+        ts_col,
+        *carry,
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+
+
 def session_sequences(
     events: DataFrame,
     gap_ms: int = 1_800_000,
@@ -91,33 +127,12 @@ def session_sequences(
     and value total.  This is the batch form of turning a clickstream
     into sequence-model training data.
 
-    Scale shape: one per-user window pass for the boundaries, one
-    grouped aggregate per session; the sequence is assembled with an
-    ordered in-group sort (array_sort over (ts, id) structs), bounded
-    by session length — no global sort, no self-join."""
-    w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
-    flagged = events.select(
-        user_col,
-        ts_col,
-        "event_id",
-        "event_type",
-        "value",
-        F.when(gap > gap_ms, 1)
-        .when(F.lag(ts_col).over(w).isNull(), 1)
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = flagged.select(
-        user_col,
-        ts_col,
-        "event_id",
-        "event_type",
-        "value",
-        F.sum("new_session")
-        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("session_id"),
-    )
+    Scale shape: one per-user window pass for the boundaries
+    (``sessionize``), one grouped aggregate per session; the sequence
+    is assembled with an ordered in-group sort (array_sort over
+    (ts, id) structs), bounded by session length — no global sort,
+    no self-join."""
+    sessions = sessionize(events, gap_ms, user_col, ts_col)
     seq = F.concat_ws(
         " ",
         F.transform(
@@ -143,6 +158,7 @@ def session_affinity(
     min_sessions: int = 3,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Within-session event-type affinity (market-basket association
     over sessions): for every unordered pair of event types, the
@@ -151,42 +167,26 @@ def session_affinity(
     more than independence predicts).  The recommendation/affinity
     rollup next to x72's sequence construction.
 
-    Scale shape: the same one-window sessionization, then a distinct
-    (user, session, type) frame feeding three counts — per-session
-    type sets (bounded by the type vocabulary, so the in-set pair
-    expansion is tiny), per-type session counts, and the scalar
-    session total (broadcast).  No self-join of the event log; the
-    pair join touches only type-vocabulary-sized tables."""
+    Scale shape: ONE log pass (the shared ``sessionize`` window) into
+    the per-session type-set frame, which is persisted and feeds all
+    three derivations — pair expansion (vocabulary-bounded, via the
+    shared helper), per-type session counts (explode of the already-
+    aggregated sets), and the scalar session total (broadcast).  No
+    self-join of the event log and no second sessionization pass."""
     from .dedup import unordered_pairs_expr
 
-    w = W.partitionBy(user_col).orderBy(ts_col, "event_id")
-    gap = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
-    flagged = events.select(
-        user_col,
-        ts_col,
-        "event_id",
-        "event_type",
-        F.when(gap > gap_ms, 1)
-        .when(F.lag(ts_col).over(w).isNull(), 1)
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    st = (
-        flagged.select(
-            user_col,
-            "event_type",
-            F.sum("new_session")
-            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-            .alias("session_id"),
-        )
-        .select(user_col, "session_id", "event_type")
-        .distinct()
-    )
-    sess_types = st.groupBy(user_col, "session_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types")
+    st = sessionize(events, gap_ms, user_col, ts_col, carry=("event_id", type_col))
+    sess_types = (
+        st.groupBy(user_col, "session_id")
+        .agg(F.array_sort(F.collect_set(type_col)).alias("types"))
+        .persist()
     )
     n_sessions = sess_types.agg(F.count("*").alias("n"))
-    singles = st.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    singles = (
+        sess_types.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_t"))
+    )
     pairs = (
         sess_types.select(
             F.explode(
@@ -223,6 +223,38 @@ def session_affinity(
     )
 
 
+def dense_hourly_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Hourly counts per type over the DENSE hour grid spanning the
+    observed range: hours with no events appear with cnt=0 instead of
+    being absent.  Zero hours are exactly what outage detection and
+    honest cross-correlation need — a sparse (only-active-hours)
+    series silently hides complete outages and biases Pearson toward
+    co-active hours.  One log pass; the grid is hours x type
+    vocabulary — tiny regardless of event volume."""
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+            ).alias("h")
+        )
+        .crossJoin(hourly.select("t").distinct())
+    )
+    return grid.join(hourly, ["h", "t"], "left").select(
+        "h", "t", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    )
+
+
 def leadlag_xcorr(
     events: DataFrame,
     max_lag_hours: int = 3,
@@ -231,22 +263,18 @@ def leadlag_xcorr(
     type_col: str = "event_type",
 ) -> DataFrame:
     """Lead-lag cross-correlation between event-type time series:
-    hourly counts per type, then Pearson correlation of every type
-    pair at every lag in [-max_lag, +max_lag] hours — a positive peak
-    at lag L means type_a's activity leads type_b's by L hours (the
-    classic marketing/ops question "do views predict purchases an
-    hour later?").
+    DENSE hourly counts per type (quiet hours are zeros, not gaps),
+    then Pearson correlation of every type pair at every lag in
+    [-max_lag, +max_lag] hours — a positive peak at lag L means
+    type_a's activity leads type_b's by L hours.  Computing over the
+    zero-filled grid matters: an inner join of sparse series would
+    correlate only co-active hours, reporting a strong true
+    anti-correlation (B quiet when A busy) as absent.
 
-    Scale shape: ONE pass over the event log to hours x types counts
-    (map-side combinable; the series table is tiny — hours x type
-    vocabulary — regardless of event volume); every join/corr after
-    that runs on the aggregated series only."""
-    hourly = (
-        events.groupBy(
-            F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
-        )
-        .agg(F.count("*").alias("cnt"))
-    )
+    Scale shape: ONE pass over the event log to the tiny hours x
+    types grid; every join/corr after that runs on the aggregated
+    series only."""
+    hourly = dense_hourly_counts(events, ts_col, type_col)
     lags = F.explode(
         F.sequence(F.lit(-max_lag_hours), F.lit(max_lag_hours))
     ).alias("lag_hours")
@@ -281,43 +309,47 @@ def seasonal_anomalies(
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Seasonality-aware anomaly detection: build the hour-of-day
-    baseline (mean/stddev of hourly counts per (type, hour-of-day))
-    and flag concrete hours whose count deviates more than
-    ``z_threshold`` sigmas from THEIR OWN seasonal slot — the
-    complement of the sequential EWMA detector (x38): a 2am spike is
-    judged against 2am behavior, not the global or trailing mean.
+    """Seasonality-aware anomaly detection over the DENSE hourly grid:
+    every hour — including zero-count OUTAGE hours, the most extreme
+    anomaly a sparse series silently hides — is judged against its
+    own hour-of-day slot with a LEAVE-ONE-OUT baseline (mean/stddev
+    of the OTHER observations in the slot), so a spike cannot mask
+    itself by inflating the very baseline it is scored against (the
+    same exclusion principle as ewma_zscore's lagged window; with
+    self-inclusion a slot of n observations mathematically caps |z|
+    at (n-1)/sqrt(n) and small slots can never fire).
 
-    One event-log pass to the hours x types count table; the baseline
-    is a 24 x |types| aggregate joined back to the tiny series —
-    nothing after the first aggregate touches the log."""
-    hourly = (
-        events.groupBy(
-            F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
-        )
-        .agg(F.count("*").alias("cnt"))
+    The slot sums are exact integers (counts), so the derived
+    mean/variance doubles are bit-identical in Spark and the DuckDB
+    oracle.  One log pass; everything else runs on the 24 x |types|
+    baseline and the tiny grid."""
+    hourly = dense_hourly_counts(events, ts_col, type_col).withColumn(
+        "hod", F.hour("h")
     )
-    baseline = hourly.groupBy(
-        F.col("t"), F.hour("h").alias("hod")
-    ).agg(
-        F.avg("cnt").alias("mu"),
-        F.stddev_samp("cnt").alias("sigma"),
-        F.count("*").alias("n_obs"),
+    slot = hourly.groupBy("t", "hod").agg(
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.count("*").alias("n"),
     )
-    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    x = F.col("cnt").cast("double")
+    mu_loo = (F.col("s1") - x) / (F.col("n") - 1)
+    var_loo = (
+        F.col("s2") - x * x - (F.col("s1") - x) * (F.col("s1") - x) / (F.col("n") - 1)
+    ) / (F.col("n") - 2)
+    # a CONSTANT baseline (var_loo == 0) with any deviation is the
+    # clearest possible anomaly (infinite z) — report it with the
+    # +/-9999 sentinel instead of dividing by zero or dropping it
+    z = F.when(
+        var_loo > 0, (x - mu_loo) / F.sqrt(var_loo)
+    ).otherwise(F.when(x > mu_loo, F.lit(9999.0)).when(x < mu_loo, F.lit(-9999.0)))
     return (
-        hourly.withColumn("hod", F.hour("h"))
-        .join(baseline, ["t", "hod"])
-        .filter(
-            (F.col("sigma") > 0)
-            & (F.abs(z) > z_threshold)
-            & (F.col("n_obs") >= 3)
-        )
+        hourly.join(slot, ["t", "hod"])
+        .filter((F.col("n") >= 3) & z.isNotNull() & (F.abs(z) > z_threshold))
         .select(
             F.col("t").alias("event_type"),
             F.col("h").alias("hour"),
             "cnt",
-            F.round(F.col("mu") + F.lit(1e-9), 4).alias("seasonal_mean"),
+            F.round(mu_loo + F.lit(1e-9), 4).alias("seasonal_mean"),
             F.round(z + F.lit(1e-9), 4).alias("z_score"),
         )
     )

@@ -3540,7 +3540,8 @@ _RAKE_RE = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
         FROM documents
       ) WHERE trim(p) <> ''
     ), pw AS (
-      SELECT phrase, len(string_split(phrase, ' ')) AS l,
+      SELECT phrase,
+             len(list_filter(string_split(phrase, ' '), w -> w <> '')) AS l,
              unnest(string_split(phrase, ' ')) AS word
       FROM ph
     ), pw2 AS (
@@ -3576,10 +3577,19 @@ def x83_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x84_leadlag_xcorr",
     oracle="""
-    WITH hourly AS (
+    WITH sparse AS (
       SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
              count(*) AS cnt
       FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
     ), lags AS (
       SELECT unnest(range(-3, 4)) AS lag_hours
     ), j AS (
@@ -3600,8 +3610,10 @@ def x83_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x84_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lead-lag cross-correlation between event-type hourly series
     (does type A's activity predict type B's L hours later?): one
-    event-log pass to a tiny hours x types series table, then Pearson
-    at every lag in [-3, +3] over the aggregated series only."""
+    event-log pass to the DENSE zero-filled hours x types grid (an
+    inner join of sparse series would correlate only co-active
+    hours), then Pearson at every lag in [-3, +3] over the aggregated
+    series only."""
     from ..operators.timeseries import leadlag_xcorr
 
     events = load_table(spark, sf_dir, "events")
@@ -3611,29 +3623,54 @@ def x84_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x85_seasonal_anomalies",
     oracle="""
-    WITH hourly AS (
+    WITH sparse AS (
       SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
              count(*) AS cnt
       FROM events GROUP BY 1, 2
-    ), baseline AS (
-      SELECT t, extract(hour FROM h) AS hod,
-             avg(cnt) AS mu, stddev_samp(cnt) AS sigma, count(*) AS n_obs
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt,
+             extract(hour FROM grid.h) AS hod
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), slot AS (
+      SELECT t, hod, sum(cnt) AS s1, sum(cnt * cnt) AS s2, count(*) AS n
       FROM hourly GROUP BY 1, 2
+    ), scored AS (
+      SELECT hh.t, hh.h, hh.cnt,
+             (s.s1 - hh.cnt) / CAST(s.n - 1 AS DOUBLE) AS mu_loo,
+             (s.s2 - hh.cnt * hh.cnt
+              - (s.s1 - hh.cnt) * (s.s1 - hh.cnt) / CAST(s.n - 1 AS DOUBLE))
+             / (s.n - 2) AS var_loo,
+             s.n
+      FROM hourly hh JOIN slot s ON hh.t = s.t AND hh.hod = s.hod
     )
-    SELECT hh.t AS event_type, hh.h AS hour, hh.cnt,
-           round(b.mu + 1e-9, 4) AS seasonal_mean,
-           round((hh.cnt - b.mu) / b.sigma + 1e-9, 4) AS z_score
-    FROM hourly hh
-    JOIN baseline b ON hh.t = b.t AND extract(hour FROM hh.h) = b.hod
-    WHERE b.sigma > 0 AND abs((hh.cnt - b.mu) / b.sigma) > 2.0 AND b.n_obs >= 3
+    , z AS (
+      SELECT *,
+             CASE WHEN var_loo > 0 THEN (cnt - mu_loo) / sqrt(var_loo)
+                  WHEN cnt > mu_loo THEN 9999.0
+                  WHEN cnt < mu_loo THEN -9999.0 END AS zv
+      FROM scored
+    )
+    SELECT t AS event_type, h AS hour, cnt,
+           round(mu_loo + 1e-9, 4) AS seasonal_mean,
+           round(zv + 1e-9, 4) AS z_score
+    FROM z
+    WHERE n >= 3 AND zv IS NOT NULL AND abs(zv) > 2.0
     """,
 )
 def x85_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonality-aware anomalies: each hour judged against ITS OWN
-    hour-of-day baseline (mean/sigma per (type, hour-of-day)) — the
-    seasonal complement of the sequential EWMA detector (x38).  One
-    log pass; everything after runs on the 24 x |types| baseline and
-    the tiny hourly series."""
+    """Seasonality-aware anomalies on the DENSE hourly grid: every
+    hour — including zero-count outage hours — judged against its own
+    hour-of-day slot with a LEAVE-ONE-OUT mean/sigma, so a spike
+    cannot mask itself (the seasonal complement of the sequential
+    EWMA detector x38).  Integer slot sums keep the derived doubles
+    bit-identical across engines.  One log pass; the rest runs on the
+    24 x |types| baseline and the tiny grid."""
     from ..operators.timeseries import seasonal_anomalies
 
     events = load_table(spark, sf_dir, "events")
@@ -3686,6 +3723,10 @@ def x86_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("max_d"))
+    # localCheckpoint: the bounds aggregate AND the scoring branch both
+    # consume per_cust; without the barrier each re-runs the orders
+    # scan + per-customer shuffle (the per-customer frame is 4 narrow
+    # columns — tiny relative to the fact table)
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
@@ -3700,6 +3741,7 @@ def x86_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        .localCheckpoint()
     )
     qs = F.array(*[F.lit(q) for q in (0.2, 0.4, 0.6, 0.8)])
     bounds = per_cust.agg(

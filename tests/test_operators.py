@@ -1724,3 +1724,39 @@ def test_leadlag_xcorr_detects_planted_lead(spark):
     # for (purchase -> view) i.e. +1 for view leading purchase
     assert out[-1] == 1.0
     assert all(v < 1.0 for lag, v in out.items() if lag != -1)
+
+
+def test_seasonal_anomalies_catch_outage_and_unmasked_spike(spark):
+    """Zero-count outage hours must be scored (the dense grid makes
+    them visible) and a single spike must fire against its
+    leave-one-out baseline instead of masking itself."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0)
+    rows = []
+    eid = 0
+    # 10 days of 'api' traffic: hour 14 is steady except a 50x spike
+    # on day 8 (leave-one-out must flag it, not let it mask itself);
+    # hour 13 is CONSTANT except a total outage on day 6 (zero in a
+    # zero-variance slot -> the -9999 sentinel, the case a sparse
+    # series or a var>0 filter would silently miss).
+    for day in range(10):
+        n14 = 250 if day == 8 else 5
+        for _ in range(n14):
+            rows.append((base + dt.timedelta(days=day, hours=14), "api", eid)); eid += 1
+        if day != 6:
+            for _ in range(4):
+                rows.append((base + dt.timedelta(days=day, hours=13), "api", eid)); eid += 1
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string, event_id long")
+    out = {
+        (r.hour, r.cnt): r.z_score
+        for r in seasonal_anomalies(events, z_threshold=2.0).collect()
+    }
+    spike_key = (base + dt.timedelta(days=8, hours=14), 250)
+    outage_key = (base + dt.timedelta(days=6, hours=13), 0)
+    assert spike_key in out and out[spike_key] > 2.0, out
+    assert outage_key in out and out[outage_key] == -9999.0, out
