@@ -63,6 +63,17 @@ class Engine:
 
         return sorted(QUERIES)
 
+    def clear_caches(self, blocking: bool = False) -> int:
+        """Release every operator-internal cached frame created so far
+        (the multi-consumer persists inside dedup/similarity/retrieval/
+        timeseries/curation operators go through a tracked registry).
+        Call between workloads in a long-lived session; returns how
+        many frames were unpersisted.  Any still-referenced result
+        simply recomputes on next use."""
+        from .cache import unpersist_tracked
+
+        return unpersist_tracked(blocking)
+
     # ----------------------------------------------------- training data
     def search(self, terms: list[str], k: int = 10) -> DataFrame:
         """BM25 top-k over the documents table."""
@@ -132,8 +143,8 @@ class Engine:
         ``history_path`` pointing at one), the batch plan reads ONLY
         the persisted fingerprints — the documents table is never
         scanned.  Without one, it falls back to hashing the whole
-        corpus on the fly (correct, but pays a full-corpus read per
-        batch — fine ad hoc, wrong as a loop)."""
+        corpus on the fly and WARNS (correct, but pays a full-corpus
+        read per batch — fine ad hoc, wrong as a loop)."""
         from .operators.dedup import exact_dedup_groups, incremental_dedup
         from .streaming.txn import AtomicParquetTable
 
@@ -149,6 +160,16 @@ class Engine:
                 self._dedup_history_path = path
             history = history.select("fingerprint")
         else:
+            import warnings
+
+            warnings.warn(
+                "Engine.ingest_dedup without a fingerprint history re-hashes "
+                "the ENTIRE documents corpus for this one batch — fine ad "
+                "hoc, wrong in a loop.  Call build_dedup_history(dest) once "
+                "(or pass history_path=) so batches join the persisted "
+                "fingerprints instead.",
+                stacklevel=2,
+            )
             history = exact_dedup_groups(self.table("documents")).select("fingerprint")
         return incremental_dedup(new_docs, history)
 

@@ -200,14 +200,15 @@ def dsir_weights(
     # the final selection both read it — without the barrier the raw
     # corpus feature scan would run once per reference (standard
     # two-pass threshold shape; (id, count, weight) rows spill fine)
-    weights = (
+    from ..cache import tracked_persist
+
+    weights = tracked_persist(
         raw_b.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),
             F.round(F.avg("log_ratio") + F.lit(1e-9), 4).alias("dsir_weight"),
         )
-        .persist()
     )
     # exact percentile with BOUNDED state: weights are rounded to 4 dp,
     # so the (weight, freq) histogram has a bounded number of rows no
@@ -864,7 +865,9 @@ def _bigram_model_tables(docs: DataFrame, id_col: str, text_col: str):
     narrow frame, the bigram count table, the context count table,
     and the scalar V (pure counts — smoothing applies at scoring
     time)."""
-    narrow = (
+    from ..cache import tracked_persist
+
+    narrow = tracked_persist(
         docs.select(
             F.col(id_col), F.explode(shingle_arr(F.col(text_col), 2)).alias("bg")
         )
@@ -874,7 +877,6 @@ def _bigram_model_tables(docs: DataFrame, id_col: str, text_col: str):
             hash60(F.col("bg"), "blm|").alias("bg_h"),
             hash60(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)), "blm|").alias("w1_h"),
         )
-        .persist()
     )
     bgc = narrow.groupBy("bg_h").agg(
         F.count("*").alias("c2"), F.min("w1_h").alias("w1_h")

@@ -88,19 +88,22 @@ def _spread(df: DataFrame) -> DataFrame:
     pays the spread shuffle.
 
     The gate reads ``inputFiles()`` — a file-index listing, no job and
-    no physical planning — when the input is a file scan (the common
-    case here: documents straight off parquet).  The ``df.rdd``
-    partition probe, which forces the input to plan twice, is only the
-    fallback for non-file inputs (in-memory test frames)."""
+    no physical planning — but a file count below parallelism only
+    proves the input MIGHT be narrow: a few LARGE splittable parquet
+    files still fan out into many scan partitions (1 file → ~80 splits
+    at 128 MB/split), and repartitioning that input would shuffle the
+    whole corpus for nothing.  So the file count is used only as a
+    positive proof of spread (enough files ⇒ enough splits, no probe
+    needed); otherwise the ``df.rdd`` partition probe — which counts
+    the ACTUAL scan splits, at the cost of planning the input twice —
+    decides."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
-        if len(files) >= parallelism:
-            return df
-        return df.repartition(parallelism)
+    if len(files) >= parallelism:
+        return df
     if df.rdd.getNumPartitions() >= parallelism:
         return df
     return df.repartition(parallelism)
@@ -1093,10 +1096,11 @@ def containment_pairs(
 
     Output: (doc_a, doc_b, containment_a, containment_b, jaccard) for
     pairs whose max directional containment >= ``min_containment``."""
-    sh = (
+    from ..cache import tracked_persist
+
+    sh = tracked_persist(
         shingle_rows(docs, text_col, id_col, shingle_k)
         .select(F.col(id_col), (_hash64(F.col("sh"), "cnt|")).alias("sh"))
-        .persist()
     )
     dfreq = sh.groupBy("sh").agg(F.countDistinct(id_col).alias("df"))
     rare = dfreq.filter((F.col("df") >= 2) & (F.col("df") <= max_df)).select("sh")

@@ -87,20 +87,39 @@ def top_principal_component(
     n_iter: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float = 1e-8,
+    moment_dim_cap: int = 256,
+    stats: dict | None = None,
 ):
     """Dominant principal component of the (mean-centered) embedding
-    matrix via distributed power iteration.
+    matrix — scan count chosen by dimensionality.
 
-    Each round is ONE map-side-combinable aggregate: with the current
-    direction v broadcast as a literal, every row contributes
-    ((x-mu)·v)·(x-mu), whose per-dimension sums are dim sum() columns —
-    no posexplode, no shuffle of vectors, no driver-side matrix.  The
-    driver holds only the dim-float direction between rounds (the same
-    bounded-driver-state pattern as k-means/BPE).  Deterministic: the
-    start direction is the all-ones unit vector, no RNG.
+    MODERATE dim (<= ``moment_dim_cap``, the common embedding case):
+    ONE corpus scan computes every first+second moment — each row
+    emits its flattened upper-triangle outer product (plus the vector
+    and a count slot) through posexplode + groupBy(pos), so partial
+    aggregation collapses each partition to dim(dim+3)/2+1 rows
+    before the shuffle and NO wide codegen is generated.  The driver
+    then assembles the dim x dim covariance (dim^2 floats — KBs) and
+    runs the power iteration locally: every subsequent round is free.
+    At 100 TB this turns 12 corpus passes into one.
+
+    LARGE dim (outer-product work O(dim^2)/row would dominate the
+    scan): classic distributed power iteration — each round is ONE
+    map-side-combinable aggregate where every row contributes
+    ((x-mu)·v)·(x-mu) with the current direction riding in as a
+    broadcast single-row relation (values stay OUT of the generated
+    source, so codegen compiles once and is cache-hit every round).
+
+    Both paths are deterministic (all-ones start, no RNG) and share
+    the convergence EARLY-EXIT: iteration stops once the direction
+    moves less than ``tol`` in max-norm (sign-aligned, so the ±v
+    oscillation of a negative-dominant spectrum counts as converged);
+    ``n_iter`` is the cap, not the count.
 
     Returns (mu, pc, eigenvalue_estimate) as plain Python lists/float.
-    """
+    Pass ``stats={}`` to get {"rounds": k, "path": "moment"|"scan"}
+    recorded (observability for the early-exit)."""
     from pyspark.sql import functions as F
 
     probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -108,37 +127,105 @@ def top_principal_component(
         return [], [], 0.0
     dim = probe["d"]
     v = emb.select(F.col(vec_col).cast("array<double>").alias("x"))
+
+    def _iterate(matvec, mu, n):
+        """Shared power-iteration driver loop over a z = C·v oracle."""
+        vec = [1.0 / dim ** 0.5] * dim
+        eig = 0.0
+        for rnd in range(n_iter):
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+            z = matvec(mu, vec)
+            norm = sum(c * c for c in z) ** 0.5
+            if norm == 0:
+                break
+            eig = norm / n  # Rayleigh estimate: ||C v|| with unit v
+            new_vec = [c / norm for c in z]
+            # sign-align before the delta test: with a dominant
+            # NEGATIVE eigenvalue the iterate flips sign every round
+            # while the eigenspace is fully converged
+            dot = sum(a * b for a, b in zip(new_vec, vec))
+            sgn = -1.0 if dot < 0 else 1.0
+            delta = max(abs(a - sgn * b) for a, b in zip(new_vec, vec))
+            vec = new_vec
+            if delta < tol:
+                break
+        return mu, vec, eig
+
+    if stats is not None:
+        stats["path"] = "moment" if dim <= moment_dim_cap else "scan"
+    if dim <= moment_dim_cap:
+        # one-scan moment pass: pos 0 -> count, pos 1..dim -> sums,
+        # pos dim+1.. -> row-major upper-triangle sum(x_i * x_j)
+        tri = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(dim)),
+                    lambda j: F.element_at("x", i.cast("int"))
+                    * F.element_at("x", j.cast("int")),
+                ),
+            )
+        )
+        arr = F.concat(F.array(F.lit(1.0)), F.col("x"), tri)
+        rows = (
+            v.select(F.posexplode(arr).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        m = {r["pos"]: r["s"] for r in rows}
+        n = int(m[0])
+        if n == 0:
+            return [], [], 0.0
+        mu = [m[1 + i] / n for i in range(dim)]
+        # covariance C = P/n - mu mu^T from the upper triangle
+        cov = [[0.0] * dim for _ in range(dim)]
+        pos = 1 + dim
+        for i in range(dim):
+            for j in range(i, dim):
+                c = m[pos] / n - mu[i] * mu[j]
+                cov[i][j] = c
+                cov[j][i] = c
+                pos += 1
+
+        def matvec(mu_, vec):
+            # n * C v, matching the distributed path's z = sum c (c·v)
+            return [n * sum(cov[i][j] * vec[j] for j in range(dim)) for i in range(dim)]
+
+        return _iterate(matvec, mu, n)
+
+    # large-dim fallback: one combinable aggregate per round
+    spark = emb.sparkSession
     mu_row = v.agg(
-        *[F.avg(F.element_at("x", i + 1)).alias(f"m{i}") for i in range(dim)]
+        F.count("*").alias("n"),
+        *[F.avg(F.element_at("x", i + 1)).alias(f"m{i}") for i in range(dim)],
     ).first()
     mu = [mu_row[f"m{i}"] for i in range(dim)]
+    n = mu_row["n"]
+    if n == 0:
+        return [], [], 0.0
 
-    vec = [1.0 / dim ** 0.5] * dim
-    eig = 0.0
-    n = v.count()
-    for _ in range(n_iter):
-        mu_lit = F.array(*[F.lit(m) for m in mu])
-        v_lit = F.array(*[F.lit(c) for c in vec])
-        centered = F.zip_with("x", mu_lit, lambda a, b: a - b)
+    def matvec_dist(mu_, vec):
+        param = F.broadcast(
+            spark.createDataFrame([(mu_, vec)], "mu: array<double>, v: array<double>")
+        )
+        centered = F.zip_with("x", "mu", lambda a, b: a - b)
         s = F.aggregate(
-            F.zip_with(centered, v_lit, lambda a, b: a * b),
+            F.zip_with(centered, F.col("v"), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, y: acc + y,
         )
-        contrib = v.select(centered.alias("c"), s.alias("s"))
+        contrib = v.crossJoin(param).select(centered.alias("c"), s.alias("s"))
         z_row = contrib.agg(
             *[
                 F.sum(F.element_at("c", i + 1) * F.col("s")).alias(f"z{i}")
                 for i in range(dim)
             ]
         ).first()
-        z = [z_row[f"z{i}"] for i in range(dim)]
-        norm = sum(c * c for c in z) ** 0.5
-        if norm == 0:
-            break
-        eig = norm / n  # Rayleigh estimate: ||C v|| with unit v
-        vec = [c / norm for c in z]
-    return mu, vec, eig
+        return [z_row[f"z{i}"] for i in range(dim)]
+
+    return _iterate(matvec_dist, mu, n)
 
 
 def all_but_the_top(

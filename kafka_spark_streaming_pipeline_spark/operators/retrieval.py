@@ -136,11 +136,13 @@ def bm25_topk(
         )
         for t in terms
     ])
-    narrow = docs.select(
+    from ..cache import tracked_persist
+
+    narrow = tracked_persist(docs.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
         F.filter(tf_structs, lambda s: s["tf"] > 0).alias("tfs"),
-    ).persist()
+    ))
 
     # N, avgdl AND every per-term document frequency in ONE scalar-row
     # aggregate over the cached frame (ALL docs count toward N/avgdl,
@@ -437,12 +439,13 @@ def phrase_search(
     # narrow-frame pattern as bm25_topk.  With a PERSISTED positional
     # index the restriction becomes a pruned index read instead.
     toks = tokens(F.col(text_col))
-    post = (
+    from ..cache import tracked_persist
+
+    post = tracked_persist(
         docs.select(F.col(id_col), F.posexplode(toks).alias("pos0", "term"))
         .filter(F.col("term").isin(terms))
         .groupBy("term", id_col)
         .agg(F.array_sort(F.collect_list(F.col("pos0") + 1)).alias("positions"))
-        .persist()
     )
     base = post.filter(F.col("term") == terms[0]).select(
         F.col(id_col), F.col("positions").alias("pos_0")

@@ -1346,7 +1346,9 @@ def embedding_neardup_pairs_multi(
     # expansion inside each) re-reads these narrow rows instead of
     # recomputing the upstream embedding/centering subtree per branch —
     # without this the input plan executes once per table
-    v = v.persist()
+    from ..cache import tracked_persist
+
+    v = tracked_persist(v)
 
     out = None
     for planes in tables:
@@ -1418,9 +1420,11 @@ def contrastive_triplets(
     # re-execute the whole bucket-expansion subtree (4 embedding scans
     # in the static plan); the candidate-pair frame is 3 narrow
     # columns, so persist it and every branch reads the cache
-    pairs = embedding_neardup_pairs(
+    from ..cache import tracked_persist
+
+    pairs = tracked_persist(embedding_neardup_pairs(
         emb, planes, threshold=-1.0, id_col=id_col, vec_col=vec_col
-    ).persist()
+    ))
     sym = pairs.select(
         F.col("vec_a").alias("anchor_id"),
         F.col("vec_b").alias("other_id"),

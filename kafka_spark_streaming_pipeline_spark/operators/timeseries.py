@@ -175,11 +175,12 @@ def session_affinity(
     self-join of the event log and no second sessionization pass."""
     from .dedup import unordered_pairs_expr
 
+    from ..cache import tracked_persist
+
     st = sessionize(events, gap_ms, user_col, ts_col, carry=("event_id", type_col))
-    sess_types = (
+    sess_types = tracked_persist(
         st.groupBy(user_col, "session_id")
         .agg(F.array_sort(F.collect_set(type_col)).alias("types"))
-        .persist()
     )
     n_sessions = sess_types.agg(F.count("*").alias("n"))
     singles = (
@@ -223,36 +224,63 @@ def session_affinity(
     )
 
 
-def dense_hourly_counts(
+def sparse_hourly_counts(
     events: DataFrame,
     ts_col: str = "ts",
     type_col: str = "event_type",
 ) -> DataFrame:
-    """Hourly counts per type over the DENSE hour grid spanning the
-    observed range: hours with no events appear with cnt=0 instead of
-    being absent.  Zero hours are exactly what outage detection and
-    honest cross-correlation need — a sparse (only-active-hours)
-    series silently hides complete outages and biases Pearson toward
-    co-active hours.  One log pass; the grid is hours x type
-    vocabulary — tiny regardless of event volume."""
-    hourly = (
-        events.groupBy(
-            F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
-        )
-        .agg(F.count("*").alias("cnt"))
-    )
-    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    """The ONE event-log pass under every hourly analytic here: counts
+    per (hour, type) — columns (h, t, cnt).  Output cardinality is
+    hours x active types, tiny regardless of event volume."""
+    return events.groupBy(
+        F.date_trunc("hour", ts_col).alias("h"), F.col(type_col).alias("t")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def densify_hourly(sparse: DataFrame) -> DataFrame:
+    """Zero-fill a sparse (h, t, cnt) frame over the DENSE hour grid
+    spanning the observed range: hours with no events appear with
+    cnt=0 instead of being absent.  Zero hours are exactly what outage
+    detection and honest cross-correlation need — a sparse
+    (only-active-hours) series silently hides complete outages and
+    biases Pearson toward co-active hours.
+
+    BOTH the input and the result are persisted via ``tracked_persist``
+    (release with ``cache.unpersist_tracked``): the sparse frame feeds
+    three derivations here (bounds, type vocabulary, left join) and
+    the dense result is multi-consumed by every caller (both sides of
+    the xcorr lag join; the slot baseline and the scoring join of the
+    seasonal detector) — without the persist, each consumer re-derives
+    the FULL event-log scan + groupBy, which at 100 TB is the entire
+    query cost paid 4-5x.  Cached state is hours x types — KBs."""
+    from ..cache import tracked_persist
+
+    sparse = tracked_persist(sparse)
+    bounds = sparse.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (
         bounds.select(
             F.explode(
                 F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
             ).alias("h")
         )
-        .crossJoin(hourly.select("t").distinct())
+        .crossJoin(sparse.select("t").distinct())
     )
-    return grid.join(hourly, ["h", "t"], "left").select(
-        "h", "t", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+    return tracked_persist(
+        grid.join(sparse, ["h", "t"], "left").select(
+            "h", "t", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
     )
+
+
+def dense_hourly_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Hourly counts per type over the DENSE hour grid (see
+    ``densify_hourly``): one log pass into the persisted sparse frame,
+    then grid assembly over the tiny aggregate only."""
+    return densify_hourly(sparse_hourly_counts(events, ts_col, type_col))
 
 
 def leadlag_xcorr(
@@ -280,7 +308,7 @@ def leadlag_xcorr(
     ).alias("lag_hours")
     a = hourly.select(
         F.col("t").alias("type_a"), F.col("h").alias("ha"), F.col("cnt").alias("ca")
-    ).crossJoin(events.sparkSession.range(1).select(lags))
+    ).crossJoin(F.broadcast(events.sparkSession.range(1).select(lags)))
     b = hourly.select(
         F.col("t").alias("type_b"), F.col("h").alias("hb"), F.col("cnt").alias("cb")
     )
@@ -323,9 +351,23 @@ def seasonal_anomalies(
     mean/variance doubles are bit-identical in Spark and the DuckDB
     oracle.  One log pass; everything else runs on the 24 x |types|
     baseline and the tiny grid."""
-    hourly = dense_hourly_counts(events, ts_col, type_col).withColumn(
-        "hod", F.hour("h")
+    return seasonal_scores_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), z_threshold
     )
+
+
+def seasonal_scores_from_dense(
+    dense: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Scoring tail of ``seasonal_anomalies``, factored out so the
+    STREAMING view (an incrementally-maintained sparse hourly rollup,
+    densified at read time) scores through the identical plan as the
+    batch operator — the merged-view-equals-batch guarantee is then a
+    structural property, not a reimplementation kept in sync by hand.
+    Input: a dense zero-filled (h, t, cnt) frame (multi-consumed here:
+    slot baseline + scoring join — callers persist it;
+    ``densify_hourly`` already does)."""
+    hourly = dense.withColumn("hod", F.hour("h"))
     slot = hourly.groupBy("t", "hod").agg(
         F.sum("cnt").alias("s1"),
         F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),

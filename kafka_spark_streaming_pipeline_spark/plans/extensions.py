@@ -3411,7 +3411,11 @@ def x79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (user, day) distinct is users x active-days — tiny next to the
     # event log; persist it so the cohort and activity branches share
     # one events scan
-    act = events.select("user_id", F.to_date("ts").alias("d")).distinct().persist()
+    from ..cache import tracked_persist
+
+    act = tracked_persist(
+        events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    )
     first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
     ret = (

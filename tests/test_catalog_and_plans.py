@@ -218,6 +218,22 @@ def test_engine_persisted_dedup_history_no_corpus_scan(spark, sf_dir, tmp_path):
     assert again[0]["seen_in_history"] and not again[0]["keep"]
 
 
+def test_engine_ingest_dedup_without_history_warns(spark, sf_dir):
+    """The convenience fallback (no fingerprint history) re-hashes the
+    whole corpus per batch — it must be LOUD so a pipeline can't hit
+    it silently in a loop."""
+    import warnings
+
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    batch = spark.createDataFrame([(1, "warn path text")], ["doc_id", "text"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        eng.ingest_dedup(batch)
+    assert any("build_dedup_history" in str(w.message) for w in caught)
+
+
 def test_engine_persisted_neardup_history_no_corpus_scan(spark, sf_dir, tmp_path):
     """The incremental NEAR-dup loop: signatures persisted once; a
     batch plan reads only the signature table (no documents scan);

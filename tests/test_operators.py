@@ -1634,6 +1634,64 @@ def test_all_but_the_top_matches_numpy(spark, sf_dir):
     assert np.abs(R.mean(axis=0)).max() < 1e-9
 
 
+def test_power_iteration_early_exit_and_path_parity(spark):
+    """On planted anisotropic data the iteration must CONVERGE AND
+    STOP before the round cap (every skipped round is a corpus pass
+    saved on the scan path), and the one-scan moment path must agree
+    with the per-round distributed path to float precision."""
+    import numpy as np
+
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        top_principal_component,
+    )
+
+    rng = np.random.RandomState(11)
+    d = 12
+    direction = rng.randn(d)
+    direction /= np.linalg.norm(direction)
+    X = rng.randn(200, d) * 0.05 + np.outer(rng.randn(200) * 3.0, direction)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    )
+
+    st_m: dict = {}
+    mu_m, pc_m, eig_m = top_principal_component(emb, n_iter=50, stats=st_m)
+    assert st_m["path"] == "moment"
+    assert st_m["rounds"] < 50  # early-exit fired
+
+    st_d: dict = {}
+    mu_d, pc_d, eig_d = top_principal_component(
+        emb, n_iter=50, moment_dim_cap=0, stats=st_d
+    )
+    assert st_d["path"] == "scan"
+    assert st_d["rounds"] < 50  # every saved round = a corpus pass saved
+
+    align = abs(float(np.dot(pc_m, pc_d)))
+    assert align > 1 - 1e-9, align
+    assert np.allclose(mu_m, mu_d, atol=1e-12)
+    assert abs(eig_m - eig_d) / eig_d < 1e-9
+
+
+def test_tracked_persist_release_via_engine(spark, sf_dir):
+    """Operator-internal persists register in the tracked cache so a
+    long-lived session can release them: after clear_caches() the
+    frames report no storage level (and simply recompute on reuse)."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        dense_hourly_counts,
+    )
+
+    eng = Engine(spark, sf_dir)
+    dense = dense_hourly_counts(eng.table("events"))
+    n = dense.count()
+    assert dense.storageLevel.useMemory  # multi-consumer frame is cached
+    released = eng.clear_caches()
+    assert released >= 2  # sparse + dense at minimum
+    assert not dense.storageLevel.useMemory
+    assert dense.count() == n  # recomputes fine after release
+
+
 def test_session_affinity_lift_semantics(spark):
     """Planted sessions with a known co-occurrence structure: the
     (view, click) pair occurs in every session containing either, so

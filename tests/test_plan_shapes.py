@@ -111,6 +111,31 @@ def test_containment_pairs_single_corpus_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == n_cached
 
 
+def test_hourly_analytics_share_one_cached_grid(spark, sf_dir):
+    """x84/x85 previously re-derived the full event-log scan+groupBy
+    4-5x per query (both sides of the lag join; slot baseline +
+    scoring join).  densify_hourly now persists the sparse aggregate
+    AND the dense grid, so every consumer is an InMemoryTableScan
+    reader and the event log is scanned once, at cache population.
+    (Textual 'Scan parquet' counts nest inside cached-child printouts,
+    so the assertions pin the persist + cached-reader structure.)"""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        dense_hourly_counts,
+        leadlag_xcorr,
+        seasonal_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    dense = dense_hourly_counts(events)
+    assert dense.storageLevel.useMemory  # the multi-consumer frame is cached
+
+    for df in (leadlag_xcorr(events), seasonal_anomalies(events)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both consumers of the dense grid read the cache
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
 def test_chunking_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x42_chunk_documents")
     assert plan.count("Exchange") == 0  # pure scan -> project -> generate
