@@ -67,6 +67,13 @@ HEADLINE = [
     # heaviest pure-text family: model build + per-doc scoring in one
     # persisted-frame scan).
     "x74_bigram_perplexity",
+    # r05 additions: the slow tail the r4 set omitted — regressions in
+    # the three slowest registry queries were previously invisible to
+    # round-over-round tracking.  x80: one-scan moment PCA; x84:
+    # persisted dense hourly grid; x78: persisted candidate-pair frame.
+    "x80_all_but_the_top",
+    "x84_leadlag_xcorr",
+    "x78_contrastive_triplets",
 ]
 
 
@@ -108,6 +115,33 @@ def main() -> None:
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+
+    # Scale-slope check: re-time the headline set at a 10x-smaller SF
+    # and report t_main / t_small per query.  "Fast at sf0.1" alone
+    # doesn't support a 100 TB claim — cost must grow ~linearly with
+    # data.  A ratio well above the SF ratio (10) flags a hidden
+    # superlinear term; well below ~1 means fixed overhead dominates
+    # at this scale (fine).  Disable with SPARK_GRAFT_SLOPE=0.
+    sf_ratio: dict[str, float] = {}
+    slope_dir = os.environ.get("SPARK_GRAFT_SLOPE_DIR", "/root/testdata/sf0.01")
+    if (
+        os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0"
+        and os.path.isdir(slope_dir)
+        and os.path.abspath(slope_dir) != os.path.abspath(sf_dir)
+    ):
+        for name in HEADLINE:
+            q = QUERIES[name]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                q.builder(spark, slope_dir).count()
+                best = min(best, time.time() - t0)
+            sf_ratio[name] = round(times[name] / best, 2) if best > 0 else None
+            print(
+                f"# slope {name}: {round(best, 3)}s at {slope_dir} -> "
+                f"ratio {sf_ratio[name]}",
+                file=sys.stderr,
+            )
 
     # Streaming layer throughput (the reference's actual workload —
     # BASELINE.md measures 1.32 events/s end-to-end): run the live
@@ -160,6 +194,8 @@ def main() -> None:
         out["streaming_events_per_sec"] = streaming_eps
     if gate_dps is not None:
         out["gate_docs_per_sec"] = gate_dps
+    if sf_ratio:
+        out["sf_ratio"] = sf_ratio
     print(json.dumps(out))
 
 

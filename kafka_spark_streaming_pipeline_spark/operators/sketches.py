@@ -296,33 +296,37 @@ def dd_build(
     df: DataFrame, col, keys: list[str] | None = None, alpha: float = DD_ALPHA
 ) -> DataFrame:
     """DDSketch (Masson et al., VLDB'19) pre-aggregate: per-key counts
-    over logarithmic buckets i = ceil(log_gamma(x)), gamma=(1+a)/(1-a)
+    over logarithmic buckets i = ceil(log_gamma(|x|)), gamma=(1+a)/(1-a)
     — the mergeable quantile state with a RELATIVE-error guarantee
     (any quantile off by <= alpha of its true value), which is the
     right contract for long-tailed metrics (latencies, prices) where
     rank-error sketches blur the p99 tail.
 
-    One grouped count over (keys, bucket); bucket cardinality is
-    log_gamma(max/min) per key (~a few hundred for a 10^6 dynamic
-    range at alpha=0.01) regardless of row count — the 100 TB pattern:
-    scan once, persist the tiny (key, bucket, cnt) state, answer any
-    quantile later without rescanning.  Non-positive values land in
-    the reserved bucket NULL (DDSketch's zero bucket): counted, and
-    reported as quantile 0.0 when the target rank falls inside it."""
+    THREE stores, as in the reference sketch: a positive log-bucket
+    store, a MIRRORED negative store (sgn=-1, bucket over |x| — so the
+    alpha guarantee holds for negative data too, not just silently for
+    positives), and the exact-zero bucket (sgn=0).  NULLs are ignored
+    (standard sketch semantics).
+
+    One grouped count over (keys, sgn, bucket); bucket cardinality is
+    log_gamma(max|x|/min|x|) per key per sign (~a few hundred for a
+    10^6 dynamic range at alpha=0.01) regardless of row count — the
+    100 TB pattern: scan once, persist the tiny (key, sgn, bucket,
+    cnt) state, answer any quantile later without rescanning."""
     keys = keys or []
     gamma = _dd_gamma(alpha)
     import math
 
+    v = F.col("__v")
+    sgn = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
     bucket = F.when(
-        F.col("__v") > 0, F.ceil(F.log(F.col("__v")) / F.lit(math.log(gamma)))
-    )
+        v != 0, F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma)))
+    )  # NULL for the exact-zero bucket
     return (
         df.select(*keys, F.col(col).cast("double").alias("__v"))
-        # NULL values are ignored (standard sketch semantics) — only
-        # non-positive NUMBERS land in the reserved zero bucket
         .filter(F.col("__v").isNotNull())
-        .select(*keys, bucket.alias("bucket"))
-        .groupBy(*keys, "bucket")
+        .select(*keys, sgn.cast("int").alias("sgn"), bucket.alias("bucket"))
+        .groupBy(*keys, "sgn", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
 
@@ -333,7 +337,7 @@ def dd_merge(pre: DataFrame, keys: list[str] | None = None) -> DataFrame:
     sketch answers quantiles with the same alpha guarantee as one
     built in a single pass."""
     keys = keys or []
-    return pre.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
+    return pre.groupBy(*keys, "sgn", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def dd_quantiles(
@@ -343,41 +347,54 @@ def dd_quantiles(
     alpha: float = DD_ALPHA,
 ) -> DataFrame:
     """Quantile estimates from a DDSketch: for each q, the value
-    2*gamma^b / (gamma+1) (log-midpoint) of the first bucket whose
-    cumulative count reaches ceil(q * n).  Per-key bucket lists are
+    sgn * 2*gamma^b / (gamma+1) (log-midpoint) of the first bucket —
+    in VALUE order — whose cumulative count reaches ceil(q * n).
+
+    Value order across the three stores is (sgn ASC, sgn*bucket ASC):
+    negatives sort most-negative first (mirror store: larger |bucket|
+    = more negative, and sgn*bucket = -bucket flips it), then the zero
+    bucket, then positives by bucket.  Per-key bucket lists are
     log-range-sized, so the window sort is over hundreds of rows per
     key, never the data.  Output: one row per (keys, q)."""
     from pyspark.sql import Window as W
 
     keys = keys or []
     gamma = _dd_gamma(alpha)
-    import math
 
-    # the reserved zero bucket (NULL) sorts below every log bucket via a
-    # sentinel, keeping min() semantics exact
-    _ZERO_SENTINEL = -(1 << 62)
+    # ord is integer arithmetic — exact in both engines; the zero
+    # bucket (bucket NULL) gets ord 0 within sgn=0
     ordered = sketch.select(
-        *keys, F.coalesce(F.col("bucket"), F.lit(_ZERO_SENTINEL)).alias("b"), "cnt"
+        *keys,
+        "sgn",
+        "bucket",
+        (F.col("sgn") * F.coalesce(F.col("bucket"), F.lit(0))).alias("ord"),
+        "cnt",
     )
-    w_cum = W.partitionBy(*keys).orderBy("b")
+    w_cum = W.partitionBy(*keys).orderBy("sgn", "ord")
     w_all = W.partitionBy(*keys)
     cum = ordered.select(
         *keys,
-        "b",
+        "sgn",
+        "bucket",
+        "ord",
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("total"),
     )
     q_lits = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
-    # target rank ceil(q*n); the FIRST bucket whose cumulative count
-    # reaches it holds the quantile
-    first = (
-        cum.select(*keys, "b", "cum", "total", q_lits)
-        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
-        .groupBy(*keys, "q", "total")
-        .agg(F.min("b").alias("b"))
+    # target rank ceil(q*n); the FIRST bucket (in value order) whose
+    # cumulative count reaches it holds the quantile
+    cand = cum.select(*keys, "sgn", "bucket", "ord", "cum", "total", q_lits).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    w_pick = W.partitionBy(*keys, "q").orderBy("sgn", "ord")
+    first = cand.withColumn("__rn", F.row_number().over(w_pick)).filter(
+        F.col("__rn") == 1
     )
     est = F.when(
-        F.col("b") != _ZERO_SENTINEL,
-        F.lit(2.0) * F.pow(F.lit(gamma), F.col("b")) / F.lit(gamma + 1.0),
+        F.col("sgn") != 0,
+        F.col("sgn")
+        * F.lit(2.0)
+        * F.pow(F.lit(gamma), F.col("bucket"))
+        / F.lit(gamma + 1.0),
     ).otherwise(F.lit(0.0))
     return first.select(*keys, "q", F.col("total").alias("n"), est.alias("estimate"))

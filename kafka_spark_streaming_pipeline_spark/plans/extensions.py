@@ -3297,21 +3297,81 @@ def x75_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, shingle_k=3, max_df=16, min_containment=0.8)
 
 
-@query("x76_dd_quantiles", oracle=None)
+def _dd_oracle_sql() -> str:
+    """x76's oracle replicates the DDSketch arithmetic exactly: the
+    bucket index ceil(ln|x| / ln(gamma)) and the log-midpoint
+    estimate are deterministic double arithmetic given the SAME
+    ln(gamma)/gamma literals Spark bakes in (embedded via repr), the
+    cumulative-rank walk is integer, and the estimate is rounded at 4
+    decimals — the same pinning discipline as the Bloom (x63) and KMV
+    (x68) estimator oracles."""
+    import math
+
+    from ..operators.sketches import DD_ALPHA, _dd_gamma
+
+    g = _dd_gamma(DD_ALPHA)
+    lng = math.log(g)
+    return f"""
+    WITH v AS (
+      SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), b AS (
+      SELECT o_orderpriority,
+             CASE WHEN x > 0 THEN 1 WHEN x < 0 THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN x <> 0
+                  THEN CAST(ceil(ln(abs(x)) / {lng!r}) AS BIGINT) END AS bucket
+      FROM v
+    ), sk AS (
+      SELECT o_orderpriority, sgn, bucket, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+    ), o AS (
+      SELECT *, CASE WHEN sgn = 0 THEN 0 ELSE sgn * bucket END AS ord FROM sk
+    ), c AS (
+      SELECT *,
+             sum(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY sgn, ord) AS cum,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS total
+      FROM o
+    ), cand AS (
+      SELECT o_orderpriority, sgn, bucket, ord, cum, total, CAST(q AS DOUBLE) AS q
+      FROM c CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+      WHERE cum >= ceil(q * total)
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderpriority, q
+                                   ORDER BY sgn, ord) AS rn
+      FROM cand
+    )
+    SELECT o_orderpriority, q, CAST(total AS BIGINT) AS n,
+           round(CASE WHEN sgn = 0 THEN 0.0
+                      ELSE sgn * 2.0 * pow({g!r}, bucket) / {g + 1.0!r} END
+                 + 1e-9, 4) AS estimate
+    FROM pick WHERE rn = 1
+    """
+
+
+@query("x76_dd_quantiles", oracle=_dd_oracle_sql())
 def x76_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch quantiles (relative-error-guaranteed, mergeable): per
     order-priority p50/p95/p99 of o_totalprice from log-bucket counts —
-    scan once, persist the tiny (key, bucket, cnt) state, answer any
-    quantile without rescanning.  Rows-only: bucket boundaries sit on
-    ln() values whose last-ulp differs across engines; the alpha
-    relative-error bound and exact mergeability are asserted in
-    tests/test_operators.py (test_ddsketch_relative_error_and_merge)."""
+    scan once, persist the tiny (key, sgn, bucket, cnt) state, answer
+    any quantile without rescanning.  Value-checked: bucket index,
+    rank walk, and midpoint estimate are pinned against the SQL oracle
+    (shared ln(gamma)/gamma literals, integer rank arithmetic,
+    4-decimal rounding); the alpha relative-error bound and exact
+    mergeability are additionally asserted in tests/test_operators.py
+    (test_ddsketch_relative_error_and_merge)."""
     from ..operators.sketches import dd_build, dd_quantiles
 
     orders = load_table(spark, sf_dir, "orders")
     pre = dd_build(orders, "o_totalprice", keys=["o_orderpriority"])
-    return dd_quantiles(pre, [0.5, 0.95, 0.99], keys=["o_orderpriority"]).orderBy(
-        "o_orderpriority", "q"
+    return (
+        dd_quantiles(pre, [0.5, 0.95, 0.99], keys=["o_orderpriority"])
+        .select(
+            "o_orderpriority",
+            "q",
+            "n",
+            F.round(F.col("estimate") + F.lit(1e-9), 4).alias("estimate"),
+        )
+        .orderBy("o_orderpriority", "q")
     )
 
 

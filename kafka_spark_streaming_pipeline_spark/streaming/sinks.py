@@ -658,11 +658,11 @@ def dd_stream_view(spark, sketch_path: str) -> DataFrame:
 
 
 def _dd_view_of(log: DataFrame) -> DataFrame:
-    keys = [c for c in log.columns if c not in ("bucket", "cnt", "__commit")]
+    keys = [c for c in log.columns if c not in ("sgn", "bucket", "cnt", "__commit")]
     return (
         _drop_replays_behind_watermark(log)
-        .dropDuplicates(["__commit", *keys, "bucket"])
-        .groupBy(*keys, "bucket")
+        .dropDuplicates(["__commit", *keys, "sgn", "bucket"])
+        .groupBy(*keys, "sgn", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
 
@@ -672,6 +672,72 @@ def compact_dd(spark, sketch_path: str, quiesced: bool = True) -> None:
     from the log's columns, like dd_stream_view); same quiesced/online
     contract as the other compactors."""
     _compact(spark, sketch_path, _dd_view_of, quiesced)
+
+
+# ------------------------------------ streaming seasonal anomalies
+
+def make_seasonal_sink(
+    counts_path: str, type_col: str = "event_type", time_col: str = "ts"
+):
+    """Streaming half of the seasonal anomaly detector (the
+    reference's continuous-monitoring story — its Grafana thresholds
+    watch exactly this kind of per-hour health signal): each
+    micro-batch appends its partial per-(type, hour) event counts —
+    counts are bucket-wise additive, so the merged state equals the
+    batch-built hourly series exactly, and the per-batch cost is
+    O(batch).  Same log contract as make_rollup_sink: per-commit
+    replay dedup, atomic appends, online-compaction watermark.
+
+    The sink maintains the SPARSE hourly counts, not the scored
+    anomalies: zero-filling needs the global observed range and the
+    leave-one-out slot baselines shift with every new hour, so scoring
+    happens at read time (``seasonal_view``) over the tiny hours x
+    types state — where it reuses the batch operator's exact plan."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            batch_df.groupBy(
+                F.col(type_col).alias("t"),
+                F.window(time_col, "1 hour").alias("__w"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .select("t", F.col("__w.start").alias("h"), "cnt")
+        )
+        AtomicParquetTable(counts_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _seasonal_sparse_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "t", "h"])
+        .groupBy("h", "t")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def seasonal_view(spark, counts_path: str, z_threshold: float = 2.0) -> DataFrame:
+    """Anomalies over the MERGED hourly state: per-commit dedup
+    (exactly-once under foreachBatch replay), then the dense grid +
+    leave-one-out scoring runs through the IDENTICAL code path as the
+    batch operator (``seasonal_scores_from_dense``) — merged-view ==
+    batch-operator is a structural guarantee, tested with planted
+    outage + spike batches."""
+    from ..operators.timeseries import densify_hourly, seasonal_scores_from_dense
+
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    return seasonal_scores_from_dense(densify_hourly(sparse), z_threshold)
+
+
+def compact_seasonal(spark, counts_path: str, quiesced: bool = True) -> None:
+    """Fold the hourly-count log to one row per (hour, type); same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, counts_path, _seasonal_sparse_of, quiesced)
 
 
 # --------------------------------------- incremental signature history

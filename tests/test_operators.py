@@ -1536,20 +1536,47 @@ def test_ddsketch_relative_error_and_merge(spark, sf_dir):
     # mergeability: shard by order priority, merge, identical buckets
     pre = dd_build(orders, "o_totalprice", keys=["o_orderpriority"], alpha=alpha)
     merged = dd_merge(pre.drop("o_orderpriority"))
-    direct = {(r.bucket): r.cnt for r in sketch.collect()}
-    assert {(r.bucket): r.cnt for r in merged.collect()} == direct
+    direct = {(r.sgn, r.bucket): r.cnt for r in sketch.collect()}
+    assert {(r.sgn, r.bucket): r.cnt for r in merged.collect()} == direct
 
-    # zero/negative values land in the reserved bucket and report 0.0
-    # for ranks inside it; NULLs are ignored entirely (sketch
-    # semantics), never counted as zeros
+    # zeros hit the exact-zero store, NEGATIVES the mirrored store
+    # (alpha guarantee holds for them too); NULLs are ignored entirely
+    # (sketch semantics), never counted as zeros
     vals = spark.createDataFrame(
         [(0.0,), (-3.0,), (100.0,), (None,), (None,)], "v double"
     )
     s = dd_build(vals, "v", alpha=alpha)
     assert s.agg(F.sum("cnt")).first()[0] == 3  # nulls not counted
-    out = {r.q: r.estimate for r in dd_quantiles(s, [0.5, 0.99], alpha=alpha).collect()}
+    out = {
+        r.q: r.estimate
+        for r in dd_quantiles(s, [0.01, 0.5, 0.99], alpha=alpha).collect()
+    }
+    assert abs(out[0.01] - (-3.0)) / 3.0 <= alpha  # mirrored store
     assert out[0.5] == 0.0
     assert abs(out[0.99] - 100.0) / 100.0 <= alpha
+
+
+def test_ddsketch_negative_store_alpha_bound(spark):
+    """The mirrored negative store must honor the same alpha
+    relative-error contract as the positive store — the pre-fix
+    sketch silently collapsed every negative into the zero bucket."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        dd_build,
+        dd_quantiles,
+    )
+
+    alpha = 0.01
+    raw = [(-(1.07 ** i),) for i in range(80)] + [(1.07 ** i,) for i in range(40)]
+    vals = spark.createDataFrame(raw, "v double")
+    s = dd_build(vals, "v", alpha=alpha)
+    qs = [0.05, 0.25, 0.5, 0.9]
+    est = {r.q: r.estimate for r in dd_quantiles(s, qs, alpha=alpha).collect()}
+    ordered = sorted(v for (v,) in raw)
+    for q in qs:
+        exact = ordered[math.ceil(q * len(ordered)) - 1]
+        assert abs(est[q] - exact) / abs(exact) <= alpha + 1e-9, (q, est[q], exact)
 
 
 def test_contrastive_triplets_semantics(spark):

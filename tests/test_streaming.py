@@ -786,6 +786,99 @@ def test_incremental_rollup_matches_batch_and_survives_replay(spark, tmp_path):
     assert view_rows() == want
 
 
+def test_streaming_seasonal_anomalies_match_batch_with_outage_and_spike(
+    spark, tmp_path
+):
+    """Continuous seasonal monitoring: hourly counts maintained as a
+    mergeable streaming rollup, scored at read time through the SAME
+    code path as the batch operator.  A planted SPIKE hour and a
+    planted zero-count OUTAGE hour must both be flagged from the
+    streamed state; the merged view must equal the batch operator on
+    the union of all batches; replay and compaction must not change
+    it."""
+    import os
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        seasonal_anomalies,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_seasonal,
+        make_seasonal_sink,
+        seasonal_view,
+    )
+
+    # 3 days x 24 h, 5 events per (type, hour) baseline; day 2: a
+    # 50-event spike at 10:00 for api, a total outage at 14:00 for api
+    rows = []
+    for day in (1, 2, 3):
+        for hod in range(24):
+            for typ in ("api", "web"):
+                n = 5
+                if typ == "api" and day == 2 and hod == 10:
+                    n = 50
+                if typ == "api" and day == 2 and hod == 14:
+                    n = 0
+                for i in range(n):
+                    rows.append((typ, f"2026-01-0{day} {hod:02d}:{i % 60:02d}:00"))
+
+    SCHEMA = "event_type string, ts_str string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    # one file per day -> three micro-batches
+    for day in (1, 2, 3):
+        day_rows = [r for r in rows if f"-0{day} " in r[1]]
+        spark.createDataFrame(day_rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/d{day}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    counts_path = str(tmp_path / "hourly")
+    sink = make_seasonal_sink(counts_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    def view_rows():
+        return {
+            (r.event_type, str(r.hour)): (r.cnt, r.z_score)
+            for r in seasonal_view(spark, counts_path).collect()
+        }
+
+    got = view_rows()
+    # the streamed state flags BOTH planted anomalies (constant
+    # baseline -> sentinel z)
+    assert got[("api", "2026-01-02 10:00:00")] == (50, 9999.0)
+    assert got[("api", "2026-01-02 14:00:00")] == (0, -9999.0)
+
+    # merged view == the batch operator over all the data
+    batch = seasonal_anomalies(
+        spark.createDataFrame(rows, SCHEMA).withColumn(
+            "ts", F.to_timestamp("ts_str")
+        )
+    )
+    want = {
+        (r.event_type, str(r.hour)): (r.cnt, r.z_score) for r in batch.collect()
+    }
+    assert got == want
+
+    # replay the day-2 batch (at-least-once retry) -> deduped
+    day2 = (
+        spark.createDataFrame([r for r in rows if "-02 " in r[1]], SCHEMA)
+        .withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    sink(day2, 1)
+    assert view_rows() == want
+
+    # compaction folds the count log without changing the scores
+    compact_seasonal(spark, counts_path)
+    assert view_rows() == want
+
+
 def test_incremental_index_matches_batch_and_survives_replay(spark, tmp_path):
     from kafka_spark_streaming_pipeline_spark.operators.retrieval import inverted_index
     from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
@@ -1362,10 +1455,12 @@ def test_streaming_ddsketch_merges_exactly_with_replay_and_compaction(spark, tmp
     sink(spark.createDataFrame(b1, ["v"]), 1)
 
     def buckets():
-        return {r.bucket: r.cnt for r in dd_stream_view(spark, path).collect()}
+        return {
+            (r.sgn, r.bucket): r.cnt for r in dd_stream_view(spark, path).collect()
+        }
 
     want = {
-        r.bucket: r.cnt
+        (r.sgn, r.bucket): r.cnt
         for r in dd_build(spark.createDataFrame(b0 + b1, ["v"]), "v").collect()
     }
     assert buckets() == want
