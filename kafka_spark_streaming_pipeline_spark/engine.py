@@ -93,6 +93,16 @@ class Engine:
 
         return connected_components(self.near_dups(**kwargs))
 
+    def decontaminate(self, eval_set: DataFrame, **kwargs) -> DataFrame:
+        """Tiered eval-set decontamination of the documents table
+        (Bloom screen -> exact gram join on suspects -> containment
+        verify on the gray zone); per-doc verdict + deciding tier.
+        Pair with operators.curation.decontamination_report for the
+        yield accounting."""
+        from .operators.curation import decontaminate_tiered
+
+        return decontaminate_tiered(self.table("documents"), eval_set, **kwargs)
+
     def chunks(self, chunk_tokens: int = 32, overlap: int = 8) -> DataFrame:
         """Fixed-token-window chunks of every document."""
         from .operators.curation import chunk_documents

@@ -127,6 +127,139 @@ def bloom_decontaminate(
     )
 
 
+def decontaminate_tiered(
+    train: DataFrame,
+    eval_set: DataFrame,
+    k: int = 5,
+    shingle_k: int = 3,
+    flag_threshold: float = 0.2,
+    containment_threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tiered eval-set decontamination — the three screens unified
+    with escalating cost and a per-doc verdict + attribution:
+
+    1. BLOOM screen (map-only over the full corpus, ~8 KB broadcast
+       state): ``n_flagged == 0`` proves clean (no false negatives),
+       and that is the overwhelming majority of a real corpus — they
+       exit at tier 'bloom' having paid zero joins.
+    2. EXACT k-gram join, on the Bloom SUSPECTS only: clears the
+       Bloom false positives (tier 'gram', clean) and convicts docs
+       whose distinct-gram overlap ratio >= ``flag_threshold``
+       (tier 'gram', contaminated).
+    3. CONTAINMENT verify, on the GRAY ZONE only (0 < ratio <
+       threshold): the ratio normalizes by TRAIN doc size, so a huge
+       page embedding one complete eval item sails under the
+       threshold — exactly the leak this tier exists for.  Score
+       max over eval docs of |shared shingles| / |eval doc shingles|
+       (eval-side containment); >= ``containment_threshold`` convicts
+       at tier 'containment'.
+
+    Scale shape: tier 1 never shuffles the corpus; tiers 2-3 re-read
+    only the suspect subset (left-semi join) against the BROADCAST
+    eval grams/shingles.  Output per train doc: the three tiers'
+    evidence columns, ``verdict`` ('clean'/'contaminated') and
+    ``tier`` — which screen decided."""
+    screen = bloom_decontaminate(train, eval_set, k, text_col, id_col)
+    suspect_ids = screen.filter(F.col("n_flagged") > 0).select(id_col)
+    suspects = train.join(suspect_ids, id_col, "left_semi")
+
+    exact = decontaminate(
+        suspects, eval_set, k, text_col, id_col, flag_threshold
+    ).select(id_col, "n_contaminated", "contamination_ratio")
+
+    # tier 3 input: gray-zone ids (some overlap, below the ratio bar)
+    gray_ids = exact.filter(
+        (F.col("n_contaminated") > 0)
+        & (F.col("contamination_ratio") < flag_threshold)
+    ).select(id_col)
+    gray = train.join(gray_ids, id_col, "left_semi")
+    ev_sh = eval_set.select(
+        F.col(id_col).alias("__eval_id"),
+        F.explode(
+            F.array_distinct(shingle_arr(F.col(text_col), shingle_k))
+        ).alias("sh"),
+    )
+    ev_sizes = ev_sh.groupBy("__eval_id").agg(F.count("*").alias("__ev_n"))
+    gray_sh = gray.select(
+        id_col,
+        F.explode(
+            F.array_distinct(shingle_arr(F.col(text_col), shingle_k))
+        ).alias("sh"),
+    )
+    containment = (
+        gray_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy(id_col, "__eval_id")
+        .agg(F.count("*").alias("__shared"))
+        .join(F.broadcast(ev_sizes), "__eval_id")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.max(F.col("__shared") / F.col("__ev_n")) + F.lit(1e-9), 4
+            ).alias("max_eval_containment")
+        )
+    )
+
+    out = (
+        screen.join(exact, id_col, "left")
+        .join(containment, id_col, "left")
+    )
+    ratio = F.col("contamination_ratio")
+    cont = F.col("max_eval_containment")
+    tier = (
+        F.when(F.col("n_flagged") == 0, F.lit("bloom"))
+        .when(
+            (F.col("n_contaminated") == 0) | (ratio >= flag_threshold),
+            F.lit("gram"),
+        )
+        .otherwise(F.lit("containment"))
+    )
+    verdict = (
+        F.when(F.col("n_flagged") == 0, F.lit("clean"))
+        .when(F.col("n_contaminated") == 0, F.lit("clean"))
+        .when(ratio >= flag_threshold, F.lit("contaminated"))
+        .when(
+            F.coalesce(cont, F.lit(0.0)) >= containment_threshold,
+            F.lit("contaminated"),
+        )
+        .otherwise(F.lit("clean"))
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_flagged",
+        "bloom_ratio",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.coalesce(ratio, F.lit(0.0)).alias("contamination_ratio"),
+        cont.alias("max_eval_containment"),
+        verdict.alias("verdict"),
+        tier.alias("tier"),
+    )
+
+
+def decontamination_report(tiered: DataFrame) -> DataFrame:
+    """Yield report over a ``decontaminate_tiered`` result: docs and
+    share per (tier, verdict) — which screens did the work and what
+    fraction of the corpus survived (the x55-style accounting view)."""
+    total = tiered.agg(F.count("*").alias("__total"))
+    return (
+        tiered.groupBy("tier", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tier",
+            "verdict",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total") + F.lit(1e-9), 4).alias(
+                "share"
+            ),
+        )
+    )
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame,

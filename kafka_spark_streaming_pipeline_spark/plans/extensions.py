@@ -3833,3 +3833,107 @@ def x86_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("monetary") + F.lit(1e-9), 2).alias("avg_monetary"),
     )
+
+
+@query(
+    "x87_decontaminate_tiered",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g5 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+             )) AS grams
+      FROM toks
+    ), g3 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+             )) AS sh3
+      FROM toks
+    ), eg AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g5 WHERE doc_id % 20 = 0
+    ), ebits AS (
+      SELECT DISTINCT unnest({_bf_bits_sql('gram')}) AS bit FROM eg
+    ), tg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM g5 WHERE doc_id % 20 <> 0
+    ), tbits AS (
+      SELECT doc_id, gram, unnest({_bf_bits_sql('gram')}) AS bit FROM tg
+    ), screen AS (
+      SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_flagged,
+             round(sum(hit) / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS bloom_ratio
+      FROM (SELECT doc_id, gram,
+                   min(CASE WHEN ebits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+            FROM tbits LEFT JOIN ebits USING (bit) GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    ), exact AS (
+      SELECT tg.doc_id,
+             CAST(coalesce(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END), 0)
+                  AS BIGINT) AS n_contaminated,
+             coalesce(round(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END)
+                            / CAST(count(*) AS DOUBLE) + 1e-9, 4), 0.0)
+               AS contamination_ratio
+      FROM tg
+      JOIN (SELECT doc_id FROM screen WHERE n_flagged > 0) s USING (doc_id)
+      LEFT JOIN eg ON tg.gram = eg.gram
+      GROUP BY tg.doc_id
+    ), evsh AS (
+      SELECT doc_id AS eval_id, unnest(sh3) AS sh FROM g3 WHERE doc_id % 20 = 0
+    ), evsz AS (
+      SELECT eval_id, count(*) AS ev_n FROM evsh GROUP BY eval_id
+    ), graysh AS (
+      SELECT g3.doc_id, unnest(g3.sh3) AS sh
+      FROM g3 JOIN (SELECT doc_id FROM exact
+                    WHERE n_contaminated > 0 AND contamination_ratio < 0.2) gz
+        USING (doc_id)
+    ), containment AS (
+      SELECT doc_id,
+             round(max(shared / CAST(ev_n AS DOUBLE)) + 1e-9, 4)
+               AS max_eval_containment
+      FROM (SELECT graysh.doc_id, evsh.eval_id, count(*) AS shared
+            FROM graysh JOIN evsh USING (sh) GROUP BY 1, 2) p
+      JOIN evsz USING (eval_id)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams, s.n_flagged, s.bloom_ratio,
+           coalesce(e.n_contaminated, 0) AS n_contaminated,
+           coalesce(e.contamination_ratio, 0.0) AS contamination_ratio,
+           c.max_eval_containment,
+           CASE WHEN s.n_flagged = 0 THEN 'clean'
+                WHEN e.n_contaminated = 0 THEN 'clean'
+                WHEN e.contamination_ratio >= 0.2 THEN 'contaminated'
+                WHEN coalesce(c.max_eval_containment, 0.0) >= 0.8
+                  THEN 'contaminated'
+                ELSE 'clean' END AS verdict,
+           CASE WHEN s.n_flagged = 0 THEN 'bloom'
+                WHEN e.n_contaminated = 0 OR e.contamination_ratio >= 0.2
+                  THEN 'gram'
+                ELSE 'containment' END AS tier
+    FROM screen s
+    LEFT JOIN exact e ON s.doc_id = e.doc_id
+    LEFT JOIN containment c ON s.doc_id = c.doc_id
+    """,
+)
+def x87_decontaminate_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified tiered decontamination (the x25/x63/x75 screens as ONE
+    pipeline with escalating cost): Bloom screen map-only over the
+    whole corpus -> exact 5-gram join on the suspects -> eval-side
+    3-shingle containment on the gray zone (where a huge page
+    embedding one complete eval item hides below the train-normalized
+    ratio).  Per-doc verdict + which tier decided; the oracle
+    replicates all three tiers' arithmetic (md5 Bloom bits, gram
+    ratios, containment maxima) in one SQL pipeline."""
+    from ..operators.curation import decontaminate_tiered
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_tiered(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        k=5,
+        shingle_k=3,
+        flag_threshold=0.2,
+        containment_threshold=0.8,
+    )

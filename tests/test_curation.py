@@ -565,3 +565,58 @@ def test_persisted_bigram_lm_scores_match_and_backoff(spark, tmp_path):
     )
     assert "w1_h:bigint,c1:bigint" in plan  # contexts table scanned
     assert "bg_h:bigint,c2:bigint" in plan  # bigrams table scanned
+
+
+def test_tiered_decontamination_each_tier_catches_its_leak(spark):
+    """Planted corpus proving the tier economics: a clean doc exits at
+    the Bloom screen; a verbatim near-copy is convicted by the exact
+    gram ratio; a HUGE page embedding one complete eval item slides
+    under the train-normalized ratio and is caught ONLY by eval-side
+    containment; a doc sharing a single 5-gram reaches the containment
+    tier and is correctly cleared.  Bloom never false-negatives: every
+    doc with a truly shared gram is a suspect."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        decontaminate_tiered,
+        decontamination_report,
+    )
+
+    eval_doc = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i}" for i in range(120))
+    train = spark.createDataFrame(
+        [
+            (1, "completely unrelated words about seven red boats sailing home"),
+            (2, eval_doc + " iota"),  # near-copy: high gram ratio
+            (3, filler + " " + eval_doc + " " + filler),  # embedded eval item
+            (4, "alpha beta gamma delta epsilon " + filler),  # one shared gram
+        ],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame([(100, eval_doc)], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in decontaminate_tiered(train, eval_set, k=5, shingle_k=3).collect()
+    }
+
+    assert (out[1].verdict, out[1].tier) == ("clean", "bloom")
+    assert (out[2].verdict, out[2].tier) == ("contaminated", "gram")
+    assert out[2].contamination_ratio >= 0.2
+    # the containment-tier leak: ratio under the bar, containment 1.0
+    assert (out[3].verdict, out[3].tier) == ("contaminated", "containment")
+    assert out[3].contamination_ratio < 0.2
+    assert out[3].max_eval_containment == 1.0
+    # light overlap reaches containment and is cleared there
+    assert (out[4].verdict, out[4].tier) == ("clean", "containment")
+    assert out[4].max_eval_containment < 0.8
+    # Bloom screen: no false negatives among truly-overlapping docs
+    for d in (2, 3, 4):
+        assert out[d].n_flagged > 0
+
+    rep = {
+        (r.tier, r.verdict): (r.n_docs, r.share)
+        for r in decontamination_report(
+            decontaminate_tiered(train, eval_set, k=5, shingle_k=3)
+        ).collect()
+    }
+    assert sum(n for n, _ in rep.values()) == 4
+    assert abs(sum(s for _, s in rep.values()) - 1.0) < 1e-6
+    assert rep[("containment", "contaminated")][0] == 1
