@@ -179,10 +179,16 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_bits: int = 0,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's SRP bucket are
     scored.  Recall grows with fewer planes / multiple tables; this is
     the scale path where |C| makes brute force infeasible.
+
+    ``quantized=True`` (requires INTEGER plane coefficients) buckets on
+    the integer-quantized projection (int_srp_bucket) — bit-identical
+    across engines, which is what lets the x06 registry entry carry a
+    full SQL value oracle instead of a rows-only check.
 
     ``multiprobe_bits`` > 0 enables multi-probe LSH: each query ALSO
     probes the buckets at Hamming distance 1 on its first
@@ -192,12 +198,13 @@ def lsh_cosine_topk(
     corpus is hashed and scored exactly as before, and per-pair work is
     deduplicated because a (query, neighbor) pair can meet in at most
     one bucket per probe."""
+    bucket_of = int_srp_bucket if quantized else srp_bucket
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("q_vec"),
         )
-        .withColumn("bucket", srp_bucket(F.col("q_vec"), planes))
+        .withColumn("bucket", bucket_of(F.col("q_vec"), planes))
         .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
     )
     if multiprobe_bits:
@@ -221,7 +228,7 @@ def lsh_cosine_topk(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("c_vec"),
         )
-        .withColumn("bucket", srp_bucket(F.col("c_vec"), planes))
+        .withColumn("bucket", bucket_of(F.col("c_vec"), planes))
         .withColumn("c_n", F.sqrt(_dot(F.col("c_vec"), F.col("c_vec"))))
     )
     sim = _dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n"))
@@ -242,6 +249,7 @@ def lsh_cosine_topk_multi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe_bits: int = 0,
+    quantized: bool = False,
 ) -> DataFrame:
     """Multi-table SRP-LSH: ``tables`` is a list of independent
     hyperplane sets; a candidate only needs to share a bucket in ANY
@@ -274,10 +282,12 @@ def lsh_cosine_topk_multi(
         # lambda as (element, index)
         return lambda bkt: F.struct(F.lit(t).alias("tbl"), bkt.alias("bucket"))
 
+    bucket_of = int_srp_bucket if quantized else srp_bucket
+
     def _with_table_buckets(df: DataFrame, vec: str, probe: bool) -> DataFrame:
         entries = []
         for t, planes in enumerate(tables):
-            bucket = srp_bucket(F.col(vec), planes)
+            bucket = bucket_of(F.col(vec), planes)
             buckets = _probes(bucket, len(planes)) if probe else F.array(bucket)
             entries.append(F.transform(buckets, _tag(t)))
         tb = F.explode(F.array_distinct(F.flatten(F.array(*entries)))).alias("tb")

@@ -11,7 +11,7 @@ DuckDB oracle can verify it (plans/extensions.py).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language marker lexicons for the heuristic language-ID.
@@ -584,6 +584,57 @@ def bpe_train(
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge list to the corpus — the encode half
+    of the tokenizer story (x77 trains, this tokenizes, x27 packs).
+
+    ``merges`` is either a ``bpe_train`` output DataFrame (collected
+    here — bounded by n_merges rows, the tokenizer artifact) or a list
+    of (left, right) pairs in rank order.
+
+    The merge application uses the classic space-join encoding: a word
+    becomes ``' c1 c2 … '`` (symbols are space-free by construction,
+    so the representation is unambiguous) and each merge in rank order
+    is ONE leftmost-non-overlapping string replace of ``' l r '`` with
+    ``' lr '`` — exactly the semantics of the training fold, but as a
+    pure codegen expression chain: the whole encode is a map-only
+    projection, no joins, no shuffles, no Python.  Scan cost O(len x
+    n_merges) per word occurrence.
+
+    Output: (id, encoded, n_words, n_symbols) — ``encoded`` joins
+    words with ``' | '`` and symbols within a word with spaces."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+
+    def encode_word(w):
+        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
+        for l, r in merges:
+            s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        return F.trim(s)
+
+    enc_words = F.filter(
+        F.transform(tokens(F.col(text_col)), encode_word), lambda e: e != ""
+    )
+    return docs.select(F.col(id_col), enc_words.alias("__enc")).select(
+        F.col(id_col),
+        F.concat_ws(" | ", F.col("__enc")).alias("encoded"),
+        F.size(F.col("__enc")).cast("long").alias("n_words"),
+        F.aggregate(
+            F.col("__enc"),
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + F.size(F.split(e, " ")),
+        ).alias("n_symbols"),
     )
 
 

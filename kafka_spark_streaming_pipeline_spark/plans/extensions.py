@@ -215,19 +215,81 @@ def p13_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-@query("x06_lsh_cosine_topk", oracle=None)
+def _srp_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB expression for int_srp_bucket over column ``v`` — sign
+    bits of integer-quantized projections (CAST(v*1000 AS BIGINT) is
+    truncation, bit-identical to the Spark side)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = "[" + ", ".join(str(c) for c in plane) + "]"
+        # trunc() before the cast: DuckDB's double->BIGINT cast rounds
+        # half-even, Spark's cast truncates toward zero
+        proj = (
+            f"list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> CAST(trunc(v[i] * 1000) AS BIGINT) * ({lits})[i]))"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+# Deterministic pseudo-random hyperplanes (fixed INTEGER literals, no
+# RNG) — integer coefficients + the quantized projection make the
+# bucket assignment bit-identical in both engines, which is what lets
+# x06/x49 carry full SQL value oracles.
+X06_PLANES = [[((7 * i + 13 * p) % 17) - 8 for i in range(64)] for p in range(4)]
+
+
+def _lsh_topk_oracle(tables: list, id_filter: str = "id < 10", k: int = 5) -> str:
+    """SQL twin of lsh_cosine_topk(_multi): candidates share an
+    integer-SRP bucket in ANY table, scored by 4-dp rounded cosine,
+    ranked per query with the id tiebreak."""
+    cand_sqls = []
+    for planes in tables:
+        b = _srp_bucket_sql(planes)
+        cand_sqls.append(
+            f"SELECT q.id AS query_id, c.id AS neighbor_id "
+            f"FROM (SELECT id, v, {b} AS bucket FROM v WHERE {id_filter}) q "
+            f"JOIN (SELECT id, v, {b} AS bucket FROM v) c USING (bucket)"
+        )
+    cand = " UNION ".join(cand_sqls)  # UNION dedups pairs meeting in >1 table
+    return f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cand AS (
+      {cand}
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v)))
+                   + 1e-9, 4) AS cosine_sim
+      FROM cand
+      JOIN v q ON cand.query_id = q.id
+      JOIN v c ON cand.neighbor_id = c.id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id)
+            AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+@query("x06_lsh_cosine_topk", oracle=_lsh_topk_oracle([X06_PLANES]))
 def x06_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed approximate top-k — the scale path for ANN
-    (rows-only check: approximate recall is compared against p13_cosine_topk in
-    tests/test_similarity.py instead of a SQL oracle)."""
+    """SRP-LSH bucketed approximate top-k — the scale path for ANN.
+    Value-checked: integer-quantized bucket assignment (bit-identical
+    across engines) + 4-dp rounded cosine with id tiebreaks pin the
+    whole candidate-set-and-ranking pipeline against the SQL oracle;
+    recall vs the exact baseline is additionally asserted in
+    tests/test_operators.py."""
     from ..operators.similarity import lsh_cosine_topk
 
-    # Deterministic pseudo-random hyperplanes (fixed literals, no RNG).
-    planes = [
-        [(((7 * i + 13 * p) % 17) - 8) / 8.0 for i in range(64)] for p in range(4)
-    ]
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb.filter(F.col("vec_id") < 10), emb, planes, k=5)
+    return lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 10), emb, X06_PLANES, k=5, quantized=True
+    )
 
 
 @query(
@@ -444,23 +506,6 @@ def x13_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic integer hyperplanes for the near-dup SRP blocking —
 # shared verbatim by the Spark operator and the SQL oracle.
 NEARDUP_PLANES = [[((7 * i + 13 * p + 5) % 17) - 8 for i in range(64)] for p in range(4)]
-
-
-def _srp_bucket_sql(planes: list[list[int]]) -> str:
-    """DuckDB expression for int_srp_bucket over column ``v`` — sign
-    bits of integer-quantized projections (CAST(v*1000 AS BIGINT) is
-    truncation, bit-identical to the Spark side)."""
-    bits = []
-    for p, plane in enumerate(planes):
-        lits = "[" + ", ".join(str(c) for c in plane) + "]"
-        # trunc() before the cast: DuckDB's double->BIGINT cast rounds
-        # half-even, Spark's cast truncates toward zero
-        proj = (
-            f"list_sum(list_transform(range(1, len(v) + 1), "
-            f"i -> CAST(trunc(v[i] * 1000) AS BIGINT) * ({lits})[i]))"
-        )
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END)")
-    return " + ".join(bits)
 
 
 @query(
@@ -1962,29 +2007,31 @@ def x48_union_neardup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _srp_tables(n_tables: int, n_planes: int = 4, dim: int = 64) -> list:
-    """Deterministic pseudo-random hyperplane tables (fixed literals,
-    no RNG) — the x06 family with a per-table offset."""
+    """Deterministic pseudo-random hyperplane tables (fixed INTEGER
+    literals, no RNG) — the x06 family with a per-table offset."""
     return [
         [
-            [(((7 * i + 13 * p + 29 * t) % 17) - 8) / 8.0 for i in range(dim)]
+            [((7 * i + 13 * p + 29 * t) % 17) - 8 for i in range(dim)]
             for p in range(n_planes)
         ]
         for t in range(n_tables)
     ]
 
 
-@query("x49_multi_table_lsh", oracle=None)
+@query("x49_multi_table_lsh", oracle=_lsh_topk_oracle(_srp_tables(3)))
 def x49_multi_table_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table SRP-LSH approximate top-k (3 independent hyperplane
     tables, union of bucket joins, per-pair dedup) — the recall dial
-    over x06's single table.  Rows-only check: recall monotonicity in
-    n_tables vs the exact baseline is pinned in
+    over x06's single table.  Value-checked: quantized buckets + 4-dp
+    rounded cosine + id tiebreaks make the full union-of-tables
+    candidate set and ranking SQL-pinnable; recall monotonicity in
+    n_tables vs the exact baseline stays pinned in
     tests/test_operators.py::test_multi_table_lsh_recall_monotone."""
     from ..operators.similarity import lsh_cosine_topk_multi
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_cosine_topk_multi(
-        emb.filter(F.col("vec_id") < 10), emb, _srp_tables(3), k=5
+        emb.filter(F.col("vec_id") < 10), emb, _srp_tables(3), k=5, quantized=True
     )
 
 
@@ -3937,3 +3984,51 @@ def x87_decontaminate_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_threshold=0.2,
         containment_threshold=0.8,
     )
+
+
+# Fixed demonstration merge list for x88 (rank order).  The LEARNED
+# path (bpe_train -> bpe_encode) is exercised in tests; fixing the
+# merges here is what makes the encode pipeline SQL-pinnable.
+X88_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("r", "e"), ("o", "n"),
+]
+
+
+def _bpe_encode_sql(merges: list) -> str:
+    chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    for l, r in merges:
+        chain = f"replace({chain}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(string_split(lower(text), ' '),
+                              w -> trim({chain})),
+               e -> e <> '') AS ew
+      FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(ew, ' | ') AS encoded,
+           CAST(len(ew) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(
+                  ew, e -> len(string_split(e, ' ')))), 0) AS BIGINT)
+             AS n_symbols
+    FROM enc
+    """
+
+
+@query("x88_bpe_encode", oracle=_bpe_encode_sql(X88_MERGES))
+def x88_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization of the corpus — the encode half of the
+    tokenizer story (x77 trains the merges, this applies them, x27
+    packs the result).  Each merge in rank order is ONE leftmost-
+    non-overlapping string replace over the space-joined symbol
+    representation, so the whole encode is a map-only codegen chain:
+    no joins, no shuffle, no Python — the shape that tokenizes 100 TB
+    at scan speed.  Value-checked end-to-end against the SQL oracle
+    (identical replace semantics verified in both engines)."""
+    from ..operators.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, X88_MERGES)
