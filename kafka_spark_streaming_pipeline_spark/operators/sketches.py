@@ -40,6 +40,99 @@ def hll_rollup(pre: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+# ------------------------------------------ portable register-level HLL
+
+# The DataSketches HLL above is the production sketch (compact binary,
+# battle-tested bias correction) but its register layout is opaque, so
+# its estimates can only be rows-only-checked.  This variant keeps the
+# registers as ordinary (bucket, rho) rows built from the md5-based
+# hash60 — every step is exact integer arithmetic except ONE division
+# and one ln(), so the whole sketch INCLUDING the estimator is
+# bit-reproducible in the DuckDB oracle (the same trick as the Bloom
+# x63 / KMV x68 / DDSketch x76 value checks).  Same mergeability story:
+# register rollup is max(rho) per bucket, a map-side-combinable agg.
+
+HLL_P = 8  # 2^8 = 256 registers; hash60 leaves 52 bits for the rho draw
+
+_HLL_RHO_MAX = 53  # (60 - HLL_P) leading-zero positions + 1
+
+
+def _hll_rho(w):
+    """Position of the first set bit (from the MSB of the 52-bit
+    window) = 53 - bitlength(w); the all-zero window maps to 53.
+    ``conv(w, 10, 2)`` has no leading zeros, so its length IS the bit
+    length — mirrored in SQL as ``length(bin(w))``."""
+    bitlen = F.length(F.conv(w.cast("string"), 10, 2))
+    return F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(F.lit(_HLL_RHO_MAX) - bitlen)
+
+
+def hll_portable_registers(
+    df: DataFrame, keys: list[str], col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-key HLL registers as (keys..., bucket, rho) rows: bucket =
+    low ``p`` bits of hash60, rho = first-set-bit position of the high
+    52 bits, max-aggregated per bucket.  ONE pass over the raw data
+    (explode-free: one hash + one map-side-combinable max) — the
+    expensive scan happens here, every rollup after is register math."""
+    m = 1 << p
+    return (
+        df.select(*keys, _hash60_col(col).alias("__h"))
+        .select(
+            *keys,
+            F.pmod(F.col("__h"), F.lit(m)).alias("bucket"),
+            _hll_rho(F.shiftright(F.col("__h"), p)).alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def _hash60_col(col: str):
+    from .text import hash60
+
+    return hash60(F.col(col).cast("string"), salt="hll|")
+
+
+def hll_portable_rollup(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge registers up to coarser ``keys``: max(rho) per bucket —
+    the union of HLLs IS the element-wise register max, so rollups
+    never rescan raw data and merge order is irrelevant."""
+    return registers.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_portable_estimate(
+    registers: DataFrame, keys: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Classic HLL estimator over register rows, kept oracle-exact:
+    the harmonic sum is computed as an exact BIGINT (each register
+    contributes ``2^(53 - rho)``, empty registers ``2^53``), so the
+    only float ops are one division, the optional linear-counting
+    ``ln``, and the 4-dp round — identical IEEE results in both
+    engines.  Small-range correction: E <= 2.5m with empty registers
+    falls back to linear counting ``m * ln(m / V)``."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(1 << _HLL_RHO_MAX)
+    grouped = registers.groupBy(*keys).agg(
+        F.count("*").alias("__present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)")
+        ).alias("__scaled"),
+    )
+    v_zero = F.lit(m) - F.col("__present")
+    denom = (F.col("__scaled") + v_zero * F.lit(1 << _HLL_RHO_MAX)).cast("double")
+    raw = F.lit(alpha * m * m * scale) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return grouped.select(
+        *keys,
+        F.round(est + F.lit(1e-9), 4).alias("approx_distinct"),
+        v_zero.cast("int").alias("v_zero"),
+    )
+
+
 # --------------------------------------------------- count-min sketch
 
 CMS_DEPTH = 4

@@ -4032,3 +4032,59 @@ def x88_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode(docs, X88_MERGES)
+
+
+@query(
+    "x89_hll_portable_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), reg AS (
+      -- direct per-event_type registers; Spark builds per (type, day)
+      -- then merges — max(rho) per bucket makes the two identical,
+      -- which is exactly the HLL mergeability law this query pins
+      SELECT event_type, h % 256 AS bucket,
+             max(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END) AS rho
+      FROM h GROUP BY event_type, h % 256
+    ), agg AS (
+      SELECT event_type, count(*) AS n_present,
+             sum(1::BIGINT << (53 - rho)) AS present_scaled
+      FROM reg GROUP BY event_type
+    )
+    SELECT event_type,
+           round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                      THEN 256.0 * ln(256.0 / v_zero)
+                      ELSE raw END + 1e-9, 4) AS approx_distinct,
+           v_zero
+    FROM (SELECT event_type,
+                 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+                   / CAST(present_scaled
+                          + (256 - n_present) * 9007199254740992 AS DOUBLE) AS raw,
+                 CAST(256 - n_present AS INT) AS v_zero
+          FROM agg)
+    """,
+)
+def x89_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register-level portable HLL distinct-user estimate per
+    event_type, built the mergeable way: per-(event_type, day)
+    registers from ONE raw scan, rolled up to event_type by
+    max(rho)-per-bucket, then the classic estimator with an exact
+    BIGINT harmonic sum.  Unlike x18 (DataSketches binary, rows-only)
+    every intermediate here is integer arithmetic, so the FULL
+    estimate — including linear-counting fallback — is value-checked
+    against the SQL oracle; and because the oracle computes registers
+    directly while Spark goes through the daily pre-agg, the hash
+    match doubles as a merge-equals-direct proof."""
+    from ..operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    pre = hll_portable_registers(events, ["event_type", "day"], "user_id")
+    rolled = hll_portable_rollup(pre, ["event_type"])
+    return hll_portable_estimate(rolled, ["event_type"])

@@ -71,6 +71,43 @@ def test_plans_are_broadcast_where_expected(spark, sf_dir, name):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_bpe_encode_plan_is_map_only(spark, sf_dir):
+    # the whole tokenizer encode must be one codegen projection over
+    # the scan: no Exchange, no join, no Python — that's what makes it
+    # a scan-speed pass at 100 TB
+    plan = (
+        QUERIES["x88_bpe_encode"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bpe_train_encode_roundtrip(spark):
+    # encode with LEARNED merges: the trained pair list applied by
+    # bpe_encode merges exactly the trained pairs and nothing else
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the thin then"), (2, "the other there")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=3)
+    enc = bpe_encode(docs, merges).orderBy("doc_id").collect()
+    learned = [(r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()]
+    # 'th' + 'the' are the dominant pairs in this corpus; every 'the'
+    # word must therefore encode to the single symbol 'the'
+    assert ("t", "h") == learned[0]
+    assert enc[0].encoded.split(" | ")[0] == "the"
+    assert enc[0].n_words == 3 and enc[1].n_words == 3
+
+
 def test_batch_file_readers_explicit_schema(spark, tmp_path):
     from pyspark.sql import types as T
 

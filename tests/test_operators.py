@@ -312,6 +312,33 @@ def test_hll_sketch_rollup_matches_direct(spark, sf_dir):
         assert abs(rolled[et] - n) / n < 0.05
 
 
+def test_hll_portable_registers_merge_and_error(spark, sf_dir):
+    """Portable HLL: rolled-up registers equal direct registers
+    row-for-row (the mergeability law), and the estimator lands within
+    the expected error envelope for 256 registers (~1.04/sqrt(256) =
+    6.5% standard error; assert 3 sigma)."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    pre = hll_portable_registers(events, ["event_type", "day"], "user_id")
+    rolled = hll_portable_rollup(pre, ["event_type"])
+    direct = hll_portable_registers(events, ["event_type"], "user_id")
+    assert sorted(map(tuple, rolled.collect())) == sorted(map(tuple, direct.collect()))
+
+    est = {r.event_type: r.approx_distinct
+           for r in hll_portable_estimate(rolled, ["event_type"]).collect()}
+    exact = {r.event_type: r.n
+             for r in events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, n in exact.items():
+        assert abs(est[et] - n) / n < 0.20, (et, est[et], n)
+
+
 def test_connected_components_transitive_closure(spark):
     from kafka_spark_streaming_pipeline_spark.operators.dedup import connected_components
 
