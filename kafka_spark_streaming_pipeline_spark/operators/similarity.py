@@ -325,7 +325,9 @@ def lsh_cosine_topk_multi(
 
 # ------------------------------------------------------------------ IVF
 
-def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFrame:
+def nearest_cells(
+    df: DataFrame, cents: DataFrame, n: int, out: str, rounded: bool = False
+) -> DataFrame:
     """Attach each vector's ``n`` nearest cells WITHOUT shuffling
     ``df``: the centroid set (nlist x dim — tiny by construction) is
     folded into a one-row array, broadcast-nested-loop attached, and
@@ -333,14 +335,24 @@ def nearest_cells(df: DataFrame, cents: DataFrame, n: int, out: str) -> DataFram
     structs, slice n, explode).  The previous form exploded df x
     nlist and paid a row_number window — a shuffle of nlist times
     the corpus just to pick the max of nlist scores.  Expects the
-    vector in column ``v`` (array<double>)."""
+    vector in column ``v`` (array<double>).
+
+    ``rounded=True`` ranks on the 4-dp rounded similarity with the
+    cell id as tiebreak — a cross-engine-deterministic argmax (the
+    struct sort orders by (neg_sim, cell)), which is what lets the
+    portable IVF carry a full SQL value oracle."""
     cent_arr = cents.agg(
         F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
     )
+
+    def _neg_sim(s):
+        sim = cosine(F.col("v"), s["centroid"])
+        return -F.round(sim + F.lit(1e-9), 4) if rounded else -sim
+
     sims = F.transform(
         F.col("__cents"),
         lambda s: F.struct(
-            (-cosine(F.col("v"), s["centroid"])).alias("neg_sim"),
+            _neg_sim(s).alias("neg_sim"),
             s["cell"].alias("cell"),
         ),
     )
@@ -372,6 +384,37 @@ def _centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _centroids_portable(assigned: DataFrame) -> DataFrame:
+    """Cross-engine-exact per-cell centroids: each coordinate is
+    quantized to a BIGINT (trunc(val * 1000) — the x06 convention),
+    summed exactly (BIGINT addition is order-independent, unlike
+    float), and the mean is reconstructed with exactly two IEEE
+    divisions — so Spark and the SQL oracle produce bit-identical
+    centroid arrays regardless of aggregation order."""
+    by_dim = (
+        assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.sum((F.col("val") * 1000).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        by_dim.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("dm"),
+            F.first("n").alias("n_members"),
+        )
+        .select(
+            "cell",
+            F.transform(
+                "dm", lambda t: t["s"].cast("double") / F.col("n_members") / F.lit(1000.0)
+            ).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -380,6 +423,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into ``nlist`` cells
     (deterministic hash init + ONE Lloyd reassignment step, both pure
@@ -390,23 +434,40 @@ def ivf_topk(
     everywhere; the corpus is scanned twice (assign, search) and
     shuffled once on cell id; a query touches nprobe/nlist of the
     corpus.  Versus SRP-LSH (lsh_cosine_topk) this adapts to the data
-    distribution instead of using fixed hyperplanes."""
+    distribution instead of using fixed hyperplanes.
+
+    ``portable=True`` makes every discrete decision cross-engine
+    deterministic — md5-hash60 seeding (not xxhash64), exact-BIGINT
+    centroid sums (not float avg), 4-dp-rounded cell argmax with cell
+    id tiebreaks — so the whole index build + search pipeline can be
+    value-checked against a SQL oracle (x15).  Identical plan shape
+    and cost; the only semantic delta is 1e-3 centroid quantization."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )
     # init: deterministic hash cells -> means; one Lloyd step: reassign
     # each vector to its nearest centroid, recompute means
-    seeded = c.withColumn("cell", F.pmod(F.xxhash64("neighbor_id"), F.lit(nlist)))
-    cents0 = _centroids(seeded).select("cell", "centroid")
+    if portable:
+        from .text import hash60
 
-    reassigned = nearest_cells(c, cents0, 1, "cell")
-    cents = _centroids(reassigned).select("cell", "centroid")
+        seed_cell = F.pmod(
+            hash60(F.col("neighbor_id").cast("string"), salt="ivf|"), F.lit(nlist)
+        )
+        make_cents = _centroids_portable
+    else:
+        seed_cell = F.pmod(F.xxhash64("neighbor_id"), F.lit(nlist))
+        make_cents = _centroids
+    seeded = c.withColumn("cell", seed_cell)
+    cents0 = make_cents(seeded).select("cell", "centroid")
+
+    reassigned = nearest_cells(c, cents0, 1, "cell", rounded=portable)
+    cents = make_cents(reassigned).select("cell", "centroid")
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
     )
     probed = (
-        nearest_cells(q, cents, nprobe, "probe_cell")
+        nearest_cells(q, cents, nprobe, "probe_cell", rounded=portable)
         .withColumnRenamed("v", "q_vec")
         .withColumn("q_n", F.sqrt(_dot(F.col("q_vec"), F.col("q_vec"))))
     )

@@ -537,16 +537,81 @@ def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, NEARDUP_PLANES, threshold=0.4)
 
 
-@query("x15_ivf_topk", oracle=None)
+def _cos4(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) "
+        f"/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+        f"+ 1e-9, 4)"
+    )
+
+
+def _int_centroids_sql(src: str) -> str:
+    """Exact-BIGINT per-cell centroids over CTE ``src(id, v, cell)`` —
+    mirrors similarity._centroids_portable: coordinates quantized with
+    trunc(val*1000) (DuckDB trunc == Spark's toward-zero long cast),
+    summed as BIGINT (order-independent), mean via two divisions."""
+    return f"""
+      SELECT cell, array_agg(CAST(s AS DOUBLE) / n / 1000.0 ORDER BY dim) AS centroid
+      FROM (SELECT cell, u.i AS dim,
+                   sum(CAST(trunc(v[u.i] * 1000) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM {src}, unnest(range(1, len(v) + 1)) AS u(i)
+            GROUP BY cell, u.i)
+      GROUP BY cell"""
+
+
+_X15_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+), a0 AS (
+  SELECT id, v,
+         ('0x' || substr(md5('ivf|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT % 16 AS cell
+  FROM v
+), c0 AS ({_int_centroids_sql('a0')}
+), a1 AS (
+  -- one Lloyd reassignment: nearest c0 centroid by rounded cosine,
+  -- cell id as the deterministic tiebreak
+  SELECT id, v, cell FROM (
+    SELECT s.id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.id
+             ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn
+    FROM a0 s CROSS JOIN c0 c) WHERE rn = 1
+), c1 AS ({_int_centroids_sql('a1')}
+), probe AS (
+  SELECT id AS query_id, v AS q_vec, cell AS probe_cell FROM (
+    SELECT s.id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.id
+             ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn
+    FROM (SELECT id, v FROM v WHERE id < 10) s CROSS JOIN c1 c) WHERE rn <= 4
+), scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         {_cos4('p.q_vec', 'a.v')} AS cosine_sim
+  FROM probe p JOIN a1 a ON p.probe_cell = a.cell
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@query("x15_ivf_topk", oracle=_X15_ORACLE)
 def x15_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (hash-seeded cells + one Lloyd step +
     nprobe search) — the data-adaptive ANN scale path next to x06's
-    fixed-hyperplane LSH.  Rows-only check; recall vs the exact p13_cosine_topk
-    baseline is asserted in tests/test_operators.py."""
+    fixed-hyperplane LSH.  Value-checked (r5): portable mode pins
+    every discrete decision — md5-hash60 seeding, exact-BIGINT
+    centroid sums, 4-dp-rounded argmax with cell tiebreaks — so the
+    SQL oracle reproduces the ENTIRE index build + probe + rank
+    pipeline bit-for-bit.  Recall vs the exact p13_cosine_topk
+    baseline stays asserted in tests/test_operators.py."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, nlist=16, nprobe=4, k=5)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, nlist=16, nprobe=4, k=5, portable=True
+    )
 
 
 @query(

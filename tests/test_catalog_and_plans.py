@@ -27,12 +27,13 @@ def test_registry_contract():
     no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
     # everything else is value-checked; these approximate/iterative
     # paths are rows-only with accuracy asserted in tests instead
-    # (r5 promoted x06/x49 — quantized SRP buckets — and x76 — pinned
-    # DDSketch arithmetic — to full value oracles; what remains is
+    # (r5 promoted x06/x49 — quantized SRP buckets — x76 — pinned
+    # DDSketch arithmetic — and x15 — portable IVF with exact-BIGINT
+    # centroids — to full value oracles; what remains is
     # float-iterative training state: k-means/PQ codebooks, the BPE
-    # merge loop, power-iteration PCA, and the DataSketches HLL binary)
+    # merge loop, power-iteration PCA, and the DataSketches HLL binary
+    # — x18's portable register-level twin x89 IS value-checked)
     assert no_oracle == {
-        "x15_ivf_topk",
         "x18_hll_user_rollup",
         "x37_kmeans_clusters",
         "x62_pq_topk",

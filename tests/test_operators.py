@@ -201,6 +201,15 @@ def test_ivf_topk_recall(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
+    # portable mode (the x15 oracle path) only changes seeding /
+    # centroid quantization, never the search quality contract
+    portable_top1 = {
+        r.query_id: r.neighbor_id
+        for r in ivf_topk(queries, emb, nlist=8, nprobe=4, k=5, portable=True).collect()
+        if r.rank == 1
+    }
+    assert sum(1 for q in exact if portable_top1.get(q) == exact[q]) >= 8
+
 
 def test_pq_topk_rerank_recall(spark, sf_dir):
     """PQ ADC shortlist + exact rerank: high recall vs brute force while
