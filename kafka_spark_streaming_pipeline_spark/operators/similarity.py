@@ -543,6 +543,7 @@ def kmeans_assign(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ) -> DataFrame:
     """Spherical k-means (Lloyd) over an embedding column — the
     centroid trainer behind IVF indexing and semantic-cluster curation
@@ -558,14 +559,27 @@ def kmeans_assign(
     centroid set's lineage handle.
 
     Returns (id, cell, sim) — each vector's cluster and its cosine
-    similarity to the final centroid."""
+    similarity to the final centroid.
+
+    ``portable=True`` applies the x15 determinism kit (md5-hash60
+    seeding, exact-BIGINT centroid sums, rounded argmax with cell
+    tiebreaks) so the full Lloyd loop unrolls into a SQL value oracle
+    (x37) — identical plan shape, 1e-3 centroid quantization."""
     c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-    seeded = c.withColumn("cell", F.pmod(F.xxhash64(id_col), F.lit(k)))
-    cents = _centroids(seeded).select("cell", "centroid").localCheckpoint()
+    if portable:
+        from .text import hash60
+
+        seed = F.pmod(hash60(F.col(id_col).cast("string"), salt="km|"), F.lit(k))
+        make_cents = _centroids_portable
+    else:
+        seed = F.pmod(F.xxhash64(id_col), F.lit(k))
+        make_cents = _centroids
+    seeded = c.withColumn("cell", seed)
+    cents = make_cents(seeded).select("cell", "centroid").localCheckpoint()
     for _ in range(iterations):
-        assigned = nearest_cells(c, cents, 1, "cell")
-        cents = _centroids(assigned).select("cell", "centroid").localCheckpoint()
-    final = nearest_cells(c, cents, 1, "cell")
+        assigned = nearest_cells(c, cents, 1, "cell", rounded=portable)
+        cents = make_cents(assigned).select("cell", "centroid").localCheckpoint()
+    final = nearest_cells(c, cents, 1, "cell", rounded=portable)
     return final.join(cents, "cell").select(
         id_col,
         "cell",

@@ -1454,18 +1454,47 @@ def x36_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_truncate(emb, dims=16)
 
 
-@query("x37_kmeans_clusters", oracle=None)
+def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+    """Unrolled Lloyd loop as chained CTEs — one (assign, centroid)
+    block per iteration, every block exact by the x15 determinism kit."""
+    assign = (
+        "SELECT id, v, cell FROM ("
+        "SELECT s.id, s.v, c.cell, row_number() OVER (PARTITION BY s.id "
+        f"ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn "
+        "FROM v s CROSS JOIN c{prev} c) WHERE rn = 1"
+    )
+    ctes = [
+        "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"a0 AS (SELECT id, v, ('0x' || substr(md5('km|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT % {k} AS cell FROM v)",
+        f"c0 AS ({_int_centroids_sql('a0')})",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(f"a{i} AS ({assign.format(prev=i - 1)})")
+        ctes.append(f"c{i} AS ({_int_centroids_sql(f'a{i}')})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, cell, sim FROM ("
+        f"SELECT s.id AS vec_id, c.cell, {_cos4('s.v', 'c.centroid')} AS sim, "
+        "row_number() OVER (PARTITION BY s.id "
+        f"ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn "
+        f"FROM v s CROSS JOIN c{iterations} c) WHERE rn = 1"
+    )
+
+
+@query("x37_kmeans_clusters", oracle=_kmeans_oracle())
 def x37_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical k-means (Lloyd) cluster assignment over the embedding
-    table — the IVF centroid trainer exposed as an operator.  No SQL
-    oracle (iterative); convergence is asserted in
-    tests/test_operators.py (mean within-cluster similarity must not
-    decrease across refinement iterations, assignments must argmax the
-    final centroids)."""
+    table — the IVF centroid trainer exposed as an operator.
+    Value-checked (r5): portable mode pins seeding, exact-BIGINT
+    centroid sums, and rounded argmax, so the WHOLE iterative Lloyd
+    loop unrolls into chained SQL CTEs and hash-matches end-to-end.
+    Convergence (mean within-cluster similarity non-decreasing,
+    assignments argmax the final centroids) stays asserted in
+    tests/test_operators.py."""
     from ..operators.similarity import kmeans_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, k=8, iterations=2)
+    return kmeans_assign(emb, k=8, iterations=2, portable=True)
 
 
 @query(

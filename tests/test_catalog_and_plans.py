@@ -28,14 +28,14 @@ def test_registry_contract():
     # everything else is value-checked; these approximate/iterative
     # paths are rows-only with accuracy asserted in tests instead
     # (r5 promoted x06/x49 — quantized SRP buckets — x76 — pinned
-    # DDSketch arithmetic — and x15 — portable IVF with exact-BIGINT
-    # centroids — to full value oracles; what remains is
-    # float-iterative training state: k-means/PQ codebooks, the BPE
-    # merge loop, power-iteration PCA, and the DataSketches HLL binary
-    # — x18's portable register-level twin x89 IS value-checked)
+    # DDSketch arithmetic — and x15/x37 — portable IVF + k-means with
+    # exact-BIGINT centroids and an unrolled-CTE Lloyd loop — to full
+    # value oracles; what remains is float-avg training state the SQL
+    # side cannot reproduce exactly: PQ codebooks, the BPE merge loop,
+    # power-iteration PCA, and the DataSketches HLL binary — x18's
+    # portable register-level twin x89 IS value-checked)
     assert no_oracle == {
         "x18_hll_user_rollup",
-        "x37_kmeans_clusters",
         "x62_pq_topk",
         "x69_ivfpq_topk",
         "x77_bpe_train",
