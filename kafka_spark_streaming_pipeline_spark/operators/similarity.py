@@ -860,7 +860,9 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
-def pq_train_codebooks(corpus: DataFrame, m: int, ksub: int, dsub: int) -> DataFrame:
+def pq_train_codebooks(
+    corpus: DataFrame, m: int, ksub: int, dsub: int, portable: bool = False
+) -> DataFrame:
     """Train per-subspace PQ codebooks (Jégou et al., "Product
     Quantization for Nearest Neighbor Search"): split each vector into
     ``m`` subvectors of ``dsub`` dims, then per subspace run the same
@@ -903,9 +905,40 @@ def pq_train_codebooks(corpus: DataFrame, m: int, ksub: int, dsub: int) -> DataF
             ).alias("centroid")
         )
 
-    seeded = subs.withColumn(
-        "cell", F.pmod(F.xxhash64("id") + F.col("sub"), F.lit(ksub))
-    )
+    def _means_portable(assigned: DataFrame) -> DataFrame:
+        # cross-engine-exact variant: quantized BIGINT coordinate sums
+        # (order-independent) + two IEEE divisions, same as
+        # _centroids_portable — what lets x62/x69 carry SQL oracles
+        g = assigned.groupBy("sub", "cell").agg(
+            *[
+                F.sum((F.element_at(F.col("sv"), d + 1) * 1000).cast("long")).alias(
+                    f"__s{d}"
+                )
+                for d in range(dsub)
+            ],
+            F.count("*").alias("__n"),
+        )
+        return g.select(
+            "sub",
+            "cell",
+            F.array(
+                *[
+                    F.col(f"__s{d}").cast("double") / F.col("__n") / F.lit(1000.0)
+                    for d in range(dsub)
+                ]
+            ).alias("centroid"),
+        )
+
+    if portable:
+        from .text import hash60
+
+        seed = F.pmod(
+            hash60(F.col("id").cast("string"), salt="pq|") + F.col("sub"), F.lit(ksub)
+        )
+        _means = _means_portable  # noqa: F811
+    else:
+        seed = F.pmod(F.xxhash64("id") + F.col("sub"), F.lit(ksub))
+    seeded = subs.withColumn("cell", seed)
     cb0 = _means(seeded)
     cb0_row = (
         cb0.groupBy("sub")
@@ -995,6 +1028,7 @@ def pq_topk(
     dim: int | None = None,
     rerank: int = 0,
     train_sample_mod: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """PQ approximate top-k cosine via asymmetric distance computation
     (ADC): vectors are L2-normalized (cosine == dot), the corpus is
@@ -1027,7 +1061,13 @@ def pq_topk(
     standard production move (FAISS trains on a fixed sample, never
     the full corpus): codebook quality needs a representative sample,
     not every vector, and at 100 TB a full-corpus training pass would
-    dwarf the encode itself."""
+    dwarf the encode itself.
+
+    ``portable=True`` swaps codebook training to the x15 determinism
+    kit (hash60 seeding, exact-BIGINT coordinate sums); every
+    downstream decision (argmin codes, LUT terms, ADC ranking, rerank)
+    is ALREADY rounded + tiebroken, so the entire two-stage pipeline
+    becomes reproducible in a SQL oracle (x62)."""
     if dim is None:  # probe once when the caller doesn't know the width
         dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
@@ -1042,12 +1082,17 @@ def pq_topk(
         )
 
     c = _unit(corpus, "id")
-    train = (
-        c.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
-        if train_sample_mod
-        else c
-    )
-    cb = pq_train_codebooks(train, m, ksub, dsub).localCheckpoint()
+    if train_sample_mod:
+        if portable:
+            from .text import hash60
+
+            train_hash = hash60(F.col("id").cast("string"), salt="pqs|")
+        else:
+            train_hash = F.xxhash64("id")
+        train = c.filter(F.pmod(train_hash, F.lit(train_sample_mod)) == 0)
+    else:
+        train = c
+    cb = pq_train_codebooks(train, m, ksub, dsub, portable=portable).localCheckpoint()
     encoded = pq_encode(c, cb, m, dsub).select(
         F.col("id").alias("neighbor_id"), "codes"
     )
@@ -1258,6 +1303,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     rerank: int = 0,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composed FAISS-style index shape
     and the full 100 TB ANN stack in one operator: an IVF coarse
@@ -1276,7 +1322,11 @@ def ivfpq_topk(
 
     All three training passes (cells, Lloyd step, codebooks) are
     hash-seeded and deterministic; ``rerank`` adds the exact-rescore
-    stage over the per-query shortlist exactly as in pq_topk."""
+    stage over the per-query shortlist exactly as in pq_topk.
+    ``portable=True`` composes the x15 + x62 determinism kits (hash60
+    seeds, exact-BIGINT centroids in both tiers, rounded argmax) so
+    the whole coarse-quantize -> residual-PQ -> ADC -> rerank stack
+    carries a SQL value oracle (x69)."""
     if dim is None:
         dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
@@ -1292,10 +1342,18 @@ def ivfpq_topk(
 
     c = _unit(corpus, "id")
     # IVF coarse quantizer: hash seed + one Lloyd step (as ivf_topk)
-    seeded = c.withColumn("cell", F.pmod(F.xxhash64("id"), F.lit(nlist)))
-    cents0 = _centroids(seeded).select("cell", "centroid")
-    assigned = nearest_cells(c, cents0, 1, "cell")
-    cents = _centroids(assigned).select("cell", "centroid").localCheckpoint()
+    if portable:
+        from .text import hash60
+
+        coarse_seed = F.pmod(hash60(F.col("id").cast("string"), salt="ivf|"), F.lit(nlist))
+        make_cents = _centroids_portable
+    else:
+        coarse_seed = F.pmod(F.xxhash64("id"), F.lit(nlist))
+        make_cents = _centroids
+    seeded = c.withColumn("cell", coarse_seed)
+    cents0 = make_cents(seeded).select("cell", "centroid")
+    assigned = nearest_cells(c, cents0, 1, "cell", rounded=portable)
+    cents = make_cents(assigned).select("cell", "centroid").localCheckpoint()
 
     # residual postings + PQ codebooks trained ON the residuals
     resid = (
@@ -1303,13 +1361,13 @@ def ivfpq_topk(
         .withColumn("r", F.zip_with("v", "centroid", lambda x, y: x - y))
         .select("cell", "id", F.col("r").alias("v"))
     )
-    cb = pq_train_codebooks(resid, m, ksub, dsub).localCheckpoint()
+    cb = pq_train_codebooks(resid, m, ksub, dsub, portable=portable).localCheckpoint()
     postings = pq_encode(resid, cb, m, dsub).select("cell", "id", "codes")
 
     # probe side: nprobe cells per query; per probed cell one scalar
     # dot(q, centroid) + the LUT of q's subvectors vs residual codebooks
     q = _unit(queries, "query_id")
-    probed = nearest_cells(q, cents, nprobe, "probe_cell").join(
+    probed = nearest_cells(q, cents, nprobe, "probe_cell", rounded=portable).join(
         F.broadcast(cents.withColumnRenamed("cell", "probe_cell")), "probe_cell"
     )
     luts = F.transform(

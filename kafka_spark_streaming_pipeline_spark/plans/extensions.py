@@ -2828,7 +2828,90 @@ def x61_text_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x62_pq_topk", oracle=None)
+def _pq_oracle(
+    m: int = 16,
+    ksub: int = 16,
+    dsub: int = 4,
+    rerank: int = 50,
+    k: int = 5,
+    id_filter: str = "id < 10",
+) -> str:
+    """SQL twin of pq_topk(portable=True): unit-normalize, split into
+    m subspaces, hash-seed + one exact-centroid Lloyd step per
+    subspace, argmin-encode, ADC-score via 6-dp LUT terms (summed as
+    scaled BIGINTs — exact and order-independent), exact-cosine rerank
+    of the per-query shortlist."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) + 1e-9, 6)"
+        )
+
+    sums = ", ".join(
+        f"sum(CAST(trunc(sv[{d + 1}] * 1000) AS BIGINT)) AS s{d}" for d in range(dsub)
+    )
+    cent = "[" + ", ".join(f"CAST(s{d} AS DOUBLE) / n / 1000.0" for d in range(dsub)) + "]"
+
+    def codebook(src: str) -> str:
+        return (
+            f"SELECT sub, cell, {cent} AS centroid, "
+            f"CAST(row_number() OVER (PARTITION BY sub ORDER BY cell) - 1 AS INT) AS pos "
+            f"FROM (SELECT sub, cell, {sums}, count(*) AS n FROM {src} GROUP BY sub, cell)"
+        )
+
+    def argmin(src: str, cb: str, out: str) -> str:
+        return (
+            f"SELECT id, sub, sv, pos AS {out} FROM ("
+            f"SELECT s.id, s.sub, s.sv, c.pos, "
+            f"row_number() OVER (PARTITION BY s.id, s.sub "
+            f"ORDER BY {l2('s.sv', 'c.centroid')}, c.pos) AS rn "
+            f"FROM {src} s JOIN {cb} c ON s.sub = c.sub) WHERE rn = 1"
+        )
+
+    return f"""
+    WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT id, CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS v
+          FROM (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM raw)),
+    subs AS (SELECT id, s.sub AS sub,
+                    v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+             FROM u, (SELECT unnest(range(0, {m})) AS sub) s),
+    seeded AS (SELECT id, sub, sv,
+                      (('0x' || substr(md5('pq|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                       + sub) % {ksub} AS cell
+               FROM subs),
+    cb0 AS ({codebook('seeded')}),
+    a1 AS ({argmin('seeded', 'cb0', 'cell')}),
+    cb1 AS ({codebook('a1')}),
+    codes AS ({argmin('subs', 'cb1', 'code')}),
+    luts AS (SELECT q.id AS query_id, c.sub, c.pos,
+                    round(list_dot_product(q.sv, c.centroid) + 1e-9, 6) AS t
+             FROM (SELECT * FROM subs WHERE {id_filter}) q
+             JOIN cb1 c ON q.sub = c.sub),
+    adc AS (SELECT l.query_id, co.id AS neighbor_id,
+                   -- t is 6-dp; the scaled-BIGINT sum is exact and
+                   -- aggregation-order-independent, unlike float SUM
+                   round(sum(CAST(round(l.t * 1000000) AS BIGINT)) / 1000000.0
+                         + 1e-9, 4) AS adc_score
+            FROM codes co JOIN luts l ON co.sub = l.sub AND co.code = l.pos
+            GROUP BY l.query_id, co.id),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_score DESC, neighbor_id) AS rn FROM adc)
+              WHERE rn <= {max(rerank, k)}),
+    rescored AS (SELECT s.query_id, s.neighbor_id,
+                        round(list_dot_product(qu.v, cu.v) + 1e-9, 4) AS cosine_sim
+                 FROM short s
+                 JOIN u cu ON s.neighbor_id = cu.id
+                 JOIN u qu ON s.query_id = qu.id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM rescored)
+    WHERE rn <= {k}
+    """
+
+
+@query("x62_pq_topk", oracle=_pq_oracle())
 def x62_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al.) with the two-stage
     production shape: ADC lookup-table scan over the 32x-compressed
@@ -2836,13 +2919,18 @@ def x62_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-candidate shortlist per query, then ONLY the shortlist fetches
     full vectors for exact cosine rerank — recall@5 0.92 vs the exact
     p13_cosine_topk baseline at sf0.001 while the float math touches
-    |Q| x 50 rows instead of |Q| x |corpus|.  Rows-only check; recall
-    and determinism are asserted in tests/test_operators.py."""
+    |Q| x 50 rows instead of |Q| x |corpus|.  Value-checked (r5):
+    portable codebook training (hash60 seed, exact-BIGINT centroid
+    sums) plus the already-rounded argmin/LUT/rank decisions make the
+    ENTIRE train -> encode -> ADC -> rerank pipeline reproducible in
+    the SQL oracle; recall and determinism stay asserted in
+    tests/test_operators.py."""
     from ..operators.similarity import pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(
-        emb.filter(F.col("vec_id") < 10), emb, m=16, ksub=16, k=5, dim=64, rerank=50
+        emb.filter(F.col("vec_id") < 10), emb, m=16, ksub=16, k=5, dim=64, rerank=50,
+        portable=True,
     )
 
 
@@ -3185,19 +3273,141 @@ def x68_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(a, b)
 
 
-@query("x69_ivfpq_topk", oracle=None)
+def _ivfpq_oracle(
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    dsub: int = 4,
+    rerank: int = 50,
+    k: int = 5,
+    id_filter: str = "id < 10",
+) -> str:
+    """SQL twin of ivfpq_topk(portable=True): coarse IVF (hash60 seed
+    + exact-centroid Lloyd step + rounded argmax), residual PQ
+    codebooks per subspace, argmin codes, probe-side cell_dot + LUT,
+    scaled-BIGINT ADC sum, exact-cosine shortlist rerank."""
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) + 1e-9, 6)"
+        )
+
+    sums = ", ".join(
+        f"sum(CAST(trunc(sv[{d + 1}] * 1000) AS BIGINT)) AS s{d}" for d in range(dsub)
+    )
+    cent = "[" + ", ".join(f"CAST(s{d} AS DOUBLE) / n / 1000.0" for d in range(dsub)) + "]"
+
+    def codebook(src: str) -> str:
+        return (
+            f"SELECT sub, cell, {cent} AS centroid, "
+            f"CAST(row_number() OVER (PARTITION BY sub ORDER BY cell) - 1 AS INT) AS pos "
+            f"FROM (SELECT sub, cell, {sums}, count(*) AS n FROM {src} GROUP BY sub, cell)"
+        )
+
+    def argmin(src: str, cb: str, out: str) -> str:
+        return (
+            f"SELECT id, cell_c, sub, sv, pos AS {out} FROM ("
+            f"SELECT s.id, s.cell_c, s.sub, s.sv, c.pos, "
+            f"row_number() OVER (PARTITION BY s.id, s.sub "
+            f"ORDER BY {l2('s.sv', 'c.centroid')}, c.pos) AS rn "
+            f"FROM {src} s JOIN {cb} c ON s.sub = c.sub) WHERE rn = 1"
+        )
+
+    return f"""
+    WITH raw AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT id, CASE WHEN n > 0 THEN list_transform(v, x -> x / n) ELSE v END AS v
+          FROM (SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM raw)),
+    a0 AS (SELECT id, v,
+                  ('0x' || substr(md5('ivf|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                  % {nlist} AS cell
+           FROM u),
+    c0 AS ({_int_centroids_sql('a0')}
+    ),
+    a1 AS (SELECT id, v, cell FROM (
+             SELECT s.id, s.v, c.cell,
+                    row_number() OVER (PARTITION BY s.id
+                      ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn
+             FROM u s CROSS JOIN c0 c) WHERE rn = 1),
+    c1 AS ({_int_centroids_sql('a1')}
+    ),
+    resid AS (SELECT a1.id, a1.cell AS cell_c,
+                     list_transform(range(1, len(a1.v) + 1),
+                                    i -> a1.v[i] - c.centroid[i]) AS v
+              FROM a1 JOIN c1 c ON a1.cell = c.cell),
+    rsubs AS (SELECT id, cell_c, s.sub AS sub,
+                     v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+              FROM resid, (SELECT unnest(range(0, {m})) AS sub) s),
+    rseeded AS (SELECT id, cell_c, sub, sv,
+                       (('0x' || substr(md5('pq|' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+                        + sub) % {ksub} AS cell
+                FROM rsubs),
+    rcb0 AS ({codebook('rseeded')}),
+    ra1 AS (SELECT id, cell_c, sub, sv, cell_pq AS cell
+            FROM ({argmin('rseeded', 'rcb0', 'cell_pq')})),
+    rcb1 AS ({codebook('ra1')}),
+    codes AS ({argmin('rsubs', 'rcb1', 'code')}),
+    probe AS (SELECT id AS query_id, v AS q_vec, cell AS probe_cell, cell_dot FROM (
+                SELECT s.id, s.v, c.cell,
+                       round(list_dot_product(s.v, c.centroid) + 1e-9, 6) AS cell_dot,
+                       row_number() OVER (PARTITION BY s.id
+                         ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn
+                FROM (SELECT id, v FROM u WHERE {id_filter}) s CROSS JOIN c1 c)
+              WHERE rn <= {nprobe}),
+    qsubs AS (SELECT id AS query_id, s.sub AS sub,
+                     v[s.sub * {dsub} + 1 : s.sub * {dsub} + {dsub}] AS sv
+              FROM (SELECT id, v FROM u WHERE {id_filter}),
+                   (SELECT unnest(range(0, {m})) AS sub) s),
+    luts AS (SELECT q.query_id, c.sub, c.pos,
+                    round(list_dot_product(q.sv, c.centroid) + 1e-9, 6) AS t
+             FROM qsubs q JOIN rcb1 c ON q.sub = c.sub),
+    adc AS (SELECT p.query_id, co.id AS neighbor_id, p.probe_cell,
+                   sum(CAST(round(l.t * 1000000) AS BIGINT)) AS st
+            FROM codes co
+            JOIN probe p ON co.cell_c = p.probe_cell
+            JOIN luts l ON l.query_id = p.query_id
+                       AND l.sub = co.sub AND l.pos = co.code
+            GROUP BY p.query_id, co.id, p.probe_cell),
+    scored AS (SELECT a.query_id, a.neighbor_id,
+                      round((CAST(round(p.cell_dot * 1000000) AS BIGINT) + a.st)
+                            / 1000000.0 + 1e-9, 4) AS adc_score
+               FROM adc a
+               JOIN probe p ON p.query_id = a.query_id
+                           AND p.probe_cell = a.probe_cell),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_score DESC, neighbor_id) AS rn FROM scored)
+              WHERE rn <= {max(rerank, k)}),
+    rescored AS (SELECT s.query_id, s.neighbor_id,
+                        round(list_dot_product(qu.v, cu.v) + 1e-9, 4) AS cosine_sim
+                 FROM short s
+                 JOIN u cu ON s.neighbor_id = cu.id
+                 JOIN u qu ON s.query_id = qu.id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM rescored)
+    WHERE rn <= {k}
+    """
+
+
+@query("x69_ivfpq_topk", oracle=_ivfpq_oracle())
 def x69_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k: the composed FAISS-style index — IVF coarse cells
     prune the corpus to nprobe/nlist, residual-PQ ADC scores the
     probed postings (m lookups per row, vectors never read), exact
-    rerank on the 50-candidate shortlist.  Rows-only; recall and
-    nprobe monotonicity are asserted in tests/test_operators.py."""
+    rerank on the 50-candidate shortlist.  Value-checked (r5): the
+    composed x15 + x62 determinism kits (hash60 seeds, exact-BIGINT
+    centroids in BOTH tiers, rounded argmax/argmin/rank) make the
+    entire stack — coarse quantize, residual encode, probe, ADC,
+    rerank — reproducible in the SQL oracle.  Recall and nprobe
+    monotonicity stay asserted in tests/test_operators.py."""
     from ..operators.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
         emb.filter(F.col("vec_id") < 10), emb,
-        nlist=8, nprobe=4, m=16, ksub=16, k=5, dim=64, rerank=50,
+        nlist=8, nprobe=4, m=16, ksub=16, k=5, dim=64, rerank=50, portable=True,
     )
 
 

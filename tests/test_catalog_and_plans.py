@@ -27,17 +27,17 @@ def test_registry_contract():
     no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
     # everything else is value-checked; these approximate/iterative
     # paths are rows-only with accuracy asserted in tests instead
-    # (r5 promoted x06/x49 — quantized SRP buckets — x76 — pinned
-    # DDSketch arithmetic — and x15/x37 — portable IVF + k-means with
-    # exact-BIGINT centroids and an unrolled-CTE Lloyd loop — to full
-    # value oracles; what remains is float-avg training state the SQL
-    # side cannot reproduce exactly: PQ codebooks, the BPE merge loop,
-    # power-iteration PCA, and the DataSketches HLL binary — x18's
-    # portable register-level twin x89 IS value-checked)
+    # (r5 promoted the whole ANN tier — x06/x49 quantized SRP, x15
+    # portable IVF, x37 unrolled-CTE k-means, x62 PQ, x69 IVF-PQ —
+    # plus x76 DDSketch to full value oracles via the determinism kit:
+    # hash60 seeding, exact-BIGINT centroid sums, rounded argmax with
+    # tiebreaks.  What remains is driver-loop training state no single
+    # SQL statement can express: the BPE merge loop (x77, exact
+    # sequential-equivalence test), power-iteration PCA (x80, numpy
+    # eigenvector parity test), and the DataSketches HLL binary (x18,
+    # whose portable register-level twin x89 IS value-checked).)
     assert no_oracle == {
         "x18_hll_user_rollup",
-        "x62_pq_topk",
-        "x69_ivfpq_topk",
         "x77_bpe_train",
         "x80_all_but_the_top",
     }

@@ -261,6 +261,15 @@ def test_pq_topk_rerank_recall(spark, sf_dir):
         (r.query_id, r.neighbor_id, r.rank) for r in approx_rows
     )
 
+    # portable mode (the x62 oracle path: hash60 seed + exact-BIGINT
+    # codebook sums) must keep the recall contract
+    papprox: dict[int, set[int]] = {}
+    for r in pq_topk(
+        queries, emb, m=16, ksub=16, k=5, dim=64, rerank=50, portable=True
+    ).collect():
+        papprox.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert sum(len(exact[q] & papprox.get(q, set())) for q in exact) >= 40
+
     # the sampled-training scale knob stays functional + deterministic
     sampled = pq_topk(
         queries, emb, m=16, ksub=16, k=5, dim=64, rerank=50, train_sample_mod=4
@@ -1409,10 +1418,11 @@ def test_ivfpq_topk_recall_and_probe_monotonicity(spark, sf_dir):
     for r in cosine_topk(queries, emb, k=5).collect():
         exact.setdefault(r.query_id, set()).add(r.neighbor_id)
 
-    def recall(nprobe):
+    def recall(nprobe, portable=False):
         approx: dict[int, set[int]] = {}
         for r in ivfpq_topk(
-            queries, emb, nlist=8, nprobe=nprobe, m=16, ksub=16, k=5, dim=64, rerank=50
+            queries, emb, nlist=8, nprobe=nprobe, m=16, ksub=16, k=5, dim=64,
+            rerank=50, portable=portable,
         ).collect():
             approx.setdefault(r.query_id, set()).add(r.neighbor_id)
         return sum(len(exact[q] & approx.get(q, set())) for q in exact)
@@ -1422,6 +1432,8 @@ def test_ivfpq_topk_recall_and_probe_monotonicity(spark, sf_dir):
     r8 = recall(8)
     assert r8 >= r4  # probing every cell never loses candidates
     assert r8 >= 45  # measured 48/50: only PQ shortlist misses remain
+    # the x69 oracle path keeps the recall contract
+    assert recall(4, portable=True) >= 30
 
 
 def test_pq_index_build_then_search_parity_and_codes_only_scan(spark, sf_dir, tmp_path):
