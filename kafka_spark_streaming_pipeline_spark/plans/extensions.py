@@ -1454,9 +1454,11 @@ def x36_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_truncate(emb, dims=16)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+def _kmeans_ctes(k: int = 8, iterations: int = 2) -> tuple[str, str]:
     """Unrolled Lloyd loop as chained CTEs — one (assign, centroid)
-    block per iteration, every block exact by the x15 determinism kit."""
+    block per iteration, every block exact by the x15 determinism kit.
+    Returns (cte_block, final_assign_select) so composite queries
+    (x90) can build on the assignment."""
     assign = (
         "SELECT id, v, cell FROM ("
         "SELECT s.id, s.v, c.cell, row_number() OVER (PARTITION BY s.id "
@@ -1471,14 +1473,19 @@ def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
     for i in range(1, iterations + 1):
         ctes.append(f"a{i} AS ({assign.format(prev=i - 1)})")
         ctes.append(f"c{i} AS ({_int_centroids_sql(f'a{i}')})")
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
+    final = (
         "SELECT vec_id, cell, sim FROM ("
         f"SELECT s.id AS vec_id, c.cell, {_cos4('s.v', 'c.centroid')} AS sim, "
         "row_number() OVER (PARTITION BY s.id "
         f"ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn "
         f"FROM v s CROSS JOIN c{iterations} c) WHERE rn = 1"
     )
+    return ",\n".join(ctes), final
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 2) -> str:
+    ctes, final = _kmeans_ctes(k, iterations)
+    return f"WITH {ctes}\n{final}"
 
 
 @query("x37_kmeans_clusters", oracle=_kmeans_oracle())
@@ -4392,3 +4399,197 @@ def x89_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = hll_portable_registers(events, ["event_type", "day"], "user_id")
     rolled = hll_portable_rollup(pre, ["event_type"])
     return hll_portable_estimate(rolled, ["event_type"])
+
+
+def _x90_oracle() -> str:
+    ctes, final = _kmeans_ctes(k=8, iterations=1)
+    return f"""
+    WITH {ctes},
+    assign AS ({final}),
+    labeled AS (
+      SELECT a.cell, d.text FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+    ), toks AS (
+      SELECT cell, unnest(string_split(lower(text), ' ')) AS term FROM labeled
+    ), filtered AS (
+      SELECT * FROM toks WHERE length(term) >= 3
+    ), tf AS (
+      SELECT cell, term, count(*) AS tf FROM filtered GROUP BY cell, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT cell) AS n_docs FROM labeled
+    ), scored AS (
+      SELECT tf.cell, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1) / CAST(df.df + 1 AS DOUBLE)) + 1) + 1e-9, 6)
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT cell, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY cell
+                                   ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """
+
+
+@query("x90_cluster_topics", oracle=_x90_oracle())
+def x90_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-label: portable k-means cells over the embedding
+    table joined back to the documents, then cluster-level TF-IDF
+    (each cell is one super-document, df counts cells) names each
+    semantic cluster by its top-3 terms — the standard corpus-map /
+    curation-triage view.  Composes two value-checked pipelines (x37's
+    unrolled Lloyd loop + x17's TF-IDF) into one oracle, so the
+    composite is hash-checked end-to-end.  Scale: the only added cost
+    over x37 is a broadcast-able (doc_id, cell) join and the x17
+    shuffles keyed on 8 cells x terms."""
+    from ..operators.similarity import kmeans_assign
+    from ..operators.text import tfidf_top_terms
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assign = kmeans_assign(emb, k=8, iterations=1, portable=True).select(
+        F.col("vec_id").alias("doc_id"), "cell"
+    )
+    labeled = docs.join(assign, "doc_id").select("cell", "text")
+    return tfidf_top_terms(labeled, id_col="cell", k=3, min_token_len=3)
+
+
+@query(
+    "x91_tokenizer_fertility",
+    oracle=f"""
+    WITH enc AS ({_bpe_encode_sql(X88_MERGES)}
+    ), lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+                  WHEN n_en = greatest(n_en, n_es, n_de, n_fr) THEN 'en'
+                  WHEN n_es = greatest(n_en, n_es, n_de, n_fr) THEN 'es'
+                  WHEN n_de = greatest(n_en, n_es, n_de, n_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id, text,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the', 'a', 'of', 'and'))) AS n_en,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('el', 'la', 'de', 'que'))) AS n_es,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('der', 'die', 'und', 'das'))) AS n_de,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('le', 'la', 'et', 'les'))) AS n_fr
+        FROM documents)
+    )
+    SELECT lang_pred,
+           count(*) AS n_docs,
+           sum(enc.n_words) AS total_words,
+           sum(enc.n_symbols) AS total_symbols,
+           round(CAST(sum(enc.n_symbols) AS DOUBLE) / sum(enc.n_words) + 1e-9, 4)
+             AS fertility,
+           round(CAST(sum(lang.n_chars) AS DOUBLE) / sum(enc.n_symbols) + 1e-9, 4)
+             AS chars_per_symbol
+    FROM enc JOIN lang USING (doc_id)
+    GROUP BY lang_pred
+    """,
+)
+def x91_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report by (predicted) language — the
+    standard multilingual-tokenizer evaluation: symbols per word
+    (fertility; lower = the merge table serves that language better)
+    and characters per symbol (compression) per language bucket.
+    Composes x88's map-only BPE encode with x07's marker lang-ID; the
+    per-language sums are exact BIGINTs so the two ratios carry a full
+    value oracle.  Scale: one documents scan for each leg + a
+    broadcast-size (doc_id, lang) join and an 8-group aggregate."""
+    from ..operators.text import bpe_encode, lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, X88_MERGES)
+    lang = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        enc.join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_symbols").alias("total_symbols"),
+            F.round(
+                F.sum("n_symbols").cast("double") / F.sum("n_words") + F.lit(1e-9), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_symbols") + F.lit(1e-9), 4
+            ).alias("chars_per_symbol"),
+        )
+    )
+
+
+@query(
+    "x92_canonical_selection",
+    oracle=f"""
+    WITH comp AS (
+      SELECT id, component FROM ({_P14_ORACLE})
+    ), q AS (
+      SELECT doc_id,
+             ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+               AS quality_score,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id, text,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+               list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+                 / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len
+        FROM documents)
+    )
+    SELECT component, doc_id, quality_score, n_chars,
+           (rn = 1) AS is_canonical
+    FROM (SELECT c.component, c.id AS doc_id, q.quality_score, q.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY q.quality_score DESC, c.id) AS rn
+          FROM comp c JOIN q ON q.doc_id = c.id)
+    """,
+)
+def x92_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection for near-dup clusters — the policy
+    step between detection and deletion: within each p14 dup cluster
+    keep the HIGHEST-quality member (x08 composite score, doc_id
+    tiebreak) and flag the rest for purge, with their sizes so the
+    yield accounting is immediate.  Composes two value-checked
+    pipelines (MinHash-LSH closure + quality scoring) into one
+    hash-checked oracle.  Scale: adds one broadcast-size join (cluster
+    membership is a tiny fraction of the corpus) and a window over
+    components to the p14 cost."""
+    from pyspark.sql import Window as W
+
+    from ..operators import text as tx
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    )
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col("doc_id"),
+        tx.quality_score(F.col("text")).alias("quality_score"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    w = W.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("id"))
+    return (
+        comp.join(q, comp.id == q.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "component",
+            "doc_id",
+            "quality_score",
+            "n_chars",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )
