@@ -623,6 +623,54 @@ def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
     _compact(spark, sketch_path, _cms_view_of, quiesced)
 
 
+# ------------------------------------ incremental portable HLL registers
+
+def make_hll_sink(sketch_path: str, keys: list[str], col: str):
+    """Incrementally-maintained portable HLL (streaming distinct
+    counts): each micro-batch appends its PARTIAL (keys..., bucket,
+    rho) registers — at most |keys| x 256 rows regardless of batch
+    size.  HLL union is the element-wise register MAX, which is not
+    just mergeable but IDEMPOTENT — a replayed batch's registers
+    cannot inflate the estimate even without commit dedup — so this is
+    the most replay-tolerant sink in the family; the per-commit dedup
+    is kept anyway for log-size hygiene and the shared compaction
+    contract.  Estimates come from
+    operators.sketches.hll_portable_estimate over the merged view,
+    identical to the batch-built sketch (the x89 mergeability law)."""
+    from ..operators.sketches import hll_portable_registers
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = hll_portable_registers(batch_df, keys, col)
+        AtomicParquetTable(sketch_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def hll_stream_view(spark, sketch_path: str, keys: list[str]) -> DataFrame:
+    """Merged registers: per-commit dedup then max(rho) per (keys,
+    bucket) — feed to operators.sketches.hll_portable_estimate."""
+    return _hll_view_of(_read_log(spark, sketch_path), keys)
+
+
+def _hll_view_of(log: DataFrame, keys: list[str]) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", *keys, "bucket"])
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def compact_hll(spark, sketch_path: str, keys: list[str], quiesced: bool = True) -> None:
+    """Fold the register log to one row set per (keys, bucket); same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, sketch_path, lambda log: _hll_view_of(log, keys), quiesced)
+
+
 # ------------------------------------ incremental ddsketch quantiles
 
 def make_dd_sink(sketch_path: str, value_col: str, keys: list[str] | None = None):
