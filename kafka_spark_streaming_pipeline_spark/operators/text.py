@@ -209,13 +209,22 @@ def tfidf_top_terms(
     ranked window per doc.  Three shuffles total — (doc, term), (term),
     (doc) — each on well-spread keys; the doc-count N is a broadcast
     scalar.  Scores are rounded before ranking so rank order is
-    identical across engines."""
+    identical across engines.
+
+    The tf frame is multi-consumed (df leg + scoring leg) so it is
+    PERSISTED — without it each consumer re-derives the corpus scan
+    and token explode, which at 100 TB is the whole query cost (the
+    p18 BM25 lesson; ReuseExchange does not fire because the two
+    consumers prune different columns).  The only remaining second
+    scan is the doc-count leg, column-pruned to the id."""
     from pyspark.sql import Window as W
+
+    from ..cache import tracked_persist
 
     toks = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.length("term") >= min_token_len)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tracked_persist(toks.groupBy(id_col, "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
@@ -587,6 +596,30 @@ def bpe_train(
     )
 
 
+def bpe_encoded_words(text: Column, merges: list) -> Column:
+    """Column form of the BPE encode: array of space-joined symbol
+    strings, one element per word — a pure codegen expression usable
+    inside any single-scan projection (x91 composes it with lang-ID
+    without a second corpus scan)."""
+
+    def encode_word(w):
+        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
+        for l, r in merges:
+            s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        return F.trim(s)
+
+    return F.filter(F.transform(tokens(text), encode_word), lambda e: e != "")
+
+
+def bpe_symbol_count(enc_words: Column) -> Column:
+    """Total symbol count of a ``bpe_encoded_words`` array."""
+    return F.aggregate(
+        enc_words,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.size(F.split(e, " ")),
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges,
@@ -616,25 +649,12 @@ def bpe_encode(
             (r["left"], r["right"])
             for r in merges.orderBy("merge_rank").collect()
         ]
-
-    def encode_word(w):
-        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
-        for l, r in merges:
-            s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-        return F.trim(s)
-
-    enc_words = F.filter(
-        F.transform(tokens(F.col(text_col)), encode_word), lambda e: e != ""
-    )
+    enc_words = bpe_encoded_words(F.col(text_col), merges)
     return docs.select(F.col(id_col), enc_words.alias("__enc")).select(
         F.col(id_col),
         F.concat_ws(" | ", F.col("__enc")).alias("encoded"),
         F.size(F.col("__enc")).cast("long").alias("n_words"),
-        F.aggregate(
-            F.col("__enc"),
-            F.lit(0).cast("long"),
-            lambda acc, e: acc + F.size(F.split(e, " ")),
-        ).alias("n_symbols"),
+        bpe_symbol_count(F.col("__enc")).alias("n_symbols"),
     )
 
 

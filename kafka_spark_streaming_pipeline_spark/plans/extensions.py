@@ -4443,13 +4443,19 @@ def x90_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite is hash-checked end-to-end.  Scale: the only added cost
     over x37 is a broadcast-able (doc_id, cell) join and the x17
     shuffles keyed on 8 cells x terms."""
+    from ..cache import tracked_persist
     from ..operators.similarity import kmeans_assign
     from ..operators.text import tfidf_top_terms
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    assign = kmeans_assign(emb, k=8, iterations=1, portable=True).select(
-        F.col("vec_id").alias("doc_id"), "cell"
+    # the (doc_id, cell) assignment is tiny and consumed by both
+    # tf-idf legs — persist so the Lloyd pipeline runs ONCE, not once
+    # per consumer
+    assign = tracked_persist(
+        kmeans_assign(emb, k=8, iterations=1, portable=True).select(
+            F.col("vec_id").alias("doc_id"), "cell"
+        )
     )
     labeled = docs.join(assign, "doc_id").select("cell", "text")
     return tfidf_top_terms(labeled, id_col="cell", k=3, min_token_len=3)
@@ -4496,22 +4502,27 @@ def x91_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard multilingual-tokenizer evaluation: symbols per word
     (fertility; lower = the merge table serves that language better)
     and characters per symbol (compression) per language bucket.
-    Composes x88's map-only BPE encode with x07's marker lang-ID; the
-    per-language sums are exact BIGINTs so the two ratios carry a full
-    value oracle.  Scale: one documents scan for each leg + a
-    broadcast-size (doc_id, lang) join and an 8-group aggregate."""
-    from ..operators.text import bpe_encode, lang_id
+    Composes x88's map-only BPE encode with x07's marker lang-ID in
+    ONE single-scan projection (both are pure column expressions — no
+    join, no second corpus read); the per-language sums are exact
+    BIGINTs so the two ratios carry a full value oracle.  Scale: one
+    documents scan + an 8-group map-side-combinable aggregate."""
+    from ..operators.text import bpe_encoded_words, bpe_symbol_count, lang_id
 
     docs = load_table(spark, sf_dir, "documents")
-    enc = bpe_encode(docs, X88_MERGES)
-    lang = docs.select(
-        "doc_id",
+    enc = F.col("__enc")
+    per_doc = docs.select(
         lang_id(F.col("text")).alias("lang_pred"),
         F.length("text").cast("long").alias("n_chars"),
+        bpe_encoded_words(F.col("text"), X88_MERGES).alias("__enc"),
+    ).select(
+        "lang_pred",
+        "n_chars",
+        F.size(enc).cast("long").alias("n_words"),
+        bpe_symbol_count(enc).alias("n_symbols"),
     )
     return (
-        enc.join(lang, "doc_id")
-        .groupBy("lang_pred")
+        per_doc.groupBy("lang_pred")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_words"),
