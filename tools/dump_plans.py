@@ -67,6 +67,13 @@ AUDITED = {
     "x81_session_affinity": "session affinity: pair expansion over per-session TYPE SETS (vocabulary-bounded), never a self-join of the event log",
     "x84_leadlag_xcorr": "lead-lag xcorr: one log pass to hours x types; all lag joins/corr run on the aggregated series only",
     "x86_rfm_segments": "RFM: broadcast quintile boundaries + map-only scoring — no single-partition ntile window (linter-enforced)",
+    "x15_ivf_topk": "IVF: broadcast-centroid argmax assignment (corpus never shuffles to assign); probed cells only at search",
+    "x37_kmeans_clusters": "k-means: broadcast-argmax per round, (cell, dim) agg is the only shuffle; localCheckpoint truncates the loop",
+    "x88_bpe_encode": "BPE encode: map-only codegen replace chain — zero exchanges, zero joins, no Python",
+    "x89_hll_portable_rollup": "portable HLL: one raw scan to 256-register state; rollup and estimator touch registers only",
+    "x90_cluster_topics": "cluster topics: persisted (doc, cell) assignment + persisted tf — Lloyd runs once, corpus explodes once",
+    "x91_tokenizer_fertility": "tokenizer fertility: ONE scan — lang-ID and BPE symbol counts in the same projection, 8-group combinable agg",
+    "x92_canonical_selection": "canonical selection: p14 closure + quality join + per-component window; membership frame is tiny",
 }
 
 
