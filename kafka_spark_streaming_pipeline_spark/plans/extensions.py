@@ -4604,3 +4604,90 @@ def x92_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") == 1).alias("is_canonical"),
         )
     )
+
+
+@query(
+    "x93_corpus_datasheet",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+             list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS n_en,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('el', 'la', 'de', 'que'))) AS n_es,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('der', 'die', 'und', 'das'))) AS n_de,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('le', 'la', 'et', 'les'))) AS n_fr,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp
+      FROM documents
+    ), per AS (
+      SELECT source, n_tokens, fp,
+             CASE WHEN ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+                       >= 0.9 THEN 1 ELSE 0 END AS hi_q,
+             CASE WHEN greatest(n_en, n_es, n_de, n_fr) > 0
+                   AND n_en = greatest(n_en, n_es, n_de, n_fr) THEN 1 ELSE 0 END AS is_en
+      FROM m
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.5) + 1e-9, 4) AS median_tokens,
+           round(CAST(sum(hi_q) AS DOUBLE) / count(*) + 1e-9, 4) AS hi_quality_rate,
+           round(CAST(sum(is_en) AS DOUBLE) / count(*) + 1e-9, 4) AS en_rate,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) + 1e-9, 4) AS dup_rate
+    FROM per
+    GROUP BY source
+    """,
+)
+def x93_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet — the one-scan corpus report a
+    training-data pipeline publishes with every snapshot: volume
+    (docs, tokens, mean/median length), quality (share of max-score
+    docs), language mix (predicted-English rate), and exact-duplicate
+    rate from md5 fingerprints.  Every per-doc signal (token count,
+    quality score, lang-ID, fingerprint) is a pure column expression,
+    so the whole datasheet is ONE corpus scan + one per-source
+    aggregate; ratios divide exact integer counts, keeping the value
+    oracle tight.  Scale: map-side-combinable aggregates on a
+    well-spread key (the exact-percentile median is the one
+    sort-based term; swap for approx_percentile at 100 TB if the
+    per-source sort ever dominates)."""
+    from ..operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "source",
+        tx.token_count(t).alias("n_tokens"),
+        (tx.quality_score(t) >= 0.9).cast("int").alias("hi_q"),
+        (tx.lang_id(t) == "en").cast("int").alias("is_en"),
+        tx.fingerprint(t).alias("fp"),
+    )
+    n = F.count("*")
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens").cast("double") / n + F.lit(1e-9), 4).alias(
+            "mean_tokens"
+        ),
+        F.round(F.expr("percentile(n_tokens, 0.5)") + F.lit(1e-9), 4).alias(
+            "median_tokens"
+        ),
+        F.round(F.sum("hi_q").cast("double") / n + F.lit(1e-9), 4).alias(
+            "hi_quality_rate"
+        ),
+        F.round(F.sum("is_en").cast("double") / n + F.lit(1e-9), 4).alias("en_rate"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp").cast("double") / n + F.lit(1e-9), 4
+        ).alias("dup_rate"),
+    )
