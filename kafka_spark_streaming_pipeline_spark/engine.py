@@ -490,3 +490,75 @@ class Engine:
         from .operators.dedup import incremental_components
 
         return incremental_components(prev_labels, new_pairs)
+
+    def datasheet(self) -> DataFrame:
+        """Per-source corpus datasheet (x93): volume, length
+        distribution, quality share, language mix, exact-dup rate —
+        one corpus scan."""
+        from .plans import QUERIES
+
+        return QUERIES["x93_corpus_datasheet"].builder(self.spark, self.sf_dir)
+
+    def cluster_topics(self, k: int = 8, iterations: int = 1) -> DataFrame:
+        """Name each embedding cluster by its top TF-IDF terms (x90):
+        portable k-means cells joined to documents, cluster-level
+        TF-IDF top-3."""
+        from pyspark.sql import functions as F
+
+        from .cache import tracked_persist
+        from .operators.similarity import kmeans_assign
+        from .operators.text import tfidf_top_terms
+
+        assign = tracked_persist(
+            kmeans_assign(
+                self.table("embeddings"), k=k, iterations=iterations, portable=True
+            ).select(F.col("vec_id").alias("doc_id"), "cell")
+        )
+        labeled = self.table("documents").join(assign, "doc_id").select("cell", "text")
+        return tfidf_top_terms(labeled, id_col="cell", k=3, min_token_len=3)
+
+    def canonical_docs(self, **kwargs) -> DataFrame:
+        """Near-dup clusters with the best-quality member flagged
+        canonical and the rest marked for purge (x92 semantics)."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from .operators import text as tx
+        from .operators.dedup import connected_components, minhash_lsh_pairs
+
+        docs = self.table("documents")
+        pairs = minhash_lsh_pairs(docs, **kwargs) if kwargs else minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+        )
+        comp = connected_components(pairs)
+        q = docs.select(
+            F.col("doc_id"),
+            tx.quality_score(F.col("text")).alias("quality_score"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        w = W.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("id"))
+        return (
+            comp.join(q, comp.id == q.doc_id)
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                "component", "doc_id", "quality_score", "n_chars",
+                (F.col("rn") == 1).alias("is_canonical"),
+            )
+        )
+
+    def distinct_counts(self, keys: list[str], col: str, table: str = "events") -> DataFrame:
+        """Portable-HLL approximate distinct counts per key group
+        (x89): one raw scan to 256-register state, value-reproducible
+        estimator; registers are reusable for coarser rollups."""
+        from .operators.sketches import hll_portable_estimate, hll_portable_registers
+
+        regs = hll_portable_registers(self.table(table), keys, col)
+        return hll_portable_estimate(regs, keys)
+
+    def tokenize(self, merges) -> DataFrame:
+        """Apply a BPE merge list (trained via operators.text.bpe_train
+        or fixed) to the documents table — map-only, scan-speed
+        (x88)."""
+        from .operators.text import bpe_encode
+
+        return bpe_encode(self.table("documents"), merges)

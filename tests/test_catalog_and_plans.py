@@ -423,3 +423,41 @@ def test_shingle_oracles_agree_on_short_docs(spark, tmp_path):
         o_cols = [d[0] for d in con.description]
         assert len(s_rows) == len(o), (name, len(s_rows), len(o))
         assert canonical(s_rows, sdf.columns) == canonical(o, o_cols), name
+
+
+def test_engine_round5_surfaces(spark, sf_dir):
+    """The round-5 facade additions: datasheet, cluster topics,
+    canonical selection, portable distinct counts, BPE tokenize."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+    from kafka_spark_streaming_pipeline_spark.plans.extensions import X88_MERGES
+
+    eng = Engine(spark, sf_dir)
+
+    ds = eng.datasheet().collect()
+    assert len(ds) > 0
+    for r in ds:
+        assert r.n_docs > 0 and 0.0 <= r.dup_rate < 1.0
+        assert 0.0 <= r.en_rate <= 1.0
+
+    ct = eng.cluster_topics(k=8, iterations=1).collect()
+    cells = {r.cell for r in ct}
+    assert len(cells) > 1  # several clusters got labels
+    assert all(1 <= r.rank <= 3 for r in ct)
+
+    cd = eng.canonical_docs()
+    one_canon = cd.groupBy("component").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n")
+    )
+    assert one_canon.filter("n != 1").count() == 0  # exactly one keeper per cluster
+
+    dc = {r.event_type: r.approx_distinct for r in
+          eng.distinct_counts(["event_type"], "user_id").collect()}
+    exact = {r.event_type: r.n for r in
+             eng.table("events").groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, n in exact.items():
+        assert abs(dc[et] - n) / n < 0.20
+
+    tk = eng.tokenize(X88_MERGES)
+    assert tk.count() == eng.table("documents").count()
+    assert {"encoded", "n_words", "n_symbols"} <= set(tk.columns)
