@@ -623,6 +623,76 @@ def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
     _compact(spark, sketch_path, _cms_view_of, quiesced)
 
 
+# -------------------------------------------- streaming heavy hitters
+
+def make_heavy_hitters_sink(
+    path: str, term_col: str = "term", candidates_per_batch: int = 32
+):
+    """Streaming heavy-hitter tracking as two bounded mergeable logs:
+    the count-min sketch (exact mergeable counts-with-bias) plus a
+    per-batch local-top-N candidate log (N rows per batch).  Any
+    globally heavy term is a local top-N in at least one batch it
+    appears heavily in, so the candidate union contains the true heavy
+    hitters while both logs stay O(batches), never O(distinct terms) —
+    the classic sketch+candidates alternative to keeping full term
+    counts, which at 100 TB is exactly what cannot be kept.
+
+    Same replay contract as the underlying CMS sink; the candidate log
+    dedups per commit and a replayed batch re-appends an identical
+    candidate set."""
+    from pyspark.sql import functions as F
+
+    cms_sink = make_cms_sink(f"{path}/cms", term_col)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cms_sink(batch_df, batch_id)
+        top = (
+            batch_df.groupBy(term_col)
+            .agg(F.count("*").alias("__cnt"))
+            .orderBy(F.desc("__cnt"), F.asc(term_col))
+            .limit(candidates_per_batch)
+            .select(term_col)
+        )
+        AtomicParquetTable(f"{path}/cands").append(
+            top.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def heavy_hitters_view(
+    spark, path: str, k: int = 20, term_col: str = "term"
+) -> DataFrame:
+    """Current top-k: estimate every logged candidate against the
+    merged sketch, rank by estimate.  Touches only the candidate set
+    and the 1024-cell sketch — no raw data."""
+    from ..operators.sketches import cms_estimate
+
+    cands = (
+        _drop_replays_behind_watermark(_read_log(spark, f"{path}/cands"))
+        .select(term_col)
+        .distinct()
+    )
+    est = cms_estimate(_cms_view_of(_read_log(spark, f"{path}/cms")), cands)
+    return est.orderBy(F.desc("cms_estimate"), F.asc(term_col)).limit(k)
+
+
+def compact_heavy_hitters(
+    spark, path: str, quiesced: bool = True, term_col: str = "term"
+) -> None:
+    """Compact both logs: fold the sketch cell-wise and the candidate
+    log to its distinct terms."""
+    compact_cms(spark, f"{path}/cms", quiesced)
+    _compact(
+        spark,
+        f"{path}/cands",
+        lambda log: _drop_replays_behind_watermark(log).select(term_col).distinct(),
+        quiesced,
+    )
+
+
 # ------------------------------------ incremental portable HLL registers
 
 def make_hll_sink(sketch_path: str, keys: list[str], col: str):

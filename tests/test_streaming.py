@@ -1280,6 +1280,46 @@ def test_streaming_cms_merges_exactly_and_never_underestimates(spark, tmp_path):
     assert est["alpha"] >= 8 and est["beta"] >= 2 and est["gamma"] >= 4
 
 
+def test_streaming_heavy_hitters_track_true_top_terms(spark, tmp_path):
+    """The sketch+candidates pair must surface the true heavy terms
+    across batches (never undercounting them), survive replay, and
+    keep both logs bounded."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_heavy_hitters,
+        heavy_hitters_view,
+        make_heavy_hitters_sink,
+    )
+
+    path = str(tmp_path / "hh")
+    sink = make_heavy_hitters_sink(path, candidates_per_batch=4)
+    # skewed stream: 'hot' dominates globally, 'warm' second; each
+    # batch also carries unique cold terms that must NOT crowd the log
+    b0 = [("hot",)] * 30 + [("warm",)] * 10 + [(f"cold{i}",) for i in range(20)]
+    b1 = [("hot",)] * 25 + [("warm",)] * 15 + [(f"cold{i}",) for i in range(20, 40)]
+    sink(spark.createDataFrame(b0, ["term"]), 0)
+    sink(spark.createDataFrame(b1, ["term"]), 1)
+
+    def top():
+        return {r.term: r.cms_estimate
+                for r in heavy_hitters_view(spark, path, k=2).collect()}
+
+    est = top()
+    assert set(est) == {"hot", "warm"}
+    assert est["hot"] >= 55 and est["warm"] >= 25  # CMS never undercounts
+
+    sink(spark.createDataFrame(b1, ["term"]), 1)  # replay -> identical
+    assert top() == est
+    compact_heavy_hitters(spark, path, quiesced=False)
+    sink(spark.createDataFrame(b1, ["term"]), 1)  # replay of folded batch
+    assert top() == est
+
+    # candidate log stayed bounded: <= candidates_per_batch per commit
+    from kafka_spark_streaming_pipeline_spark.streaming.txn import AtomicParquetTable
+
+    cands = AtomicParquetTable(path + "/cands").read(spark)
+    assert cands.count() <= 4 * 3 + 4  # 3 appends + folded rows
+
+
 def test_streaming_hll_merges_exactly_and_is_replay_idempotent(spark, tmp_path):
     """The streamed portable-HLL registers must equal the batch-built
     registers row for row (union = element-wise max), survive replay
