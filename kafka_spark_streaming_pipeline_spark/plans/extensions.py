@@ -3733,14 +3733,58 @@ def x76_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x77_bpe_train", oracle=None)
+def _bpe_train_oracle(n_merges: int = 10) -> str:
+    """The WHOLE BPE training loop as one recursive CTE: the working
+    table carries the evolving symbol vocabulary; each recursive step
+    computes the global argmax pair (count desc, left, right — the
+    same tie order as the Spark loop) in a derived-table aggregate
+    over the working table, then applies it as the space-join
+    leftmost-non-overlapping replace (proven fold-equivalent by the
+    x88 oracle + the train->encode roundtrip test).  The chosen merge
+    is stamped on every surviving row, so the ranked merge list falls
+    out as SELECT DISTINCT over iterations."""
+    return f"""
+    WITH RECURSIVE voc(iter, syms, freq, ml, mr, mc) AS (
+      SELECT 0, string_split(word, ''), freq,
+             CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      FROM (SELECT word, count(*) AS freq
+            FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+            GROUP BY word)
+      WHERE length(word) >= 2
+      UNION ALL
+      SELECT v.iter + 1,
+             string_split(trim(replace(' ' || array_to_string(v.syms, ' ') || ' ',
+                    ' ' || b.l || ' ' || b.r || ' ',
+                    ' ' || b.l || b.r || ' ')), ' '),
+             v.freq, b.l, b.r, b.c
+      FROM voc v, (
+        SELECT l, r, c FROM (
+          SELECT t.syms[u.i] AS l, t.syms[u.i + 1] AS r, sum(t.freq) AS c
+          FROM voc t, unnest(range(1, len(t.syms))) AS u(i)
+          GROUP BY 1, 2
+          ORDER BY c DESC, l, r
+          LIMIT 1)
+      ) b
+      WHERE v.iter < {n_merges} AND b.c > 0
+    )
+    SELECT DISTINCT CAST(iter AS INT) AS merge_rank, ml AS "left", mr AS "right",
+           CAST(mc AS BIGINT) AS pair_count
+    FROM voc WHERE iter >= 1
+    """
+
+
+@query("x77_bpe_train", oracle=_bpe_train_oracle())
 def x77_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training: 10 iterative most-frequent-pair
     merges over the corpus's word-frequency vocabulary — completes the
     tokenizer story (x67 is one round of pair stats; this is the
-    loop).  Rows-only: the merge loop is iterative/driver-bounded, not
-    SQL-expressible; exact equivalence to a sequential reference BPE
-    (ties, leftmost-non-overlap) is property-tested in
+    loop).  Value-checked (r5): the driver loop is integer arithmetic
+    end to end (pair counts, deterministic tie order, exact string
+    merges), so it unrolls into a DuckDB RECURSIVE CTE whose working
+    table replays the vocabulary evolution — the hash match pins all
+    ten argmax decisions AND the merge applications.  Exact
+    equivalence to a sequential reference BPE (ties,
+    leftmost-non-overlap) stays property-tested in
     tests/test_properties.py."""
     from ..operators.text import bpe_train
 

@@ -29,16 +29,16 @@ def test_registry_contract():
     # paths are rows-only with accuracy asserted in tests instead
     # (r5 promoted the whole ANN tier — x06/x49 quantized SRP, x15
     # portable IVF, x37 unrolled-CTE k-means, x62 PQ, x69 IVF-PQ —
-    # plus x76 DDSketch to full value oracles via the determinism kit:
-    # hash60 seeding, exact-BIGINT centroid sums, rounded argmax with
-    # tiebreaks.  What remains is driver-loop training state no single
-    # SQL statement can express: the BPE merge loop (x77, exact
-    # sequential-equivalence test), power-iteration PCA (x80, numpy
-    # eigenvector parity test), and the DataSketches HLL binary (x18,
-    # whose portable register-level twin x89 IS value-checked).)
+    # plus x76 DDSketch AND the x77 BPE training loop (a RECURSIVE CTE
+    # replays the vocabulary evolution) to full value oracles via the
+    # determinism kit: hash60 seeding, exact-BIGINT sums, rounded
+    # argmax with tiebreaks.  What remains: float power-iteration PCA
+    # (x80, numpy eigenvector parity + invariant tests — iteration
+    # count is data-dependent via the convergence early-exit, so no
+    # fixed CTE unrolling exists) and the DataSketches HLL binary
+    # (x18, whose portable register-level twin x89 IS value-checked).)
     assert no_oracle == {
         "x18_hll_user_rollup",
-        "x77_bpe_train",
         "x80_all_but_the_top",
     }
 
