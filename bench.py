@@ -74,6 +74,10 @@ HEADLINE = [
     "x80_all_but_the_top",
     "x84_leadlag_xcorr",
     "x78_contrastive_triplets",
+    # r05 second batch: the per-source corpus datasheet (the query a
+    # data pipeline runs on every snapshot — one scan, every per-doc
+    # signal fused into one projection).
+    "x93_corpus_datasheet",
 ]
 
 
