@@ -20,6 +20,8 @@ embedding_neardup_pairs / the IVF tier.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -90,6 +92,7 @@ def top_principal_component(
     tol: float = 1e-8,
     moment_dim_cap: int = 256,
     stats: dict | None = None,
+    portable: bool = False,
 ):
     """Dominant principal component of the (mean-centered) embedding
     matrix — scan count chosen by dimensionality.
@@ -130,13 +133,15 @@ def top_principal_component(
 
     def _iterate(matvec, mu, n):
         """Shared power-iteration driver loop over a z = C·v oracle."""
-        vec = [1.0 / dim ** 0.5] * dim
+        # math.sqrt, not ** 0.5: sqrt is IEEE-correctly-rounded, pow is
+        # not guaranteed to be — the x80 oracle replays this loop in SQL
+        vec = [1.0 / math.sqrt(dim)] * dim
         eig = 0.0
         for rnd in range(n_iter):
             if stats is not None:
                 stats["rounds"] = rnd + 1
             z = matvec(mu, vec)
-            norm = sum(c * c for c in z) ** 0.5
+            norm = math.sqrt(sum(c * c for c in z))
             if norm == 0:
                 break
             eig = norm / n  # Rayleigh estimate: ||C v|| with unit v
@@ -154,6 +159,11 @@ def top_principal_component(
 
     if stats is not None:
         stats["path"] = "moment" if dim <= moment_dim_cap else "scan"
+    if portable and dim > moment_dim_cap:
+        raise ValueError(
+            "portable mode pins the one-scan moment path; "
+            f"dim {dim} exceeds moment_dim_cap {moment_dim_cap}"
+        )
     if dim <= moment_dim_cap:
         # one-scan moment pass: pos 0 -> count, pos 1..dim -> sums,
         # pos dim+1.. -> row-major upper-triangle sum(x_i * x_j)
@@ -168,13 +178,21 @@ def top_principal_component(
             )
         )
         arr = F.concat(F.array(F.lit(1.0)), F.col("x"), tri)
-        rows = (
-            v.select(F.posexplode(arr).alias("pos", "val"))
-            .groupBy("pos")
-            .agg(F.sum("val").alias("s"))
-            .collect()
-        )
-        m = {r["pos"]: r["s"] for r in rows}
+        exploded = v.select(F.posexplode(arr).alias("pos", "val"))
+        if portable:
+            # x15/x62 determinism kit: quantize each moment term to a
+            # BIGINT (1e-6 resolution) so the cross-partition sum is
+            # exact and order-independent — with the moments
+            # bit-identical, the driver's power iteration is pure
+            # deterministic scalar math that a SQL oracle can replay
+            # round for round (x80).  At this quantization the
+            # direction perturbation is ~1e-6 x dim / eigengap.
+            agg = F.sum((F.col("val") * 1_000_000).cast("long")).alias("s")
+            rows = exploded.groupBy("pos").agg(agg).collect()
+            m = {r["pos"]: r["s"] / 1_000_000.0 for r in rows}
+        else:
+            rows = exploded.groupBy("pos").agg(F.sum("val").alias("s")).collect()
+            m = {r["pos"]: r["s"] for r in rows}
         n = int(m[0])
         if n == 0:
             return [], [], 0.0
@@ -233,6 +251,7 @@ def all_but_the_top(
     n_iter: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    portable: bool = False,
 ):
     """All-but-the-top embedding postprocess (Mu & Viswanath 2018):
     mean-center every vector and remove its projection onto the
@@ -245,7 +264,7 @@ def all_but_the_top(
     Output: (id, processed array, removed-component magnitude)."""
     from pyspark.sql import functions as F
 
-    mu, pc, _ = top_principal_component(emb, n_iter, id_col, vec_col)
+    mu, pc, _ = top_principal_component(emb, n_iter, id_col, vec_col, portable=portable)
     if not pc:  # empty input: empty output with the right schema
         return emb.select(
             F.col(id_col),

@@ -3896,19 +3896,107 @@ def x79_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x80_all_but_the_top", oracle=None)
+def _x80_oracle(n_iter: int = 12, tol: str = "1e-8", d: int = 64) -> str:
+    """SQL twin of all_but_the_top(portable=True), exact to the last
+    float bit: the one-scan moment pass quantizes every term to a
+    BIGINT (order-independent exact sums), and because every later
+    step — covariance assembly, the power iteration with early-exit,
+    the correction pass — is deterministic scalar IEEE math, a
+    RECURSIVE CTE replays the driver loop round for round
+    (list_reduce folds in the same left-assoc order as Python's sum;
+    math.sqrt == sqrt; the sign-aligned delta test is copied
+    verbatim).  Verified bit-identical: the processed vectors need no
+    rounding at all to hash-match."""
+    red = lambda expr: f"list_reduce({expr}, (a, b) -> a + b)"  # noqa: E731
+    pos = f"(66 + (i - 1) * {d} - ((i - 1) * (i - 2)) // 2 + (j - i))"
+    pos_t = f"(66 + (j - 1) * {d} - ((j - 1) * (j - 2)) // 2 + (i - j))"
+    cov_elem = (
+        f"CASE WHEN i <= j THEN m[{pos}] / m[1] - (m[1 + i] / m[1]) * (m[1 + j] / m[1]) "
+        f"ELSE m[{pos_t}] / m[1] - (m[1 + i] / m[1]) * (m[1 + j] / m[1]) END"
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS x FROM embeddings
+    ), mom AS (
+      -- pos 0: count; 1..{d}: sums; {d + 1}..: row-major upper-tri x_i*x_j
+      SELECT u.i - 1 AS pos,
+             sum(CAST(trunc(arr[u.i] * 1000000) AS BIGINT)) AS s
+      FROM (SELECT list_concat(list_concat([CAST(1.0 AS DOUBLE)], x),
+                   flatten(list_transform(range(1, {d + 1}), i ->
+                      list_transform(range(i, {d + 1}), j -> x[i] * x[j])))) AS arr
+            FROM v),
+           unnest(range(1, len(arr) + 1)) AS u(i)
+      GROUP BY u.i - 1
+    ), mm AS (
+      SELECT list(CAST(s AS DOUBLE) / 1000000.0 ORDER BY pos) AS m FROM mom
+    ), consts AS (
+      SELECT m[1] AS n,
+             list_transform(range(1, {d + 1}), i -> m[1 + i] / m[1]) AS mu,
+             list_transform(range(1, {d + 1}), i ->
+               list_transform(range(1, {d + 1}), j -> {cov_elem})) AS cov
+      FROM mm
+    ), it(rnd, vec, delta) AS (
+      SELECT 0, list_transform(range(1, {d + 1}), i -> 1.0 / sqrt({d}.0)),
+             CAST(1e300 AS DOUBLE)
+      UNION ALL
+      SELECT rnd + 1, newvec,
+             list_max(list_transform(range(1, {d + 1}),
+                                     i -> abs(newvec[i] - sgn * vec[i])))
+      FROM (
+        SELECT rnd, vec, newvec,
+               CASE WHEN {red(f"list_transform(range(1, {d + 1}), i -> newvec[i] * vec[i])")} < 0
+                    THEN -1.0 ELSE 1.0 END AS sgn
+        FROM (
+          SELECT rnd, vec,
+                 list_transform(range(1, {d + 1}), i -> z[i] / norm) AS newvec
+          FROM (
+            SELECT rnd, vec, z,
+                   sqrt({red(f"list_transform(range(1, {d + 1}), i -> z[i] * z[i])")}) AS norm
+            FROM (
+              SELECT t.rnd AS rnd, t.vec AS vec,
+                     list_transform(range(1, {d + 1}), i ->
+                       c.n * {red(f"list_transform(range(1, {d + 1}), j -> c.cov[i][j] * t.vec[j])")}) AS z
+              FROM it t, consts c
+              WHERE t.rnd < {n_iter} AND t.delta >= {tol}
+            )
+          ) WHERE norm > 0
+        )
+      )
+    ), final AS (
+      SELECT vec AS pc FROM it ORDER BY rnd DESC LIMIT 1
+    ), res AS (
+      SELECT id, c,
+             {red(f"list_transform(range(1, {d + 1}), i -> c[i] * pc[i])")} AS p,
+             pc
+      FROM (SELECT v.id, list_transform(range(1, {d + 1}), i -> v.x[i] - c2.mu[i]) AS c,
+                   f.pc AS pc
+            FROM v, final f, consts c2)
+    )
+    SELECT id AS vec_id,
+           list_transform(range(1, {d + 1}), i -> c[i] - p * pc[i]) AS processed,
+           round(abs(p) + 1e-9, 6) AS removed_magnitude
+    FROM res
+    """
+
+
+@query("x80_all_but_the_top", oracle=_x80_oracle())
 def x80_all_but_the_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-but-the-top embedding postprocess (Mu & Viswanath 2018):
     mean-center + remove the dominant principal component found by
-    distributed power iteration (one combinable aggregate per round,
-    driver holds dim floats) — the standard anisotropy fix before
-    cosine retrieval.  Rows-only: float-iterative; numpy eigenvector
-    parity on planted-anisotropy data and the exact zero-projection /
-    zero-mean invariants are asserted in tests/test_operators.py."""
+    the one-scan moment pass + driver power iteration — the standard
+    anisotropy fix before cosine retrieval.  Value-checked (r5):
+    portable mode quantizes the moment sums to exact BIGINTs, after
+    which the entire computation — covariance, the early-exiting
+    power iteration, the correction projection — is deterministic
+    scalar IEEE math that the oracle's RECURSIVE CTE replays
+    bit-for-bit (the processed doubles hash-match UNROUNDED).  numpy
+    eigenvector parity on planted-anisotropy data and the exact
+    zero-projection / zero-mean invariants stay asserted in
+    tests/test_operators.py."""
     from ..operators.embed import all_but_the_top
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return all_but_the_top(emb, n_iter=12)
+    return all_but_the_top(emb, n_iter=12, portable=True)
 
 
 @query(

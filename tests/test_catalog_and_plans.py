@@ -32,14 +32,14 @@ def test_registry_contract():
     # plus x76 DDSketch AND the x77 BPE training loop (a RECURSIVE CTE
     # replays the vocabulary evolution) to full value oracles via the
     # determinism kit: hash60 seeding, exact-BIGINT sums, rounded
-    # argmax with tiebreaks.  What remains: float power-iteration PCA
-    # (x80, numpy eigenvector parity + invariant tests — iteration
-    # count is data-dependent via the convergence early-exit, so no
-    # fixed CTE unrolling exists) and the DataSketches HLL binary
-    # (x18, whose portable register-level twin x89 IS value-checked).)
+    # argmax with tiebreaks.  Even x80's power iteration is pinned:
+    # with exact-BIGINT moment sums the whole driver loop is
+    # deterministic scalar IEEE math, replayed bit-for-bit by a
+    # RECURSIVE CTE (early-exit included).  The single remaining
+    # rows-only entry is the opaque DataSketches HLL binary — and its
+    # portable register-level twin x89 IS value-checked.)
     assert no_oracle == {
         "x18_hll_user_rollup",
-        "x80_all_but_the_top",
     }
 
 
