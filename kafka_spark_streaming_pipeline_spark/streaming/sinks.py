@@ -741,6 +741,100 @@ def compact_hll(spark, sketch_path: str, keys: list[str], quiesced: bool = True)
     _compact(spark, sketch_path, lambda log: _hll_view_of(log, keys), quiesced)
 
 
+# ---------------------------------------- streaming corpus datasheet
+
+def make_datasheet_sink(path: str):
+    """Continuously-maintained per-source corpus datasheet (the
+    streaming twin of x93): each document batch appends (a) its
+    per-source integer partials — doc/token/quality/language counts,
+    all sum-mergeable — and (b) portable-HLL registers of the exact
+    md5 fingerprints, because distinct-count is NOT sum-mergeable and
+    at 100 TB the fingerprint set cannot be kept; the register sketch
+    is the standard fix.  Both logs are bounded per batch (sources x
+    1 row; sources x 256 registers) and share the replay/compaction
+    contract."""
+    from ..operators import text as tx
+
+    hll = make_hll_sink(f"{path}/fps", ["source"], "__fp")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = F.col("text")
+        per = batch_df.select(
+            "source",
+            tx.token_count(t).alias("n_tokens"),
+            (tx.quality_score(t) >= 0.9).cast("long").alias("hi_q"),
+            (tx.lang_id(t) == "en").cast("long").alias("is_en"),
+            tx.fingerprint(t).alias("__fp"),
+        )
+        sums = per.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("hi_q").alias("hi_q_docs"),
+            F.sum("is_en").alias("en_docs"),
+        )
+        AtomicParquetTable(f"{path}/sums").append(
+            sums.withColumn("__commit", F.lit(batch_id))
+        )
+        hll(per.select("source", "__fp"), batch_id)
+
+    return sink
+
+
+def _datasheet_sums_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "source"])
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.sum("hi_q_docs").cast("long").alias("hi_q_docs"),
+            F.sum("en_docs").cast("long").alias("en_docs"),
+        )
+    )
+
+
+def datasheet_view(spark, path: str) -> DataFrame:
+    """Current datasheet: merged integer partials + HLL distinct
+    fingerprints -> rates and an approximate duplicate rate per
+    source.  Touches only the two small logs, never raw documents."""
+    from ..operators.sketches import hll_portable_estimate
+
+    sums = _datasheet_sums_of(_read_log(spark, f"{path}/sums"))
+    fps = hll_portable_estimate(
+        _hll_view_of(_read_log(spark, f"{path}/fps"), ["source"]), ["source"]
+    ).select("source", F.col("approx_distinct").alias("approx_distinct_fps"))
+    n = F.col("n_docs").cast("double")
+    return sums.join(fps, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / n + F.lit(1e-9), 4).alias(
+            "mean_tokens"
+        ),
+        F.round(F.col("hi_q_docs").cast("double") / n + F.lit(1e-9), 4).alias(
+            "hi_quality_rate"
+        ),
+        F.round(F.col("en_docs").cast("double") / n + F.lit(1e-9), 4).alias("en_rate"),
+        "approx_distinct_fps",
+        F.round(
+            F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.col("approx_distinct_fps") / n
+            )
+            + F.lit(1e-9),
+            4,
+        ).alias("dup_rate_est"),
+    )
+
+
+def compact_datasheet(spark, path: str, quiesced: bool = True) -> None:
+    """Fold both datasheet logs; same contract as the other sinks."""
+    _compact(spark, f"{path}/sums", _datasheet_sums_of, quiesced)
+    compact_hll(spark, f"{path}/fps", ["source"], quiesced)
+
+
 # ------------------------------------ incremental ddsketch quantiles
 
 def make_dd_sink(sketch_path: str, value_col: str, keys: list[str] | None = None):

@@ -1280,6 +1280,65 @@ def test_streaming_cms_merges_exactly_and_never_underestimates(spark, tmp_path):
     assert est["alpha"] >= 8 and est["beta"] >= 2 and est["gamma"] >= 4
 
 
+def test_streaming_datasheet_matches_batch_stats(spark, sf_dir, tmp_path):
+    """The streamed datasheet must reproduce the batch-computed
+    per-source stats: integer partials exactly, the HLL duplicate
+    estimate within sketch error; replay- and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_datasheet,
+        datasheet_view,
+        make_datasheet_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "ds")
+    sink = make_datasheet_sink(path)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {r.source: r for r in datasheet_view(spark, path).collect()}
+
+    got = view()
+    from kafka_spark_streaming_pipeline_spark.operators import text as tx
+
+    t = F.col("text")
+    want = {
+        r.source: r
+        for r in docs.select(
+            "source",
+            tx.token_count(t).alias("n_tokens"),
+            (tx.quality_score(t) >= 0.9).cast("long").alias("hi_q"),
+            tx.fingerprint(t).alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("hi_q").alias("hi_q_docs"),
+            F.countDistinct("fp").alias("distinct_fps"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert (g.n_docs, g.total_tokens) == (w.n_docs, w.total_tokens)
+        assert abs(g.hi_quality_rate - w.hi_q_docs / w.n_docs) < 1e-6
+        # HLL distinct within sketch error (256 registers, small range
+        # -> linear counting keeps it tight)
+        assert abs(g.approx_distinct_fps - w.distinct_fps) / w.distinct_fps < 0.15
+
+    sink(b1, 1)  # replay -> deduped sums, idempotent registers
+    assert view() == got
+    compact_datasheet(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of folded batch
+    assert view() == got
+
+
 def test_streaming_heavy_hitters_track_true_top_terms(spark, tmp_path):
     """The sketch+candidates pair must surface the true heavy terms
     across batches (never undercounting them), survive replay, and
