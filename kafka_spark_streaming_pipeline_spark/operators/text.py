@@ -600,13 +600,25 @@ def bpe_encoded_words(text: Column, merges: list) -> Column:
     """Column form of the BPE encode: array of space-joined symbol
     strings, one element per word — a pure codegen expression usable
     inside any single-scan projection (x91 composes it with lang-ID
-    without a second corpus scan)."""
+    without a second corpus scan).
+
+    Boundary-preserving encoding: symbols are joined with TWO spaces
+    and each merge is one literal replace of ``' l  r '`` with
+    ``' lr '``.  Every 2-space boundary donates exactly one space to a
+    match and keeps one in the string (the replacement re-emits its
+    outer spaces), so adjacent occurrences still find their leading
+    boundary — e.g. 'banana' with merge (a,n) encodes to
+    [b,an,an,a], exactly the leftmost-non-overlapping array fold used
+    by ``bpe_train``.  (A single-space join under-merges: the first
+    ``' a n '`` match consumes the space the next match needs,
+    yielding [b,an,a,n,a].)  Equivalence to the fold is pinned by
+    tests/test_operators.py::test_bpe_encode_matches_training_fold."""
 
     def encode_word(w):
-        s = F.concat(F.lit(" "), F.concat_ws(" ", F.split(w, "")), F.lit(" "))
+        s = F.concat(F.lit("  "), F.concat_ws("  ", F.split(w, "")), F.lit("  "))
         for l, r in merges:
-            s = F.replace(s, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-        return F.trim(s)
+            s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        return F.trim(F.replace(s, F.lit("  "), F.lit(" ")))
 
     return F.filter(F.transform(tokens(text), encode_word), lambda e: e != "")
 
@@ -633,14 +645,16 @@ def bpe_encode(
     here — bounded by n_merges rows, the tokenizer artifact) or a list
     of (left, right) pairs in rank order.
 
-    The merge application uses the classic space-join encoding: a word
-    becomes ``' c1 c2 … '`` (symbols are space-free by construction,
-    so the representation is unambiguous) and each merge in rank order
-    is ONE leftmost-non-overlapping string replace of ``' l r '`` with
-    ``' lr '`` — exactly the semantics of the training fold, but as a
-    pure codegen expression chain: the whole encode is a map-only
-    projection, no joins, no shuffles, no Python.  Scan cost O(len x
-    n_merges) per word occurrence.
+    The merge application uses the boundary-preserving double-space
+    encoding of ``bpe_encoded_words``: a word becomes ``'  c1  c2  '``
+    (symbols are space-free by construction, so the representation is
+    unambiguous) and each merge in rank order is ONE leftmost-
+    non-overlapping string replace of ``' l  r '`` with ``' lr '`` —
+    exactly the semantics of the training fold, incl. repeated
+    adjacent pairs ('banana' -> [b,an,an,a]), but as a pure codegen
+    expression chain: the whole encode is a map-only projection, no
+    joins, no shuffles, no Python.  Scan cost O(len x n_merges) per
+    word occurrence.
 
     Output: (id, encoded, n_words, n_symbols) — ``encoded`` joins
     words with ``' | '`` and symbols within a word with spaces."""

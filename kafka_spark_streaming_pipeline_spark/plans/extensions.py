@@ -3753,9 +3753,11 @@ def _bpe_train_oracle(n_merges: int = 10) -> str:
       WHERE length(word) >= 2
       UNION ALL
       SELECT v.iter + 1,
-             string_split(trim(replace(' ' || array_to_string(v.syms, ' ') || ' ',
-                    ' ' || b.l || ' ' || b.r || ' ',
-                    ' ' || b.l || b.r || ' ')), ' '),
+             string_split(trim(replace(
+                    replace('  ' || array_to_string(v.syms, '  ') || '  ',
+                            ' ' || b.l || '  ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' '),
+                    '  ', ' ')), ' '),
              v.freq, b.l, b.r, b.c
       FROM voc v, (
         SELECT l, r, c FROM (
@@ -4439,9 +4441,14 @@ X88_MERGES = [
 
 
 def _bpe_encode_sql(merges: list) -> str:
-    chain = "' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+    # boundary-preserving double-space encoding (see
+    # operators/text.bpe_encoded_words): each 2-space boundary donates
+    # one space to a ' l  r ' match and keeps one, so adjacent
+    # occurrences ('banana') merge like the training fold
+    chain = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
     for l, r in merges:
-        chain = f"replace({chain}, ' {l} {r} ', ' {l}{r} ')"
+        chain = f"replace({chain}, ' {l}  {r} ', ' {l}{r} ')"
+    chain = f"replace({chain}, '  ', ' ')"
     return f"""
     WITH enc AS (
       SELECT doc_id,

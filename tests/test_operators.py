@@ -1367,6 +1367,29 @@ def test_bpe_pair_counts_weighting_and_positions(spark):
     assert sum(out.values()) == 5  # the lone 'a' adds nothing
 
 
+def test_bpe_encode_repeated_adjacent_pairs(spark):
+    """The banana pin (round-5 advice): merge application must be
+    leftmost-non-overlapping over the FULL word — a repeated pair whose
+    occurrences share a boundary still merges at every position.  A
+    naive single-space replace chain consumes the shared boundary
+    space and yields [b,an,a,n,a]; the fold (and the boundary-
+    preserving double-space replace) yields [b,an,an,a]."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "banana"), (2, "aaaa"), (3, "aaa"), (4, "anan anana")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.encoded
+        for r in bpe_encode(docs, [("a", "n"), ("a", "a")]).collect()
+    }
+    assert got[1] == "b an an a"
+    assert got[2] == "aa aa"
+    assert got[3] == "aa a"
+    assert got[4] == "an an | an an a"
+
+
 def test_kmv_estimates_track_exact_counts(spark, sf_dir):
     """KMV distinct/union/intersection estimates must land within the
     sketch's error envelope (~1/sqrt(k-1) ≈ 13% for k=64; assert 3x

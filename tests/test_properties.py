@@ -484,6 +484,52 @@ def test_bpe_train_matches_python_reference(spark, words_list, n_merges):
 
 @given(
     st.lists(
+        st.text(alphabet="aben", min_size=1, max_size=8), min_size=1, max_size=10
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_encode_matches_training_fold(spark, words_list, n_merges):
+    """bpe_encoded_words' boundary-preserving replace chain must apply
+    learned merges with the exact leftmost-non-overlapping fold
+    semantics of bpe_train — including repeated adjacent pairs
+    ('banana' with (a,n) -> [b,an,an,a]), the case a single-space
+    replace chain under-merges (regression for the round-5 advice)."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    words_list = words_list + ["banana", "aaaa", "nananab"]
+    text = " ".join(words_list)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(docs, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+
+    def ref_apply(w):
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return " ".join(syms)
+
+    got = bpe_encode(docs, merges).first()
+    expected_words = [ref_apply(w) for w in text.split(" ") if w]
+    assert got.encoded == " | ".join(expected_words)
+    assert got.n_symbols == sum(len(e.split(" ")) for e in expected_words)
+
+
+@given(
+    st.lists(
         st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(
             lambda ws: " ".join(ws)
         ),
