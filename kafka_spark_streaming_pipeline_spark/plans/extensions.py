@@ -678,18 +678,69 @@ def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=3, min_token_len=3)
 
 
-@query("x18_hll_user_rollup", oracle=None)
+@query(
+    "x18_hll_user_rollup",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             date_trunc('week', CAST(ts AS DATE))::DATE AS week,
+             ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ), reg AS (
+      -- direct per-(event_type, week) registers; Spark pre-aggregates
+      -- per (event_type, day) and merges day->week by max(rho), so the
+      -- hash match IS the hierarchical merge-equals-direct proof
+      SELECT event_type, week, h % 256 AS bucket,
+             max(CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END) AS rho
+      FROM h GROUP BY event_type, week, h % 256
+    ), agg AS (
+      SELECT event_type, week, count(*) AS n_present,
+             sum(1::BIGINT << (53 - rho)) AS present_scaled
+      FROM reg GROUP BY event_type, week
+    )
+    SELECT event_type, week,
+           round(CASE WHEN raw <= 640.0 AND v_zero > 0
+                      THEN 256.0 * ln(256.0 / v_zero)
+                      ELSE raw END + 1e-9, 4) AS approx_distinct,
+           v_zero
+    FROM (SELECT event_type, week,
+                 0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+                   / CAST(present_scaled
+                          + (256 - n_present) * 9007199254740992 AS DOUBLE) AS raw,
+                 CAST(256 - n_present AS INT) AS v_zero
+          FROM agg)
+    """,
+)
 def x18_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HLL distinct-user sketches: pre-aggregate per
-    (event_type, day), roll up to event_type by sketch union — the
-    one-expensive-pass / cheap-rollup pattern.  Rows-only driver check;
-    merge-equals-direct and the 5% error bound are asserted in
-    tests/test_operators.py (approx values have no exact SQL oracle)."""
-    from ..operators.sketches import hll_rollup, hll_sketch_by
+    """Mergeable HLL distinct-user sketches, hierarchical rollup: ONE
+    raw-events pass builds per-(event_type, day) registers, the
+    (event_type, week) view is answered by max(rho) register merge —
+    never rescanning raw data.  The 100 TB pattern: daily sketch
+    pre-aggregates are tiny (256 rows per key) and any coarser
+    calendar rollup is register math.
+
+    Value-checked end to end (r6, retiring the last rows-only entry):
+    the portable md5-register sketch makes every intermediate exact
+    integer arithmetic, and the oracle computes weekly registers
+    DIRECTLY while Spark merges the daily pre-aggs, so the hash match
+    doubles as the hierarchical merge-equals-direct proof.  The
+    production DataSketches binary path (hll_sketch_by / hll_rollup)
+    keeps its own merge-equals-direct + error-bound operator tests in
+    tests/test_operators.py."""
+    from ..operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_rollup,
+    )
 
     events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    pre = hll_sketch_by(events, ["event_type", "day"], "user_id")
-    return hll_rollup(pre, ["event_type"]).drop("sketch")
+    pre = hll_portable_registers(events, ["event_type", "day"], "user_id")
+    weekly = hll_portable_rollup(
+        pre.withColumn("week", F.date_trunc("week", F.col("day")).cast("date")),
+        ["event_type", "week"],
+    )
+    return hll_portable_estimate(weekly, ["event_type", "week"])
 
 
 @query(
@@ -4522,7 +4573,8 @@ def x89_hll_portable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type, built the mergeable way: per-(event_type, day)
     registers from ONE raw scan, rolled up to event_type by
     max(rho)-per-bucket, then the classic estimator with an exact
-    BIGINT harmonic sum.  Unlike x18 (DataSketches binary, rows-only)
+    BIGINT harmonic sum.  Unlike the DataSketches binary sketch (whose
+    register layout is opaque to SQL)
     every intermediate here is integer arithmetic, so the FULL
     estimate — including linear-counting fallback — is value-checked
     against the SQL oracle; and because the oracle computes registers

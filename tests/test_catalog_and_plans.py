@@ -25,22 +25,18 @@ def test_registry_contract():
         assert q.builder is not None
         assert q.doc, f"{name} missing docstring"
     no_oracle = {n for n, q in QUERIES.items() if q.oracle is None}
-    # everything else is value-checked; these approximate/iterative
-    # paths are rows-only with accuracy asserted in tests instead
-    # (r5 promoted the whole ANN tier — x06/x49 quantized SRP, x15
-    # portable IVF, x37 unrolled-CTE k-means, x62 PQ, x69 IVF-PQ —
-    # plus x76 DDSketch AND the x77 BPE training loop (a RECURSIVE CTE
-    # replays the vocabulary evolution) to full value oracles via the
-    # determinism kit: hash60 seeding, exact-BIGINT sums, rounded
-    # argmax with tiebreaks.  Even x80's power iteration is pinned:
-    # with exact-BIGINT moment sums the whole driver loop is
-    # deterministic scalar IEEE math, replayed bit-for-bit by a
-    # RECURSIVE CTE (early-exit included).  The single remaining
-    # rows-only entry is the opaque DataSketches HLL binary — and its
-    # portable register-level twin x89 IS value-checked.)
-    assert no_oracle == {
-        "x18_hll_user_rollup",
-    }
+    # EVERY registry entry is value-checked.  r5 promoted the ANN tier
+    # — x06/x49 quantized SRP, x15 portable IVF, x37 unrolled-CTE
+    # k-means, x62 PQ, x69 IVF-PQ — plus x76 DDSketch and the x77 BPE
+    # training loop (a RECURSIVE CTE replays the vocabulary evolution)
+    # to full value oracles via the determinism kit: hash60 seeding,
+    # exact-BIGINT sums, rounded argmax with tiebreaks.  Even x80's
+    # power iteration is pinned bit-for-bit.  r6 retired the last
+    # rows-only entry: x18 now runs the portable register-level HLL
+    # (daily pre-agg -> weekly max(rho) merge) whose estimator is
+    # exact-BIGINT arithmetic; the opaque DataSketches binary path
+    # keeps its merge-equals-direct + error-bound operator tests.
+    assert no_oracle == set()
 
 
 def test_flagship_matches_hand_computed_gaps(spark, sf_dir):
