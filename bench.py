@@ -78,6 +78,12 @@ HEADLINE = [
     # data pipeline runs on every snapshot — one scan, every per-doc
     # signal fused into one projection).
     "x93_corpus_datasheet",
+    # r06: steady-state ANN serving — x62 prices train+encode+search in
+    # one query; this is the per-batch cost AFTER indexing (codes-only
+    # ADC scan + rerank against the persisted PQ index).  The index
+    # builds once per process on the first call, so best-of-3 reports
+    # the search-only time.
+    "x95_pq_index_search",
 ]
 
 

@@ -1169,6 +1169,7 @@ def pq_index_build(
     vec_col: str = "embedding",
     dim: int | None = None,
     train_sample_mod: int | None = None,
+    portable: bool = False,
 ) -> None:
     """Build-once half of the PQ index: train codebooks, encode the
     (normalized) corpus, persist codes + codebooks.  This is how the
@@ -1176,7 +1177,9 @@ def pq_index_build(
     training + the full-corpus encode happen ONCE; every later query
     batch reads the codes column only (32x smaller than the vectors)
     and pays just the ADC scan.  Codes carry the vector id, so the
-    exact-rerank stage can fetch originals from the corpus table."""
+    exact-rerank stage can fetch originals from the corpus table.
+    ``portable=True`` trains with the x62 determinism kit so a search
+    over the persisted index is SQL-oracle-reproducible (x95)."""
     if dim is None:
         dim = corpus.select(F.size(_as_double(F.col(vec_col))).alias("d")).first()["d"]
     if dim % m != 0:
@@ -1187,12 +1190,17 @@ def pq_index_build(
         F.col(id_col).alias("id"),
         _unit_arr(vv).alias("v"),
     )
-    train = (
-        c.filter(F.pmod(F.xxhash64("id"), F.lit(train_sample_mod)) == 0)
-        if train_sample_mod
-        else c
-    )
-    cb = pq_train_codebooks(train, m, ksub, dsub).localCheckpoint()
+    if train_sample_mod:
+        if portable:
+            from .text import hash60
+
+            train_hash = hash60(F.col("id").cast("string"), salt="pqs|")
+        else:
+            train_hash = F.xxhash64("id")
+        train = c.filter(F.pmod(train_hash, F.lit(train_sample_mod)) == 0)
+    else:
+        train = c
+    cb = pq_train_codebooks(train, m, ksub, dsub, portable=portable).localCheckpoint()
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     pq_encode(c, cb, m, dsub).select("id", "codes").write.mode("overwrite").parquet(
         f"{path}/codes"
@@ -1270,10 +1278,11 @@ def pq_index_search(
         .select("query_id", "neighbor_id")
     )
     cvv = _as_double(F.col(vec_col))
-    cnn = F.sqrt(_dot(cvv, cvv))
+    # _unit_arr let-binds the norm: referencing it inside the per-
+    # element lambda would re-inline the O(dim) dot per element
     cv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.when(cnn > 0, F.transform(cvv, lambda x: x / cnn)).otherwise(cvv).alias("c_vec"),
+        _unit_arr(cvv).alias("c_vec"),
     )
     qv = qn.withColumnRenamed("v", "q_vec")
     rescored = (

@@ -4882,3 +4882,59 @@ def x93_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.countDistinct("fp").cast("double") / n + F.lit(1e-9), 4
         ).alias("dup_rate"),
     )
+
+
+# Build-once cache for the x95 steady-state search: one persisted PQ
+# index per (process, sf_dir) under the gitignored spark-warehouse.
+# A fresh process rebuilds (mode=overwrite), so a stale on-disk index
+# can never leak across testdata generations; repeated calls within a
+# process (bench best-of-3, slope re-timing) pay ONLY the search.
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..operators.similarity import pq_index_build
+
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        tag = key.strip("/").replace("/", "_")
+        path = os.path.join("spark-warehouse", f"pq_index_{tag}")
+        pq_index_build(
+            load_table(spark, sf_dir, "embeddings"),
+            path,
+            m=16,
+            ksub=16,
+            dim=64,
+            portable=True,
+        )
+        _PQ_INDEX_CACHE[key] = path
+    return _PQ_INDEX_CACHE[key]
+
+
+@query("x95_pq_index_search", oracle=_pq_oracle())
+def x95_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ANN serving: ADC top-k + exact rerank against the
+    PERSISTED PQ index (pq_index_build runs once per process and is
+    amortized away), with the same parameters and — by construction —
+    the same results as x62, which prices the whole train+encode+
+    search stack in one query.  This is the per-query-batch cost a
+    production corpus pays after indexing: read the 32x-compressed
+    codes column only (vectors never load), broadcast the per-query
+    LUTs, rerank the |Q| x 50 shortlist.  The shared SQL oracle
+    value-checks search-over-persisted-index == train+search-in-one,
+    i.e. the index roundtrip loses nothing; the codes-only-scan plan
+    shape is asserted in tests/test_operators.py."""
+    from ..operators.similarity import pq_index_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _pq_index_path(spark, sf_dir)
+    return pq_index_search(
+        spark,
+        emb.filter(F.col("vec_id") < 10),
+        path,
+        k=5,
+        rerank=50,
+        corpus=emb,
+    )
