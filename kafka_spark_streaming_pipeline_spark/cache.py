@@ -39,3 +39,34 @@ def unpersist_tracked(blocking: bool = False) -> int:
         except Exception:
             pass
     return n
+
+
+def mark() -> int:
+    """Registry position, for scoped release: pair with
+    ``tracked_since`` to capture exactly the frames an operator call
+    persisted."""
+    return len(_TRACKED)
+
+
+def tracked_since(position: int) -> list[DataFrame]:
+    """The frames registered after ``mark()`` returned ``position``."""
+    return list(_TRACKED[position:])
+
+
+def release(frames: list[DataFrame], blocking: bool = False) -> int:
+    """Unpersist SPECIFIC frames and drop them from the registry — the
+    scoped counterpart of ``unpersist_tracked`` for long-running read
+    paths (e.g. a monitoring loop re-reading ``seasonal_view``) that
+    must not clear caches other operators still hold."""
+    n = 0
+    for df in frames:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass
+        try:
+            _TRACKED.remove(df)
+        except ValueError:
+            pass
+    return n

@@ -519,32 +519,13 @@ class Engine:
 
     def canonical_docs(self, **kwargs) -> DataFrame:
         """Near-dup clusters with the best-quality member flagged
-        canonical and the rest marked for purge (x92 semantics)."""
-        from pyspark.sql import Window as W
-        from pyspark.sql import functions as F
+        canonical and the rest marked for purge — the same
+        implementation as the value-checked x92 registry query
+        (operators/dedup.canonical_selection); ``kwargs`` pass through
+        to minhash_lsh_pairs."""
+        from .operators.dedup import canonical_selection
 
-        from .operators import text as tx
-        from .operators.dedup import connected_components, minhash_lsh_pairs
-
-        docs = self.table("documents")
-        pairs = minhash_lsh_pairs(docs, **kwargs) if kwargs else minhash_lsh_pairs(
-            docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
-        )
-        comp = connected_components(pairs)
-        q = docs.select(
-            F.col("doc_id"),
-            tx.quality_score(F.col("text")).alias("quality_score"),
-            F.length("text").cast("long").alias("n_chars"),
-        )
-        w = W.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("id"))
-        return (
-            comp.join(q, comp.id == q.doc_id)
-            .withColumn("rn", F.row_number().over(w))
-            .select(
-                "component", "doc_id", "quality_score", "n_chars",
-                (F.col("rn") == 1).alias("is_canonical"),
-            )
-        )
+        return canonical_selection(self.table("documents"), **kwargs)
 
     def distinct_counts(self, keys: list[str], col: str, table: str = "events") -> DataFrame:
         """Portable-HLL approximate distinct counts per key group

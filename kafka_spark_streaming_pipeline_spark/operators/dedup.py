@@ -1201,3 +1201,43 @@ def incremental_components(
         "id", "component"
     )
     return relabeled.unionByName(new_nodes).unionByName(selfers)
+
+
+def canonical_selection(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Canonical-document selection for near-dup clusters — the policy
+    step between detection and deletion: MinHash-LSH pairs -> connected
+    components -> within each cluster keep the HIGHEST-quality member
+    (quality_score desc, id asc tiebreak), flag the rest for purge,
+    with sizes for immediate yield accounting.  The ONE implementation
+    behind both the x92 registry query and Engine.canonical_docs.
+    Scale: adds one broadcast-size join (cluster membership is a tiny
+    fraction of the corpus) and a window over components to the
+    pair-closure cost."""
+    from pyspark.sql import Window as W
+
+    from . import text as tx
+
+    pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    comp = connected_components(pairs)
+    q = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tx.quality_score(F.col(text_col)).alias("quality_score"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+    w = W.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("id"))
+    return (
+        comp.join(q, comp.id == q.doc_id)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "component",
+            "doc_id",
+            "quality_score",
+            "n_chars",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+    )

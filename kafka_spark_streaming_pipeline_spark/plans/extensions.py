@@ -4767,33 +4767,15 @@ def x92_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines (MinHash-LSH closure + quality scoring) into one
     hash-checked oracle.  Scale: adds one broadcast-size join (cluster
     membership is a tiny fraction of the corpus) and a window over
-    components to the p14 cost."""
-    from pyspark.sql import Window as W
-
-    from ..operators import text as tx
-    from ..operators.dedup import connected_components, minhash_lsh_pairs
+    components to the p14 cost.  One shared implementation
+    (operators/dedup.canonical_selection) also backs
+    Engine.canonical_docs, so the facade cannot drift from this
+    value-checked query."""
+    from ..operators.dedup import canonical_selection
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
+    return canonical_selection(
         docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
-    )
-    comp = connected_components(pairs)
-    q = docs.select(
-        F.col("doc_id"),
-        tx.quality_score(F.col("text")).alias("quality_score"),
-        F.length("text").cast("long").alias("n_chars"),
-    )
-    w = W.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("id"))
-    return (
-        comp.join(q, comp.id == q.doc_id)
-        .withColumn("rn", F.row_number().over(w))
-        .select(
-            "component",
-            "doc_id",
-            "quality_score",
-            "n_chars",
-            (F.col("rn") == 1).alias("is_canonical"),
-        )
     )
 
 

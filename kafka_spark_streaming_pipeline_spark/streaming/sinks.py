@@ -626,16 +626,28 @@ def compact_cms(spark, sketch_path: str, quiesced: bool = True) -> None:
 # -------------------------------------------- streaming heavy hitters
 
 def make_heavy_hitters_sink(
-    path: str, term_col: str = "term", candidates_per_batch: int = 32
+    path: str,
+    term_col: str = "term",
+    candidates_per_batch: int = 32,
+    candidate_floor: int | None = None,
 ):
     """Streaming heavy-hitter tracking as two bounded mergeable logs:
     the count-min sketch (exact mergeable counts-with-bias) plus a
-    per-batch local-top-N candidate log (N rows per batch).  Any
-    globally heavy term is a local top-N in at least one batch it
-    appears heavily in, so the candidate union contains the true heavy
-    hitters while both logs stay O(batches), never O(distinct terms) —
-    the classic sketch+candidates alternative to keeping full term
-    counts, which at 100 TB is exactly what cannot be kept.
+    per-batch candidate log.  Both logs stay far smaller than full
+    term counts, which at 100 TB is exactly what cannot be kept.
+
+    Candidacy is a HEURISTIC, not a guarantee: local top-N alone can
+    permanently miss a term with steady moderate frequency that is
+    globally top-k yet crowded out of every batch's top-N by bursty
+    terms — such a term never enters the candidate log, so
+    ``heavy_hitters_view`` never ranks it however large its sketch
+    count grows.  ``candidate_floor`` closes the common case: every
+    term whose count in a SINGLE batch reaches the floor is logged too
+    (bounded by batch_size / floor rows), so any term sustaining >=
+    floor occurrences per batch becomes a candidate on its first such
+    batch.  A term below BOTH nets in every batch still escapes —
+    that residual failure mode is inherent to bounded candidate
+    tracking (tested in test_streaming.py).
 
     Same replay contract as the underlying CMS sink; the candidate log
     dedups per commit and a replayed batch re-appends an identical
@@ -648,13 +660,16 @@ def make_heavy_hitters_sink(
         if batch_df.isEmpty():
             return
         cms_sink(batch_df, batch_id)
+        counts = batch_df.groupBy(term_col).agg(F.count("*").alias("__cnt"))
         top = (
-            batch_df.groupBy(term_col)
-            .agg(F.count("*").alias("__cnt"))
-            .orderBy(F.desc("__cnt"), F.asc(term_col))
+            counts.orderBy(F.desc("__cnt"), F.asc(term_col))
             .limit(candidates_per_batch)
             .select(term_col)
         )
+        if candidate_floor is not None:
+            top = top.union(
+                counts.filter(F.col("__cnt") >= candidate_floor).select(term_col)
+            ).distinct()
         AtomicParquetTable(f"{path}/cands").append(
             top.withColumn("__commit", F.lit(batch_id))
         )
@@ -870,6 +885,16 @@ def dd_stream_view(spark, sketch_path: str) -> DataFrame:
 
 
 def _dd_view_of(log: DataFrame) -> DataFrame:
+    if "sgn" not in log.columns:
+        # state-format migration: sketch logs persisted before the
+        # mirrored negative store carried only positive buckets, with
+        # the exact-zero bucket encoded as bucket NULL — derive the
+        # sgn column on read so old stores keep working (they never
+        # held negative values, so sgn=1/0 reconstructs them exactly)
+        log = log.withColumn(
+            "sgn",
+            F.when(F.col("bucket").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
     keys = [c for c in log.columns if c not in ("sgn", "bucket", "cnt", "__commit")]
     return (
         _drop_replays_behind_watermark(log)
@@ -933,17 +958,33 @@ def _seasonal_sparse_of(log: DataFrame) -> DataFrame:
     )
 
 
+# frames the LAST seasonal_view call persisted (via densify_hourly's
+# tracked_persist) — released on the next call, so a long-running
+# monitoring loop re-reading the view holds at most one view's worth
+# of cached state instead of accumulating per read (Engine.clear_caches
+# is not reachable from this streaming read path)
+_SEASONAL_VIEW_FRAMES: list[DataFrame] = []
+
+
 def seasonal_view(spark, counts_path: str, z_threshold: float = 2.0) -> DataFrame:
     """Anomalies over the MERGED hourly state: per-commit dedup
     (exactly-once under foreachBatch replay), then the dense grid +
     leave-one-out scoring runs through the IDENTICAL code path as the
     batch operator (``seasonal_scores_from_dense``) — merged-view ==
     batch-operator is a structural guarantee, tested with planted
-    outage + spike batches."""
+    outage + spike batches.  Each call scope-releases the hour-grid
+    frames the PREVIOUS call persisted (cache.release), bounding a
+    monitoring loop's cached state at one view."""
+    from .. import cache
     from ..operators.timeseries import densify_hourly, seasonal_scores_from_dense
 
+    cache.release(_SEASONAL_VIEW_FRAMES)
+    _SEASONAL_VIEW_FRAMES.clear()
+    pos = cache.mark()
     sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
-    return seasonal_scores_from_dense(densify_hourly(sparse), z_threshold)
+    view = seasonal_scores_from_dense(densify_hourly(sparse), z_threshold)
+    _SEASONAL_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view
 
 
 def compact_seasonal(spark, counts_path: str, quiesced: bool = True) -> None:

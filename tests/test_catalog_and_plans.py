@@ -39,6 +39,29 @@ def test_registry_contract():
     assert no_oracle == set()
 
 
+def test_cache_lifecycle_clear_caches_releases_everything(spark, sf_dir):
+    """Operator-internal persists (x84's dense hourly grid, x74's LM
+    frames, x75's hashed shingle frame) accumulate in the tracked registry
+    across facade calls; Engine.clear_caches must return the session
+    to its pre-workload cache footprint — the round-5 advice leak,
+    now pinned end to end."""
+    from kafka_spark_streaming_pipeline_spark import cache as cache_reg
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    sc = spark.sparkContext._jsc.sc()
+    base_rdds = sc.getPersistentRDDs().size()
+    n0 = len(cache_reg._TRACKED)
+    for _ in range(3):
+        for name in ("x84_leadlag_xcorr", "x74_bigram_perplexity", "x75_containment_pairs"):
+            QUERIES[name].builder(spark, sf_dir).count()
+    accumulated = len(cache_reg._TRACKED)
+    assert accumulated > n0  # the loop really persisted
+    released = Engine(spark, sf_dir).clear_caches(blocking=True)
+    assert released >= accumulated - n0
+    assert len(cache_reg._TRACKED) == 0
+    assert sc.getPersistentRDDs().size() <= base_rdds
+
+
 def test_flagship_matches_hand_computed_gaps(spark, sf_dir):
     out = {r.user_id: r for r in QUERIES["p01_stream_health"].builder(spark, sf_dir).collect()}
     ev = load_table(spark, sf_dir, "events")

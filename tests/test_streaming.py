@@ -878,6 +878,16 @@ def test_streaming_seasonal_anomalies_match_batch_with_outage_and_spike(
     compact_seasonal(spark, counts_path)
     assert view_rows() == want
 
+    # a monitoring loop re-reading the view must not accumulate cached
+    # hour-grids: every call scope-releases the frames the previous
+    # call persisted, so the registry stays flat across reads
+    from kafka_spark_streaming_pipeline_spark import cache as cache_reg
+
+    n0 = len(cache_reg._TRACKED)
+    for _ in range(3):
+        assert view_rows() == want
+        assert len(cache_reg._TRACKED) <= n0
+
 
 def test_incremental_index_matches_batch_and_survives_replay(spark, tmp_path):
     from kafka_spark_streaming_pipeline_spark.operators.retrieval import inverted_index
@@ -1379,6 +1389,46 @@ def test_streaming_heavy_hitters_track_true_top_terms(spark, tmp_path):
     assert cands.count() <= 4 * 3 + 4  # 3 appends + folded rows
 
 
+def test_streaming_heavy_hitters_candidate_floor_catches_crowded_out_terms(
+    spark, tmp_path
+):
+    """Local-top-N candidacy alone is a heuristic: a steady moderate
+    term crowded out of every batch's top-N by bursty terms never
+    enters the candidate log and heavy_hitters_view permanently misses
+    it.  The candidate_floor must close that hole — and without it the
+    miss really happens (pinning the documented failure mode)."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        heavy_hitters_view,
+        make_heavy_hitters_sink,
+    )
+
+    # 'steady' runs 8x per batch — globally 2nd overall — but four
+    # bursty terms (10x each, different ones each batch) fill the
+    # entire top-4 every time
+    def batch(i):
+        rows = [(f"burst{i}_{j}",) for j in range(4) for _ in range(10)]
+        rows += [("steady",)] * 8 + [("hot",)] * 40
+        return spark.createDataFrame(rows, ["term"])
+
+    # top-4 per batch = hot + 3 bursts (40, 10, 10, 10 > 8): no floor
+    # -> steady is never a candidate, however many batches pass
+    p_miss = str(tmp_path / "hh_miss")
+    sink = make_heavy_hitters_sink(p_miss, candidates_per_batch=4)
+    for i in range(3):
+        sink(batch(i), i)
+    assert "steady" not in {
+        r.term for r in heavy_hitters_view(spark, p_miss, k=5).collect()
+    }
+
+    # floor=8: steady logs on its first batch and ranks 2nd in the view
+    p_floor = str(tmp_path / "hh_floor")
+    sink = make_heavy_hitters_sink(p_floor, candidates_per_batch=4, candidate_floor=8)
+    for i in range(3):
+        sink(batch(i), i)
+    view = [r.term for r in heavy_hitters_view(spark, p_floor, k=2).collect()]
+    assert view == ["hot", "steady"]
+
+
 def test_streaming_hll_merges_exactly_and_is_replay_idempotent(spark, tmp_path):
     """The streamed portable-HLL registers must equal the batch-built
     registers row for row (union = element-wise max), survive replay
@@ -1648,6 +1698,59 @@ def test_streaming_ddsketch_merges_exactly_with_replay_and_compaction(spark, tmp
     per_key = {r.region: r.total for r in view.groupBy("region").agg(
         F.sum("cnt").alias("total")).collect()}
     assert per_key == {"eu": 2, "us": 1}
+
+
+def test_streaming_ddsketch_reads_pre_sgn_state_format(spark, tmp_path):
+    """State-format migration: sketch logs persisted before the
+    mirrored negative store have no 'sgn' column (positive buckets +
+    bucket NULL for exact zeros).  Reading, appending to, querying and
+    compacting such a store must keep working — sgn derives on read
+    (1 for non-null buckets, 0 for the old zero encoding)."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        dd_build,
+        dd_quantiles,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_dd,
+        dd_stream_view,
+        make_dd_sink,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.txn import AtomicParquetTable
+
+    path = str(tmp_path / "dd_old")
+    b0 = [(float(x),) for x in range(1, 101)] + [(0.0,)]
+    # old-release writer: the same log bucketing, minus the sgn column
+    old_partial = (
+        dd_build(spark.createDataFrame(b0, ["v"]), "v")
+        .drop("sgn")
+        .withColumn("__commit", F.lit(0))
+    )
+    AtomicParquetTable(path).append(old_partial)
+
+    want = {
+        (r.sgn, r.bucket): r.cnt
+        for r in dd_build(spark.createDataFrame(b0, ["v"]), "v").collect()
+    }
+    got = {(r.sgn, r.bucket): r.cnt for r in dd_stream_view(spark, path).collect()}
+    assert got == want
+    # the migrated view answers quantiles and survives compaction
+    est = {
+        r.q: r.estimate
+        for r in dd_quantiles(dd_stream_view(spark, path), [0.5]).collect()
+    }
+    assert abs(est[0.5] - 50.0) / 50.0 <= 0.01 + 1e-9
+    compact_dd(spark, path, quiesced=False)
+    assert {
+        (r.sgn, r.bucket): r.cnt for r in dd_stream_view(spark, path).collect()
+    } == want
+    # a new-format batch appends cleanly onto the migrated store
+    sink = make_dd_sink(path, "v")
+    sink(spark.createDataFrame([(-5.0,)], ["v"]), 1)
+    merged = {
+        (r.sgn, r.bucket): r.cnt for r in dd_stream_view(spark, path).collect()
+    }
+    assert sum(cnt for (sgn, _), cnt in merged.items() if sgn == -1) == 1
+    assert {k: v for k, v in merged.items() if k[0] >= 0} == want
 
 
 def test_streaming_quality_gate_routes_and_replays_idempotently(spark, tmp_path):
