@@ -863,6 +863,53 @@ def training_shards(
 
 # ------------------------------------------------- rule-based filtering
 
+def gopher_metric_columns(text) -> dict:
+    """The five Gopher rule metrics as named column expressions over a
+    text column — shared by ``gopher_quality_rules`` and the composed
+    ``curation_funnel`` so both filter on bit-identical values."""
+    toks = tokens_of(text)
+    tris = shingle_arr(text, 3)
+    from .text import STOPWORDS
+
+    return {
+        "n_words": F.size(toks).cast("long"),
+        "mean_word_len": (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks)
+        ),
+        "stop_hits": F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long"),
+        "alpha_frac": (
+            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks)
+        ),
+        "dup_trigram_frac": (
+            F.lit(1.0) - F.size(F.array_distinct(tris)) / F.size(tris)
+        ),
+    }
+
+
+def gopher_rule_flags(
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stop_hits: int = 2,
+    min_alpha_frac: float = 0.8,
+    max_dup_trigram_frac: float = 0.1,
+) -> dict:
+    """Per-rule boolean expressions over ALREADY-MATERIALIZED metric
+    columns (gopher_metric_columns names) — cheap scalar comparisons,
+    so a pipeline can persist the metrics once and derive the flags
+    from the cached frame."""
+    return {
+        "r_len": (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words),
+        "r_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_stop": F.col("stop_hits") >= min_stop_hits,
+        "r_alpha": F.col("alpha_frac") >= min_alpha_frac,
+        "r_dup": F.col("dup_trigram_frac") <= max_dup_trigram_frac,
+    }
+
+
 def gopher_quality_rules(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -887,36 +934,20 @@ def gopher_quality_rules(
     fraction).  Pure single-scan column expressions — token array and
     trigram array bound once per row, zero shuffle, stays in
     whole-stage codegen."""
-    toks = tokens_of(F.col(text_col))
-    tris = shingle_arr(F.col(text_col), 3)
-    from .text import STOPWORDS
-
+    metrics = gopher_metric_columns(F.col(text_col))
     out = docs.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_words"),
-        (
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            / F.size(toks)
-        ).alias("mean_word_len"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("long").alias("stop_hits"),
-        (
-            F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.size(toks)
-        ).alias("alpha_frac"),
-        (
-            F.lit(1.0) - F.size(F.array_distinct(tris)) / F.size(tris)
-        ).alias("dup_trigram_frac"),
+        F.col(id_col), *[expr.alias(name) for name, expr in metrics.items()]
     )
-    rules = out.select(
-        "*",
-        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias("r_len"),
-        (
-            (F.col("mean_word_len") >= min_mean_word_len)
-            & (F.col("mean_word_len") <= max_mean_word_len)
-        ).alias("r_word_len"),
-        (F.col("stop_hits") >= min_stop_hits).alias("r_stop"),
-        (F.col("alpha_frac") >= min_alpha_frac).alias("r_alpha"),
-        (F.col("dup_trigram_frac") <= max_dup_trigram_frac).alias("r_dup"),
+    flags = gopher_rule_flags(
+        min_words,
+        max_words,
+        min_mean_word_len,
+        max_mean_word_len,
+        min_stop_hits,
+        min_alpha_frac,
+        max_dup_trigram_frac,
     )
+    rules = out.select("*", *[expr.alias(name) for name, expr in flags.items()])
     return rules.withColumn(
         "keep",
         F.col("r_len") & F.col("r_word_len") & F.col("r_stop")

