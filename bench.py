@@ -84,6 +84,11 @@ HEADLINE = [
     # builds once per process on the first call, so best-of-3 reports
     # the search-only time.
     "x95_pq_index_search",
+    # r06 second batch: the composed curation pipeline (quality ->
+    # exact dedup -> near-dup closure -> decontaminate -> shards with
+    # per-stage yield) — the end-product query a training-data user
+    # runs; prices the one-scan tier composition end to end.
+    "x94_curation_pipeline",
 ]
 
 

@@ -4920,3 +4920,155 @@ def x95_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=50,
         corpus=emb,
     )
+
+
+# x94 oracle: the composed funnel replayed stage by stage in SQL.  The
+# near-dup tier re-uses the ENTIRE p12 oracle re-pointed at the
+# exact-dedup survivor corpus (nested WITH referencing the outer CTE),
+# so candidate generation in the composition is provably the same
+# dataflow the standalone p12 verifies.
+_X94_PAIRS_ON_SURVIVORS = _P12_ORACLE.replace("FROM documents", "FROM s2corpus")
+
+_X94_ORACLE = f"""
+    WITH RECURSIVE
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM train
+    ), tri AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tris
+      FROM tk
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE)
+               AS dup_trigram_frac
+      FROM tri
+    ), q AS (
+      SELECT doc_id, n_words FROM m
+      WHERE n_words BETWEEN 30 AND 10000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND stop_hits >= 2 AND alpha_frac >= 0.8 AND dup_trigram_frac <= 0.1
+    ), fp AS (
+      SELECT d.doc_id, q.n_words,
+             substr(md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM train d JOIN q USING (doc_id)
+    ), canon AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint
+    ), es AS (
+      SELECT fp.doc_id, fp.n_words
+      FROM fp JOIN canon USING (fingerprint)
+      WHERE fp.doc_id = canon.canonical_id
+    ), s2corpus AS (
+      SELECT d.doc_id, d.text FROM train d JOIN es USING (doc_id)
+    ), prs AS (
+      SELECT doc_a, doc_b FROM ({_X94_PAIRS_ON_SURVIVORS})
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION
+      SELECT doc_b, doc_a FROM prs
+    ), reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    ), comp AS (
+      SELECT id, min(comp) AS component FROM reach GROUP BY id
+    ), ns AS (
+      SELECT es.doc_id, es.n_words
+      FROM es LEFT JOIN comp ON comp.id = es.doc_id
+      WHERE comp.id IS NULL OR comp.component = es.doc_id
+    ), egt AS (
+      SELECT string_split(lower(text), ' ') AS t FROM eval_docs
+    ), eg AS (
+      SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+      FROM (SELECT unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 4, 1) + 1),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+            FROM egt)
+    ), ngt AS (
+      SELECT s.doc_id, string_split(lower(s.text), ' ') AS t
+      FROM s2corpus s JOIN ns USING (doc_id)
+    ), tg AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+      FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 4, 1) + 1),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+            FROM ngt)
+    ), dc AS (
+      SELECT tg.doc_id,
+             round(coalesce(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END), 0)
+                   / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS ratio
+      FROM tg LEFT JOIN eg USING (gram) GROUP BY tg.doc_id
+    ), ds AS (
+      SELECT ns.doc_id, ns.n_words
+      FROM ns JOIN dc USING (doc_id) WHERE dc.ratio < 0.2
+    ), ntr AS (
+      SELECT count(*) AS n_train, CAST(sum(n_words) AS BIGINT) AS tok_train
+      FROM m
+    ), nev AS (
+      SELECT count(*) AS n_eval FROM eval_docs
+    ), nq AS (
+      SELECT count(*) AS n_q, CAST(coalesce(sum(n_words), 0) AS BIGINT) AS tok_q FROM q
+    ), ne AS (
+      SELECT count(*) AS n_e, CAST(coalesce(sum(n_words), 0) AS BIGINT) AS tok_e FROM es
+    ), nn AS (
+      SELECT count(*) AS n_n, CAST(coalesce(sum(n_words), 0) AS BIGINT) AS tok_n FROM ns
+    ), nd AS (
+      SELECT count(*) AS n_d, CAST(coalesce(sum(n_words), 0) AS BIGINT) AS tok_d FROM ds
+    ), stages AS (
+      SELECT '0_eval_holdout' AS stage, n_train + n_eval AS docs_in,
+             n_eval AS docs_removed, n_train AS docs_out, tok_train AS tokens_out
+      FROM ntr, nev
+      UNION ALL
+      SELECT '1_quality', n_train, n_train - n_q, n_q, tok_q FROM ntr, nq
+      UNION ALL
+      SELECT '2_exact_dedup', n_q, n_q - n_e, n_e, tok_e FROM nq, ne
+      UNION ALL
+      SELECT '3_near_dedup', n_e, n_e - n_n, n_n, tok_n FROM ne, nn
+      UNION ALL
+      SELECT '4_decontaminate', n_n, n_n - n_d, n_d, tok_d FROM nn, nd
+      UNION ALL
+      SELECT '5_shards', n_d, 0, n_d, tok_d FROM nd
+    )
+    SELECT stage,
+           CAST(docs_in AS BIGINT) AS docs_in,
+           CAST(docs_removed AS BIGINT) AS docs_removed,
+           CAST(docs_out AS BIGINT) AS docs_out,
+           round(coalesce(docs_removed / CAST(docs_in AS DOUBLE), 0.0) + 1e-9, 4)
+             AS removal_rate,
+           tokens_out
+    FROM stages
+"""
+
+
+@query("x94_curation_pipeline", oracle=_X94_ORACLE)
+def x94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation pipeline (VERDICT r5 #6) with
+    per-stage yield accounting: eval holdout (every 20th doc plays the
+    benchmark, as in x25) -> Gopher rules (x53 semantics) -> exact
+    dedup (p11 canonical survivor) -> near-dup closure (p12 pairs +
+    p14 components, computed over exact-dedup survivors) ->
+    decontamination (x25 5-gram overlap, hashed grams) -> training
+    shards (x52 key).  operators/curation.curation_funnel: the train
+    corpus text is scanned ONCE into a persisted narrow frame (Gopher
+    metrics, fingerprint, MinHash signature, gram-hash set); every
+    tier and the final funnel aggregate run over that cached frame —
+    the oracle replays all six stages in SQL, embedding the p12
+    oracle re-pointed at the tier-3 survivor corpus."""
+    from ..operators.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )

@@ -1916,3 +1916,65 @@ def test_seasonal_anomalies_catch_outage_and_unmasked_spike(spark):
     outage_key = (base + dt.timedelta(days=6, hours=13), 0)
     assert spike_key in out and out[spike_key] > 2.0, out
     assert outage_key in out and out[outage_key] == -9999.0, out
+
+
+def test_curation_funnel_planted_stages(spark):
+    """Each tier of the composed funnel removes exactly its planted
+    victim: a low-quality doc at 1_quality, one of two exact
+    duplicates at 2_exact_dedup, the near-duplicate at 3_near_dedup,
+    the eval-copying doc at 4_decontaminate — and the funnel chains
+    (docs_out[i] == docs_in[i+1]) with exact token accounting."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import curation_funnel
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch from nearby fields and wonder about the strange spectacle "
+        "unfolding before their curious eyes during that warm afternoon"
+    )  # 30 words, stopword-rich, clean trigrams
+    near = base.replace("warm afternoon", "cold evening")
+    eval_text = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and found that careful "
+        "decontamination of the training corpus remains absolutely essential "
+        "for trustworthy reported results overall"
+    )
+    # >= 20% of this doc's distinct 5-grams come verbatim from eval_text
+    contaminated = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and noted in passing that "
+        "unrelated filler content about gardening cooking travel sports "
+        "music painting also fills this document nicely today"
+    )
+    unique2 = (
+        "a completely different report describes harvest totals for wheat "
+        "barley oats and rye across seven regions with detailed tables "
+        "showing yearly trends that farmers consult before planting their "
+        "next season of crops in spring"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, unique2),
+            (3, unique2),   # exact duplicate of 2 -> one removed
+            (4, near),      # near-duplicate of 1 -> removed at closure
+            (5, "too short to pass"),  # fails gopher n_words >= 30
+            (7, contaminated),         # removed at decontamination
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(6, eval_text)], "doc_id long, text string")
+    rows = {r["stage"]: r for r in curation_funnel(train, evals).collect()}
+
+    assert rows["0_eval_holdout"].docs_in == 7
+    assert rows["0_eval_holdout"].docs_out == 6
+    assert rows["1_quality"].docs_removed == 1       # doc 5
+    assert rows["2_exact_dedup"].docs_removed == 1   # doc 3 (min id 2 survives)
+    assert rows["3_near_dedup"].docs_removed == 1    # doc 4 (min id 1 survives)
+    assert rows["4_decontaminate"].docs_removed == 1  # doc 7
+    assert rows["5_shards"].docs_removed == 0
+    assert rows["5_shards"].docs_out == 2            # docs 1 and 2 survive
+    order = ["0_eval_holdout", "1_quality", "2_exact_dedup",
+             "3_near_dedup", "4_decontaminate", "5_shards"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a].docs_out == rows[b].docs_in
+        assert rows[b].tokens_out <= rows[a].tokens_out

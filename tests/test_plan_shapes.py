@@ -163,6 +163,21 @@ def test_pq_index_search_scans_codes_not_corpus(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_curation_funnel_tiers_read_cached_frame(spark, sf_dir):
+    # the composed pipeline's contract (VERDICT r5 #6): tiers compose
+    # WITHOUT re-scanning the corpus — quality flags, exact-dedup
+    # groupBy, LSH banding, closure join, gram explode, shard count,
+    # and the funnel aggregate all read the one persisted per-doc
+    # frame.  Textual 'Scan parquet' counts nest inside cached-child
+    # printouts, so real scans = textual - cached readers: only the
+    # tiny eval side (gram set + holdout count) may scan parquet.
+    plan = _plan(spark, sf_dir, "x94_curation_pipeline")
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 6  # every tier family reads the cache
+    assert plan.count("Scan parquet") - n_cached <= 3  # eval side only
+    assert "CartesianProduct" not in plan
+
+
 def test_chunking_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "x42_chunk_documents")
     assert plan.count("Exchange") == 0  # pure scan -> project -> generate

@@ -86,6 +86,7 @@ AUDITED = {
     "x80_all_but_the_top": "all-but-the-top: ONE corpus scan to dim^2 moment sums; power iteration runs on the driver over a dim x dim matrix",
     "x93_corpus_datasheet": "datasheet: every per-doc signal is a column expression — ONE corpus scan + one per-source 8-aggregate groupBy",
     "x95_pq_index_search": "steady-state PQ search: codes-only ADC scan of the persisted index + broadcast LUT; exact rerank touches only the |Q| x 50 shortlist",
+    "x94_curation_pipeline": "composed curation funnel: train text scanned ONCE into the persisted per-doc frame (metrics+fingerprint+signature+gram hashes) — every tier is an InMemoryTableScan reader; eval side scanned for the broadcast gram set + holdout count only; single-partition exchanges are the three 1-row funnel aggregates",
 }
 
 
