@@ -198,6 +198,26 @@ def main() -> None:
         except Exception as exc:
             print(f"# gate bench failed: {exc}", file=sys.stderr)
 
+    # Composed ingest throughput: quality gate + streaming datasheet +
+    # heavy-hitter tracking fan-out per batch — the full maintenance
+    # cost a production corpus pays per ingested document.
+    ingest_dps = None
+    n_ingest_docs = int(os.environ.get("SPARK_GRAFT_INGEST_DOCS", "20000"))
+    if n_ingest_docs > 0:
+        try:
+            from tools.bench_streaming import measure_ingest
+
+            ingest_metrics = measure_ingest(spark, sf_dir, n_docs=n_ingest_docs)
+            ingest_dps = ingest_metrics["value"]
+            print(
+                f"# ingest: {ingest_metrics['n_docs']} docs in "
+                f"{ingest_metrics['wall_sec']}s -> {ingest_dps} docs/s "
+                f"(gate + datasheet + heavy-hitters)",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# ingest bench failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -209,6 +229,8 @@ def main() -> None:
         out["streaming_events_per_sec"] = streaming_eps
     if gate_dps is not None:
         out["gate_docs_per_sec"] = gate_dps
+    if ingest_dps is not None:
+        out["ingest_docs_per_sec"] = ingest_dps
     if sf_ratio:
         out["sf_ratio"] = sf_ratio
     print(json.dumps(out))

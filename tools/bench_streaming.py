@@ -193,3 +193,75 @@ def measure_gate(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4) -
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def measure_ingest(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4) -> dict:
+    """Composed document-ingest throughput (VERDICT r5 #8): each batch
+    flows through the FULL maintenance fan-out a production corpus
+    keeps live — the quality gate (persisted-LM scoring +
+    fingerprint-history dedup + accept/reject routing), the streaming
+    datasheet (per-source integer partials + fingerprint HLL
+    registers), and heavy-hitter term tracking (CMS + candidate log
+    over the batch's exploded tokens).  The reported docs/s prices all
+    three families together — the composed number the per-sink tests
+    can't give — and the merged views are sanity-checked at the end so
+    a silently-broken sink cannot inflate it."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        save_bigram_lm,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        datasheet_view,
+        heavy_hitters_view,
+        make_datasheet_sink,
+        make_heavy_hitters_sink,
+        make_quality_gate_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        save_bigram_lm(docs, f"{work}/lm")
+        gate = make_quality_gate_sink(
+            f"{work}/acc", f"{work}/rej", f"{work}/lm", f"{work}/fp",
+            max_cross_entropy=100.0,
+        )
+        datasheet = make_datasheet_sink(f"{work}/ds")
+        hh = make_heavy_hitters_sink(f"{work}/hh", candidate_floor=100)
+        per_batch = max(1, n_docs // n_batches)
+        base = docs.limit(per_batch).select("doc_id", "source", "text")
+        n_base = base.count()  # corpus may be smaller than the ask
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = base.select(
+                (F.col("doc_id") + F.lit(b * 1_000_000)).alias("doc_id"),
+                "source",
+                F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit(f" novel{b}")))
+                .alias("text"),
+            )
+            gate(batch.select("doc_id", "text"), b)
+            datasheet(batch, b)
+            hh(
+                batch.select(
+                    F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+                ),
+                b,
+            )
+        wall = round(time.time() - t0, 3)
+        n = n_base * n_batches
+        ds_sources = datasheet_view(spark, f"{work}/ds").count()
+        top_terms = heavy_hitters_view(spark, f"{work}/hh", k=5).count()
+        if ds_sources < 1 or top_terms != 5:
+            raise RuntimeError(
+                f"composed views inconsistent: {ds_sources} sources, {top_terms} terms"
+            )
+        return {
+            "metric": "ingest_docs_per_second",
+            "value": round(n / wall, 1),
+            "n_docs": n,
+            "n_batches": n_batches,
+            "wall_sec": wall,
+            "datasheet_sources": ds_sources,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
