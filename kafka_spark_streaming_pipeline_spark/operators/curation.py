@@ -1350,3 +1350,146 @@ def curation_funnel(
         ).alias("removal_rate"),
         "tokens_out",
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs that CROSS the
+    deterministic train/val/test boundary.  A hash split assigns
+    whole documents, but near-duplicates of a test doc sitting in
+    train leak the benchmark anyway — the standard held-out-set
+    hygiene check run before training.  Output: one row per unordered
+    split-label pair with its candidate-pair count, mean/max estimated
+    Jaccard, and a ``leaky`` flag (labels differ); the within-split
+    rows double as the baseline duplicate density.
+
+    Scale shape: exactly p12's — LSH banding over MinHash signatures
+    (never all-pairs) — plus a pure-projection split label on each
+    endpoint and a 6-row-bounded aggregate; the split never shuffles
+    anything."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        min_est_jaccard=min_est_jaccard,
+        max_bucket_size=max_bucket_size,
+    )
+
+    def split_of(doc_col):
+        b = hash60(doc_col.cast("string")) % 100
+        return (
+            F.when(b < train_pct, "train")
+            .when(b < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    labeled = pairs.select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+        "est_jaccard",
+    )
+    return (
+        labeled.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("est_jaccard") + F.lit(1e-9), 4).alias("avg_est_jaccard"),
+            F.max("est_jaccard").alias("max_est_jaccard"),
+        )
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    rate_drift_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots —
+    the monitoring report a pipeline runs between crawls: doc/token
+    volume, mean length, quality rate, and language rate per side,
+    their deltas, and a ``drift`` flag when either rate moved more
+    than ``rate_drift_threshold``.  Each side contributes one
+    conditional-aggregation pass (signals are pure column
+    expressions, x93's); the union aggregates on the well-spread
+    source key.  Sources present in only one snapshot still report
+    (full-outer semantics via the union), with the absent side's
+    counts at 0."""
+    from .text import lang_id, quality_score
+
+    def tagged(df: DataFrame, half: int) -> DataFrame:
+        t = F.col(text_col)
+        return df.select(
+            F.col(source_col).alias("source"),
+            F.lit(half).alias("half"),
+            token_count(t).alias("n_tokens"),
+            (quality_score(t) >= 0.9).cast("long").alias("hi_q"),
+            (lang_id(t) == "en").cast("long").alias("is_en"),
+        )
+
+    both = tagged(old, 0).unionAll(tagged(new, 1))
+
+    def side(half: int, expr):
+        return F.sum(F.when(F.col("half") == half, expr).otherwise(0))
+
+    agg = both.groupBy("source").agg(
+        side(0, F.lit(1)).cast("long").alias("n_docs_old"),
+        side(1, F.lit(1)).cast("long").alias("n_docs_new"),
+        side(0, F.col("n_tokens")).cast("long").alias("tok_old"),
+        side(1, F.col("n_tokens")).cast("long").alias("tok_new"),
+        side(0, F.col("hi_q")).alias("hi_q_old"),
+        side(1, F.col("hi_q")).alias("hi_q_new"),
+        side(0, F.col("is_en")).alias("en_old"),
+        side(1, F.col("is_en")).alias("en_new"),
+    )
+    # absent-side guard: rate of an empty side is NULL (mirrors the
+    # oracle's CASE WHEN n > 0), not a division-by-zero artifact
+    no = F.when(F.col("n_docs_old") > 0, F.col("n_docs_old").cast("double"))
+    nn = F.when(F.col("n_docs_new") > 0, F.col("n_docs_new").cast("double"))
+    hi_old = F.col("hi_q_old") / no
+    hi_new = F.col("hi_q_new") / nn
+    en_old = F.col("en_old") / no
+    en_new = F.col("en_new") / nn
+    mean_old = F.col("tok_old") / no
+    mean_new = F.col("tok_new") / nn
+
+    def _r4(x):
+        return F.round(x + F.lit(1e-9), 4)
+
+    return agg.select(
+        "source",
+        "n_docs_old",
+        "n_docs_new",
+        _r4(mean_old).alias("mean_tokens_old"),
+        _r4(mean_new).alias("mean_tokens_new"),
+        _r4(mean_new - mean_old).alias("delta_mean_tokens"),
+        _r4(hi_old).alias("hi_q_rate_old"),
+        _r4(hi_new).alias("hi_q_rate_new"),
+        _r4(hi_new - hi_old).alias("delta_hi_q_rate"),
+        _r4(en_old).alias("en_rate_old"),
+        _r4(en_new).alias("en_rate_new"),
+        _r4(en_new - en_old).alias("delta_en_rate"),
+        (
+            (F.abs(hi_new - hi_old) > rate_drift_threshold)
+            | (F.abs(en_new - en_old) > rate_drift_threshold)
+        ).alias("drift"),
+    )

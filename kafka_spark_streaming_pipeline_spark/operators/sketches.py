@@ -491,3 +491,67 @@ def dd_quantiles(
         / F.lit(gamma + 1.0),
     ).otherwise(F.lit(0.0))
     return first.select(*keys, "q", F.col("total").alias("n"), est.alias("estimate"))
+
+
+def kmv_sketch_by(df: DataFrame, keys: list[str], col, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketches: distinct (keys, hash60) rows, per-group
+    bottom-k via a rank window — Spark compiles rank<=k to
+    WindowGroupLimit, a partial map-side top-k BEFORE the one
+    group-key exchange, so no group ever sorts more than its own
+    candidate minima — folded to one sorted k-array per group.
+    The group-wise twin of ``kmv_sketch``."""
+    from pyspark.sql import Window as W
+
+    from .text import hash60
+
+    h = df.select(*keys, hash60(col).alias("h")).distinct()
+    w = W.partitionBy(*keys).orderBy("h")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def _kmv_pair_stats(ab: DataFrame, k: int) -> DataFrame:
+    """Shared estimator block: expects columns ``a``/``b`` (sorted KMV
+    arrays) plus any carry-through columns; appends the overlap
+    estimates (same math as kmv_overlap)."""
+    un = F.slice(F.array_sort(F.array_distinct(F.concat(F.col("a"), F.col("b")))), 1, k)
+    with_u = ab.withColumn("u", un)
+    carry = [c for c in ab.columns if c not in ("a", "b")]
+    return with_u.select(
+        *carry,
+        F.round(_kmv_est(F.col("a"), k) + F.lit(1e-9), 2).alias("est_distinct_a"),
+        F.round(_kmv_est(F.col("b"), k) + F.lit(1e-9), 2).alias("est_distinct_b"),
+        F.round(_kmv_est(F.col("u"), k) + F.lit(1e-9), 2).alias("est_union"),
+        F.round(
+            F.size(
+                F.filter(
+                    F.col("u"),
+                    lambda x: F.array_contains(F.col("a"), x)
+                    & F.array_contains(F.col("b"), x),
+                )
+            )
+            / F.size(F.col("u"))
+            + F.lit(1e-9),
+            4,
+        ).alias("kmv_jaccard"),
+    ).withColumn(
+        "est_intersection",
+        F.round(F.col("kmv_jaccard") * F.col("est_union") + F.lit(1e-9), 2),
+    )
+
+
+def kmv_overlap_matrix(sketches: DataFrame, key: str, k: int = KMV_K) -> DataFrame:
+    """Pairwise content-overlap matrix across ALL groups from their
+    per-group KMV sketches (kmv_sketch_by): which sources share
+    material, estimated from group-count x k hashes instead of the
+    corpora.  The pair expansion is groups², but groups (sources,
+    crawls, shards) are vocabulary-sized by assumption — the sketch
+    side is broadcast and each pair's math touches two k-arrays."""
+    a = sketches.select(F.col(key).alias(f"{key}_a"), F.col("kmv").alias("a"))
+    b = sketches.select(F.col(key).alias(f"{key}_b"), F.col("kmv").alias("b"))
+    ab = a.join(F.broadcast(b), F.col(f"{key}_a") < F.col(f"{key}_b"))
+    return _kmv_pair_stats(ab, k)

@@ -4804,7 +4804,7 @@ def x92_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_tokens, fp,
              CASE WHEN ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
                         + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
-                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))) / 3.0
                        >= 0.9 THEN 1 ELSE 0 END AS hi_q,
              CASE WHEN greatest(n_en, n_es, n_de, n_fr) > 0
                    AND n_en = greatest(n_en, n_es, n_de, n_fr) THEN 1 ELSE 0 END AS is_en
@@ -5071,4 +5071,195 @@ def x94_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
+@query(
+    "x96_split_leakage",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_a, doc_b, est_jaccard FROM ({_P12_ORACLE})
+    ), lab AS (
+      SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+                  THEN 'val' ELSE 'test' END AS sa,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+                  THEN 'val' ELSE 'test' END AS sb,
+             est_jaccard
+      FROM pr
+    )
+    SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+           count(*) AS n_pairs,
+           round(avg(est_jaccard) + 1e-9, 4) AS avg_est_jaccard,
+           max(est_jaccard) AS max_est_jaccard,
+           least(sa, sb) <> greatest(sa, sb) AS leaky
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def x96_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit (held-out-set hygiene): near-dup candidate
+    pairs (p12 LSH dataflow) labeled with each endpoint's
+    deterministic train/val/test split (x26 hash buckets) and
+    aggregated per unordered split-label pair — the pre-training check
+    that benchmark near-duplicates aren't sitting in train.  The
+    split label is a pure projection on the pair endpoints; the
+    aggregate is bounded by 6 rows.  ``max_est_jaccard`` is exact
+    (est values are k/16 — binary-exact after round-4)."""
+    from ..operators.curation import split_leakage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage(docs)
+
+
+@query(
+    "x97_source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])
+             ))) AS gram
+      FROM toks
+    ), h AS (
+      SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv
+      FROM g
+    ), r AS (
+      SELECT source, hv,
+             row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM h
+    ), s AS (
+      SELECT source, list_sort(list(hv)) AS kv
+      FROM r WHERE rn <= 64 GROUP BY source
+    ), p AS (
+      SELECT sa.source AS source_a, sb.source AS source_b, sa.kv AS a, sb.kv AS b
+      FROM s sa JOIN s sb ON sa.source < sb.source
+    ), m AS (
+      SELECT source_a, source_b, a, b,
+             (list_sort(list_distinct(list_concat(a, b))))[1:64] AS u
+      FROM p
+    ), est AS (
+      SELECT source_a, source_b,
+        round(CASE WHEN len(a) < 64 THEN len(a)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / a[least(len(a), 64)] END
+              + 1e-9, 2) AS est_distinct_a,
+        round(CASE WHEN len(b) < 64 THEN len(b)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / b[least(len(b), 64)] END
+              + 1e-9, 2) AS est_distinct_b,
+        round(CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+                   ELSE 63.0 * 1152921504606846976.0 / u[least(len(u), 64)] END
+              + 1e-9, 2) AS est_union,
+        round(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x)))
+              / CAST(len(u) AS DOUBLE) + 1e-9, 4) AS kmv_jaccard
+      FROM m
+    )
+    SELECT source_a, source_b, est_distinct_a, est_distinct_b, est_union,
+           kmv_jaccard,
+           round(kmv_jaccard * est_union + 1e-9, 2) AS est_intersection
+    FROM est
+    """,
+)
+def x97_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-content-overlap matrix from per-source KMV
+    sketches over distinct 3-shingle hashes — the cross-source audit
+    ("which crawls duplicate each other?") answered from sources x 64
+    hashes instead of the corpus.  One scan + distinct + a
+    WindowGroupLimit bottom-64 per source; the sources² pair expansion
+    is broadcast and touches only 64-length arrays.  Same estimator
+    math as x68 (value-checked there for two fixed halves; here per
+    pair of real sources)."""
+    from ..operators.dedup import shingle_arr
+    from ..operators.sketches import kmv_overlap_matrix, kmv_sketch_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", F.explode(F.array_distinct(shingle_arr(F.col("text"), 3))).alias("gram")
+    )
+    sketches = kmv_sketch_by(sh, ["source"], F.col("gram"))
+    return kmv_overlap_matrix(sketches, "source")
+
+
+@query(
+    "x98_snapshot_drift",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id % 2 AS half, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CASE WHEN ((CASE WHEN CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                                   BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END
+                        + (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+                             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                             BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN list_sum(list_transform(string_split(lower(text), ' '),
+                                                             t -> length(t)))
+                             / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+                             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))) / 3.0
+                       >= 0.9 THEN 1 ELSE 0 END AS hi_q,
+             CASE WHEN greatest(
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les')))) > 0
+                   AND len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and')))
+                     = greatest(
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('the','a','of','and'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('el','la','de','que'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('der','die','und','das'))),
+                    len(list_filter(string_split(lower(text), ' '), t -> t IN ('le','la','et','les'))))
+                  THEN 1 ELSE 0 END AS is_en
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_old,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_new,
+             CAST(sum(CASE WHEN half = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_old,
+             CAST(sum(CASE WHEN half = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tok_new,
+             sum(CASE WHEN half = 0 THEN hi_q ELSE 0 END) AS hi_q_old,
+             sum(CASE WHEN half = 1 THEN hi_q ELSE 0 END) AS hi_q_new,
+             sum(CASE WHEN half = 0 THEN is_en ELSE 0 END) AS en_old,
+             sum(CASE WHEN half = 1 THEN is_en ELSE 0 END) AS en_new
+      FROM m GROUP BY source
+    ), rates AS (
+      SELECT source, n_docs_old, n_docs_new,
+             CASE WHEN n_docs_old > 0 THEN tok_old / CAST(n_docs_old AS DOUBLE) END AS mean_old,
+             CASE WHEN n_docs_new > 0 THEN tok_new / CAST(n_docs_new AS DOUBLE) END AS mean_new,
+             CASE WHEN n_docs_old > 0 THEN hi_q_old / CAST(n_docs_old AS DOUBLE) END AS hi_old,
+             CASE WHEN n_docs_new > 0 THEN hi_q_new / CAST(n_docs_new AS DOUBLE) END AS hi_new,
+             CASE WHEN n_docs_old > 0 THEN en_old / CAST(n_docs_old AS DOUBLE) END AS e_old,
+             CASE WHEN n_docs_new > 0 THEN en_new / CAST(n_docs_new AS DOUBLE) END AS e_new
+      FROM agg
+    )
+    SELECT source, n_docs_old, n_docs_new,
+           round(mean_old + 1e-9, 4) AS mean_tokens_old,
+           round(mean_new + 1e-9, 4) AS mean_tokens_new,
+           round(mean_new - mean_old + 1e-9, 4) AS delta_mean_tokens,
+           round(hi_old + 1e-9, 4) AS hi_q_rate_old,
+           round(hi_new + 1e-9, 4) AS hi_q_rate_new,
+           round(hi_new - hi_old + 1e-9, 4) AS delta_hi_q_rate,
+           round(e_old + 1e-9, 4) AS en_rate_old,
+           round(e_new + 1e-9, 4) AS en_rate_new,
+           round(e_new - e_old + 1e-9, 4) AS delta_en_rate,
+           (abs(hi_new - hi_old) > 0.1 OR abs(e_new - e_old) > 0.1) AS drift
+    FROM rates
+    """,
+)
+def x98_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots
+    (doc-id parity plays the old/new crawls): volume, mean length,
+    quality rate, and language rate per side with deltas and a drift
+    flag — the between-crawl monitoring report.  One conditional-
+    aggregation pass per snapshot over x93's column-expression
+    signals; one groupBy(source) exchange total."""
+    from ..operators.curation import snapshot_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return snapshot_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
     )

@@ -1978,3 +1978,90 @@ def test_curation_funnel_planted_stages(spark):
     for a, b in zip(order, order[1:]):
         assert rows[a].docs_out == rows[b].docs_in
         assert rows[b].tokens_out <= rows[a].tokens_out
+
+
+def test_split_leakage_flags_cross_split_neardups(spark):
+    """A planted near-dup pair whose ids hash into different splits
+    must surface as a leaky row; an identical pair within one split
+    must not."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import split_leakage
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 90]
+    test_ids = [i for i in range(200) if bucket(i) >= 95]
+    base = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch from nearby fields and wonder about the strange spectacle "
+        "unfolding before their curious eyes during one warm afternoon"
+    )
+    rows = [
+        (train_ids[0], base),
+        (test_ids[0], base.replace("warm", "cold")),   # cross-split near-dup
+        (train_ids[1], base.replace("fox", "cat")),    # in-split near-dup
+        (train_ids[2], "completely unrelated text about harvest totals for "
+                       "wheat barley and oats across seven distinct regions"),
+    ]
+    out = {
+        (r["split_a"], r["split_b"]): r
+        for r in split_leakage(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    leak = out[("test", "train")]
+    assert leak.leaky and leak.n_pairs >= 1
+    assert out[("train", "train")].leaky is False
+
+
+def test_kmv_overlap_matrix_exact_below_k(spark):
+    """Sets smaller than k make the per-group sketch exact: the matrix
+    must report true distinct counts and the true hash-set Jaccard."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        kmv_overlap_matrix,
+        kmv_sketch_by,
+    )
+
+    rows = (
+        [("a", f"v{i}") for i in range(40)]
+        + [("b", f"v{i}") for i in range(20, 60)]   # 20 shared with a
+        + [("c", f"w{i}") for i in range(10)]       # disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, val string")
+    m = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_overlap_matrix(
+            kmv_sketch_by(df, ["grp"], F.col("val")), "grp"
+        ).collect()
+    }
+    ab = m[("a", "b")]
+    assert ab.est_distinct_a == 40.0 and ab.est_distinct_b == 40.0
+    assert ab.est_union == 60.0
+    assert abs(ab.kmv_jaccard - 20 / 60) < 1e-3
+    assert m[("a", "c")].kmv_jaccard == 0.0
+    assert len(m) == 3  # unordered pairs only
+
+
+def test_snapshot_drift_flags_language_flip(spark):
+    """A source whose new snapshot flips English->Spanish must flag
+    drift with delta_en_rate == -1; a stable source must not."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import snapshot_drift
+
+    en = ("the story of a fox and the dog is told here in plain english "
+          "words that carry the usual stopword mix for detection purposes")
+    es = ("el cuento de la zorra y el perro que se narra aqui con palabras "
+          "de la lengua que lleva la mezcla usual para que se detecte bien")
+    old = spark.createDataFrame(
+        [(1, "stable", en), (2, "flipping", en)], "doc_id long, source string, text string"
+    )
+    new = spark.createDataFrame(
+        [(3, "stable", en), (4, "flipping", es)], "doc_id long, source string, text string"
+    )
+    out = {r["source"]: r for r in snapshot_drift(old, new).collect()}
+    assert out["flipping"].drift and out["flipping"].delta_en_rate == -1.0
+    assert not out["stable"].drift
+    assert out["stable"].delta_en_rate == 0.0

@@ -87,6 +87,9 @@ AUDITED = {
     "x93_corpus_datasheet": "datasheet: every per-doc signal is a column expression — ONE corpus scan + one per-source 8-aggregate groupBy",
     "x95_pq_index_search": "steady-state PQ search: codes-only ADC scan of the persisted index + broadcast LUT; exact rerank touches only the |Q| x 50 shortlist",
     "x94_curation_pipeline": "composed curation funnel: train text scanned ONCE into the persisted per-doc frame (metrics+fingerprint+signature+gram hashes) — every tier is an InMemoryTableScan reader; eval side scanned for the broadcast gram set + holdout count only; single-partition exchanges are the three 1-row funnel aggregates",
+    "x96_split_leakage": "split-leakage audit: p12's LSH pair dataflow + pure-projection split labels on the endpoints; final aggregate bounded by 6 split-pair rows",
+    "x97_source_overlap_matrix": "source overlap: one scan + distinct + WindowGroupLimit bottom-64 per source; the sources^2 pair math is broadcast over 64-length arrays",
+    "x98_snapshot_drift": "snapshot drift: x93's column-expression signals, one conditional-aggregation pass per snapshot, one groupBy(source) exchange",
 }
 
 
