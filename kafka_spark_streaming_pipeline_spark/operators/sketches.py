@@ -493,13 +493,14 @@ def dd_quantiles(
     return first.select(*keys, "q", F.col("total").alias("n"), est.alias("estimate"))
 
 
-def kmv_sketch_by(df: DataFrame, keys: list[str], col, k: int = KMV_K) -> DataFrame:
-    """Per-group KMV sketches: distinct (keys, hash60) rows, per-group
-    bottom-k via a rank window — Spark compiles rank<=k to
+def kmv_partial_rows(df: DataFrame, keys: list[str], col, k: int = KMV_K) -> DataFrame:
+    """Per-group bottom-k distinct hash60 values as ROWS (keys..., h):
+    distinct then a rank window — Spark compiles rank<=k to
     WindowGroupLimit, a partial map-side top-k BEFORE the one
     group-key exchange, so no group ever sorts more than its own
-    candidate minima — folded to one sorted k-array per group.
-    The group-wise twin of ``kmv_sketch``."""
+    candidate minima.  Row form is what the streaming KMV sink logs
+    (bounded: |groups| x k rows per batch); ``kmv_sketch_by`` folds it
+    to arrays."""
     from pyspark.sql import Window as W
 
     from .text import hash60
@@ -509,6 +510,15 @@ def kmv_sketch_by(df: DataFrame, keys: list[str], col, k: int = KMV_K) -> DataFr
     return (
         h.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_sketch_by(df: DataFrame, keys: list[str], col, k: int = KMV_K) -> DataFrame:
+    """Per-group KMV sketches: kmv_partial_rows folded to one sorted
+    k-array per group.  The group-wise twin of ``kmv_sketch``."""
+    return (
+        kmv_partial_rows(df, keys, col, k)
         .groupBy(*keys)
         .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
     )

@@ -756,6 +756,58 @@ def compact_hll(spark, sketch_path: str, keys: list[str], quiesced: bool = True)
     _compact(spark, sketch_path, lambda log: _hll_view_of(log, keys), quiesced)
 
 
+def make_kmv_sink(sketch_path: str, keys: list[str], col: str, k: int = 64):
+    """Incrementally-maintained per-group KMV distinct sketches — the
+    streaming twin of operators.sketches.kmv_sketch_by and the input
+    x97's source-overlap matrix consumes.  Each micro-batch appends
+    its per-group bottom-k distinct hash rows: at most |groups| x k
+    rows regardless of batch size.  KMV union is the k smallest of
+    the union — min-like, hence IDEMPOTENT under replay exactly like
+    HLL's register max: a re-appended batch cannot perturb the merged
+    bottom-k.  Per-commit hygiene and the shared compaction contract
+    are kept anyway (compact_kmv)."""
+    from ..operators.sketches import kmv_partial_rows
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = kmv_partial_rows(batch_df, keys, F.col(col), k)
+        AtomicParquetTable(sketch_path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _kmv_view_of(log: DataFrame, keys: list[str], k: int) -> DataFrame:
+    deduped = (
+        _drop_replays_behind_watermark(log).select(*keys, "h").distinct()
+    )
+    w = W.partitionBy(*keys).orderBy("h")
+    return (
+        deduped.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_stream_view(spark, sketch_path: str, keys: list[str], k: int = 64) -> DataFrame:
+    """Merged per-group sketch arrays, identical to the batch-built
+    kmv_sketch_by over all data ever logged — feed straight to
+    kmv_overlap_matrix for the continuously-maintained source-overlap
+    report."""
+    rows = _kmv_view_of(_read_log(spark, sketch_path), keys, k)
+    return rows.groupBy(*keys).agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+
+
+def compact_kmv(
+    spark, sketch_path: str, keys: list[str], k: int = 64, quiesced: bool = True
+) -> None:
+    """Fold the hash log to the current per-group bottom-k rows; same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, sketch_path, lambda log: _kmv_view_of(log, keys, k), quiesced)
+
+
 # ---------------------------------------- streaming corpus datasheet
 
 def make_datasheet_sink(path: str):

@@ -1922,3 +1922,54 @@ def test_quality_gate_through_real_stream(spark, tmp_path):
     assert {
         r.doc_id: r.reject_reason for r in gate_view(spark, rej).collect()
     } == {2: "high_perplexity", 3: "duplicate"}
+
+
+def test_streaming_kmv_merges_exactly_and_is_replay_idempotent(spark, tmp_path):
+    """The streamed per-group KMV sketch must equal the batch-built
+    kmv_sketch_by arrays exactly (union = k smallest of the union),
+    survive replay and online compaction (bottom-k is idempotent even
+    without commit dedup), and the maintained view must drive the
+    overlap matrix."""
+    from pyspark.sql import functions as F
+
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        kmv_overlap_matrix,
+        kmv_sketch_by,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_kmv,
+        kmv_stream_view,
+        make_kmv_sink,
+    )
+
+    path = str(tmp_path / "kmv")
+    sink = make_kmv_sink(path, ["grp"], "val", k=16)
+    b0 = [("a", f"v{i}") for i in range(30)] + [("b", f"v{i}") for i in range(10, 25)]
+    b1 = [("a", f"v{i}") for i in range(20, 50)] + [("b", f"w{i}") for i in range(5)]
+    sink(spark.createDataFrame(b0, ["grp", "val"]), 0)
+    sink(spark.createDataFrame(b1, ["grp", "val"]), 1)
+
+    def arrays():
+        return sorted(
+            (r["grp"], tuple(r["kmv"]))
+            for r in kmv_stream_view(spark, path, ["grp"], k=16).collect()
+        )
+
+    want = sorted(
+        (r["grp"], tuple(r["kmv"]))
+        for r in kmv_sketch_by(
+            spark.createDataFrame(b0 + b1, ["grp", "val"]), ["grp"], F.col("val"), k=16
+        ).collect()
+    )
+    assert arrays() == want
+
+    sink(spark.createDataFrame(b1, ["grp", "val"]), 1)  # replay -> deduped
+    assert arrays() == want
+    compact_kmv(spark, path, ["grp"], k=16, quiesced=False)
+    sink(spark.createDataFrame(b1, ["grp", "val"]), 1)  # replay of folded batch
+    assert arrays() == want
+
+    m = kmv_overlap_matrix(
+        kmv_stream_view(spark, path, ["grp"], k=16), "grp", k=16
+    ).collect()
+    assert len(m) == 1 and m[0]["grp_a"] == "a" and m[0]["kmv_jaccard"] > 0
