@@ -1493,3 +1493,129 @@ def snapshot_drift(
             | (F.abs(en_new - en_old) > rate_drift_threshold)
         ).alias("drift"),
     )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_stages: int = 4,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "cur|",
+) -> DataFrame:
+    """Curriculum ordering: every document placed in a difficulty
+    stage (corpus-relative quantiles of bigram cross-entropy — easy
+    first) and, within its stage, dealt into hash-balanced shards
+    with a deterministic pseudo-random position — the (stage, shard,
+    pos) iteration order a curriculum-trained run consumes.
+
+    No global sort anywhere (the x86 boundary pattern): stage
+    boundaries come from ONE tiny exact-percentile aggregate
+    broadcast back, stage assignment is a map-only comparison, and
+    the position window partitions by (stage, shard) — balanced
+    cells, each sorting ~|corpus|/(stages*shards) rows.  Docs without
+    a scorable bigram (empty/single-token) are excluded, as in the
+    perplexity filter."""
+    ce = bigram_cross_entropy(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "cross_entropy"
+    ).localCheckpoint()  # consumed by bounds AND scoring
+    qs = F.array(*[F.lit(i / n_stages) for i in range(1, n_stages)])
+    bounds = ce.agg(F.percentile("cross_entropy", qs).alias("qb"))
+    staged = ce.crossJoin(F.broadcast(bounds)).select(
+        id_col,
+        "cross_entropy",
+        (
+            F.lit(1)
+            + sum(
+                (F.col("cross_entropy") > F.element_at("qb", i + 1)).cast("int")
+                for i in range(n_stages - 1)
+            )
+        ).alias("stage"),
+        hash60(F.col(id_col).cast("string"), salt=salt).alias("sk"),
+    )
+    w = W.partitionBy("stage", "shard").orderBy("sk", id_col)
+    return (
+        staged.withColumn("shard", F.pmod(F.col("sk"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select(id_col, "cross_entropy", "stage", "shard", "pos")
+    )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget_factor: float = 2.0,
+    alpha: float = 0.5,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sampling plan: given a training budget of
+    ``budget_factor`` x corpus tokens, temperature-flattened target
+    weights (share^alpha, the source_mixture rule with alpha=0.5 ==
+    sqrt), and a repetition cap of ``max_epochs`` per source, compute
+    each source's allocated tokens, its epoch count, whether the cap
+    bound it, and the budget left unallocated by capping — the
+    planning table a run configures its sampler from.
+
+    Determinism across engines (the oracle hashes every double): the
+    per-source aggregate is distributed, but the cross-source floats
+    (total, the share^alpha normalizer) fold over ONE sorted
+    collected array — sources are vocabulary-sized by definition —
+    so float summation order is fixed; sqrt (not pow) keeps the
+    operand chain bit-identical in DuckDB."""
+    from .text import let_expr
+
+    per = docs.groupBy(source_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    one = per.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(source_col), F.col("n_docs"), F.col("n_tokens")))
+        ).alias("srcs")
+    )
+    tot = F.aggregate(
+        F.col("srcs"), F.lit(0).cast("long"), lambda a, x: a + x["n_tokens"]
+    )
+    consts = one.select(
+        "srcs",
+        let_expr(
+            tot,
+            lambda t: F.struct(
+                t.alias("tot"),
+                F.aggregate(
+                    F.col("srcs"),
+                    F.lit(0.0),
+                    lambda a, x: a + F.sqrt(x["n_tokens"] / t),
+                ).alias("pow_sum"),
+            ),
+        ).alias("c"),
+    )
+    rows = consts.select(
+        F.explode("srcs").alias("s"), F.col("c.tot").alias("tot"), F.col("c.pow_sum").alias("pow_sum")
+    )
+    w = F.sqrt(F.col("s.n_tokens") / F.col("tot")) / F.col("pow_sum")
+    desired = (F.lit(budget_factor) * F.col("tot")) * w
+    cap = F.lit(max_epochs) * F.col("s.n_tokens")
+    alloc = F.floor(F.least(desired, cap)).cast("long")
+    planned = rows.select(
+        F.col("s." + source_col).alias(source_col),
+        F.col("s.n_docs").alias("n_docs"),
+        F.col("s.n_tokens").alias("n_tokens"),
+        F.round(w + F.lit(1e-9), 6).alias("mix_weight"),
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("s.n_tokens") + F.lit(1e-9), 4).alias("epochs"),
+        (desired > cap).alias("capped"),
+        (F.floor(F.lit(budget_factor) * F.col("tot")).cast("long")).alias("__budget"),
+    )
+    spent = planned.agg(F.sum("alloc_tokens").alias("__spent"))
+    return planned.crossJoin(F.broadcast(spent)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "mix_weight",
+        "alloc_tokens",
+        "epochs",
+        "capped",
+        (F.col("__budget") - F.col("__spent")).alias("unallocated_tokens"),
+    )

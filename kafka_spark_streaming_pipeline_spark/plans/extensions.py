@@ -5263,3 +5263,101 @@ def x98_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+
+_X74_ORACLE = _REGISTRY["x74_bigram_perplexity"].oracle
+
+
+@query(
+    "x99_curriculum_order",
+    oracle=f"""
+    WITH ce AS (
+      SELECT doc_id, cross_entropy FROM ({_X74_ORACLE})
+    ), bounds AS (
+      SELECT quantile_cont(cross_entropy, [0.25, 0.5, 0.75]) AS qb FROM ce
+    ), staged AS (
+      SELECT doc_id, cross_entropy,
+             1 + (cross_entropy > qb[1])::INT + (cross_entropy > qb[2])::INT
+               + (cross_entropy > qb[3])::INT AS stage,
+             ('0x' || substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS sk
+      FROM ce CROSS JOIN bounds
+    )
+    SELECT doc_id, cross_entropy, stage,
+           CAST(sk % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY stage, sk % 8
+                                   ORDER BY sk, doc_id) AS INT) AS pos
+    FROM staged
+    """,
+)
+def x99_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: corpus-relative difficulty stages
+    (bigram cross-entropy quartiles, easy first) + hash-balanced
+    in-stage shards with deterministic pseudo-random positions — the
+    (stage, shard, pos) schedule curriculum training consumes.  Stage
+    boundaries via the x86 broadcast-percentile pattern (no global
+    sort / ntile); the position window partitions by balanced
+    (stage, shard) cells."""
+    from ..operators.curation import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_order(docs)
+
+
+@query(
+    "x100_token_budget_plan",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), one AS (
+      SELECT list_sort(list({'source': source, 'n_docs': n_docs,
+                             'n_tokens': n_tokens})) AS srcs
+      FROM per
+    ), consts AS (
+      SELECT srcs,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(srcs, x -> x.n_tokens)), (a, b) -> a + b) AS tot,
+             list_reduce(list_prepend(0.0,
+               list_transform(srcs,
+                 x -> sqrt(x.n_tokens / list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(srcs, y -> y.n_tokens)), (a, b) -> a + b)))),
+               (a, b) -> a + b) AS pow_sum
+      FROM one
+    ), rows_ AS (
+      SELECT unnest(srcs) AS s, tot, pow_sum FROM consts
+    ), m AS (
+      SELECT s.source AS source, s.n_docs AS n_docs, s.n_tokens AS n_tokens,
+             tot, pow_sum,
+             sqrt(s.n_tokens / tot) / pow_sum AS w,
+             (2.0 * tot) * (sqrt(s.n_tokens / tot) / pow_sum) AS desired,
+             4.0 * s.n_tokens AS cap
+      FROM rows_
+    ), planned AS (
+      SELECT source, n_docs, n_tokens,
+             round(w + 1e-9, 6) AS mix_weight,
+             CAST(floor(least(desired, cap)) AS BIGINT) AS alloc_tokens,
+             round(CAST(floor(least(desired, cap)) AS BIGINT) / CAST(n_tokens AS DOUBLE)
+                   + 1e-9, 4) AS epochs,
+             desired > cap AS capped,
+             CAST(floor(2.0 * tot) AS BIGINT) AS budget
+      FROM m
+    )
+    SELECT source, n_docs, n_tokens, mix_weight, alloc_tokens, epochs, capped,
+           budget - (SELECT sum(alloc_tokens) FROM planned) AS unallocated_tokens
+    FROM planned
+    """,
+)
+def x100_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling plan (2x corpus budget, sqrt-temperature
+    weights, 4-epoch repetition cap): per-source allocation, epoch
+    count, cap attribution, and the unallocated remainder — the
+    sampler-configuration table of a data-mixture run.  Cross-source
+    float folds run over ONE sorted collected array (sources are
+    vocabulary-sized) so summation order — and therefore every
+    hashed double — is engine-identical."""
+    from ..operators.curation import token_budget_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_plan(docs)

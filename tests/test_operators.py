@@ -2065,3 +2065,58 @@ def test_snapshot_drift_flags_language_flip(spark):
     assert out["flipping"].drift and out["flipping"].delta_en_rate == -1.0
     assert not out["stable"].drift
     assert out["stable"].delta_en_rate == 0.0
+
+
+def test_curriculum_order_places_easy_before_hard(spark):
+    """Docs built of corpus-common bigrams must land in an earlier
+    (easier) stage than a doc of corpus-unique bigrams; (stage, shard)
+    positions are dense from 1."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import curriculum_order
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, common) for i in range(8)]  # shared bigrams -> low CE
+    rows.append((100, "zebra quantum flute harvest umbrella cactus wizard "
+                      "planet forest lantern meadow rocket"))  # unique bigrams
+    out = curriculum_order(
+        spark.createDataFrame(rows, "doc_id long, text string"), n_stages=2, n_shards=2
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[100].stage == 2
+    assert all(got[i].stage == 1 for i in range(8) if i in got)
+    # dense positions within each (stage, shard) cell
+    from collections import defaultdict
+
+    cells = defaultdict(list)
+    for r in got.values():
+        cells[(r.stage, r.shard)].append(r.pos)
+    for poss in cells.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_token_budget_plan_caps_and_accounts(spark):
+    """A tiny source hits the epoch cap (capped=True, epochs == cap);
+    the allocation never exceeds the budget and the unallocated
+    remainder is exactly budget - sum(alloc)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        token_budget_plan,
+    )
+
+    big = " ".join(f"w{i}" for i in range(200))
+    tiny = "just a few words here"
+    rows = [(i, "big", big) for i in range(50)] + [(100, "tiny", tiny)]
+    out = {
+        r.source: r
+        for r in token_budget_plan(
+            spark.createDataFrame(rows, "doc_id long, source string, text string"),
+            budget_factor=2.0,
+            max_epochs=4.0,
+        ).collect()
+    }
+    t = out["tiny"]
+    assert t.capped and abs(t.epochs - 4.0) < 0.01
+    assert not out["big"].capped
+    total_alloc = sum(r.alloc_tokens for r in out.values())
+    budget = 2 * sum(r.n_tokens for r in out.values())
+    assert total_alloc <= budget
+    assert out["big"].unallocated_tokens == budget - total_alloc
+    assert abs(sum(r.mix_weight for r in out.values()) - 1.0) < 1e-4

@@ -90,6 +90,8 @@ AUDITED = {
     "x96_split_leakage": "split-leakage audit: p12's LSH pair dataflow + pure-projection split labels on the endpoints; final aggregate bounded by 6 split-pair rows",
     "x97_source_overlap_matrix": "source overlap: one scan + distinct + WindowGroupLimit bottom-64 per source; the sources^2 pair math is broadcast over 64-length arrays",
     "x98_snapshot_drift": "snapshot drift: x93's column-expression signals, one conditional-aggregation pass per snapshot, one groupBy(source) exchange",
+    "x99_curriculum_order": "curriculum: broadcast-percentile stage boundaries (x86 pattern, no global sort); position window over balanced (stage, shard) cells",
+    "x100_token_budget_plan": "budget plan: distributed per-source aggregate; cross-source float folds over ONE sorted collected array (sources are vocabulary-sized)",
 }
 
 
