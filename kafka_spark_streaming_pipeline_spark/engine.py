@@ -543,3 +543,70 @@ class Engine:
         from .operators.text import bpe_encode
 
         return bpe_encode(self.table("documents"), merges)
+
+    def curate(self, eval_mod: int = 20, **kwargs) -> DataFrame:
+        """The composed curation pipeline with per-stage yield
+        accounting (x94): eval holdout -> Gopher rules -> exact dedup
+        -> near-dup closure -> decontamination -> shards, one train-
+        corpus text scan total.  ``eval_mod`` carves every Nth doc
+        out as the held-out benchmark; ``kwargs`` pass through to
+        operators.curation.curation_funnel."""
+        from pyspark.sql import functions as F
+
+        from .operators.curation import curation_funnel
+
+        docs = self.table("documents")
+        return curation_funnel(
+            docs.filter(F.col("doc_id") % eval_mod != 0),
+            docs.filter(F.col("doc_id") % eval_mod == 0),
+            **kwargs,
+        )
+
+    def split_leakage(self, **kwargs) -> DataFrame:
+        """Near-dup pairs crossing the deterministic train/val/test
+        boundary (x96) — the held-out-set hygiene audit."""
+        from .operators.curation import split_leakage
+
+        return split_leakage(self.table("documents"), **kwargs)
+
+    def source_overlap(self, shingle_k: int = 3) -> DataFrame:
+        """Pairwise source-content-overlap matrix from per-source KMV
+        sketches (x97)."""
+        from pyspark.sql import functions as F
+
+        from .operators.dedup import shingle_arr
+        from .operators.sketches import kmv_overlap_matrix, kmv_sketch_by
+
+        sh = self.table("documents").select(
+            "source",
+            F.explode(F.array_distinct(shingle_arr(F.col("text"), shingle_k))).alias(
+                "gram"
+            ),
+        )
+        return kmv_overlap_matrix(kmv_sketch_by(sh, ["source"], F.col("gram")), "source")
+
+    def drift(self, new_docs: DataFrame, **kwargs) -> DataFrame:
+        """Per-source distribution drift of ``new_docs`` (the incoming
+        crawl) against this engine's documents table (x98)."""
+        from .operators.curation import snapshot_drift
+
+        return snapshot_drift(self.table("documents"), new_docs, **kwargs)
+
+    def curriculum(self, n_stages: int = 4, n_shards: int = 8) -> DataFrame:
+        """Difficulty-staged curriculum iteration order (x99)."""
+        from .operators.curation import curriculum_order
+
+        return curriculum_order(self.table("documents"), n_stages, n_shards)
+
+    def budget_plan(
+        self,
+        budget_factor: float = 2.0,
+        alpha: float = 0.5,
+        max_epochs: float = 4.0,
+    ) -> DataFrame:
+        """Token-budget sampling plan with repetition caps (x100)."""
+        from .operators.curation import token_budget_plan
+
+        return token_budget_plan(
+            self.table("documents"), budget_factor, alpha, max_epochs
+        )

@@ -480,3 +480,35 @@ def test_engine_round5_surfaces(spark, sf_dir):
     tk = eng.tokenize(X88_MERGES)
     assert tk.count() == eng.table("documents").count()
     assert {"encoded", "n_words", "n_symbols"} <= set(tk.columns)
+
+
+def test_engine_curation_facade_surfaces(spark, sf_dir):
+    """Round-6 facade methods reach their operators with sane shapes."""
+    from kafka_spark_streaming_pipeline_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    funnel = {r["stage"]: r for r in eng.curate().collect()}
+    assert set(funnel) == {
+        "0_eval_holdout", "1_quality", "2_exact_dedup",
+        "3_near_dedup", "4_decontaminate", "5_shards",
+    }
+    assert funnel["5_shards"].docs_out <= funnel["0_eval_holdout"].docs_in
+
+    leak = eng.split_leakage()
+    assert {"split_a", "split_b", "n_pairs", "leaky"} <= set(leak.columns)
+
+    m = eng.source_overlap()
+    assert m.count() == 190  # 20 sources -> unordered pairs
+    assert "kmv_jaccard" in m.columns
+
+    from pyspark.sql import functions as F
+
+    drift = eng.drift(eng.table("documents").filter(F.col("doc_id") % 2 == 1))
+    assert "delta_en_rate" in drift.columns and drift.count() > 0
+
+    cur = eng.curriculum(n_stages=2, n_shards=2)
+    assert set(r["stage"] for r in cur.select("stage").distinct().collect()) <= {1, 2}
+
+    plan = eng.budget_plan()
+    assert {"alloc_tokens", "epochs", "capped", "unallocated_tokens"} <= set(plan.columns)
+    assert plan.count() == 20
