@@ -857,6 +857,23 @@ def simhash_neardup_pairs(
     banded blocking is coarser than prefix blocking), and the only
     shuffles are the signature agg, the band groupBy, and the
     cross-band pair dedup."""
+    sig = simhash64(docs, text_col, id_col)
+    return hamming_band_pairs(sig, id_col, max_hamming, bands, max_block_size)
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Banded Hamming near-dup pairing over an EXISTING (id, sig)
+    frame of four 16-bit words — the second half of
+    ``simhash_neardup_pairs``, split out so ANY 64-bit signature in
+    the simhash word layout (text SimHash, image perceptual dHash)
+    shares one blocking + exact-verify dataflow.  Pigeonhole recall:
+    every pair within ``max_hamming`` < ``bands`` is generated."""
     if SIMHASH_WORDS % bands != 0:
         raise ValueError(
             f"bands must divide the {SIMHASH_WORDS}-word signature: "
@@ -867,7 +884,6 @@ def simhash_neardup_pairs(
         # a 64-bit single band would need the sign bit; also pointless
         # (bands=1 is no blocking at all)
         raise ValueError("bands must be >= 2 (band values must fit in 32 bits)")
-    sig = simhash64(docs, text_col, id_col)
 
     def _band_val(b: int):
         # combine the band's 16-bit words big-endian; < 2^32, no overflow

@@ -240,3 +240,114 @@ def audio_window_features(audio: DataFrame, window_size: int = 100) -> DataFrame
         F.round(F.max(F.abs(F.col("s"))) + F.lit(1e-9), 6).alias("peak"),
         F.count("*").alias("n_samples"),
     )
+
+
+# --------------------------------------------------- perceptual hashing
+
+PHASH_GRID_W, PHASH_GRID_H = 9, 8  # 9x8 gray grid -> 64 dHash bits
+_GRID_N = PHASH_GRID_W * PHASH_GRID_H
+PIXEL_GRID_SCHEMA = "doc_id bigint, px array<bigint>"
+
+
+def fake_pixel_grid(docs_with_payload: DataFrame) -> DataFrame:
+    """Deterministic stand-in for image resize-to-grid: 72 byte samples
+    of the payload at stride positions k*n//72 (0 for an empty
+    payload) — the exact Arrow ``mapInPandas`` shape of a real
+    PIL ``convert('L').resize((9, 8))``, and mirrored verbatim by the
+    x101 SQL oracle."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def grid(b: bytes) -> list[int]:
+                n = len(b)
+                if n == 0:
+                    return [0] * _GRID_N
+                return [b[k * n // _GRID_N] for k in range(_GRID_N)]
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "px": pdf["payload"].map(grid)}
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(sample, schema=PIXEL_GRID_SCHEMA)
+    )
+
+
+def real_pixel_grid(docs_with_payload: DataFrame) -> DataFrame:
+    """Pillow-backed grayscale 9x8 resample through the SAME
+    mapInPandas shape; only callable when Pillow is importable."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            def grid(b: bytes) -> list[int]:
+                with _pil_image.open(io.BytesIO(b)) as img:
+                    small = img.convert("L").resize((PHASH_GRID_W, PHASH_GRID_H))
+                    return [int(p) for p in small.getdata()]
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "px": pdf["payload"].map(grid)}
+            )
+
+    parallelism = docs_with_payload.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs_with_payload.select("doc_id", "payload")
+        .repartition(parallelism)
+        .mapInPandas(sample, schema=PIXEL_GRID_SCHEMA)
+    )
+
+
+def pixel_grid(docs_with_payload: DataFrame) -> DataFrame:
+    """Grid resample users call: real codec when available,
+    deterministic stub otherwise — identical schema either way."""
+    if image_codec_available():
+        return real_pixel_grid(docs_with_payload)
+    return fake_pixel_grid(docs_with_payload)
+
+
+def phash64(grid: DataFrame) -> DataFrame:
+    """64-bit perceptual dHash from the 9x8 gray grid as FOUR 16-bit
+    words in the SimHash word layout (sig[0] holds bits 0-15): bit
+    j = r*8+c is set iff px[r*9+c] < px[r*9+c+1] (row-wise gradient
+    sign — the standard dHash).  Pure column expressions over the
+    decoded grid: the only Python in the pipeline is the codec
+    batch."""
+    from ..operators.dedup import SIMHASH_BAND_BITS  # 16
+
+    def word(w: int):
+        acc = F.lit(0).cast("long")
+        for j in range(SIMHASH_BAND_BITS):
+            bit = w * SIMHASH_BAND_BITS + j
+            r, c = bit // 8, bit % 8
+            gt = (
+                F.element_at("px", r * PHASH_GRID_W + c + 1)
+                < F.element_at("px", r * PHASH_GRID_W + c + 2)
+            ).cast("long")
+            acc = acc + gt * F.lit(1 << j)
+        return acc
+
+    return grid.select(
+        "doc_id", F.array(*[word(w) for w in range(4)]).alias("sig")
+    )
+
+
+def phash_neardup_pairs(
+    docs_with_payload: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: decode grid (Arrow
+    batch, auto-selected codec) -> dHash words (codegen) -> the SAME
+    banded blocking + exact Hamming verify as text SimHash
+    (dedup.hamming_band_pairs) — one dedup dataflow for every 64-bit
+    signature family.  Pigeonhole recall holds at the defaults
+    (hamming <= 3 < bands = 4)."""
+    from ..operators.dedup import hamming_band_pairs
+
+    sig = phash64(pixel_grid(docs_with_payload))
+    return hamming_band_pairs(sig, "doc_id", max_hamming, bands, max_block_size)

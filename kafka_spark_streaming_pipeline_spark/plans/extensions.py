@@ -5361,3 +5361,98 @@ def x100_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_plan(docs)
+
+
+
+# x101: the payload is PLANTED deterministically (x45's precedent for
+# synthesizing the modality the testdata lacks): docs sharing
+# doc_id % 50 get a byte-identical 640-char md5-repeat prefix and a
+# 0-2 char text suffix, so same-suffix-length group-mates hash
+# identically (hamming 0) and cross-length mates differ by a few
+# gradient bits — exercising both the blocking and the exact verify.
+_X101_PAYLOAD_SQL = (
+    "repeat(md5(CAST(doc_id % 50 AS VARCHAR)), 20)"
+    " || substr(text, 1, CAST(doc_id % 3 AS INT))"
+)
+
+
+def _x101_word_sql(w: int) -> str:
+    """dHash word w as SQL over the px grid — mirrors multimodal.phash64
+    bit for bit (bit j of word w: px[r*9+c] < px[r*9+c+1])."""
+    terms = []
+    for j in range(16):
+        bit = w * 16 + j
+        r, c = bit // 8, bit % 8
+        terms.append(
+            f"(CASE WHEN px[{r * 9 + c + 1}] < px[{r * 9 + c + 2}]"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "x101_phash_image_neardup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_X101_PAYLOAD_SQL} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, strlen(t) AS n, t FROM p
+    ), grid AS (
+      -- the fake_pixel_grid stand-in verbatim: byte k*n//72 of the
+      -- payload (ASCII corpus: ascii(substr) == the utf-8 byte)
+      SELECT doc_id,
+             list_transform(range(0, 72),
+               k -> CASE WHEN n = 0 THEN 0
+                         ELSE ascii(substr(t, CAST((k * n) // 72 AS INT) + 1, 1)) END)
+               AS px
+      FROM g
+    ), sig AS (
+      SELECT doc_id,
+             {_x101_word_sql(0)} AS band0,
+             {_x101_word_sql(1)} AS band1,
+             {_x101_word_sql(2)} AS band2,
+             {_x101_word_sql(3)} AS band3
+      FROM grid
+    ), banded AS (
+      SELECT doc_id, band0, band1, band2, band3, b.i AS band,
+             CASE b.i WHEN 0 THEN band0 WHEN 1 THEN band1
+                      WHEN 2 THEN band2 ELSE band3 END AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+             c.band0 AS c0, c.band1 AS c1, c.band2 AS c2, c.band3 AS c3
+      FROM banded a
+      JOIN banded c ON a.band = c.band AND a.bval = c.bval AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming,
+           false AS block_truncated
+    FROM pairs
+    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+    """,
+)
+def x101_phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual dHash over the
+    multimodal binary column: decode-to-9x8-gray-grid (Arrow
+    mapInPandas — real Pillow resample when importable, the
+    deterministic byte-stride stand-in here), row-gradient dHash words
+    in pure codegen, then the SAME banded-Hamming dataflow as text
+    SimHash (operators/dedup.hamming_band_pairs).  The payload is
+    planted per doc group so the testdata exercises hamming-0 and
+    small-hamming pairs; the stub grid is mirrored byte-for-byte by
+    the oracle, so the whole pipeline — Python batch boundary
+    included — is value-checked."""
+    from ..operators.multimodal import phash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.repeat(F.md5((F.col("doc_id") % 50).cast("string")), 20),
+        F.expr("substring(text, 1, CAST(doc_id % 3 AS INT))"),
+    )
+    with_payload = docs.select(
+        "doc_id", F.encode(payload, "utf-8").alias("payload")
+    )
+    return phash_neardup_pairs(with_payload, max_hamming=3)

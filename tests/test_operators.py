@@ -2120,3 +2120,28 @@ def test_token_budget_plan_caps_and_accounts(spark):
     assert total_alloc <= budget
     assert out["big"].unallocated_tokens == budget - total_alloc
     assert abs(sum(r.mix_weight for r in out.values()) - 1.0) < 1e-4
+
+
+def test_phash_neardup_pairs_on_raw_payloads(spark):
+    """Identical byte payloads pair at hamming 0; a payload with an
+    inverted gradient pattern pairs with nothing; the dHash word
+    layout puts bit j of word w at px[r*9+c] < px[r*9+c+1]."""
+    from kafka_spark_streaming_pipeline_spark.operators.multimodal import (
+        phash64,
+        phash_neardup_pairs,
+        pixel_grid,
+    )
+
+    ramp = bytes(range(72))            # strictly increasing -> all bits 1
+    flat = bytes([7] * 72)             # constant -> all bits 0
+    rows = [(1, ramp), (2, ramp), (3, flat)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sig = {r.doc_id: list(r.sig) for r in phash64(pixel_grid(df)).collect()}
+    assert sig[1] == [65535, 65535, 65535, 65535]  # every gradient positive
+    assert sig[3] == [0, 0, 0, 0]
+    assert sig[1] == sig[2]
+
+    pairs = phash_neardup_pairs(df, max_hamming=3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].hamming) == (1, 2, 0)
