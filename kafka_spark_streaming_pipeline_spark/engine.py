@@ -610,3 +610,20 @@ class Engine:
         return token_budget_plan(
             self.table("documents"), budget_factor, alpha, max_epochs
         )
+
+    def doc_fates(self, eval_mod: int = 20, **kwargs) -> DataFrame:
+        """Per-document curation provenance (x102): each doc's fate
+        and the tier evidence, from the same flag frame the funnel
+        aggregates."""
+        from pyspark.sql import functions as F
+
+        from .operators.curation import curation_flags, doc_fate
+
+        docs = self.table("documents")
+        return doc_fate(
+            curation_flags(
+                docs.filter(F.col("doc_id") % eval_mod != 0),
+                docs.filter(F.col("doc_id") % eval_mod == 0),
+                **kwargs,
+            )
+        )

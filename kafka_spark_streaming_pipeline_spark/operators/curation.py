@@ -1118,7 +1118,7 @@ def score_with_bigram_lm(
 # --------------------------------------------------- composed pipeline
 
 
-def curation_funnel(
+def curation_flags(
     train: DataFrame,
     eval_set: DataFrame,
     *,
@@ -1130,42 +1130,16 @@ def curation_funnel(
     min_est_jaccard: float = 0.5,
     gram_k: int = 5,
     contamination_threshold: float = 0.2,
-    n_shards: int = 8,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """The full curation pipeline as ONE composed dataflow with
-    per-stage yield accounting — the end product a training-data user
-    actually runs (VERDICT r5 #6): eval holdout -> Gopher quality
-    rules -> exact dedup (canonical fingerprint survivor) -> near-dup
-    dedup (MinHash LSH pairs -> connected-component closure, min
-    member survives) -> eval-set decontamination (5-gram overlap) ->
-    deterministic training shards.
-
-    Returns one row per stage: ``(stage, docs_in, docs_removed,
-    docs_out, removal_rate, tokens_out)``.  Each tier filters the
-    previous tier's survivors, so the funnel proves the tiers COMPOSE
-    — and the plan proves they compose without re-scanning the corpus
-    per tier:
-
-    Scale shape: the train corpus text is scanned EXACTLY ONCE, into a
-    persisted narrow per-doc frame carrying everything every later
-    tier needs — token count, the five Gopher rule metrics, the exact
-    fingerprint, the MinHash signature (doc-local column expression,
-    ``dedup.minhash_sig_expr``), and the distinct 5-gram hash set.
-    All tier logic (rule flags, canonical groupBy, LSH banding +
-    closure, the gram join against the BROADCAST eval gram set, shard
-    assignment, the funnel aggregate) runs over that cached frame and
-    its derivatives; text is never read again.  Signatures and gram
-    sets are computed for every doc in the single pass rather than
-    only for quality survivors — re-scanning the pruned text would
-    cost a second full corpus read, which is the wrong trade at
-    100 TB (drop-rate-dependent: flip it by filtering on the metric
-    columns first if quality rejects most of a corpus).
-
-    The one deliberately-bounded piece of driver state is the
-    connected-components loop (operators/dedup.connected_components:
-    distributed label propagation, localCheckpoint-truncated lineage).
-    """
+    """The curation pipeline's PER-DOCUMENT flag frame — the shared
+    core of curation_funnel (stage-level yields) and doc_fate
+    (per-doc disposition): one train-corpus text scan into a
+    persisted narrow frame (Gopher metrics, fingerprint, MinHash
+    signature, gram-hash set), then every tier's verdict joined on as
+    typed columns.  Returned PERSISTED with: doc_id, n_words, the
+    five per-rule booleans, keep, canonical_id, surv_e, component,
+    surv_n, contamination_ratio, surv_d."""
     from ..cache import tracked_persist
     from .dedup import (
         connected_components,
@@ -1195,7 +1169,9 @@ def curation_funnel(
     keep = F.lit(True)
     for expr in flags.values():
         keep = keep & expr
-    staged = per_doc.withColumn("keep", keep)
+    staged = per_doc.select(
+        "*", *[expr.alias(name) for name, expr in flags.items()]
+    ).withColumn("keep", keep)
 
     # stage 2: exact dedup among quality survivors (min-id canonical)
     canon = (
@@ -1244,18 +1220,15 @@ def curation_funnel(
         .join(F.broadcast(eval_grams), "gram", "left")
         .groupBy("doc_id")
         .agg(
-            (
-                F.round(
-                    F.coalesce(F.sum("hit"), F.lit(0)) / F.count("*") + F.lit(1e-9), 4
-                )
-                >= contamination_threshold
-            ).alias("contaminated")
+            F.round(
+                F.coalesce(F.sum("hit"), F.lit(0)) / F.count("*") + F.lit(1e-9), 4
+            ).alias("contamination_ratio")
         )
     )
-    # the finished flag frame feeds BOTH the funnel aggregate and the
-    # shard assignment — persist it so the canon groupBy, closure join,
-    # and gram probe run once, not once per consumer
-    staged = tracked_persist(
+    # the finished flag frame feeds multiple consumers (funnel
+    # aggregate + shard assignment, or the fate projection) — persist
+    # it so the canon groupBy, closure join, and gram probe run once
+    return tracked_persist(
         staged.join(
             contaminated.withColumnRenamed("doc_id", "c_id"),
             staged.doc_id == F.col("c_id"),
@@ -1263,9 +1236,86 @@ def curation_funnel(
         )
         .withColumn(
             "surv_d",
-            F.col("surv_n") & ~F.coalesce(F.col("contaminated"), F.lit(False)),
+            F.col("surv_n")
+            & ~F.coalesce(
+                F.col("contamination_ratio") >= contamination_threshold, F.lit(False)
+            ),
         )
-        .select("doc_id", "n_words", "keep", "surv_e", "surv_n", "surv_d")
+        .select(
+            "doc_id",
+            "n_words",
+            *gopher_rule_flags().keys(),
+            "keep",
+            "canonical_id",
+            "surv_e",
+            "component",
+            "surv_n",
+            "contamination_ratio",
+            "surv_d",
+        )
+    )
+
+
+def curation_funnel(
+    train: DataFrame,
+    eval_set: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+    gram_k: int = 5,
+    contamination_threshold: float = 0.2,
+    n_shards: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The full curation pipeline as ONE composed dataflow with
+    per-stage yield accounting — the end product a training-data user
+    actually runs (VERDICT r5 #6): eval holdout -> Gopher quality
+    rules -> exact dedup (canonical fingerprint survivor) -> near-dup
+    dedup (MinHash LSH pairs -> connected-component closure, min
+    member survives) -> eval-set decontamination (5-gram overlap) ->
+    deterministic training shards.
+
+    Returns one row per stage: ``(stage, docs_in, docs_removed,
+    docs_out, removal_rate, tokens_out)``.  Each tier filters the
+    previous tier's survivors, so the funnel proves the tiers COMPOSE
+    — and the plan proves they compose without re-scanning the corpus
+    per tier:
+
+    Scale shape: the train corpus text is scanned EXACTLY ONCE, into a
+    persisted narrow per-doc frame carrying everything every later
+    tier needs — token count, the five Gopher rule metrics, the exact
+    fingerprint, the MinHash signature (doc-local column expression,
+    ``dedup.minhash_sig_expr``), and the distinct 5-gram hash set.
+    All tier logic (rule flags, canonical groupBy, LSH banding +
+    closure, the gram join against the BROADCAST eval gram set, shard
+    assignment, the funnel aggregate) runs over that cached frame and
+    its derivatives; text is never read again.  Signatures and gram
+    sets are computed for every doc in the single pass rather than
+    only for quality survivors — re-scanning the pruned text would
+    cost a second full corpus read, which is the wrong trade at
+    100 TB (drop-rate-dependent: flip it by filtering on the metric
+    columns first if quality rejects most of a corpus).
+
+    The one deliberately-bounded piece of driver state is the
+    connected-components loop (operators/dedup.connected_components:
+    distributed label propagation, localCheckpoint-truncated lineage).
+    """
+    staged = curation_flags(
+        train,
+        eval_set,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        min_est_jaccard=min_est_jaccard,
+        gram_k=gram_k,
+        contamination_threshold=contamination_threshold,
+        max_bucket_size=max_bucket_size,
     )
 
     # stage 5: shard assignment over final survivors (id-keyed shuffle
@@ -1618,4 +1668,41 @@ def token_budget_plan(
         "epochs",
         "capped",
         (F.col("__budget") - F.col("__spent")).alias("unallocated_tokens"),
+    )
+
+
+def doc_fate(flags: DataFrame) -> DataFrame:
+    """Per-document disposition from the curation flag frame
+    (curation_flags): which tier removed each doc and the typed
+    evidence — the provenance/audit record a pipeline publishes next
+    to the funnel.  ``failed_rule`` names the FIRST failed Gopher rule
+    (rule order: length, word length, stopwords, alpha, dup-trigram);
+    ``canonical_id`` is the surviving twin for exact duplicates,
+    ``dup_component`` the near-dup cluster label, and
+    ``contamination_ratio`` the eval-overlap score for every doc that
+    reached the decontamination tier.  Pure projection over the
+    persisted flag frame — no new scan or shuffle."""
+    rule_order = ["r_len", "r_word_len", "r_stop", "r_alpha", "r_dup"]
+    fate = (
+        F.when(~F.col("keep"), F.lit("removed_quality"))
+        .when(~F.col("surv_e"), F.lit("removed_exact_dup"))
+        .when(~F.col("surv_n"), F.lit("removed_near_dup"))
+        .when(~F.col("surv_d"), F.lit("removed_contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    failed = F.when(
+        ~F.col("keep"),
+        F.coalesce(*[F.when(~F.col(r), F.lit(r)) for r in rule_order]),
+    )
+    return flags.select(
+        "doc_id",
+        fate.alias("fate"),
+        failed.alias("failed_rule"),
+        F.when(fate == "removed_exact_dup", F.col("canonical_id")).alias(
+            "canonical_id"
+        ),
+        F.when(fate == "removed_near_dup", F.col("component")).alias("dup_component"),
+        F.when(F.col("surv_n"), F.col("contamination_ratio")).alias(
+            "contamination_ratio"
+        ),
     )

@@ -5456,3 +5456,144 @@ def x101_phash_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(payload, "utf-8").alias("payload")
     )
     return phash_neardup_pairs(with_payload, max_hamming=3)
+
+
+@query(
+    "x102_doc_fate",
+    oracle=f"""
+    WITH RECURSIVE
+    train AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM train
+    ), tri AS (
+      SELECT doc_id, toks,
+             list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS tris
+      FROM tk
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE)
+               AS dup_trigram_frac
+      FROM tri
+    ), fl AS (
+      SELECT doc_id, n_words,
+             n_words BETWEEN 30 AND 10000 AS r_len,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+             stop_hits >= 2 AS r_stop,
+             alpha_frac >= 0.8 AS r_alpha,
+             dup_trigram_frac <= 0.1 AS r_dup
+      FROM m
+    ), q AS (
+      SELECT doc_id FROM fl
+      WHERE r_len AND r_word_len AND r_stop AND r_alpha AND r_dup
+    ), fp AS (
+      SELECT d.doc_id,
+             substr(md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')), 1, 16)
+               AS fingerprint
+      FROM train d JOIN q USING (doc_id)
+    ), canon AS (
+      SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint
+    ), ec AS (
+      SELECT fp.doc_id, canon.canonical_id
+      FROM fp JOIN canon USING (fingerprint)
+    ), es AS (
+      SELECT doc_id FROM ec WHERE doc_id = canonical_id
+    ), s2corpus AS (
+      SELECT d.doc_id, d.text FROM train d JOIN es USING (doc_id)
+    ), prs AS (
+      SELECT doc_a, doc_b FROM ({_X94_PAIRS_ON_SURVIVORS})
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM prs
+      UNION
+      SELECT doc_b, doc_a FROM prs
+    ), reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    ), comp AS (
+      SELECT id, min(comp) AS component FROM reach GROUP BY id
+    ), ns AS (
+      SELECT es.doc_id
+      FROM es LEFT JOIN comp ON comp.id = es.doc_id
+      WHERE comp.id IS NULL OR comp.component = es.doc_id
+    ), egt AS (
+      SELECT string_split(lower(text), ' ') AS t FROM eval_docs
+    ), eg AS (
+      SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+      FROM (SELECT unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 4, 1) + 1),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+            FROM egt)
+    ), ngt AS (
+      SELECT s.doc_id, string_split(lower(s.text), ' ') AS t
+      FROM s2corpus s JOIN ns USING (doc_id)
+    ), tg AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gram
+      FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 4, 1) + 1),
+              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+            FROM ngt)
+    ), dc AS (
+      SELECT tg.doc_id,
+             round(coalesce(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 END), 0)
+                   / CAST(count(*) AS DOUBLE) + 1e-9, 4) AS ratio
+      FROM tg LEFT JOIN eg USING (gram) GROUP BY tg.doc_id
+    ), verdicts AS (
+      SELECT f.doc_id,
+             (f.r_len AND f.r_word_len AND f.r_stop AND f.r_alpha AND f.r_dup) AS keep,
+             ec.canonical_id,
+             (ec.doc_id IS NOT NULL AND ec.doc_id = ec.canonical_id) AS surv_e,
+             cm.id IS NOT NULL AS in_comp, cm.component,
+             dc.ratio,
+             f.r_len, f.r_word_len, f.r_stop, f.r_alpha, f.r_dup
+      FROM fl f
+      LEFT JOIN ec ON ec.doc_id = f.doc_id
+      LEFT JOIN comp cm ON cm.id = f.doc_id
+      LEFT JOIN dc ON dc.doc_id = f.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN NOT keep THEN 'removed_quality'
+                WHEN NOT surv_e THEN 'removed_exact_dup'
+                WHEN in_comp AND component <> doc_id THEN 'removed_near_dup'
+                WHEN ratio >= 0.2 THEN 'removed_contaminated'
+                ELSE 'kept' END AS fate,
+           CASE WHEN NOT keep THEN
+             CASE WHEN NOT r_len THEN 'r_len'
+                  WHEN NOT r_word_len THEN 'r_word_len'
+                  WHEN NOT r_stop THEN 'r_stop'
+                  WHEN NOT r_alpha THEN 'r_alpha'
+                  ELSE 'r_dup' END END AS failed_rule,
+           CASE WHEN keep AND NOT surv_e THEN canonical_id END AS canonical_id,
+           CASE WHEN surv_e AND in_comp AND component <> doc_id
+                THEN component END AS dup_component,
+           CASE WHEN surv_e AND (NOT in_comp OR component = doc_id)
+                THEN ratio END AS contamination_ratio
+    FROM verdicts
+    """,
+)
+def x102_doc_fate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance — the audit twin of the x94
+    funnel: every train doc's disposition (kept / removed at which
+    tier) with typed evidence (first failed Gopher rule, surviving
+    exact-dup twin, near-dup cluster label, eval-contamination
+    ratio).  A pure projection over the SAME persisted flag frame the
+    funnel aggregates (operators/curation.curation_flags +
+    doc_fate), so the audit costs no extra corpus work; the oracle
+    replays every tier per doc."""
+    from ..operators.curation import curation_flags, doc_fate
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = curation_flags(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+    return doc_fate(flags)

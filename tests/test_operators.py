@@ -2145,3 +2145,70 @@ def test_phash_neardup_pairs_on_raw_payloads(spark):
     pairs = phash_neardup_pairs(df, max_hamming=3).collect()
     assert len(pairs) == 1
     assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].hamming) == (1, 2, 0)
+
+
+def test_doc_fate_attributes_each_planted_removal(spark):
+    """Per-doc provenance for the same planted corpus as the funnel
+    test: each victim carries its tier's typed evidence, and the fate
+    counts reconcile with the funnel's stage removals."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        curation_flags,
+        curation_funnel,
+        doc_fate,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch from nearby fields and wonder about the strange spectacle "
+        "unfolding before their curious eyes during that warm afternoon"
+    )
+    unique2 = (
+        "a completely different report describes harvest totals for wheat "
+        "barley oats and rye across seven regions with detailed tables "
+        "showing yearly trends that farmers consult before planting their "
+        "next season of crops in spring"
+    )
+    eval_text = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and found that careful "
+        "decontamination of the training corpus remains absolutely essential "
+        "for trustworthy reported results overall"
+    )
+    contaminated = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and noted in passing that "
+        "unrelated filler content about gardening cooking travel sports "
+        "music painting also fills this document nicely today"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, base),
+            (2, unique2),
+            (3, unique2),
+            (4, base.replace("warm afternoon", "cold evening")),
+            (5, "too short to pass"),
+            (7, contaminated),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(6, eval_text)], "doc_id long, text string")
+
+    fates = {r.doc_id: r for r in doc_fate(curation_flags(train, evals)).collect()}
+    assert fates[5].fate == "removed_quality" and fates[5].failed_rule == "r_len"
+    assert fates[3].fate == "removed_exact_dup" and fates[3].canonical_id == 2
+    assert fates[4].fate == "removed_near_dup" and fates[4].dup_component == 1
+    assert fates[7].fate == "removed_contaminated"
+    assert fates[7].contamination_ratio >= 0.2
+    assert fates[1].fate == "kept" and fates[2].fate == "kept"
+    assert fates[1].contamination_ratio is not None  # reached the decon tier
+
+    # cross-operator reconciliation: fate counts == funnel removals
+    funnel = {r.stage: r for r in curation_funnel(train, evals).collect()}
+    from collections import Counter
+
+    counts = Counter(r.fate for r in fates.values())
+    assert counts["removed_quality"] == funnel["1_quality"].docs_removed
+    assert counts["removed_exact_dup"] == funnel["2_exact_dedup"].docs_removed
+    assert counts["removed_near_dup"] == funnel["3_near_dedup"].docs_removed
+    assert counts["removed_contaminated"] == funnel["4_decontaminate"].docs_removed
+    assert counts["kept"] == funnel["5_shards"].docs_out
