@@ -102,6 +102,17 @@ def main() -> None:
     print("bm25 top-3:", [(r.doc_id, r.score) for r in top])
     print("hybrid top-3:", [(r.doc_id, r.rrf_score) for r in hy])
 
+    # the same pipeline as ONE composed dataflow (x94: one corpus
+    # scan, per-stage yields) with per-doc provenance (x102)
+    print("\ncomposed one-scan funnel (x94):")
+    for r in eng.curate().orderBy("stage").collect():
+        print(
+            f"  {r.stage:<16} in={r.docs_in:<6} removed={r.docs_removed:<5} "
+            f"out={r.docs_out:<6} rate={r.removal_rate:<7} tokens={r.tokens_out}"
+        )
+    fates = eng.doc_fates().groupBy("fate").count().orderBy("fate").collect()
+    print("per-doc fate breakdown (x102):", {r.fate: r["count"] for r in fates})
+
 
 if __name__ == "__main__":
     main()
