@@ -4804,7 +4804,7 @@ def x92_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, n_tokens, fp,
              CASE WHEN ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
                         + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
-                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END))) / 3.0
+                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
                        >= 0.9 THEN 1 ELSE 0 END AS hi_q,
              CASE WHEN greatest(n_en, n_es, n_de, n_fr) > 0
                    AND n_en = greatest(n_en, n_es, n_de, n_fr) THEN 1 ELSE 0 END AS is_en
