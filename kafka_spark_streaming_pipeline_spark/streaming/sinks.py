@@ -1274,3 +1274,184 @@ def compact_gate_history(spark, fingerprint_history_path: str) -> None:
 def gate_view(spark, path: str, id_col: str = "doc_id") -> DataFrame:
     """Replay-deduplicated view of an accept/reject log."""
     return _read_log(spark, path).dropDuplicates(["__commit", id_col])
+
+
+# ------------------------------------------------- streaming curation
+
+
+def make_curation_sink(
+    path: str,
+    eval_set: DataFrame,
+    gram_k: int = 5,
+    min_est_jaccard: float = 0.5,
+    contamination_threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The curation funnel's STREAMING form — x94's tiers applied
+    incrementally per micro-batch against persisted state, so a
+    continuously-ingesting corpus pays O(batch) per batch instead of
+    re-running the batch pipeline:
+
+      1_quality        Gopher rules (map-only on the batch)
+      2_exact_dedup    incremental_dedup vs the fingerprint history
+                       (+ in-batch groups, min-id canonical)
+      3_near_dedup     incremental_neardup vs the signature history
+                       (+ in-batch pairs; GREEDY: a doc is removed if
+                       it matches history or is the larger member of
+                       an in-batch pair — incremental ingest cannot
+                       retroactively re-cluster, which is the
+                       standard, documented divergence from the batch
+                       closure)
+      4_decontaminate  exact 5-gram overlap vs the broadcast eval
+                       gram set (swap in bloom_decontaminate when the
+                       eval set outgrows a broadcast)
+
+    State under ``path``: fingerprint + signature histories (appended
+    with ACCEPTED docs only, commit-stamped), accept/reject logs with
+    per-doc stage attribution, and a per-batch per-stage yield log
+    (sum-mergeable counters — ``curation_yield_view`` folds it to the
+    cumulative funnel).  Replay contract: both history reads exclude
+    THIS batch's own commit id and every log dedups per commit, so a
+    replayed batch re-derives byte-identical decisions (test-pinned)."""
+    from ..operators.curation import (
+        decontaminate,
+        gopher_quality_rules,
+    )
+    from ..operators.dedup import incremental_dedup, minhash_signatures
+    from ..operators.text import fingerprint
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        n_in = batch.count()
+
+        # tier 1: quality
+        q = gopher_quality_rules(batch, id_col, text_col).select(id_col, "keep")
+        staged = batch.join(q, id_col).persist()
+        try:
+            quality_pass = staged.filter("keep").select(id_col, text_col)
+            n_q = quality_pass.count()
+
+            # tier 2: exact, vs history (excluding own commit) + in-batch
+            fp_log = AtomicParquetTable(f"{path}/fp").read(spark)
+            if fp_log is None:
+                fp_log = spark.createDataFrame(
+                    [], "fingerprint string, __commit long"
+                )
+            ex = incremental_dedup(
+                quality_pass,
+                fp_log.filter(F.col("__commit") != batch_id).select("fingerprint"),
+                text_col=text_col,
+                id_col=id_col,
+            )
+            exact_pass = (
+                quality_pass.join(
+                    ex.filter("keep").select(id_col), id_col, "left_semi"
+                )
+            ).persist()
+            n_e = exact_pass.count()
+
+            # tier 3: near-dup, vs signature history (excluding own
+            # commit) + in-batch pairs
+            sig_log = AtomicParquetTable(f"{path}/sig").read(spark)
+            if sig_log is None:
+                sig_log = spark.createDataFrame(
+                    [], f"{id_col} long, sig array<bigint>, __commit long"
+                )
+            from ..operators.dedup import incremental_neardup
+
+            hist_sigs = _signature_view_of(
+                sig_log.filter(F.col("__commit") != batch_id), id_col
+            )
+            pairs = incremental_neardup(
+                exact_pass, hist_sigs, min_est_jaccard=min_est_jaccard
+            )
+            removed_nd = (
+                pairs.filter("from_history")
+                .select(F.col("new_id").alias(id_col))
+                .unionByName(
+                    pairs.filter(~F.col("from_history")).select(
+                        F.col("matched_id").alias(id_col)
+                    )
+                )
+                .distinct()
+            )
+            nd_pass = exact_pass.join(removed_nd, id_col, "left_anti").persist()
+            n_n = nd_pass.count()
+
+            # tier 4: decontamination vs the eval gram set
+            dc = decontaminate(
+                nd_pass, eval_set, gram_k, text_col, id_col, contamination_threshold
+            )
+            accepted = nd_pass.join(
+                dc.filter("contaminated").select(id_col), id_col, "left_anti"
+            ).persist()
+            n_d = accepted.count()
+
+            # route + advance state (accepted docs only)
+            stamp = F.lit(batch_id).alias("__commit")
+            AtomicParquetTable(f"{path}/acc").append(accepted.select("*", stamp))
+            rejected = (
+                staged.filter(~F.col("keep"))
+                .select(id_col, F.lit("1_quality").alias("stage"))
+                .unionByName(
+                    quality_pass.join(exact_pass, id_col, "left_anti").select(
+                        id_col, F.lit("2_exact_dedup").alias("stage")
+                    )
+                )
+                .unionByName(
+                    exact_pass.join(nd_pass, id_col, "left_anti").select(
+                        id_col, F.lit("3_near_dedup").alias("stage")
+                    )
+                )
+                .unionByName(
+                    nd_pass.join(accepted, id_col, "left_anti").select(
+                        id_col, F.lit("4_decontaminate").alias("stage")
+                    )
+                )
+            )
+            AtomicParquetTable(f"{path}/rej").append(rejected.select("*", stamp))
+            AtomicParquetTable(f"{path}/fp").append(
+                accepted.select(
+                    fingerprint(F.col(text_col)).alias("fingerprint"), stamp
+                )
+            )
+            AtomicParquetTable(f"{path}/sig").append(
+                minhash_signatures(accepted, text_col, id_col).select("*", stamp)
+            )
+            yields = spark.createDataFrame(
+                [
+                    ("1_quality", n_in, n_in - n_q, n_q),
+                    ("2_exact_dedup", n_q, n_q - n_e, n_e),
+                    ("3_near_dedup", n_e, n_e - n_n, n_n),
+                    ("4_decontaminate", n_n, n_n - n_d, n_d),
+                ],
+                "stage string, docs_in long, docs_removed long, docs_out long",
+            )
+            AtomicParquetTable(f"{path}/yield").append(yields.select("*", stamp))
+            for frame in (exact_pass, nd_pass, accepted):
+                frame.unpersist()
+        finally:
+            staged.unpersist()
+
+    return sink
+
+
+def curation_yield_view(spark, path: str) -> DataFrame:
+    """Cumulative per-stage funnel from the yield log: per-commit dedup
+    then sum — the continuously-maintained counterpart of x94's
+    one-shot funnel rows."""
+    log = _read_log(spark, f"{path}/yield")
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "stage"])
+        .groupBy("stage")
+        .agg(
+            F.sum("docs_in").cast("long").alias("docs_in"),
+            F.sum("docs_removed").cast("long").alias("docs_removed"),
+            F.sum("docs_out").cast("long").alias("docs_out"),
+        )
+    )

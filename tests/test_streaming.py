@@ -1973,3 +1973,89 @@ def test_streaming_kmv_merges_exactly_and_is_replay_idempotent(spark, tmp_path):
         kmv_stream_view(spark, path, ["grp"], k=16), "grp", k=16
     ).collect()
     assert len(m) == 1 and m[0]["grp_a"] == "a" and m[0]["kmv_jaccard"] > 0
+
+
+def test_streaming_curation_sink_routes_tiers_and_replays(spark, tmp_path):
+    """The incremental funnel: batch 0 seeds the corpus; batch 1's
+    planted victims each fall at their tier (quality, exact-vs-history,
+    near-dup-vs-history, contamination); the yield view accumulates
+    across batches; replaying batch 1 changes nothing."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        curation_yield_view,
+        gate_view,
+        make_curation_sink,
+    )
+
+    base = (
+        "the quick brown fox jumps over a lazy dog while many other animals "
+        "watch from nearby fields and wonder about the strange spectacle "
+        "unfolding before their curious eyes during that warm afternoon"
+    )
+    unique2 = (
+        "a completely different report describes harvest totals for wheat "
+        "barley oats and rye across seven regions with detailed tables "
+        "showing yearly trends that farmers consult before planting their "
+        "next season of crops in spring"
+    )
+    eval_text = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and found that careful "
+        "decontamination of the training corpus remains absolutely essential "
+        "for trustworthy reported results overall"
+    )
+    contaminated = (
+        "researchers evaluated the benchmark suite for measuring language "
+        "model quality across many diverse tasks and noted in passing that "
+        "unrelated filler content about gardening cooking travel sports "
+        "music painting also fills this document nicely today"
+    )
+    evals = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    path = str(tmp_path / "cur")
+    sink = make_curation_sink(path, evals)
+
+    b0 = spark.createDataFrame(
+        [(1, base), (2, unique2)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, "too short to pass"),                              # 1_quality
+            (11, base),                                             # exact dup of history doc 1
+            (12, unique2.replace("spring", "autumn")),              # near-dup of history doc 2
+            (13, contaminated),                                     # 4_decontaminate
+            (14, "an entirely novel account of mountain weather "
+                 "patterns describes how morning clouds gather over "
+                 "the high ridge lines and then release their rain "
+                 "onto the eastern slopes before the midday sun returns"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def state():
+        acc = sorted(r.doc_id for r in gate_view(spark, f"{path}/acc").collect())
+        rej = {
+            r.doc_id: r.stage for r in gate_view(spark, f"{path}/rej").collect()
+        }
+        yld = {
+            r.stage: (r.docs_in, r.docs_removed, r.docs_out)
+            for r in curation_yield_view(spark, path).collect()
+        }
+        return acc, rej, yld
+
+    acc, rej, yld = state()
+    assert acc == [1, 2, 14]
+    assert rej == {
+        10: "1_quality",
+        11: "2_exact_dedup",
+        12: "3_near_dedup",
+        13: "4_decontaminate",
+    }
+    # cumulative funnel: 7 docs in, one removal per tier
+    assert yld["1_quality"] == (7, 1, 6)
+    assert yld["2_exact_dedup"] == (6, 1, 5)
+    assert yld["3_near_dedup"] == (5, 1, 4)
+    assert yld["4_decontaminate"] == (4, 1, 3)
+
+    sink(b1, 1)  # replay: own-commit exclusion + per-commit dedup
+    assert state() == (acc, rej, yld)
