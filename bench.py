@@ -218,6 +218,25 @@ def main() -> None:
         except Exception as exc:
             print(f"# ingest bench failed: {exc}", file=sys.stderr)
 
+    # Streaming-curation throughput: the incremental funnel sink
+    # (quality + exact-vs-history + near-dup-vs-history + decontaminate)
+    curation_dps = None
+    n_cur_docs = int(os.environ.get("SPARK_GRAFT_CURATION_DOCS", "10000"))
+    if n_cur_docs > 0:
+        try:
+            from tools.bench_streaming import measure_curation
+
+            cur_metrics = measure_curation(spark, sf_dir, n_docs=n_cur_docs)
+            curation_dps = cur_metrics["value"]
+            print(
+                f"# curation: {cur_metrics['n_docs']} docs in "
+                f"{cur_metrics['wall_sec']}s -> {curation_dps} docs/s "
+                f"({cur_metrics['accepted']} accepted)",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"# curation bench failed: {exc}", file=sys.stderr)
+
     out = {
         "metric": "headline_query_wall_time",
         "value": total,
@@ -231,6 +250,8 @@ def main() -> None:
         out["gate_docs_per_sec"] = gate_dps
     if ingest_dps is not None:
         out["ingest_docs_per_sec"] = ingest_dps
+    if curation_dps is not None:
+        out["curation_docs_per_sec"] = curation_dps
     if sf_ratio:
         out["sf_ratio"] = sf_ratio
     print(json.dumps(out))

@@ -265,3 +265,53 @@ def measure_ingest(spark, sf_dir: str, n_docs: int = 20_000, n_batches: int = 4)
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def measure_curation(spark, sf_dir: str, n_docs: int = 10_000, n_batches: int = 4) -> dict:
+    """Streaming-curation throughput: docs/s through the incremental
+    funnel sink (Gopher rules + exact dedup vs fingerprint history +
+    near-dup vs signature history + eval-gram decontamination, state
+    advanced per batch).  Batches repeat half their docs across
+    batches so the history tiers do real work; the cumulative yield
+    view is consistency-checked at the end."""
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        curation_yield_view,
+        make_curation_sink,
+    )
+
+    work = tempfile.mkdtemp(prefix="curation_bench_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        evals = docs.filter(F.col("doc_id") % 20 == 0)
+        sink = make_curation_sink(f"{work}/cur", evals)
+        per_batch = max(1, n_docs // n_batches)
+        base = (
+            docs.filter(F.col("doc_id") % 20 != 0)
+            .limit(per_batch)
+            .select("doc_id", "text")
+        )
+        n_base = base.count()
+        t0 = time.time()
+        for b in range(n_batches):
+            batch = base.select(
+                (F.col("doc_id") + F.lit(b * 1_000_000)).alias("doc_id"),
+                F.when(F.col("doc_id") % 2 == 0, F.col("text"))  # dup across batches
+                .otherwise(F.concat(F.col("text"), F.lit(f" fresh{b}")))
+                .alias("text"),
+            )
+            sink(batch, b)
+        wall = round(time.time() - t0, 3)
+        n = n_base * n_batches
+        yld = {r["stage"]: r for r in curation_yield_view(spark, f"{work}/cur").collect()}
+        if yld["1_quality"]["docs_in"] != n:
+            raise RuntimeError(f"yield log saw {yld['1_quality']['docs_in']} != {n}")
+        return {
+            "metric": "curation_docs_per_second",
+            "value": round(n / wall, 1),
+            "n_docs": n,
+            "n_batches": n_batches,
+            "wall_sec": wall,
+            "accepted": int(yld["4_decontaminate"]["docs_out"]),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
