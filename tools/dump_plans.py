@@ -92,6 +92,8 @@ AUDITED = {
     "x98_snapshot_drift": "snapshot drift: x93's column-expression signals, one conditional-aggregation pass per snapshot, one groupBy(source) exchange",
     "x99_curriculum_order": "curriculum: broadcast-percentile stage boundaries (x86 pattern, no global sort); position window over balanced (stage, shard) cells",
     "x100_token_budget_plan": "budget plan: distributed per-source aggregate; cross-source float folds over ONE sorted collected array (sources are vocabulary-sized)",
+    "x101_phash_image_neardup": "pHash near-dup: one Arrow decode pass (mapInPandas), codegen dHash words, band groupBy + capped block pairs — never a self-join of payloads",
+    "x102_doc_fate": "doc fate: pure projection over the SAME persisted flag frame the funnel aggregates — no extra corpus work",
 }
 
 
