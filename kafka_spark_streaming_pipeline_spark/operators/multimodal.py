@@ -351,3 +351,82 @@ def phash_neardup_pairs(
 
     sig = phash64(pixel_grid(docs_with_payload))
     return hamming_band_pairs(sig, "doc_id", max_hamming, bands, max_block_size)
+
+
+# ----------------------------------------------------- audio fingerprint
+
+AUDIO_FP_FRAMES = 65  # 65 frame energies -> 64 gradient bits
+
+
+def audio_fingerprint64(audio: DataFrame) -> DataFrame:
+    """64-bit audio fingerprint from decoded samples (the chromaprint
+    shape): split the sample array into 65 equal frames, take each
+    frame's summed |amplitude|, and set bit j iff frame j's mean
+    energy < frame j+1's (energy-gradient sign) — four 16-bit words
+    in the SimHash layout, ready for ``dedup.hamming_band_pairs``.
+
+    Exactness: the stub decoder emits dyadic rationals (k/128), whose
+    sums and the cross-multiplied mean comparison
+    (sum_j * n_{j+1} < sum_{j+1} * n_j — no division) are exact IEEE
+    doubles, so the oracle reproduces every bit.  The whole
+    fingerprint is ONE let-bound column expression (energies bound
+    once — Catalyst re-inlines lambda references otherwise, the
+    measured O(n^2) trap)."""
+    from ..operators.text import let_expr
+
+    NF = AUDIO_FP_FRAMES
+
+    def energies_of(s):
+        n = F.size(s)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(NF - 1)),
+            lambda k: F.struct(
+                F.aggregate(
+                    F.slice(
+                        s,
+                        (k * n / NF).cast("int") + 1,
+                        ((k + 1) * n / NF).cast("int") - (k * n / NF).cast("int"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + F.abs(x),
+                ).alias("s"),
+                (
+                    ((k + 1) * n / NF).cast("int") - (k * n / NF).cast("int")
+                ).cast("long").alias("n"),
+            ),
+        )
+
+    def sig_of(e):
+        def word(w):
+            acc = F.lit(0).cast("long")
+            for j in range(16):
+                bit = w * 16 + j
+                a = F.element_at(e, bit + 1)
+                b = F.element_at(e, bit + 2)
+                acc = acc + (a["s"] * b["n"] < b["s"] * a["n"]).cast("long") * F.lit(
+                    1 << j
+                )
+            return acc
+
+        return F.array(*[word(w) for w in range(4)])
+
+    sig = let_expr(
+        energies_of(F.col("samples")), lambda e: sig_of(e)
+    )
+    return audio.select("doc_id", sig.alias("sig"))
+
+
+def audio_neardup_pairs(
+    docs_with_payload: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Audio near-dup pairs: decode samples (Arrow batch, auto-selected
+    codec) -> energy-gradient fingerprint (codegen) -> the shared
+    banded-Hamming dataflow.  The third member of the 64-bit signature
+    dedup family (text SimHash, image dHash, audio energy-gradient)."""
+    from ..operators.dedup import hamming_band_pairs
+
+    sig = audio_fingerprint64(decode_audio_samples(docs_with_payload))
+    return hamming_band_pairs(sig, "doc_id", max_hamming, bands, max_block_size)

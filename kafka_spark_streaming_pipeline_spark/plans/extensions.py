@@ -5597,3 +5597,92 @@ def x102_doc_fate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 == 0),
     )
     return doc_fate(flags)
+
+
+
+def _x103_word_sql(w: int) -> str:
+    """Audio-fingerprint word w as SQL over the 65-element energies
+    list ``en`` (structs {s, n}) — mirrors
+    multimodal.audio_fingerprint64 bit for bit (cross-multiplied mean
+    comparison, no division)."""
+    terms = []
+    for j in range(16):
+        bit = w * 16 + j
+        a, b = f"en[{bit + 1}]", f"en[{bit + 2}]"
+        terms.append(
+            f"(CASE WHEN {a}.s * {b}.n < {b}.s * {a}.n"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@query(
+    "x103_audio_fingerprint_neardup",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_X101_PAYLOAD_SQL} AS t FROM documents
+    ), g AS (
+      SELECT doc_id, strlen(t) AS n, t FROM p
+    ), sam AS (
+      -- the fake_decode_audio stand-in verbatim: (byte - 128) / 128.0
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1),
+               i -> (ascii(substr(t, CAST(i AS INT), 1)) - 128) / 128.0) AS s
+      FROM g
+    ), en AS (
+      SELECT doc_id,
+             list_transform(range(0, 65), k -> {{
+               's': coalesce(list_sum(list_transform(
+                      list_slice(s, (k * n) // 65 + 1, ((k + 1) * n) // 65),
+                      x -> abs(x))), 0.0),
+               'n': CAST(((k + 1) * n) // 65 - (k * n) // 65 AS BIGINT)
+             }}) AS en
+      FROM sam
+    ), sig AS (
+      SELECT doc_id,
+             {_x103_word_sql(0)} AS band0,
+             {_x103_word_sql(1)} AS band1,
+             {_x103_word_sql(2)} AS band2,
+             {_x103_word_sql(3)} AS band3
+      FROM en
+    ), banded AS (
+      SELECT doc_id, band0, band1, band2, band3, b.i AS band,
+             CASE b.i WHEN 0 THEN band0 WHEN 1 THEN band1
+                      WHEN 2 THEN band2 ELSE band3 END AS bval
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+             a.band0 AS a0, a.band1 AS a1, a.band2 AS a2, a.band3 AS a3,
+             c.band0 AS c0, c.band1 AS c1, c.band2 AS c2, c.band3 AS c3
+      FROM banded a
+      JOIN banded c ON a.band = c.band AND a.bval = c.bval AND a.doc_id < c.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+              + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) AS BIGINT) AS hamming,
+           false AS block_truncated
+    FROM pairs
+    WHERE bit_count(xor(a0, c0)) + bit_count(xor(a1, c1))
+        + bit_count(xor(a2, c2)) + bit_count(xor(a3, c3)) <= 3
+    """,
+)
+def x103_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate detection over the multimodal binary
+    column — the third 64-bit-signature dedup family member: decode
+    to samples (Arrow mapInPandas; soundfile when importable, the
+    deterministic (byte-128)/128 stand-in here), 65-frame
+    energy-gradient fingerprint in pure codegen (exact dyadic sums,
+    cross-multiplied mean comparison), then the shared banded-Hamming
+    dataflow.  Payloads planted per doc group as in x101; the oracle
+    replays decode -> energies -> bits -> banding -> verify."""
+    from ..operators.multimodal import audio_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.repeat(F.md5((F.col("doc_id") % 50).cast("string")), 20),
+        F.expr("substring(text, 1, CAST(doc_id % 3 AS INT))"),
+    )
+    with_payload = docs.select(
+        "doc_id", F.encode(payload, "utf-8").alias("payload")
+    )
+    return audio_neardup_pairs(with_payload, max_hamming=3)

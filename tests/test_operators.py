@@ -2212,3 +2212,30 @@ def test_doc_fate_attributes_each_planted_removal(spark):
     assert counts["removed_near_dup"] == funnel["3_near_dedup"].docs_removed
     assert counts["removed_contaminated"] == funnel["4_decontaminate"].docs_removed
     assert counts["kept"] == funnel["5_shards"].docs_out
+
+
+def test_audio_fingerprint_neardup_on_raw_payloads(spark):
+    """Identical audio payloads pair at hamming 0; rising vs falling
+    energy ramps produce complementary fingerprints and never pair."""
+    from kafka_spark_streaming_pipeline_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_neardup_pairs,
+        decode_audio_samples,
+    )
+
+    rising = bytes(range(128, 248))        # |amplitude| grows frame over frame
+    falling = bytes(range(247, 127, -1))   # mirror image
+    rows = [(1, rising), (2, rising), (3, falling)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sig = {
+        r.doc_id: list(r.sig)
+        for r in audio_fingerprint64(decode_audio_samples(df)).collect()
+    }
+    assert sig[1] == [65535, 65535, 65535, 65535]  # every gradient positive
+    assert sig[3] == [0, 0, 0, 0]
+    assert sig[1] == sig[2]
+
+    pairs = audio_neardup_pairs(df, max_hamming=3).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].hamming) == (1, 2, 0)

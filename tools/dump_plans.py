@@ -94,6 +94,7 @@ AUDITED = {
     "x100_token_budget_plan": "budget plan: distributed per-source aggregate; cross-source float folds over ONE sorted collected array (sources are vocabulary-sized)",
     "x101_phash_image_neardup": "pHash near-dup: one Arrow decode pass (mapInPandas), codegen dHash words, band groupBy + capped block pairs — never a self-join of payloads",
     "x102_doc_fate": "doc fate: pure projection over the SAME persisted flag frame the funnel aggregates — no extra corpus work",
+    "x103_audio_fingerprint_neardup": "audio near-dup: one Arrow decode pass, codegen energy-gradient words, band groupBy + capped block pairs — never a self-join of payloads",
 }
 
 
