@@ -674,3 +674,49 @@ def test_incremental_components_equals_batch(spark, edges1, edges2):
         (r.id, r.component) for r in connected_components(df(e1 + e2)).collect()
     }
     assert incr == batch
+
+
+@st.composite
+def sig_corpus(draw):
+    """Random 64-bit signatures as four 16-bit words, biased toward
+    near-duplicates: a few base signatures plus per-doc bit flips."""
+    n_bases = draw(st.integers(1, 3))
+    bases = [
+        [draw(st.integers(0, 65535)) for _ in range(4)] for _ in range(n_bases)
+    ]
+    docs = []
+    n_docs = draw(st.integers(2, 10))
+    for i in range(n_docs):
+        sig = list(bases[draw(st.integers(0, n_bases - 1))])
+        for _ in range(draw(st.integers(0, 5))):  # flip 0-5 bits
+            bit = draw(st.integers(0, 63))
+            sig[bit // 16] ^= 1 << (bit % 16)
+        docs.append((i, sig))
+    return docs
+
+
+@settings(max_examples=10, deadline=None)
+@given(sig_corpus(), st.sampled_from([2, 3]))
+def test_hamming_band_pairs_pigeonhole_complete(spark, docs, max_hamming):
+    """The banding recall guarantee, pinned: for max_hamming < bands,
+    banded blocking + exact verify finds EXACTLY the brute-force pair
+    set (pigeonhole: a pair within d < bands bit flips must agree on
+    some band) — shared by text SimHash (x44), image dHash (x101),
+    and audio fingerprints (x103)."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    sig_df = spark.createDataFrame(docs, "doc_id long, sig array<bigint>")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in hamming_band_pairs(sig_df, max_hamming=max_hamming).collect()
+    }
+    want = {}
+    for i, a in docs:
+        for j, b in docs:
+            if i < j:
+                h = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+                if h <= max_hamming:
+                    want[(i, j)] = h
+    assert got == want
