@@ -627,3 +627,19 @@ class Engine:
                 **kwargs,
             )
         )
+
+    def image_neardups(self, payloads: DataFrame, max_hamming: int = 3) -> DataFrame:
+        """Perceptual-hash image near-dup pairs over a (doc_id,
+        payload binary) frame (x101): Arrow grid decode -> dHash ->
+        shared banded-Hamming dataflow."""
+        from .operators.multimodal import phash_neardup_pairs
+
+        return phash_neardup_pairs(payloads, max_hamming=max_hamming)
+
+    def audio_neardups(self, payloads: DataFrame, max_hamming: int = 3) -> DataFrame:
+        """Audio-fingerprint near-dup pairs over a (doc_id, payload
+        binary) frame (x103): sample decode -> energy-gradient
+        signature -> shared banded-Hamming dataflow."""
+        from .operators.multimodal import audio_neardup_pairs
+
+        return audio_neardup_pairs(payloads, max_hamming=max_hamming)
