@@ -1455,3 +1455,72 @@ def curation_yield_view(spark, path: str) -> DataFrame:
             F.sum("docs_out").cast("long").alias("docs_out"),
         )
     )
+
+
+def datasheet_drift_view(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    rate_drift_threshold: float = 0.1,
+) -> DataFrame:
+    """Drift of an INCOMING batch against the whole ingested corpus —
+    operators.curation.snapshot_drift's columns, but the "old" side
+    comes from the streaming datasheet's maintained per-source sums,
+    so the history is never rescanned: the check costs one pass over
+    the new batch plus the tiny sum log, however much was ingested
+    before.  The gate a pipeline puts in front of a suspicious crawl
+    drop."""
+    from ..operators import text as tx
+
+    sums = _datasheet_sums_of(_read_log(spark, f"{path}/sums"))
+    t = F.col(text_col)
+    new_sums = (
+        new_docs.select(
+            "source",
+            tx.token_count(t).alias("n_tokens"),
+            (tx.quality_score(t) >= 0.9).cast("long").alias("hi_q"),
+            (tx.lang_id(t) == "en").cast("long").alias("is_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_new"),
+            F.sum("n_tokens").cast("long").alias("tok_new"),
+            F.sum("hi_q").alias("hi_q_new"),
+            F.sum("is_en").alias("en_new"),
+        )
+    )
+    joined = sums.select(
+        "source",
+        F.col("n_docs").alias("n_docs_old"),
+        F.col("total_tokens").alias("tok_old"),
+        F.col("hi_q_docs").alias("hi_q_old"),
+        F.col("en_docs").alias("en_old"),
+    ).join(new_sums, "source", "full_outer")
+    no = F.when(F.col("n_docs_old") > 0, F.col("n_docs_old").cast("double"))
+    nn = F.when(F.col("n_docs_new") > 0, F.col("n_docs_new").cast("double"))
+    hi_old, hi_new = F.col("hi_q_old") / no, F.col("hi_q_new") / nn
+    en_old, en_new = F.col("en_old") / no, F.col("en_new") / nn
+    mean_old, mean_new = F.col("tok_old") / no, F.col("tok_new") / nn
+
+    def _r4(x):
+        return F.round(x + F.lit(1e-9), 4)
+
+    return joined.select(
+        "source",
+        F.coalesce("n_docs_old", F.lit(0)).alias("n_docs_old"),
+        F.coalesce("n_docs_new", F.lit(0)).alias("n_docs_new"),
+        _r4(mean_old).alias("mean_tokens_old"),
+        _r4(mean_new).alias("mean_tokens_new"),
+        _r4(mean_new - mean_old).alias("delta_mean_tokens"),
+        _r4(hi_old).alias("hi_q_rate_old"),
+        _r4(hi_new).alias("hi_q_rate_new"),
+        _r4(hi_new - hi_old).alias("delta_hi_q_rate"),
+        _r4(en_old).alias("en_rate_old"),
+        _r4(en_new).alias("en_rate_new"),
+        _r4(en_new - en_old).alias("delta_en_rate"),
+        (
+            (F.abs(hi_new - hi_old) > rate_drift_threshold)
+            | (F.abs(en_new - en_old) > rate_drift_threshold)
+        ).alias("drift"),
+    )

@@ -2059,3 +2059,43 @@ def test_streaming_curation_sink_routes_tiers_and_replays(spark, tmp_path):
 
     sink(b1, 1)  # replay: own-commit exclusion + per-commit dedup
     assert state() == (acc, rej, yld)
+
+
+def test_datasheet_drift_view_matches_batch_operator(spark, tmp_path):
+    """Drift of a new batch against the streamed datasheet state must
+    equal snapshot_drift computed from the raw history docs — the sums
+    log is a sufficient statistic, so the history is never rescanned."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import snapshot_drift
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        datasheet_drift_view,
+        make_datasheet_sink,
+    )
+
+    en = ("the story of a fox and the dog is told here in plain english "
+          "words that carry the usual stopword mix for detection purposes")
+    es = ("el cuento de la zorra y el perro que se narra aqui con palabras "
+          "de la lengua que lleva la mezcla usual para que se detecte bien")
+    hist = spark.createDataFrame(
+        [(1, "stable", en), (2, "flipping", en), (3, "stable", en)],
+        "doc_id long, source string, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "stable", en), (11, "flipping", es)],
+        "doc_id long, source string, text string",
+    )
+    path = str(tmp_path / "ds")
+    sink = make_datasheet_sink(path)
+    # ingest the history in two batches — the view must fold them
+    sink(hist.filter("doc_id <= 1"), 0)
+    sink(hist.filter("doc_id > 1"), 1)
+
+    got = {
+        r["source"]: r for r in datasheet_drift_view(spark, path, new).collect()
+    }
+    want = {r["source"]: r for r in snapshot_drift(hist, new).collect()}
+    assert set(got) == set(want)
+    for src in want:
+        for col in ("n_docs_old", "n_docs_new", "delta_en_rate",
+                    "delta_hi_q_rate", "delta_mean_tokens", "drift"):
+            assert got[src][col] == want[src][col], (src, col)
+    assert got["flipping"].drift and not got["stable"].drift
