@@ -1,0 +1,134 @@
+"""Entity resolution (record linkage) over short mention strings.
+
+The reference pipeline carries no record-linkage stage; this extends
+the dedup family (SURVEY.md §2.9 training-data operators) with the
+classic Fellegi–Sunter-shaped pipeline used to collapse dirty mention
+records onto entities:
+
+    multi-pass rare-token blocking  ->  bounded in-block pair
+    expansion  ->  token-Jaccard verification  ->  transitive closure
+    ->  canonical (golden-record) survivorship
+
+Scale shape: the token document-frequency table is vocabulary-sized
+(broadcast), the per-record rarest-token ranking is a window keyed by
+the record id (well spread), and the pair expansion is the SAME
+capped-block machinery minhash_lsh_pairs uses — Σ block² with an
+explicit ``max_block_size`` guard, never an all-pairs join.  The
+closure is the distributed small-label propagation from
+operators/dedup.connected_components.
+
+Recall guarantee (why TWO blocking passes): ranking every record's
+tokens by global document frequency and blocking on the 2 rarest
+means two records whose token sets differ by ONE dropped token always
+share at least one blocking key — if the dropped token was the rarest
+(r1), both sides still key on r2; if it was r2, both key on r1; if it
+was neither, both key on r1 AND r2.  Single-token edits therefore
+cannot escape candidate generation (tests/test_operators.py pins
+this with planted variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .dedup import _capped_block_pairs, connected_components
+
+
+def _mention_tokens(records: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks): distinct lowercase whitespace tokens per record."""
+    return records.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.lower(F.col(text_col)), " ")).alias("toks"),
+    )
+
+
+def rare_token_keys(
+    toks: DataFrame, id_col: str = "rec_id", passes: int = 2
+) -> DataFrame:
+    """Blocking keys: each record's ``passes`` globally-rarest tokens.
+
+    Document frequency is computed over the record set itself (one
+    vocabulary-sized aggregate, broadcast back onto the exploded
+    tokens), then a per-record window ranks tokens by (df, token) —
+    the tie-break makes the key choice deterministic on both engines.
+    Output: (id, blk) rows, ≤ ``passes`` per record."""
+    exploded = toks.select(F.col(id_col), F.explode("toks").alias("blk"))
+    df_tab = exploded.groupBy("blk").agg(F.count("*").alias("__df"))
+    ranked = exploded.join(F.broadcast(df_tab), "blk").withColumn(
+        "__rk",
+        F.row_number().over(W.partitionBy(id_col).orderBy("__df", "blk")),
+    )
+    return ranked.filter(F.col("__rk") <= passes).select(id_col, "blk")
+
+
+def entity_pairs(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "mention",
+    min_jaccard: float = 0.6,
+    passes: int = 2,
+    max_block_size: int = 128,
+) -> DataFrame:
+    """Verified match pairs (id_a, id_b): blocked candidates whose
+    token-set Jaccard clears ``min_jaccard``.
+
+    One scan tokenizes the records into a persisted narrow (id, toks)
+    frame consumed by the df aggregate, the key ranking, and the pair
+    payloads; oversized blocks truncate deterministically via
+    ``_capped_block_pairs`` (smallest ids survive) instead of going
+    quadratic on a stopword-keyed block."""
+    from ..cache import tracked_persist
+
+    toks = tracked_persist(_mention_tokens(records, id_col, text_col))
+    keys = rare_token_keys(toks, id_col=id_col, passes=passes)
+    prepared = keys.join(toks, id_col).select(
+        F.col(id_col), F.col("blk"), F.col("toks").alias("__pl")
+    )
+    pairs = _capped_block_pairs(prepared, id_col, "__pl", max_block_size)
+    inter = F.size(F.array_intersect(F.col("payload_a"), F.col("payload_b")))
+    uni = F.size(F.array_union(F.col("payload_a"), F.col("payload_b")))
+    return (
+        pairs.filter(inter / uni >= F.lit(min_jaccard))
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .distinct()
+    )
+
+
+def entity_resolve(
+    records: DataFrame,
+    id_col: str = "rec_id",
+    text_col: str = "mention",
+    min_jaccard: float = 0.6,
+    passes: int = 2,
+    max_block_size: int = 128,
+) -> DataFrame:
+    """Full entity resolution: every record labeled with its entity.
+
+    Output per record: (id, entity_id, cluster_size, is_canonical)
+    where ``entity_id`` is the smallest member id of the record's
+    connected match-component (singletons label themselves) and the
+    canonical record — the golden-record survivor — is the member
+    equal to that minimum.  The closure runs on verified pairs only,
+    so its input is |matches|, not |records|."""
+    pairs = entity_pairs(
+        records,
+        id_col=id_col,
+        text_col=text_col,
+        min_jaccard=min_jaccard,
+        passes=passes,
+        max_block_size=max_block_size,
+    )
+    labels = connected_components(pairs, "id_a", "id_b")
+    out = records.join(labels, records[id_col] == labels.id, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),
+    )
+    w = W.partitionBy("entity_id")
+    return out.select(
+        id_col,
+        "entity_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("is_canonical"),
+    )

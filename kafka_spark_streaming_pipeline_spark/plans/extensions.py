@@ -5686,3 +5686,92 @@ def x103_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
         "doc_id", F.encode(payload, "utf-8").alias("payload")
     )
     return audio_neardup_pairs(with_payload, max_hamming=3)
+
+
+@query(
+    "x104_entity_resolution",
+    oracle="""
+    WITH RECURSIVE w8 AS (
+      SELECT doc_id, (string_split(lower(text), ' '))[1:8] AS w
+      FROM documents
+    ), recs AS (
+      SELECT doc_id AS rec_id, array_to_string(w, ' ') AS mention FROM w8
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string(list_transform(
+               list_filter(range(1, len(w) + 1), i -> i != (doc_id % 7) + 2),
+               i -> w[i]), ' ')
+      FROM w8 WHERE doc_id % 3 = 0
+    ), toks AS (
+      SELECT rec_id, list_distinct(string_split(mention, ' ')) AS toks FROM recs
+    ), ex AS (
+      SELECT rec_id, unnest(toks) AS blk FROM toks
+    ), dfreq AS (
+      SELECT blk, count(*) AS c FROM ex GROUP BY blk
+    ), ranked AS (
+      SELECT ex.rec_id, ex.blk,
+             row_number() OVER (PARTITION BY ex.rec_id ORDER BY d.c, ex.blk) AS rk
+      FROM ex JOIN dfreq d USING (blk)
+    ), keys AS (
+      SELECT rec_id, blk FROM ranked WHERE rk <= 2
+    ), bsz AS (
+      SELECT blk, count(*) AS n FROM keys GROUP BY blk
+    ), kept AS (
+      SELECT k.rec_id, k.blk
+      FROM (SELECT rec_id, blk,
+                   row_number() OVER (PARTITION BY blk ORDER BY rec_id) AS rn
+            FROM keys) k JOIN bsz USING (blk)
+      WHERE n >= 2 AND rn <= 128
+    ), cand AS (
+      SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM kept a JOIN kept b ON a.blk = b.blk AND a.rec_id < b.rec_id
+    ), verified AS (
+      SELECT id_a, id_b
+      FROM cand JOIN toks ta ON ta.rec_id = cand.id_a
+                JOIN toks tb ON tb.rec_id = cand.id_b
+      WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.6
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION
+      SELECT id_b, id_a FROM verified
+    ), reach(id, comp) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id
+    ), labels AS (
+      SELECT id, min(comp) AS component FROM reach GROUP BY id
+    )
+    SELECT r.rec_id,
+           coalesce(l.component, r.rec_id) AS entity_id,
+           count(*) OVER (PARTITION BY coalesce(l.component, r.rec_id)) AS cluster_size,
+           r.rec_id = min(r.rec_id) OVER (PARTITION BY coalesce(l.component, r.rec_id))
+             AS is_canonical
+    FROM recs r LEFT JOIN labels l ON l.id = r.rec_id
+    """,
+)
+def x104_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over dirty mention records: every document's
+    first-8-word mention string plus a deterministic dirty variant
+    (one word dropped, keyed by doc id) resolved back onto entities
+    via multi-pass rare-token blocking -> capped in-block pairs ->
+    token-Jaccard verify -> distributed closure -> golden-record
+    survivorship.  The 2-pass rarest-token blocking carries a recall
+    guarantee for single-token drops (operators/linkage.py docstring);
+    the oracle replays blocking, verification, and the closure
+    (recursive CTE) exactly."""
+    from ..operators.linkage import entity_resolve
+
+    docs = load_table(spark, sf_dir, "documents")
+    w8 = F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+    base = docs.select(
+        F.col("doc_id").alias("rec_id"), F.array_join(w8, " ").alias("mention")
+    )
+    drop_idx = F.col("doc_id") % 7 + 2
+    variant = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("rec_id"),
+        F.array_join(
+            F.filter(w8, lambda x, i: (i + F.lit(1)) != drop_idx), " "
+        ).alias("mention"),
+    )
+    return entity_resolve(base.unionByName(variant))

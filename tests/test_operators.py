@@ -2239,3 +2239,38 @@ def test_audio_fingerprint_neardup_on_raw_payloads(spark):
     pairs = audio_neardup_pairs(df, max_hamming=3).collect()
     assert len(pairs) == 1
     assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].hamming) == (1, 2, 0)
+
+
+def test_entity_resolution_links_single_token_drops(spark):
+    """The 2-pass rarest-token blocking guarantee: a variant record
+    missing ONE token always reaches candidate generation, verifies
+    on Jaccard, and lands in its base record's entity; records that
+    merely share one rare token (low Jaccard) stay separate."""
+    from kafka_spark_streaming_pipeline_spark.operators.linkage import entity_resolve
+
+    bases = {
+        1: "quick brown fox jumps over lazy dog tonight",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "stormy petrel circles windward basalt cliffs alone",
+    }
+    rows = [(rid, m) for rid, m in bases.items()]
+    # variants drop the 1st, 4th, and last token respectively
+    rows.append((101, "brown fox jumps over lazy dog tonight"))
+    rows.append((102, "alpha beta gamma epsilon zeta eta theta"))
+    rows.append((103, "stormy petrel circles windward basalt cliffs"))
+    # shares the rare token 'crimson' with 105 but Jaccard 1/7 < 0.6
+    rows.append((104, "crimson green blue purple"))
+    rows.append((105, "crimson orange yellow pink"))
+    recs = spark.createDataFrame(rows, ["rec_id", "mention"])
+    out = {
+        r["rec_id"]: r
+        for r in entity_resolve(recs).collect()
+    }
+    for base_id, var_id in [(1, 101), (2, 102), (3, 103)]:
+        assert out[var_id]["entity_id"] == out[base_id]["entity_id"] == base_id
+        assert out[base_id]["cluster_size"] == 2
+        assert out[base_id]["is_canonical"] and not out[var_id]["is_canonical"]
+    assert out[104]["entity_id"] != out[105]["entity_id"]
+    assert out[104]["cluster_size"] == 1 and out[104]["is_canonical"]
+    # distinct bases never merge
+    assert len({out[b]["entity_id"] for b in bases}) == 3
