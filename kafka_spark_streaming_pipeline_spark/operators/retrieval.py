@@ -511,3 +511,78 @@ def phrase_search_indexed(
     top = scored.orderBy(F.desc("n_occurrences"), F.col(id_col)).limit(topk)
     w = W.orderBy(F.desc("n_occurrences"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    emb: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "doc_id",
+    rel_col: str = "score",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversification of a retrieval
+    shortlist: iteratively pick argmax(lam*rel - mu*max_sim_to_picked)
+    with (score desc, id asc) tie order — the standard redundancy
+    killer between first-stage retrieval and the final result page.
+
+    Scale shape: MMR is inherently sequential in k, so it must NEVER
+    see the corpus — only the bounded shortlist (top-n of a ranked
+    stage, n ≈ tens).  The embedding join and the n² rounded-cosine
+    similarity matrix run in Spark (broadcast self-pair of a frame
+    whose size is the constant n); the selection loop then walks the
+    collected n-row / n²-edge tables driver-side — the same bounded-
+    collect discipline as the BPE merge table.  ``lam`` and ``mu`` are
+    separate parameters (not lam/1-lam) so both engines combine
+    IDENTICAL double literals; similarities enter the loop 4-dp
+    rounded, relevance 6-dp (from BM25), making every comparison
+    engine-exact.
+
+    Returns (pick_rank, id, rel_score, max_sim_prior): the order
+    picked, each pick's first-stage relevance, and its similarity to
+    the already-picked set at pick time (0.0 for the first pick)."""
+    from .similarity import _as_double, cosine
+
+    sv = shortlist.select(F.col(id_col), F.col(rel_col).alias("__rel")).join(
+        emb.select(
+            F.col(emb_id_col).alias(id_col), _as_double(F.col(vec_col)).alias("__v")
+        ),
+        id_col,
+    )
+    a = sv.select(F.col(id_col).alias("__da"), F.col("__v").alias("__va"))
+    b = sv.select(F.col(id_col).alias("__db"), F.col("__v").alias("__vb"))
+    sims_df = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("__da") != F.col("__db"))
+        .select(
+            "__da",
+            "__db",
+            F.round(
+                cosine(F.col("__va"), F.col("__vb")) + F.lit(1e-9), 4
+            ).alias("__sim"),
+        )
+    )
+    rel = {r[id_col]: float(r["__rel"]) for r in sv.select(id_col, "__rel").collect()}
+    sim = {(r["__da"], r["__db"]): float(r["__sim"]) for r in sims_df.collect()}
+
+    remaining = set(rel)
+    chosen: list = []
+    ms = {c: 0.0 for c in remaining}  # running max-sim to the picked set
+    picked_rows = []
+    while remaining and len(picked_rows) < k:
+        nxt = min(remaining, key=lambda c: (-(lam * rel[c] - mu * ms[c]), c))
+        picked_rows.append((len(picked_rows) + 1, nxt, rel[nxt], ms[nxt]))
+        remaining.discard(nxt)
+        for c in remaining:
+            s = sim.get((c, nxt), 0.0)
+            if s > ms[c]:
+                ms[c] = s
+        chosen.append(nxt)
+    spark = shortlist.sparkSession
+    return spark.createDataFrame(
+        picked_rows,
+        f"pick_rank INT, {id_col} BIGINT, rel_score DOUBLE, max_sim_prior DOUBLE",
+    )

@@ -5775,3 +5775,81 @@ def x104_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mention"),
     )
     return entity_resolve(base.unionByName(variant))
+
+
+@query(
+    "x105_mmr_rerank",
+    oracle="""
+    WITH RECURSIVE dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('customer', 'vector', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS rel
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ), short AS (
+      SELECT sc.doc_id, sc.rel, e.embedding::DOUBLE[] AS v
+      FROM (SELECT doc_id, rel FROM scored
+            ORDER BY rel DESC, doc_id LIMIT 20) sc
+      JOIN embeddings e ON e.vec_id = sc.doc_id
+    ), sims AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) + 1e-9, 4) AS sim
+      FROM short a JOIN short b ON a.doc_id <> b.doc_id
+    ), sel AS (
+      SELECT 0 AS step, doc_id, rel, CAST(0.0 AS DOUBLE) AS ms, FALSE AS picked
+      FROM short
+      UNION ALL
+      SELECT v.step + 1, v.doc_id, v.rel,
+             CASE WHEN v.doc_id = p.pid THEN v.ms
+                  ELSE greatest(v.ms, coalesce(m.sim, 0.0)) END,
+             v.doc_id = p.pid
+      FROM sel v
+      CROSS JOIN (SELECT t.doc_id AS pid FROM sel t WHERE NOT t.picked
+                  ORDER BY 0.7 * t.rel - 0.3 * t.ms DESC, t.doc_id
+                  LIMIT 1) p
+      LEFT JOIN sims m ON m.da = v.doc_id AND m.db = p.pid
+      WHERE NOT v.picked AND v.step < 10
+    )
+    SELECT CAST(step AS INT) AS pick_rank, doc_id, rel AS rel_score,
+           ms AS max_sim_prior
+    FROM sel WHERE picked
+    """,
+)
+def x105_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified search results: BM25 top-20 shortlist ->
+    embedding join -> iterative maximal-marginal-relevance pick of 10
+    (lam=0.7 relevance, mu=0.3 redundancy; engine-exact double
+    literals, 6-dp relevance, 4-dp similarities).  The oracle unrolls
+    the sequential selection into a recursive CTE with a RUNNING
+    max-similarity per remaining candidate — the same incremental
+    update the driver loop applies — so every pick, including tie
+    order, is value-checked."""
+    from ..operators.retrieval import bm25_topk, mmr_rerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    short = bm25_topk(
+        docs, ["customer", "vector", "merge", "stream"], topk=20, min_token_len=3
+    )
+    return mmr_rerank(short, emb, k=10, lam=0.7, mu=0.3)

@@ -2274,3 +2274,24 @@ def test_entity_resolution_links_single_token_drops(spark):
     assert out[104]["cluster_size"] == 1 and out[104]["is_canonical"]
     # distinct bases never merge
     assert len({out[b]["entity_id"] for b in bases}) == 3
+
+
+def test_mmr_demotes_redundant_high_scorer(spark):
+    """MMR semantics: a near-duplicate of the first pick loses to a
+    diverse lower-relevance candidate once the redundancy penalty
+    applies, and max_sim_prior records the similarity at pick time."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import mmr_rerank
+
+    short = spark.createDataFrame(
+        [(1, 1.0), (2, 0.9), (3, 0.5)], "doc_id BIGINT, score DOUBLE"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    # doc2 duplicates doc1's direction (cos=1); doc3 is orthogonal.
+    # pick2: doc2 scores .7*.9-.3*1=.33 < doc3's .7*.5-0=.35
+    out = mmr_rerank(short, emb, k=3).orderBy("pick_rank").collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+    assert [r["max_sim_prior"] for r in out] == [0.0, 0.0, 1.0]
+    assert [r["pick_rank"] for r in out] == [1, 2, 3]
