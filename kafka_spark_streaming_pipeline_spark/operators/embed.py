@@ -285,3 +285,106 @@ def all_but_the_top(
         F.zip_with("c", pc_lit, lambda c, pcv: c - F.col("p") * pcv).alias("processed"),
         F.round(F.abs(F.col("p")) + F.lit(1e-9), 6).alias("removed_magnitude"),
     )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.98,
+    max_norm_delta: float = 0.1,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots, per key:
+    did a source/label's semantic center move between crawls (encoder
+    re-run, content shift, pipeline bug)?
+
+    Per key and side the centroid is computed with the portable
+    exact-BIGINT kit: every coordinate quantized to trunc(val*1000)
+    BIGINTs whose sum is order-independent (float summation order is
+    the classic cross-run nondeterminism), reconstructed with exactly
+    two IEEE divisions; per-row L2 norms quantize at 1e-4 the same
+    way.  One union scan -> one (key, side, dim) aggregate (k x d
+    rows) -> one k-row report; nothing about the corpus size survives
+    the first aggregate, so the op is a single bounded shuffle at any
+    scale.
+
+    Returns per key: member counts, centroid cosine between sides
+    (4-dp), mean-norm per side and delta (4-dp), and a ``drift`` flag
+    (cosine below ``min_cosine`` or |norm delta| above
+    ``max_norm_delta``)."""
+    from .similarity import _as_double, _dot, cosine
+
+    def side(df: DataFrame, tag: int) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        # double->BIGINT cast truncates toward zero in Spark (DuckDB
+        # mirrors it with trunc() before the cast — x06 convention)
+        return df.select(
+            F.col(key_col).alias("key"),
+            F.lit(tag).alias("side"),
+            v.alias("v"),
+            (F.sqrt(_dot(v, v)) * 10000).cast("long").alias("normq"),
+        )
+
+    both = side(old, 0).unionByName(side(new, 1))
+    by_dim = (
+        both.select(
+            "key", "side", "normq", F.posexplode("v").alias("dim", "val")
+        )
+        .withColumn("valq", (F.col("val") * 1000).cast("long"))
+        .groupBy("key", "side", "dim")
+        .agg(
+            F.sum("valq").alias("sumq"),
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("dim") == 0, F.col("normq"))).alias("normq_sum"),
+        )
+    )
+    per_side = (
+        by_dim.groupBy("key", "side")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "sumq"))).alias("ds"),
+            F.first("n").alias("n"),
+            F.max("normq_sum").alias("normq_sum"),
+        )
+        .select(
+            "key",
+            "side",
+            "n",
+            F.transform(
+                "ds", lambda s: s["sumq"] / F.lit(1000.0) / F.col("n")
+            ).alias("centroid"),
+            (F.col("normq_sum") / F.lit(10000.0) / F.col("n")).alias("mean_norm"),
+        )
+    )
+    o = per_side.filter(F.col("side") == 0).select(
+        F.col("key"), F.col("n").alias("n_old"),
+        F.col("centroid").alias("c_old"), F.col("mean_norm").alias("norm_old"),
+    )
+    n = per_side.filter(F.col("side") == 1).select(
+        F.col("key"), F.col("n").alias("n_new"),
+        F.col("centroid").alias("c_new"), F.col("mean_norm").alias("norm_new"),
+    )
+    cos = F.round(cosine(F.col("c_old"), F.col("c_new")) + F.lit(1e-9), 4)
+    rounded_delta = F.round(
+        F.col("norm_new") - F.col("norm_old") + F.lit(1e-9), 4
+    )
+    return (
+        o.join(n, "key", "outer")
+        .select(
+            F.col("key").alias(key_col),
+            "n_old",
+            "n_new",
+            (cos + F.lit(0.0)).alias("centroid_cos"),
+            (F.round(F.col("norm_old") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "mean_norm_old"
+            ),
+            (F.round(F.col("norm_new") + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "mean_norm_new"
+            ),
+            (rounded_delta + F.lit(0.0)).alias("norm_delta"),
+            (
+                (cos < F.lit(min_cosine))
+                | (F.abs(rounded_delta) > F.lit(max_norm_delta))
+            ).alias("drift"),
+        )
+    )

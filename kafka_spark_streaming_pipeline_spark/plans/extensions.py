@@ -5853,3 +5853,69 @@ def x105_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["customer", "vector", "merge", "stream"], topk=20, min_token_len=3
     )
     return mmr_rerank(short, emb, k=10, lam=0.7, mu=0.3)
+
+
+@query(
+    "x106_embedding_drift",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id % 2 AS side, label, embedding::DOUBLE[] AS v,
+             CAST(trunc(sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[])) * 10000)
+                  AS BIGINT) AS normq
+      FROM embeddings
+    ), per_side AS (
+      SELECT label, side, count(*) AS n, sum(normq) AS normq_sum
+      FROM v GROUP BY label, side
+    ), bd AS (
+      SELECT label, side, u.i AS dim,
+             sum(CAST(trunc(v.v[u.i] * 1000) AS BIGINT)) AS sumq
+      FROM v, unnest(range(1, len(v.v) + 1)) AS u(i)
+      GROUP BY label, side, u.i
+    ), c AS (
+      SELECT label, side, list(sumq ORDER BY dim) AS sums
+      FROM bd GROUP BY label, side
+    ), sides AS (
+      SELECT c.label, c.side, p.n,
+             list_transform(c.sums, s -> s / 1000.0 / p.n) AS centroid,
+             p.normq_sum / 10000.0 / p.n AS mean_norm
+      FROM c JOIN per_side p ON p.label = c.label AND p.side = c.side
+    ), o AS (
+      SELECT label, n AS n_old, centroid AS c_old, mean_norm AS norm_old
+      FROM sides WHERE side = 0
+    ), nn AS (
+      SELECT label, n AS n_new, centroid AS c_new, mean_norm AS norm_new
+      FROM sides WHERE side = 1
+    ), j AS (
+      SELECT label, n_old, n_new,
+             round(list_dot_product(c_old, c_new)
+                   / (sqrt(list_dot_product(c_old, c_old))
+                      * sqrt(list_dot_product(c_new, c_new))) + 1e-9, 4) + 0.0
+               AS centroid_cos,
+             round(norm_old + 1e-9, 4) + 0.0 AS mean_norm_old,
+             round(norm_new + 1e-9, 4) + 0.0 AS mean_norm_new,
+             round(norm_new - norm_old + 1e-9, 4) + 0.0 AS norm_delta
+      FROM o FULL JOIN nn USING (label)
+    )
+    SELECT label, n_old, n_new, centroid_cos, mean_norm_old, mean_norm_new,
+           norm_delta,
+           (centroid_cos < 0.98 OR abs(norm_delta) > 0.1) AS drift
+    FROM j
+    """,
+)
+def x106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two snapshots (vec_id parity
+    plays old/new crawls), per label: exact-BIGINT portable centroids
+    (order-independent quantized sums -> two IEEE divisions), centroid
+    cosine between sides, quantized mean-norm deltas, and a drift
+    flag — the monitor that catches a silent encoder re-version or a
+    content shift inside one source.  One union scan -> one
+    (key, side, dim) aggregate; output is keys-sized."""
+    from ..operators.embed import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        key_col="label",
+    )

@@ -2295,3 +2295,23 @@ def test_mmr_demotes_redundant_high_scorer(spark):
     assert [r["doc_id"] for r in out] == [1, 3, 2]
     assert [r["max_sim_prior"] for r in out] == [0.0, 0.0, 1.0]
     assert [r["pick_rank"] for r in out] == [1, 2, 3]
+
+
+def test_centroid_drift_flags_rotation_not_identity(spark):
+    """A label whose snapshots share direction reports cosine 1.0 /
+    no drift; a label whose new snapshot rotates orthogonally flags."""
+    from kafka_spark_streaming_pipeline_spark.operators.embed import centroid_drift
+
+    old = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [1.0, 0.0]), ("b", [0.6, 0.8])],
+        "label STRING, embedding ARRAY<DOUBLE>",
+    )
+    new = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [-0.8, 0.6])],
+        "label STRING, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["label"]: r for r in centroid_drift(old, new).collect()}
+    assert out["a"]["centroid_cos"] == 1.0 and not out["a"]["drift"]
+    assert out["a"]["norm_delta"] == 0.0
+    assert out["b"]["centroid_cos"] == 0.0 and out["b"]["drift"]
+    assert out["a"]["n_old"] == 2 and out["a"]["n_new"] == 1
