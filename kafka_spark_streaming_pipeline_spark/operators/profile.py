@@ -85,3 +85,89 @@ def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         )
     ).alias("p")
     return wide.select(stacked).select("p.col_a", "p.col_b", "p.corr")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 5, p_hot: float = 0.99
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostics in one row: the pre-join
+    report that decides whether a key needs salting (operators/skew.py)
+    or AQE skew handling before a 100 TB shuffle is launched.
+
+    Scale shape: ONE groupBy(key) frequency aggregate (map-side
+    combinable) is the only corpus-sized shuffle.  Percentiles come
+    from the frequency-of-frequencies histogram — (freq, n_keys)
+    rows, bounded by the number of DISTINCT frequency values, walked
+    with the same cumulative-rank window discipline as the DDSketch
+    quantile (single partition of a provably tiny frame, never of
+    data).  Top keys are orderBy().limit() — TakeOrderedAndProject,
+    per-partition top-k + driver merge.
+
+    Output: (key_column, n_rows, n_keys, max_freq, p50_freq,
+    p99_freq, mean_freq, skew_ratio = max/p50, suggested_salt =
+    ceil(max/p99) — the replication factor that would level the
+    hottest key to the p99 key's load — and the top-k hot keys as
+    'key:freq' CSV).  All integer arithmetic except the two rounded
+    ratios, so the row is engine-exact."""
+    from pyspark.sql import Window as W
+
+    freq = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("freq")
+    )
+    ff = freq.groupBy("freq").agg(F.count("*").alias("nk"))
+    tot = ff.agg(
+        F.sum("nk").cast("long").alias("n_keys"),
+        F.sum(F.col("freq") * F.col("nk")).cast("long").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+    )
+    cum = ff.withColumn(
+        "ck", F.sum("nk").over(W.orderBy("freq"))
+    )  # distinct-freq-sized frame: bounded single partition by design
+    with_tot = cum.crossJoin(F.broadcast(tot))
+    p50 = (
+        with_tot.filter(F.col("ck") >= F.ceil(F.col("n_keys") * 0.5))
+        .agg(F.min("freq").alias("p50_freq"))
+    )
+    p99 = (
+        with_tot.filter(F.col("ck") >= F.ceil(F.col("n_keys") * F.lit(p_hot)))
+        .agg(F.min("freq").alias("p99_freq"))
+    )
+    top = (
+        freq.orderBy(F.desc("freq"), "k")
+        .limit(top_k)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("freq")).alias("nf"), F.col("k")))
+            ).alias("t")
+        )
+        .select(
+            F.array_join(
+                F.transform("t", lambda s: F.concat_ws(":", s["k"], -s["nf"])), ","
+            ).alias("top_keys_csv")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p99))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.lit(key_col).alias("key_column"),
+            "n_rows",
+            "n_keys",
+            "max_freq",
+            "p50_freq",
+            "p99_freq",
+            (
+                F.round(F.col("n_rows") / F.col("n_keys") + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("mean_freq"),
+            (
+                F.round(F.col("max_freq") / F.col("p50_freq") + F.lit(1e-9), 4)
+                + F.lit(0.0)
+            ).alias("skew_ratio"),
+            F.ceil(F.col("max_freq") / F.col("p99_freq")).cast("long").alias(
+                "suggested_salt"
+            ),
+            "top_keys_csv",
+        )
+    )

@@ -5919,3 +5919,65 @@ def x106_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         key_col="label",
     )
+
+
+def _skew_profile_block(col: str) -> str:
+    """One engine-exact skew-profile row for events.{col} — frequency
+    table, frequency-of-frequencies percentile walk, top-5 CSV."""
+    return f"""
+    SELECT * FROM (
+      WITH f AS (
+        SELECT CAST({col} AS VARCHAR) AS k, count(*) AS freq
+        FROM events GROUP BY 1
+      ), ff AS (
+        SELECT freq, count(*) AS nk FROM f GROUP BY freq
+      ), tot AS (
+        SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+               CAST(sum(freq * nk) AS BIGINT) AS n_rows,
+               max(freq) AS max_freq
+        FROM ff
+      ), cum AS (
+        SELECT freq, sum(nk) OVER (ORDER BY freq) AS ck FROM ff
+      ), p50 AS (
+        SELECT min(freq) AS p50_freq FROM cum, tot
+        WHERE ck >= ceil(n_keys * 0.5)
+      ), p99 AS (
+        SELECT min(freq) AS p99_freq FROM cum, tot
+        WHERE ck >= ceil(n_keys * 0.99)
+      ), top AS (
+        SELECT string_agg(k || ':' || freq, ',' ORDER BY freq DESC, k)
+          AS top_keys_csv
+        FROM (SELECT k, freq FROM f ORDER BY freq DESC, k LIMIT 5)
+      )
+      SELECT '{col}' AS key_column, n_rows, n_keys, max_freq, p50_freq,
+             p99_freq,
+             round(n_rows / CAST(n_keys AS DOUBLE) + 1e-9, 4) + 0.0
+               AS mean_freq,
+             round(max_freq / CAST(p50_freq AS DOUBLE) + 1e-9, 4) + 0.0
+               AS skew_ratio,
+             CAST(ceil(max_freq / CAST(p99_freq AS DOUBLE)) AS BIGINT)
+               AS suggested_salt,
+             top_keys_csv
+      FROM tot, p50, p99, top
+    )"""
+
+
+@query(
+    "x107_key_skew_profile",
+    oracle=_skew_profile_block("user_id")
+    + "\n    UNION ALL\n"
+    + _skew_profile_block("event_type"),
+)
+def x107_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the event stream's two candidate
+    shuffle keys: one frequency aggregate per key, percentile walk
+    over the bounded frequency-of-frequencies histogram (DDSketch
+    rank-walk discipline), TakeOrderedAndProject hot-key top-5, and
+    the ceil(max/p99) salt recommendation that operators/skew.py
+    would consume — the decision report a 100 TB join runs FIRST."""
+    from ..operators.profile import key_skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id").unionByName(
+        key_skew_profile(events, "event_type")
+    )

@@ -2315,3 +2315,25 @@ def test_centroid_drift_flags_rotation_not_identity(spark):
     assert out["a"]["norm_delta"] == 0.0
     assert out["b"]["centroid_cos"] == 0.0 and out["b"]["drift"]
     assert out["a"]["n_old"] == 2 and out["a"]["n_new"] == 1
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    """A planted hot key dominates max_freq/skew_ratio/top CSV and
+    drives the salt recommendation; a uniform key profiles flat."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 60 + [(f"u{i}",) for i in range(20)] * 3
+    df = spark.createDataFrame(rows, "k STRING")
+    out = key_skew_profile(df, "k").collect()[0]
+    assert out["n_rows"] == 120 and out["n_keys"] == 21
+    assert out["max_freq"] == 60 and out["p50_freq"] == 3
+    assert out["skew_ratio"] == 20.0
+    assert out["top_keys_csv"].startswith("hot:60,")
+    # p99 over 21 keys -> the hot key itself; salt recommendation >= 1
+    assert out["suggested_salt"] >= 1
+    flat = key_skew_profile(
+        spark.createDataFrame([(f"u{i}",) for i in range(10)] * 4, "k STRING"), "k"
+    ).collect()[0]
+    assert flat["skew_ratio"] == 1.0 and flat["suggested_salt"] == 1
