@@ -1706,3 +1706,52 @@ def doc_fate(flags: DataFrame) -> DataFrame:
             "contamination_ratio"
         ),
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-addressed shard manifest — the reproducibility record a
+    training run pins so 'the data' is a checkable artifact, not a
+    directory listing.
+
+    Each document hashes to a shard (portable hash60 of its id) and
+    contributes a 60-bit content fingerprint; per shard the manifest
+    records counts, token/char volume, the id range, and TWO
+    commutative checksums (bit_xor of fingerprints, sum of
+    fingerprints mod 1e9+7).  Commutativity is the design point: the
+    aggregates are invariant to partitioning, task order, and
+    speculative re-execution, so two runs on different clusters — or
+    local[32] vs 1000 executors — produce bit-equal manifests, and a
+    single flipped byte in any document changes both checksums.  One
+    scan, one groupBy(shard) with map-side combine; output is
+    n_shards rows."""
+    from .text import hash60, token_count
+
+    t = F.col(text_col)
+    per_doc = docs.select(
+        F.pmod(hash60(F.col(id_col).cast("string"), salt="shard|"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard_id"),
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        hash60(t, salt="content|").alias("fp"),
+    )
+    return (
+        per_doc.groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+            F.expr("bit_xor(fp)").alias("checksum_xor"),
+            F.sum(F.pmod(F.col("fp"), F.lit(1_000_000_007))).cast("long").alias(
+                "checksum_sum"
+            ),
+        )
+    )

@@ -5981,3 +5981,39 @@ def x107_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(events, "user_id").unionByName(
         key_skew_profile(events, "event_type")
     )
+
+
+@query(
+    "x108_shard_manifest",
+    oracle="""
+    WITH d AS (
+      SELECT ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 16 AS shard_id,
+             doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             ('0x' || substr(md5('content|' || text), 1, 15))::BIGINT AS fp
+      FROM documents
+    )
+    SELECT CAST(shard_id AS INT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id,
+           bit_xor(fp) AS checksum_xor,
+           CAST(sum(fp % 1000000007) AS BIGINT) AS checksum_sum
+    FROM d GROUP BY shard_id
+    """,
+)
+def x108_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard manifest: hash-sharded corpus with two
+    COMMUTATIVE per-shard checksums (bit_xor + modular sum of 60-bit
+    content fingerprints) plus volume and id-range stats — invariant
+    to partitioning and task order by construction, so local[32] and
+    a 1000-executor run compare bit-equal, and any flipped byte in
+    any document flips both checksums.  One scan, one aggregate."""
+    from ..operators.curation import shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=16)

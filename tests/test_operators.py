@@ -2337,3 +2337,31 @@ def test_key_skew_profile_planted_hot_key(spark):
         spark.createDataFrame([(f"u{i}",) for i in range(10)] * 4, "k STRING"), "k"
     ).collect()[0]
     assert flat["skew_ratio"] == 1.0 and flat["suggested_salt"] == 1
+
+
+def test_shard_manifest_order_invariant_and_byte_sensitive(spark):
+    """The manifest is invariant to partitioning/row order (commutative
+    checksums) and any single-byte change flips both checksums."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import shard_manifest
+
+    rows = [(i, f"document number {i} with some text") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    base = {r["shard_id"]: r for r in shard_manifest(docs, n_shards=4).collect()}
+    shuffled = docs.orderBy(F.reverse(F.col("text"))).repartition(7)
+    again = {
+        r["shard_id"]: r
+        for r in shard_manifest(shuffled, n_shards=4).collect()
+    }
+    assert base.keys() == again.keys()
+    for s in base:
+        assert tuple(base[s]) == tuple(again[s])
+    mutated = spark.createDataFrame(
+        [(i, t + ("!" if i == 17 else "")) for i, t in rows],
+        "doc_id BIGINT, text STRING",
+    )
+    mut = {r["shard_id"]: r for r in shard_manifest(mutated, n_shards=4).collect()}
+    changed = [s for s in base if tuple(mut[s]) != tuple(base[s])]
+    assert len(changed) == 1  # exactly doc 17's shard
+    s = changed[0]
+    assert mut[s]["checksum_xor"] != base[s]["checksum_xor"]
+    assert mut[s]["checksum_sum"] != base[s]["checksum_sum"]
