@@ -1607,3 +1607,102 @@ def contrastive_triplets(
         )
     )
     return pos.join(neg, "anchor_id")
+
+
+def cluster_silhouette(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    weak_below: float = 0.05,
+) -> DataFrame:
+    """Centroid-based silhouette per k-means cluster — the clustering
+    quality report (which cells are well-separated, which should be
+    split/merged before they seed an IVF index or a cluster-balanced
+    sample).
+
+    Classic silhouette needs all pairwise distances (quadratic);
+    the centroid form replaces a(i)/b(i) with distances to the own
+    and next-nearest centroid: s = (best_sim - second_sim) /
+    (1 - second_sim) in cosine space, which is exactly (b - a) /
+    max(a, b) for spherical clusters since b >= a by argmax.  Scale
+    shape: the trained centroid set rides broadcast as one array row
+    (nearest_cells discipline — the corpus never shuffles for
+    scoring); per-point sims are 4-dp rounded (engine-exact argmax +
+    arithmetic), per-cluster means use trunc-quantized BIGINT sums
+    (order-independent).  One (cell) aggregate of k rows total.
+
+    Returns (cell, n_points, mean_silhouette, mean_sim, weak) —
+    ``weak`` flags clusters whose mean silhouette falls below
+    ``weak_below``."""
+    from .text import hash60, let_expr
+
+    c = emb.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seed = F.pmod(hash60(F.col(id_col).cast("string"), salt="km|"), F.lit(k))
+    seeded = c.withColumn("cell", seed)
+    cents = _centroids_portable(seeded).select("cell", "centroid").localCheckpoint()
+    for _ in range(iterations):
+        assigned = nearest_cells(c, cents, 1, "cell", rounded=True)
+        cents = (
+            _centroids_portable(assigned).select("cell", "centroid").localCheckpoint()
+        )
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("__cents")
+    )
+    sims = F.transform(
+        F.col("__cents"),
+        lambda s: F.struct(
+            (-F.round(cosine(F.col("v"), s["centroid"]) + F.lit(1e-9), 4)).alias(
+                "neg_sim"
+            ),
+            s["cell"].alias("cell"),
+        ),
+    )
+    top2 = let_expr(
+        F.slice(F.array_sort(sims), 1, 2),
+        lambda t: F.struct(
+            F.element_at(t, 1)["cell"].alias("cell"),
+            (-F.element_at(t, 1)["neg_sim"]).alias("best_sim"),
+            (-F.element_at(t, 2)["neg_sim"]).alias("second_sim"),
+        ),
+    )
+    pts = (
+        c.crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), top2.alias("t"))
+        .select(
+            "t.cell",
+            "t.best_sim",
+            F.when(
+                F.lit(1.0) - F.col("t.second_sim") > 0,
+                (F.col("t.best_sim") - F.col("t.second_sim"))
+                / (F.lit(1.0) - F.col("t.second_sim")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("s"),
+        )
+    )
+    agg = pts.groupBy("cell").agg(
+        F.count("*").alias("n_points"),
+        (
+            F.round(
+                F.sum((F.col("s") * 1000000).cast("long"))
+                / F.lit(1000000.0)
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mean_silhouette"),
+        (
+            F.round(
+                F.sum((F.col("best_sim") * 10000).cast("long"))
+                / F.lit(10000.0)
+                / F.count("*")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mean_sim"),
+    )
+    return agg.withColumn("weak", F.col("mean_silhouette") < F.lit(weak_below))

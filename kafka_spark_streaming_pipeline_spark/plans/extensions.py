@@ -6017,3 +6017,53 @@ def x108_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return shard_manifest(docs, n_shards=16)
+
+
+def _silhouette_oracle(k: int = 8, iterations: int = 2) -> str:
+    """x37's unrolled Lloyd CTEs + the centroid-silhouette scoring:
+    per point the best/second rounded sims to the FINAL centroids,
+    s = (best - second) / (1 - second), quantized-BIGINT cluster
+    means — every stage engine-exact."""
+    ctes, _ = _kmeans_ctes(k, iterations)
+    return f"""
+    WITH {ctes},
+    p AS (
+      SELECT s.id, c.cell, {_cos4('s.v', 'c.centroid')} AS sim,
+             row_number() OVER (PARTITION BY s.id
+               ORDER BY {_cos4('s.v', 'c.centroid')} DESC, c.cell) AS rn
+      FROM v s CROSS JOIN c{iterations} c
+    ), b AS (
+      SELECT id, max(CASE WHEN rn = 1 THEN cell END) AS cell,
+             max(CASE WHEN rn = 1 THEN sim END) AS best_sim,
+             max(CASE WHEN rn = 2 THEN sim END) AS second_sim
+      FROM p WHERE rn <= 2 GROUP BY id
+    ), sil AS (
+      SELECT cell, best_sim,
+             CASE WHEN 1.0 - second_sim > 0
+                  THEN (best_sim - second_sim) / (1.0 - second_sim)
+                  ELSE 0.0 END AS s
+      FROM b
+    )
+    SELECT cell, count(*) AS n_points,
+           round(sum(CAST(trunc(s * 1000000) AS BIGINT)) / 1000000.0
+                 / count(*) + 1e-9, 4) + 0.0 AS mean_silhouette,
+           round(sum(CAST(trunc(best_sim * 10000) AS BIGINT)) / 10000.0
+                 / count(*) + 1e-9, 4) + 0.0 AS mean_sim,
+           round(sum(CAST(trunc(s * 1000000) AS BIGINT)) / 1000000.0
+                 / count(*) + 1e-9, 4) + 0.0 < 0.05 AS weak
+    FROM sil GROUP BY cell
+    """
+
+
+@query("x109_cluster_silhouette", oracle=_silhouette_oracle())
+def x109_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality silhouette per portable-k-means cell:
+    centroid-form s = (best_sim - second_sim)/(1 - second_sim) with
+    the trained centroids broadcast as one array row (the corpus never
+    shuffles for scoring) and quantized-BIGINT cluster means.  The
+    oracle chains x37's unrolled Lloyd CTEs with the scoring replay,
+    so train -> score -> aggregate is value-checked end to end."""
+    from ..operators.similarity import cluster_silhouette
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_silhouette(emb, k=8, iterations=2)

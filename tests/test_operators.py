@@ -2365,3 +2365,37 @@ def test_shard_manifest_order_invariant_and_byte_sensitive(spark):
     s = changed[0]
     assert mut[s]["checksum_xor"] != base[s]["checksum_xor"]
     assert mut[s]["checksum_sum"] != base[s]["checksum_sum"]
+
+
+def test_cluster_silhouette_separated_beats_overlapping(spark):
+    """Comparative semantics: the same within-cluster spread scores a
+    much lower silhouette when the two clusters' directions nearly
+    overlap than when they are orthogonal."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        cluster_silhouette,
+    )
+
+    def ring(base, n, start_id):
+        return [
+            (start_id + i, [math.cos(base + (i % 5 - 2) * 0.05),
+                            math.sin(base + (i % 5 - 2) * 0.05)])
+            for i in range(n)
+        ]
+
+    sep = spark.createDataFrame(
+        ring(0.0, 20, 0) + ring(math.pi / 2, 20, 100),
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    ovl = spark.createDataFrame(
+        ring(0.0, 20, 0) + ring(0.35, 20, 100),
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    s_sep = cluster_silhouette(sep, k=2, iterations=4).collect()
+    s_ovl = cluster_silhouette(ovl, k=2, iterations=4).collect()
+    assert sum(r["n_points"] for r in s_sep) == 40
+    mean_sep = sum(r["mean_silhouette"] * r["n_points"] for r in s_sep) / 40
+    mean_ovl = sum(r["mean_silhouette"] * r["n_points"] for r in s_ovl) / 40
+    assert mean_ovl < mean_sep
+    assert mean_sep > 0.9  # orthogonal split separates almost perfectly
