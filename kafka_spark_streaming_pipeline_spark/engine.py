@@ -643,3 +643,55 @@ class Engine:
         from .operators.multimodal import audio_neardup_pairs
 
         return audio_neardup_pairs(payloads, max_hamming=max_hamming)
+
+    def resolve_entities(self, records: DataFrame, **kwargs) -> DataFrame:
+        """Entity resolution over (rec_id, mention) records (x104):
+        rare-token multi-pass blocking -> Jaccard verify -> closure ->
+        golden-record survivorship."""
+        from .operators.linkage import entity_resolve
+
+        return entity_resolve(records, **kwargs)
+
+    def diverse_search(
+        self, terms: list[str], k: int = 10, shortlist: int = 20, **kwargs
+    ) -> DataFrame:
+        """MMR-diversified search (x105): BM25 shortlist -> embedding
+        join -> maximal-marginal-relevance pick of ``k``."""
+        from .operators.retrieval import bm25_topk, mmr_rerank
+
+        short = bm25_topk(self.table("documents"), terms, topk=shortlist)
+        return mmr_rerank(short, self.table("embeddings"), k=k, **kwargs)
+
+    def embedding_drift(self, new_emb: DataFrame, **kwargs) -> DataFrame:
+        """Per-label centroid drift of ``new_emb`` against this
+        engine's embeddings table (x106)."""
+        from .operators.embed import centroid_drift
+
+        return centroid_drift(self.table("embeddings"), new_emb, **kwargs)
+
+    def skew_report(self, table: str, key_cols: list[str], **kwargs) -> DataFrame:
+        """Join-key skew profile (x107) for each candidate key of
+        ``table`` — run this BEFORE launching a big shuffle."""
+        from functools import reduce
+
+        from .operators.profile import key_skew_profile
+
+        t = self.table(table)
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [key_skew_profile(t, c, **kwargs) for c in key_cols],
+        )
+
+    def manifest(self, n_shards: int = 16) -> DataFrame:
+        """Content-addressed shard manifest of the documents table
+        (x108) — the reproducibility record to pin with a run."""
+        from .operators.curation import shard_manifest
+
+        return shard_manifest(self.table("documents"), n_shards=n_shards)
+
+    def cluster_quality(self, k: int = 8, iterations: int = 2) -> DataFrame:
+        """Centroid-silhouette quality report for the embedding
+        clustering (x109)."""
+        from .operators.similarity import cluster_silhouette
+
+        return cluster_silhouette(self.table("embeddings"), k=k, iterations=iterations)
