@@ -95,6 +95,12 @@ AUDITED = {
     "x101_phash_image_neardup": "pHash near-dup: one Arrow decode pass (mapInPandas), codegen dHash words, band groupBy + capped block pairs — never a self-join of payloads",
     "x102_doc_fate": "doc fate: pure projection over the SAME persisted flag frame the funnel aggregates — no extra corpus work",
     "x103_audio_fingerprint_neardup": "audio near-dup: one Arrow decode pass, codegen energy-gradient words, band groupBy + capped block pairs — never a self-join of payloads",
+    "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins",
+    "x105_mmr_rerank": "MMR rerank: corpus touched only by the BM25 shortlist stage (one persisted narrow scan, TakeOrderedAndProject); the n^2 sim matrix is a broadcast self-pair of a constant-size frame",
+    "x106_embedding_drift": "embedding drift: one union scan -> one (key, side, dim) aggregate; exact-BIGINT quantized sums make the centroids order-independent; output is keys-sized",
+    "x107_key_skew_profile": "skew profile: one frequency aggregate per key (map-side combine); percentile walk over the bounded frequency-of-frequencies histogram; hot keys via TakeOrderedAndProject",
+    "x108_shard_manifest": "shard manifest: one scan, one commutative aggregate (bit_xor + modular sums) — invariant to partitioning and task order by construction",
+    "x109_cluster_silhouette": "cluster silhouette: trained centroids broadcast as ONE array row (nearest_cells discipline); scoring is map-only over the corpus; one k-row aggregate",
 }
 
 
