@@ -89,6 +89,12 @@ HEADLINE = [
     # per-stage yield) — the end-product query a training-data user
     # runs; prices the one-scan tier composition end to end.
     "x94_curation_pipeline",
+    # r06 third batch: record linkage (blocking + verify + closure —
+    # the heaviest NEW family this round) and the content-addressed
+    # shard manifest (the pure-scan commutative-checksum pass a
+    # reproducible run pins alongside its data).
+    "x104_entity_resolution",
+    "x108_shard_manifest",
 ]
 
 
