@@ -1755,3 +1755,51 @@ def shard_manifest(
             ),
         )
     )
+
+
+def manifest_diff(old_manifest: DataFrame, new_manifest: DataFrame) -> DataFrame:
+    """Diff two content-addressed shard manifests (shard_manifest
+    output) — the incremental-validation primitive: after a corpus
+    update, only shards whose checksums moved need re-validation,
+    re-indexing, or re-sharding, and the diff proves which.
+
+    Pure outer join on shard_id (n_shards rows — trivial at any
+    corpus size).  ``content_changed`` is true when either commutative
+    checksum differs; volume deltas quantify growth; ``status`` is
+    added/removed/changed/unchanged."""
+    o = old_manifest.select(
+        "shard_id",
+        F.col("n_docs").alias("n_docs_old"),
+        F.col("n_tokens").alias("tok_old"),
+        F.col("checksum_xor").alias("xor_old"),
+        F.col("checksum_sum").alias("sum_old"),
+    )
+    n = new_manifest.select(
+        "shard_id",
+        F.col("n_docs").alias("n_docs_new"),
+        F.col("n_tokens").alias("tok_new"),
+        F.col("checksum_xor").alias("xor_new"),
+        F.col("checksum_sum").alias("sum_new"),
+    )
+    j = o.join(n, "shard_id", "outer")
+    changed = (
+        (F.col("xor_old") != F.col("xor_new"))
+        | (F.col("sum_old") != F.col("sum_new"))
+    )
+    status = (
+        F.when(F.col("n_docs_old").isNull(), F.lit("added"))
+        .when(F.col("n_docs_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        "shard_id",
+        F.coalesce("n_docs_old", F.lit(0)).alias("n_docs_old"),
+        F.coalesce("n_docs_new", F.lit(0)).alias("n_docs_new"),
+        (F.coalesce("n_docs_new", F.lit(0)) - F.coalesce("n_docs_old", F.lit(0)))
+        .alias("docs_delta"),
+        (F.coalesce("tok_new", F.lit(0)) - F.coalesce("tok_old", F.lit(0)))
+        .alias("tokens_delta"),
+        F.coalesce(changed, F.lit(True)).alias("content_changed"),
+        status.alias("status"),
+    )

@@ -6067,3 +6067,63 @@ def x109_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_silhouette(emb, k=8, iterations=2)
+
+
+def _manifest_sql(where: str) -> str:
+    """x108's manifest replay with an injectable corpus filter."""
+    return f"""
+      SELECT CAST(shard_id AS INT) AS shard_id,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             bit_xor(fp) AS checksum_xor,
+             CAST(sum(fp % 1000000007) AS BIGINT) AS checksum_sum
+      FROM (
+        SELECT ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 16 AS shard_id,
+               doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5('content|' || text), 1, 15))::BIGINT AS fp
+        FROM documents {where}
+      ) GROUP BY shard_id"""
+
+
+@query(
+    "x110_manifest_diff",
+    oracle=f"""
+    WITH o AS ({_manifest_sql('')}),
+         n AS ({_manifest_sql('WHERE doc_id % 97 <> 13')}),
+    j AS (
+      SELECT shard_id,
+             o.n_docs AS n_docs_old, n.n_docs AS n_docs_new,
+             o.n_tokens AS tok_old, n.n_tokens AS tok_new,
+             o.checksum_xor AS xor_old, n.checksum_xor AS xor_new,
+             o.checksum_sum AS sum_old, n.checksum_sum AS sum_new
+      FROM o FULL JOIN n USING (shard_id)
+    )
+    SELECT shard_id,
+           coalesce(n_docs_old, 0) AS n_docs_old,
+           coalesce(n_docs_new, 0) AS n_docs_new,
+           coalesce(n_docs_new, 0) - coalesce(n_docs_old, 0) AS docs_delta,
+           coalesce(tok_new, 0) - coalesce(tok_old, 0) AS tokens_delta,
+           coalesce(xor_old <> xor_new OR sum_old <> sum_new, TRUE)
+             AS content_changed,
+           CASE WHEN n_docs_old IS NULL THEN 'added'
+                WHEN n_docs_new IS NULL THEN 'removed'
+                WHEN xor_old <> xor_new OR sum_old <> sum_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j
+    """,
+)
+def x110_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-validation diff between two shard manifests: the
+    full corpus vs the corpus minus a small removal set — only shards
+    whose commutative checksums moved report 'changed', so downstream
+    re-validation/re-indexing touches exactly those.  The diff itself
+    is an n_shards-row outer join, trivial at any corpus size."""
+    from ..operators.curation import manifest_diff, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return manifest_diff(
+        shard_manifest(docs, n_shards=16),
+        shard_manifest(docs.filter(F.col("doc_id") % 97 != 13), n_shards=16),
+    )

@@ -1524,3 +1524,62 @@ def datasheet_drift_view(
             | (F.abs(en_new - en_old) > rate_drift_threshold)
         ).alias("drift"),
     )
+
+
+# ------------------------------------- streaming shard manifest
+
+def make_manifest_sink(path: str, n_shards: int = 16):
+    """Continuously-maintained content-addressed shard manifest (the
+    streaming twin of x108): each document batch appends its n_shards
+    partial rows — counts and min/max compose, and BOTH checksums are
+    commutative-mergeable (xor of xors, sum of modular sums), so the
+    merged view equals the batch manifest over all data ever ingested
+    EXACTLY, not approximately.  The log grows by n_shards rows per
+    batch regardless of batch size; replay dedup and compaction follow
+    the shared contract.  (checksum_sum headroom: per-doc terms are
+    < 1e9+7 and BIGINT holds ~9.2e18, so a shard absorbs ~9e9 docs
+    between compactions; production n_shards scales with the corpus,
+    keeping per-shard counts far below that.)"""
+    from ..operators.curation import shard_manifest
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = shard_manifest(batch_df, n_shards=n_shards)
+        AtomicParquetTable(path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _manifest_view_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "shard_id"])
+        .groupBy("shard_id")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.min("min_doc_id").alias("min_doc_id"),
+            F.max("max_doc_id").alias("max_doc_id"),
+            F.expr("bit_xor(checksum_xor)").alias("checksum_xor"),
+            F.sum("checksum_sum").cast("long").alias("checksum_sum"),
+        )
+    )
+
+
+def manifest_stream_view(spark, path: str) -> DataFrame:
+    """Current merged manifest — bit-equal to shard_manifest() run
+    batch-side over every document ever ingested.  Feed two views (or
+    a view and a pinned batch manifest) to operators.curation.
+    manifest_diff for incremental re-validation."""
+    return _manifest_view_of(_read_log(spark, path))
+
+
+def compact_manifest(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the manifest log to its current n_shards merged rows; the
+    fold is itself a valid partial (same mergeable schema), so live
+    appends keep composing after compaction."""
+    _compact(spark, path, _manifest_view_of, quiesced)

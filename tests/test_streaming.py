@@ -2099,3 +2099,69 @@ def test_datasheet_drift_view_matches_batch_operator(spark, tmp_path):
                     "delta_hi_q_rate", "delta_mean_tokens", "drift"):
             assert got[src][col] == want[src][col], (src, col)
     assert got["flipping"].drift and not got["stable"].drift
+
+
+def test_streaming_manifest_bit_equal_to_batch(spark, sf_dir, tmp_path):
+    """The merged streaming manifest must be BIT-EQUAL to the batch
+    shard_manifest over all ingested docs (commutative checksums),
+    survive replay, keep composing after online compaction, and feed
+    manifest_diff for incremental re-validation."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        manifest_diff,
+        shard_manifest,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_manifest,
+        make_manifest_sink,
+        manifest_stream_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "manifest")
+    sink = make_manifest_sink(path, n_shards=8)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {
+            r["shard_id"]: tuple(r)
+            for r in manifest_stream_view(spark, path).collect()
+        }
+
+    two = view()
+    want_two = {
+        r["shard_id"]: tuple(r)
+        for r in shard_manifest(
+            docs.filter(F.col("doc_id") % 3 != 2), n_shards=8
+        ).collect()
+    }
+    assert two == want_two  # exact, not approximate
+    sink(b1, 1)  # replay: per-commit dedup keeps the view unchanged
+    assert view() == two
+    compact_manifest(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of an already-folded batch: watermark drops it
+    assert view() == two
+    sink(b2, 2)  # live append composes with the folded rows
+    want_all = {
+        r["shard_id"]: tuple(r)
+        for r in shard_manifest(docs, n_shards=8).collect()
+    }
+    assert view() == want_all
+    # incremental validation: only shards b2 touched report changed
+    diff = {
+        r["shard_id"]: r["status"]
+        for r in manifest_diff(
+            shard_manifest(docs.filter(F.col("doc_id") % 3 != 2), n_shards=8),
+            manifest_stream_view(spark, path),
+        ).collect()
+    }
+    touched = {
+        r["shard_id"]
+        for r in shard_manifest(b2, n_shards=8).collect()
+    }
+    for sid, status in diff.items():
+        assert status == ("changed" if sid in touched else "unchanged")
