@@ -171,3 +171,66 @@ def key_skew_profile(
             "top_keys_csv",
         )
     )
+
+
+def srm_check(
+    df: DataFrame,
+    unit_col: str,
+    n_arms: int = 2,
+    crit: float = 3.841,
+    salt: str = "srm|",
+) -> DataFrame:
+    """Sample-ratio-mismatch audit for a deterministic hash split —
+    the guard every A/B assignment and train/eval split runs before
+    anyone trusts downstream numbers: if the realized arm sizes are
+    statistically incompatible with the intended equal split, the
+    assignment (or the logging) is broken.
+
+    The unit of randomization is ``unit_col`` (distinct units, not
+    rows — row counts are reported but never tested, since activity
+    per unit is expected to vary).  chi2 = sum over arms of
+    (obs - n/k)^2 / (n/k); per-arm terms are trunc-quantized to
+    BIGINTs before the cross-arm sum so the statistic is
+    order-independent (house float discipline).  ``crit`` defaults to
+    the 0.05 critical value for 1 dof (k=2).
+
+    Scale shape: one distinct on units (the only corpus-sized
+    exchange), one k-row arm aggregate, broadcast total.  Output: one
+    row per arm carrying its counts plus the shared chi2/flag."""
+    from .text import hash60
+
+    units = (
+        df.select(F.col(unit_col).cast("string").alias("u"))
+        .distinct()
+        .select("u", F.pmod(hash60(F.col("u"), salt=salt), F.lit(n_arms)).alias("arm"))
+    )
+    rows = df.select(
+        F.pmod(hash60(F.col(unit_col).cast("string"), salt=salt), F.lit(n_arms)).alias(
+            "arm"
+        )
+    ).groupBy("arm").agg(F.count("*").alias("n_rows"))
+    arms = units.groupBy("arm").agg(F.count("*").alias("n_units"))
+    tot = arms.agg(F.sum("n_units").cast("long").alias("n_total"))
+    with_tot = arms.crossJoin(F.broadcast(tot))
+    expected = F.col("n_total") / F.lit(float(n_arms))
+    termq = (
+        ((F.col("n_units") - expected) * (F.col("n_units") - expected) / expected)
+        * 1000000
+    ).cast("long")
+    chi = with_tot.agg(
+        (
+            F.round(F.sum(termq) / F.lit(1000000.0) + F.lit(1e-9), 4) + F.lit(0.0)
+        ).alias("chi2")
+    )
+    return (
+        with_tot.join(rows, "arm", "left")
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "arm",
+            "n_units",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            (F.round(expected + F.lit(1e-9), 4) + F.lit(0.0)).alias("expected_units"),
+            "chi2",
+            (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
+        )
+    )

@@ -6127,3 +6127,47 @@ def x110_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_manifest(docs, n_shards=16),
         shard_manifest(docs.filter(F.col("doc_id") % 97 != 13), n_shards=16),
     )
+
+
+@query(
+    "x111_srm_check",
+    oracle="""
+    WITH u AS (
+      SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM events
+    ), a AS (
+      SELECT ('0x' || substr(md5('srm|' || u), 1, 15))::BIGINT % 2 AS arm FROM u
+    ), arms AS (
+      SELECT arm, count(*) AS n_units FROM a GROUP BY arm
+    ), r AS (
+      SELECT ('0x' || substr(md5('srm|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS arm,
+             count(*) AS n_rows
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_units) AS BIGINT) AS n_total FROM arms
+    ), terms AS (
+      SELECT arm, n_units,
+             CAST(trunc(((n_units - n_total / 2.0) * (n_units - n_total / 2.0)
+                         / (n_total / 2.0)) * 1000000) AS BIGINT) AS termq
+      FROM arms, tot
+    ), chi AS (
+      SELECT round(sum(termq) / 1000000.0 + 1e-9, 4) + 0.0 AS chi2 FROM terms
+    )
+    SELECT t.arm, t.n_units, coalesce(r.n_rows, 0) AS n_rows,
+           round(tot.n_total / 2.0 + 1e-9, 4) + 0.0 AS expected_units,
+           chi.chi2,
+           chi.chi2 > 3.841 AS srm_flag
+    FROM terms t LEFT JOIN r USING (arm), tot, chi
+    """,
+)
+def x111_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the deterministic 50/50 user
+    split over the event stream: per-arm distinct-unit counts,
+    order-independent quantized chi-square, and the p<0.05 flag —
+    the assignment-health gate run before any split is trusted.
+    One distinct + one k-row aggregate; the statistic rides broadcast
+    back onto the arm rows."""
+    from ..operators.profile import srm_check
+
+    events = load_table(spark, sf_dir, "events")
+    return srm_check(events, "user_id", n_arms=2)

@@ -2399,3 +2399,26 @@ def test_cluster_silhouette_separated_beats_overlapping(spark):
     mean_ovl = sum(r["mean_silhouette"] * r["n_points"] for r in s_ovl) / 40
     assert mean_ovl < mean_sep
     assert mean_sep > 0.9  # orthogonal split separates almost perfectly
+
+
+def test_srm_check_flags_planted_imbalance(spark):
+    """A biased assignment (one arm systematically dropped) trips the
+    chi-square flag; the honest hash split over the same units does
+    not."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import srm_check
+
+    units = spark.createDataFrame(
+        [(f"user{i}",) for i in range(2000)], "user_id STRING"
+    )
+    ok = srm_check(units, "user_id").collect()
+    assert not ok[0]["srm_flag"] and not ok[1]["srm_flag"]
+    assert sum(r["n_units"] for r in ok) == 2000
+    # simulate a broken pipeline: 30% of one arm's logs lost
+    from kafka_spark_streaming_pipeline_spark.operators.text import hash60
+
+    arm = F.pmod(hash60(F.col("user_id"), salt="srm|"), F.lit(2))
+    biased = units.filter(
+        (arm == 0) | (F.pmod(F.xxhash64("user_id"), F.lit(10)) < 7)
+    )
+    bad = srm_check(biased, "user_id").collect()
+    assert bad[0]["srm_flag"] and bad[1]["srm_flag"]
