@@ -395,3 +395,83 @@ def seasonal_scores_from_dense(
             F.round(z + F.lit(1e-9), 4).alias("z_score"),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    window_ms: int = 86_400_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-/last-touch conversion attribution: for every conversion
+    event, which touchpoint type opened the journey and which closed
+    it within the attribution window — the channel-credit report
+    behind marketing and funnel-debugging decisions.
+
+    Single-pass design: touches encode as ms*10 + type_code (codes
+    follow ``touch_types`` order, so a same-millisecond tie breaks to
+    the earlier-listed type for first touch and the later-listed for
+    last touch — deterministic on both engines); one user-keyed RANGE
+    window [-window_ms, -1ms] computes min/max code per event, and
+    only conversion rows keep them.  No self-join of the event log —
+    the classic per-conversion correlated lookup is a window frame.
+    Revenue sums quantize to cents BIGINTs and gap means to exact ms
+    sums (order-independent).
+
+    Output per (first_touch, last_touch) pair — 'none' when no touch
+    preceded: n_conversions, total_value, mean_gap_sec (conversion
+    minus LAST touch)."""
+    from pyspark.sql import Window as W
+
+    ms = F.unix_millis(F.col(ts_col))
+    e = events.select(
+        F.col(user_col).alias("u"),
+        ms.alias("ms"),
+        F.col(type_col).alias("et"),
+        F.col(value_col).alias("val"),
+    ).withColumn(
+        "touch_code",
+        F.when(
+            F.col("et").isin(*touch_types),
+            F.col("ms") * 10
+            + F.array_position(F.array(*[F.lit(t) for t in touch_types]), F.col("et")),
+        ),
+    )
+    w = W.partitionBy("u").orderBy("ms").rangeBetween(-window_ms, -1)
+    conv = (
+        e.withColumn("fc", F.min("touch_code").over(w))
+        .withColumn("lc", F.max("touch_code").over(w))
+        .filter(F.col("et") == conv_type)
+    )
+
+    def decode(c):
+        out = F.lit("none")
+        for i, t in enumerate(touch_types, start=1):
+            out = F.when(c % 10 == i, F.lit(t)).otherwise(out)
+        return F.when(c.isNull(), F.lit("none")).otherwise(out)
+
+    per_conv = conv.select(
+        decode(F.col("fc")).alias("first_touch"),
+        decode(F.col("lc")).alias("last_touch"),
+        (F.col("val") * 100).cast("long").alias("cents"),
+        F.when(
+            F.col("lc").isNotNull(),
+            F.col("ms") - F.floor(F.col("lc") / 10).cast("long"),
+        ).alias("gap_ms"),
+    )
+    return per_conv.groupBy("first_touch", "last_touch").agg(
+        F.count("*").alias("n_conversions"),
+        (
+            F.round(F.sum("cents") / F.lit(100.0) + F.lit(1e-9), 2) + F.lit(0.0)
+        ).alias("total_value"),
+        (
+            F.round(
+                F.sum("gap_ms") / F.lit(1000.0) / F.count("gap_ms") + F.lit(1e-9), 2
+            )
+            + F.lit(0.0)
+        ).alias("mean_gap_sec"),
+    )

@@ -6171,3 +6171,48 @@ def x111_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return srm_check(events, "user_id", n_arms=2)
+
+
+@query(
+    "x112_touch_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS u, epoch_ms(ts) AS ms, event_type AS et, value AS val,
+             CASE event_type WHEN 'click' THEN epoch_ms(ts) * 10 + 1
+                             WHEN 'view' THEN epoch_ms(ts) * 10 + 2 END
+               AS touch_code
+      FROM events
+    ), wnd AS (
+      SELECT *,
+             min(touch_code) OVER (PARTITION BY u ORDER BY ms
+               RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING) AS fc,
+             max(touch_code) OVER (PARTITION BY u ORDER BY ms
+               RANGE BETWEEN 86400000 PRECEDING AND 1 PRECEDING) AS lc
+      FROM e
+    ), conv AS (
+      SELECT CASE WHEN fc IS NULL THEN 'none'
+                  WHEN fc % 10 = 1 THEN 'click' ELSE 'view' END AS first_touch,
+             CASE WHEN lc IS NULL THEN 'none'
+                  WHEN lc % 10 = 1 THEN 'click' ELSE 'view' END AS last_touch,
+             CAST(trunc(val * 100) AS BIGINT) AS cents,
+             CASE WHEN lc IS NOT NULL THEN ms - lc // 10 END AS gap_ms
+      FROM wnd WHERE et = 'purchase'
+    )
+    SELECT first_touch, last_touch, count(*) AS n_conversions,
+           round(sum(cents) / 100.0 + 1e-9, 2) + 0.0 AS total_value,
+           round(sum(gap_ms) / 1000.0 / count(gap_ms) + 1e-9, 2) + 0.0
+             AS mean_gap_sec
+    FROM conv GROUP BY first_touch, last_touch
+    """,
+)
+def x112_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch conversion attribution over the event stream:
+    touches encode as ms*10+type_code, ONE user-keyed RANGE window
+    [-24h, -1ms] recovers each conversion's opening and closing
+    touchpoint (no self-join of the event log), cents/ms quantized
+    sums keep the report engine-exact.  Same-millisecond ties break
+    by type code on both engines."""
+    from ..operators.timeseries import touch_attribution
+
+    events = load_table(spark, sf_dir, "events")
+    return touch_attribution(events)

@@ -2422,3 +2422,43 @@ def test_srm_check_flags_planted_imbalance(spark):
     )
     bad = srm_check(biased, "user_id").collect()
     assert bad[0]["srm_flag"] and bad[1]["srm_flag"]
+
+
+def test_touch_attribution_first_last_and_window(spark):
+    """Planted journeys: click->view->purchase attributes (click,
+    view); a touch outside the 24h window is invisible; a touchless
+    purchase lands in (none, none); same-ms ties break by type order."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: click, then view, then purchase
+        (1, at(0), "click", 0.0),
+        (1, at(60), "view", 0.0),
+        (1, at(120), "purchase", 10.0),
+        # user 2: only touch is 25h before purchase -> none
+        (2, at(0), "click", 0.0),
+        (2, at(25 * 3600), "purchase", 5.0),
+        # user 3: no touches at all
+        (3, at(0), "purchase", 2.5),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = {
+        (r["first_touch"], r["last_touch"]): r
+        for r in touch_attribution(events).collect()
+    }
+    assert out[("click", "view")]["n_conversions"] == 1
+    assert out[("click", "view")]["total_value"] == 10.0
+    assert out[("click", "view")]["mean_gap_sec"] == 60.0
+    assert out[("none", "none")]["n_conversions"] == 2
+    assert out[("none", "none")]["total_value"] == 7.5
