@@ -695,3 +695,23 @@ class Engine:
         from .operators.similarity import cluster_silhouette
 
         return cluster_silhouette(self.table("embeddings"), k=k, iterations=iterations)
+
+    def diff_manifests(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Incremental-validation diff of two shard manifests (x110)."""
+        from .operators.curation import manifest_diff
+
+        return manifest_diff(old, new)
+
+    def split_health(self, table: str = "events", unit_col: str = "user_id",
+                     n_arms: int = 2) -> DataFrame:
+        """Sample-ratio-mismatch audit of the deterministic hash split
+        (x111)."""
+        from .operators.profile import srm_check
+
+        return srm_check(self.table(table), unit_col, n_arms=n_arms)
+
+    def attribution(self, **kwargs) -> DataFrame:
+        """First/last-touch conversion attribution over events (x112)."""
+        from .operators.timeseries import touch_attribution
+
+        return touch_attribution(self.table("events"), **kwargs)

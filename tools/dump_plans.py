@@ -101,6 +101,9 @@ AUDITED = {
     "x107_key_skew_profile": "skew profile: one frequency aggregate per key (map-side combine); percentile walk over the bounded frequency-of-frequencies histogram; hot keys via TakeOrderedAndProject",
     "x108_shard_manifest": "shard manifest: one scan, one commutative aggregate (bit_xor + modular sums) — invariant to partitioning and task order by construction",
     "x109_cluster_silhouette": "cluster silhouette: trained centroids broadcast as ONE array row (nearest_cells discipline); scoring is map-only over the corpus; one k-row aggregate",
+    "x110_manifest_diff": "manifest diff: two one-scan commutative aggregates joined on n_shards rows — the diff itself is corpus-size-independent",
+    "x111_srm_check": "SRM audit: one distinct + k-row arm aggregate; quantized chi-square rides broadcast back onto the arm rows",
+    "x112_touch_attribution": "touch attribution: ONE user-keyed RANGE window over the event scan — no per-conversion self-join; quantized cents/ms sums",
 }
 
 
