@@ -715,3 +715,10 @@ class Engine:
         from .operators.timeseries import touch_attribution
 
         return touch_attribution(self.table("events"), **kwargs)
+
+    def changepoints(self, **kwargs) -> DataFrame:
+        """Two-sided CUSUM level-shift detection per event type on the
+        dense hourly grid (x113)."""
+        from .operators.timeseries import cusum_changepoints
+
+        return cusum_changepoints(self.table("events"), **kwargs)

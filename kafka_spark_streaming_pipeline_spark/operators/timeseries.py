@@ -475,3 +475,77 @@ def touch_attribution(
             + F.lit(0.0)
         ).alias("mean_gap_sec"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per event type over the
+    DENSE hourly grid (zero-filled outage hours included — a rate that
+    silently drops to zero is exactly the shift CUSUM must see).
+
+    The textbook recursion S+_i = max(0, S+_{i-1} + y_i - k) is NOT a
+    window aggregate — but it rewrites exactly to one: with
+    a_i = y_i - k and prefix sums P_i = sum(a_1..a_i),
+    S+_i = P_i - min(0, min_{j<=i} P_j).  Both the prefix sum and the
+    prefix min are plain ROWS UNBOUNDED PRECEDING windows, so the
+    whole detector is codegen — no recursion, no Python, and the
+    identical rewrite runs on the DuckDB oracle.
+
+    Float discipline: the per-type mean/sigma derive from exact
+    integer (n, sum, sum-of-squares) aggregates, and the standardized
+    residuals are trunc-quantized to BIGINT micro-units BEFORE the
+    cumulative sums, so every running statistic is exact integer
+    arithmetic in both engines (same discipline as srm_check).
+
+    Scale shape: ONE event-log pass (the sparse hourly aggregate
+    inside dense_hourly_counts); all windows run on the tiny
+    hours x types grid.  Types with a constant series (sigma == 0)
+    are excluded — there is no scale to standardize against.
+    """
+    dense = dense_hourly_counts(events, ts_col, type_col)
+    stats = dense.groupBy("t").agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").cast("long").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    mu = s1d / n
+    var = (F.col("s2").cast("double") - s1d * s1d / n) / (n - F.lit(1.0))
+    scored = dense.join(F.broadcast(stats), "t").filter(
+        (F.col("n") >= 3) & (var > 0)
+    )
+    y = (F.col("cnt").cast("double") - mu) / F.sqrt(var)
+    q = F.lit(1000000.0)
+    scored = scored.select(
+        "t",
+        "h",
+        "cnt",
+        ((y - F.lit(slack)) * q).cast("long").alias("aq"),
+        ((-y - F.lit(slack)) * q).cast("long").alias("bq"),
+    )
+    run = W.partitionBy("t").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    prefixed = scored.select(
+        "t",
+        "h",
+        "cnt",
+        F.sum("aq").over(run).alias("pp"),
+        F.sum("bq").over(run).alias("pn"),
+    )
+    sp = F.col("pp") - F.least(F.min("pp").over(run), F.lit(0).cast("long"))
+    sn = F.col("pn") - F.least(F.min("pn").over(run), F.lit(0).cast("long"))
+    thr = int(threshold * 1000000)
+    return prefixed.select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour"),
+        "cnt",
+        (F.round(sp / q + F.lit(1e-9), 4) + F.lit(0.0)).alias("cusum_up"),
+        (F.round(sn / q + F.lit(1e-9), 4) + F.lit(0.0)).alias("cusum_down"),
+        (sp > F.lit(thr)).alias("shift_up"),
+        (sn > F.lit(thr)).alias("shift_down"),
+    )

@@ -6216,3 +6216,75 @@ def x112_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return touch_attribution(events)
+
+
+@query(
+    "x113_cusum_changepoints",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), stats AS (
+      SELECT t, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1
+    ), scored AS (
+      SELECT hh.t, hh.h, hh.cnt,
+             (CAST(hh.cnt AS DOUBLE)
+              - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt((CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                       / CAST(s.n AS DOUBLE))
+                    / (CAST(s.n AS DOUBLE) - 1.0)) AS y
+      FROM hourly hh JOIN stats s ON hh.t = s.t
+      WHERE s.n >= 3
+        AND (CAST(s.s2 AS DOUBLE)
+             - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+               / CAST(s.n AS DOUBLE))
+            / (CAST(s.n AS DOUBLE) - 1.0) > 0
+    ), quant AS (
+      SELECT t, h, cnt,
+             CAST(trunc((y - 0.5) * 1000000.0) AS BIGINT) AS aq,
+             CAST(trunc((-y - 0.5) * 1000000.0) AS BIGINT) AS bq
+      FROM scored
+    ), pfx AS (
+      SELECT t, h, cnt, sum(aq) OVER w AS pp, sum(bq) OVER w AS pn
+      FROM quant
+      WINDOW w AS (PARTITION BY t ORDER BY h ROWS UNBOUNDED PRECEDING)
+    ), cs AS (
+      SELECT t, h, cnt,
+             pp - least(min(pp) OVER w, 0) AS sp,
+             pn - least(min(pn) OVER w, 0) AS sn
+      FROM pfx
+      WINDOW w AS (PARTITION BY t ORDER BY h ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT t AS event_type, h AS hour, cnt,
+           round(sp / 1000000.0 + 1e-9, 4) + 0.0 AS cusum_up,
+           round(sn / 1000000.0 + 1e-9, 4) + 0.0 AS cusum_down,
+           sp > 5000000 AS shift_up,
+           sn > 5000000 AS shift_down
+    FROM cs
+    """,
+)
+def x113_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detection per event type on the
+    dense hourly grid.  The recursion S_i = max(0, S_{i-1} + a_i) is
+    rewritten EXACTLY as prefix-sum minus running prefix-min — two
+    plain ROWS windows, fully codegen on both engines — and the
+    standardized residuals are trunc-quantized to BIGINT micro-units
+    first, so every running statistic is exact integer arithmetic.
+    ONE event-log pass; the windows run on the hours x types grid."""
+    from ..operators.timeseries import cusum_changepoints
+
+    events = load_table(spark, sf_dir, "events")
+    return cusum_changepoints(events, slack=0.5, threshold=5.0)

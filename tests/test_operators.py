@@ -2462,3 +2462,61 @@ def test_touch_attribution_first_last_and_window(spark):
     assert out[("click", "view")]["mean_gap_sec"] == 60.0
     assert out[("none", "none")]["n_conversions"] == 2
     assert out[("none", "none")]["total_value"] == 7.5
+
+
+def test_cusum_detects_planted_level_shift(spark):
+    """A series that steps from mean 10 to mean 30 halfway through
+    must raise the upper CUSUM past the threshold after the step and
+    never before it; the mirrored step down trips the lower side.
+    Also pins the prefix-sum/prefix-min rewrite against the textbook
+    recursion computed in plain Python."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(48):
+        up = 10 if i < 24 else 30
+        down = 30 if i < 24 else 10
+        ts = t0 + dt.timedelta(hours=i)
+        for c in range(up):
+            rows.append((ts, "step_up"))
+        for c in range(down):
+            rows.append((ts, "step_down"))
+    events = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = cusum_changepoints(events).collect()
+    by_type = {}
+    for r in sorted(out, key=lambda r: r["hour"]):
+        by_type.setdefault(r["event_type"], []).append(r)
+
+    up = by_type["step_up"]
+    # below-global-mean first half: the UP side stays quiet, the DOWN
+    # side legitimately accumulates (that IS a level below the mean);
+    # after the step the UP side fires and the DOWN side decays to 0
+    assert not any(r["shift_up"] for r in up[:24])
+    assert any(r["shift_up"] for r in up[24:])
+    assert not up[-1]["shift_down"] and up[-1]["cusum_down"] == 0.0
+    down = by_type["step_down"]
+    assert not any(r["shift_down"] for r in down[:24])
+    assert any(r["shift_down"] for r in down[24:])
+    assert not down[-1]["shift_up"] and down[-1]["cusum_up"] == 0.0
+
+    # rewrite == textbook recursion (on the same quantized residuals)
+    n = 48
+    s1 = sum(10 if i < 24 else 30 for i in range(n))
+    s2 = sum((10 if i < 24 else 30) ** 2 for i in range(n))
+    mu = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1.0)
+    sd = var ** 0.5
+    s_plus, s_minus, exp_up, exp_dn = 0, 0, [], []
+    for i in range(n):
+        y = ((10 if i < 24 else 30) - mu) / sd
+        s_plus = max(0, s_plus + int((y - 0.5) * 1000000))
+        s_minus = max(0, s_minus + int((-y - 0.5) * 1000000))
+        exp_up.append(round(s_plus / 1000000.0 + 1e-9, 4))
+        exp_dn.append(round(s_minus / 1000000.0 + 1e-9, 4))
+    assert [r["cusum_up"] for r in up] == exp_up
+    assert [r["cusum_down"] for r in up] == exp_dn
