@@ -722,3 +722,10 @@ class Engine:
         from .operators.timeseries import cusum_changepoints
 
         return cusum_changepoints(self.table("events"), **kwargs)
+
+    def frontier_docs(self, **kwargs) -> DataFrame:
+        """Pareto-frontier (skyline) of the token-cost/vocabulary-
+        richness trade-off over documents (x114)."""
+        from .operators.curation import pareto_frontier
+
+        return pareto_frontier(self.table("documents"), **kwargs)

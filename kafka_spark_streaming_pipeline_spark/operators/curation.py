@@ -1803,3 +1803,82 @@ def manifest_diff(old_manifest: DataFrame, new_manifest: DataFrame) -> DataFrame
         F.coalesce(changed, F.lit(True)).alias("content_changed"),
         status.alias("status"),
     )
+
+
+def pareto_frontier(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 16,
+) -> DataFrame:
+    """Pareto-frontier (skyline) document selection: the set of docs
+    not dominated on (token cost DOWN, vocabulary richness UP) — the
+    budget/quality trade-off curve a curation run picks operating
+    points from.  Richness is the distinct-token ratio, trunc-quantized
+    to BIGINT micro-units so every comparison is exact integer
+    arithmetic in both engines.
+
+    Scale shape: a GLOBAL skyline window over the corpus would be a
+    data-bearing single-partition exchange — the one shape the plan
+    linter exists to reject.  Instead: (1) bucket docs by
+    n_tokens // bucket_width and aggregate each bucket's max richness
+    (tiny grouped agg, one shuffle of (bucket, qq) pairs only);
+    (2) broadcast the running max over strictly-lower buckets back
+    onto the corpus — any doc at or below that max is dominated by
+    some strictly-shorter doc, which prunes all but the quasi-
+    increasing survivor set map-side; (3) run the exact two-window
+    skyline (strictly-shorter max via RANGE ... 1 PRECEDING, equal-
+    length peers via RANGE CURRENT ROW) on the tiny survivor set.
+    The prune is frontier-lossless: every frontier doc survives it,
+    and the skyline of a superset of the frontier is the frontier.
+    """
+    toks = tokens_of(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            * F.lit(1000000.0)
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("qq"),
+    )
+    bucket = (F.col("n_tokens") / F.lit(bucket_width)).cast("long")
+    bmax = (
+        scored.groupBy(bucket.alias("b"))
+        .agg(F.max("qq").alias("bq"))
+        .withColumn(
+            "lower_max",
+            F.max("bq").over(
+                W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+    )
+    survivors = (
+        scored.join(F.broadcast(bmax), bucket == F.col("b"))
+        .filter(F.col("lower_max").isNull() | (F.col("qq") > F.col("lower_max")))
+        .select(id_col, "n_tokens", "qq")
+    )
+    prev = W.orderBy("n_tokens").rangeBetween(W.unboundedPreceding, -1)
+    peers = W.orderBy("n_tokens").rangeBetween(0, 0)
+    flagged = survivors.select(
+        id_col,
+        "n_tokens",
+        "qq",
+        F.max("qq").over(prev).alias("prevq"),
+        F.max("qq").over(peers).alias("peerq"),
+    )
+    return (
+        flagged.filter(
+            (F.col("prevq").isNull() | (F.col("prevq") < F.col("qq")))
+            & (F.col("peerq") == F.col("qq"))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.round(F.col("qq") / F.lit(1000000.0) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+                "richness"
+            ),
+        )
+    )

@@ -6288,3 +6288,42 @@ def x113_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cusum_changepoints(events, slack=0.5, threshold=5.0)
+
+
+@query(
+    "x114_pareto_frontier",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(trunc(CAST(len(list_distinct(string_split(lower(text), ' ')))
+                             AS DOUBLE) * 1000000.0
+                        / CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                  AS BIGINT) AS qq
+      FROM documents
+    ), d AS (
+      SELECT *,
+             max(qq) OVER (ORDER BY n_tokens
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevq,
+             max(qq) OVER (ORDER BY n_tokens
+               RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS peerq
+      FROM s
+    )
+    SELECT doc_id, n_tokens,
+           round(qq / 1000000.0 + 1e-9, 4) + 0.0 AS richness
+    FROM d
+    WHERE (prevq IS NULL OR prevq < qq) AND peerq = qq
+    """,
+)
+def x114_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline selection of the token-budget/vocabulary-richness
+    trade-off curve.  The Spark plan never runs a corpus-sized global
+    window: per-bucket max richness (tiny agg) broadcasts a running
+    lower-bucket max back for a frontier-LOSSLESS map-side prune, and
+    the exact two-window skyline runs on the pruned survivor set only.
+    The oracle computes the brute-force skyline — identical rows, by
+    the losslessness argument in the operator docstring."""
+    from ..operators.curation import pareto_frontier
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pareto_frontier(docs)

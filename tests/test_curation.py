@@ -620,3 +620,33 @@ def test_tiered_decontamination_each_tier_catches_its_leak(spark):
     assert sum(n for n, _ in rep.values()) == 4
     assert abs(sum(s for _, s in rep.values()) - 1.0) < 1e-6
     assert rep[("containment", "contaminated")][0] == 1
+
+
+def test_pareto_frontier_planted_domination_and_ties(spark):
+    """Crafted corpus with a known skyline: longer docs must buy
+    strictly more vocabulary richness to stay on the frontier;
+    equal-(cost, richness) peers are BOTH kept (neither dominates);
+    same-cost lower-richness and same-richness higher-cost docs are
+    dominated.  bucket_width=2 forces the prune across multiple
+    buckets so the lossless-prune path is exercised, and the result
+    must equal the default single-bucket run."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        pareto_frontier,
+    )
+
+    rows = [
+        (1, "x x"),        # (2 tok, 0.5)    frontier: cheapest
+        (2, "x y y"),      # (3 tok, 0.6667) frontier: richer
+        (3, "u u v"),      # (3 tok, 0.6667) frontier: tie peer of 2
+        (4, "p q r s"),    # (4 tok, 1.0)    frontier: richest
+        (5, "p p q r"),    # (4 tok, 0.75)   dominated by 4 (same cost)
+        (6, "a b c d e e e"),  # (7 tok, 0.7143) dominated by 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    got = {r["doc_id"]: r for r in pareto_frontier(docs, bucket_width=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["richness"] == 0.5
+    assert got[2]["richness"] == got[3]["richness"] == 0.6667
+    assert got[4]["richness"] == 1.0
+    wide = {r["doc_id"] for r in pareto_frontier(docs).collect()}
+    assert wide == set(got)
