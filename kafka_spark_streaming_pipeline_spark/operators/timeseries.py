@@ -507,7 +507,20 @@ def cusum_changepoints(
     hours x types grid.  Types with a constant series (sigma == 0)
     are excluded — there is no scale to standardize against.
     """
-    dense = dense_hourly_counts(events, ts_col, type_col)
+    return cusum_scores_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), slack, threshold
+    )
+
+
+def cusum_scores_from_dense(
+    dense: DataFrame, slack: float = 0.5, threshold: float = 5.0
+) -> DataFrame:
+    """Scoring tail of ``cusum_changepoints``, factored out (like
+    ``seasonal_scores_from_dense``) so the STREAMING view over the
+    incrementally-maintained hourly rollup scores through the
+    IDENTICAL plan as the batch operator.  Input: a dense zero-filled
+    (h, t, cnt) frame; callers persist it (``densify_hourly`` does) —
+    it feeds both the per-type stats and the scoring join."""
     stats = dense.groupBy("t").agg(
         F.count("*").alias("n"),
         F.sum("cnt").cast("long").alias("s1"),

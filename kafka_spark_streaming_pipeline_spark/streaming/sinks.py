@@ -1045,6 +1045,32 @@ def compact_seasonal(spark, counts_path: str, quiesced: bool = True) -> None:
     _compact(spark, counts_path, _seasonal_sparse_of, quiesced)
 
 
+_CUSUM_VIEW_FRAMES: list[DataFrame] = []
+
+
+def cusum_view(
+    spark, counts_path: str, slack: float = 0.5, threshold: float = 5.0
+) -> DataFrame:
+    """CUSUM level-shift detection over the SAME incrementally-
+    maintained hourly-count store the seasonal sink writes — no new
+    state format, the one rollup serves both detectors (seasonal =
+    hour-of-day deviations, CUSUM = sustained level shifts).  Scores
+    through the IDENTICAL code path as the batch operator
+    (``cusum_scores_from_dense``), so merged-view == batch is a
+    structural guarantee; same per-commit replay dedup and
+    scope-release cache bounds as ``seasonal_view``."""
+    from .. import cache
+    from ..operators.timeseries import cusum_scores_from_dense, densify_hourly
+
+    cache.release(_CUSUM_VIEW_FRAMES)
+    _CUSUM_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = cusum_scores_from_dense(densify_hourly(sparse), slack, threshold)
+    _CUSUM_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view
+
+
 # --------------------------------------- incremental signature history
 
 def make_signature_sink(

@@ -2165,3 +2165,87 @@ def test_streaming_manifest_bit_equal_to_batch(spark, sf_dir, tmp_path):
     }
     for sid, status in diff.items():
         assert status == ("changed" if sid in touched else "unchanged")
+
+
+def test_streaming_cusum_view_matches_batch_and_flags_level_shift(
+    spark, tmp_path
+):
+    """The hourly-count store maintained by the seasonal sink also
+    serves CUSUM monitoring: a planted sustained level shift (rate
+    triples for the final day) must raise shift_up from the streamed
+    state, and the merged view must equal the batch operator on the
+    union of all batches — including after a replayed commit."""
+    import os
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        cusum_view,
+        make_seasonal_sink,
+    )
+
+    rows = []
+    for day in (1, 2, 3):
+        for hod in range(24):
+            n = 15 if day == 3 else 5
+            # keep a second, steady type so per-type isolation is real
+            for typ, cnt in (("api", n), ("web", 5 + (hod % 2))):
+                for i in range(cnt):
+                    rows.append((typ, f"2026-02-0{day} {hod:02d}:{i % 60:02d}:00"))
+
+    SCHEMA = "event_type string, ts_str string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    for day in (1, 2, 3):
+        day_rows = [r for r in rows if f"-0{day} " in r[1]]
+        spark.createDataFrame(day_rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/d{day}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    counts_path = str(tmp_path / "hourly")
+    sink = make_seasonal_sink(counts_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    def key(r):
+        return (r["event_type"], str(r["hour"]))
+
+    got = {key(r): r for r in cusum_view(spark, counts_path).collect()}
+    # the shifted type fires on day 3 and never on days 1-2
+    assert any(
+        got[k]["shift_up"] for k in got if k[0] == "api" and "2026-02-03" in k[1]
+    )
+    assert not any(
+        got[k]["shift_up"] for k in got if k[0] == "api" and "2026-02-03" not in k[1]
+    )
+    assert not any(got[k]["shift_up"] for k in got if k[0] == "web")
+
+    # merged view == batch operator over all the data
+    batch = cusum_changepoints(
+        spark.createDataFrame(rows, SCHEMA).withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    want = {key(r): r for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("cnt", "cusum_up", "cusum_down", "shift_up", "shift_down"):
+            assert got[k][c] == want[k][c], (k, c)
+
+    # replaying the last commit must not change the view (per-commit dedup)
+    sink(
+        spark.createDataFrame(
+            [r for r in rows if "-03 " in r[1]], SCHEMA
+        ).withColumn("ts", F.to_timestamp("ts_str")),
+        2,
+    )
+    again = {key(r): r for r in cusum_view(spark, counts_path).collect()}
+    assert {k: (v["cusum_up"], v["cusum_down"]) for k, v in again.items()} == {
+        k: (v["cusum_up"], v["cusum_down"]) for k, v in got.items()
+    }
