@@ -729,3 +729,12 @@ class Engine:
         from .operators.curation import pareto_frontier
 
         return pareto_frontier(self.table("documents"), **kwargs)
+
+    def calibrated_selection(self, frac: float = 0.25, **kwargs) -> DataFrame:
+        """Within-source percent-rank calibration + top-frac-per-source
+        selection of documents (x115)."""
+        from .operators.curation import quantile_normalized_selection
+
+        return quantile_normalized_selection(
+            self.table("documents"), frac=frac, **kwargs
+        )

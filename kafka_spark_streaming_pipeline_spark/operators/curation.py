@@ -1882,3 +1882,68 @@ def pareto_frontier(
             ),
         )
     )
+
+
+def quantile_normalized_selection(
+    docs: DataFrame,
+    frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source quantile normalization of a quality signal: raw
+    scores from different sources are incomparable (a mid-quality web
+    page and a mid-quality paper score on different scales), so each
+    doc is mapped to its WITHIN-SOURCE percent rank and the selection
+    keeps the top ``frac`` of every source — the calibration step
+    before mixing heterogeneous sources under one quality budget.
+
+    The signal here is the vocabulary-richness micro-unit score (same
+    as pareto_frontier).  percent_rank = (#strictly-lower)/(n-1) with
+    ties sharing a rank — but the plan never sorts the corpus: a
+    (source, score) histogram (bounded by sources x 1e6 distinct
+    scores, tiny) gets cumulative counts via a window over the
+    HISTOGRAM only, and the rank map broadcasts back onto the corpus
+    map-side.  The DuckDB oracle uses its native percent_rank()
+    window, cross-validating the histogram rewrite.
+    """
+    toks = tokens_of(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            * F.lit(1000000.0)
+            / F.size(toks)
+        )
+        .cast("long")
+        .alias("qq"),
+    )
+    hist = scored.groupBy("source", "qq").agg(F.count("*").alias("cnt"))
+    wcum = (
+        W.partitionBy("source").orderBy("qq").rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "source",
+        "qq",
+        (F.sum("cnt").over(wcum) - F.col("cnt")).alias("n_lower"),
+    )
+    totals = hist.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    pr = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        F.col("n_lower").cast("double") / (F.col("n") - F.lit(1))
+    )
+    rank_map = cum.join(F.broadcast(totals), "source").select(
+        "source", "qq", pr.alias("pr")
+    )
+    return (
+        scored.join(F.broadcast(rank_map), ["source", "qq"])
+        .select(
+            id_col,
+            "source",
+            (
+                F.round(F.col("qq") / F.lit(1000000.0) + F.lit(1e-9), 4) + F.lit(0.0)
+            ).alias("richness"),
+            (F.round(F.col("pr") + F.lit(1e-9), 6) + F.lit(0.0)).alias("pct_rank"),
+            (F.col("pr") >= F.lit(1.0 - frac)).alias("selected"),
+        )
+    )

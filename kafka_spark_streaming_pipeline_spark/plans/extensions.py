@@ -6327,3 +6327,40 @@ def x114_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pareto_frontier(docs)
+
+
+@query(
+    "x115_quantile_normalized_selection",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             CAST(trunc(CAST(len(list_distinct(string_split(lower(text), ' ')))
+                             AS DOUBLE) * 1000000.0
+                        / CAST(len(string_split(lower(text), ' ')) AS BIGINT))
+                  AS BIGINT) AS qq
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, qq,
+             percent_rank() OVER (PARTITION BY source ORDER BY qq) AS pr0,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source,
+           round(qq / 1000000.0 + 1e-9, 4) + 0.0 AS richness,
+           round(CASE WHEN n = 1 THEN 0.0 ELSE pr0 END + 1e-9, 6) + 0.0
+             AS pct_rank,
+           CASE WHEN n = 1 THEN 0.0 ELSE pr0 END >= 0.75 AS selected
+    FROM r
+    """,
+)
+def x115_quantile_normalized_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percent-rank calibration of the richness signal
+    with top-25%-per-source selection.  Spark computes ranks from a
+    tiny (source, score) histogram + broadcast join-back — the corpus
+    is never globally sorted; the oracle's native percent_rank()
+    window cross-validates the histogram rewrite (#strictly-lower /
+    (n-1), ties share a rank)."""
+    from ..operators.curation import quantile_normalized_selection
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalized_selection(docs, frac=0.25)

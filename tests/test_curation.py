@@ -650,3 +650,42 @@ def test_pareto_frontier_planted_domination_and_ties(spark):
     assert got[4]["richness"] == 1.0
     wide = {r["doc_id"] for r in pareto_frontier(docs).collect()}
     assert wide == set(got)
+
+
+def test_quantile_normalized_selection_calibrates_across_sources(spark):
+    """A 'harsh' source whose raw scores are all low must still
+    contribute its top fraction: selection is by within-source rank,
+    not raw score.  Ties share a rank (percent_rank semantics) and a
+    single-doc source gets rank 0 (never selected at frac<1)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quantile_normalized_selection,
+    )
+
+    def doc(uniq, total):
+        # total tokens, uniq distinct -> richness = uniq/total
+        return " ".join(f"w{i}" for i in range(uniq)) + " w0" * (total - uniq)
+
+    rows = (
+        # source A: raw richness 0.9, 0.7, 0.5, 0.3 (high-scoring source)
+        [(i, doc(9 * (5 - i), 10 * (5 - i)), "A") for i in range(1, 2)]
+        + [(2, doc(7, 10), "A"), (3, doc(5, 10), "A"), (4, doc(3, 10), "A")]
+        + [(1, doc(9, 10), "A")][:0]
+        # source B: raw richness 0.4, 0.3, 0.2, 0.1 (harsh source)
+        + [(5, doc(4, 10), "B"), (6, doc(3, 10), "B"),
+           (7, doc(2, 10), "B"), (8, doc(1, 10), "B")]
+        # source C: a single doc
+        + [(9, doc(5, 10), "C")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    got = {
+        r["doc_id"]: r
+        for r in quantile_normalized_selection(docs, frac=0.3).collect()
+    }
+    # top-of-source selected in BOTH sources despite B's low raw scores
+    assert got[1]["selected"] and got[5]["selected"]
+    assert not any(got[i]["selected"] for i in (2, 3, 4, 6, 7, 8, 9))
+    # ranks: 4 docs/source -> pct_rank steps of 1/3
+    assert got[5]["pct_rank"] == 1.0 and got[6]["pct_rank"] == 0.666667
+    assert got[9]["pct_rank"] == 0.0
+    # raw richness preserved for downstream inspection
+    assert got[8]["richness"] == 0.1
