@@ -738,3 +738,10 @@ class Engine:
         return quantile_normalized_selection(
             self.table("documents"), frac=frac, **kwargs
         )
+
+    def outliers(self, **kwargs) -> DataFrame:
+        """Median/MAD robust outlier scoring per event type on the
+        dense hourly grid (x116)."""
+        from .operators.timeseries import robust_outliers
+
+        return robust_outliers(self.table("events"), **kwargs)

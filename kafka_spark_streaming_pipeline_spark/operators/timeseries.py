@@ -562,3 +562,76 @@ def cusum_scores_from_dense(
         (sp > F.lit(thr)).alias("shift_up"),
         (sn > F.lit(thr)).alias("shift_down"),
     )
+
+
+def _median2_by_type(dense: DataFrame, value_col: str) -> DataFrame:
+    """2x the exact per-type median of an integer column, computed
+    WITHOUT sorting the data: a (t, value) count histogram gets
+    cumulative counts via a window over the HISTOGRAM only, and the
+    two middle order statistics are min-over-threshold aggregates.
+    Returns (t, med2) with med2 = lower-middle + upper-middle — an
+    exact integer, so downstream arithmetic never touches a .5."""
+    hist = dense.groupBy("t", F.col(value_col).alias("v")).agg(
+        F.count("*").alias("k")
+    )
+    wc = W.partitionBy("t").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select("t", "v", "k", F.sum("k").over(wc).alias("c"))
+    tot = hist.groupBy("t").agg(F.sum("k").cast("long").alias("n"))
+    j = cum.join(F.broadcast(tot), "t")
+    lo_k = F.expr("(n + 1) div 2")
+    hi_k = F.expr("n div 2 + 1")
+    return j.groupBy("t").agg(
+        (
+            F.min(F.when(F.col("c") >= lo_k, F.col("v")))
+            + F.min(F.when(F.col("c") >= hi_k, F.col("v")))
+        ).alias("med2")
+    )
+
+
+def robust_outliers(
+    events: DataFrame,
+    z_threshold: float = 3.5,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Robust outlier detection on the dense hourly grid: each hour's
+    count scored against its type's MEDIAN and MAD (median absolute
+    deviation) — the estimator family that keeps working when the
+    series itself is contaminated by the outliers being hunted (a few
+    spike hours shift a mean/stddev baseline but not the median).
+    z = (x - med) / (1.4826 * MAD), the normal-consistent scaling.
+
+    Both medians are exact, computed from count HISTOGRAMS with
+    cumulative counts — never a corpus sort (same rewrite family as
+    quantile_normalized_selection); deviations are doubled so every
+    median is an exact integer (med2 = lo+hi), and the final ratio
+    composes identically on the DuckDB oracle's native median().
+    A zero MAD (over half the hours at the median) degrades to the
+    same +/-9999 sentinel convention as seasonal_anomalies."""
+    dense = dense_hourly_counts(events, ts_col, type_col)
+    med = _median2_by_type(dense, "cnt")
+    devs = dense.join(F.broadcast(med), "t").select(
+        "t",
+        "h",
+        "cnt",
+        "med2",
+        F.abs(F.lit(2) * F.col("cnt") - F.col("med2")).cast("long").alias("d2"),
+    )
+    mad = _median2_by_type(
+        devs.select("t", F.col("d2").alias("cnt")), "cnt"
+    ).select("t", (F.col("med2") / F.lit(2.0)).alias("md2"))
+    s = (F.lit(2) * F.col("cnt") - F.col("med2")).cast("double")
+    z = (
+        F.when(F.col("md2") > 0, s / (F.lit(1.4826) * F.col("md2")))
+        .when(s > 0, F.lit(9999.0))
+        .when(s < 0, F.lit(-9999.0))
+        .otherwise(F.lit(0.0))
+    )
+    return devs.join(F.broadcast(mad), "t").select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour"),
+        "cnt",
+        (F.col("med2") / F.lit(2.0)).alias("median_cnt"),
+        (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("robust_z"),
+        (F.abs(z) > F.lit(z_threshold)).alias("is_outlier"),
+    )

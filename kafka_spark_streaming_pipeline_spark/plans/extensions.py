@@ -6364,3 +6364,57 @@ def x115_quantile_normalized_selection(spark: SparkSession, sf_dir: str) -> Data
 
     docs = load_table(spark, sf_dir, "documents")
     return quantile_normalized_selection(docs, frac=0.25)
+
+
+@query(
+    "x116_robust_outliers",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), med AS (
+      SELECT t, CAST(2 * median(cnt) AS BIGINT) AS med2
+      FROM hourly GROUP BY 1
+    ), dev AS (
+      SELECT hh.t, hh.h, hh.cnt, m.med2,
+             abs(2 * hh.cnt - m.med2) AS d2
+      FROM hourly hh JOIN med m ON hh.t = m.t
+    ), mad AS (
+      SELECT t, median(d2) AS md2 FROM dev GROUP BY 1
+    ), z AS (
+      SELECT d.t, d.h, d.cnt, d.med2,
+             CASE WHEN m.md2 > 0
+                  THEN CAST(2 * d.cnt - d.med2 AS DOUBLE) / (1.4826 * m.md2)
+                  WHEN 2 * d.cnt - d.med2 > 0 THEN 9999.0
+                  WHEN 2 * d.cnt - d.med2 < 0 THEN -9999.0
+                  ELSE 0.0 END AS zv
+      FROM dev d JOIN mad m ON d.t = m.t
+    )
+    SELECT t AS event_type, h AS hour, cnt,
+           med2 / 2.0 AS median_cnt,
+           round(zv + 1e-9, 4) + 0.0 AS robust_z,
+           abs(zv) > 3.5 AS is_outlier
+    FROM z
+    """,
+)
+def x116_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier scoring per event type on the dense
+    hourly grid — the estimator family that survives contamination by
+    the very outliers being hunted.  Spark computes BOTH exact medians
+    from count histograms with cumulative counts (never a data sort);
+    the oracle's native median() cross-validates the rewrite, with
+    doubled deviations keeping every median an exact integer."""
+    from ..operators.timeseries import robust_outliers
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_outliers(events, z_threshold=3.5)
