@@ -745,3 +745,10 @@ class Engine:
         from .operators.timeseries import robust_outliers
 
         return robust_outliers(self.table("events"), **kwargs)
+
+    def filter_agreement(self, **kwargs) -> DataFrame:
+        """Cohen's kappa between the Gopher rules and the quality-score
+        threshold, per source (x117)."""
+        from .operators.curation import rater_agreement
+
+        return rater_agreement(self.table("documents"), **kwargs)

@@ -1947,3 +1947,71 @@ def quantile_normalized_selection(
             (F.col("pr") >= F.lit(1.0 - frac)).alias("selected"),
         )
     )
+
+
+def rater_agreement(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    score_threshold: float = 0.8,
+) -> DataFrame:
+    """Cohen's kappa between two independent quality classifiers —
+    the Gopher rule conjunction and the composite quality-score
+    threshold — per source.  Raw percent agreement is misleading when
+    one rater accepts almost everything; kappa corrects for the
+    agreement expected by chance from the raters' marginals, which is
+    exactly the check run before trusting a cheap filter as a proxy
+    for an expensive one (per source, because agreement on clean web
+    text says nothing about agreement on a noisy crawl).
+
+    kappa = (po - pe) / (1 - pe) with po from the 2x2 cell counts and
+    pe from the marginal products.  All four cells are exact integer
+    sums; the marginal products are composed in DOUBLE (never BIGINT
+    — n^2 overflows at ~3e9 docs) with identical op order in both
+    engines.  One scan, one k-row aggregate.  Degenerate pe == 1
+    (both raters constant) reports kappa 0 by convention."""
+    from .text import quality_score
+
+    metrics = gopher_metric_columns(F.col(text_col))
+    flags = gopher_rule_flags()
+    with_metrics = docs.select(
+        F.col(source_col).alias("source"),
+        quality_score(F.col(text_col)).alias("qs"),
+        *[expr.alias(name) for name, expr in metrics.items()],
+    )
+    a = (
+        F.col("r_len") & F.col("r_word_len") & F.col("r_stop")
+        & F.col("r_alpha") & F.col("r_dup")
+    )
+    rated = with_metrics.select(
+        "source",
+        *[expr.alias(name) for name, expr in flags.items()],
+        (F.col("qs") >= F.lit(score_threshold)).alias("b"),
+    ).select("source", a.alias("a"), "b")
+    cells = rated.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("a") & F.col("b")).cast("long")).cast("long").alias("n11"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).cast("long").alias("n10"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).cast("long").alias("n01"),
+        F.sum((~F.col("a") & ~F.col("b")).cast("long")).cast("long").alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    kappa = F.when(pe == 1.0, F.lit(0.0)).otherwise((po - pe) / (F.lit(1.0) - pe))
+    return cells.select(
+        "source",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        (F.round(po + F.lit(1e-9), 6) + F.lit(0.0)).alias("percent_agree"),
+        (F.round(pe + F.lit(1e-9), 6) + F.lit(0.0)).alias("chance_agree"),
+        (F.round(kappa + F.lit(1e-9), 6) + F.lit(0.0)).alias("kappa"),
+    )

@@ -6418,3 +6418,86 @@ def x116_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return robust_outliers(events, z_threshold=3.5)
+
+
+@query(
+    "x117_rater_agreement",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS toks, text FROM documents
+    ), tri AS (
+      SELECT source, toks, text,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+             ) AS tris
+      FROM t
+    ), m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE)
+               AS dup_trigram_frac,
+             ((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN len(list_filter(toks,
+                   x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+                   / CAST(len(toks) AS DOUBLE) BETWEEN 0.01 AND 0.6
+                 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                   / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+                 THEN 1.0 ELSE 0.5 END)) / 3.0 AS qs
+      FROM tri
+    ), rated AS (
+      SELECT source,
+             (n_words BETWEEN 30 AND 10000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND stop_hits >= 2 AND alpha_frac >= 0.8
+               AND dup_trigram_frac <= 0.1 AS a,
+             qs >= 0.8 AS b
+      FROM m
+    ), cells AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM rated GROUP BY 1
+    )
+    SELECT source, n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6) + 0.0
+             AS percent_agree,
+           round((CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                  + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) + 1e-9, 6) + 0.0
+             AS chance_agree,
+           round(CASE WHEN (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                            + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) = 1.0
+                      THEN 0.0
+                      ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+                               + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 END + 1e-9, 6) + 0.0 AS kappa
+    FROM cells
+    """,
+)
+def x117_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the Gopher rule conjunction and the
+    composite quality-score threshold, per source — chance-corrected
+    agreement from exact 2x2 cell counts; marginal products composed
+    in DOUBLE (BIGINT n^2 overflows at ~3e9 docs).  One scan, one
+    k-row aggregate."""
+    from ..operators.curation import rater_agreement
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rater_agreement(docs)

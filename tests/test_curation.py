@@ -689,3 +689,44 @@ def test_quantile_normalized_selection_calibrates_across_sources(spark):
     assert got[9]["pct_rank"] == 0.0
     # raw richness preserved for downstream inspection
     assert got[8]["richness"] == 0.1
+
+
+def test_rater_agreement_kappa_corrects_for_chance(spark):
+    """Hand-computed 2x2: kappa must equal the textbook value, and a
+    skewed both-raters-accept-almost-everything source must score a
+    LOW kappa despite high raw agreement (the reason kappa exists)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        rater_agreement,
+    )
+
+    stop = "the a of and to in is it that for"
+    # passes gopher (30+ words, stopwords, sane lengths) AND qs>=0.8
+    good = (stop + " alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            + "lam mu nu xi omicron pi rho sigma tau upsilon")
+    # fails gopher (too short) and fails the score threshold (no stopwords)
+    bad = "zz yy xx"
+    # fails gopher (dup-trigram repetition) but PASSES the score: 32
+    # tokens, stopword ratio 2/32, sane word lengths -> score 1.0
+    mixed = "the of " + "red green blue " * 10
+    rows = (
+        [(i, good, "A") for i in range(4)]
+        + [(i, bad, "A") for i in range(4, 8)]
+        + [(i, mixed, "A") for i in range(8, 10)]
+        # source B: raters agree 9/10 times but almost everything passes
+        + [(i, good, "B") for i in range(10, 19)]
+        + [(19, mixed, "B")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    got = {r["source"]: r for r in rater_agreement(docs).collect()}
+
+    a = got["A"]
+    assert (a["n11"], a["n10"], a["n01"], a["n00"]) == (4, 0, 2, 4)
+    po = 8 / 10
+    pe = (4 * 6 + 6 * 4) / 100
+    want = round((po - pe) / (1 - pe) + 1e-9, 6)
+    assert a["kappa"] == want and a["percent_agree"] == 0.8
+
+    b = got["B"]
+    # 90% raw agreement but kappa collapses to 0 (one rater constant)
+    assert b["percent_agree"] == 0.9
+    assert b["kappa"] == 0.0
