@@ -752,3 +752,10 @@ class Engine:
         from .operators.curation import rater_agreement
 
         return rater_agreement(self.table("documents"), **kwargs)
+
+    def benford(self, table: str = "lineitem",
+                value_col: str = "l_extendedprice") -> DataFrame:
+        """Benford first-digit audit of a monetary column (x118)."""
+        from .operators.profile import benford_audit
+
+        return benford_audit(self.table(table), value_col)

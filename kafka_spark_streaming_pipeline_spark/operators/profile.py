@@ -234,3 +234,74 @@ def srm_check(
             (F.col("chi2") > F.lit(crit)).alias("srm_flag"),
         )
     )
+
+
+# log10(1 + 1/d) for d = 1..9, as FIXED literals: computing them with
+# log10() at runtime risks a last-ulp disagreement between the JVM's
+# and DuckDB's libm, which the quantized chi-square could straddle.
+BENFORD_P = {
+    1: 0.301029995663981,
+    2: 0.176091259055681,
+    3: 0.124938736608300,
+    4: 0.096910013008056,
+    5: 0.079181246047625,
+    6: 0.066946789630613,
+    7: 0.057991946977687,
+    8: 0.051152522447381,
+    9: 0.045757490560675,
+}
+
+
+def benford_audit(
+    df: DataFrame, value_col: str, crit: float = 15.507
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive monetary column —
+    the classic screen for fabricated or mis-joined numeric data
+    (natural multiplicative amounts follow P(d) = log10(1+1/d);
+    uniform or hand-entered ones don't).
+
+    Digit extraction dodges floating point entirely: amounts become
+    exact integer cents (floor(x*100 + 0.5)), and the leading digit is
+    the first character of the INTEGER's decimal rendering — identical
+    in both engines, where a log10-based extraction can disagree by an
+    ulp at power-of-ten boundaries.  chi2 terms are trunc-quantized to
+    BIGINTs before the cross-digit sum (house float discipline);
+    ``crit`` defaults to the 0.05 critical value for 8 dof.  One scan,
+    one 9-row aggregate; the statistic rides broadcast back on the
+    digit rows."""
+    cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    digits = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    p = F.lit(None).cast("double")
+    for d, pd in sorted(BENFORD_P.items(), reverse=True):
+        p = F.when(F.col("digit") == d, F.lit(pd)).otherwise(p)
+    with_p = digits.crossJoin(F.broadcast(tot)).select(
+        "digit", "n_obs", "n_total", p.alias("benford_p")
+    )
+    expected = F.col("n_total") * F.col("benford_p")
+    termq = (
+        ((F.col("n_obs") - expected) * (F.col("n_obs") - expected) / expected)
+        * F.lit(1000000.0)
+    ).cast("long")
+    chi = with_p.agg(
+        (
+            F.round(F.sum(termq) / F.lit(1000000.0) + F.lit(1e-9), 4) + F.lit(0.0)
+        ).alias("chi2")
+    )
+    return (
+        with_p.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            "n_obs",
+            (F.round(expected + F.lit(1e-9), 4) + F.lit(0.0)).alias("expected_n"),
+            "benford_p",
+            "chi2",
+            (F.col("chi2") > F.lit(crit)).alias("benford_violation"),
+        )
+    )

@@ -6501,3 +6501,53 @@ def x117_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return rater_agreement(docs)
+
+
+@query(
+    "x118_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c
+    ), p AS (
+      SELECT c.digit, c.n_obs, tot.n_total,
+             CAST(CASE c.digit
+               WHEN 1 THEN 0.301029995663981 WHEN 2 THEN 0.176091259055681
+               WHEN 3 THEN 0.124938736608300 WHEN 4 THEN 0.096910013008056
+               WHEN 5 THEN 0.079181246047625 WHEN 6 THEN 0.066946789630613
+               WHEN 7 THEN 0.057991946977687 WHEN 8 THEN 0.051152522447381
+               WHEN 9 THEN 0.045757490560675 END AS DOUBLE) AS benford_p
+      FROM c, tot
+    ), terms AS (
+      SELECT *,
+             CAST(trunc(((n_obs - n_total * benford_p)
+                         * (n_obs - n_total * benford_p)
+                         / (n_total * benford_p)) * 1000000.0) AS BIGINT)
+               AS termq
+      FROM p
+    ), chi AS (
+      SELECT round(sum(termq) / 1000000.0 + 1e-9, 4) + 0.0 AS chi2 FROM terms
+    )
+    SELECT t.digit, t.n_obs,
+           round(t.n_total * t.benford_p + 1e-9, 4) + 0.0 AS expected_n,
+           t.benford_p, chi.chi2, chi.chi2 > 15.507 AS benford_violation
+    FROM terms t, chi
+    """,
+)
+def x118_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of lineitem extended prices.  TPC-H
+    prices are synthetic-uniform, so the audit SHOULD flag them — the
+    point is the screen, not the pass.  Digit extraction goes through
+    exact integer cents and decimal string rendering (no log10, whose
+    last ulp differs between libms); chi2 terms are trunc-quantized
+    BIGINTs; Benford probabilities are fixed shared literals."""
+    from ..operators.profile import benford_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")

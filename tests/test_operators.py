@@ -2557,3 +2557,31 @@ def test_robust_outliers_median_mad_resist_contamination(spark):
     assert spike["robust_z"] > 600
     steady = [r for r in out if r["event_type"] == "steady"]
     assert all(r["robust_z"] == 0.0 and not r["is_outlier"] for r in steady)
+
+
+def test_benford_audit_flags_uniform_but_passes_benford_sample(spark):
+    """A geometric (multiplicative) sample follows Benford and must
+    pass; a uniform sample must be flagged.  Digit extraction goes
+    through exact integer cents: 999.995 rounds to 100000 cents ->
+    digit 1, never a log10-boundary 9."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        benford_audit,
+    )
+
+    # multiplicative spread: x = 1.07^k spans several decades ->
+    # first digits distribute ~Benford
+    benford_rows = [(float(1.07 ** k),) for k in range(400)]
+    uniform_rows = [(100.0 + i,) for i in range(400)]
+    ben = benford_audit(
+        spark.createDataFrame(benford_rows, "v DOUBLE"), "v"
+    ).collect()
+    uni = benford_audit(
+        spark.createDataFrame(uniform_rows, "v DOUBLE"), "v"
+    ).collect()
+    assert not ben[0]["benford_violation"], ben[0]["chi2"]
+    assert uni[0]["benford_violation"], uni[0]["chi2"]
+    # boundary: 999.995 -> 100000 cents -> digit 1
+    edge = benford_audit(
+        spark.createDataFrame([(999.995,), (1.0,)], "v DOUBLE"), "v"
+    ).collect()
+    assert {r["digit"] for r in edge} == {1}
