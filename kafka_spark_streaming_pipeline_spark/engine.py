@@ -759,3 +759,11 @@ class Engine:
         from .operators.profile import benford_audit
 
         return benford_audit(self.table(table), value_col)
+
+    def dedup_cohesion(self, **kwargs) -> DataFrame:
+        """Triangle count + clustering coefficient over the near-dup
+        pair graph (x119) — clique-vs-chain cluster diagnostics."""
+        from .operators.dedup import minhash_lsh_pairs
+        from .operators.graph import triangle_stats
+
+        return triangle_stats(minhash_lsh_pairs(self.table("documents"), **kwargs))

@@ -82,3 +82,79 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over
+    an undirected pair graph — the cohesion diagnostic for near-dup
+    clusters: a component whose members form triangles is a genuine
+    duplicate clique; a low-coefficient component is a CHAIN of
+    borderline pairs, exactly where transitive merging (p14) risks
+    gluing non-duplicates together.
+
+    Algorithm: the degree-ORIENTED wedge join (each edge directed
+    from its lower-(degree, id) endpoint), the standard distributed
+    triangle counter — every triangle is generated exactly once from
+    its lowest-degree corner, and per-source wedge work is bounded by
+    out-degree^2 <= O(m) total (out-degree <= sqrt(2m)), immune to
+    the hub blowup a naive a<b wedge join suffers on skewed graphs.
+    Two shuffled joins on the (tiny, bucket-capped) pair set; the
+    corpus itself is never touched.  c_v = 2T_v / (deg_v (deg_v - 1)),
+    0 for degree-1 nodes."""
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("degb"))
+    with_deg = e.join(da, "a").join(db, "b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    o2 = o.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    wedges = o.join(o2, F.col("src") == F.col("src2")).filter(
+        F.col("dst") < F.col("dst2")
+    )
+    tri = wedges.join(
+        e,
+        (F.least("dst", "dst2") == F.col("a"))
+        & (F.greatest("dst", "dst2") == F.col("b")),
+    ).select(F.col("src").alias("v"), F.col("dst").alias("u"), F.col("dst2").alias("w"))
+    tcount = (
+        tri.select(F.col("v").alias("id"))
+        .unionAll(tri.select(F.col("u").alias("id")))
+        .unionAll(tri.select(F.col("w").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    degd = F.col("degree").cast("double")
+    coef = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+        / (degd * (degd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcount, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            (F.round(coef + F.lit(1e-9), 6) + F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -6551,3 +6551,52 @@ def x118_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return benford_audit(li, "l_extendedprice")
+
+
+@query(
+    "x119_dedup_graph_triangles",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b FROM ({_P12_ORACLE})
+    ), e AS (
+      SELECT DISTINCT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+      FROM pairs WHERE doc_a <> doc_b
+    ), deg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS degree
+      FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+    ), w AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+    ), tri AS (
+      SELECT w.x, w.y, w.z
+      FROM w JOIN e ON e.a = w.x AND e.b = w.z
+    ), tc AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY 1
+    )
+    SELECT d.id AS doc_id, d.degree,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE)
+                           / (CAST(d.degree AS DOUBLE)
+                              * (CAST(d.degree AS DOUBLE) - 1.0))
+                      ELSE 0.0 END + 1e-9, 6) + 0.0 AS clustering
+    FROM deg d LEFT JOIN tc ON tc.id = d.id
+    """,
+)
+def x119_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion diagnostic for the near-dup graph: per-node triangle
+    count + local clustering coefficient over the p12 LSH pairs.
+    Spark counts each triangle once from its lowest-(degree, id)
+    corner (degree-oriented wedge join — hub-proof, out-degree <=
+    sqrt(2m)); the oracle counts once per x<y<z ordering — same
+    triangle set, cross-validating the orientation."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    )
+    return triangle_stats(pairs)

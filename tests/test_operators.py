@@ -2585,3 +2585,35 @@ def test_benford_audit_flags_uniform_but_passes_benford_sample(spark):
         spark.createDataFrame([(999.995,), (1.0,)], "v DOUBLE"), "v"
     ).collect()
     assert {r["digit"] for r in edge} == {1}
+
+
+def test_triangle_stats_clique_vs_chain(spark):
+    """A 4-clique (true duplicate cluster) scores clustering 1.0 for
+    every member; a 4-chain (risky transitive merge) scores 0; a hub
+    with two connected leaves pins the oriented-wedge count against
+    hand arithmetic (hub: 1 triangle of 3 possible wedge pairs)."""
+    from kafka_spark_streaming_pipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    clique = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(11, 12), (12, 13), (13, 14)]
+    # hub 21 linked to 22,23,24; only 22-23 closes
+    hub = [(21, 22), (21, 23), (21, 24), (22, 23)]
+    pairs = spark.createDataFrame(
+        clique + chain + hub + [(22, 21)],  # reversed dup must collapse
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {r["doc_id"]: r for r in triangle_stats(pairs).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v]["degree"] == 3 and got[v]["n_triangles"] == 3
+        assert got[v]["clustering"] == 1.0
+    for v in (11, 14):
+        assert got[v]["degree"] == 1 and got[v]["clustering"] == 0.0
+    for v in (12, 13):
+        assert got[v]["degree"] == 2 and got[v]["n_triangles"] == 0
+        assert got[v]["clustering"] == 0.0
+    assert got[21]["degree"] == 3 and got[21]["n_triangles"] == 1
+    assert got[21]["clustering"] == round(2 * 1 / (3 * 2) + 1e-9, 6)
+    assert got[24]["n_triangles"] == 0
+    assert got[22]["n_triangles"] == 1 and got[22]["clustering"] == 1.0
