@@ -1919,22 +1919,29 @@ def quantile_normalized_selection(
         .cast("long")
         .alias("qq"),
     )
+    from ..cache import tracked_persist
+
+    # the narrow (id, source, qq) frame feeds BOTH the rank histogram
+    # and the final join-back — persist it so the corpus text is
+    # tokenized exactly once (plan-shape test pins this)
+    scored = tracked_persist(scored)
     hist = scored.groupBy("source", "qq").agg(F.count("*").alias("cnt"))
     wcum = (
         W.partitionBy("source").orderBy("qq").rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     cum = hist.select(
         "source",
         "qq",
         (F.sum("cnt").over(wcum) - F.col("cnt")).alias("n_lower"),
+        F.sum("cnt").over(wall).cast("long").alias("n"),
     )
-    totals = hist.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
     pr = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
         F.col("n_lower").cast("double") / (F.col("n") - F.lit(1))
     )
-    rank_map = cum.join(F.broadcast(totals), "source").select(
-        "source", "qq", pr.alias("pr")
-    )
+    rank_map = cum.select("source", "qq", pr.alias("pr"))
     return (
         scored.join(F.broadcast(rank_map), ["source", "qq"])
         .select(

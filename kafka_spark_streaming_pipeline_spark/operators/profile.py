@@ -194,24 +194,32 @@ def srm_check(
     order-independent (house float discipline).  ``crit`` defaults to
     the 0.05 critical value for 1 dof (k=2).
 
-    Scale shape: one distinct on units (the only corpus-sized
-    exchange), one k-row arm aggregate, broadcast total.  Output: one
-    row per arm carrying its counts plus the shared chi2/flag."""
+    Scale shape: ONE corpus scan into one unit-keyed aggregate (the
+    only corpus-sized exchange) that yields BOTH distinct-unit and
+    row counts per arm; the k-row arm table is persisted because it
+    feeds three consumers (total, chi2, final rows) — without that,
+    each consumer re-runs the corpus scan (plan-shape test pins it).
+    Output: one row per arm carrying its counts plus the shared
+    chi2/flag."""
+    from ..cache import tracked_persist
     from .text import hash60
 
-    units = (
-        df.select(F.col(unit_col).cast("string").alias("u"))
-        .distinct()
-        .select("u", F.pmod(hash60(F.col("u"), salt=salt), F.lit(n_arms)).alias("arm"))
-    )
-    rows = df.select(
-        F.pmod(hash60(F.col(unit_col).cast("string"), salt=salt), F.lit(n_arms)).alias(
-            "arm"
+    per_unit = df.groupBy(
+        F.col(unit_col).cast("string").alias("u")
+    ).agg(F.count("*").alias("m"))
+    arms = tracked_persist(
+        per_unit.select(
+            F.pmod(hash60(F.col("u"), salt=salt), F.lit(n_arms)).alias("arm"), "m"
         )
-    ).groupBy("arm").agg(F.count("*").alias("n_rows"))
-    arms = units.groupBy("arm").agg(F.count("*").alias("n_units"))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum("m").cast("long").alias("n_rows"),
+        )
+    )
+    rows = arms.select("arm", "n_rows")
     tot = arms.agg(F.sum("n_units").cast("long").alias("n_total"))
-    with_tot = arms.crossJoin(F.broadcast(tot))
+    with_tot = arms.select("arm", "n_units").crossJoin(F.broadcast(tot))
     expected = F.col("n_total") / F.lit(float(n_arms))
     termq = (
         ((F.col("n_units") - expected) * (F.col("n_units") - expected) / expected)
@@ -271,7 +279,12 @@ def benford_audit(
     digit rows."""
     cents = F.floor(F.col(value_col) * F.lit(100.0) + F.lit(0.5)).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("long")
-    digits = (
+    from ..cache import tracked_persist
+
+    # the 9-row digit aggregate feeds THREE consumers (total, chi2,
+    # final rows) — without the persist each one re-runs the full
+    # fact-table scan (plan-shape test pins this)
+    digits = tracked_persist(
         df.filter(F.col(value_col) > 0)
         .select(digit.alias("digit"))
         .groupBy("digit")

@@ -102,8 +102,15 @@ AUDITED = {
     "x108_shard_manifest": "shard manifest: one scan, one commutative aggregate (bit_xor + modular sums) — invariant to partitioning and task order by construction",
     "x109_cluster_silhouette": "cluster silhouette: trained centroids broadcast as ONE array row (nearest_cells discipline); scoring is map-only over the corpus; one k-row aggregate",
     "x110_manifest_diff": "manifest diff: two one-scan commutative aggregates joined on n_shards rows — the diff itself is corpus-size-independent",
-    "x111_srm_check": "SRM audit: one distinct + k-row arm aggregate; quantized chi-square rides broadcast back onto the arm rows",
+    "x111_srm_check": "SRM audit: ONE corpus scan into one unit-keyed aggregate yielding unit AND row counts; persisted k-row arm table feeds total/chi2/rows",
     "x112_touch_attribution": "touch attribution: ONE user-keyed RANGE window over the event scan — no per-conversion self-join; quantized cents/ms sums",
+    "x113_cusum_changepoints": "CUSUM: one log pass to hours x types; recursion rewritten to prefix-sum/prefix-min windows over the tiny grid — no recursion, no Python",
+    "x114_pareto_frontier": "pareto frontier: per-bucket max agg + broadcast lower-bucket running max prunes map-side; exact skyline windows touch survivors only, never a corpus-sized global window",
+    "x115_quantile_normalized_selection": "quantile normalization: (source, score) histogram windows + broadcast rank-map join-back — the corpus is never sorted",
+    "x116_robust_outliers": "median/MAD: both exact medians from count histograms with cumulative counts — data never sorts; scoring joins broadcast k-row stats",
+    "x117_rater_agreement": "rater kappa: one scan, one k-row 2x2-cell aggregate; marginal products composed in DOUBLE (no BIGINT n^2 overflow)",
+    "x118_benford_audit": "benford: one scan to a 9-row digit aggregate; chi-square rides broadcast back; digit via integer-cents string prefix, no log10",
+    "x119_dedup_graph_triangles": "triangles: degree-oriented wedge join over the capped pair set only (out-degree <= sqrt(2m)) — corpus never touched, hub-proof",
 }
 
 
