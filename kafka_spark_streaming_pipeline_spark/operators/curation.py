@@ -161,13 +161,23 @@ def decontaminate_tiered(
     eval grams/shingles.  Output per train doc: the three tiers'
     evidence columns, ``verdict`` ('clean'/'contaminated') and
     ``tier`` — which screen decided."""
-    screen = bloom_decontaminate(train, eval_set, k, text_col, id_col)
+    from ..cache import tracked_persist
+
+    # the per-doc screen verdicts feed the suspect semi-join AND the
+    # final assembly; the exact-tier verdicts feed the gray-zone ids
+    # AND the final assembly — persist both (narrow per-doc rows) so
+    # each tier's corpus work runs once, not once per consumer
+    screen = tracked_persist(
+        bloom_decontaminate(train, eval_set, k, text_col, id_col)
+    )
     suspect_ids = screen.filter(F.col("n_flagged") > 0).select(id_col)
     suspects = train.join(suspect_ids, id_col, "left_semi")
 
-    exact = decontaminate(
-        suspects, eval_set, k, text_col, id_col, flag_threshold
-    ).select(id_col, "n_contaminated", "contamination_ratio")
+    exact = tracked_persist(
+        decontaminate(
+            suspects, eval_set, k, text_col, id_col, flag_threshold
+        ).select(id_col, "n_contaminated", "contamination_ratio")
+    )
 
     # tier 3 input: gray-zone ids (some overlap, below the ratio bar)
     gray_ids = exact.filter(

@@ -103,7 +103,15 @@ def triangle_stats(
     Two shuffled joins on the (tiny, bucket-capped) pair set; the
     corpus itself is never touched.  c_v = 2T_v / (deg_v (deg_v - 1)),
     0 for degree-1 nodes."""
-    e = (
+    from ..cache import tracked_persist
+
+    # the canonical edge set feeds FOUR consumers (both degree
+    # branches, the orientation join, the triangle-closing join) and
+    # upstream of it sits the ENTIRE pair-generation pipeline (LSH
+    # signatures at the x119 call site) — without the persist that
+    # pipeline re-executes per consumer (a plan sweep measured 35
+    # re-derived scans).  Edges and degrees are capped-pair-sized.
+    e = tracked_persist(
         pairs.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
@@ -111,7 +119,7 @@ def triangle_stats(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = (
+    deg = tracked_persist(
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
         .groupBy("id")
@@ -131,11 +139,15 @@ def triangle_stats(
     wedges = o.join(o2, F.col("src") == F.col("src2")).filter(
         F.col("dst") < F.col("dst2")
     )
-    tri = wedges.join(
-        e,
-        (F.least("dst", "dst2") == F.col("a"))
-        & (F.greatest("dst", "dst2") == F.col("b")),
-    ).select(F.col("src").alias("v"), F.col("dst").alias("u"), F.col("dst2").alias("w"))
+    tri = tracked_persist(
+        wedges.join(
+            e,
+            (F.least("dst", "dst2") == F.col("a"))
+            & (F.greatest("dst", "dst2") == F.col("b")),
+        ).select(
+            F.col("src").alias("v"), F.col("dst").alias("u"), F.col("dst2").alias("w")
+        )
+    )
     tcount = (
         tri.select(F.col("v").alias("id"))
         .unionAll(tri.select(F.col("u").alias("id")))

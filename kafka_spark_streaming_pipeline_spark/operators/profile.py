@@ -111,10 +111,18 @@ def key_skew_profile(
     ratios, so the row is engine-exact."""
     from pyspark.sql import Window as W
 
-    freq = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
-        F.count("*").alias("freq")
+    from ..cache import tracked_persist
+
+    # freq (distinct-keys-sized, the product of the one corpus-sized
+    # shuffle) feeds the histogram AND the top-k scan; ff (tiny) feeds
+    # totals and the cumulative walk — without the persists each
+    # consumer re-runs the corpus aggregate (plan sweep: 6 scans/key)
+    freq = tracked_persist(
+        df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+            F.count("*").alias("freq")
+        )
     )
-    ff = freq.groupBy("freq").agg(F.count("*").alias("nk"))
+    ff = tracked_persist(freq.groupBy("freq").agg(F.count("*").alias("nk")))
     tot = ff.agg(
         F.sum("nk").cast("long").alias("n_keys"),
         F.sum(F.col("freq") * F.col("nk")).cast("long").alias("n_rows"),

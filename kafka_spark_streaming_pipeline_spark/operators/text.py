@@ -464,13 +464,17 @@ def pmi_collocations(
     TakeOrderedAndProject keeps the top-``top`` — nothing global
     sorts."""
     from .dedup import shingle_arr
+    from ..cache import tracked_persist
 
-    uni = (
+    # uni feeds the total AND both word-keyed joins; bi feeds its
+    # total AND the scoring join — persist both vocabulary-sized
+    # frames so the corpus explodes run once, not per consumer
+    uni = tracked_persist(
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    bi = (
+    bi = tracked_persist(
         docs.select(F.explode(shingle_arr(F.col(text_col), 2)).alias("bg"))
         .filter(F.col("bg").contains(" "))
         .groupBy("bg")

@@ -1241,7 +1241,12 @@ def x31_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_canonical"),
     )
     rep = repetition_stats(docs).select("doc_id", (~F.col("repetitive")).alias("clean"))
-    flags = q.join(canon, "doc_id").join(rep, "doc_id")
+    from ..cache import tracked_persist
+
+    # the narrow per-doc flag frame feeds FOUR stage aggregates —
+    # without the persist the three-branch corpus join re-runs per
+    # stage (plan sweep: 12 scans)
+    flags = tracked_persist(q.join(canon, "doc_id").join(rep, "doc_id"))
 
     def stage(label: str, cond):
         return flags.filter(cond).agg(

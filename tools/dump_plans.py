@@ -58,7 +58,7 @@ AUDITED = {
     "x70_vocab_coverage": "vocab coverage: one frequency agg + TakeOrderedAndProject top-V; OOV join broadcasts the vocabulary",
     "x71_duplicate_span_trim": "span trim: window-hash agg + hash-keyed join back + per-doc positions agg; no self-join",
     "x72_session_sequences": "session sequences: one per-user window pass + one grouped agg; in-group ordered assembly, no global sort",
-    "x73_pmi_collocations": "PMI: vocabulary-sized count tables, word-keyed joins (no forced broadcast), TakeOrderedAndProject",
+    "x73_pmi_collocations": "PMI: PERSISTED vocabulary-sized count tables (each feeds totals + joins), word-keyed joins, TakeOrderedAndProject",
     "x74_bigram_perplexity": "bigram LM: ONE corpus scan (persisted hashed-narrow frame); context counts and V derived from the vocabulary-sized bigram count table",
     "x75_containment_pairs": "containment: ONE corpus scan (persisted hashed shingle frame); rare-shingle (df-capped) blocking, never all-pairs",
     "x76_dd_quantiles": "DDSketch: one grouped count to log-bucket state; quantile lookup windows over hundreds of bucket rows, never the data",
@@ -98,7 +98,7 @@ AUDITED = {
     "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins",
     "x105_mmr_rerank": "MMR rerank: corpus touched only by the BM25 shortlist stage (one persisted narrow scan, TakeOrderedAndProject); the n^2 sim matrix is a broadcast self-pair of a constant-size frame",
     "x106_embedding_drift": "embedding drift: one union scan -> one (key, side, dim) aggregate; exact-BIGINT quantized sums make the centroids order-independent; output is keys-sized",
-    "x107_key_skew_profile": "skew profile: one frequency aggregate per key (map-side combine); percentile walk over the bounded frequency-of-frequencies histogram; hot keys via TakeOrderedAndProject",
+    "x107_key_skew_profile": "skew profile: ONE persisted frequency aggregate per key feeds histogram + top-k; percentile walk over the persisted freq-of-freq rows",
     "x108_shard_manifest": "shard manifest: one scan, one commutative aggregate (bit_xor + modular sums) — invariant to partitioning and task order by construction",
     "x109_cluster_silhouette": "cluster silhouette: trained centroids broadcast as ONE array row (nearest_cells discipline); scoring is map-only over the corpus; one k-row aggregate",
     "x110_manifest_diff": "manifest diff: two one-scan commutative aggregates joined on n_shards rows — the diff itself is corpus-size-independent",
