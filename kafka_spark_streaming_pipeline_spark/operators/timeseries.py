@@ -608,7 +608,17 @@ def robust_outliers(
     composes identically on the DuckDB oracle's native median().
     A zero MAD (over half the hours at the median) degrades to the
     same +/-9999 sentinel convention as seasonal_anomalies."""
-    dense = dense_hourly_counts(events, ts_col, type_col)
+    return robust_scores_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), z_threshold
+    )
+
+
+def robust_scores_from_dense(
+    dense: DataFrame, z_threshold: float = 3.5
+) -> DataFrame:
+    """Scoring tail of ``robust_outliers``, factored out (like the
+    seasonal/CUSUM splits) so the STREAMING view over the hourly
+    rollup scores through the IDENTICAL plan as the batch operator."""
     med = _median2_by_type(dense, "cnt")
     devs = dense.join(F.broadcast(med), "t").select(
         "t",

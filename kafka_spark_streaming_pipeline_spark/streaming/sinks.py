@@ -1045,6 +1045,28 @@ def compact_seasonal(spark, counts_path: str, quiesced: bool = True) -> None:
     _compact(spark, counts_path, _seasonal_sparse_of, quiesced)
 
 
+_ROBUST_VIEW_FRAMES: list[DataFrame] = []
+
+
+def robust_view(spark, counts_path: str, z_threshold: float = 3.5) -> DataFrame:
+    """Median/MAD robust outliers over the SAME hourly-count store the
+    seasonal sink maintains — the third detector served by the one
+    rollup (seasonal = hour-of-day deviations, CUSUM = sustained
+    shifts, robust = contamination-proof point outliers).  Identical
+    code path as the batch operator; same replay dedup and
+    scope-release cache bounds as the sibling views."""
+    from .. import cache
+    from ..operators.timeseries import densify_hourly, robust_scores_from_dense
+
+    cache.release(_ROBUST_VIEW_FRAMES)
+    _ROBUST_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = robust_scores_from_dense(densify_hourly(sparse), z_threshold)
+    _ROBUST_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view
+
+
 _CUSUM_VIEW_FRAMES: list[DataFrame] = []
 
 

@@ -2249,3 +2249,62 @@ def test_streaming_cusum_view_matches_batch_and_flags_level_shift(
     assert {k: (v["cusum_up"], v["cusum_down"]) for k, v in again.items()} == {
         k: (v["cusum_up"], v["cusum_down"]) for k, v in got.items()
     }
+
+
+def test_streaming_robust_view_matches_batch(spark, tmp_path):
+    """Third detector over the shared hourly store: the robust view
+    must equal the batch median/MAD operator on the union of all
+    batches, and a planted spike hour must flag from streamed state
+    while the quiet hours stay quiet."""
+    import os
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        robust_outliers,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        make_seasonal_sink,
+        robust_view,
+    )
+
+    rows = []
+    for day in (1, 2):
+        for hod in range(24):
+            n = 300 if (day == 2 and hod == 12) else 5 + (hod % 2)
+            for i in range(n):
+                rows.append(("api", f"2026-03-0{day} {hod:02d}:{i % 60:02d}:00"))
+
+    SCHEMA = "event_type string, ts_str string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    for day in (1, 2):
+        day_rows = [r for r in rows if f"-0{day} " in r[1]]
+        spark.createDataFrame(day_rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/d{day}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    counts_path = str(tmp_path / "hourly")
+    q = (
+        stream.writeStream.foreachBatch(make_seasonal_sink(counts_path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    def key(r):
+        return (r["event_type"], str(r["hour"]))
+
+    got = {key(r): r for r in robust_view(spark, counts_path).collect()}
+    assert got[("api", "2026-03-02 12:00:00")]["is_outlier"]
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+    batch = robust_outliers(
+        spark.createDataFrame(rows, SCHEMA).withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    want = {key(r): r for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("cnt", "median_cnt", "robust_z", "is_outlier"):
+            assert got[k][c] == want[k][c], (k, c)
