@@ -767,3 +767,10 @@ class Engine:
         from .operators.graph import triangle_stats
 
         return triangle_stats(minhash_lsh_pairs(self.table("documents"), **kwargs))
+
+    def survival_curve(self, **kwargs) -> DataFrame:
+        """Kaplan-Meier time-to-conversion curve with right censoring
+        (x120)."""
+        from .operators.timeseries import km_survival
+
+        return km_survival(self.table("events"), **kwargs)

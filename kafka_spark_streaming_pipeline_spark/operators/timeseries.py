@@ -645,3 +645,98 @@ def robust_scores_from_dense(
         (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("robust_z"),
         (F.abs(z) > F.lit(z_threshold)).alias("is_outlier"),
     )
+
+
+def km_survival(
+    events: DataFrame,
+    start_type: str = "view",
+    event_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-event: days from each
+    user's first ``start_type`` to their first subsequent
+    ``event_type``, right-CENSORED at the observation end for users
+    who never convert — the estimator that uses censored users
+    correctly (they count in the risk set up to their censor time)
+    instead of dropping them (biased fast) or treating them as
+    converted-at-end (biased slow).
+
+    S(d) = prod over event days e <= d of (n_e - d_e)/n_e, with n_e =
+    users still at risk entering day e and d_e = conversions on day e.
+
+    Scale shape: one log pass into per-user (duration, converted)
+    rows; the curve itself runs on the DURATION HISTOGRAM (bounded by
+    distinct day counts) — risk sets from cumulative counts, never a
+    data sort.  The product is exp of a prefix sum of per-day
+    log-factors trunc-quantized to BIGINT nano-units, so the running
+    statistic is exact integer arithmetic; only the per-day ln/exp
+    calls touch floats (the same trust boundary as x32's logprob).
+    """
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"), F.col(type_col).alias("et")
+    )
+    firsts = ev.filter(F.col("et") == start_type).groupBy("u").agg(
+        F.min("t").alias("t0")
+    )
+    conv = (
+        ev.filter(F.col("et") == event_type)
+        .join(firsts, "u")
+        .filter(F.col("t") >= F.col("t0"))
+        .groupBy("u")
+        .agg(F.min("t").alias("tp"))
+    )
+    horizon = ev.agg(F.max("t").alias("tmax"))
+    per_user = (
+        firsts.join(conv, "u", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("tp", "tmax"), F.col("t0")).alias("dur"),
+            F.col("tp").isNotNull().cast("long").alias("converted"),
+        )
+    )
+    hist = per_user.groupBy("dur").agg(
+        F.sum("converted").cast("long").alias("d_e"),
+        F.count("*").cast("long").alias("c_all"),
+    )
+    wcum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    staged = hist.select(
+        "dur",
+        "d_e",
+        (
+            F.sum("c_all").over(wall) - (F.sum("c_all").over(wcum) - F.col("c_all"))
+        ).alias("n_risk"),
+    )
+    # a day where EVERYONE remaining converts has factor 0: encode it
+    # as a -1e18 sentinel so the prefix sum drives exp() to exactly
+    # 0.0 in both engines (ln(0) is null in Spark, an ERROR in DuckDB)
+    lt = (
+        F.when(
+            (F.col("d_e") > 0) & (F.col("n_risk") > F.col("d_e")),
+            (
+                F.log(
+                    (F.col("n_risk") - F.col("d_e")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * F.lit(1000000000.0)
+            ).cast("long"),
+        )
+        .when(F.col("d_e") > 0, F.lit(-1000000000000000000))
+        .otherwise(F.lit(0).cast("long"))
+    )
+    curve = staged.select(
+        "dur", "d_e", "n_risk", F.sum(lt).over(wcum).alias("lsum")
+    )
+    return curve.filter(F.col("d_e") > 0).select(
+        F.col("dur").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d_e").alias("n_events"),
+        (
+            F.round(
+                F.exp(F.col("lsum") / F.lit(1000000000.0)) + F.lit(1e-9), 6
+            )
+            + F.lit(0.0)
+        ).alias("survival"),
+    )

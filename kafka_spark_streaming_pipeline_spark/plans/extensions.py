@@ -6605,3 +6605,61 @@ def x119_dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
     )
     return triangle_stats(pairs)
+
+
+@query(
+    "x120_km_survival",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, ts AS t, event_type AS et FROM events
+    ), firsts AS (
+      SELECT u, min(t) AS t0 FROM ev WHERE et = 'view' GROUP BY 1
+    ), conv AS (
+      SELECT e.u, min(e.t) AS tp
+      FROM ev e JOIN firsts f ON e.u = f.u
+      WHERE e.et = 'purchase' AND e.t >= f.t0 GROUP BY 1
+    ), horizon AS (
+      SELECT max(t) AS tmax FROM ev
+    ), per_user AS (
+      SELECT date_diff('day', f.t0, coalesce(c.tp, h.tmax)) AS dur,
+             CASE WHEN c.tp IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM firsts f LEFT JOIN conv c ON f.u = c.u, horizon h
+    ), hist AS (
+      SELECT dur, CAST(sum(converted) AS BIGINT) AS d_e,
+             CAST(count(*) AS BIGINT) AS c_all
+      FROM per_user GROUP BY 1
+    ), staged AS (
+      SELECT dur, d_e,
+             sum(c_all) OVER () - (sum(c_all) OVER w - c_all) AS n_risk
+      FROM hist
+      WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    ), q AS (
+      SELECT dur, d_e, n_risk,
+             CASE WHEN d_e > 0 AND n_risk > d_e
+                  THEN CAST(trunc(ln(CAST(n_risk - d_e AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE))
+                                  * 1000000000.0) AS BIGINT)
+                  WHEN d_e > 0 THEN -1000000000000000000
+                  ELSE 0 END AS lt
+      FROM staged
+    ), curve AS (
+      SELECT dur, d_e, n_risk, sum(lt) OVER w AS lsum
+      FROM q
+      WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT dur AS duration_days, n_risk AS n_at_risk, d_e AS n_events,
+           round(exp(lsum / 1000000000.0) + 1e-9, 6) + 0.0 AS survival
+    FROM curve WHERE d_e > 0
+    """,
+)
+def x120_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (first view -> first
+    purchase, right-censored at the observation horizon).  The curve
+    runs on the duration HISTOGRAM — risk sets from cumulative
+    counts, never a data sort — and the product is exp of a prefix
+    sum of nano-quantized BIGINT log-factors, exact integer
+    arithmetic between the ln/exp trust boundary."""
+    from ..operators.timeseries import km_survival
+
+    events = load_table(spark, sf_dir, "events")
+    return km_survival(events)

@@ -2617,3 +2617,44 @@ def test_triangle_stats_clique_vs_chain(spark):
     assert got[21]["clustering"] == round(2 * 1 / (3 * 2) + 1e-9, 6)
     assert got[24]["n_triangles"] == 0
     assert got[22]["n_triangles"] == 1 and got[22]["clustering"] == 1.0
+
+
+def test_km_survival_censoring_and_product(spark):
+    """Hand-built cohort: 4 users convert on days 1,1,3,5; 2 users
+    censored (no purchase) with durations 2 and 9.  KM must count the
+    censored users in the risk sets up to their censor day and the
+    curve must equal the hand product; naive drop-the-censored would
+    give a different (biased) curve."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        km_survival,
+    )
+
+    t0 = dt.datetime(2024, 7, 1, 12, 0, 0)
+
+    def at(days):
+        return t0 + dt.timedelta(days=days)
+
+    rows = []
+    for u, conv_day in ((1, 1), (2, 1), (3, 3), (4, 5)):
+        rows.append((u, at(0), "view"))
+        rows.append((u, at(conv_day), "purchase"))
+    rows.append((5, at(0), "view"))   # censored at horizon (day 9)
+    rows.append((6, at(7), "view"))   # censored, duration 9-7=2
+    rows.append((6, at(9), "click"))  # moves the horizon to day 9
+    events = spark.createDataFrame(
+        rows, "user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    out = {r["duration_days"]: r for r in km_survival(events).collect()}
+    # day 1: 6 at risk, 2 convert -> S = 4/6
+    assert out[1]["n_at_risk"] == 6 and out[1]["n_events"] == 2
+    assert out[1]["survival"] == round(4 / 6 + 1e-9, 6)
+    # day 3: risk set lost the duration-2 censored user -> 3 at risk
+    assert out[3]["n_at_risk"] == 3
+    s3 = (4 / 6) * (2 / 3)
+    assert abs(out[3]["survival"] - s3) < 1e-5
+    # day 5: 2 at risk (user 5 censored at 9 still at risk), 1 converts
+    assert out[5]["n_at_risk"] == 2
+    assert abs(out[5]["survival"] - s3 * 0.5) < 1e-5
+    assert set(out) == {1, 3, 5}
