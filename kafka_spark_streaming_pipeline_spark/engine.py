@@ -774,3 +774,10 @@ class Engine:
         from .operators.timeseries import km_survival
 
         return km_survival(self.table("events"), **kwargs)
+
+    def soft_dedup(self, frac: float = 0.5, **kwargs) -> DataFrame:
+        """Cluster-size-weighted sampling — soft dedup that flattens
+        duplication mass without deleting it (x121)."""
+        from .operators.dedup import cluster_weighted_sample
+
+        return cluster_weighted_sample(self.table("documents"), frac=frac, **kwargs)

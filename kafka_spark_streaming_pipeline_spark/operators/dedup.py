@@ -1304,3 +1304,61 @@ def canonical_selection(
             (F.col("rn") == 1).alias("is_canonical"),
         )
     )
+
+
+def cluster_weighted_sample(
+    docs: DataFrame,
+    frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """SOFT dedup by cluster-size-weighted sampling: instead of
+    deleting near-duplicates, every doc is kept with probability
+    ``frac / |its dup cluster|`` — so each duplicate CLUSTER
+    contributes ~``frac`` expected docs to the sample regardless of
+    how many times its content was crawled.  This is the sampling
+    counterpart of hard dedup (p16) used when duplication frequency
+    itself carries signal (popular content should not be boosted
+    |cluster| times, but deleting all evidence of popularity is also
+    wrong).
+
+    The draw is the deterministic hash60 unit-interval trick (no RNG,
+    replayable, engine-exact): select iff hash60(id)/2^60 < frac/size.
+    Scale: the LSH pair closure plus one size aggregate and two
+    membership joins (cluster membership is a tiny fraction of the
+    corpus; singletons never join anything)."""
+    comp = connected_components(
+        minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("csize"))
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("id"), "left")
+        .select(
+            id_col, F.coalesce("component", F.col(id_col)).alias("dup_group")
+        )
+        .join(
+            sizes.select(F.col("component").alias("dup_group"), "csize"),
+            "dup_group",
+            "left",
+        )
+        .select(
+            id_col,
+            "dup_group",
+            F.coalesce("csize", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+    )
+    from .text import hash60
+
+    u = hash60(F.col(id_col).cast("string"), salt="softdedup|") / F.lit(
+        float(1 << 60)
+    )
+    w = F.lit(frac) / F.col("cluster_size")
+    return labeled.select(
+        id_col,
+        "dup_group",
+        "cluster_size",
+        (F.round(w + F.lit(1e-9), 6) + F.lit(0.0)).alias("sel_weight"),
+        (u < w).alias("selected"),
+    )

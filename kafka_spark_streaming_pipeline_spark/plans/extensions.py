@@ -6663,3 +6663,38 @@ def x120_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return km_survival(events)
+
+
+@query(
+    "x121_soft_dedup_sample",
+    oracle=f"""
+    WITH comp AS ({_P14_ORACLE}),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS csize
+      FROM comp GROUP BY 1
+    ), labeled AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS dup_group,
+             CAST(coalesce(s.csize, 1) AS BIGINT) AS cluster_size
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id
+      LEFT JOIN sizes s ON coalesce(c.component, d.doc_id) = s.component
+    )
+    SELECT doc_id, dup_group, cluster_size,
+           round(0.5 / cluster_size + 1e-9, 6) + 0.0 AS sel_weight,
+           ('0x' || substr(md5('softdedup|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             / 1152921504606846976.0 < 0.5 / cluster_size AS selected
+    FROM labeled
+    """,
+)
+def x121_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep each doc with probability frac/|cluster| via
+    the deterministic hash60 unit-interval draw, so every duplicate
+    cluster contributes ~frac expected docs — duplication flattened
+    without deleting the popularity signal entirely."""
+    from ..operators.dedup import cluster_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_weighted_sample(
+        docs, frac=0.5, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    )

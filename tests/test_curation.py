@@ -730,3 +730,42 @@ def test_rater_agreement_kappa_corrects_for_chance(spark):
     # 90% raw agreement but kappa collapses to 0 (one rater constant)
     assert b["percent_agree"] == 0.9
     assert b["kappa"] == 0.0
+
+
+def test_soft_dedup_flattens_cluster_mass(spark):
+    """A corpus where one text is crawled 40x and another appears
+    once: soft dedup at frac=1.0 must keep the 40-dup cluster's
+    expected contribution near 1 doc (not 40), keep singleton docs
+    with probability ~1 (weight 1.0 -> always selected), and be
+    deterministic across invocations."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        cluster_weighted_sample,
+    )
+
+    dup_text = ("the quick brown fox jumps over the lazy dog again and again "
+                "in a very repetitive crawl of the same page content")
+    rows = [(i, dup_text + f" tail{i % 2}") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words "
+              + " ".join(f"w{i}x{j}" for j in range(20))) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = cluster_weighted_sample(
+        docs, frac=1.0, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 45
+    # singletons: weight 1.0, always selected
+    for i in range(100, 105):
+        assert by_id[i]["cluster_size"] == 1 and by_id[i]["selected"]
+    # the big cluster: every member shares one dup_group, weight 1/size
+    big = [r for r in out if r["doc_id"] < 40]
+    sizes = {r["cluster_size"] for r in big}
+    assert sizes == {40}, sizes
+    n_kept = sum(1 for r in big if r["selected"])
+    assert n_kept <= 5  # expected 1, deterministic draw keeps it tiny
+    # determinism
+    again = cluster_weighted_sample(
+        docs, frac=1.0, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    ).collect()
+    assert {(r["doc_id"], r["selected"]) for r in again} == {
+        (r["doc_id"], r["selected"]) for r in out
+    }
