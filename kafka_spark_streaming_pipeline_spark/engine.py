@@ -781,3 +781,10 @@ class Engine:
         from .operators.dedup import cluster_weighted_sample
 
         return cluster_weighted_sample(self.table("documents"), frac=frac, **kwargs)
+
+    def search_expanded(self, terms: list[str], **kwargs) -> DataFrame:
+        """BM25 with pseudo-relevance-feedback query expansion
+        (x122)."""
+        from .operators.retrieval import prf_search
+
+        return prf_search(self.table("documents"), terms, **kwargs)

@@ -586,3 +586,78 @@ def mmr_rerank(
         picked_rows,
         f"pick_rank INT, {id_col} BIGINT, rel_score DOUBLE, max_sim_prior DOUBLE",
     )
+
+
+def prf_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    topk: int = 10,
+    fb_k: int = 5,
+    n_expand: int = 3,
+    min_expand_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-lite): run
+    BM25, treat the top ``fb_k`` docs as relevant, mine their best
+    ``n_expand`` terms by tf x ln(N/df) (corpus df, so boilerplate
+    that is frequent everywhere scores low), and re-run BM25 with the
+    expanded term set — the classic recall fix for vocabulary
+    mismatch between query and corpus.
+
+    Candidates exclude the seed terms, stopwords, and terms shorter
+    than ``min_expand_len``; selection scores are trunc-quantized to
+    BIGINT micro-units so the (score desc, term asc) cut is
+    engine-exact.  Driver state is bounded: fb_k ids + n_expand terms
+    (the same contract as the term-bucket literals in lookup_terms).
+    Scale: stage 1 is the persisted-narrow BM25; candidate mining
+    explodes only fb_k docs; the corpus df aggregate joins the tiny
+    candidate vocabulary.  Output adds ``expanded_terms`` (sorted
+    CSV) for auditability."""
+    from .text import STOPWORDS, tokens
+
+    fb = bm25_topk(docs, query_terms, text_col, id_col, topk=fb_k)
+    fb_ids = [r[id_col] for r in fb.select(id_col).collect()]
+    seed = {t.lower() for t in query_terms}
+    if not fb_ids:
+        out = bm25_topk(docs, query_terms, text_col, id_col, topk=topk)
+        return out.withColumn("expanded_terms", F.lit(""))
+
+    cand = (
+        docs.filter(F.col(id_col).isin(fb_ids))
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(
+            (F.length("term") >= min_expand_len)
+            & ~F.col("term").isin(*sorted(seed))
+            & ~F.col("term").isin(*STOPWORDS)
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("fb_tf"))
+    )
+    n_docs = docs.count()
+    dfreq = (
+        docs.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"))
+        .join(F.broadcast(cand.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored = cand.join(dfreq, "term").select(
+        "term",
+        (
+            F.col("fb_tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    expansion = [
+        r["term"]
+        for r in scored.orderBy(F.desc("sq"), "term").limit(n_expand).collect()
+    ]
+    out = bm25_topk(
+        docs, sorted(seed) + expansion, text_col, id_col, topk=topk
+    )
+    return out.withColumn(
+        "expanded_terms", F.lit(",".join(sorted(expansion)))
+    )

@@ -6698,3 +6698,91 @@ def x121_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_weighted_sample(
         docs, frac=0.5, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
     )
+
+
+@query(
+    "x122_prf_expanded_search",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+    ), tf1 AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('customer', 'vector', 'merge', 'stream')
+      GROUP BY doc_id, term
+    ), df1 AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY term
+    ), s1 AS (
+      SELECT tf1.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf1.tf * 2.2
+               / (tf1.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS score
+      FROM tf1 JOIN df1 d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf1.doc_id
+      ORDER BY score DESC, doc_id LIMIT 5
+    ), cand AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS fb_tf
+      FROM tok
+      WHERE doc_id IN (SELECT doc_id FROM s1)
+        AND length(term) >= 4
+        AND term NOT IN ('customer', 'vector', 'merge', 'stream')
+        AND term NOT IN ('the','a','of','and','to','in','is','it','that','for')
+      GROUP BY 1
+    ), dfr AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM tok)
+      WHERE term IN (SELECT term FROM cand) GROUP BY 1
+    ), expn AS (
+      SELECT c.term,
+             CAST(trunc(CAST(c.fb_tf AS DOUBLE)
+                        * ln(CAST(s.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS sq
+      FROM cand c JOIN dfr d USING (term) CROSS JOIN stats s
+    ), top3 AS (
+      SELECT term FROM expn ORDER BY sq DESC, term LIMIT 3
+    ), qterms AS (
+      SELECT unnest(['customer', 'merge', 'stream', 'vector']) AS term
+      UNION SELECT term FROM top3
+    ), tf2 AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN (SELECT term FROM qterms)
+      GROUP BY doc_id, term
+    ), df2 AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY term
+    ), final AS (
+      SELECT tf2.doc_id,
+             round(sum(
+               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf2.tf * 2.2
+               / (tf2.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) + 1e-9, 6) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM tf2 JOIN df2 d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf2.doc_id
+    )
+    SELECT doc_id, score, n_terms_matched,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           (SELECT string_agg(term, ',' ORDER BY term) FROM top3)
+             AS expanded_terms
+    FROM final ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def x122_prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion of the p18 query: BM25
+    top-5 as feedback, top-3 tf x ln(N/df) terms (micro-quantized
+    cut) joined into the query, final BM25 top-10 with the expansion
+    recorded.  Stage 1 and the final ranking ride the persisted-
+    narrow BM25; candidate mining explodes only the 5 feedback
+    docs."""
+    from ..operators.retrieval import prf_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prf_search(docs, ["customer", "vector", "merge", "stream"])

@@ -2658,3 +2658,31 @@ def test_km_survival_censoring_and_product(spark):
     assert out[5]["n_at_risk"] == 2
     assert abs(out[5]["survival"] - s3 * 0.5) < 1e-5
     assert set(out) == {1, 3, 5}
+
+
+def test_prf_expansion_rescues_vocabulary_mismatch(spark):
+    """A relevant doc that shares NO term with the query is
+    unreachable by plain BM25; PRF must mine the bridging term from
+    the feedback docs and retrieve it.  Generic terms frequent across
+    the whole corpus must NOT be chosen as expansion (ln(N/df) ~ 0)."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        bm25_topk,
+        prf_search,
+    )
+
+    rows = [
+        (1, "solar panel guide with photovoltaic cells common filler"),
+        (2, "solar energy systems use photovoltaic modules common filler"),
+        (3, "solar farm economics and photovoltaic yield common filler"),
+        # the vocabulary-mismatch doc: relevant, but never says 'solar'
+        (10, "photovoltaic arrays convert sunlight efficiently common"),
+    ] + [(100 + i, f"unrelated text about topic{i} common filler words here")
+         for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    plain_ids = {r["doc_id"] for r in bm25_topk(docs, ["solar"]).collect()}
+    assert 10 not in plain_ids
+
+    out = prf_search(docs, ["solar"], fb_k=3, n_expand=1, topk=10).collect()
+    assert out[0]["expanded_terms"] == "photovoltaic"
+    assert 10 in {r["doc_id"] for r in out}
