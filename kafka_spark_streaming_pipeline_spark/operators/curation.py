@@ -1865,20 +1865,27 @@ def pareto_frontier(
             ),
         )
     )
-    survivors = (
+    from ..cache import tracked_persist
+
+    # tiny by the prune argument, and multi-consumed (the per-length
+    # bounds aggregate + the final flag join) — persist so the corpus
+    # scan + prune join run once
+    survivors = tracked_persist(
         scored.join(F.broadcast(bmax), bucket == F.col("b"))
         .filter(F.col("lower_max").isNull() | (F.col("qq") > F.col("lower_max")))
         .select(id_col, "n_tokens", "qq")
     )
-    prev = W.orderBy("n_tokens").rangeBetween(W.unboundedPreceding, -1)
-    peers = W.orderBy("n_tokens").rangeBetween(0, 0)
-    flagged = survivors.select(
-        id_col,
-        "n_tokens",
-        "qq",
-        F.max("qq").over(prev).alias("prevq"),
-        F.max("qq").over(peers).alias("peerq"),
+    # BOTH skyline bounds derive from the per-length max table, so
+    # the only global window runs over an AGGREGATE (one row per
+    # distinct length — provably bounded, and the plan linter can see
+    # it): peerq is the doc's length-class max, prevq the running max
+    # over strictly shorter classes.  No survivor-row global window.
+    lengths = survivors.groupBy("n_tokens").agg(F.max("qq").alias("peerq"))
+    prev = W.orderBy("n_tokens").rowsBetween(W.unboundedPreceding, -1)
+    bounds = lengths.select(
+        "n_tokens", "peerq", F.max("peerq").over(prev).alias("prevq")
     )
+    flagged = survivors.join(F.broadcast(bounds), "n_tokens")
     return (
         flagged.filter(
             (F.col("prevq").isNull() | (F.col("prevq") < F.col("qq")))

@@ -114,15 +114,18 @@ def key_skew_profile(
     from ..cache import tracked_persist
 
     # freq (distinct-keys-sized, the product of the one corpus-sized
-    # shuffle) feeds the histogram AND the top-k scan; ff (tiny) feeds
-    # totals and the cumulative walk — without the persists each
-    # consumer re-runs the corpus aggregate (plan sweep: 6 scans/key)
+    # shuffle) feeds the histogram AND the top-k scan — persisted so
+    # no consumer re-runs the corpus aggregate (plan sweep: 6
+    # scans/key before).  ff stays UNPERSISTED on purpose: its two
+    # consumers re-aggregate the cached freq rows (trivial), and the
+    # percentile walk's single-partition exchange must be fed by the
+    # aggregate directly so the plan linter can prove it bounded
     freq = tracked_persist(
         df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
             F.count("*").alias("freq")
         )
     )
-    ff = tracked_persist(freq.groupBy("freq").agg(F.count("*").alias("nk")))
+    ff = freq.groupBy("freq").agg(F.count("*").alias("nk"))
     tot = ff.agg(
         F.sum("nk").cast("long").alias("n_keys"),
         F.sum(F.col("freq") * F.col("nk")).cast("long").alias("n_rows"),

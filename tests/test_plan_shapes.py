@@ -295,21 +295,23 @@ def test_cusum_and_robust_ride_the_cached_grid(spark, sf_dir):
 
 
 def test_pareto_frontier_windows_touch_survivors_only(spark, sf_dir):
-    """x114's global skyline windows must sit above the broadcast
-    prune join (survivor set), not the raw corpus: the plan carries
-    exactly one parquet scan, the bucket-max aggregate, and broadcast
-    joins back — no SortMergeJoin of the corpus with itself."""
+    """x114's only global window runs over the per-length AGGREGATE
+    (bounded, linter-provable); the corpus reaches it through the
+    broadcast prune join once (persisted survivors feed both the
+    bounds aggregate and the flag join) — no SortMergeJoin, no
+    data-bearing single-partition exchange."""
     from kafka_spark_streaming_pipeline_spark.catalog import load_table
     from kafka_spark_streaming_pipeline_spark.operators.curation import (
         pareto_frontier,
     )
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = pareto_frontier(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Scan parquet") <= 2  # corpus + its bucket-agg branch
+    df = pareto_frontier(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 1  # the prune-map join (the
-    # lossless filter folds into its join condition)
+    assert plan.count("InMemoryTableScan") >= 2  # persisted survivors
+    assert lint_plan(df) == []
 
 
 def test_single_scan_aggregate_audits(spark, sf_dir):
