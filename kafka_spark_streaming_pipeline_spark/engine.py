@@ -788,3 +788,11 @@ class Engine:
         from .operators.retrieval import prf_search
 
         return prf_search(self.table("documents"), terms, **kwargs)
+
+    def score_auc(self, **kwargs) -> DataFrame:
+        """Exact ROC-AUC of mean word length vs the Gopher label, per
+        source (x123) — threshold-free ranking-quality check of a
+        cheap score against the rule filter."""
+        from .plans.extensions import x123_score_auc
+
+        return x123_score_auc(self.spark, self.sf_dir)

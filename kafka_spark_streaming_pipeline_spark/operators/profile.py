@@ -329,3 +329,76 @@ def benford_audit(
             (F.col("chi2") > F.lit(crit)).alias("benford_violation"),
         )
     )
+
+
+def roc_auc(
+    rated: DataFrame,
+    score_col: str = "score_q",
+    label_col: str = "label",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact ROC-AUC of a numeric score against a boolean label, per
+    group — the threshold-free counterpart of the kappa agreement
+    check (``rater_agreement``): before trusting a cheap continuous
+    signal as a ranking proxy for an expensive classifier, measure how
+    often it ranks a positive above a negative.
+
+    AUC equals the normalized Mann-Whitney U statistic, computed from
+    a (group, score) HISTOGRAM with midranks for ties — never a
+    per-row rank over the corpus:
+
+        hist      = count of positives / negatives per distinct score
+        midrank2  = 2*(rows below) + (rows at this score) + 1
+        U         = sum(n_pos * midrank) - n_pos*(n_pos+1)/2
+        AUC       = U / (n_pos * n_neg)
+
+    Doubled midranks keep every running statistic an exact BIGINT
+    (exact up to ~2.1e9 rows per group; the final ratio is composed
+    in DOUBLE with identical op order in both engines).  The one
+    window runs per group over DISTINCT QUANTIZED SCORES — bounded by
+    score cardinality, not corpus size.  Degenerate groups (all
+    positive or all negative) report NULL: AUC is undefined there and
+    a silent 0.5 would hide a constant classifier.
+
+    Input contract: ``score_col`` must already be an exactly
+    groupable value (BIGINT quantization upstream — never raw
+    DOUBLE), ``label_col`` a non-null boolean.
+    """
+    from pyspark.sql import Window
+
+    hist = rated.groupBy(group_col, score_col).agg(
+        F.sum(F.col(label_col).cast("long")).cast("long").alias("n_pos"),
+        F.sum((~F.col(label_col)).cast("long")).cast("long").alias("n_neg"),
+    )
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    cnt = F.col("n_pos") + F.col("n_neg")
+    cum = F.sum(cnt).over(w)  # inclusive running total
+    ranked = hist.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        # 2*midrank = 2*cum_before + cnt + 1 = 2*cum - cnt + 1
+        (F.lit(2) * cum - cnt + F.lit(1)).cast("long").alias("midrank2"),
+    )
+    per = ranked.groupBy(group_col).agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos") * F.col("midrank2")).cast("long").alias("ranksum2"),
+    )
+    npd = F.col("n_pos").cast("double")
+    nnd = F.col("n_neg").cast("double")
+    # U = ranksum - n_pos*(n_pos+1)/2 ; AUC = U / (n_pos*n_neg); the
+    # doubled ranksum folds the /2 into a single final division.
+    auc = (
+        (F.col("ranksum2").cast("double") - npd * (npd + F.lit(1.0)))
+        / (F.lit(2.0) * npd * nnd)
+    )
+    return per.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(auc + F.lit(1e-9), 6) + F.lit(0.0),
+        ).alias("auc"),
+    )

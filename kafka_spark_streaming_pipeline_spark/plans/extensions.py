@@ -6786,3 +6786,98 @@ def x122_prf_expanded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prf_search(docs, ["customer", "vector", "merge", "stream"])
+
+
+@query(
+    "x123_score_auc",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+    ), tri AS (
+      SELECT source, toks,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+             ) AS tris
+      FROM t
+    ), m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+             1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE)
+               AS dup_trigram_frac
+      FROM tri
+    ), rated AS (
+      SELECT source,
+             CAST(floor(mean_word_len * 1000000.0 + 0.5) AS BIGINT) AS score_q,
+             (n_words BETWEEN 30 AND 10000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND stop_hits >= 2 AND alpha_frac >= 0.8
+               AND dup_trigram_frac <= 0.1 AS label
+      FROM m
+    ), hist AS (
+      SELECT source, score_q,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM rated GROUP BY 1, 2
+    ), ranked AS (
+      SELECT source, n_pos, n_neg,
+             2 * sum(n_pos + n_neg) OVER (
+                   PARTITION BY source ORDER BY score_q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - (n_pos + n_neg) + 1 AS midrank2
+      FROM hist
+    ), per AS (
+      SELECT source,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_neg) AS BIGINT) AS n_neg,
+             CAST(sum(n_pos * midrank2) AS BIGINT) AS ranksum2
+      FROM ranked GROUP BY 1
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round((CAST(ranksum2 AS DOUBLE)
+                    - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                   + 1e-9, 6) + 0.0
+           END AS auc
+    FROM per
+    """,
+)
+def x123_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of mean word length as a ranking signal for the
+    Gopher rule conjunction, per source — the threshold-free companion
+    to x117's kappa: before replacing the five-rule filter with one
+    cheap continuous score, measure how often the score ranks a
+    passing document above a failing one.  AUC = normalized
+    Mann-Whitney U from a per-source (score, label) HISTOGRAM with
+    doubled midranks (exact BIGINTs; window runs over distinct
+    quantized scores, never corpus rows)."""
+    from ..operators.curation import gopher_metric_columns, gopher_rule_flags
+    from ..operators.profile import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = gopher_metric_columns(F.col("text"))
+    with_metrics = docs.select(
+        F.col("source"),
+        *[expr.alias(name) for name, expr in metrics.items()],
+    )
+    flags = gopher_rule_flags()
+    label = (
+        flags["r_len"] & flags["r_word_len"] & flags["r_stop"]
+        & flags["r_alpha"] & flags["r_dup"]
+    )
+    rated = with_metrics.select(
+        "source",
+        F.floor(F.col("mean_word_len") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("score_q"),
+        label.alias("label"),
+    )
+    return roc_auc(rated)

@@ -2686,3 +2686,26 @@ def test_prf_expansion_rescues_vocabulary_mismatch(spark):
     out = prf_search(docs, ["solar"], fb_k=3, n_expand=1, topk=10).collect()
     assert out[0]["expanded_terms"] == "photovoltaic"
     assert 10 in {r["doc_id"] for r in out}
+
+
+def test_roc_auc_midranks_and_degenerate_groups(spark):
+    """Hand-computed AUC with ties: scores (1-,1+,2-,3+,3+) give
+    midranks 1.5/3/4.5, R+ = 10.5, U = 4.5, AUC = 0.75.  Perfect and
+    inverted separations hit 1.0 / 0.0; an all-positive group is
+    undefined -> NULL (never a silent 0.5)."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import roc_auc
+
+    rows = (
+        [("tie", 1, False), ("tie", 1, True), ("tie", 2, False),
+         ("tie", 3, True), ("tie", 3, True)]
+        + [("perf", s, s >= 3) for s in (1, 2, 3, 4)]
+        + [("inv", s, s < 3) for s in (1, 2, 3, 4)]
+        + [("degen", s, True) for s in (1, 2)]
+    )
+    df = spark.createDataFrame(rows, "source STRING, score_q LONG, label BOOLEAN")
+    out = {r["source"]: r for r in roc_auc(df).collect()}
+    assert out["tie"]["auc"] == round(0.75 + 1e-9, 6)
+    assert out["perf"]["auc"] == 1.0
+    assert out["inv"]["auc"] == 0.0
+    assert out["degen"]["auc"] is None
+    assert out["tie"]["n_pos"] == 3 and out["tie"]["n_neg"] == 2
