@@ -796,3 +796,16 @@ class Engine:
         from .plans.extensions import x123_score_auc
 
         return x123_score_auc(self.spark, self.sf_dir)
+
+    def weighted_sample(self, k: int = 100, **kwargs) -> DataFrame:
+        """Exactly-k priority sample with unbiased Horvitz-Thompson
+        subset-sum weights (x124)."""
+        from .operators.curation import priority_sample
+
+        return priority_sample(self.table("documents"), k=k, **kwargs)
+
+    def quality_ci(self, **kwargs) -> DataFrame:
+        """Poisson-bootstrap CI for mean quality per source (x125)."""
+        from .plans.extensions import x125_quality_bootstrap_ci
+
+        return x125_quality_bootstrap_ci(self.spark, self.sf_dir)

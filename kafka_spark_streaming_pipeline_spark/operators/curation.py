@@ -2039,3 +2039,75 @@ def rater_agreement(
         (F.round(pe + F.lit(1e-9), 6) + F.lit(0.0)).alias("chance_agree"),
         (F.round(kappa + F.lit(1e-9), 6) + F.lit(0.0)).alias("kappa"),
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "psample|",
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup, JACM 2007): an
+    exactly-k weighted sample WITHOUT replacement whose Horvitz-
+    Thompson weights make any downstream subset-sum estimate unbiased
+    — the principled way to carry a fixed-size sketch of a weighted
+    corpus (weight = token count by default) through a pipeline.
+
+    Each doc gets priority q = w / u with u the RNG-free md5 uniform
+    draw in (0, 1] (hash60(salt||id) + 1, so u is never zero); the
+    sample is the top-k priorities, the threshold tau is the
+    (k+1)-th, and each sampled doc's estimator weight is
+    ht_weight = max(w, tau): sum(ht_weight) over any predicate-
+    selected subset of the sample estimates the subset's true total
+    weight, unbiased.
+
+    Everything is IEEE +-*/ on exact integers — no transcendentals,
+    so priorities are bit-identical across engines.  Shape: one
+    map-side projection, one TakeOrderedAndProject top-(k+1) (never a
+    global sort), then rank/threshold over the k+1 survivors (persisted
+    once; provably bounded by the LIMIT).  Deterministic and stable:
+    a doc's draw never changes as the corpus grows, and re-runs
+    reproduce the sample bit-for-bit."""
+    from pyspark.sql import Window
+
+    from ..cache import tracked_persist
+    from .text import hash60, token_count
+
+    w = (weight if weight is not None else token_count(F.col(text_col)))
+    pri = docs.select(
+        F.col(id_col),
+        w.cast("long").alias("weight"),
+        (
+            w.cast("long").cast("double")
+            / (
+                (hash60(F.col(id_col).cast("string"), salt) + F.lit(1)).cast("double")
+                / F.lit(1152921504606846976.0)
+            )
+        ).alias("priority"),
+    )
+    cand = tracked_persist(
+        pri.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+    )
+    wnd = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    ranked = cand.select(
+        "*", F.row_number().over(wnd).cast("long").alias("rn")
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("priority"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    return (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "ht_weight"
+            ),
+        )
+    )

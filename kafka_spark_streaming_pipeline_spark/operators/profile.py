@@ -402,3 +402,105 @@ def roc_auc(
             F.round(auc + F.lit(1e-9), 6) + F.lit(0.0),
         ).alias("auc"),
     )
+
+
+# Poisson(1) CDF boundaries for the deterministic multiplicity draw —
+# fixed shared literals (like the Benford table): P(X <= j) for
+# j = 0..7; draws past the table get multiplicity 8 (P ~ 1e-5).
+_POISSON1_CDF = (
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_q_col: str = "value_q",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_boot: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a per-group mean —
+    the bootstrap that works when the data does not fit on one
+    machine (Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", Google 2012): instead of materializing B resampled
+    corpora, every row draws an independent Poisson(1) multiplicity
+    per replicate, which for large n is indistinguishable from
+    multinomial resampling.
+
+    The multiplicity is RNG-free: u = hash60(salt+b+'|'+id)/2^60
+    thresholded against the fixed Poisson(1) CDF literals, so every
+    replicate is deterministic and bit-identical across engines and
+    re-runs.  ``value_q_col`` must be a pre-quantized BIGINT so the
+    replicate sums are exact integers (never order-dependent DOUBLE
+    sums); the only DOUBLEs are one division per (group, replicate)
+    and the final /1e6 display scaling.
+
+    Shape: ONE corpus scan — explode b in [-1, n_boot) (b = -1 is the
+    identity replicate carrying the point estimate), map-side-combined
+    groupBy (group, b), then rank windows over n_boot rows per group.
+    Returns per group: n_docs, mean (point), ci_lo / ci_hi (the 2nd /
+    (nb-1)-th order statistics of the replicate means, a ~90% interval
+    at B = 32), n_boot_valid."""
+    from pyspark.sql import Window
+
+    b = F.explode(F.sequence(F.lit(-1), F.lit(n_boot - 1))).alias("b")
+    exploded = df.select(
+        F.col(group_col).alias("grp"), F.col(value_q_col).alias("vq"),
+        F.col(id_col).alias("rid"), b,
+    )
+    from .text import hash60
+
+    u = hash60(
+        F.concat(F.col("b").cast("string"), F.lit("|"), F.col("rid").cast("string")),
+        salt,
+    ).cast("double") / F.lit(1152921504606846976.0)
+    m = F.lit(8)
+    for j in range(len(_POISSON1_CDF) - 1, -1, -1):
+        m = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(m)
+    m = F.when(F.col("b") == -1, F.lit(1)).otherwise(m)
+    per_rep = (
+        exploded.select("grp", "b", m.cast("long").alias("m"), "vq")
+        .groupBy("grp", "b")
+        .agg(
+            F.sum("m").cast("long").alias("sum_m"),
+            F.sum(F.col("m") * F.col("vq")).cast("long").alias("sum_mv"),
+        )
+        .where((F.col("sum_m") > 0) | (F.col("b") == -1))
+        .select(
+            "grp", "b", "sum_m",
+            (F.col("sum_mv").cast("double") / F.col("sum_m").cast("double"))
+            .alias("mean_q"),
+        )
+    )
+    reps = per_rep.where(F.col("b") >= 0)
+    point = per_rep.where(F.col("b") == -1).select(
+        "grp", F.col("sum_m").alias("n_docs"), F.col("mean_q").alias("point_q")
+    )
+    wnd = Window.partitionBy("grp").orderBy("mean_q", "b")
+    ranked = reps.select(
+        "grp", "mean_q",
+        F.row_number().over(wnd).cast("long").alias("rn"),
+        F.count("*").over(Window.partitionBy("grp")).cast("long").alias("nb"),
+    )
+    ci = ranked.groupBy("grp").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_q"))).alias("lo_q"),
+        F.max(F.when(F.col("rn") == F.col("nb") - 1, F.col("mean_q"))).alias("hi_q"),
+        F.max("nb").alias("n_boot_valid"),
+    )
+    six = F.lit(1e6)
+    return point.join(ci, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        (F.round(F.col("point_q") / six + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean"),
+        (F.round(F.col("lo_q") / six + F.lit(1e-9), 6) + F.lit(0.0)).alias("ci_lo"),
+        (F.round(F.col("hi_q") / six + F.lit(1e-9), 6) + F.lit(0.0)).alias("ci_hi"),
+        "n_boot_valid",
+    )

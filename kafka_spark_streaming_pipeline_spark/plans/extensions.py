@@ -6881,3 +6881,141 @@ def x123_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         label.alias("label"),
     )
     return roc_auc(rated)
+
+
+@query(
+    "x124_priority_sample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS weight
+      FROM documents
+    ), pri AS (
+      SELECT doc_id, weight,
+             CAST(weight AS DOUBLE)
+               / (CAST(('0x' || substr(md5('psample|' || doc_id), 1, 15))::BIGINT
+                       + 1 AS DOUBLE) / 1152921504606846976.0) AS priority
+      FROM base
+    ), cand AS (
+      SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT 201
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                     AS BIGINT) AS rn
+      FROM cand
+    ), tau AS (
+      SELECT coalesce(max(CASE WHEN rn = 201 THEN priority END), 0.0) AS tau
+      FROM ranked
+    )
+    SELECT r.doc_id, r.weight, r.priority,
+           greatest(CAST(r.weight AS DOUBLE), tau.tau) AS ht_weight
+    FROM ranked r, tau WHERE r.rn <= 200
+    """,
+)
+def x124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-200 token-weighted document sample with unbiased
+    Horvitz-Thompson subset-sum weights (priority sampling).  All
+    priorities are IEEE +-*/ on exact integers (no transcendentals,
+    no RNG), so the sample is bit-reproducible and stable under
+    corpus growth; the plan is one projection + one
+    TakeOrderedAndProject — never a global sort."""
+    from ..operators.curation import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return priority_sample(docs, k=200)
+
+
+@query(
+    "x125_quality_bootstrap_ci",
+    oracle="""
+    WITH m AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_r,
+             list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS awl
+      FROM documents
+    ), q AS (
+      SELECT source, doc_id,
+             CAST(floor((((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN stop_r BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0)
+              * 1000000.0) AS BIGINT) AS vq
+      FROM m
+    ), exploded AS (
+      SELECT q.source, q.doc_id, q.vq, b.b
+      FROM q CROSS JOIN (SELECT unnest(range(-1, 32)) AS b) b
+    ), mult AS (
+      SELECT source, b, vq,
+             CASE WHEN b = -1 THEN 1
+                  WHEN u < 0.3678794411714423 THEN 0
+                  WHEN u < 0.7357588823428846 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS mm
+      FROM (
+        SELECT source, b, vq,
+               CAST(('0x' || substr(md5('boot' || b || '|' || doc_id), 1, 15))::BIGINT
+                    AS DOUBLE) / 1152921504606846976.0 AS u,
+               b AS bb
+        FROM exploded
+      )
+    ), per_rep AS (
+      SELECT source, b,
+             CAST(sum(mm) AS BIGINT) AS sum_m,
+             CAST(sum(mm * vq) AS BIGINT) AS sum_mv
+      FROM mult GROUP BY 1, 2
+      HAVING sum(mm) > 0
+    ), means AS (
+      SELECT source, b, sum_m,
+             CAST(sum_mv AS DOUBLE) / CAST(sum_m AS DOUBLE) AS mean_q
+      FROM per_rep
+    ), ranked AS (
+      SELECT source, mean_q,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY mean_q, b)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nb
+      FROM means WHERE b >= 0
+    ), ci AS (
+      SELECT source,
+             max(CASE WHEN rn = 2 THEN mean_q END) AS lo_q,
+             max(CASE WHEN rn = nb - 1 THEN mean_q END) AS hi_q,
+             max(nb) AS n_boot_valid
+      FROM ranked GROUP BY 1
+    ), pt AS (
+      SELECT source, sum_m AS n_docs, mean_q AS point_q
+      FROM means WHERE b = -1
+    )
+    SELECT pt.source, pt.n_docs,
+           round(pt.point_q / 1000000.0 + 1e-9, 6) + 0.0 AS mean,
+           round(ci.lo_q / 1000000.0 + 1e-9, 6) + 0.0 AS ci_lo,
+           round(ci.hi_q / 1000000.0 + 1e-9, 6) + 0.0 AS ci_hi,
+           ci.n_boot_valid
+    FROM pt JOIN ci USING (source)
+    """,
+)
+def x125_quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ~90% CI for the mean composite quality score
+    per source — uncertainty quantification that scales: 32 RNG-free
+    Poisson(1)-multiplicity replicates ride ONE corpus scan (explode
+    b, map-side-combined aggregate), with exact BIGINT replicate sums
+    so no order-dependent floating addition anywhere.  The identity
+    replicate (b = -1) carries the point estimate through the same
+    code path."""
+    from ..operators.profile import bootstrap_mean_ci
+    from ..operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "source",
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * F.lit(1000000.0))
+        .cast("long")
+        .alias("value_q"),
+    )
+    return bootstrap_mean_ci(rated)

@@ -2709,3 +2709,67 @@ def test_roc_auc_midranks_and_degenerate_groups(spark):
     assert out["inv"]["auc"] == 0.0
     assert out["degen"]["auc"] is None
     assert out["tie"]["n_pos"] == 3 and out["tie"]["n_neg"] == 2
+
+
+def test_priority_sample_matches_brute_force_and_saturates(spark):
+    """The top-k-by-priority set must equal a Python reimplementation
+    of the identical deterministic draw (same IEEE op order), with
+    ht_weight = max(w, tau) and tau = the (k+1)-th priority; when
+    k >= n the threshold is 0 and every HT weight is the raw weight,
+    so the sample degenerates to the full corpus."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        priority_sample,
+    )
+
+    rows = [(i, "word " * (5 + 7 * (i % 13))) for i in range(60)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id BIGINT, text STRING"
+    )
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"psample|{i}".encode()).hexdigest()[:15], 16)
+        return float(w) / ((h + 1) / 1152921504606846976.0)
+
+    weights = {i: len(t.strip().split(" ")) for i, t in rows}
+    expect = sorted(weights, key=lambda i: (-pri(i, weights[i]), i))
+    tau = pri(expect[10], weights[expect[10]])
+
+    got = priority_sample(docs, k=10).collect()
+    assert {r["doc_id"] for r in got} == set(expect[:10])
+    for r in got:
+        assert r["priority"] == pri(r["doc_id"], weights[r["doc_id"]])
+        assert r["ht_weight"] == max(float(r["weight"]), tau)
+
+    full = priority_sample(docs, k=200).collect()
+    assert len(full) == 60
+    assert all(r["ht_weight"] == float(r["weight"]) for r in full)
+
+
+def test_bootstrap_ci_collapses_for_constants_and_brackets_the_mean(spark):
+    """A constant-valued source has zero resampling variance -> the CI
+    collapses onto the point estimate; a dispersed source gets a
+    non-degenerate interval that brackets its mean and stays inside
+    the data range.  Re-running yields bit-identical intervals (the
+    draws are RNG-free)."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [("const", i, 500000) for i in range(200)] + [
+        ("spread", 1000 + i, (i % 11) * 100000) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, value_q LONG")
+    out = {r["source"]: r for r in bootstrap_mean_ci(df).collect()}
+    c = out["const"]
+    assert c["n_docs"] == 200
+    assert c["ci_lo"] == c["mean"] == c["ci_hi"] == 0.5
+    s = out["spread"]
+    assert s["ci_lo"] < s["mean"] < s["ci_hi"]
+    assert 0.0 <= s["ci_lo"] and s["ci_hi"] <= 1.0
+    assert s["n_boot_valid"] == 32
+
+    again = {r["source"]: r for r in bootstrap_mean_ci(df).collect()}
+    assert again["spread"]["ci_lo"] == s["ci_lo"]
+    assert again["spread"]["ci_hi"] == s["ci_hi"]
