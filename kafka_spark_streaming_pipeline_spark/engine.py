@@ -809,3 +809,10 @@ class Engine:
         from .plans.extensions import x125_quality_bootstrap_ci
 
         return x125_quality_bootstrap_ci(self.spark, self.sf_dir)
+
+    def source_divergence(self, **kwargs) -> DataFrame:
+        """Pairwise Jensen-Shannon divergence between source unigram
+        distributions (x126)."""
+        from .operators.curation import js_divergence_matrix
+
+        return js_divergence_matrix(self.table("documents"), **kwargs)

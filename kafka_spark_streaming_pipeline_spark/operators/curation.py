@@ -2111,3 +2111,144 @@ def priority_sample(
             ),
         )
     )
+
+
+_LN2 = 0.6931471805599453
+
+
+def js_divergence_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram term
+    distributions of every source pair — the distributional companion
+    to the KMV set-overlap matrix (x97): overlap says how much vocab
+    two crawls share, JS says how differently they USE it, which is
+    what matters when deciding if two sources are redundant in a
+    training mixture.  Symmetric, bounded in [0, ln 2].
+
+    Shared-terms-only rewrite: for M = (P+Q)/2, every term missing
+    from Q contributes exactly p*ln2 to KL(P||M), so
+
+        KL(P||M) = sum_shared p*ln(2p/(p+q)) + ln2*(1 - shared_mass_P)
+
+    and only an INNER self-join on term is needed — exclusive vocab
+    (the long tail, most of the join otherwise) never materializes as
+    pair rows; its whole effect is one exact BIGINT count per pair.
+
+    Determinism: per-term contributions are trunc-quantized to
+    pico-units (BIGINT) before summing, so no order-dependent DOUBLE
+    accumulation; shared mass is summed as raw BIGINT counts and
+    divided once.  Shape: one token histogram (map-side combined),
+    one equi-join on term (well-spread key), one pair aggregate; the
+    all-pairs skeleton is a k x k cross of the k-row totals frame."""
+    from .text import tokens
+
+    hist = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy("src").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    h = hist.join(F.broadcast(tot.select("src", "n")), "src")
+    a = h.select(
+        F.col("src").alias("source_a"),
+        "term",
+        F.col("cnt").alias("cnt_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = h.select(
+        F.col("src").alias("source_b"),
+        F.col("term"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("n").alias("n_b"),
+    )
+    pa = F.col("cnt_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("n_b").cast("double")
+    shared = (
+        a.join(b, "term")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            "cnt_a",
+            "cnt_b",
+            # cast-to-long truncates toward zero (terms can be negative
+            # when p < q) — mirrored by trunc() in the oracle, NOT floor
+            (pa * F.log(F.lit(2.0) * pa / (pa + pb)) * F.lit(1e12))
+            .cast("long")
+            .alias("ta"),
+            (pb * F.log(F.lit(2.0) * pb / (pa + pb)) * F.lit(1e12))
+            .cast("long")
+            .alias("tb"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_shared_terms"),
+            F.sum("cnt_a").cast("long").alias("sh_a"),
+            F.sum("cnt_b").cast("long").alias("sh_b"),
+            F.sum("ta").cast("long").alias("sum_ta"),
+            F.sum("tb").cast("long").alias("sum_tb"),
+        )
+    )
+    skel = (
+        tot.select(
+            F.col("src").alias("source_a"),
+            F.col("n").alias("n_a"),
+            F.col("n_terms").alias("n_terms_a"),
+        )
+        .crossJoin(
+            tot.select(
+                F.col("src").alias("source_b"),
+                F.col("n").alias("n_b"),
+                F.col("n_terms").alias("n_terms_b"),
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    j = skel.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_terms_a",
+        "n_terms_b",
+        F.coalesce(F.col("n_shared_terms"), F.lit(0)).cast("long").alias(
+            "n_shared_terms"
+        ),
+        (
+            F.lit(0.5)
+            * (
+                F.coalesce(F.col("sum_ta"), F.lit(0)).cast("double") / F.lit(1e12)
+                + F.lit(_LN2)
+                * (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("sh_a"), F.lit(0)).cast("double")
+                    / F.col("n_a").cast("double")
+                )
+            )
+            + F.lit(0.5)
+            * (
+                F.coalesce(F.col("sum_tb"), F.lit(0)).cast("double") / F.lit(1e12)
+                + F.lit(_LN2)
+                * (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("sh_b"), F.lit(0)).cast("double")
+                    / F.col("n_b").cast("double")
+                )
+            )
+        ).alias("js_raw"),
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_terms_a",
+        "n_terms_b",
+        "n_shared_terms",
+        (F.round(F.col("js_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias("js_divergence"),
+    )

@@ -7019,3 +7019,70 @@ def x125_quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_q"),
     )
     return bootstrap_mean_ci(rated)
+
+
+@query(
+    "x126_source_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS src, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hist AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_terms
+      FROM hist GROUP BY 1
+    ), h AS (
+      SELECT hist.src, hist.term, hist.cnt, tot.n
+      FROM hist JOIN tot USING (src)
+    ), shared AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_terms,
+             CAST(sum(a.cnt) AS BIGINT) AS sh_a,
+             CAST(sum(b.cnt) AS BIGINT) AS sh_b,
+             CAST(sum(CAST(trunc(
+               (CAST(a.cnt AS DOUBLE) / CAST(a.n AS DOUBLE))
+               * ln(2.0 * (CAST(a.cnt AS DOUBLE) / CAST(a.n AS DOUBLE))
+                    / ((CAST(a.cnt AS DOUBLE) / CAST(a.n AS DOUBLE))
+                       + (CAST(b.cnt AS DOUBLE) / CAST(b.n AS DOUBLE))))
+               * 1e12) AS BIGINT)) AS BIGINT) AS sum_ta,
+             CAST(sum(CAST(trunc(
+               (CAST(b.cnt AS DOUBLE) / CAST(b.n AS DOUBLE))
+               * ln(2.0 * (CAST(b.cnt AS DOUBLE) / CAST(b.n AS DOUBLE))
+                    / ((CAST(a.cnt AS DOUBLE) / CAST(a.n AS DOUBLE))
+                       + (CAST(b.cnt AS DOUBLE) / CAST(b.n AS DOUBLE))))
+               * 1e12) AS BIGINT)) AS BIGINT) AS sum_tb
+      FROM h a JOIN h b ON a.term = b.term AND a.src < b.src
+      GROUP BY 1, 2
+    ), skel AS (
+      SELECT a.src AS source_a, a.n AS n_a, a.n_terms AS n_terms_a,
+             b.src AS source_b, b.n AS n_b, b.n_terms AS n_terms_b
+      FROM tot a CROSS JOIN tot b WHERE a.src < b.src
+    )
+    SELECT s.source_a, s.source_b, s.n_terms_a, s.n_terms_b,
+           CAST(coalesce(sh.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+           round(0.5 * (CAST(coalesce(sh.sum_ta, 0) AS DOUBLE) / 1e12
+                        + 0.6931471805599453
+                          * (1.0 - CAST(coalesce(sh.sh_a, 0) AS DOUBLE)
+                                   / CAST(s.n_a AS DOUBLE)))
+                 + 0.5 * (CAST(coalesce(sh.sum_tb, 0) AS DOUBLE) / 1e12
+                        + 0.6931471805599453
+                          * (1.0 - CAST(coalesce(sh.sh_b, 0) AS DOUBLE)
+                                   / CAST(s.n_b AS DOUBLE)))
+                 + 1e-9, 6) + 0.0 AS js_divergence
+    FROM skel s LEFT JOIN shared sh USING (source_a, source_b)
+    """,
+)
+def x126_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the distributional redundancy signal next to
+    x97's KMV set overlap.  Shared-terms-only rewrite (exclusive
+    vocab's entire effect is ln2 * unshared mass, from exact BIGINT
+    counts), pico-quantized BIGINT per-term contributions (no
+    order-dependent DOUBLE sums), one histogram + one term equi-join
+    + one pair aggregate."""
+    from ..operators.curation import js_divergence_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_matrix(docs)

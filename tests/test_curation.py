@@ -769,3 +769,32 @@ def test_soft_dedup_flattens_cluster_mass(spark):
     assert {(r["doc_id"], r["selected"]) for r in again} == {
         (r["doc_id"], r["selected"]) for r in out
     }
+
+
+def test_js_divergence_identical_disjoint_and_half_shared(spark):
+    """Identical distributions score 0; fully disjoint vocabularies
+    score ln 2; A={a,b} uniform vs B={a,c} uniform shares only 'a'
+    (p=q=0.5, zero shared contribution) so JS = ln2/2 exactly.  The
+    matrix is the strict upper triangle of the source set."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        js_divergence_matrix,
+    )
+
+    rows = (
+        [("s1", i, "a b") for i in range(10)]
+        + [("s2", 100 + i, "a b") for i in range(10)]
+        + [("s3", 200 + i, "x y") for i in range(10)]
+        + [("s4", 300 + i, "a c") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = {
+        (r["source_a"], r["source_b"]): r for r in js_divergence_matrix(docs).collect()
+    }
+    assert len(out) == 6
+    ln2 = 0.6931471805599453
+    assert out[("s1", "s2")]["js_divergence"] == 0.0
+    assert out[("s1", "s3")]["js_divergence"] == round(ln2 + 1e-9, 6)
+    assert out[("s1", "s3")]["n_shared_terms"] == 0
+    assert out[("s1", "s4")]["js_divergence"] == round(ln2 / 2 + 1e-9, 6)
+    assert out[("s1", "s4")]["n_shared_terms"] == 1
+    assert out[("s1", "s2")]["n_terms_a"] == 2
