@@ -2070,9 +2070,31 @@ def priority_sample(
     once; provably bounded by the LIMIT).  Deterministic and stable:
     a doc's draw never changes as the corpus grows, and re-runs
     reproduce the sample bit-for-bit."""
-    from pyspark.sql import Window
-
     from ..cache import tracked_persist
+
+    cand = tracked_persist(
+        priority_candidates(
+            docs, k, weight=weight, id_col=id_col, text_col=text_col, salt=salt
+        )
+    )
+    return sample_from_candidates(cand, k, id_col=id_col)
+
+
+def priority_candidates(
+    docs: DataFrame,
+    k: int,
+    weight=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "psample|",
+) -> DataFrame:
+    """The top-(k+1) (id, weight, priority) rows by the deterministic
+    priority draw — the mergeable HALF of priority sampling: any
+    member of the global top-(k+1) is necessarily in its own subset's
+    top-(k+1), so top-(k+1) of a union of candidate sets equals the
+    candidates of the union (associative, commutative, idempotent).
+    The streaming sink logs this per batch; ``sample_from_candidates``
+    finishes either path."""
     from .text import hash60, token_count
 
     w = (weight if weight is not None else token_count(F.col(text_col)))
@@ -2087,9 +2109,19 @@ def priority_sample(
             )
         ).alias("priority"),
     )
-    cand = tracked_persist(
-        pri.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
-    )
+    return pri.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+
+
+def sample_from_candidates(
+    cand: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Finish priority sampling from a BOUNDED candidate frame (at
+    most k+1 distinct docs after upstream dedup): rank, take the
+    threshold tau from the (k+1)-th priority, emit the top-k with
+    ht_weight = max(w, tau).  The global window is provably bounded
+    by the candidate LIMIT."""
+    from pyspark.sql import Window
+
     wnd = Window.orderBy(F.col("priority").desc(), F.col(id_col))
     ranked = cand.select(
         "*", F.row_number().over(wnd).cast("long").alias("rn")

@@ -1631,3 +1631,62 @@ def compact_manifest(spark, path: str, quiesced: bool = True) -> None:
     fold is itself a valid partial (same mergeable schema), so live
     appends keep composing after compaction."""
     _compact(spark, path, _manifest_view_of, quiesced)
+
+
+def make_priority_sample_sink(path: str, k: int = 100, **candidate_kwargs):
+    """Continuously-maintained priority sample (the streaming twin of
+    x124): each batch appends its LOCAL top-(k+1) priority candidates
+    — any member of the global top-(k+1) is necessarily in its own
+    batch's top-(k+1), so the union of candidate logs always contains
+    the exact global candidate set and the merged view is BIT-EQUAL
+    to batch priority_sample over every document ever ingested.  The
+    log grows by at most k+1 rows per batch regardless of batch size;
+    priorities are deterministic per doc id, so replays and
+    re-ingestions append identical rows that the view dedups."""
+    from ..operators.curation import priority_candidates
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = priority_candidates(batch_df, k, **candidate_kwargs)
+        AtomicParquetTable(path).append(
+            cand.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _psample_candidates_of(log: DataFrame, k: int, id_col: str) -> DataFrame:
+    # priorities are a pure function of doc id, so identical rows from
+    # replays OR genuine re-ingestions collapse under the id dedup
+    dedup = _drop_replays_behind_watermark(log).dropDuplicates([id_col])
+    return (
+        dedup.drop("__commit")
+        .orderBy(F.col("priority").desc(), F.col(id_col))
+        .limit(k + 1)
+    )
+
+
+def priority_sample_view(
+    spark, path: str, k: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """Current merged priority sample with Horvitz-Thompson weights —
+    bit-equal to operators.curation.priority_sample over the union of
+    all ingested batches."""
+    from ..operators.curation import sample_from_candidates
+
+    return sample_from_candidates(
+        _psample_candidates_of(_read_log(spark, path), k, id_col), k, id_col
+    )
+
+
+def compact_priority_sample(
+    spark, path: str, k: int = 100, id_col: str = "doc_id", quiesced: bool = True
+) -> None:
+    """Fold the candidate log to the current global top-(k+1) rows;
+    the fold is itself a valid candidate partial (same schema, and
+    top-(k+1) of a union that includes the folded top-(k+1) is
+    unchanged), so live appends keep composing after compaction."""
+    _compact(
+        spark, path, lambda log: _psample_candidates_of(log, k, id_col), quiesced
+    )

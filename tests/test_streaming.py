@@ -2308,3 +2308,56 @@ def test_streaming_robust_view_matches_batch(spark, tmp_path):
     for k in want:
         for c in ("cnt", "median_cnt", "robust_z", "is_outlier"):
             assert got[k][c] == want[k][c], (k, c)
+
+
+def test_streaming_priority_sample_bit_equal_to_batch(spark, sf_dir, tmp_path):
+    """The merged streaming priority sample must be BIT-EQUAL to batch
+    priority_sample over all ingested docs (local top-(k+1) candidates
+    always contain the global ones), survive replay AND re-ingestion
+    of the same docs (priorities are pure functions of the id), and
+    keep composing after online compaction."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        priority_sample,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_priority_sample,
+        make_priority_sample_sink,
+        priority_sample_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "psample")
+    sink = make_priority_sample_sink(path, k=25)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {
+            r["doc_id"]: tuple(r)
+            for r in priority_sample_view(spark, path, k=25).collect()
+        }
+
+    two = view()
+    want_two = {
+        r["doc_id"]: tuple(r)
+        for r in priority_sample(
+            docs.filter(F.col("doc_id") % 3 != 2), k=25
+        ).collect()
+    }
+    assert two == want_two and len(two) == 25
+    sink(b1, 1)  # replay: identical candidate rows dedup away
+    assert view() == two
+    sink(b0, 2)  # re-ingestion under a NEW id: still identical rows
+    assert view() == two
+    compact_priority_sample(spark, path, k=25, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch: watermark drops it
+    assert view() == two
+    sink(b2, 3)  # live append composes with the folded candidates
+    want_all = {
+        r["doc_id"]: tuple(r) for r in priority_sample(docs, k=25).collect()
+    }
+    assert view() == want_all
