@@ -449,15 +449,33 @@ def bootstrap_mean_ci(
     Returns per group: n_docs, mean (point), ci_lo / ci_hi (the 2nd /
     (nb-1)-th order statistics of the replicate means, a ~90% interval
     at B = 32), n_boot_valid."""
-    from pyspark.sql import Window
+    return ci_from_bootstrap_partials(
+        bootstrap_partials(df, value_q_col, group_col, id_col, n_boot, salt),
+        group_col,
+    )
+
+
+def bootstrap_partials(
+    df: DataFrame,
+    value_q_col: str = "value_q",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    n_boot: int = 32,
+    salt: str = "boot",
+) -> DataFrame:
+    """The mergeable HALF of the Poisson bootstrap: per (group,
+    replicate) BIGINT sums (sum_m, sum_mv).  Multiplicities are pure
+    functions of (replicate, doc id), so partials from disjoint
+    batches ADD to exactly the whole-corpus partial — the streaming
+    sink logs these per batch and the merged CI is bit-equal to the
+    batch bootstrap."""
+    from .text import hash60
 
     b = F.explode(F.sequence(F.lit(-1), F.lit(n_boot - 1))).alias("b")
     exploded = df.select(
         F.col(group_col).alias("grp"), F.col(value_q_col).alias("vq"),
         F.col(id_col).alias("rid"), b,
     )
-    from .text import hash60
-
     u = hash60(
         F.concat(F.col("b").cast("string"), F.lit("|"), F.col("rid").cast("string")),
         salt,
@@ -466,13 +484,27 @@ def bootstrap_mean_ci(
     for j in range(len(_POISSON1_CDF) - 1, -1, -1):
         m = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(m)
     m = F.when(F.col("b") == -1, F.lit(1)).otherwise(m)
-    per_rep = (
+    return (
         exploded.select("grp", "b", m.cast("long").alias("m"), "vq")
         .groupBy("grp", "b")
         .agg(
             F.sum("m").cast("long").alias("sum_m"),
             F.sum(F.col("m") * F.col("vq")).cast("long").alias("sum_mv"),
         )
+    )
+
+
+def ci_from_bootstrap_partials(
+    partials: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Finish the bootstrap from (possibly merged) per-(group,
+    replicate) partial sums: drop empty replicates, rank the replicate
+    means, report point estimate + order-statistic CI.  All windows
+    run over at most n_boot rows per group."""
+    from pyspark.sql import Window
+
+    per_rep = (
+        partials
         .where((F.col("sum_m") > 0) | (F.col("b") == -1))
         .select(
             "grp", "b", "sum_m",

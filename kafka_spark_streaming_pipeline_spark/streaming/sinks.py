@@ -1690,3 +1690,61 @@ def compact_priority_sample(
     _compact(
         spark, path, lambda log: _psample_candidates_of(log, k, id_col), quiesced
     )
+
+
+def make_bootstrap_ci_sink(path: str, value_q, n_boot: int = 32, **kw):
+    """Continuously-maintained Poisson-bootstrap CI (the streaming
+    twin of x125): each batch appends its per-(group, replicate)
+    BIGINT partial sums — multiplicities are pure functions of
+    (replicate, doc id), so partials from disjoint batches ADD to
+    exactly the whole-corpus partial and the merged CI is BIT-EQUAL
+    to the batch bootstrap over every document ever ingested.  The
+    log grows by ~groups x (n_boot + 1) rows per batch regardless of
+    batch size.  ``value_q`` is a Column producing the pre-quantized
+    BIGINT value (e.g. floor(quality_score * 1e6))."""
+    from ..operators.profile import bootstrap_partials
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rated = batch_df.select(
+            kw.get("group_col", "source"),
+            kw.get("id_col", "doc_id"),
+            value_q.alias("value_q"),
+        )
+        partial = bootstrap_partials(rated, n_boot=n_boot, **kw)
+        AtomicParquetTable(path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _bootstrap_partials_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "grp", "b"])
+        .groupBy("grp", "b")
+        .agg(
+            F.sum("sum_m").cast("long").alias("sum_m"),
+            F.sum("sum_mv").cast("long").alias("sum_mv"),
+        )
+    )
+
+
+def bootstrap_ci_view(spark, path: str, group_col: str = "source") -> DataFrame:
+    """Current merged bootstrap CI — bit-equal to
+    operators.profile.bootstrap_mean_ci over the union of all
+    ingested batches."""
+    from ..operators.profile import ci_from_bootstrap_partials
+
+    return ci_from_bootstrap_partials(
+        _bootstrap_partials_of(_read_log(spark, path)), group_col
+    )
+
+
+def compact_bootstrap_ci(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the partial log to one merged row per (group, replicate);
+    the fold is itself a valid partial (sums of sums), so live appends
+    keep composing after compaction."""
+    _compact(spark, path, _bootstrap_partials_of, quiesced)

@@ -2361,3 +2361,50 @@ def test_streaming_priority_sample_bit_equal_to_batch(spark, sf_dir, tmp_path):
         r["doc_id"]: tuple(r) for r in priority_sample(docs, k=25).collect()
     }
     assert view() == want_all
+
+
+def test_streaming_bootstrap_ci_bit_equal_to_batch(spark, sf_dir, tmp_path):
+    """The merged streaming bootstrap CI must be BIT-EQUAL to the
+    batch Poisson bootstrap over all ingested docs (per-replicate
+    BIGINT partials add exactly), survive replay, and keep composing
+    after online compaction."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        bootstrap_mean_ci,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import quality_score
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        bootstrap_ci_view,
+        compact_bootstrap_ci,
+        make_bootstrap_ci_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vq = F.floor(quality_score(F.col("text")) * F.lit(1000000.0)).cast("long")
+
+    def batch_ci(frame):
+        rated = frame.select("source", "doc_id", vq.alias("value_q"))
+        return {r["source"]: tuple(r) for r in bootstrap_mean_ci(rated).collect()}
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "bootci")
+    sink = make_bootstrap_ci_sink(path, vq)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {
+            r["source"]: tuple(r) for r in bootstrap_ci_view(spark, path).collect()
+        }
+
+    two = view()
+    assert two == batch_ci(docs.filter(F.col("doc_id") % 3 != 2))
+    sink(b1, 1)  # replay: per-commit dedup keeps the view unchanged
+    assert view() == two
+    compact_bootstrap_ci(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch: watermark drops it
+    assert view() == two
+    sink(b2, 2)  # live append composes with the folded partials
+    assert view() == batch_ci(docs)
