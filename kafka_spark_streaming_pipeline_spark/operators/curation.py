@@ -2172,12 +2172,15 @@ def js_divergence_matrix(
     Determinism: per-term contributions are trunc-quantized to
     pico-units (BIGINT) before summing, so no order-dependent DOUBLE
     accumulation; shared mass is summed as raw BIGINT counts and
-    divided once.  Shape: one token histogram (map-side combined),
-    one equi-join on term (well-spread key), one pair aggregate; the
+    divided once.  Shape: ONE token histogram (map-side combined,
+    PERSISTED — it feeds the totals and both join sides, so without
+    the persist the corpus explode would run four times), one
+    equi-join on term (well-spread key), one pair aggregate; the
     all-pairs skeleton is a k x k cross of the k-row totals frame."""
+    from ..cache import tracked_persist
     from .text import tokens
 
-    hist = (
+    hist = tracked_persist(
         docs.select(
             F.col(source_col).alias("src"),
             F.explode(tokens(F.col(text_col))).alias("term"),

@@ -331,3 +331,34 @@ def test_single_scan_aggregate_audits(spark, sf_dir):
         # either <=2 raw scans, or every consumer reads the persisted
         # narrow frame (textual scans nest inside cached printouts)
         assert scans <= 2 or (cached >= 2 and scans <= cached), (name, scans, cached)
+
+
+def test_round6_stat_queries_plan_shapes(spark, sf_dir):
+    """x123/x125 are one-scan histogram/aggregate shapes; x124's only
+    ordering is TakeOrderedAndProject over the persisted LIMIT-bounded
+    candidates; x126's persisted token histogram feeds the totals and
+    BOTH join sides (the corpus explode runs once).  All four lint
+    clean."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    for name in (
+        "x123_score_auc",
+        "x124_priority_sample",
+        "x125_quality_bootstrap_ci",
+        "x126_source_js_divergence",
+    ):
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert lint_plan(df) == [], name
+        scans = plan.count("Scan parquet")
+        cached = plan.count("InMemoryTableScan")
+        assert scans <= 2 or (cached >= 2 and scans <= cached), (
+            name, scans, cached,
+        )
+        if name == "x124_priority_sample":
+            assert "TakeOrderedAndProject" in plan
+            assert "Sort " not in plan, "global sort crept into x124"
+        if name == "x126_source_js_divergence":
+            assert cached >= 4, cached  # histogram persisted for all consumers

@@ -111,6 +111,13 @@ AUDITED = {
     "x117_rater_agreement": "rater kappa: one scan, one k-row 2x2-cell aggregate; marginal products composed in DOUBLE (no BIGINT n^2 overflow)",
     "x118_benford_audit": "benford: one scan to a 9-row digit aggregate; chi-square rides broadcast back; digit via integer-cents string prefix, no log10",
     "x119_dedup_graph_triangles": "triangles: degree-oriented wedge join over the capped pair set only (out-degree <= sqrt(2m)) — corpus never touched, hub-proof",
+    "x120_km_survival": "KM survival: per-user 2-aggregate to durations, duration histogram to risk sets via cumulative counts; product = exp of prefix-summed nano-quantized BIGINT log factors — data never sorts",
+    "x121_soft_dedup_sample": "soft dedup: p14 closure supplies cluster ids; cluster sizes broadcast back; the keep decision is a map-only hash draw",
+    "x122_prf_expanded_search": "PRF: both BM25 passes ride the persisted narrow tf frame; candidate mining explodes only the fb_k feedback docs; expansion terms are a bounded (top-3) driver literal",
+    "x123_score_auc": "ROC-AUC: one scan to a (source, score) histogram; midrank window runs over distinct quantized scores, never corpus rows; final k-row ratio composed in DOUBLE",
+    "x124_priority_sample": "priority sample: map-only IEEE priority projection + TakeOrderedAndProject top-(k+1); rank/threshold over the persisted LIMIT-bounded candidates",
+    "x125_quality_bootstrap_ci": "bootstrap CI: ONE corpus scan through the 33-replicate explode into a map-side-combined (source, b) aggregate; rank windows over <= 32 rows per source",
+    "x126_source_js_divergence": "JS divergence: PERSISTED token histogram feeds totals and both join sides (corpus explodes once); shared-terms-only equi-join on term; k x k skeleton crosses the k-row totals frame",
 }
 
 
