@@ -95,6 +95,12 @@ HEADLINE = [
     # reproducible run pins alongside its data).
     "x104_entity_resolution",
     "x108_shard_manifest",
+    # r06 fourth batch: the hourly-grid monitoring family's newest
+    # member (CUSUM level shifts — prefix-sum/prefix-min rewrite over
+    # the shared cached grid) and the two-stage IR workload (PRF
+    # expansion = two full BM25 passes + candidate mining).
+    "x113_cusum_changepoints",
+    "x122_prf_expanded_search",
 ]
 
 
