@@ -797,9 +797,10 @@ class Engine:
 
         return x123_score_auc(self.spark, self.sf_dir)
 
-    def weighted_sample(self, k: int = 100, **kwargs) -> DataFrame:
+    def ht_sample(self, k: int = 100, **kwargs) -> DataFrame:
         """Exactly-k priority sample with unbiased Horvitz-Thompson
-        subset-sum weights (x124)."""
+        subset-sum weights (x124).  Distinct from ``weighted_sample``
+        (x58), the Bernoulli keep-probability downsample."""
         from .operators.curation import priority_sample
 
         return priority_sample(self.table("documents"), k=k, **kwargs)
