@@ -817,3 +817,9 @@ class Engine:
         from .operators.curation import js_divergence_matrix
 
         return js_divergence_matrix(self.table("documents"), **kwargs)
+
+    def concentration(self, **kwargs) -> DataFrame:
+        """Exact Gini concentration of token mass per source (x127)."""
+        from .plans.extensions import x127_token_gini
+
+        return x127_token_gini(self.spark, self.sf_dir)

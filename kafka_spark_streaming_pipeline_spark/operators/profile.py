@@ -536,3 +536,67 @@ def ci_from_bootstrap_partials(
         (F.round(F.col("hi_q") / six + F.lit(1e-9), 6) + F.lit(0.0)).alias("ci_hi"),
         "n_boot_valid",
     )
+
+
+def gini_concentration(
+    rated: DataFrame,
+    weight_col: str = "weight",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative weight per group — the
+    concentration diagnostic for a corpus: a source whose token mass
+    sits in a few giant documents (or a key whose traffic sits on a
+    few users) behaves very differently under sharding, sampling, and
+    dedup than a flat one.  G = 0 is perfectly flat, G -> 1 is fully
+    concentrated.
+
+    Computed from a (group, weight) HISTOGRAM with cumulative counts
+    — the data is never sorted: for the ascending distinct weights,
+    a tie-group of c docs at weight w after C lighter docs contributes
+    w * (c*C + c*(c+1)/2) to the rank-weighted sum S, and
+    G = 2*S / (n*T) - (n+1)/n.  Each group's contribution is
+    normalized by n*T FIRST and trunc-quantized to pico-units
+    (BIGINT), so the cross-group sum is order-independent and no
+    intermediate exceeds BIGINT at any corpus size (raw S would
+    overflow at ~3e6 docs x 1e6 tokens).  The one window runs per
+    group over DISTINCT WEIGHTS, never corpus rows."""
+    from pyspark.sql import Window
+
+    hist = rated.groupBy(group_col, weight_col).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    tot = hist.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(F.col("cnt") * F.col(weight_col)).cast("long").alias("total_weight"),
+    )
+    w = Window.partitionBy(group_col).orderBy(weight_col)
+    cum = F.sum("cnt").over(w)
+    with_prior = hist.select(
+        group_col,
+        weight_col,
+        "cnt",
+        (cum - F.col("cnt")).cast("long").alias("c_before"),
+    ).join(F.broadcast(tot), group_col)
+    cd = F.col("cnt").cast("double")
+    term = (
+        F.col(weight_col).cast("double")
+        * (cd * F.col("c_before").cast("double") + cd * (cd + F.lit(1.0)) / F.lit(2.0))
+        / (F.col("n_docs").cast("double") * F.col("total_weight").cast("double"))
+        * F.lit(1e12)
+    ).cast("long")
+    per = with_prior.groupBy(group_col).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("total_weight").alias("total_weight"),
+        F.sum(term).cast("long").alias("s_q"),
+    )
+    nd = F.col("n_docs").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("s_q").cast("double") / F.lit(1e12)
+        - (nd + F.lit(1.0)) / nd
+    )
+    return per.select(
+        group_col,
+        "n_docs",
+        "total_weight",
+        (F.round(gini + F.lit(1e-9), 6) + F.lit(0.0)).alias("gini"),
+    )

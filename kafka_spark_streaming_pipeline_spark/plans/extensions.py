@@ -7086,3 +7086,63 @@ def x126_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return js_divergence_matrix(docs)
+
+
+@query(
+    "x127_token_gini",
+    oracle="""
+    WITH rated AS (
+      SELECT source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS weight
+      FROM documents
+    ), hist AS (
+      SELECT source, weight, CAST(count(*) AS BIGINT) AS cnt
+      FROM rated GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(cnt * weight) AS BIGINT) AS total_weight
+      FROM hist GROUP BY 1
+    ), wp AS (
+      SELECT h.source, h.weight, h.cnt,
+             CAST(sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.weight
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - h.cnt
+                  AS BIGINT) AS c_before,
+             t.n_docs, t.total_weight
+      FROM hist h JOIN tot t USING (source)
+    ), terms AS (
+      SELECT source, n_docs, total_weight,
+             CAST(trunc(CAST(weight AS DOUBLE)
+                  * (CAST(cnt AS DOUBLE) * CAST(c_before AS DOUBLE)
+                     + CAST(cnt AS DOUBLE) * (CAST(cnt AS DOUBLE) + 1.0) / 2.0)
+                  / (CAST(n_docs AS DOUBLE) * CAST(total_weight AS DOUBLE))
+                  * 1e12) AS BIGINT) AS tq
+      FROM wp
+    ), per AS (
+      SELECT source, max(n_docs) AS n_docs,
+             max(total_weight) AS total_weight,
+             CAST(sum(tq) AS BIGINT) AS s_q
+      FROM terms GROUP BY 1
+    )
+    SELECT source, n_docs, total_weight,
+           round(2.0 * CAST(s_q AS DOUBLE) / 1e12
+                 - (CAST(n_docs AS DOUBLE) + 1.0) / CAST(n_docs AS DOUBLE)
+                 + 1e-9, 6) + 0.0 AS gini
+    FROM per
+    """,
+)
+def x127_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of token mass across documents, per
+    source — flags sources whose content sits in a few giant docs
+    (sharding/sampling/dedup all behave differently there).  Histogram
+    + cumulative-count rewrite: the data is never sorted; each distinct
+    weight's rank-weighted contribution is normalized FIRST and
+    pico-quantized so the cross-group sum is order-independent and
+    BIGINT-safe at any corpus size."""
+    from ..operators.profile import gini_concentration
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        "source", token_count(F.col("text")).alias("weight")
+    )
+    return gini_concentration(rated)

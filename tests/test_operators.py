@@ -2773,3 +2773,30 @@ def test_bootstrap_ci_collapses_for_constants_and_brackets_the_mean(spark):
     again = {r["source"]: r for r in bootstrap_mean_ci(df).collect()}
     assert again["spread"]["ci_lo"] == s["ci_lo"]
     assert again["spread"]["ci_hi"] == s["ci_hi"]
+
+
+def test_gini_concentration_flat_vs_concentrated(spark):
+    """All-equal weights give G = 0; n-1 near-zero docs plus one giant
+    approach G -> (n-1)/n; a hand case (weights 1,1,2,4: S = 1+2+6+16
+    = 25, G = 50/32 - 5/4 = 0.3125) pins the histogram/tie
+    arithmetic."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("flat", 7) for _ in range(50)]
+        + [("conc", 1) for _ in range(49)]
+        + [("conc", 100000)]
+        + [("hand", 1), ("hand", 1), ("hand", 2), ("hand", 4)]
+    )
+    df = spark.createDataFrame(rows, "source STRING, weight LONG")
+    out = {r["source"]: r for r in gini_concentration(df).collect()}
+    assert out["flat"]["gini"] == 0.0
+    # exact: G = 2*S/(n*T) - (n+1)/n with S = sum(i * w_sorted_i)
+    n, t = 50, 49 + 100000
+    s = sum((i + 1) * 1 for i in range(49)) + 50 * 100000
+    want = round(2 * s / (n * t) - (n + 1) / n + 1e-9, 6)
+    assert abs(out["conc"]["gini"] - want) < 2e-6
+    assert out["hand"]["gini"] == round(0.3125 + 1e-9, 6)
+    assert out["hand"]["n_docs"] == 4 and out["hand"]["total_weight"] == 8

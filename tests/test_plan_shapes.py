@@ -347,6 +347,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x124_priority_sample",
         "x125_quality_bootstrap_ci",
         "x126_source_js_divergence",
+        "x127_token_gini",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
