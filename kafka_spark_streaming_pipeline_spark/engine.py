@@ -823,3 +823,10 @@ class Engine:
         from .plans.extensions import x127_token_gini
 
         return x127_token_gini(self.spark, self.sf_dir)
+
+    def signal_rank_corr(self, **kwargs) -> DataFrame:
+        """Spearman rank correlation between quality signals per
+        source (x128) — the monotone-proxy screen."""
+        from .plans.extensions import x128_signal_rank_corr
+
+        return x128_signal_rank_corr(self.spark, self.sf_dir)

@@ -600,3 +600,88 @@ def gini_concentration(
         "total_weight",
         (F.round(gini + F.lit(1e-9), 6) + F.lit(0.0)).alias("gini"),
     )
+
+
+def spearman_correlation(
+    rated: DataFrame,
+    x_col: str = "x_q",
+    y_col: str = "y_q",
+    group_col: str = "source",
+) -> DataFrame:
+    """Exact-rank Spearman correlation between two numeric signals per
+    group — the robust companion to the Pearson correlation_matrix:
+    rank correlation answers "is signal B just a monotone proxy for
+    signal A?" without being dragged by outliers or nonlinearity,
+    which is the screen run before dropping one of two quality scores.
+
+    Spearman = Pearson on midranks.  Midranks come from per-signal
+    (group, value) HISTOGRAMS with cumulative counts (the x123
+    discipline — doubled midranks, exact BIGINTs, windows over
+    distinct quantized values only), joined back on the well-spread
+    (group, value) key.  Rank sums have the closed form n(n+1), so
+    the means are exact; the three second moments are computed on
+    [0,1]-normalized midranks with per-doc products trunc-quantized
+    to nano-units (BIGINT), making the sums order-independent and
+    overflow-proof to ~9e9 docs per group (raw midrank product sums
+    overflow BIGINT at ~1.3e6).  Degenerate constant signals report
+    NULL.  Input contract: x/y pre-quantized BIGINTs.
+
+    The narrow (group, x, y) projection is PERSISTED — it feeds both
+    histograms, the totals, and the join-back, so without the persist
+    the corpus scan would run four times (the BM25 narrow-frame
+    discipline)."""
+    from pyspark.sql import Window
+
+    from ..cache import tracked_persist
+
+    rated = tracked_persist(rated.select(group_col, x_col, y_col))
+
+    def midrank2(col: str, out: str) -> DataFrame:
+        hist = rated.groupBy(group_col, col).agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        w = Window.partitionBy(group_col).orderBy(col)
+        cum = F.sum("cnt").over(w)
+        return hist.select(
+            group_col,
+            col,
+            (F.lit(2) * cum - F.col("cnt") + F.lit(1)).cast("long").alias(out),
+        )
+
+    tot = rated.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    joined = (
+        rated.join(midrank2(x_col, "r2x"), [group_col, x_col])
+        .join(midrank2(y_col, "r2y"), [group_col, y_col])
+        .join(F.broadcast(tot), group_col)
+    )
+    nd = F.col("n_docs").cast("double")
+    ux = F.col("r2x").cast("double") / (F.lit(2.0) * nd)
+    uy = F.col("r2y").cast("double") / (F.lit(2.0) * nd)
+    giga = F.lit(1e9)
+    per = joined.select(
+        group_col,
+        "n_docs",
+        (ux * ux * giga).cast("long").alias("qxx"),
+        (uy * uy * giga).cast("long").alias("qyy"),
+        (ux * uy * giga).cast("long").alias("qxy"),
+    ).groupBy(group_col).agg(
+        F.max("n_docs").alias("n_docs"),
+        F.sum("qxx").cast("long").alias("sxx"),
+        F.sum("qyy").cast("long").alias("syy"),
+        F.sum("qxy").cast("long").alias("sxy"),
+    )
+    nd2 = F.col("n_docs").cast("double")
+    # mean normalized midrank is exactly (n+1)/(2n) for BOTH signals
+    mean_u = (nd2 + F.lit(1.0)) / (F.lit(2.0) * nd2)
+    exx = F.col("sxx").cast("double") / (F.lit(1e9) * nd2) - mean_u * mean_u
+    eyy = F.col("syy").cast("double") / (F.lit(1e9) * nd2) - mean_u * mean_u
+    exy = F.col("sxy").cast("double") / (F.lit(1e9) * nd2) - mean_u * mean_u
+    rho = exy / F.sqrt(exx * eyy)
+    return per.select(
+        group_col,
+        "n_docs",
+        F.when(
+            (exx > 0) & (eyy > 0),
+            F.round(rho + F.lit(1e-9), 6) + F.lit(0.0),
+        ).alias("spearman_rho"),
+    )

@@ -7146,3 +7146,107 @@ def x127_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", token_count(F.col("text")).alias("weight")
     )
     return gini_concentration(rated)
+
+
+@query(
+    "x128_signal_rank_corr",
+    oracle="""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS toks FROM documents
+    ), m AS (
+      SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             list_sum(list_transform(toks, x -> length(x)))
+               / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(toks,
+               x -> x IN ('the','a','of','and','to','in','is','it','that','for')))
+               AS BIGINT) AS stop_hits
+      FROM t
+    ), rated AS (
+      SELECT source,
+             CAST(floor(mean_word_len * 1000000.0 + 0.5) AS BIGINT) AS x_q,
+             CAST(floor(CAST(stop_hits AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS y_q
+      FROM m
+    ), hx AS (
+      SELECT source, x_q,
+             CAST(2 * sum(count(*)) OVER (PARTITION BY source ORDER BY x_q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - count(*) + 1 AS BIGINT) AS r2x
+      FROM rated GROUP BY source, x_q
+    ), hy AS (
+      SELECT source, y_q,
+             CAST(2 * sum(count(*)) OVER (PARTITION BY source ORDER BY y_q
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - count(*) + 1 AS BIGINT) AS r2y
+      FROM rated GROUP BY source, y_q
+    ), tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM rated GROUP BY 1
+    ), joined AS (
+      SELECT r.source, tot.n_docs,
+             CAST(hx.r2x AS DOUBLE) / (2.0 * CAST(tot.n_docs AS DOUBLE)) AS ux,
+             CAST(hy.r2y AS DOUBLE) / (2.0 * CAST(tot.n_docs AS DOUBLE)) AS uy
+      FROM rated r
+      JOIN hx USING (source, x_q)
+      JOIN hy USING (source, y_q)
+      JOIN tot USING (source)
+    ), per AS (
+      SELECT source, max(n_docs) AS n_docs,
+             CAST(sum(CAST(trunc(ux * ux * 1e9) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(trunc(uy * uy * 1e9) AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(trunc(ux * uy * 1e9) AS BIGINT)) AS BIGINT) AS sxy
+      FROM joined GROUP BY 1
+    ), stats AS (
+      SELECT source, n_docs,
+             CAST(sxx AS DOUBLE) / (1e9 * CAST(n_docs AS DOUBLE))
+               - ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+                 * ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+               AS exx,
+             CAST(syy AS DOUBLE) / (1e9 * CAST(n_docs AS DOUBLE))
+               - ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+                 * ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+               AS eyy,
+             CAST(sxy AS DOUBLE) / (1e9 * CAST(n_docs AS DOUBLE))
+               - ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+                 * ((CAST(n_docs AS DOUBLE) + 1.0) / (2.0 * CAST(n_docs AS DOUBLE)))
+               AS exy
+      FROM per
+    )
+    SELECT source, n_docs,
+           CASE WHEN exx > 0 AND eyy > 0
+                THEN round(exy / sqrt(exx * eyy) + 1e-9, 6) + 0.0
+           END AS spearman_rho
+    FROM stats
+    """,
+)
+def x128_signal_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between mean word length and stopword
+    ratio per source — the monotone-proxy screen run before dropping
+    one of two quality signals.  Midranks from per-signal histograms
+    (x123 discipline: windows over distinct quantized values only);
+    rank sums have the closed form n(n+1) so the means are exact;
+    second moments ride [0,1]-normalized midranks with nano-quantized
+    BIGINT product sums — order-independent, overflow-proof to ~9e9
+    docs per group."""
+    from ..operators.curation import gopher_metric_columns
+    from ..operators.profile import spearman_correlation
+
+    docs = load_table(spark, sf_dir, "documents")
+    metrics = gopher_metric_columns(F.col("text"))
+    rated = docs.select(
+        "source",
+        F.floor(metrics["mean_word_len"] * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x_q"),
+        F.floor(
+            (
+                metrics["stop_hits"].cast("double")
+                / metrics["n_words"].cast("double")
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y_q"),
+    )
+    return spearman_correlation(rated)

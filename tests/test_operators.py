@@ -2800,3 +2800,26 @@ def test_gini_concentration_flat_vs_concentrated(spark):
     assert abs(out["conc"]["gini"] - want) < 2e-6
     assert out["hand"]["gini"] == round(0.3125 + 1e-9, 6)
     assert out["hand"]["n_docs"] == 4 and out["hand"]["total_weight"] == 8
+
+
+def test_spearman_rank_correlation_monotone_ties_and_degenerate(spark):
+    """A perfect monotone (nonlinear!) relation scores +1, its
+    inversion -1; the tie case x=[1,2,2,3], y=[10,20,30,40] has
+    hand-computed rho = sqrt(0.9) ~ 0.948683; a constant signal is
+    degenerate -> NULL."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        spearman_correlation,
+    )
+
+    rows = (
+        [("mono", i, i * i * i) for i in range(1, 30)]        # nonlinear, monotone
+        + [("inv", i, 1000 - i * i) for i in range(1, 30)]
+        + [("tie", 1, 10), ("tie", 2, 20), ("tie", 2, 30), ("tie", 3, 40)]
+        + [("const", 5, i) for i in range(1, 20)]
+    )
+    df = spark.createDataFrame(rows, "source STRING, x_q LONG, y_q LONG")
+    out = {r["source"]: r for r in spearman_correlation(df).collect()}
+    assert abs(out["mono"]["spearman_rho"] - 1.0) < 1e-5
+    assert abs(out["inv"]["spearman_rho"] + 1.0) < 1e-5
+    assert abs(out["tie"]["spearman_rho"] - 0.9486832980505138) < 1e-5
+    assert out["const"]["spearman_rho"] is None

@@ -348,6 +348,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x125_quality_bootstrap_ci",
         "x126_source_js_divergence",
         "x127_token_gini",
+        "x128_signal_rank_corr",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
