@@ -560,11 +560,24 @@ def gini_concentration(
     intermediate exceeds BIGINT at any corpus size (raw S would
     overflow at ~3e6 docs x 1e6 tokens).  The one window runs per
     group over DISTINCT WEIGHTS, never corpus rows."""
-    from pyspark.sql import Window
-
     hist = rated.groupBy(group_col, weight_col).agg(
         F.count("*").cast("long").alias("cnt")
     )
+    return gini_from_hist(hist, weight_col, group_col)
+
+
+def gini_from_hist(
+    hist: DataFrame,
+    weight_col: str = "weight",
+    group_col: str = "source",
+) -> DataFrame:
+    """Finish the Gini computation from a (group, weight, cnt)
+    HISTOGRAM — the mergeable half: histograms from disjoint batches
+    ADD (counts sum per cell), and the distinct-weight cell count is
+    bounded by the weight DOMAIN (e.g. tokens per document), not the
+    corpus, so a streaming sink's state stays tiny forever."""
+    from pyspark.sql import Window
+
     tot = hist.groupBy(group_col).agg(
         F.sum("cnt").cast("long").alias("n_docs"),
         F.sum(F.col("cnt") * F.col(weight_col)).cast("long").alias("total_weight"),

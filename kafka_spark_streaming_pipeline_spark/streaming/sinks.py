@@ -1748,3 +1748,57 @@ def compact_bootstrap_ci(spark, path: str, quiesced: bool = True) -> None:
     the fold is itself a valid partial (sums of sums), so live appends
     keep composing after compaction."""
     _compact(spark, path, _bootstrap_partials_of, quiesced)
+
+
+def make_gini_sink(path: str, weight, group_col: str = "source"):
+    """Continuously-maintained Gini concentration (the streaming twin
+    of x127): each batch appends its (group, weight) count histogram —
+    histograms ADD cell-wise, so the merged view is BIT-EQUAL to batch
+    gini_concentration over every document ever ingested.  State is
+    bounded by the weight DOMAIN (distinct token counts), not the
+    corpus.  ``weight`` is a Column producing the per-doc BIGINT
+    weight.  Append-exactly-once per doc contract, like the other
+    counting sinks."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = (
+            batch_df.select(
+                F.col(group_col).alias("grp"), weight.cast("long").alias("weight")
+            )
+            .groupBy("grp", "weight")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        AtomicParquetTable(path).append(
+            hist.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _gini_hist_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "grp", "weight"])
+        .groupBy("grp", "weight")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def gini_view(spark, path: str, group_col: str = "source") -> DataFrame:
+    """Current merged Gini concentration per group — bit-equal to
+    operators.profile.gini_concentration over the union of all
+    ingested batches."""
+    from ..operators.profile import gini_from_hist
+
+    return gini_from_hist(
+        _gini_hist_of(_read_log(spark, path)), "weight", "grp"
+    ).withColumnRenamed("grp", group_col)
+
+
+def compact_gini(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the histogram log to one row per (group, weight) cell; the
+    fold is itself a valid partial (cell-wise sums), so live appends
+    keep composing after compaction."""
+    _compact(spark, path, _gini_hist_of, quiesced)

@@ -2408,3 +2408,49 @@ def test_streaming_bootstrap_ci_bit_equal_to_batch(spark, sf_dir, tmp_path):
     assert view() == two
     sink(b2, 2)  # live append composes with the folded partials
     assert view() == batch_ci(docs)
+
+
+def test_streaming_gini_bit_equal_to_batch(spark, sf_dir, tmp_path):
+    """The merged streaming Gini must be BIT-EQUAL to batch
+    gini_concentration over all ingested docs (histograms add
+    cell-wise), survive replay, and keep composing after online
+    compaction; state is bounded by distinct weights, not corpus
+    size."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        gini_concentration,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.text import token_count
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_gini,
+        gini_view,
+        make_gini_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = token_count(F.col("text"))
+
+    def batch_gini(frame):
+        rated = frame.select("source", w.alias("weight"))
+        return {r["source"]: tuple(r) for r in gini_concentration(rated).collect()}
+
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "gini")
+    sink = make_gini_sink(path, w)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {r["source"]: tuple(r) for r in gini_view(spark, path).collect()}
+
+    two = view()
+    assert two == batch_gini(docs.filter(F.col("doc_id") % 3 != 2))
+    sink(b1, 1)  # replay: per-commit dedup keeps the view unchanged
+    assert view() == two
+    compact_gini(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch: watermark drops it
+    assert view() == two
+    sink(b2, 2)  # live append composes with the folded histogram
+    assert view() == batch_gini(docs)
