@@ -830,3 +830,10 @@ class Engine:
         from .plans.extensions import x128_signal_rank_corr
 
         return x128_signal_rank_corr(self.spark, self.sf_dir)
+
+    def lexical_report(self, **kwargs) -> DataFrame:
+        """Type-token ratio, hapax ratio, Simpson concentration per
+        source (x129) — lexical boilerplate screens."""
+        from .operators.curation import lexical_diversity
+
+        return lexical_diversity(self.table("documents"), **kwargs)

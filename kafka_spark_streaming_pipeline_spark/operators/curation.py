@@ -2287,3 +2287,76 @@ def js_divergence_matrix(
         "n_shared_terms",
         (F.round(F.col("js_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias("js_divergence"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-diversity report per source: type-token ratio, hapax
+    ratio (share of vocabulary seen exactly once), and Simpson
+    concentration (sum of squared term probabilities — the chance two
+    random tokens are the same word).  Low TTR + high Simpson =
+    boilerplate; these are the cheap lexical screens run next to the
+    Gopher rules when triaging a new crawl.
+
+    One token histogram (map-side combined) -> per-source aggregate.
+    Simpson terms are trunc-quantized to pico-units per distinct term
+    BEFORE summing (order-independent BIGINT; raw sum(cnt^2) would
+    overflow BIGINT at ~3e9 tokens/source)."""
+    from ..cache import tracked_persist
+    from .text import tokens
+
+    hist = tracked_persist(
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy("src").agg(F.sum("cnt").cast("long").alias("n_tokens"))
+    p = F.col("cnt").cast("double") / F.col("n_tokens").cast("double")
+    per = (
+        hist.join(F.broadcast(tot), "src")
+        .select(
+            "src",
+            "n_tokens",
+            "cnt",
+            (p * p * F.lit(1e12)).cast("long").alias("sq"),
+        )
+        .groupBy("src")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("n_hapax"),
+            F.sum("sq").cast("long").alias("simpson_q"),
+        )
+    )
+    return per.select(
+        F.col("src").alias(source_col),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("type_token_ratio"),
+        (
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hapax_ratio"),
+        (
+            F.round(F.col("simpson_q").cast("double") / F.lit(1e12) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("simpson"),
+    )

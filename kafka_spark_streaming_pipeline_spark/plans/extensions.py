@@ -7250,3 +7250,46 @@ def x128_signal_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y_q"),
     )
     return spearman_correlation(rated)
+
+
+@query(
+    "x129_lexical_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS src, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hist AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM hist GROUP BY 1
+    ), per AS (
+      SELECT h.src, max(t.n_tokens) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN h.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(sum(CAST(trunc(
+               (CAST(h.cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+               * (CAST(h.cnt AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+               * 1e12) AS BIGINT)) AS BIGINT) AS simpson_q
+      FROM hist h JOIN tot t USING (src)
+      GROUP BY 1
+    )
+    SELECT src AS source, n_tokens, n_types, n_hapax,
+           round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9, 6)
+             + 0.0 AS type_token_ratio,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) + 1e-9, 6)
+             + 0.0 AS hapax_ratio,
+           round(CAST(simpson_q AS DOUBLE) / 1e12 + 1e-9, 6) + 0.0 AS simpson
+    FROM per
+    """,
+)
+def x129_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio, hapax ratio, and Simpson concentration per
+    source — the cheap lexical boilerplate screens.  One persisted
+    token histogram -> per-source aggregate; Simpson terms are
+    pico-quantized BIGINTs so the sum is order-independent and
+    overflow-proof."""
+    from ..operators.curation import lexical_diversity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lexical_diversity(docs)

@@ -798,3 +798,29 @@ def test_js_divergence_identical_disjoint_and_half_shared(spark):
     assert out[("s1", "s4")]["js_divergence"] == round(ln2 / 2 + 1e-9, 6)
     assert out[("s1", "s4")]["n_shared_terms"] == 1
     assert out[("s1", "s2")]["n_terms_a"] == 2
+
+
+def test_lexical_diversity_hand_case_and_boilerplate_signal(spark):
+    """Tokens (x,x,y): TTR=2/3, hapax=1/2, Simpson=5/9.  A
+    boilerplate source (one phrase repeated) shows lower TTR and
+    higher Simpson than a diverse one of the same size."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        lexical_diversity,
+    )
+
+    rows = (
+        [("hand", 1, "x x y")]
+        + [("boiler", 10 + i, "click here to subscribe now") for i in range(20)]
+        + [("diverse", 40 + i, f"topic{i} detail{i} nuance{i} angle{i} fact{i}")
+           for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = {r["source"]: r for r in lexical_diversity(docs).collect()}
+    h = out["hand"]
+    assert h["n_tokens"] == 3 and h["n_types"] == 2 and h["n_hapax"] == 1
+    assert h["type_token_ratio"] == round(2 / 3 + 1e-9, 6)
+    assert h["hapax_ratio"] == 0.5
+    assert abs(h["simpson"] - 5 / 9) < 2e-6
+    assert out["boiler"]["type_token_ratio"] < out["diverse"]["type_token_ratio"]
+    assert out["boiler"]["simpson"] > out["diverse"]["simpson"]
+    assert out["diverse"]["hapax_ratio"] == 1.0

@@ -120,6 +120,7 @@ AUDITED = {
     "x126_source_js_divergence": "JS divergence: PERSISTED token histogram feeds totals and both join sides (corpus explodes once); shared-terms-only equi-join on term; k x k skeleton crosses the k-row totals frame",
     "x127_token_gini": "Gini concentration: one scan to a (source, weight) histogram; cumulative-count window over distinct weights only; contributions normalized then pico-quantized BIGINT — no sort, no overflow",
     "x128_signal_rank_corr": "Spearman: two histogram midrank maps joined back on well-spread (source, value) keys; windows over distinct quantized values; nano-quantized BIGINT moment sums",
+    "x129_lexical_diversity": "lexical diversity: PERSISTED token histogram feeds totals + Simpson join; one corpus explode, per-source k-row aggregate",
 }
 
 
