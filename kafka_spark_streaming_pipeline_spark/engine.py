@@ -837,3 +837,10 @@ class Engine:
         from .operators.curation import lexical_diversity
 
         return lexical_diversity(self.table("documents"), **kwargs)
+
+    def coverage_estimate(self, **kwargs) -> DataFrame:
+        """Chapman capture-recapture population estimate per source
+        pair (x130) — how much content is still uncrawled."""
+        from .operators.curation import capture_recapture
+
+        return capture_recapture(self.table("documents"), **kwargs)

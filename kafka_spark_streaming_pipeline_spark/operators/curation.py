@@ -2360,3 +2360,78 @@ def lexical_diversity(
             + F.lit(0.0)
         ).alias("simpson"),
     )
+
+
+def capture_recapture(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the underlying content
+    population for every source pair — two crawls that independently
+    sample the same population and share m documents imply a total of
+    N ~ (n1+1)(n2+1)/(m+1) - 1 distinct documents, so N minus what we
+    hold is the UNSEEN mass: the coverage question ('how much of this
+    domain have we actually crawled?') answered from overlap alone.
+
+    Identity is the content fingerprint (md5 of normalized text), so
+    near-identical mirrors count as recaptures.  Shape: one scan to a
+    distinct (source, fingerprint) frame (persisted — it feeds totals
+    and both join sides), fingerprint equi-join for pair overlaps
+    (well-spread key), k x k skeleton cross of the k-row totals.  All
+    counts are exact BIGINTs; the estimator and its standard error
+    compose in DOUBLE with fixed op order.  Pairs with zero overlap
+    report NULL (the estimator is unbounded there)."""
+    from ..cache import tracked_persist
+    from .text import fingerprint
+
+    fp = tracked_persist(
+        docs.select(
+            F.col(source_col).alias("src"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        ).distinct()
+    )
+    tot = fp.groupBy("src").agg(F.count("*").cast("long").alias("n"))
+    a = fp.select(F.col("src").alias("source_a"), "fp")
+    b = fp.select(F.col("src").alias("source_b"), F.col("fp"))
+    overlap = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    skel = (
+        tot.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(tot.select(F.col("src").alias("source_b"), F.col("n").alias("n_b")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    j = skel.join(overlap, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("n_shared"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    md = F.col("n_shared").cast("double")
+    nhat = (na + F.lit(1.0)) * (nb + F.lit(1.0)) / (md + F.lit(1.0)) - F.lit(1.0)
+    se = F.sqrt(
+        (na + F.lit(1.0)) * (nb + F.lit(1.0)) * (na - md) * (nb - md)
+        / ((md + F.lit(1.0)) * (md + F.lit(1.0)) * (md + F.lit(2.0)))
+    )
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.when(
+            F.col("n_shared") > 0,
+            F.round(nhat + F.lit(1e-9), 4) + F.lit(0.0),
+        ).alias("est_population"),
+        F.when(
+            F.col("n_shared") > 0,
+            F.round(se + F.lit(1e-9), 4) + F.lit(0.0),
+        ).alias("est_se"),
+    )

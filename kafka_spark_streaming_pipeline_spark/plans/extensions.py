@@ -7293,3 +7293,55 @@ def x129_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lexical_diversity(docs)
+
+
+@query(
+    "x130_capture_recapture",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT source AS src,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                    1, 16) AS fp
+      FROM documents
+    ), tot AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY 1
+    ), overlap AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS m
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+      GROUP BY 1, 2
+    ), skel AS (
+      SELECT a.src AS source_a, a.n AS n_a, b.src AS source_b, b.n AS n_b
+      FROM tot a CROSS JOIN tot b WHERE a.src < b.src
+    ), j AS (
+      SELECT s.source_a, s.source_b, s.n_a, s.n_b,
+             CAST(coalesce(o.m, 0) AS BIGINT) AS n_shared
+      FROM skel s LEFT JOIN overlap o USING (source_a, source_b)
+    )
+    SELECT source_a, source_b, n_a, n_b, n_shared,
+           CASE WHEN n_shared > 0 THEN
+             round((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+                   / (CAST(n_shared AS DOUBLE) + 1.0) - 1.0 + 1e-9, 4) + 0.0
+           END AS est_population,
+           CASE WHEN n_shared > 0 THEN
+             round(sqrt((CAST(n_a AS DOUBLE) + 1.0) * (CAST(n_b AS DOUBLE) + 1.0)
+                   * (CAST(n_a AS DOUBLE) - CAST(n_shared AS DOUBLE))
+                   * (CAST(n_b AS DOUBLE) - CAST(n_shared AS DOUBLE))
+                   / ((CAST(n_shared AS DOUBLE) + 1.0)
+                      * (CAST(n_shared AS DOUBLE) + 1.0)
+                      * (CAST(n_shared AS DOUBLE) + 2.0))) + 1e-9, 4) + 0.0
+           END AS est_se
+    FROM j
+    """,
+)
+def x130_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate for every source
+    pair — the coverage question ('how much of this domain is still
+    uncrawled?') answered from fingerprint overlap alone.  Persisted
+    distinct (source, fingerprint) frame; fingerprint equi-join for
+    overlaps; k x k totals skeleton; exact BIGINT counts, fixed-order
+    DOUBLE estimator; zero-overlap pairs -> NULL (unbounded there)."""
+    from ..operators.curation import capture_recapture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return capture_recapture(docs)

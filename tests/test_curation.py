@@ -824,3 +824,36 @@ def test_lexical_diversity_hand_case_and_boilerplate_signal(spark):
     assert out["boiler"]["type_token_ratio"] < out["diverse"]["type_token_ratio"]
     assert out["boiler"]["simpson"] > out["diverse"]["simpson"]
     assert out["diverse"]["hapax_ratio"] == 1.0
+
+
+def test_capture_recapture_chapman_hand_case(spark):
+    """Crawls of 20 and 10 docs sharing 4: Chapman N = 21*11/5 - 1 =
+    45.2, SE = sqrt(21*11*16*6 / (25*6)) ~ 12.1589; a disjoint pair
+    reports NULL (the estimator is unbounded at zero overlap).
+    Within-source duplicate rows must not inflate counts (distinct
+    fingerprints per source)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        capture_recapture,
+    )
+
+    shared = [f"shared document text number {i}" for i in range(4)]
+    rows = (
+        [("A", i, shared[i]) for i in range(4)]
+        + [("A", 10 + i, f"a-only text {i}") for i in range(16)]
+        + [("B", 100 + i, shared[i]) for i in range(4)]
+        + [("B", 110 + i, f"b-only text {i}") for i in range(6)]
+        + [("B", 120, "b-only text 0")]          # within-source dup: no effect
+        + [("C", 200 + i, f"c-only text {i}") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = {
+        (r["source_a"], r["source_b"]): r for r in capture_recapture(docs).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_a"] == 20 and ab["n_b"] == 10 and ab["n_shared"] == 4
+    assert ab["est_population"] == round(21 * 11 / 5 - 1 + 1e-9, 4)
+    import math
+    want_se = math.sqrt(21 * 11 * 16 * 6 / (25 * 6))
+    assert abs(ab["est_se"] - want_se) < 1e-3
+    ac = out[("A", "C")]
+    assert ac["n_shared"] == 0 and ac["est_population"] is None

@@ -350,6 +350,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x127_token_gini",
         "x128_signal_rank_corr",
         "x129_lexical_diversity",
+        "x130_capture_recapture",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -121,6 +121,7 @@ AUDITED = {
     "x127_token_gini": "Gini concentration: one scan to a (source, weight) histogram; cumulative-count window over distinct weights only; contributions normalized then pico-quantized BIGINT — no sort, no overflow",
     "x128_signal_rank_corr": "Spearman: two histogram midrank maps joined back on well-spread (source, value) keys; windows over distinct quantized values; nano-quantized BIGINT moment sums",
     "x129_lexical_diversity": "lexical diversity: PERSISTED token histogram feeds totals + Simpson join; one corpus explode, per-source k-row aggregate",
+    "x130_capture_recapture": "capture-recapture: PERSISTED distinct (source, fingerprint) frame feeds totals + both join sides; fingerprint equi-join; k x k skeleton of k-row totals",
 }
 
 
