@@ -844,3 +844,10 @@ class Engine:
         from .operators.curation import capture_recapture
 
         return capture_recapture(self.table("documents"), **kwargs)
+
+    def burstiness(self, **kwargs) -> DataFrame:
+        """Fano-factor dispersion (burstiness) per event type on the
+        dense hourly grid (x131)."""
+        from .operators.timeseries import dispersion_index
+
+        return dispersion_index(self.table("events"), **kwargs)

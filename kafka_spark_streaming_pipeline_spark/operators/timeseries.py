@@ -740,3 +740,52 @@ def km_survival(
             + F.lit(0.0)
         ).alias("survival"),
     )
+
+
+def dispersion_scores_from_dense(
+    dense: DataFrame, threshold: float = 1.5
+) -> DataFrame:
+    """Fano factor (variance-to-mean dispersion index) per event type
+    over a dense (h, t, cnt) grid: a Poisson-like arrival process has
+    F ~ 1; F >> 1 means bursty/clumped traffic (retry storms, batch
+    jobs, thundering herds) and F << 1 means over-regular (throttled
+    or synthetic) — the single-number burstiness screen run before
+    trusting per-hour capacity planning.  Population moments from
+    exact BIGINT sums over the tiny grid (never the event log); the
+    zero-filled grid matters — sparse series hide the quiet hours
+    that make bursts bursts.  All-quiet types report NULL."""
+    per = dense.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("cnt").cast("long").alias("total_events"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sum_sq"),
+    )
+    nd = F.col("n_hours").cast("double")
+    mean = F.col("total_events").cast("double") / nd
+    var = F.col("sum_sq").cast("double") / nd - mean * mean
+    fano = var / mean
+    return per.select(
+        F.col("t").alias("event_type"),
+        "n_hours",
+        "total_events",
+        (F.round(mean + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean_per_hour"),
+        F.when(
+            F.col("total_events") > 0,
+            F.round(fano + F.lit(1e-9), 6) + F.lit(0.0),
+        ).alias("fano"),
+        F.when(F.col("total_events") > 0, fano > F.lit(threshold)).alias(
+            "overdispersed"
+        ),
+    )
+
+
+def dispersion_index(
+    events: DataFrame,
+    threshold: float = 1.5,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Burstiness (Fano factor) per event type on the dense hourly
+    grid — see ``dispersion_scores_from_dense``."""
+    return dispersion_scores_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), threshold
+    )

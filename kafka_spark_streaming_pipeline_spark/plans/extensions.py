@@ -7345,3 +7345,56 @@ def x130_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return capture_recapture(docs)
+
+
+@query(
+    "x131_dispersion_index",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts) AS h, event_type AS t,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), per AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(cnt) AS BIGINT) AS total_events,
+             CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+      FROM hourly GROUP BY 1
+    )
+    SELECT t AS event_type, n_hours, total_events,
+           round(CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                 + 1e-9, 6) + 0.0 AS mean_per_hour,
+           CASE WHEN total_events > 0 THEN
+             round((CAST(sum_sq AS DOUBLE) / CAST(n_hours AS DOUBLE)
+                    - (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                      * (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+                   / (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                   + 1e-9, 6) + 0.0
+           END AS fano,
+           CASE WHEN total_events > 0 THEN
+             (CAST(sum_sq AS DOUBLE) / CAST(n_hours AS DOUBLE)
+              - (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE))
+                * (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+             / (CAST(total_events AS DOUBLE) / CAST(n_hours AS DOUBLE)) > 1.5
+           END AS overdispersed
+    FROM per
+    """,
+)
+def x131_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano-factor burstiness per event type on the dense hourly grid
+    — the fourth detector on the one shared rollup (seasonal
+    deviations / CUSUM shifts / robust point outliers / dispersion).
+    Exact BIGINT moments over the tiny grid; the event log is read
+    once into the persisted sparse frame."""
+    from ..operators.timeseries import dispersion_index
+
+    events = load_table(spark, sf_dir, "events")
+    return dispersion_index(events)

@@ -1802,3 +1802,26 @@ def compact_gini(spark, path: str, quiesced: bool = True) -> None:
     fold is itself a valid partial (cell-wise sums), so live appends
     keep composing after compaction."""
     _compact(spark, path, _gini_hist_of, quiesced)
+
+
+_DISPERSION_VIEW_FRAMES: list[DataFrame] = []
+
+
+def dispersion_view(spark, counts_path: str, threshold: float = 1.5) -> DataFrame:
+    """Fano-factor burstiness over the SAME hourly-count store the
+    seasonal sink maintains — the fourth detector on the one rollup
+    (seasonal deviations / CUSUM shifts / robust point outliers /
+    dispersion).  Identical code path as the batch operator
+    (``dispersion_scores_from_dense``), so merged-view == batch is a
+    structural guarantee; same per-commit replay dedup and
+    scope-release cache bounds as the sibling views."""
+    from .. import cache
+    from ..operators.timeseries import densify_hourly, dispersion_scores_from_dense
+
+    cache.release(_DISPERSION_VIEW_FRAMES)
+    _DISPERSION_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = dispersion_scores_from_dense(densify_hourly(sparse), threshold)
+    _DISPERSION_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view

@@ -351,6 +351,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x128_signal_rank_corr",
         "x129_lexical_diversity",
         "x130_capture_recapture",
+        "x131_dispersion_index",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

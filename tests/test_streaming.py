@@ -2454,3 +2454,65 @@ def test_streaming_gini_bit_equal_to_batch(spark, sf_dir, tmp_path):
     assert view() == two
     sink(b2, 2)  # live append composes with the folded histogram
     assert view() == batch_gini(docs)
+
+
+def test_streaming_dispersion_view_matches_batch_and_flags_bursts(
+    spark, tmp_path
+):
+    """The hourly store also serves burstiness monitoring: a type that
+    fires all its events in one hour per day must be overdispersed
+    (Fano >> 1), a perfectly steady type underdispersed (Fano = 0);
+    the merged view must equal the batch operator on the union of all
+    batches."""
+    import os
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        dispersion_index,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        dispersion_view,
+        make_seasonal_sink,
+    )
+
+    rows = []
+    for day in (1, 2):
+        for hod in range(24):
+            rows.append(("steady", f"2026-03-0{day} {hod:02d}:00:00"))
+            if hod == 12:
+                for i in range(24):
+                    rows.append(("bursty", f"2026-03-0{day} 12:{i:02d}:00"))
+
+    SCHEMA = "event_type string, ts_str string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    for day in (1, 2):
+        day_rows = [r for r in rows if f"-0{day} " in r[1]]
+        spark.createDataFrame(day_rows, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/d{day}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    counts_path = str(tmp_path / "hourly")
+    sink = make_seasonal_sink(counts_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    got = {r["event_type"]: r for r in dispersion_view(spark, counts_path).collect()}
+    assert got["steady"]["fano"] == 0.0 and not got["steady"]["overdispersed"]
+    assert got["bursty"]["fano"] > 5.0 and got["bursty"]["overdispersed"]
+
+    batch = dispersion_index(
+        spark.createDataFrame(rows, SCHEMA).withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    want = {r["event_type"]: r for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n_hours", "total_events", "mean_per_hour", "fano",
+                  "overdispersed"):
+            assert got[k][c] == want[k][c], (k, c)

@@ -122,6 +122,7 @@ AUDITED = {
     "x128_signal_rank_corr": "Spearman: two histogram midrank maps joined back on well-spread (source, value) keys; windows over distinct quantized values; nano-quantized BIGINT moment sums",
     "x129_lexical_diversity": "lexical diversity: PERSISTED token histogram feeds totals + Simpson join; one corpus explode, per-source k-row aggregate",
     "x130_capture_recapture": "capture-recapture: PERSISTED distinct (source, fingerprint) frame feeds totals + both join sides; fingerprint equi-join; k x k skeleton of k-row totals",
+    "x131_dispersion_index": "dispersion: one log pass to the persisted hours x types grid; exact BIGINT moment aggregate over grid rows only",
 }
 
 
