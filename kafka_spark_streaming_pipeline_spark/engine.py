@@ -851,3 +851,9 @@ class Engine:
         from .operators.timeseries import dispersion_index
 
         return dispersion_index(self.table("events"), **kwargs)
+
+    def zipf_report(self, **kwargs) -> DataFrame:
+        """Zipf-law fit (slope/intercept/R^2) per source (x132)."""
+        from .operators.curation import zipf_fit
+
+        return zipf_fit(self.table("documents"), **kwargs)

@@ -2435,3 +2435,80 @@ def capture_recapture(
             F.round(se + F.lit(1e-9), 4) + F.lit(0.0),
         ).alias("est_se"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Least-squares Zipf fit per source: regress ln(term frequency)
+    on ln(rank) over the full vocabulary and report the slope (natural
+    language sits near -1), intercept, and R^2.  A crawl whose slope
+    is far from -1 or whose fit is poor is usually template/boiler-
+    plate or machine-generated text — the distributional companion to
+    the TTR/hapax screens (x129).
+
+    Shape: one token histogram; rank = row_number over (cnt DESC,
+    term) per source — a window over DISTINCT TERMS, never corpus
+    rows.  All four regression moments are per-term trunc-quantized
+    BIGINT sums (micro-units for the squared/product terms, whose raw
+    DOUBLE sums would be order-dependent; ln(rank) <= ~19 and
+    ln(rank)^2 <= ~340, so sums stay under BIGINT through 1e8-term
+    vocabularies).  Single-term vocabularies are degenerate -> NULL."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    hist = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "term")
+    lr = F.log(F.row_number().over(w).cast("double"))
+    lf = F.log(F.col("cnt").cast("double"))
+    mega = F.lit(1e6)
+    terms = hist.select(
+        "src",
+        (lr * mega).cast("long").alias("qx"),
+        (lf * mega).cast("long").alias("qy"),
+        (lr * lr * mega).cast("long").alias("qxx"),
+        (lr * lf * mega).cast("long").alias("qxy"),
+        (lf * lf * mega).cast("long").alias("qyy"),
+    )
+    per = terms.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum("qxx").cast("long").alias("sxx"),
+        F.sum("qxy").cast("long").alias("sxy"),
+        F.sum("qyy").cast("long").alias("syy"),
+    )
+    nd = F.col("n_types").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxx = F.col("sxx").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e6)
+    syy = F.col("syy").cast("double") / F.lit(1e6)
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / den_x
+    intercept = (sy - slope * sx) / nd
+    r2 = cov * cov / (den_x * den_y)
+    ok = (F.col("n_types") > 1) & (den_x > 0)
+    return per.select(
+        F.col("src").alias(source_col),
+        "n_types",
+        F.when(ok, F.round(slope + F.lit(1e-9), 6) + F.lit(0.0)).alias("zipf_slope"),
+        F.when(ok, F.round(intercept + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "zipf_intercept"
+        ),
+        F.when(
+            ok & (den_y > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
+        ).alias("r_squared"),
+    )

@@ -7398,3 +7398,71 @@ def x131_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return dispersion_index(events)
+
+
+@query(
+    "x132_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS src, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hist AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src,
+             ln(CAST(row_number() OVER (PARTITION BY src
+                     ORDER BY cnt DESC, term) AS DOUBLE)) AS lr,
+             ln(CAST(cnt AS DOUBLE)) AS lf
+      FROM hist
+    ), terms AS (
+      SELECT src,
+             CAST(trunc(lr * 1e6) AS BIGINT) AS qx,
+             CAST(trunc(lf * 1e6) AS BIGINT) AS qy,
+             CAST(trunc(lr * lr * 1e6) AS BIGINT) AS qxx,
+             CAST(trunc(lr * lf * 1e6) AS BIGINT) AS qxy,
+             CAST(trunc(lf * lf * 1e6) AS BIGINT) AS qyy
+      FROM ranked
+    ), per AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+             CAST(sum(qxx) AS BIGINT) AS sxx, CAST(sum(qxy) AS BIGINT) AS sxy,
+             CAST(sum(qyy) AS BIGINT) AS syy
+      FROM terms GROUP BY 1
+    ), stats AS (
+      SELECT src, n_types,
+             CAST(n_types AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) / 1e6 AS sxd, CAST(sy AS DOUBLE) / 1e6 AS syd,
+             CAST(sxx AS DOUBLE) / 1e6 AS sxxd,
+             CAST(sxy AS DOUBLE) / 1e6 AS sxyd,
+             CAST(syy AS DOUBLE) / 1e6 AS syyd
+      FROM per
+    )
+    SELECT src AS source, n_types,
+           CASE WHEN n_types > 1 AND nd * sxxd - sxd * sxd > 0 THEN
+             round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                   + 1e-9, 6) + 0.0
+           END AS zipf_slope,
+           CASE WHEN n_types > 1 AND nd * sxxd - sxd * sxd > 0 THEN
+             round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                          * sxd) / nd + 1e-9, 6) + 0.0
+           END AS zipf_intercept,
+           CASE WHEN n_types > 1 AND nd * sxxd - sxd * sxd > 0
+                     AND nd * syyd - syd * syd > 0 THEN
+             round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                   / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                   + 1e-9, 6) + 0.0
+           END AS r_squared
+    FROM stats
+    """,
+)
+def x132_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: ln(freq) ~ ln(rank) least squares over
+    the vocabulary — slope near -1 is natural language; template or
+    machine text drifts off and fits poorly.  Rank windows run over
+    distinct terms only; all regression moments are per-term
+    micro-quantized BIGINT sums (order-independent, BIGINT-safe
+    through 1e8-term vocabularies)."""
+    from ..operators.curation import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs)

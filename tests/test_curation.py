@@ -857,3 +857,34 @@ def test_capture_recapture_chapman_hand_case(spark):
     assert abs(ab["est_se"] - want_se) < 1e-3
     ac = out[("A", "C")]
     assert ac["n_shared"] == 0 and ac["est_population"] is None
+
+
+def test_zipf_fit_exact_power_law_uniform_and_degenerate(spark):
+    """Frequencies 840/i for ranks i=1..7 are EXACTLY Zipfian (all
+    integers), so the fit must return slope -1, R^2 = 1; uniform
+    frequencies give slope ~0 with R^2 ~0 (or NULL when the quantized
+    y-variance lands exactly at zero);
+    a one-term vocabulary is degenerate -> NULL."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import zipf_fit
+
+    zipf_tokens = []
+    for i in range(1, 8):
+        zipf_tokens += [f"t{i}"] * (840 // i)
+    rows = [
+        ("zipf", 1, " ".join(zipf_tokens)),
+        ("uniform", 2, "a a b b c c d d"),
+        ("single", 3, "x x x x"),
+    ]
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = {r["source"]: r for r in zipf_fit(docs).collect()}
+    z = out["zipf"]
+    assert z["n_types"] == 7
+    assert abs(z["zipf_slope"] + 1.0) < 1e-4
+    assert abs(z["r_squared"] - 1.0) < 1e-4
+    import math
+    assert abs(z["zipf_intercept"] - math.log(840)) < 1e-3
+    u = out["uniform"]
+    assert abs(u["zipf_slope"]) < 1e-4
+    assert u["r_squared"] is None or u["r_squared"] < 1e-4
+    s = out["single"]
+    assert s["zipf_slope"] is None and s["n_types"] == 1

@@ -352,6 +352,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x129_lexical_diversity",
         "x130_capture_recapture",
         "x131_dispersion_index",
+        "x132_zipf_fit",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

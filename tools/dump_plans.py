@@ -123,6 +123,7 @@ AUDITED = {
     "x129_lexical_diversity": "lexical diversity: PERSISTED token histogram feeds totals + Simpson join; one corpus explode, per-source k-row aggregate",
     "x130_capture_recapture": "capture-recapture: PERSISTED distinct (source, fingerprint) frame feeds totals + both join sides; fingerprint equi-join; k x k skeleton of k-row totals",
     "x131_dispersion_index": "dispersion: one log pass to the persisted hours x types grid; exact BIGINT moment aggregate over grid rows only",
+    "x132_zipf_fit": "Zipf fit: one token histogram; rank window over distinct terms per source; micro-quantized BIGINT regression moments",
 }
 
 
