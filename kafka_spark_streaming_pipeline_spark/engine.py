@@ -857,3 +857,10 @@ class Engine:
         from .operators.curation import zipf_fit
 
         return zipf_fit(self.table("documents"), **kwargs)
+
+    def packing_report(self, budget: int = 2048, **kwargs) -> DataFrame:
+        """Greedy-packing vs naive window-count efficiency per source
+        (x133)."""
+        from .operators.curation import packing_efficiency
+
+        return packing_efficiency(self.table("documents"), budget=budget, **kwargs)

@@ -2512,3 +2512,81 @@ def zipf_fit(
             ok & (den_y > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
         ).alias("r_squared"),
     )
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency report per shard: how many context windows
+    the greedy id-order packing (x27 semantics) uses versus the naive
+    one-doc-per-window baseline (long docs cost ceil(tokens/budget)
+    windows either way), and the fill ratio of each — the number that
+    justifies running the packer at all, and the regression canary
+    when document length distributions drift.
+
+    ONE scan: the per-doc token counts flow through the same per-shard
+    running-sum window as pack_sequences, then a single per-shard
+    aggregate computes docs, tokens, distinct bins, and naive window
+    counts together.  All integers except the three final ratios."""
+    toks = docs.select(
+        shard_col, id_col, token_count(F.col(text_col)).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    binned = toks.select(
+        shard_col,
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+        ).cast("long").alias("bin_id"),
+        F.ceil(F.col("n_tokens") / F.lit(float(budget))).cast("long").alias(
+            "n_naive_windows"
+        ),
+    )
+    per = binned.groupBy(shard_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("bin_id").cast("long").alias("n_packed"),
+        F.sum("n_naive_windows").cast("long").alias("n_naive"),
+    )
+    bd = F.lit(float(budget))
+    return per.select(
+        shard_col,
+        "n_docs",
+        "total_tokens",
+        "n_packed",
+        "n_naive",
+        (
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_packed").cast("double") * bd)
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("packed_fill"),
+        (
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("n_naive").cast("double") * bd)
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("naive_fill"),
+        (
+            F.round(
+                F.col("n_naive").cast("double") / F.col("n_packed").cast("double")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("window_savings"),
+    )

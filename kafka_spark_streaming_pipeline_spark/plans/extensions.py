@@ -7466,3 +7466,50 @@ def x132_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zipf_fit(docs)
+
+
+@query(
+    "x133_packing_efficiency",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT source, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 2048) AS BIGINT) AS bin_id,
+             CAST(ceil(n_tokens / 2048.0) AS BIGINT) AS n_naive_windows
+      FROM t
+    ), per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(DISTINCT bin_id) AS BIGINT) AS n_packed,
+             CAST(sum(n_naive_windows) AS BIGINT) AS n_naive
+      FROM b GROUP BY 1
+    )
+    SELECT source, n_docs, total_tokens, n_packed, n_naive,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (CAST(n_packed AS DOUBLE) * 2048.0) + 1e-9, 6) + 0.0
+             AS packed_fill,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (CAST(n_naive AS DOUBLE) * 2048.0) + 1e-9, 6) + 0.0
+             AS naive_fill,
+           round(CAST(n_naive AS DOUBLE) / CAST(n_packed AS DOUBLE)
+                 + 1e-9, 4) + 0.0 AS window_savings
+    FROM per
+    """,
+)
+def x133_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per source: windows used by greedy
+    id-order packing vs the naive one-doc-per-window baseline, with
+    fill ratios — the metric that justifies the packer and catches
+    document-length drift.  One scan through the same per-shard
+    running-sum window as x27; one per-shard aggregate."""
+    from ..operators.curation import packing_efficiency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_efficiency(docs, budget=2048)

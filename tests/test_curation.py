@@ -888,3 +888,23 @@ def test_zipf_fit_exact_power_law_uniform_and_degenerate(spark):
     assert u["r_squared"] is None or u["r_squared"] < 1e-4
     s = out["single"]
     assert s["zipf_slope"] is None and s["n_types"] == 1
+
+
+def test_packing_efficiency_hand_case(spark):
+    """Docs of 1000/1000/100/2048/3000 tokens at budget 2048 pack into
+    3 bins (greedy id order, straddlers count toward their starting
+    bin) vs 6 naive windows (the 3000-token doc needs 2): savings 2.0,
+    packed fill 7148/6144."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        packing_efficiency,
+    )
+
+    sizes = [1000, 1000, 100, 2048, 3000]
+    rows = [("s", i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    r = packing_efficiency(docs, budget=2048).collect()[0]
+    assert r["n_docs"] == 5 and r["total_tokens"] == 7148
+    assert r["n_packed"] == 3 and r["n_naive"] == 6
+    assert r["window_savings"] == 2.0
+    assert r["packed_fill"] == round(7148 / (3 * 2048.0) + 1e-9, 6)
+    assert r["naive_fill"] == round(7148 / (6 * 2048.0) + 1e-9, 6)

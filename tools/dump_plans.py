@@ -124,6 +124,7 @@ AUDITED = {
     "x130_capture_recapture": "capture-recapture: PERSISTED distinct (source, fingerprint) frame feeds totals + both join sides; fingerprint equi-join; k x k skeleton of k-row totals",
     "x131_dispersion_index": "dispersion: one log pass to the persisted hours x types grid; exact BIGINT moment aggregate over grid rows only",
     "x132_zipf_fit": "Zipf fit: one token histogram; rank window over distinct terms per source; micro-quantized BIGINT regression moments",
+    "x133_packing_efficiency": "packing efficiency: one scan through the per-shard running-sum window, one per-shard aggregate — x27 dataflow with zero extra passes",
 }
 
 
