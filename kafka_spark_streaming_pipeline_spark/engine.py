@@ -864,3 +864,12 @@ class Engine:
         from .operators.curation import packing_efficiency
 
         return packing_efficiency(self.table("documents"), budget=budget, **kwargs)
+
+    def compare_sources(self, source_a: str, source_b: str, **kwargs) -> DataFrame:
+        """Log-odds-with-prior distinguishing terms between two
+        sources (x134, 'Fightin' Words')."""
+        from .operators.curation import distinguishing_terms
+
+        return distinguishing_terms(
+            self.table("documents"), source_a, source_b, **kwargs
+        )

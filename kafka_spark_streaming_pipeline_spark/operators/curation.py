@@ -2590,3 +2590,84 @@ def packing_efficiency(
             + F.lit(0.0)
         ).alias("window_savings"),
     )
+
+
+def distinguishing_terms(
+    docs: DataFrame,
+    source_a: str,
+    source_b: str,
+    topk: int = 15,
+    alpha: float = 0.01,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The terms that statistically distinguish source A from source B
+    — log-odds ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn, "Fightin' Words", 2008), the standard
+    comparative-corpus analysis: raw frequency differences overweight
+    common words and raw ratios overweight rare ones; the prior (here
+    alpha x the pooled corpus frequency) shrinks both, and the z-score
+    ranks by EVIDENCE of difference.
+
+        delta_w = ln(y_aw + a_w) - ln(n_a + a0 - y_aw - a_w)
+                - ln(y_bw + a_w) + ln(n_b + a0 - y_bw - a_w)
+        var_w   ~ 1/(y_aw + a_w) + 1/(y_bw + a_w)
+        z_w     = delta_w / sqrt(var_w)
+
+    Top-k by z in each direction.  Shape: one token histogram for the
+    two sources (FULL OUTER merged via conditional aggregation on the
+    pooled per-term counts — one groupBy, absent terms get count 0;
+    PERSISTED, because the totals and both top-k directions consume
+    it), scalar totals broadcast, map-side z computation, two
+    TakeOrderedAndProject top-ks.  z is per-term arithmetic
+    (unrounded per-row ln is fine — the output rounds once)."""
+    from ..cache import tracked_persist
+    from .text import tokens
+
+    pair = docs.where(F.col(source_col).isin([source_a, source_b]))
+    hist = tracked_persist(
+        pair.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term")
+        .agg(
+            F.sum((F.col("src") == source_a).cast("long")).cast("long").alias("ya"),
+            F.sum((F.col("src") == source_b).cast("long")).cast("long").alias("yb"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    h = hist.crossJoin(F.broadcast(tot))
+    ya = F.col("ya").cast("double")
+    yb = F.col("yb").cast("double")
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    # informative prior: alpha * pooled frequency share, floored so
+    # every term has positive mass on both sides
+    aw = F.lit(alpha) * (ya + yb)
+    a0 = F.lit(alpha) * (na + nb)
+    delta = (
+        F.log(ya + aw)
+        - F.log(na + a0 - ya - aw)
+        - F.log(yb + aw)
+        + F.log(nb + a0 - yb - aw)
+    )
+    var = F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    z = delta / F.sqrt(var)
+    scored = h.select(
+        "term",
+        "ya",
+        "yb",
+        (F.round(z + F.lit(1e-9), 4) + F.lit(0.0)).alias("z"),
+    )
+    top_a = scored.orderBy(F.col("z").desc(), "term").limit(topk).select(
+        F.lit(source_a).alias("favors"), "term", "ya", "yb", "z"
+    )
+    top_b = scored.orderBy(F.col("z").asc(), "term").limit(topk).select(
+        F.lit(source_b).alias("favors"), "term", "ya", "yb", "z"
+    )
+    return top_a.unionByName(top_b)

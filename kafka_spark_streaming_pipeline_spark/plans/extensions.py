@@ -7513,3 +7513,58 @@ def x133_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return packing_efficiency(docs, budget=2048)
+
+
+@query(
+    "x134_distinguishing_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS src, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), hist AS (
+      SELECT term,
+             CAST(sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+             CAST(sum(CASE WHEN src = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+      FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb
+      FROM hist
+    ), scored AS (
+      SELECT term, ya, yb,
+             round((ln(CAST(ya AS DOUBLE) + 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)))
+                    - ln(CAST(na AS DOUBLE) + 0.01 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                         - CAST(ya AS DOUBLE)
+                         - 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)))
+                    - ln(CAST(yb AS DOUBLE) + 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)))
+                    + ln(CAST(nb AS DOUBLE) + 0.01 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                         - CAST(yb AS DOUBLE)
+                         - 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE))))
+                   / sqrt(1.0 / (CAST(ya AS DOUBLE)
+                                 + 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE)))
+                          + 1.0 / (CAST(yb AS DOUBLE)
+                                 + 0.01 * (CAST(ya AS DOUBLE) + CAST(yb AS DOUBLE))))
+                   + 1e-9, 4) + 0.0 AS z
+      FROM hist CROSS JOIN tot
+    )
+    SELECT * FROM (
+      SELECT 'src0' AS favors, term, ya, yb, z
+      FROM scored ORDER BY z DESC, term LIMIT 15
+    )
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'src1' AS favors, term, ya, yb, z
+      FROM scored ORDER BY z ASC, term LIMIT 15
+    )
+    """,
+)
+def x134_distinguishing_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Fightin' Words' comparative-corpus analysis between src0 and
+    src1: log-odds ratio with an informative Dirichlet prior ranks
+    terms by EVIDENCE of differential use (raw frequency differences
+    overweight common words; raw ratios overweight rare ones).  One
+    conditional-aggregation histogram, scalar totals broadcast,
+    map-side z, two TakeOrderedAndProject top-15s."""
+    from ..operators.curation import distinguishing_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return distinguishing_terms(docs, "src0", "src1")

@@ -908,3 +908,31 @@ def test_packing_efficiency_hand_case(spark):
     assert r["window_savings"] == 2.0
     assert r["packed_fill"] == round(7148 / (3 * 2048.0) + 1e-9, 6)
     assert r["naive_fill"] == round(7148 / (6 * 2048.0) + 1e-9, 6)
+
+
+def test_distinguishing_terms_finds_planted_vocabulary(spark):
+    """'physics' is used overwhelmingly by A, 'finance' by B, filler
+    words equally: the top favors-A term must be physics (z > 0), the
+    top favors-B term finance (z < 0), and shared filler must rank
+    below both planted terms in |z|."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        distinguishing_terms,
+    )
+
+    rows = (
+        [("A", i, "physics quantum common filler words") for i in range(30)]
+        + [("B", 100 + i, "finance market common filler words") for i in range(30)]
+    )
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = distinguishing_terms(docs, "A", "B", topk=3).collect()
+    a_side = sorted(
+        [r for r in out if r["favors"] == "A"], key=lambda r: -r["z"]
+    )
+    b_side = sorted(
+        [r for r in out if r["favors"] == "B"], key=lambda r: r["z"]
+    )
+    assert a_side[0]["term"] in ("physics", "quantum") and a_side[0]["z"] > 2
+    assert b_side[0]["term"] in ("finance", "market") and b_side[0]["z"] < -2
+    fillers = {r["term"]: r["z"] for r in out if r["term"] in ("common", "filler",
+                                                               "words")}
+    assert all(abs(z) < 1 for z in fillers.values())
