@@ -873,3 +873,10 @@ class Engine:
         return distinguishing_terms(
             self.table("documents"), source_a, source_b, **kwargs
         )
+
+    def dedup_profile(self, **kwargs) -> DataFrame:
+        """Near-dup cluster-size distribution (x135) — singleton share
+        and duplication tail."""
+        from .operators.dedup import cluster_size_distribution
+
+        return cluster_size_distribution(self.table("documents"), **kwargs)

@@ -1362,3 +1362,59 @@ def cluster_weighted_sample(
         (F.round(w + F.lit(1e-9), 6) + F.lit(0.0)).alias("sel_weight"),
         (u < w).alias("selected"),
     )
+
+
+def cluster_size_distribution(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Distribution of near-duplicate cluster sizes — the first chart
+    in any dedup report: how much of the corpus is singletons, how
+    heavy the duplication tail is (crawl loops and mirror farms show
+    up as giant clusters), and how much a hard dedup would delete
+    (n_docs - n_clusters summed over sizes >= 2).
+
+    Shape: the LSH pair closure, one component-size aggregate, one
+    size histogram; the singleton row is derived arithmetically from
+    the corpus total (never a corpus-sized anti-join).  doc_share is
+    the one rounded ratio."""
+    comp = connected_components(
+        minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("csize"))
+    dist = sizes.groupBy("csize").agg(F.count("*").cast("long").alias("n_clusters"))
+    tot = docs.agg(F.count("*").cast("long").alias("n_total"))
+    clustered = dist.agg(
+        F.coalesce(F.sum(F.col("csize") * F.col("n_clusters")), F.lit(0))
+        .cast("long")
+        .alias("n_clustered")
+    )
+    singles = (
+        tot.crossJoin(F.broadcast(clustered))
+        .select(
+            F.lit(1).cast("long").alias("csize"),
+            (F.col("n_total") - F.col("n_clustered")).cast("long").alias(
+                "n_clusters"
+            ),
+        )
+    )
+    allrows = dist.unionByName(singles).where(F.col("n_clusters") > 0)
+    return (
+        allrows.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("csize").alias("cluster_size"),
+            "n_clusters",
+            (F.col("csize") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            (
+                F.round(
+                    (F.col("csize") * F.col("n_clusters")).cast("double")
+                    / F.col("n_total").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("doc_share"),
+        )
+    )

@@ -7568,3 +7568,40 @@ def x134_distinguishing_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return distinguishing_terms(docs, "src0", "src1")
+
+
+@query(
+    "x135_cluster_size_distribution",
+    oracle=f"""
+    WITH comp AS ({_P14_ORACLE}),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY 1
+    ), dist AS (
+      SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents
+    ), cl AS (
+      SELECT CAST(coalesce(sum(csize * n_clusters), 0) AS BIGINT) AS n_clustered
+      FROM dist
+    ), allrows AS (
+      SELECT csize, n_clusters FROM dist
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), tot.n_total - cl.n_clustered FROM tot, cl
+    )
+    SELECT csize AS cluster_size, n_clusters,
+           CAST(csize * n_clusters AS BIGINT) AS n_docs,
+           round(CAST(csize * n_clusters AS DOUBLE)
+                 / CAST(tot.n_total AS DOUBLE) + 1e-9, 6) + 0.0 AS doc_share
+    FROM allrows, tot WHERE n_clusters > 0
+    """,
+)
+def x135_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup report's first
+    chart: singleton share, duplication tail, and how much a hard
+    dedup would delete.  LSH closure + component-size aggregate +
+    size histogram; the singleton row is arithmetic from the corpus
+    total, never a corpus-sized anti-join."""
+    from ..operators.dedup import cluster_size_distribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_size_distribution(docs)

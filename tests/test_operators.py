@@ -2823,3 +2823,32 @@ def test_spearman_rank_correlation_monotone_ties_and_degenerate(spark):
     assert abs(out["inv"]["spearman_rho"] + 1.0) < 1e-5
     assert abs(out["tie"]["spearman_rho"] - 0.9486832980505138) < 1e-5
     assert out["const"]["spearman_rho"] is None
+
+
+def test_cluster_size_distribution_accounts_for_every_doc(spark):
+    """Planted corpus: a 3-clique of near-identical docs, a pair, and
+    5 singletons -> rows (3,1), (2,1), (1,5); doc shares sum to 1 and
+    every doc is counted exactly once."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        cluster_size_distribution,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away through fields")
+    pair_text = ("entirely separate duplicated article about maritime "
+                 "navigation charts and coastal weather patterns today")
+    rows = (
+        [(i, base + f" tail{i % 1}") for i in range(3)]          # 3-clique
+        + [(10, pair_text), (11, pair_text)]                      # pair
+        + [(100 + i,
+            f"completely different text number {i} about topic{i} "
+            f"with unique{i} words{i} here{i} nothing{i} shared{i}")
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r["cluster_size"]: r for r in cluster_size_distribution(docs).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 5 and out[1]["n_docs"] == 5
+    assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-5
+    assert sum(r["n_docs"] for r in out.values()) == 10
