@@ -101,6 +101,12 @@ HEADLINE = [
     # expansion = two full BM25 passes + candidate mining).
     "x113_cusum_changepoints",
     "x122_prf_expanded_search",
+    # r06 statistics family: the two heaviest members — the Poisson
+    # bootstrap (33-replicate explode through one corpus scan) and the
+    # pairwise JS divergence (persisted token histogram + shared-terms
+    # self-join across all source pairs).
+    "x125_quality_bootstrap_ci",
+    "x126_source_js_divergence",
 ]
 
 
