@@ -2306,9 +2306,25 @@ def lexical_diversity(
     BEFORE summing (order-independent BIGINT; raw sum(cnt^2) would
     overflow BIGINT at ~3e9 tokens/source)."""
     from ..cache import tracked_persist
+
+    hist = tracked_persist(term_histogram(docs, source_col, text_col))
+    return lexical_diversity_from_hist(hist, source_col)
+
+
+def term_histogram(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (src, term, cnt) token histogram — the mergeable state
+    shared by the lexical screens (x129 diversity, x132 Zipf, x134
+    fightin'-words all finish from it): counts ADD cell-wise across
+    disjoint batches, so one incrementally-maintained histogram store
+    serves every downstream lexical statistic, the same way the
+    hourly-count store serves the four time-series detectors."""
     from .text import tokens
 
-    hist = tracked_persist(
+    return (
         docs.select(
             F.col(source_col).alias("src"),
             F.explode(tokens(F.col(text_col))).alias("term"),
@@ -2316,6 +2332,13 @@ def lexical_diversity(
         .groupBy("src", "term")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def lexical_diversity_from_hist(
+    hist: DataFrame, source_col: str = "source"
+) -> DataFrame:
+    """Finish the lexical-diversity report from a (possibly merged)
+    term histogram — see ``lexical_diversity``."""
     tot = hist.groupBy("src").agg(F.sum("cnt").cast("long").alias("n_tokens"))
     p = F.col("cnt").cast("double") / F.col("n_tokens").cast("double")
     per = (
@@ -2456,18 +2479,14 @@ def zipf_fit(
     DOUBLE sums would be order-dependent; ln(rank) <= ~19 and
     ln(rank)^2 <= ~340, so sums stay under BIGINT through 1e8-term
     vocabularies).  Single-term vocabularies are degenerate -> NULL."""
+    return zipf_fit_from_hist(term_histogram(docs, source_col, text_col), source_col)
+
+
+def zipf_fit_from_hist(hist: DataFrame, source_col: str = "source") -> DataFrame:
+    """Finish the Zipf fit from a (possibly merged) term histogram —
+    see ``zipf_fit``."""
     from pyspark.sql import Window
 
-    from .text import tokens
-
-    hist = (
-        docs.select(
-            F.col(source_col).alias("src"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
-        )
-        .groupBy("src", "term")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
     w = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "term")
     lr = F.log(F.row_number().over(w).cast("double"))
     lf = F.log(F.col("cnt").cast("double"))

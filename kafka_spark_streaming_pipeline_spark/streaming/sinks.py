@@ -1825,3 +1825,63 @@ def dispersion_view(spark, counts_path: str, threshold: float = 1.5) -> DataFram
     view = dispersion_scores_from_dense(densify_hourly(sparse), threshold)
     _DISPERSION_VIEW_FRAMES.extend(cache.tracked_since(pos))
     return view
+
+
+def make_term_histogram_sink(path: str, source_col: str = "source",
+                             text_col: str = "text"):
+    """Continuously-maintained (source, term) token histogram — ONE
+    shared lexical store serving every downstream term statistic
+    (lexical diversity x129, Zipf fit x132, and any fightin'-words
+    comparison), the way the hourly-count store serves the four
+    time-series detectors.  Each batch appends its batch-local
+    histogram; cells ADD, so merged views are BIT-EQUAL to the batch
+    operators over every document ever ingested.  State is bounded by
+    the vocabulary, not the corpus.  Append-exactly-once per doc
+    contract, like the other counting sinks."""
+    from ..operators.curation import term_histogram
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = term_histogram(batch_df, source_col, text_col)
+        AtomicParquetTable(path).append(
+            hist.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _term_hist_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "src", "term"])
+        .groupBy("src", "term")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def lexical_view(spark, path: str) -> DataFrame:
+    """Current merged lexical-diversity report (TTR / hapax /
+    Simpson) — bit-equal to operators.curation.lexical_diversity over
+    the union of all ingested batches.  The finisher's two consumers
+    re-read the (tiny, vocabulary-bounded) log rather than persisting
+    per call — a monitoring loop must not accumulate cached frames."""
+    from ..operators.curation import lexical_diversity_from_hist
+
+    return lexical_diversity_from_hist(_term_hist_of(_read_log(spark, path)))
+
+
+def zipf_view(spark, path: str) -> DataFrame:
+    """Current merged Zipf fit — bit-equal to
+    operators.curation.zipf_fit over the union of all ingested
+    batches."""
+    from ..operators.curation import zipf_fit_from_hist
+
+    return zipf_fit_from_hist(_term_hist_of(_read_log(spark, path)))
+
+
+def compact_term_histogram(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the histogram log to one row per (src, term) cell; the
+    fold is itself a valid partial (cell-wise sums), so live appends
+    keep composing after compaction."""
+    _compact(spark, path, _term_hist_of, quiesced)

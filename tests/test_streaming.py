@@ -2516,3 +2516,52 @@ def test_streaming_dispersion_view_matches_batch_and_flags_bursts(
         for c in ("n_hours", "total_events", "mean_per_hour", "fano",
                   "overdispersed"):
             assert got[k][c] == want[k][c], (k, c)
+
+
+def test_streaming_term_histogram_serves_lexical_and_zipf(spark, sf_dir, tmp_path):
+    """ONE term-histogram store must serve BOTH lexical views: the
+    merged lexical-diversity and Zipf reports are bit-equal to their
+    batch operators over all ingested docs, survive replay, and keep
+    composing after online compaction."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        lexical_diversity,
+        zipf_fit,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_term_histogram,
+        lexical_view,
+        make_term_histogram_sink,
+        zipf_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "termhist")
+    sink = make_term_histogram_sink(path)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def views():
+        return (
+            {r["source"]: tuple(r) for r in lexical_view(spark, path).collect()},
+            {r["source"]: tuple(r) for r in zipf_view(spark, path).collect()},
+        )
+
+    def batch(frame):
+        return (
+            {r["source"]: tuple(r) for r in lexical_diversity(frame).collect()},
+            {r["source"]: tuple(r) for r in zipf_fit(frame).collect()},
+        )
+
+    two = views()
+    assert two == batch(docs.filter(F.col("doc_id") % 3 != 2))
+    sink(b1, 1)  # replay: per-commit dedup keeps both views unchanged
+    assert views() == two
+    compact_term_histogram(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch: watermark drops it
+    assert views() == two
+    sink(b2, 2)  # live append composes with the folded histogram
+    assert views() == batch(docs)
