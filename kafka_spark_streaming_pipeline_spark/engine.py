@@ -880,3 +880,10 @@ class Engine:
         from .operators.dedup import cluster_size_distribution
 
         return cluster_size_distribution(self.table("documents"), **kwargs)
+
+    def dedup_threshold_curve(self, **kwargs) -> DataFrame:
+        """Candidate-pair yield at every estimated-Jaccard level
+        (x136) — dedup threshold sensitivity from one LSH pass."""
+        from .operators.dedup import threshold_sensitivity
+
+        return threshold_sensitivity(self.table("documents"), **kwargs)

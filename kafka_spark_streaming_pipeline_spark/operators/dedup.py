@@ -1418,3 +1418,40 @@ def cluster_size_distribution(
             ).alias("doc_share"),
         )
     )
+
+
+def threshold_sensitivity(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Dedup threshold-sensitivity curve: candidate-pair yield at
+    every possible estimated-Jaccard level from ONE LSH pass (the
+    16-hash signature estimates are multiples of 1/16, so the curve
+    has at most 17 points).  Reading the cumulative column at a
+    proposed threshold answers 'how many pairs would this threshold
+    keep?' BEFORE committing a full dedup run — a threshold sitting
+    on a steep part of the curve is a fragile threshold.
+
+    One signature pipeline (min_est_jaccard forced to 0 so banding
+    alone gates candidacy), one 17-row histogram, one cumulative
+    window over that aggregate (provably bounded)."""
+    from pyspark.sql import Window
+
+    lsh_kwargs.pop("min_est_jaccard", None)
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, min_est_jaccard=0.0, **lsh_kwargs
+    )
+    hist = pairs.groupBy("est_jaccard").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.col("est_jaccard").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "est_jaccard",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )

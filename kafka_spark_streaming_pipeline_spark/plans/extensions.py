@@ -7605,3 +7605,33 @@ def x135_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return cluster_size_distribution(docs)
+
+
+_P12_ALL_CANDIDATES = _P12_ORACLE.replace(">= 0.5", ">= 0.0")
+
+
+@query(
+    "x136_threshold_sensitivity",
+    oracle=f"""
+    WITH cand AS ({_P12_ALL_CANDIDATES}),
+    hist AS (
+      SELECT est_jaccard, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM cand GROUP BY 1
+    )
+    SELECT est_jaccard, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY est_jaccard DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_pairs_at_or_above
+    FROM hist
+    """,
+)
+def x136_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold-sensitivity curve: pair yield at every
+    estimated-Jaccard level (multiples of 1/16) from ONE LSH pass —
+    the pre-commit answer to 'is 0.5 a fragile threshold here?'.
+    Banding alone gates candidacy; the cumulative window runs over
+    the 17-row histogram aggregate."""
+    from ..operators.dedup import threshold_sensitivity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return threshold_sensitivity(docs)

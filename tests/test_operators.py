@@ -2852,3 +2852,32 @@ def test_cluster_size_distribution_accounts_for_every_doc(spark):
     assert out[1]["n_clusters"] == 5 and out[1]["n_docs"] == 5
     assert abs(sum(r["doc_share"] for r in out.values()) - 1.0) < 1e-5
     assert sum(r["n_docs"] for r in out.values()) == 10
+
+
+def test_threshold_sensitivity_cumulative_counts(spark):
+    """Three identical docs plus one moderately-similar doc: the
+    identical trio pairs at est 1.0 (3 pairs); cumulative counts are
+    monotone non-decreasing as the threshold drops and the top row's
+    cumulative equals its own count."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        threshold_sensitivity,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi")
+    rows = (
+        [(i, base) for i in range(3)]
+        + [(10, base.replace("delta", "other").replace("kappa", "word"))]
+        + [(100, "totally unrelated content about different things entirely "
+                 "with no shared phrases anywhere at all")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = sorted(
+        threshold_sensitivity(docs).collect(),
+        key=lambda r: -r["est_jaccard"],
+    )
+    assert out[0]["est_jaccard"] == 1.0 and out[0]["n_pairs"] >= 3
+    assert out[0]["n_pairs_at_or_above"] == out[0]["n_pairs"]
+    cums = [r["n_pairs_at_or_above"] for r in out]
+    assert cums == sorted(cums)
+    assert cums[-1] == sum(r["n_pairs"] for r in out)

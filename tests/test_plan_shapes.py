@@ -356,6 +356,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x133_packing_efficiency",
         "x134_distinguishing_terms",
         "x135_cluster_size_distribution",
+        "x136_threshold_sensitivity",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
