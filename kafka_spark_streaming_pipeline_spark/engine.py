@@ -887,3 +887,9 @@ class Engine:
         from .operators.dedup import threshold_sensitivity
 
         return threshold_sensitivity(self.table("documents"), **kwargs)
+
+    def readability(self, **kwargs) -> DataFrame:
+        """Flesch reading-ease report per source (x137)."""
+        from .operators.curation import readability_report
+
+        return readability_report(self.table("documents"), **kwargs)

@@ -7635,3 +7635,48 @@ def x136_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return threshold_sensitivity(docs)
+
+
+@query(
+    "x137_readability",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             string_split(lower(text), ' ') AS toks,
+             greatest(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                                      s -> length(trim(s)) > 0)), 1) AS sents
+      FROM documents
+    ), per_doc AS (
+      SELECT source,
+             CAST(trunc((206.835
+               - 1.015 * (CAST(len(toks) AS DOUBLE) / CAST(sents AS DOUBLE))
+               - 84.6 * (CAST(list_sum(list_transform(toks,
+                     w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+                     AS DOUBLE) / CAST(len(toks) AS DOUBLE)))
+               * 1e6) AS BIGINT) AS fq
+      FROM t
+    ), per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(fq) AS BIGINT) AS sum_fq,
+             CAST(sum(CASE WHEN fq < 30000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hard
+      FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs,
+           round(CAST(sum_fq AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6
+                 + 1e-9, 4) + 0.0 AS mean_flesch,
+           round(CAST(n_hard AS DOUBLE) / CAST(n_docs AS DOUBLE) + 1e-9, 6)
+             + 0.0 AS hard_share
+    FROM per
+    """,
+)
+def x137_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source with the vowel-group syllable
+    proxy (floored at 1; identical under Java regex and RE2) — the
+    readability screen whose collapse usually means extraction broke,
+    not that the audience changed.  One map-only scan; per-doc scores
+    micro-quantized so the mean is an exact-BIGINT sum divided once."""
+    from ..operators.curation import readability_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_report(docs)

@@ -936,3 +936,32 @@ def test_distinguishing_terms_finds_planted_vocabulary(spark):
     fillers = {r["term"]: r["z"] for r in out if r["term"] in ("common", "filler",
                                                                "words")}
     assert all(abs(z) < 1 for z in fillers.values())
+
+
+def test_readability_hand_case_and_monotonicity(spark):
+    """Hand case: 'the cat sat. it ran away.' -> W=6, S=2, syllables
+    (vowel groups, floor 1): the=1 cat=1 sat=1 it=1 ran=1 away=2 = 7;
+    flesch = 206.835 - 1.015*3 - 84.6*(7/6).  Polysyllabic prose must
+    score LOWER than monosyllabic prose, and the hard_share flags
+    only the difficult source."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        readability_report,
+    )
+
+    rows = (
+        [("hand", 1, "the cat sat. it ran away.")]
+        + [("easy", 10 + i, "the dog ran. the cat sat. it was fun.")
+           for i in range(5)]
+        + [("dense", 20 + i,
+            "institutional epistemological considerations necessitate "
+            "multidimensional organizational restructuring imperatives.")
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+    out = {r["source"]: r for r in readability_report(docs).collect()}
+    want = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+    import math
+    assert abs(out["hand"]["mean_flesch"] - want) < 1e-3
+    assert out["easy"]["mean_flesch"] > out["dense"]["mean_flesch"]
+    assert out["easy"]["hard_share"] == 0.0
+    assert out["dense"]["hard_share"] == 1.0

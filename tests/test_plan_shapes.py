@@ -357,6 +357,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x134_distinguishing_terms",
         "x135_cluster_size_distribution",
         "x136_threshold_sensitivity",
+        "x137_readability",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -128,6 +128,7 @@ AUDITED = {
     "x134_distinguishing_terms": "fightin-words: one conditional-agg histogram over the two sources, broadcast totals, map-side z, two TakeOrderedAndProject top-ks",
     "x135_cluster_size_distribution": "cluster sizes: LSH closure + component-size agg + size histogram; singleton row is arithmetic from the total, no anti-join",
     "x136_threshold_sensitivity": "threshold curve: one LSH signature pass, 17-row histogram, cumulative window over the aggregate only",
+    "x137_readability": "readability: map-only per-doc arithmetic (token array bound once), one per-source aggregate — zero joins",
 }
 
 
