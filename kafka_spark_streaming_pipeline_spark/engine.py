@@ -893,3 +893,11 @@ class Engine:
         from .operators.curation import readability_report
 
         return readability_report(self.table("documents"), **kwargs)
+
+    def vocab_churn(self, old_docs: DataFrame, new_docs: DataFrame,
+                    **kwargs) -> DataFrame:
+        """Type- and mass-weighted vocabulary churn between two
+        snapshots (x138)."""
+        from .operators.curation import vocabulary_churn
+
+        return vocabulary_churn(old_docs, new_docs, **kwargs)

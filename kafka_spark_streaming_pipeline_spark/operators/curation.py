@@ -2769,3 +2769,96 @@ def readability_report(
             + F.lit(0.0)
         ).alias("hard_share"),
     )
+
+
+def vocabulary_churn(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary churn between two corpus snapshots, per source: how
+    many terms appeared, vanished, and persisted — and how much TOKEN
+    MASS the churned terms carry (type counts alone overweight the
+    hapax tail; a crawl can gain 50% new types that carry 0.1% of
+    tokens).  High mass-weighted churn means the extraction or the
+    underlying content actually changed; the term-level companion to
+    x98's distribution drift.
+
+    Shape: one term histogram per side merged by a conditional
+    aggregation on (src, term) — one groupBy, absent sides get count
+    0, no join; then a per-source k-row aggregate.  All counts exact
+    BIGINTs; the three rates are the only rounded ratios."""
+    both = old_docs.select(
+        F.lit(0).alias("side"), F.col(source_col).alias("s"), F.col(text_col).alias("t")
+    ).unionByName(
+        new_docs.select(
+            F.lit(1).alias("side"),
+            F.col(source_col).alias("s"),
+            F.col(text_col).alias("t"),
+        )
+    )
+    from .text import tokens
+
+    hist = (
+        both.select("side", F.col("s").alias("src"), F.explode(tokens(F.col("t"))).alias("term"))
+        .groupBy("src", "term")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).cast("long").alias("c_old"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("long").alias("c_new"),
+        )
+    )
+    per = hist.groupBy("src").agg(
+        F.sum((F.col("c_old") > 0).cast("long")).cast("long").alias("n_types_old"),
+        F.sum((F.col("c_new") > 0).cast("long")).cast("long").alias("n_types_new"),
+        F.sum(((F.col("c_old") > 0) & (F.col("c_new") == 0)).cast("long"))
+        .cast("long")
+        .alias("n_lost"),
+        F.sum(((F.col("c_old") == 0) & (F.col("c_new") > 0)).cast("long"))
+        .cast("long")
+        .alias("n_gained"),
+        F.sum(F.col("c_new")).cast("long").alias("tok_new"),
+        F.sum(F.when(F.col("c_old") == 0, F.col("c_new")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tok_new_in_gained"),
+        F.sum(F.col("c_old")).cast("long").alias("tok_old"),
+        F.sum(F.when(F.col("c_new") == 0, F.col("c_old")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tok_old_in_lost"),
+    )
+    return per.select(
+        F.col("src").alias(source_col),
+        "n_types_old",
+        "n_types_new",
+        "n_lost",
+        "n_gained",
+        F.when(
+            F.col("n_types_new") > 0,
+            F.round(
+                F.col("n_gained").cast("double") / F.col("n_types_new").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("type_gain_rate"),
+        F.when(
+            F.col("tok_new") > 0,
+            F.round(
+                F.col("tok_new_in_gained").cast("double")
+                / F.col("tok_new").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("mass_gain_rate"),
+        F.when(
+            F.col("tok_old") > 0,
+            F.round(
+                F.col("tok_old_in_lost").cast("double")
+                / F.col("tok_old").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0),
+        ).alias("mass_loss_rate"),
+    )

@@ -7680,3 +7680,62 @@ def x137_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return readability_report(docs)
+
+
+@query(
+    "x138_vocabulary_churn",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS side,
+             source AS src,
+             unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hist AS (
+      SELECT src, term,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+      FROM tok GROUP BY 1, 2
+    ), per AS (
+      SELECT src,
+             CAST(sum(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_old,
+             CAST(sum(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_new,
+             CAST(sum(CASE WHEN c_old > 0 AND c_new = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_lost,
+             CAST(sum(CASE WHEN c_old = 0 AND c_new > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_gained,
+             CAST(sum(c_new) AS BIGINT) AS tok_new,
+             CAST(sum(CASE WHEN c_old = 0 THEN c_new ELSE 0 END) AS BIGINT)
+               AS tok_new_in_gained,
+             CAST(sum(c_old) AS BIGINT) AS tok_old,
+             CAST(sum(CASE WHEN c_new = 0 THEN c_old ELSE 0 END) AS BIGINT)
+               AS tok_old_in_lost
+      FROM hist GROUP BY 1
+    )
+    SELECT src AS source, n_types_old, n_types_new, n_lost, n_gained,
+           CASE WHEN n_types_new > 0 THEN
+             round(CAST(n_gained AS DOUBLE) / CAST(n_types_new AS DOUBLE)
+                   + 1e-9, 6) + 0.0 END AS type_gain_rate,
+           CASE WHEN tok_new > 0 THEN
+             round(CAST(tok_new_in_gained AS DOUBLE) / CAST(tok_new AS DOUBLE)
+                   + 1e-9, 6) + 0.0 END AS mass_gain_rate,
+           CASE WHEN tok_old > 0 THEN
+             round(CAST(tok_old_in_lost AS DOUBLE) / CAST(tok_old AS DOUBLE)
+                   + 1e-9, 6) + 0.0 END AS mass_loss_rate
+    FROM per
+    """,
+)
+def x138_vocabulary_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level churn between two corpus snapshots (doc-id parity
+    plays the crawls, the x98 convention): types gained/lost AND the
+    token mass those churned types carry — type counts alone
+    overweight the hapax tail.  One unioned histogram via conditional
+    aggregation (no join), one per-source aggregate."""
+    from ..operators.curation import vocabulary_churn
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary_churn(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )

@@ -965,3 +965,29 @@ def test_readability_hand_case_and_monotonicity(spark):
     assert out["easy"]["mean_flesch"] > out["dense"]["mean_flesch"]
     assert out["easy"]["hard_share"] == 0.0
     assert out["dense"]["hard_share"] == 1.0
+
+
+def test_vocabulary_churn_separates_type_and_mass(spark):
+    """Old corpus says 'alpha beta' heavily; the new crawl keeps them,
+    drops 'beta', gains hapax junk: type_gain_rate is HIGH while
+    mass_gain_rate stays LOW (the hapax tail carries no tokens) —
+    exactly the distinction type counts alone miss."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        vocabulary_churn,
+    )
+
+    old = spark.createDataFrame(
+        [("s", i, "alpha beta alpha beta alpha") for i in range(10)],
+        "source STRING, doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [("s", 100 + i, f"alpha alpha alpha alpha junk{i}") for i in range(10)],
+        "source STRING, doc_id BIGINT, text STRING",
+    )
+    r = vocabulary_churn(old, new).collect()[0]
+    assert r["n_types_old"] == 2              # alpha, beta
+    assert r["n_types_new"] == 11             # alpha + 10 junk hapaxes
+    assert r["n_lost"] == 1 and r["n_gained"] == 10
+    assert r["type_gain_rate"] == round(10 / 11 + 1e-9, 6)
+    assert r["mass_gain_rate"] == round(10 / 50 + 1e-9, 6)
+    assert r["mass_loss_rate"] == round(20 / 50 + 1e-9, 6)

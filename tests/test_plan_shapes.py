@@ -358,6 +358,7 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
         "x135_cluster_size_distribution",
         "x136_threshold_sensitivity",
         "x137_readability",
+        "x138_vocabulary_churn",
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

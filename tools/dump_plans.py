@@ -129,6 +129,7 @@ AUDITED = {
     "x135_cluster_size_distribution": "cluster sizes: LSH closure + component-size agg + size histogram; singleton row is arithmetic from the total, no anti-join",
     "x136_threshold_sensitivity": "threshold curve: one LSH signature pass, 17-row histogram, cumulative window over the aggregate only",
     "x137_readability": "readability: map-only per-doc arithmetic (token array bound once), one per-source aggregate — zero joins",
+    "x138_vocabulary_churn": "vocab churn: one unioned conditional-agg histogram (no join), one per-source k-row aggregate",
 }
 
 
