@@ -2382,6 +2382,17 @@ def lexical_diversity_from_hist(
             F.round(F.col("simpson_q").cast("double") / F.lit(1e12) + F.lit(1e-9), 6)
             + F.lit(0.0)
         ).alias("simpson"),
+        # Good-Turing missing mass: the probability the NEXT token is a
+        # type never seen in this source — n_1/N, the standard estimate
+        # of how under-sampled a source's vocabulary still is
+        (
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_tokens").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("gt_missing_mass"),
     )
 
 

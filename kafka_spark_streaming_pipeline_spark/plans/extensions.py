@@ -7279,7 +7279,9 @@ def x128_signal_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.0 AS type_token_ratio,
            round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) + 1e-9, 6)
              + 0.0 AS hapax_ratio,
-           round(CAST(simpson_q AS DOUBLE) / 1e12 + 1e-9, 6) + 0.0 AS simpson
+           round(CAST(simpson_q AS DOUBLE) / 1e12 + 1e-9, 6) + 0.0 AS simpson,
+           round(CAST(n_hapax AS DOUBLE) / CAST(n_tokens AS DOUBLE) + 1e-9, 6)
+             + 0.0 AS gt_missing_mass
     FROM per
     """,
 )

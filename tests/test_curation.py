@@ -821,6 +821,7 @@ def test_lexical_diversity_hand_case_and_boilerplate_signal(spark):
     assert h["type_token_ratio"] == round(2 / 3 + 1e-9, 6)
     assert h["hapax_ratio"] == 0.5
     assert abs(h["simpson"] - 5 / 9) < 2e-6
+    assert h["gt_missing_mass"] == round(1 / 3 + 1e-9, 6)  # 1 hapax of 3 tokens
     assert out["boiler"]["type_token_ratio"] < out["diverse"]["type_token_ratio"]
     assert out["boiler"]["simpson"] > out["diverse"]["simpson"]
     assert out["diverse"]["hapax_ratio"] == 1.0
