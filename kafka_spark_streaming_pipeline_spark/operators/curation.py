@@ -2873,3 +2873,223 @@ def vocabulary_churn(
             + F.lit(0.0),
         ).alias("mass_loss_rate"),
     )
+
+
+def ks_drift(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test of the document-LENGTH
+    distribution (token counts) between every source pair: D = the
+    maximum ECDF gap, with the asymptotic p-value — the standard
+    'did this crawl's length profile drift?' screen, sharper than
+    comparing means because it sees shape changes (truncation,
+    chunking, boilerplate padding) that leave the mean alone.
+
+    Shape: ONE corpus scan into a (src, len, cnt) histogram (persisted
+    — it feeds totals and both pair sides); the pair grid is the union
+    of distinct lengths per pair, a full-outer align + two running
+    sums over the AGGREGATED frame only.  ECDF values are exact-BIGINT
+    ratios, so D is bit-identical across engines; the p-value is the
+    standard Kolmogorov asymptotic series truncated at one term
+    (2*exp(-2 D^2 n_e)), documented as an upper-tail approximation."""
+    from ..cache import tracked_persist
+
+    hist = tracked_persist(
+        docs.select(
+            F.col(source_col).alias("src"),
+            token_count(F.col(text_col)).alias("len"),
+        )
+        .groupBy("src", "len")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tot = hist.groupBy("src").agg(F.sum("cnt").cast("long").alias("n"))
+    skel = (
+        tot.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                tot.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    pair_keys = skel.select("source_a", "source_b")
+    ga = hist.select(
+        F.col("src").alias("source_a"), "len", F.col("cnt").alias("ca")
+    ).join(F.broadcast(pair_keys), "source_a")
+    gb = hist.select(
+        F.col("src").alias("source_b"), "len", F.col("cnt").alias("cb")
+    ).join(F.broadcast(pair_keys), "source_b")
+    grid = ga.join(gb, ["source_a", "source_b", "len"], "full_outer")
+    # the full-outer align keeps every length either side observed;
+    # absent-side counts are zero and two running sums give the ECDFs
+    w = W.partitionBy("source_a", "source_b").orderBy("len")
+    cum = grid.select(
+        "source_a",
+        "source_b",
+        "len",
+        F.sum(F.coalesce(F.col("ca"), F.lit(0))).over(w).cast("long").alias("cum_a"),
+        F.sum(F.coalesce(F.col("cb"), F.lit(0))).over(w).cast("long").alias("cum_b"),
+    )
+    d_at = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+    )
+    per = (
+        cum.join(F.broadcast(skel), ["source_a", "source_b"])
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(F.max(d_at).alias("ks_d_raw"))
+    )
+    ne = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("ks_d_raw") * F.col("ks_d_raw") * ne),
+    )
+    return per.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        (F.round(F.col("ks_d_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias("ks_d"),
+        (F.round(p + F.lit(1e-9), 6) + F.lit(0.0)).alias("p_value"),
+        (F.col("ks_d_raw") > F.lit(1.36) * F.sqrt(F.lit(1.0) / ne)).alias(
+            "drifted"
+        ),
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit per source: vocabulary growth V(n) ~ K * n^beta
+    over the corpus read in doc_id order — beta near 0.4-0.6 is
+    natural text; beta near 0 means the vocabulary saturates
+    (template/boilerplate), beta near 1 means unbounded novel tokens
+    (serial numbers, hashes — tokenizer poison).  The scaling
+    companion to Zipf's x132: Zipf checks the frequency SHAPE, Heaps
+    checks how the vocabulary GROWS, and a source can pass one while
+    failing the other.
+
+    Exact integer construction: global token position = per-source
+    running sum of doc lengths (the x133 window) + within-doc offset;
+    each term's FIRST position is a min-aggregate; checkpoints are the
+    power-of-two positions (bucket = bit-length(first_pos) - 1, pure
+    integer arithmetic — no float log2 edge cases), so V at checkpoint
+    2^(b+1)-1 is a cumulative count of first occurrences.  The log-log
+    OLS runs over <= 40 checkpoints with per-checkpoint micro-
+    quantized BIGINT moments (the x132 regression kit).  Sources with
+    < 3 checkpoints report NULL fits."""
+    from ..cache import tracked_persist
+
+    narrow = tracked_persist(
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.col(id_col).alias("did"),
+            token_count(F.col(text_col)).alias("nt"),
+        )
+    )
+    wdoc = (
+        W.partitionBy("src")
+        .orderBy("did")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # the running-sum window runs over NARROW (src, did, nt) rows only
+    # (the x133 discipline) — the corpus text never rides the per-source
+    # sort; offsets join back to the text on the well-spread doc id
+    offsets = narrow.select(
+        "src",
+        "did",
+        F.coalesce(F.sum("nt").over(wdoc), F.lit(0)).cast("long").alias("offset"),
+    )
+    with_off = docs.select(
+        F.col(id_col).alias("did"), tokens_of(F.col(text_col)).alias("toks")
+    ).join(offsets, "did")
+    positioned = with_off.select(
+        "src", "offset", F.posexplode("toks").alias("pos", "term")
+    )
+    first = (
+        positioned.select(
+            "src", "term", (F.col("offset") + F.col("pos") + 1).alias("gpos")
+        )
+        .groupBy("src", "term")
+        .agg(F.min("gpos").cast("long").alias("first_pos"))
+    )
+    n_tok = narrow.groupBy("src").agg(F.sum("nt").cast("long").alias("n_tokens"))
+    bucket = (F.length(F.conv(F.col("first_pos"), 10, 2)) - 1).cast("int")
+    by_bucket = (
+        first.select("src", bucket.alias("b"))
+        .groupBy("src", "b")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    wb = W.partitionBy("src").orderBy("b")
+    ckpt = (
+        by_bucket.select(
+            "src",
+            "b",
+            F.sum("new_types").over(wb).cast("long").alias("v"),
+        )
+        .join(F.broadcast(n_tok), "src")
+        .select(
+            "src",
+            F.least(
+                F.expr("shiftleft(CAST(1 AS BIGINT), b + 1)") - 1,
+                F.col("n_tokens"),
+            ).alias("n_at"),
+            "v",
+            "n_tokens",
+        )
+    )
+    mega = F.lit(1e6)
+    lx = F.log(F.col("n_at").cast("double"))
+    ly = F.log(F.col("v").cast("double"))
+    terms = ckpt.select(
+        "src",
+        "n_tokens",
+        (lx * mega).cast("long").alias("qx"),
+        (ly * mega).cast("long").alias("qy"),
+        (lx * lx * mega).cast("long").alias("qxx"),
+        (lx * ly * mega).cast("long").alias("qxy"),
+        (ly * ly * mega).cast("long").alias("qyy"),
+    )
+    per = terms.groupBy("src").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_checkpoints"),
+        F.sum("qx").cast("long").alias("sx"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum("qxx").cast("long").alias("sxx"),
+        F.sum("qxy").cast("long").alias("sxy"),
+        F.sum("qyy").cast("long").alias("syy"),
+    )
+    nd = F.col("n_checkpoints").cast("double")
+    sx = F.col("sx").cast("double") / F.lit(1e6)
+    sy = F.col("sy").cast("double") / F.lit(1e6)
+    sxx = F.col("sxx").cast("double") / F.lit(1e6)
+    sxy = F.col("sxy").cast("double") / F.lit(1e6)
+    syy = F.col("syy").cast("double") / F.lit(1e6)
+    den_x = nd * sxx - sx * sx
+    den_y = nd * syy - sy * sy
+    cov = nd * sxy - sx * sy
+    slope = cov / den_x
+    intercept = (sy - slope * sx) / nd
+    r2 = cov * cov / (den_x * den_y)
+    ok = (F.col("n_checkpoints") >= 3) & (den_x > 0)
+    return per.select(
+        F.col("src").alias(source_col),
+        "n_tokens",
+        "n_checkpoints",
+        F.when(ok, F.round(slope + F.lit(1e-9), 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.when(ok, F.round(F.exp(intercept) + F.lit(1e-9), 4) + F.lit(0.0)).alias(
+            "heaps_k"
+        ),
+        F.when(
+            ok & (den_y > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
+        ).alias("r_squared"),
+    )

@@ -698,3 +698,200 @@ def spearman_correlation(
             F.round(rho + F.lit(1e-9), 6) + F.lit(0.0),
         ).alias("spearman_rho"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    crit: float = 21.026,
+) -> DataFrame:
+    """Chi-squared test of independence between two categorical
+    columns, with Cramer's V effect size — the profiling screen for
+    'is this metadata balanced across that one?' (language across
+    sources, label across shards): a significant dependence means
+    per-source models see skewed label mixes and sampling by one
+    column silently biases the other.
+
+    ONE corpus scan into the r x c contingency table; margins and the
+    statistic run on the tiny aggregate (persisted — it feeds the two
+    margins and the cell output).  Per-cell (O-E)^2/E terms are
+    trunc-quantized to micro-units BEFORE the cross-cell sum (house
+    float discipline).  ``crit`` defaults to the 0.05 critical value
+    for 12 dof; pass the right value for your table's dof.  Output:
+    one row per observed cell carrying its counts plus the shared
+    chi2 / dof / Cramer's V / verdict."""
+    from ..cache import tracked_persist
+
+    cells = tracked_persist(
+        df.groupBy(
+            F.col(row_col).cast("string").alias("rv"),
+            F.col(col_col).cast("string").alias("cv"),
+        ).agg(F.count("*").cast("long").alias("n_obs"))
+    )
+    rmarg = cells.groupBy("rv").agg(F.sum("n_obs").cast("long").alias("n_row"))
+    cmarg = cells.groupBy("cv").agg(F.sum("n_obs").cast("long").alias("n_col"))
+    tot = cells.agg(
+        F.sum("n_obs").cast("long").alias("n_total"),
+        F.countDistinct("rv").cast("long").alias("n_r"),
+        F.countDistinct("cv").cast("long").alias("n_c"),
+    )
+    # the statistic runs over the FULL r x c grid — zero cells carry
+    # (0-E)^2/E = E and omitting them (a groupBy sees observed cells
+    # only) understates chi2 exactly when dependence is strongest
+    grid = rmarg.crossJoin(F.broadcast(cmarg))
+    wide = (
+        grid.join(cells, ["rv", "cv"], "left")
+        .select(
+            "rv",
+            "cv",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            "n_row",
+            "n_col",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("n_row").cast("double")
+        * F.col("n_col").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    o = F.col("n_obs").cast("double")
+    termq = (((o - expected) * (o - expected) / expected) * F.lit(1e6)).cast("long")
+    per_cell = wide.select(
+        "rv", "cv", "n_obs", "n_row", "n_col", "n_total", "n_r", "n_c",
+        (F.round(expected + F.lit(1e-9), 4) + F.lit(0.0)).alias("expected"),
+        termq.alias("termq"),
+    )
+    stat = per_cell.groupBy("n_total", "n_r", "n_c").agg(
+        F.sum("termq").cast("long").alias("chiq")
+    )
+    chi2 = F.col("chiq").cast("double") / F.lit(1e6)
+    dof = (F.col("n_r") - 1) * (F.col("n_c") - 1)
+    v = F.sqrt(
+        chi2
+        / (
+            F.col("n_total").cast("double")
+            * F.least(F.col("n_r"), F.col("n_c")).cast("double")
+            - F.col("n_total").cast("double")
+        )
+    )
+    shared = stat.select(
+        "n_total",
+        (F.round(chi2 + F.lit(1e-9), 4) + F.lit(0.0)).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        (F.round(v + F.lit(1e-9), 6) + F.lit(0.0)).alias("cramers_v"),
+        (chi2 > F.lit(crit)).alias("dependent"),
+    )
+    return (
+        per_cell.select("rv", "cv", "n_obs", "expected", "n_total")
+        .join(F.broadcast(shared), "n_total")
+        .select(
+            F.col("rv").alias(row_col),
+            F.col("cv").alias(col_col),
+            "n_obs",
+            "expected",
+            "chi2",
+            "dof",
+            "cramers_v",
+            "dependent",
+        )
+    )
+
+
+def ols2_fit(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_col: str,
+    y_scale: float = 1.0,
+    x1_scale: float = 1.0,
+    x2_scale: float = 1.0,
+) -> DataFrame:
+    """Closed-form two-regressor OLS per group — in-database linear
+    modeling from ONE scan: all nine second-order moments accumulate
+    as a single combinable aggregate (never an iterative solver, never
+    a driver-side matrix), then the 2x2 normal equations solve in
+    closed form.  The workhorse for 'which cheap signals explain this
+    KPI?' regressions at 100 TB: the scan is the whole cost and it is
+    map-side combinable.
+
+    Float discipline: inputs are divided by caller-chosen scales that
+    bring them to O(1) (coefficients are reported back in NATURAL
+    units), and every per-row product is trunc-quantized to 1e-8 units
+    in BIGINT before summing — order-independent across partitions and
+    engines; sums stay in-range through ~1e8 rows per group for O(10)
+    scaled magnitudes (pick bigger scales for bigger groups).
+    Groups with a singular design (collinear or constant regressors)
+    report NULL coefficients."""
+    q = F.lit(1e8)
+    ys = F.col(y_col).cast("double") / F.lit(y_scale)
+    x1 = F.col(x1_col).cast("double") / F.lit(x1_scale)
+    x2 = F.col(x2_col).cast("double") / F.lit(x2_scale)
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        (x1 * q).cast("long").alias("q1"),
+        (x2 * q).cast("long").alias("q2"),
+        (ys * q).cast("long").alias("qy"),
+        (x1 * x1 * q).cast("long").alias("q11"),
+        (x2 * x2 * q).cast("long").alias("q22"),
+        (x1 * x2 * q).cast("long").alias("q12"),
+        (x1 * ys * q).cast("long").alias("q1y"),
+        (x2 * ys * q).cast("long").alias("q2y"),
+        (ys * ys * q).cast("long").alias("qyy"),
+    )
+    per = rows.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("q1").cast("long").alias("s1"),
+        F.sum("q2").cast("long").alias("s2"),
+        F.sum("qy").cast("long").alias("sy"),
+        F.sum("q11").cast("long").alias("s11"),
+        F.sum("q22").cast("long").alias("s22"),
+        F.sum("q12").cast("long").alias("s12"),
+        F.sum("q1y").cast("long").alias("s1y"),
+        F.sum("q2y").cast("long").alias("s2y"),
+        F.sum("qyy").cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    dq = F.lit(1e8)
+    s1 = F.col("s1").cast("double") / dq
+    s2 = F.col("s2").cast("double") / dq
+    sy = F.col("sy").cast("double") / dq
+    s11 = F.col("s11").cast("double") / dq
+    s22 = F.col("s22").cast("double") / dq
+    s12 = F.col("s12").cast("double") / dq
+    s1y = F.col("s1y").cast("double") / dq
+    s2y = F.col("s2y").cast("double") / dq
+    syy = F.col("syy").cast("double") / dq
+    c11 = s11 - s1 * s1 / nd
+    c22 = s22 - s2 * s2 / nd
+    c12 = s12 - s1 * s2 / nd
+    c1y = s1y - s1 * sy / nd
+    c2y = s2y - s2 * sy / nd
+    cyy = syy - sy * sy / nd
+    det = c11 * c22 - c12 * c12
+    b1s = (c22 * c1y - c12 * c2y) / det
+    b2s = (c11 * c2y - c12 * c1y) / det
+    b0s = (sy - b1s * s1 - b2s * s2) / nd
+    r2 = (b1s * c1y + b2s * c2y) / cyy
+    # back to natural units: y = Sy*b0s + (Sy/S1)*b1s*x1 + (Sy/S2)*b2s*x2
+    ok = (F.col("n") >= 3) & (det > F.lit(1e-12))
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n",
+        F.when(
+            ok, F.round(b0s * F.lit(y_scale) + F.lit(1e-9), 4) + F.lit(0.0)
+        ).alias("b0"),
+        F.when(
+            ok,
+            F.round(b1s * F.lit(y_scale / x1_scale) + F.lit(1e-9), 4) + F.lit(0.0),
+        ).alias("b1"),
+        F.when(
+            ok,
+            F.round(b2s * F.lit(y_scale / x2_scale) + F.lit(1e-9), 4) + F.lit(0.0),
+        ).alias("b2"),
+        F.when(
+            ok & (cyy > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
+        ).alias("r_squared"),
+    )

@@ -789,3 +789,155 @@ def dispersion_index(
     return dispersion_scores_from_dense(
         dense_hourly_counts(events, ts_col, type_col), threshold
     )
+
+
+def mann_kendall_from_dense(dense: DataFrame, z_crit: float = 1.96) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per event type
+    over a dense (h, t, cnt) grid — the distribution-free 'is this
+    series drifting?' screen that complements the point detectors
+    (seasonal z / CUSUM / robust outliers / dispersion): it answers
+    about the WHOLE series, is immune to outliers (rank-based), and
+    Sen's slope gives a robust events-per-hour drift rate.
+
+    S = sum over hour pairs i<j of sgn(cnt_j - cnt_i); Var(S) carries
+    the standard tie correction; z applies the +-1 continuity
+    correction.  Sen's slope is the MEDIAN of all pairwise slopes
+    (cnt_j - cnt_i)/(hours between) — exact interpolated median, the
+    same quantile semantics as q31.
+
+    Scale shape: the pair self-join is over the AGGREGATED grid only —
+    cost is C(n_hours, 2) per type, bounded by the time window, never
+    by event volume (a year grid is ~38M pairs/type; cap the window or
+    sample hours for multi-year spans).  S and the tie correction are
+    exact BIGINT sums; pairwise slopes are exact-int divisions, so the
+    doubles entering the median are bit-identical across engines."""
+    dense = dense.withColumn("hs", F.unix_timestamp("h").cast("long"))
+    a = dense.select(
+        F.col("t"), F.col("hs").alias("ha"), F.col("cnt").alias("ca")
+    )
+    b = dense.select(
+        F.col("t"), F.col("hs").alias("hb"), F.col("cnt").alias("cb")
+    )
+    pairs = a.join(b, "t").where(F.col("ha") < F.col("hb"))
+    diff = F.col("cb") - F.col("ca")
+    slope = diff.cast("double") / (
+        (F.col("hb") - F.col("ha")).cast("double") / F.lit(3600.0)
+    )
+    per = pairs.groupBy("t").agg(
+        F.sum(F.signum(diff.cast("double")).cast("long")).cast("long").alias("s_stat"),
+        F.percentile(slope, 0.5).alias("sen_raw"),
+    )
+    n = dense.groupBy("t").agg(F.count("*").cast("long").alias("n_hours"))
+    # tie correction: sum over distinct cnt values of t_k(t_k-1)(2t_k+5)
+    tk = F.col("tk")
+    ties = (
+        dense.groupBy("t", "cnt")
+        .agg(F.count("*").cast("long").alias("tk"))
+        .groupBy("t")
+        .agg(
+            F.sum(tk * (tk - 1) * (2 * tk + 5)).cast("long").alias("tie_corr")
+        )
+    )
+    j = per.join(n, "t").join(ties, "t")
+    nn = F.col("n_hours")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_corr")).cast("double")
+        / F.lit(18.0)
+    )
+    s = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (s - 1) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        F.col("t").alias("event_type"),
+        "n_hours",
+        "s_stat",
+        (F.round(var_s + F.lit(1e-9), 4) + F.lit(0.0)).alias("var_s"),
+        F.when(
+            var_s > 0, F.round(z + F.lit(1e-9), 4) + F.lit(0.0)
+        ).alias("z"),
+        F.when(var_s <= 0, F.lit("flat"))
+        .when(z > F.lit(z_crit), F.lit("increasing"))
+        .when(z < F.lit(-z_crit), F.lit("decreasing"))
+        .otherwise(F.lit("no trend"))
+        .alias("trend"),
+        (F.round(F.col("sen_raw") + F.lit(1e-9), 6) + F.lit(0.0)).alias("sen_slope"),
+    )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    z_crit: float = 1.96,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Mann-Kendall trend + Sen's slope per event type on the dense
+    hourly grid — the fifth detector on the ONE shared rollup (see
+    ``mann_kendall_from_dense``): the event log is read once into the
+    persisted sparse frame; everything else runs on hours x types."""
+    return mann_kendall_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), z_crit
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current event type), plus the row
+    entropy in bits — the 'how predictable is the next step' number
+    that powers next-action recommendation baselines and detects
+    degenerate bot loops (near-zero entropy rows).
+
+    One per-key window (lag) over the event log -> transition pair
+    counts (k^2 rows, k = |event types|) -> row-normalized
+    probabilities.  Entropy terms are trunc-quantized to pico-units
+    per (prev, next) cell BEFORE the per-row sum, so the k-way
+    double sum is order-independent across engines."""
+    order = [ts_col, "event_id"] if "event_id" in events.columns else [ts_col]
+    w = W.partitionBy(key_col).orderBy(*order)
+    trans = (
+        events.select(
+            F.col(type_col).alias("next_type"),
+            F.lag(type_col).over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n_trans"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("long").alias("n_from")
+    )
+    p = F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+    cells = trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        (-p * F.log2(p) * F.lit(1e12)).cast("long").alias("hq"),
+    )
+    ent = cells.groupBy("prev_type").agg(
+        F.sum("hq").cast("long").alias("hq_sum")
+    )
+    return cells.join(F.broadcast(ent), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        (
+            F.round(
+                F.col("n_trans").cast("double") / F.col("n_from").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("prob"),
+        (
+            F.round(F.col("hq_sum").cast("double") / F.lit(1e12) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("row_entropy_bits"),
+    )

@@ -7741,3 +7741,470 @@ def x138_vocabulary_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
     )
+
+
+@query(
+    "x139_ks_length_drift",
+    oracle="""
+    WITH hist AS (
+      SELECT source AS src,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, CAST(sum(cnt) AS BIGINT) AS n FROM hist GROUP BY 1
+    ), skel AS (
+      SELECT a.src AS source_a, b.src AS source_b, a.n AS n_a, b.n AS n_b
+      FROM tot a CROSS JOIN tot b WHERE a.src < b.src
+    ), ga AS (
+      SELECT s.source_a, s.source_b, h.len, h.cnt AS ca
+      FROM hist h JOIN skel s ON h.src = s.source_a
+    ), gb AS (
+      SELECT s.source_a, s.source_b, h.len, h.cnt AS cb
+      FROM hist h JOIN skel s ON h.src = s.source_b
+    ), grid AS (
+      SELECT coalesce(ga.source_a, gb.source_a) AS source_a,
+             coalesce(ga.source_b, gb.source_b) AS source_b,
+             coalesce(ga.len, gb.len) AS len,
+             coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ga FULL OUTER JOIN gb
+        ON ga.source_a = gb.source_a AND ga.source_b = gb.source_b
+       AND ga.len = gb.len
+    ), cum AS (
+      SELECT source_a, source_b,
+             CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+      FROM grid
+      WINDOW w AS (PARTITION BY source_a, source_b ORDER BY len)
+    ), per AS (
+      SELECT c.source_a, c.source_b, s.n_a, s.n_b,
+             max(abs(CAST(cum_a AS DOUBLE) / CAST(s.n_a AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(s.n_b AS DOUBLE)))
+               AS ks_d_raw
+      FROM cum c JOIN skel s USING (source_a, source_b)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           round(ks_d_raw + 1e-9, 6) + 0.0 AS ks_d,
+           round(least(1.0, 2.0 * exp(-2.0 * ks_d_raw * ks_d_raw
+                 * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)))) + 1e-9, 6) + 0.0 AS p_value,
+           ks_d_raw > 1.36 * sqrt(1.0 / (CAST(n_a AS DOUBLE)
+                 * CAST(n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+             AS drifted
+    FROM per
+    """,
+)
+def x139_ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test on document-length
+    distributions between every source pair — shape-sensitive drift
+    detection (truncation, chunking, padding) that mean/stddev screens
+    miss.  One corpus scan into the persisted length histogram; the
+    ECDF align + max-gap run over aggregated rows only."""
+    from ..operators.curation import ks_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ks_drift(docs)
+
+
+@query(
+    "x140_heaps_fit",
+    oracle="""
+    WITH d AS (
+      SELECT source AS src, doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), off AS (
+      SELECT src, doc_id, toks,
+             coalesce(sum(CAST(len(toks) AS BIGINT)) OVER (
+               PARTITION BY src ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+      FROM d
+    ), pos AS (
+      SELECT src, off0 + generate_subscripts(toks, 1) AS gpos,
+             unnest(toks) AS term
+      FROM off
+    ), first AS (
+      SELECT src, term, CAST(min(gpos) AS BIGINT) AS first_pos
+      FROM pos GROUP BY 1, 2
+    ), ntok AS (
+      SELECT src, CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM (SELECT source AS src,
+                   CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+            FROM documents)
+      GROUP BY 1
+    ), by_bucket AS (
+      SELECT src, CAST(length(bin(first_pos)) - 1 AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS new_types
+      FROM first GROUP BY 1, 2
+    ), ckpt AS (
+      SELECT bb.src,
+             least((CAST(1 AS BIGINT) << (b + 1)) - 1, n_tokens) AS n_at,
+             CAST(sum(new_types) OVER (PARTITION BY bb.src ORDER BY b)
+                  AS BIGINT) AS v,
+             n_tokens
+      FROM by_bucket bb JOIN ntok USING (src)
+    ), terms AS (
+      SELECT src, n_tokens,
+             CAST(trunc(ln(CAST(n_at AS DOUBLE)) * 1e6) AS BIGINT) AS qx,
+             CAST(trunc(ln(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS qy,
+             CAST(trunc(ln(CAST(n_at AS DOUBLE)) * ln(CAST(n_at AS DOUBLE))
+                        * 1e6) AS BIGINT) AS qxx,
+             CAST(trunc(ln(CAST(n_at AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                        * 1e6) AS BIGINT) AS qxy,
+             CAST(trunc(ln(CAST(v AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+                        * 1e6) AS BIGINT) AS qyy
+      FROM ckpt
+    ), per AS (
+      SELECT src, max(n_tokens) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_checkpoints,
+             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+             CAST(sum(qxx) AS BIGINT) AS sxx, CAST(sum(qxy) AS BIGINT) AS sxy,
+             CAST(sum(qyy) AS BIGINT) AS syy
+      FROM terms GROUP BY 1
+    ), stats AS (
+      SELECT src, n_tokens, n_checkpoints,
+             CAST(n_checkpoints AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) / 1e6 AS sxd, CAST(sy AS DOUBLE) / 1e6 AS syd,
+             CAST(sxx AS DOUBLE) / 1e6 AS sxxd,
+             CAST(sxy AS DOUBLE) / 1e6 AS sxyd,
+             CAST(syy AS DOUBLE) / 1e6 AS syyd
+      FROM per
+    )
+    SELECT src AS source, n_tokens, n_checkpoints,
+           CASE WHEN n_checkpoints >= 3 AND nd * sxxd - sxd * sxd > 0 THEN
+             round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                   + 1e-9, 6) + 0.0
+           END AS heaps_beta,
+           CASE WHEN n_checkpoints >= 3 AND nd * sxxd - sxd * sxd > 0 THEN
+             round(exp((syd - (nd * sxyd - sxd * syd)
+                              / (nd * sxxd - sxd * sxd) * sxd) / nd)
+                   + 1e-9, 4) + 0.0
+           END AS heaps_k,
+           CASE WHEN n_checkpoints >= 3 AND nd * sxxd - sxd * sxd > 0
+                     AND nd * syyd - syd * syd > 0 THEN
+             round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+                   / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                   + 1e-9, 6) + 0.0
+           END AS r_squared
+    FROM stats
+    """,
+)
+def x140_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source (V(n) ~ K n^beta) —
+    the scaling companion to the Zipf fit: saturating vocabularies
+    (beta -> 0) are template text, unbounded ones (beta -> 1) are
+    id/hash-polluted tokenizer poison.  Exact integer positions via
+    the per-source doc-order running sum; power-of-two checkpoints by
+    integer bit-length; log-log OLS over <= ~40 checkpoint rows."""
+    from ..operators.curation import heaps_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_fit(docs)
+
+
+@query(
+    "x141_mann_kendall",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts) AS h, event_type AS t,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), pairs AS (
+      SELECT a.t, b.cnt - a.cnt AS diff,
+             CAST(b.cnt - a.cnt AS DOUBLE)
+               / (CAST(date_diff('second', a.h, b.h) AS DOUBLE) / 3600.0)
+               AS slope
+      FROM hourly a JOIN hourly b ON a.t = b.t AND a.h < b.h
+    ), per AS (
+      SELECT t,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 WHEN diff < 0 THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat,
+             quantile_cont(slope, 0.5) AS sen_raw
+      FROM pairs GROUP BY 1
+    ), n AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1
+    ), ties AS (
+      SELECT t, CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie_corr
+      FROM (SELECT t, cnt, CAST(count(*) AS BIGINT) AS tk
+            FROM hourly GROUP BY 1, 2)
+      GROUP BY 1
+    ), j AS (
+      SELECT per.t, n_hours, s_stat, sen_raw,
+             CAST(n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_corr
+                  AS DOUBLE) / 18.0 AS var_s_raw
+      FROM per JOIN n USING (t) JOIN ties USING (t)
+    )
+    SELECT t AS event_type, n_hours, s_stat,
+           round(var_s_raw + 1e-9, 4) + 0.0 AS var_s,
+           CASE WHEN var_s_raw > 0 THEN
+             round(CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s_raw)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s_raw)
+                        ELSE 0.0 END + 1e-9, 4) + 0.0
+           END AS z,
+           CASE WHEN var_s_raw <= 0 THEN 'flat'
+                WHEN (CASE WHEN s_stat > 0
+                           THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s_raw)
+                           WHEN s_stat < 0
+                           THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s_raw)
+                           ELSE 0.0 END) > 1.96 THEN 'increasing'
+                WHEN (CASE WHEN s_stat > 0
+                           THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s_raw)
+                           WHEN s_stat < 0
+                           THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s_raw)
+                           ELSE 0.0 END) < -1.96 THEN 'decreasing'
+                ELSE 'no trend' END AS trend,
+           round(sen_raw + 1e-9, 6) + 0.0 AS sen_slope
+    FROM j
+    """,
+)
+def x141_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test + Sen's slope per event type
+    on the dense hourly grid — the fifth detector on the ONE shared
+    hourly rollup (seasonal z / CUSUM / robust outliers / dispersion /
+    trend).  Pair cost is C(n_hours, 2) over the AGGREGATED grid only,
+    bounded by the time window, never by event volume."""
+    from ..operators.timeseries import mann_kendall_trend
+
+    events = load_table(spark, sf_dir, "events")
+    return mann_kendall_trend(events)
+
+
+@query(
+    "x142_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS next_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+      FROM trans GROUP BY 1
+    ), cells AS (
+      SELECT t.prev_type, t.next_type, t.n_trans, n_from,
+             CAST(trunc(-(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE))
+                  * log2(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE))
+                  * 1e12) AS BIGINT) AS hq
+      FROM trans t JOIN tot USING (prev_type)
+    ), ent AS (
+      SELECT prev_type, CAST(sum(hq) AS BIGINT) AS hq_sum
+      FROM cells GROUP BY 1
+    )
+    SELECT c.prev_type, c.next_type, n_trans,
+           round(CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE)
+                 + 1e-9, 6) + 0.0 AS prob,
+           round(CAST(hq_sum AS DOUBLE) / 1e12 + 1e-9, 6) + 0.0
+             AS row_entropy_bits
+    FROM cells c JOIN ent USING (prev_type)
+    """,
+)
+def x142_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams with per-row entropy — next-action predictability and the
+    bot-loop screen (near-zero-entropy rows).  One per-key window over
+    the log; everything after runs on the k^2 transition cells."""
+    from ..operators.timeseries import event_transitions
+
+    events = load_table(spark, sf_dir, "events")
+    return event_transitions(events)
+
+
+@query(
+    "x143_order_value_model",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(o.o_totalprice AS DOUBLE) / 100000.0 AS ys,
+             CAST(n_items AS DOUBLE) / 10.0 AS x1,
+             qty / 100.0 AS x2
+      FROM orders o JOIN per_order ON o.o_orderkey = ok
+    ), rq AS (
+      SELECT grp,
+             CAST(trunc(x1 * 1e8) AS BIGINT) AS q1,
+             CAST(trunc(x2 * 1e8) AS BIGINT) AS q2,
+             CAST(trunc(ys * 1e8) AS BIGINT) AS qy,
+             CAST(trunc(x1 * x1 * 1e8) AS BIGINT) AS q11,
+             CAST(trunc(x2 * x2 * 1e8) AS BIGINT) AS q22,
+             CAST(trunc(x1 * x2 * 1e8) AS BIGINT) AS q12,
+             CAST(trunc(x1 * ys * 1e8) AS BIGINT) AS q1y,
+             CAST(trunc(x2 * ys * 1e8) AS BIGINT) AS q2y,
+             CAST(trunc(ys * ys * 1e8) AS BIGINT) AS qyy
+      FROM j
+    ), per AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q1) AS BIGINT) AS s1, CAST(sum(q2) AS BIGINT) AS s2,
+             CAST(sum(qy) AS BIGINT) AS sy, CAST(sum(q11) AS BIGINT) AS s11,
+             CAST(sum(q22) AS BIGINT) AS s22, CAST(sum(q12) AS BIGINT) AS s12,
+             CAST(sum(q1y) AS BIGINT) AS s1y, CAST(sum(q2y) AS BIGINT) AS s2y,
+             CAST(sum(qyy) AS BIGINT) AS syy
+      FROM rq GROUP BY 1
+    ), d AS (
+      SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / 1e8 AS s1d, CAST(s2 AS DOUBLE) / 1e8 AS s2d,
+             CAST(sy AS DOUBLE) / 1e8 AS syd,
+             CAST(s11 AS DOUBLE) / 1e8 AS s11d,
+             CAST(s22 AS DOUBLE) / 1e8 AS s22d,
+             CAST(s12 AS DOUBLE) / 1e8 AS s12d,
+             CAST(s1y AS DOUBLE) / 1e8 AS s1yd,
+             CAST(s2y AS DOUBLE) / 1e8 AS s2yd,
+             CAST(syy AS DOUBLE) / 1e8 AS syyd
+      FROM per
+    ), c AS (
+      SELECT grp, n, nd, s1d, s2d, syd,
+             s11d - s1d * s1d / nd AS c11,
+             s22d - s2d * s2d / nd AS c22,
+             s12d - s1d * s2d / nd AS c12,
+             s1yd - s1d * syd / nd AS c1y,
+             s2yd - s2d * syd / nd AS c2y,
+             syyd - syd * syd / nd AS cyy
+      FROM d
+    ), solved AS (
+      SELECT grp, n, nd, s1d, s2d, syd, c1y, c2y, cyy,
+             c11 * c22 - c12 * c12 AS det,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1s,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2s
+      FROM c
+    )
+    SELECT grp AS o_orderpriority, n,
+           CASE WHEN n >= 3 AND det > 1e-12 THEN
+             round((syd - b1s * s1d - b2s * s2d) / nd * 100000.0 + 1e-9, 4)
+               + 0.0 END AS b0,
+           CASE WHEN n >= 3 AND det > 1e-12 THEN
+             round(b1s * 10000.0 + 1e-9, 4) + 0.0 END AS b1,
+           CASE WHEN n >= 3 AND det > 1e-12 THEN
+             round(b2s * 1000.0 + 1e-9, 4) + 0.0 END AS b2,
+           CASE WHEN n >= 3 AND det > 1e-12 AND cyy > 0 THEN
+             round((b1s * c1y + b2s * c2y) / cyy + 1e-9, 6) + 0.0
+           END AS r_squared
+    FROM solved
+    """,
+)
+def x143_order_value_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-database OLS: o_totalprice regressed on item count and total
+    quantity per order, closed-form per order priority — ONE scan
+    accumulates all nine second-order moments as a combinable
+    aggregate; no iterative solver, no driver-side matrix.  The 'which
+    cheap signals explain this KPI' regression at warehouse scale."""
+    from ..operators.profile import ols2_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("qty"),
+    )
+    j = orders.join(per_order, orders["o_orderkey"] == per_order["ok"]).select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("y"),
+        F.col("n_items").cast("double").alias("x1"),
+        F.col("qty").alias("x2"),
+    )
+    return ols2_fit(
+        j, "y", "x1", "x2", "o_orderpriority",
+        y_scale=100000.0, x1_scale=10.0, x2_scale=100.0,
+    )
+
+
+@query(
+    "x144_lang_source_chi2",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_en,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('el', 'la', 'de', 'que'))) AS BIGINT) AS n_es,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS n_de,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('le', 'la', 'et', 'les'))) AS BIGINT) AS n_fr
+      FROM documents
+    ), labeled AS (
+      SELECT source AS rv,
+             CASE WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+                  WHEN n_en = greatest(n_en, n_es, n_de, n_fr) THEN 'en'
+                  WHEN n_es = greatest(n_en, n_es, n_de, n_fr) THEN 'es'
+                  WHEN n_de = greatest(n_en, n_es, n_de, n_fr) THEN 'de'
+                  ELSE 'fr' END AS cv
+      FROM scored
+    ), cells AS (
+      SELECT rv, cv, CAST(count(*) AS BIGINT) AS n_obs
+      FROM labeled GROUP BY 1, 2
+    ), rmarg AS (
+      SELECT rv, CAST(sum(n_obs) AS BIGINT) AS n_row FROM cells GROUP BY 1
+    ), cmarg AS (
+      SELECT cv, CAST(sum(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT rv) AS BIGINT) AS n_r,
+             CAST(count(DISTINCT cv) AS BIGINT) AS n_c
+      FROM cells
+    ), full_grid AS (
+      SELECT rmarg.rv, cmarg.cv, n_row, n_col FROM rmarg CROSS JOIN cmarg
+    ), wide AS (
+      SELECT g.rv, g.cv, CAST(coalesce(cells.n_obs, 0) AS BIGINT) AS n_obs,
+             n_row, n_col, n_total, n_r, n_c,
+             CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS expected_raw
+      FROM full_grid g
+      LEFT JOIN cells ON g.rv = cells.rv AND g.cv = cells.cv
+      CROSS JOIN tot
+    ), per_cell AS (
+      SELECT rv, cv, n_obs, n_total, n_r, n_c,
+             round(expected_raw + 1e-9, 4) + 0.0 AS expected,
+             CAST(trunc((CAST(n_obs AS DOUBLE) - expected_raw)
+                  * (CAST(n_obs AS DOUBLE) - expected_raw) / expected_raw
+                  * 1e6) AS BIGINT) AS termq
+      FROM wide
+    ), stat AS (
+      SELECT n_total, n_r, n_c, CAST(sum(termq) AS BIGINT) AS chiq
+      FROM per_cell GROUP BY 1, 2, 3
+    ), shared AS (
+      SELECT n_total,
+             round(CAST(chiq AS DOUBLE) / 1e6 + 1e-9, 4) + 0.0 AS chi2,
+             CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof,
+             round(sqrt(CAST(chiq AS DOUBLE) / 1e6
+                   / (CAST(n_total AS DOUBLE) * CAST(least(n_r, n_c) AS DOUBLE)
+                      - CAST(n_total AS DOUBLE))) + 1e-9, 6) + 0.0
+               AS cramers_v,
+             CAST(chiq AS DOUBLE) / 1e6 > 97.351 AS dependent
+      FROM stat
+    )
+    SELECT rv AS source, cv AS lang_pred, n_obs, expected,
+           chi2, dof, cramers_v, dependent
+    FROM per_cell JOIN shared USING (n_total)
+    """,
+)
+def x144_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test of predicted language vs source
+    with Cramer's V — the 'is language balanced across crawls?'
+    profiling screen; a dependent table means per-source sampling
+    silently shifts the language mix.  One scan to the r x c
+    contingency table; crit is the 0.05 value for 76 dof (20 sources
+    x 5 languages on the test corpus)."""
+    from ..operators.profile import chi2_independence
+    from ..operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source", lang_id(F.col("text")).alias("lang_pred")
+    )
+    return chi2_independence(labeled, "source", "lang_pred", crit=97.351)

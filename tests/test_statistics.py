@@ -1,0 +1,163 @@
+"""Hand-verifiable cases for the round-6 statistics family:
+KS length drift, Heaps' law, Mann-Kendall trend, Markov transitions,
+chi-squared independence, and closed-form OLS."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "source STRING, doc_id BIGINT, text STRING")
+
+
+def test_ks_drift_hand_case(spark):
+    """A has lengths {1,1,2,2}, B {2,2,3,3}: the ECDF gap peaks at 0.5
+    (at len 1 or 2).  C == A exactly: D = 0, p = 1, no drift."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import ks_drift
+
+    def text(n):
+        return " ".join(["w"] * n)
+
+    rows = (
+        [("A", i, text(l)) for i, l in enumerate([1, 1, 2, 2])]
+        + [("B", 10 + i, text(l)) for i, l in enumerate([2, 2, 3, 3])]
+        + [("C", 20 + i, text(l)) for i, l in enumerate([1, 1, 2, 2])]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r for r in ks_drift(_docs(spark, rows)).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_a"] == 4 and ab["n_b"] == 4
+    assert ab["ks_d"] == 0.5
+    ac = out[("A", "C")]
+    assert ac["ks_d"] == 0.0 and ac["p_value"] == 1.0 and not ac["drifted"]
+
+
+def test_heaps_fit_all_distinct_is_linear(spark):
+    """A corpus where every token is a new type has V(n) = n exactly at
+    every checkpoint: beta = 1, K = 1, R^2 = 1."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import heaps_fit
+
+    text = " ".join(f"t{i}" for i in range(200))
+    out = heaps_fit(_docs(spark, [("lin", 1, text)])).collect()[0]
+    assert out["n_tokens"] == 200
+    assert out["n_checkpoints"] >= 7
+    assert abs(out["heaps_beta"] - 1.0) < 1e-5
+    assert abs(out["heaps_k"] - 1.0) < 1e-4
+    assert abs(out["r_squared"] - 1.0) < 1e-5
+
+
+def test_heaps_fit_degenerate_vocab_is_null(spark):
+    """Two types -> two checkpoints -> below the 3-checkpoint floor."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import heaps_fit
+
+    out = heaps_fit(_docs(spark, [("sat", 1, "a b a b a b a b")])).collect()[0]
+    assert out["heaps_beta"] is None and out["r_squared"] is None
+
+
+def test_mann_kendall_hand_case(spark):
+    """Type 'up' has hourly counts 1,2,...,10 (every pairwise slope is
+    exactly +1/hour): S = C(10,2) = 45, Sen's slope = 1, increasing.
+    Type 'const' is 2/hour flat: S = 0, all-tied variance = 0, flat."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(10):
+        for _ in range(h + 1):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=5), "up"))
+            eid += 1
+        for _ in range(2):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=7), "const"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    out = {r["event_type"]: r for r in mann_kendall_trend(events).collect()}
+    up = out["up"]
+    assert up["n_hours"] == 10 and up["s_stat"] == 45
+    # no ties: var = n(n-1)(2n+5)/18 = 10*9*25/18 = 125
+    assert up["var_s"] == 125.0
+    assert abs(up["z"] - 44 / math.sqrt(125)) < 1e-3
+    assert up["trend"] == "increasing"
+    assert up["sen_slope"] == 1.0
+    const = out["const"]
+    assert const["s_stat"] == 0 and const["var_s"] == 0.0
+    assert const["trend"] == "flat"
+
+
+def test_event_transitions_hand_case(spark):
+    """From A: 3 of 4 transitions go to B, 1 to C -> probs .75/.25 and
+    row entropy -(3/4 lg 3/4 + 1/4 lg 1/4) ~ 0.811278 bits."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        event_transitions,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    seqs = {1: ["A", "B", "A", "B"], 2: ["A", "B"], 3: ["A", "C"]}
+    rows = []
+    eid = 0
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, base + dt.timedelta(minutes=i), u, t))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r for r in event_transitions(events).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab["n_trans"] == 3 and ab["prob"] == 0.75
+    want_h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(ab["row_entropy_bits"] - want_h) < 1e-5
+    ba = out[("B", "A")]
+    assert ba["n_trans"] == 1 and ba["prob"] == 1.0
+    assert ba["row_entropy_bits"] == 0.0
+
+
+def test_chi2_independence_extremes(spark):
+    """A perfectly proportional table has chi2 = 0; a perfectly
+    diagonal one has chi2 = N and Cramer's V = 1."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        chi2_independence,
+    )
+
+    indep = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 40
+    )
+    df = spark.createDataFrame(indep, "rv STRING, cv STRING")
+    r = chi2_independence(df, "rv", "cv", crit=3.841).collect()[0]
+    assert r["chi2"] == 0.0 and r["cramers_v"] == 0.0 and not r["dependent"]
+
+    diag = [("r1", "c1")] * 10 + [("r2", "c2")] * 10
+    df2 = spark.createDataFrame(diag, "rv STRING, cv STRING")
+    r2 = chi2_independence(df2, "rv", "cv", crit=3.841).collect()[0]
+    assert r2["chi2"] == 20.0 and r2["cramers_v"] == 1.0 and r2["dependent"]
+    assert r2["dof"] == 1
+
+
+def test_ols2_fit_recovers_exact_plane(spark):
+    """Noise-free y = 2 + 3 x1 + 5 x2 is recovered exactly with
+    R^2 = 1; a collinear design (x2 = 2 x1) reports NULLs."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import ols2_fit
+
+    pts = [(1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (3.0, 5.0), (4.0, 2.0), (2.0, 7.0)]
+    rows = [("g", x1, x2, 2.0 + 3.0 * x1 + 5.0 * x2) for x1, x2 in pts]
+    df = spark.createDataFrame(rows, "grp STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
+    r = ols2_fit(df, "y", "x1", "x2", "grp").collect()[0]
+    assert abs(r["b0"] - 2.0) < 1e-3
+    assert abs(r["b1"] - 3.0) < 1e-3
+    assert abs(r["b2"] - 5.0) < 1e-3
+    assert abs(r["r_squared"] - 1.0) < 1e-6
+
+    rows2 = [("g", x, 2.0 * x, 1.0 + x) for x in (1.0, 2.0, 3.0, 4.0)]
+    df2 = spark.createDataFrame(rows2, "grp STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
+    r2 = ols2_fit(df2, "y", "x1", "x2", "grp").collect()[0]
+    assert r2["b1"] is None and r2["r_squared"] is None
