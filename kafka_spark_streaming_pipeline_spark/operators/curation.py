@@ -2896,7 +2896,20 @@ def ks_drift(
     (2*exp(-2 D^2 n_e)), documented as an upper-tail approximation."""
     from ..cache import tracked_persist
 
-    hist = tracked_persist(
+    hist = tracked_persist(length_histogram(docs, source_col, text_col))
+    return ks_from_hist(hist)
+
+
+def length_histogram(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The (src, len, cnt) document-length histogram — mergeable state
+    (counts ADD cell-wise across disjoint batches) shared by the KS
+    drift screen, the same way ``term_histogram`` serves the lexical
+    family and the hourly store serves the time-series detectors."""
+    return (
         docs.select(
             F.col(source_col).alias("src"),
             token_count(F.col(text_col)).alias("len"),
@@ -2904,6 +2917,11 @@ def ks_drift(
         .groupBy("src", "len")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def ks_from_hist(hist: DataFrame) -> DataFrame:
+    """Finish the pairwise KS drift report from a (possibly merged)
+    length histogram — see ``ks_drift``."""
     tot = hist.groupBy("src").agg(F.sum("cnt").cast("long").alias("n"))
     skel = (
         tot.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))

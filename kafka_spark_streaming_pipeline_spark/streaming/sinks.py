@@ -1885,3 +1885,74 @@ def compact_term_histogram(spark, path: str, quiesced: bool = True) -> None:
     fold is itself a valid partial (cell-wise sums), so live appends
     keep composing after compaction."""
     _compact(spark, path, _term_hist_of, quiesced)
+
+
+_TREND_VIEW_FRAMES: list[DataFrame] = []
+
+
+def trend_view(spark, counts_path: str, z_crit: float = 1.96) -> DataFrame:
+    """Mann-Kendall trend + Sen's slope over the SAME hourly-count
+    store the seasonal sink maintains — the FIFTH detector on the one
+    rollup (seasonal deviations / CUSUM shifts / robust point
+    outliers / dispersion / monotonic trend).  Identical code path as
+    the batch operator (``mann_kendall_from_dense``), so merged-view
+    == batch is a structural guarantee; same per-commit replay dedup
+    and scope-release cache bounds as the sibling views."""
+    from .. import cache
+    from ..operators.timeseries import densify_hourly, mann_kendall_from_dense
+
+    cache.release(_TREND_VIEW_FRAMES)
+    _TREND_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = mann_kendall_from_dense(densify_hourly(sparse), z_crit)
+    _TREND_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view
+
+
+def make_length_histogram_sink(path: str, source_col: str = "source",
+                               text_col: str = "text"):
+    """Continuously-maintained (source, doc-length) histogram — the
+    mergeable state behind the streaming KS drift monitor: each batch
+    appends its batch-local length histogram; cells ADD, so the
+    merged KS report is BIT-EQUAL to the batch operator over every
+    document ever ingested.  State is bounded by the number of
+    distinct lengths per source, never the corpus.  Same
+    append-exactly-once contract as the other counting sinks."""
+    from ..operators.curation import length_histogram
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hist = length_histogram(batch_df, source_col, text_col)
+        AtomicParquetTable(path).append(
+            hist.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _length_hist_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "src", "len"])
+        .groupBy("src", "len")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def ks_view(spark, path: str) -> DataFrame:
+    """Current merged pairwise KS drift report — bit-equal to
+    operators.curation.ks_drift over the union of all ingested
+    batches: the continuously-answered 'has any source's length
+    profile drifted?' monitor."""
+    from ..operators.curation import ks_from_hist
+
+    return ks_from_hist(_length_hist_of(_read_log(spark, path)))
+
+
+def compact_length_histogram(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the length-histogram log to one row per (src, len) cell;
+    the fold is a valid partial (cell-wise sums), so live appends keep
+    composing after compaction."""
+    _compact(spark, path, _length_hist_of, quiesced)

@@ -2565,3 +2565,101 @@ def test_streaming_term_histogram_serves_lexical_and_zipf(spark, sf_dir, tmp_pat
     assert views() == two
     sink(b2, 2)  # live append composes with the folded histogram
     assert views() == batch(docs)
+
+
+def test_streaming_trend_view_matches_batch(spark, tmp_path):
+    """The hourly store's FIFTH detector: a type ramping +1 event per
+    hour must read 'increasing' with Sen's slope 1; a flat type is
+    'flat'; and the merged view equals the batch operator on the
+    union of all batches."""
+    import os
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        make_seasonal_sink,
+        trend_view,
+    )
+
+    rows = []
+    for h in range(12):
+        for _ in range(h + 1):
+            rows.append(("ramp", f"2026-03-01 {h:02d}:10:00"))
+        rows.append(("flat", f"2026-03-01 {h:02d}:20:00"))
+
+    SCHEMA = "event_type string, ts_str string"
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    for half, pred in (("a", lambda h: h < 6), ("b", lambda h: h >= 6)):
+        part = [r for r in rows if pred(int(r[1][11:13]))]
+        spark.createDataFrame(part, SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/{half}"
+        )
+    stream = parquet_stream(
+        spark, in_dir + "/*", SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    counts_path = str(tmp_path / "hourly")
+    sink = make_seasonal_sink(counts_path)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+
+    got = {r["event_type"]: r for r in trend_view(spark, counts_path).collect()}
+    assert got["ramp"]["trend"] == "increasing"
+    assert got["ramp"]["sen_slope"] == 1.0
+    assert got["flat"]["trend"] == "flat"
+
+    batch = mann_kendall_trend(
+        spark.createDataFrame(rows, SCHEMA).withColumn("ts", F.to_timestamp("ts_str"))
+    )
+    want = {r["event_type"]: tuple(r) for r in batch.collect()}
+    assert {k: tuple(v) for k, v in got.items()} == want
+
+
+def test_streaming_length_histogram_serves_ks_view(spark, sf_dir, tmp_path):
+    """The length-histogram store's merged KS drift report is
+    bit-equal to the batch operator over all ingested docs, survives
+    replay, and keeps composing after online compaction."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import ks_drift
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_length_histogram,
+        ks_view,
+        make_length_histogram_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "lenhist")
+    sink = make_length_histogram_sink(path)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {
+            (r["source_a"], r["source_b"]): tuple(r)
+            for r in ks_view(spark, path).collect()
+        }
+
+    def batch(frame):
+        return {
+            (r["source_a"], r["source_b"]): tuple(r)
+            for r in ks_drift(frame).collect()
+        }
+
+    two = view()
+    assert two == batch(docs.filter(F.col("doc_id") % 3 != 2))
+    sink(b1, 1)  # replay: per-commit dedup keeps the view unchanged
+    assert view() == two
+    compact_length_histogram(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch: watermark drops it
+    assert view() == two
+    sink(b2, 2)  # live append composes with the folded histogram
+    assert view() == batch(docs)
