@@ -901,3 +901,65 @@ class Engine:
         from .operators.curation import vocabulary_churn
 
         return vocabulary_churn(old_docs, new_docs, **kwargs)
+
+    def length_drift(self, **kwargs) -> DataFrame:
+        """Pairwise two-sample KS drift test on document-length
+        distributions (x139)."""
+        from .operators.curation import ks_drift
+
+        return ks_drift(self.table("documents"), **kwargs)
+
+    def vocab_growth(self, **kwargs) -> DataFrame:
+        """Heaps'-law vocabulary-growth fit per source (x140)."""
+        from .operators.curation import heaps_fit
+
+        return heaps_fit(self.table("documents"), **kwargs)
+
+    def trend_report(self, **kwargs) -> DataFrame:
+        """Mann-Kendall trend + Sen's slope per event type on the
+        dense hourly grid (x141)."""
+        from .operators.timeseries import mann_kendall_trend
+
+        return mann_kendall_trend(self.table("events"), **kwargs)
+
+    def transition_matrix(self, **kwargs) -> DataFrame:
+        """First-order Markov transition matrix with row entropy over
+        per-user event streams (x142)."""
+        from .operators.timeseries import event_transitions
+
+        return event_transitions(self.table("events"), **kwargs)
+
+    def fit_linear(self, df: DataFrame, y_col: str, x1_col: str, x2_col: str,
+                   group_col: str, **kwargs) -> DataFrame:
+        """Closed-form two-regressor OLS per group from one scan
+        (x143) over any frame."""
+        from .operators.profile import ols2_fit
+
+        return ols2_fit(df, y_col, x1_col, x2_col, group_col, **kwargs)
+
+    def lang_balance(self, **kwargs) -> DataFrame:
+        """Chi-squared independence of predicted language vs source
+        with Cramer's V (x144)."""
+        from pyspark.sql import functions as F
+
+        from .operators.profile import chi2_independence
+        from .operators.text import lang_id
+
+        labeled = self.table("documents").select(
+            "source", lang_id(F.col("text")).alias("lang_pred")
+        )
+        return chi2_independence(labeled, "source", "lang_pred", **kwargs)
+
+    def periodicity(self, **kwargs) -> DataFrame:
+        """Autocorrelation function per event type on the dense
+        hourly grid (x145)."""
+        from .operators.timeseries import autocorrelation
+
+        return autocorrelation(self.table("events"), **kwargs)
+
+    def monitoring_dashboard(self, **kwargs) -> DataFrame:
+        """All hourly-grid detectors composed with a consensus vote
+        (x146)."""
+        from .operators.timeseries import detector_consensus
+
+        return detector_consensus(self.table("events"), **kwargs)

@@ -367,6 +367,23 @@ def seasonal_scores_from_dense(
     Input: a dense zero-filled (h, t, cnt) frame (multi-consumed here:
     slot baseline + scoring join — callers persist it;
     ``densify_hourly`` already does)."""
+    joined, mu_loo, z = _seasonal_z_parts(dense)
+    return joined.filter(
+        (F.col("n") >= 3) & z.isNotNull() & (F.abs(z) > z_threshold)
+    ).select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour"),
+        "cnt",
+        F.round(mu_loo + F.lit(1e-9), 4).alias("seasonal_mean"),
+        F.round(z + F.lit(1e-9), 4).alias("z_score"),
+    )
+
+
+def _seasonal_z_parts(dense: DataFrame):
+    """Unfiltered leave-one-out seasonal scoring core shared by the
+    anomaly report (which keeps only |z| > threshold) and the detector
+    consensus (which needs EVERY hour's z).  Returns the joined frame
+    plus the mu/z column expressions to evaluate against it."""
     hourly = dense.withColumn("hod", F.hour("h"))
     slot = hourly.groupBy("t", "hod").agg(
         F.sum("cnt").alias("s1"),
@@ -384,17 +401,7 @@ def seasonal_scores_from_dense(
     z = F.when(
         var_loo > 0, (x - mu_loo) / F.sqrt(var_loo)
     ).otherwise(F.when(x > mu_loo, F.lit(9999.0)).when(x < mu_loo, F.lit(-9999.0)))
-    return (
-        hourly.join(slot, ["t", "hod"])
-        .filter((F.col("n") >= 3) & z.isNotNull() & (F.abs(z) > z_threshold))
-        .select(
-            F.col("t").alias("event_type"),
-            F.col("h").alias("hour"),
-            "cnt",
-            F.round(mu_loo + F.lit(1e-9), 4).alias("seasonal_mean"),
-            F.round(z + F.lit(1e-9), 4).alias("z_score"),
-        )
-    )
+    return hourly.join(slot, ["t", "hod"]), mu_loo, z
 
 
 def touch_attribution(
@@ -896,12 +903,17 @@ def event_transitions(
 
     One per-key window (lag) over the event log -> transition pair
     counts (k^2 rows, k = |event types|) -> row-normalized
-    probabilities.  Entropy terms are trunc-quantized to pico-units
-    per (prev, next) cell BEFORE the per-row sum, so the k-way
-    double sum is order-independent across engines."""
+    probabilities.  The k^2 cell frame is PERSISTED — it feeds the
+    margins, the entropy fold, and the output; without the persist
+    every consumer re-runs the full log window pass.  Entropy terms
+    are trunc-quantized to pico-units per (prev, next) cell BEFORE
+    the per-row sum, so the k-way double sum is order-independent
+    across engines."""
+    from ..cache import tracked_persist
+
     order = [ts_col, "event_id"] if "event_id" in events.columns else [ts_col]
     w = W.partitionBy(key_col).orderBy(*order)
-    trans = (
+    trans = tracked_persist(
         events.select(
             F.col(type_col).alias("next_type"),
             F.lag(type_col).over(w).alias("prev_type"),
@@ -941,3 +953,156 @@ def event_transitions(
             + F.lit(0.0)
         ).alias("row_entropy_bits"),
     )
+
+
+def acf_from_dense(
+    dense: DataFrame, max_lag_hours: int = 24, min_hours: int = 10
+) -> DataFrame:
+    """Autocorrelation function per event type over a dense (h, t,
+    cnt) grid: Pearson correlation of the series with itself at lags
+    1..max_lag — the 'what periodicity does this stream actually
+    have?' diagnostic (a daily cycle shows as an ACF peak at 24) that
+    tells the seasonal detector whether its hour-of-day slots are the
+    right season length.  x84's machinery pointed at a single type:
+    the lag join runs over the AGGREGATED grid only, and the
+    zero-filled grid matters for the same reason (sparse series
+    overstate correlation by skipping quiet hours).
+
+    The Pearson r composes from exact BIGINT moment sums (counts are
+    integers; bounds: sum(ca*cb) <= n_hours * maxcnt^2 and the n*sxy
+    products stay under BIGINT through ~1e6 events/hour on multi-year
+    grids) with an explicit zero-variance guard — a constant
+    overlapping window reports no row instead of an ANSI
+    divide-by-zero inside corr()."""
+    spark = dense.sparkSession
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag_hours))).alias("lag_hours")
+    a = dense.select(
+        F.col("t"), F.col("h").alias("ha"), F.col("cnt").alias("ca")
+    ).crossJoin(F.broadcast(spark.range(1).select(lags)))
+    b = dense.select(F.col("t"), F.col("h").alias("hb"), F.col("cnt").alias("cb"))
+    joined = a.join(
+        b,
+        ["t"],
+    ).where(F.col("hb") == F.col("ha") + F.make_interval(hours=F.col("lag_hours")))
+    per = joined.groupBy("t", "lag_hours").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("ca").cast("long").alias("sx"),
+        F.sum("cb").cast("long").alias("sy"),
+        F.sum(F.col("ca") * F.col("ca")).cast("long").alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).cast("long").alias("syy"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_hours")
+    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.sqrt(
+        den_x.cast("double") * den_y.cast("double")
+    )
+    return (
+        per.filter((n >= min_hours) & (den_x > 0) & (den_y > 0))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("lag_hours").cast("long").alias("lag_hours"),
+            "n_hours",
+            F.round(r + F.lit(1e-9), 4).alias("acf"),
+        )
+    )
+
+
+def autocorrelation(
+    events: DataFrame,
+    max_lag_hours: int = 24,
+    min_hours: int = 10,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ACF per event type on the dense hourly grid — the sixth
+    consumer of the ONE shared rollup; see ``acf_from_dense``."""
+    return acf_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), max_lag_hours, min_hours
+    )
+
+
+def consensus_from_dense(
+    dense: DataFrame,
+    seasonal_crit: float = 2.0,
+    robust_crit: float = 3.5,
+) -> DataFrame:
+    """The monitoring DASHBOARD row: every hour-level detector on the
+    shared grid evaluated side by side — seasonal leave-one-out z,
+    robust median/MAD z, CUSUM shift state — plus the per-type
+    context columns (Fano burstiness, Mann-Kendall trend), and a
+    consensus vote: how many of the three hour-level detectors flag
+    this hour.  Detectors disagree by design (seasonal sees slot
+    deviations, robust sees contamination-proof point outliers, CUSUM
+    sees sustained shifts); n_flags >= 2 is the page-worthy subset,
+    and single-detector rows explain WHICH failure mode fired.
+
+    One event-log pass (callers densify once — the dense grid is
+    persisted and feeds all five detectors); every join here runs on
+    hours x types or k-row frames."""
+    joined, _mu, zc = _seasonal_z_parts(dense)
+    sz = joined.select(
+        "t",
+        "h",
+        "cnt",
+        F.when((F.col("n") >= 3) & zc.isNotNull(), F.round(zc + F.lit(1e-9), 4))
+        .alias("seasonal_z"),
+        F.coalesce(
+            (F.col("n") >= 3) & zc.isNotNull() & (F.abs(zc) > F.lit(seasonal_crit)),
+            F.lit(False),
+        ).alias("seasonal_flag"),
+    )
+    rb = robust_scores_from_dense(dense, robust_crit).select(
+        F.col("event_type").alias("t"),
+        F.col("hour").alias("h"),
+        "robust_z",
+        F.col("is_outlier").alias("robust_flag"),
+    )
+    cs = cusum_scores_from_dense(dense).select(
+        F.col("event_type").alias("t"),
+        F.col("hour").alias("h"),
+        "cusum_up",
+        "cusum_down",
+        (F.col("shift_up") | F.col("shift_down")).alias("cusum_flag"),
+    )
+    disp = dispersion_scores_from_dense(dense).select(
+        F.col("event_type").alias("t"), "fano"
+    )
+    trend = mann_kendall_from_dense(dense).select(
+        F.col("event_type").alias("t"), "trend"
+    )
+    out = (
+        sz.join(rb, ["t", "h"])
+        .join(cs, ["t", "h"], "left")
+        .join(F.broadcast(disp), "t", "left")
+        .join(F.broadcast(trend), "t", "left")
+    )
+    n_flags = (
+        F.col("seasonal_flag").cast("int")
+        + F.col("robust_flag").cast("int")
+        + F.coalesce(F.col("cusum_flag"), F.lit(False)).cast("int")
+    )
+    return out.select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour"),
+        "cnt",
+        "seasonal_z",
+        "robust_z",
+        "cusum_up",
+        "cusum_down",
+        "fano",
+        "trend",
+        n_flags.cast("int").alias("n_flags"),
+        (n_flags >= 2).alias("consensus"),
+    )
+
+
+def detector_consensus(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """All five hourly-grid detectors composed into one dashboard
+    frame — see ``consensus_from_dense``."""
+    return consensus_from_dense(dense_hourly_counts(events, ts_col, type_col))

@@ -8208,3 +8208,232 @@ def x144_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", lang_id(F.col("text")).alias("lang_pred")
     )
     return chi2_independence(labeled, "source", "lang_pred", crit=97.351)
+
+
+@query(
+    "x145_autocorrelation",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), lags AS (
+      SELECT unnest(range(1, 25)) AS lag_hours
+    ), j AS (
+      SELECT a.t, l.lag_hours, a.cnt AS ca, b.cnt AS cb
+      FROM hourly a
+      CROSS JOIN lags l
+      JOIN hourly b
+        ON b.t = a.t AND b.h = a.h + to_hours(l.lag_hours)
+    ), per AS (
+      SELECT t, lag_hours, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(ca) AS BIGINT) AS sx, CAST(sum(cb) AS BIGINT) AS sy,
+             CAST(sum(ca * ca) AS BIGINT) AS sxx,
+             CAST(sum(cb * cb) AS BIGINT) AS syy,
+             CAST(sum(ca * cb) AS BIGINT) AS sxy
+      FROM j GROUP BY 1, 2
+    )
+    SELECT t AS event_type, CAST(lag_hours AS BIGINT) AS lag_hours, n_hours,
+           round(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_hours * syy - sy * sy AS DOUBLE))
+                 + 1e-9, 4) AS acf
+    FROM per
+    WHERE n_hours >= 10 AND n_hours * sxx - sx * sx > 0
+      AND n_hours * syy - sy * sy > 0
+    """,
+)
+def x145_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per event type at lags 1..24 on the
+    dense hourly grid — the periodicity diagnostic (daily cycles peak
+    at lag 24) and the SIXTH consumer of the one shared rollup.  The
+    lag self-join and corr run over aggregated grid rows only."""
+    from ..operators.timeseries import autocorrelation
+
+    events = load_table(spark, sf_dir, "events")
+    return autocorrelation(events)
+
+
+@query(
+    "x146_detector_consensus",
+    oracle="""
+    WITH sparse AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), hod AS (
+      SELECT h, t, cnt, extract(hour FROM h) AS hd FROM hourly
+    ), slot AS (
+      SELECT t, hd, sum(cnt) AS s1, sum(cnt * cnt) AS s2, count(*) AS n
+      FROM hod GROUP BY 1, 2
+    ), seasonal AS (
+      SELECT hh.t, hh.h, hh.cnt, s.n,
+             CASE WHEN (s.s2 - hh.cnt * hh.cnt
+                        - (s.s1 - hh.cnt) * (s.s1 - hh.cnt)
+                          / CAST(s.n - 1 AS DOUBLE)) / (s.n - 2) > 0
+                  THEN (hh.cnt - (s.s1 - hh.cnt) / CAST(s.n - 1 AS DOUBLE))
+                       / sqrt((s.s2 - hh.cnt * hh.cnt
+                               - (s.s1 - hh.cnt) * (s.s1 - hh.cnt)
+                                 / CAST(s.n - 1 AS DOUBLE)) / (s.n - 2))
+                  WHEN hh.cnt > (s.s1 - hh.cnt) / CAST(s.n - 1 AS DOUBLE)
+                  THEN 9999.0
+                  WHEN hh.cnt < (s.s1 - hh.cnt) / CAST(s.n - 1 AS DOUBLE)
+                  THEN -9999.0 END AS zv
+      FROM hod hh JOIN slot s ON hh.t = s.t AND hh.hd = s.hd
+    ), med AS (
+      SELECT t, CAST(2 * median(cnt) AS BIGINT) AS med2
+      FROM hourly GROUP BY 1
+    ), dev AS (
+      SELECT hh.t, hh.h, hh.cnt, m.med2,
+             abs(2 * hh.cnt - m.med2) AS d2
+      FROM hourly hh JOIN med m ON hh.t = m.t
+    ), mad AS (
+      SELECT t, median(d2) AS md2 FROM dev GROUP BY 1
+    ), robust AS (
+      SELECT d.t, d.h,
+             CASE WHEN m.md2 > 0
+                  THEN CAST(2 * d.cnt - d.med2 AS DOUBLE) / (1.4826 * m.md2)
+                  WHEN 2 * d.cnt - d.med2 > 0 THEN 9999.0
+                  WHEN 2 * d.cnt - d.med2 < 0 THEN -9999.0
+                  ELSE 0.0 END AS rzv
+      FROM dev d JOIN mad m ON d.t = m.t
+    ), cstats AS (
+      SELECT t, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s1,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1
+    ), cscored AS (
+      SELECT hh.t, hh.h,
+             (CAST(hh.cnt AS DOUBLE)
+              - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt((CAST(s.s2 AS DOUBLE)
+                     - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                       / CAST(s.n AS DOUBLE))
+                    / (CAST(s.n AS DOUBLE) - 1.0)) AS y
+      FROM hourly hh JOIN cstats s ON hh.t = s.t
+      WHERE s.n >= 3
+        AND (CAST(s.s2 AS DOUBLE)
+             - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+               / CAST(s.n AS DOUBLE))
+            / (CAST(s.n AS DOUBLE) - 1.0) > 0
+    ), cquant AS (
+      SELECT t, h,
+             CAST(trunc((y - 0.5) * 1000000.0) AS BIGINT) AS aq,
+             CAST(trunc((-y - 0.5) * 1000000.0) AS BIGINT) AS bq
+      FROM cscored
+    ), cpfx AS (
+      SELECT t, h, sum(aq) OVER w AS pp, sum(bq) OVER w AS pn
+      FROM cquant
+      WINDOW w AS (PARTITION BY t ORDER BY h ROWS UNBOUNDED PRECEDING)
+    ), cusum AS (
+      SELECT t, h,
+             pp - least(min(pp) OVER w, 0) AS sp,
+             pn - least(min(pn) OVER w, 0) AS sn
+      FROM cpfx
+      WINDOW w AS (PARTITION BY t ORDER BY h ROWS UNBOUNDED PRECEDING)
+    ), disp AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS ssq
+      FROM hourly GROUP BY 1
+    ), mk_pairs AS (
+      SELECT a.t,
+             CASE WHEN b.cnt > a.cnt THEN 1
+                  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sg
+      FROM hourly a JOIN hourly b ON a.t = b.t AND a.h < b.h
+    ), mk_s AS (
+      SELECT t, CAST(sum(sg) AS BIGINT) AS s_stat FROM mk_pairs GROUP BY 1
+    ), mk_n AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1
+    ), mk_ties AS (
+      SELECT t, CAST(sum(tk * (tk - 1) * (2 * tk + 5)) AS BIGINT) AS tie_corr
+      FROM (SELECT t, cnt, CAST(count(*) AS BIGINT) AS tk
+            FROM hourly GROUP BY 1, 2)
+      GROUP BY 1
+    ), mk AS (
+      SELECT s.t, s_stat,
+             CAST(n_hours * (n_hours - 1) * (2 * n_hours + 5) - tie_corr
+                  AS DOUBLE) / 18.0 AS var_s_raw
+      FROM mk_s s JOIN mk_n USING (t) JOIN mk_ties USING (t)
+    ), trend AS (
+      SELECT t,
+             CASE WHEN var_s_raw <= 0 THEN 'flat'
+                  WHEN (CASE WHEN s_stat > 0
+                             THEN (CAST(s_stat AS DOUBLE) - 1)
+                                  / sqrt(var_s_raw)
+                             WHEN s_stat < 0
+                             THEN (CAST(s_stat AS DOUBLE) + 1)
+                                  / sqrt(var_s_raw)
+                             ELSE 0.0 END) > 1.96 THEN 'increasing'
+                  WHEN (CASE WHEN s_stat > 0
+                             THEN (CAST(s_stat AS DOUBLE) - 1)
+                                  / sqrt(var_s_raw)
+                             WHEN s_stat < 0
+                             THEN (CAST(s_stat AS DOUBLE) + 1)
+                                  / sqrt(var_s_raw)
+                             ELSE 0.0 END) < -1.96 THEN 'decreasing'
+                  ELSE 'no trend' END AS trend
+      FROM mk
+    ), flags AS (
+      SELECT se.t, se.h, se.cnt,
+             CASE WHEN se.n >= 3 AND se.zv IS NOT NULL
+                  THEN round(se.zv + 1e-9, 4) END AS seasonal_z,
+             coalesce(se.n >= 3 AND se.zv IS NOT NULL
+                      AND abs(se.zv) > 2.0, false) AS seasonal_flag,
+             round(r.rzv + 1e-9, 4) + 0.0 AS robust_z,
+             abs(r.rzv) > 3.5 AS robust_flag,
+             round(c.sp / 1000000.0 + 1e-9, 4) + 0.0 AS cusum_up,
+             round(c.sn / 1000000.0 + 1e-9, 4) + 0.0 AS cusum_down,
+             coalesce(c.sp > 5000000 OR c.sn > 5000000, false) AS cusum_flag
+      FROM seasonal se
+      JOIN robust r ON se.t = r.t AND se.h = r.h
+      LEFT JOIN cusum c ON se.t = c.t AND se.h = c.h
+    )
+    SELECT f.t AS event_type, f.h AS hour, f.cnt,
+           f.seasonal_z, f.robust_z, f.cusum_up, f.cusum_down,
+           CASE WHEN d.tot > 0 THEN
+             round((CAST(d.ssq AS DOUBLE) / CAST(d.nh AS DOUBLE)
+                    - (CAST(d.tot AS DOUBLE) / CAST(d.nh AS DOUBLE))
+                      * (CAST(d.tot AS DOUBLE) / CAST(d.nh AS DOUBLE)))
+                   / (CAST(d.tot AS DOUBLE) / CAST(d.nh AS DOUBLE))
+                   + 1e-9, 6) + 0.0
+           END AS fano,
+           tr.trend,
+           CAST(CAST(f.seasonal_flag AS INT) + CAST(f.robust_flag AS INT)
+                + CAST(f.cusum_flag AS INT) AS INT) AS n_flags,
+           (CAST(f.seasonal_flag AS INT) + CAST(f.robust_flag AS INT)
+            + CAST(f.cusum_flag AS INT)) >= 2 AS consensus
+    FROM flags f
+    LEFT JOIN disp d ON f.t = d.t
+    LEFT JOIN trend tr ON f.t = tr.t
+    """,
+)
+def x146_detector_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed monitoring dashboard: all three hour-level
+    detectors (seasonal LOO z / robust median-MAD z / CUSUM shift)
+    scored side by side on the ONE shared hourly rollup, with
+    per-type context (Fano burstiness, Mann-Kendall trend) and a
+    consensus vote — proof the detector family composes without
+    re-scanning the event log per detector (x94's composition story
+    for the monitoring tier)."""
+    from ..operators.timeseries import detector_consensus
+
+    events = load_table(spark, sf_dir, "events")
+    return detector_consensus(events)

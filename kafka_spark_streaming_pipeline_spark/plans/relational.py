@@ -1569,3 +1569,101 @@ def q46_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         F.row_number().over(w).alias("version"),
     )
+
+
+@query(
+    "q47_sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), waiting AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM li l1
+      WHERE late
+        AND EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.late)
+    ), counted AS (
+      SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM waiting w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+      GROUP BY 1
+    )
+    SELECT s_name, numwait, CAST(rn AS INT) AS rank
+    FROM (SELECT s_name, numwait,
+                 row_number() OVER (ORDER BY numwait DESC, s_name) AS rn
+          FROM counted)
+    WHERE rn <= 20
+    """,
+)
+def q47_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on the available columns: suppliers who were
+    the SOLE late shipper on a multi-supplier order (late = shipped
+    more than 60 days after the order date) — the classic composition
+    of a fact self-SEMI-join (another supplier exists on the order)
+    with a self-ANTI-join (no OTHER supplier was also late), the
+    hardest decorrelation pattern in the TPC-H suite.
+
+    Scale shape: the (orderkey, suppkey, late) projection is computed
+    ONCE and persisted — all three roles (probe, semi, anti) read the
+    cached narrow frame instead of re-joining lineitem x orders; both
+    self-joins are orderkey-equi (well-spread); the final top-20 is a
+    TakeOrderedAndProject over the 100-supplier aggregate."""
+    from ..cache import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    base = tracked_persist(
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+            ).alias("late"),
+        )
+    )
+    l1 = base.filter("late").select("l_orderkey", "l_suppkey")
+    l2 = base.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = base.filter("late").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    counted = (
+        waiting.join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            waiting["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+    w = W.orderBy(F.col("numwait").desc(), "s_name")
+    return (
+        counted.select(
+            "s_name", "numwait", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 20)
+    )

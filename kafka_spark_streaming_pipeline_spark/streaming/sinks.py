@@ -1956,3 +1956,24 @@ def compact_length_histogram(spark, path: str, quiesced: bool = True) -> None:
     the fold is a valid partial (cell-wise sums), so live appends keep
     composing after compaction."""
     _compact(spark, path, _length_hist_of, quiesced)
+
+
+_ACF_VIEW_FRAMES: list[DataFrame] = []
+
+
+def acf_view(spark, counts_path: str, max_lag_hours: int = 24) -> DataFrame:
+    """Autocorrelation over the SAME hourly-count store — the SIXTH
+    consumer of the one rollup (four anomaly detectors + trend +
+    periodicity).  Identical code path as the batch operator
+    (``acf_from_dense``); same replay dedup and scope-release cache
+    bounds as the sibling views."""
+    from .. import cache
+    from ..operators.timeseries import acf_from_dense, densify_hourly
+
+    cache.release(_ACF_VIEW_FRAMES)
+    _ACF_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = acf_from_dense(densify_hourly(sparse), max_lag_hours)
+    _ACF_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view

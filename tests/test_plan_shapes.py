@@ -374,3 +374,71 @@ def test_round6_stat_queries_plan_shapes(spark, sf_dir):
             assert "Sort " not in plan, "global sort crept into x124"
         if name == "x126_source_js_divergence":
             assert cached >= 4, cached  # histogram persisted for all consumers
+
+
+def test_statistics_family_plan_shapes(spark, sf_dir):
+    """x139-x144 plan pins: aggregates-first shapes where every
+    heavy structure (ECDF align, trend pairs, regression moments,
+    contingency grid) runs over persisted/aggregated rows, never the
+    raw corpus; all six lint clean."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    for name in (
+        "x139_ks_length_drift",
+        "x140_heaps_fit",
+        "x141_mann_kendall",
+        "x142_markov_transitions",
+        "x143_order_value_model",
+        "x144_lang_source_chi2",
+    ):
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert lint_plan(df) == [], name
+        scans = plan.count("Scan parquet")
+        cached = plan.count("InMemoryTableScan")
+        if name == "x140_heaps_fit":
+            # narrow count frame persisted (window + totals read it);
+            # exactly ONE raw text scan joins the offsets back
+            assert cached >= 2 and scans <= cached + 1, (name, scans, cached)
+        elif name == "x143_order_value_model":
+            assert scans <= 2, (name, scans)  # lineitem + orders, once each
+        else:
+            assert scans <= 2 or (cached >= 2 and scans <= cached), (
+                name, scans, cached,
+            )
+        if name == "x142_markov_transitions":
+            assert "CartesianProduct" not in plan
+            assert plan.count("Scan parquet") <= 1 or cached >= 1
+
+
+def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
+    """x145/x146/q47 plan pins: the ACF lag join and ALL five
+    consensus detectors read the persisted dense grid (one event-log
+    pass); q47's three self-join roles read the persisted narrow
+    (orderkey, suppkey, late) frame — lineitem x orders is joined
+    ONCE.  All three lint clean."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    for name, min_cached in (
+        ("x145_autocorrelation", 2),
+        ("x146_detector_consensus", 5),
+        ("q47_sole_late_supplier", 3),
+    ):
+        df = QUERIES[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert lint_plan(df) == [], name
+        scans = plan.count("Scan parquet")
+        cached = plan.count("InMemoryTableScan")
+        assert cached >= min_cached, (name, cached)
+        if name == "q47_sole_late_supplier":
+            # the cached (orderkey, suppkey, late) frame's printout
+            # re-prints its TWO base scans per reader; the only scan
+            # outside the cache printouts is the supplier dimension
+            assert scans <= 2 * cached + 1, (name, scans, cached)
+        else:
+            # every textual scan nests inside a cached printout
+            assert scans <= cached + 1, (name, scans, cached)

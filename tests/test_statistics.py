@@ -161,3 +161,108 @@ def test_ols2_fit_recovers_exact_plane(spark):
     df2 = spark.createDataFrame(rows2, "grp STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
     r2 = ols2_fit(df2, "y", "x1", "x2", "grp").collect()[0]
     assert r2["b1"] is None and r2["r_squared"] is None
+
+
+def test_autocorrelation_periodic_series(spark):
+    """Counts alternating 0,10,0,10,... have ACF(-1) at lag 1 and
+    ACF(+1) at lag 2 — the exact signature of a 2-hour cycle."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 10 if h % 2 else 0
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), "alt"))
+            eid += 1
+    # anchor hour 0 so the dense grid spans all 24 hours
+    rows.append((eid, base + dt.timedelta(minutes=2), "anchor"))
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    out = {
+        (r["event_type"], r["lag_hours"]): r["acf"]
+        for r in autocorrelation(events, max_lag_hours=3).collect()
+    }
+    assert out[("alt", 1)] == -1.0
+    assert out[("alt", 2)] == 1.0
+    assert out[("alt", 3)] == -1.0
+
+
+def test_detector_consensus_planted_spike(spark):
+    """A 200x spike in an otherwise steady series must be flagged by
+    BOTH the seasonal and robust detectors (consensus true); steady
+    hours have n_flags == 0; the per-type context columns agree with
+    the standalone operators."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        detector_consensus,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(4):
+        for h in range(24):
+            n = 200 if (d == 3 and h == 12) else 2
+            for _ in range(n):
+                rows.append(
+                    (eid, base + dt.timedelta(days=d, hours=h, minutes=3), "svc")
+                )
+                eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    out = {
+        (r["event_type"], r["hour"]): r for r in detector_consensus(events).collect()
+    }
+    spike = out[("svc", base + dt.timedelta(days=3, hours=12))]
+    assert spike["n_flags"] >= 2 and spike["consensus"]
+    assert abs(spike["robust_z"]) > 3.5
+    quiet = out[("svc", base + dt.timedelta(days=1, hours=3))]
+    assert quiet["n_flags"] == 0 and not quiet["consensus"]
+    assert quiet["trend"] in ("no trend", "flat", "increasing")
+
+
+def test_sole_late_supplier_hand_case(spark, sf_dir):
+    """Registry q47 on a hand-built scenario: supplier 1 is the sole
+    late shipper on a 2-supplier order (counts), supplier 2 is late on
+    a SINGLE-supplier order (no other supplier exists -> excluded),
+    and order 3 has TWO late suppliers (both excluded)."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.plans.registry import QUERIES
+
+    # build tiny tables in a temp dir shaped like the catalog
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    day = dt.datetime(2024, 1, 1)
+    late = day + dt.timedelta(days=90)
+    ontime = day + dt.timedelta(days=10)
+    li_rows = [
+        (100, 1, late), (100, 2, ontime),     # s1 sole late on order 100
+        (200, 2, late),                        # single-supplier order
+        (300, 3, late), (300, 4, late),        # two late suppliers
+    ]
+    spark.createDataFrame(
+        [(ok, sk, sd) for ok, sk, sd in li_rows],
+        "l_orderkey BIGINT, l_suppkey BIGINT, l_shipdate TIMESTAMP",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(100, day), (200, day), (300, day)],
+        "o_orderkey BIGINT, o_orderdate TIMESTAMP",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"S{k}") for k in (1, 2, 3, 4)],
+        "s_suppkey BIGINT, s_name STRING",
+    ).write.parquet(os.path.join(d, "supplier.parquet"))
+    out = QUERIES["q47_sole_late_supplier"].builder(spark, d).collect()
+    assert [(r["s_name"], r["numwait"]) for r in out] == [("S1", 1)]

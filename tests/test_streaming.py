@@ -2620,6 +2620,27 @@ def test_streaming_trend_view_matches_batch(spark, tmp_path):
     want = {r["event_type"]: tuple(r) for r in batch.collect()}
     assert {k: tuple(v) for k, v in got.items()} == want
 
+    # the SIXTH consumer of the same store: merged ACF == batch ACF
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        autocorrelation,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import acf_view
+
+    got_acf = {
+        (r["event_type"], r["lag_hours"]): tuple(r)
+        for r in acf_view(spark, counts_path, max_lag_hours=4).collect()
+    }
+    want_acf = {
+        (r["event_type"], r["lag_hours"]): tuple(r)
+        for r in autocorrelation(
+            spark.createDataFrame(rows, SCHEMA).withColumn(
+                "ts", F.to_timestamp("ts_str")
+            ),
+            max_lag_hours=4,
+        ).collect()
+    }
+    assert got_acf == want_acf and len(got_acf) > 0
+
 
 def test_streaming_length_histogram_serves_ks_view(spark, sf_dir, tmp_path):
     """The length-histogram store's merged KS drift report is

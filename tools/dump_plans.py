@@ -130,6 +130,15 @@ AUDITED = {
     "x136_threshold_sensitivity": "threshold curve: one LSH signature pass, 17-row histogram, cumulative window over the aggregate only",
     "x137_readability": "readability: map-only per-doc arithmetic (token array bound once), one per-source aggregate — zero joins",
     "x138_vocabulary_churn": "vocab churn: one unioned conditional-agg histogram (no join), one per-source k-row aggregate",
+    "x139_ks_length_drift": "KS drift: PERSISTED length histogram feeds totals + both pair sides (one corpus scan); ECDF align + max-gap windows run over aggregated rows only; k x k skeleton crosses the k-row totals",
+    "x140_heaps_fit": "Heaps fit: running-sum window over the NARROW persisted (src, id, nt) frame only — text never rides the per-source sort; offsets join back on the well-spread doc id; regression over <= ~40 checkpoint rows",
+    "x141_mann_kendall": "Mann-Kendall: one log pass to the persisted hours x types grid; the C(n,2) pair self-join and Sen median run over AGGREGATED grid rows only — bounded by the time window, never event volume",
+    "x142_markov_transitions": "Markov transitions: ONE per-key lag window over the log; transition cells, margins, and entropy all run on the k^2 aggregate",
+    "x143_order_value_model": "closed-form OLS: per-order aggregate + one orders join; all nine regression moments accumulate in ONE combinable aggregate — no iterative solver, no driver matrix",
+    "x144_lang_source_chi2": "chi2 independence: one corpus scan to the persisted contingency cells; margins/total/grid/statistic all run on r x c rows; zero cells restored by the margin cross",
+    "x145_autocorrelation": "ACF: one log pass to the persisted hours x types grid; lag self-join + exact-BIGINT Pearson moments over aggregated rows only (sixth consumer of the shared rollup)",
+    "x146_detector_consensus": "detector consensus: ONE log pass to the persisted dense grid; all five detectors (seasonal/robust/CUSUM/dispersion/trend) are readers of the cached grid; every join is hours x types or k-row",
+    "q47_sole_late_supplier": "TPC-H Q21 shape: the (orderkey, suppkey, late) projection computed ONCE and persisted — semi/anti/probe roles all read the cache; orderkey-equi self-joins; top-20 over the supplier-count aggregate",
 }
 
 
