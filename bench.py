@@ -107,6 +107,14 @@ HEADLINE = [
     # self-join across all source pairs).
     "x125_quality_bootstrap_ci",
     "x126_source_js_divergence",
+    # r06 fifth batch: the composed monitoring dashboard (all five
+    # hourly-grid detectors as readers of ONE cached grid — prices the
+    # shared-rollup composition the same way x94 prices the curation
+    # tiers) and the Holt-Winters forecast (the whole per-type series
+    # folded inside one codegen row — prices the in-row iterative
+    # pattern).
+    "x146_detector_consensus",
+    "x147_holt_winters",
 ]
 
 

@@ -963,3 +963,24 @@ class Engine:
         from .operators.timeseries import detector_consensus
 
         return detector_consensus(self.table("events"), **kwargs)
+
+    def forecast(self, **kwargs) -> DataFrame:
+        """Additive Holt-Winters next-hour forecast per event type on
+        the dense hourly grid (x147)."""
+        from .operators.timeseries import holt_winters
+
+        return holt_winters(self.table("events"), **kwargs)
+
+    def length_stability(self, **kwargs) -> DataFrame:
+        """PSI of each source's length distribution vs the rest of
+        the corpus (x148)."""
+        from .operators.curation import length_psi
+
+        return length_psi(self.table("documents"), **kwargs)
+
+    def dedup_calibration(self, **kwargs) -> DataFrame:
+        """MinHash-estimate vs exact-Jaccard calibration curve
+        (x149)."""
+        from .operators.dedup import lsh_calibration
+
+        return lsh_calibration(self.table("documents"), **kwargs)

@@ -3111,3 +3111,82 @@ def heaps_fit(
             ok & (den_y > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
         ).alias("r_squared"),
     )
+
+
+def psi_from_hist(hist: DataFrame, smooth: float = 0.5, crit: float = 0.2) -> DataFrame:
+    """Finish the PSI drift report from a (possibly merged) length
+    histogram — see ``length_psi``."""
+    binned = (
+        hist.select(
+            "src",
+            (F.length(F.conv(F.col("len"), 10, 2)) - 1).cast("int").alias("b"),
+            "cnt",
+        )
+        .groupBy("src", "b")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+    )
+    tot_bin = binned.groupBy("b").agg(F.sum("n").cast("long").alias("n_all"))
+    tot_src = binned.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    n_total = binned.agg(
+        F.sum("n").cast("long").alias("n_tot"),
+        F.countDistinct("b").cast("long").alias("n_bins"),
+    )
+    skel = tot_src.crossJoin(F.broadcast(tot_bin))
+    cells = (
+        skel.join(binned, ["src", "b"], "left")
+        .select(
+            "src",
+            "b",
+            "n_src",
+            "n_all",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_in"),
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    sm = F.lit(smooth)
+    bins_d = F.col("n_bins").cast("double")
+    p = (F.col("n_in").cast("double") + sm) / (
+        F.col("n_src").cast("double") + sm * bins_d
+    )
+    rest_in = (F.col("n_all") - F.col("n_in")).cast("double")
+    rest_tot = (F.col("n_tot") - F.col("n_src")).cast("double")
+    q = (rest_in + sm) / (rest_tot + sm * bins_d)
+    termq = ((p - q) * F.log(p / q) * F.lit(1e12)).cast("long")
+    per = cells.groupBy("src", "n_src").agg(
+        F.max("n_bins").alias("n_bins"),
+        F.sum(termq).cast("long").alias("psi_q"),
+    )
+    psi = F.col("psi_q").cast("double") / F.lit(1e12)
+    return per.select(
+        F.col("src").alias("source"),
+        F.col("n_src").alias("n_docs"),
+        "n_bins",
+        (F.round(psi + F.lit(1e-9), 6) + F.lit(0.0)).alias("psi"),
+        (psi > F.lit(crit)).alias("drifted"),
+    )
+
+
+def length_psi(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    smooth: float = 0.5,
+    crit: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the REST of the corpus — the standard ML-ops
+    drift score (PSI > 0.2 = significant shift), reported next to the
+    KS test (x139): KS answers 'statistically different?', PSI scores
+    HOW FAR the mass moved in interpretable units.
+
+    Bins are integer bit-length buckets of the token count (pure
+    integer arithmetic, no libm edge cases), Laplace-smoothed so
+    empty bins never hit ln(0); per-bin contributions are
+    pico-quantized BIGINTs before the cross-bin sum (house float
+    discipline).  One corpus scan into the SAME persisted length
+    histogram the KS screen reads — the two drift monitors share one
+    store, batch and streaming."""
+    from ..cache import tracked_persist
+
+    hist = tracked_persist(length_histogram(docs, source_col, text_col))
+    return psi_from_hist(hist, smooth, crit)

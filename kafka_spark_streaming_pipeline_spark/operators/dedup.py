@@ -1455,3 +1455,64 @@ def threshold_sensitivity(
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
     )
+
+
+def lsh_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Calibration audit of the MinHash estimator against EXACT
+    Jaccard, per estimate level: how well does est = matches/16
+    predict the true similarity on THIS corpus?  The per-level mean
+    exact Jaccard and mean absolute error tell you where to put the
+    dedup threshold (x136 gives the pair-yield curve; this gives the
+    accuracy curve) — a level whose mean error is large means the
+    banding config needs more hashes before its decisions are
+    trustworthy.
+
+    Dataflow: ONE LSH pass with banding alone gating candidacy
+    (min_est_jaccard = 0, the x136 convention) -> exact verification
+    on candidates only (never n^2) -> a <= num_hashes+1-row aggregate.
+    Mean terms are micro-quantized BIGINT sums of the 4dp-verified
+    values (house float discipline)."""
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, num_hashes, bands, shingle_k,
+        min_est_jaccard=0.0,
+    )
+    ver = verify_candidate_pairs(docs, pairs, text_col, id_col, shingle_k)
+    level = (F.col("est_jaccard") * num_hashes + F.lit(0.5)).cast("int")
+    qex = (F.col("jaccard") * F.lit(1e6)).cast("long")
+    qae = (F.abs(F.col("est_jaccard") - F.col("jaccard")) * F.lit(1e6)).cast("long")
+    per = (
+        ver.select(level.alias("level"), qex.alias("qex"), qae.alias("qae"))
+        .groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("qex").cast("long").alias("sex"),
+            F.sum("qae").cast("long").alias("sae"),
+        )
+    )
+    nd = F.col("n_pairs").cast("double")
+    return per.select(
+        (
+            F.round(
+                F.col("level").cast("double") / F.lit(float(num_hashes))
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("est_jaccard"),
+        "n_pairs",
+        (
+            F.round(F.col("sex").cast("double") / nd / F.lit(1e6) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("mean_exact_jaccard"),
+        (
+            F.round(F.col("sae").cast("double") / nd / F.lit(1e6) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("mean_abs_err"),
+    )

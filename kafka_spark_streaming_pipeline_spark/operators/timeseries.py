@@ -1106,3 +1106,124 @@ def detector_consensus(
     """All five hourly-grid detectors composed into one dashboard
     frame — see ``consensus_from_dense``."""
     return consensus_from_dense(dense_hourly_counts(events, ts_col, type_col))
+
+
+def holt_winters_from_dense(
+    dense: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 24,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per event
+    type over the dense hourly grid: level + trend + a ``season``-slot
+    seasonal profile updated hour by hour, reporting the fitted state,
+    the NEXT-hour forecast, and the in-sample one-step RMSE — the
+    classical forecasting recurrence, run entirely as a CODEGEN ARRAY
+    FOLD (F.aggregate over the per-type series array): no Python, no
+    driver loop, no iterative jobs.
+
+    Initialization (standard): level = mean of the first season,
+    trend = (mean of season 2 - mean of season 1) / season, seasonal
+    profile = first-season deviations from its mean; the recurrence
+    then runs from hour ``season`` on, scoring each step's one-step
+    forecast BEFORE updating state.  Types shorter than two full
+    seasons are reported with NULL fits.
+
+    Scale shape: one event-log pass to the persisted grid; each
+    type's whole series (hours-bounded, KBs) folds inside ONE row —
+    at a year of hours this is an 8760-step in-row fold, independent
+    of event volume.  Every step is fixed-order IEEE double
+    arithmetic, so the DuckDB recursive-CTE oracle replays it
+    bit-identically (the x80 discipline)."""
+    from .text import let_expr
+
+    m = season
+    a, b, g = float(alpha), float(beta), float(gamma)
+    ca, cb, cg = 1.0 - a, 1.0 - b, 1.0 - g
+    series = dense.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "cnt"))),
+            lambda s: s["cnt"].cast("double"),
+        ).alias("xs"),
+    )
+    first = F.slice(F.col("xs"), 1, m)
+    second = F.slice(F.col("xs"), m + 1, m)
+    mean1 = F.aggregate(first, F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(m))
+    mean2 = F.aggregate(second, F.lit(0.0), lambda acc, v: acc + v) / F.lit(float(m))
+
+    def fold(l0):
+        seas0 = F.transform(first, lambda v: v - l0)
+        b0 = (mean2 - l0) / F.lit(float(m))
+        init = F.struct(
+            l0.alias("lv"),
+            b0.alias("tr"),
+            seas0.alias("seas"),
+            F.lit(m).alias("idx"),
+            F.lit(0.0).alias("sse"),
+        )
+
+        def step(acc, x):
+            pos = F.pmod(acc["idx"], F.lit(m))
+            stm = F.element_at(acc["seas"], pos + 1)
+            fc = acc["lv"] + acc["tr"] + stm
+            err = x - fc
+            new_l = F.lit(a) * (x - stm) + F.lit(ca) * (acc["lv"] + acc["tr"])
+            new_b = F.lit(b) * (new_l - acc["lv"]) + F.lit(cb) * acc["tr"]
+            new_s = F.lit(g) * (x - new_l) + F.lit(cg) * stm
+            seas2 = F.concat(
+                F.slice(acc["seas"], 1, pos),
+                F.array(new_s),
+                F.slice(acc["seas"], pos + 2, F.lit(m) - pos - 1),
+            )
+            return F.struct(
+                new_l.alias("lv"),
+                new_b.alias("tr"),
+                seas2.alias("seas"),
+                (acc["idx"] + 1).alias("idx"),
+                (acc["sse"] + err * err).alias("sse"),
+            )
+
+        return F.aggregate(
+            F.slice(F.col("xs"), m + 1, F.size("xs") - m), init, step
+        )
+
+    fit = let_expr(mean1, fold)
+    nfit = (F.col("n_hours") - m).cast("double")
+    out = series.select(
+        F.col("t").alias("event_type"),
+        "n_hours",
+        F.when(F.col("n_hours") >= 2 * m + 1, fit).alias("f"),
+    )
+    fc_next = (
+        F.col("f")["lv"]
+        + F.col("f")["tr"]
+        + F.element_at(F.col("f")["seas"], F.pmod(F.col("f")["idx"], F.lit(m)) + 1)
+    )
+    return out.select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("f")["lv"] + F.lit(1e-9), 4).alias("level"),
+        F.round(F.col("f")["tr"] + F.lit(1e-9), 4).alias("trend"),
+        F.round(fc_next + F.lit(1e-9), 4).alias("forecast_next"),
+        F.round(F.sqrt(F.col("f")["sse"] / nfit) + F.lit(1e-9), 4).alias(
+            "rmse"
+        ),
+    )
+
+
+def holt_winters(
+    events: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    season: int = 24,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Additive Holt-Winters forecast per event type on the dense
+    hourly grid — see ``holt_winters_from_dense``."""
+    return holt_winters_from_dense(
+        dense_hourly_counts(events, ts_col, type_col), alpha, beta, gamma, season
+    )

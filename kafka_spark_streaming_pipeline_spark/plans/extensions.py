@@ -8437,3 +8437,203 @@ def x146_detector_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return detector_consensus(events)
+
+
+@query(
+    "x147_holt_winters",
+    oracle="""
+    WITH RECURSIVE sparse AS (
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS h, event_type AS t,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT g.h, ty.t
+      FROM (SELECT unnest(generate_series((SELECT min(h) FROM sparse),
+                                          (SELECT max(h) FROM sparse),
+                                          INTERVAL 1 HOUR)) AS h) g
+      CROSS JOIN (SELECT DISTINCT t FROM sparse) ty
+    ), hourly AS (
+      SELECT grid.h, grid.t, coalesce(sparse.cnt, 0) AS cnt
+      FROM grid LEFT JOIN sparse ON grid.h = sparse.h AND grid.t = sparse.t
+    ), numbered AS (
+      SELECT t, CAST(cnt AS DOUBLE) AS x,
+             CAST(row_number() OVER (PARTITION BY t ORDER BY h) - 1 AS INT)
+               AS idx
+      FROM hourly
+    ), nper AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_hours FROM hourly GROUP BY 1
+    ), sums AS (
+      SELECT t,
+             CAST(sum(CASE WHEN idx < 24 THEN CAST(x AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN idx >= 24 AND idx < 48
+                           THEN CAST(x AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+      FROM numbered GROUP BY 1
+    ), init AS (
+      SELECT n.t,
+             CAST(s.s1 AS DOUBLE) / 24.0 AS l0,
+             (CAST(s.s2 AS DOUBLE) / 24.0 - CAST(s.s1 AS DOUBLE) / 24.0)
+               / 24.0 AS b0,
+             list(n.x - CAST(s.s1 AS DOUBLE) / 24.0 ORDER BY n.idx)
+               FILTER (WHERE n.idx < 24) AS seas
+      FROM numbered n JOIN sums s ON n.t = s.t
+      JOIN nper ON n.t = nper.t
+      WHERE nper.n_hours >= 49
+      GROUP BY 1, 2, 3
+    ), rec AS (
+      SELECT t, 24 AS idx, l0 AS lv, b0 AS tr, seas,
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM init
+      UNION ALL
+      SELECT r.t, r.idx + 1,
+             0.3 * (x.x - r.seas[r.idx % 24 + 1]) + 0.7 * (r.lv + r.tr),
+             0.1 * ((0.3 * (x.x - r.seas[r.idx % 24 + 1])
+                     + 0.7 * (r.lv + r.tr)) - r.lv) + 0.9 * r.tr,
+             list_slice(r.seas, 1, r.idx % 24)
+               || [0.2 * (x.x - (0.3 * (x.x - r.seas[r.idx % 24 + 1])
+                                 + 0.7 * (r.lv + r.tr)))
+                   + 0.8 * r.seas[r.idx % 24 + 1]]
+               || list_slice(r.seas, r.idx % 24 + 2, 24),
+             r.sse + (x.x - (r.lv + r.tr + r.seas[r.idx % 24 + 1]))
+                   * (x.x - (r.lv + r.tr + r.seas[r.idx % 24 + 1]))
+      FROM rec r JOIN numbered x ON x.t = r.t AND x.idx = r.idx
+    ), fin AS (
+      SELECT r.* FROM rec r JOIN nper ON r.t = nper.t
+      WHERE r.idx = nper.n_hours
+    )
+    SELECT n.t AS event_type, n.n_hours,
+           round(f.lv + 1e-9, 4) AS level,
+           round(f.tr + 1e-9, 4) AS trend,
+           round(f.lv + f.tr + f.seas[f.idx % 24 + 1] + 1e-9, 4)
+             AS forecast_next,
+           round(sqrt(f.sse / CAST(n.n_hours - 24 AS DOUBLE)) + 1e-9, 4)
+             AS rmse
+    FROM nper n LEFT JOIN fin f ON n.t = f.t
+    """,
+)
+def x147_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast per event type — the classical
+    iterative recurrence run as a pure CODEGEN ARRAY FOLD over the
+    per-type hourly series (no Python, no driver loop), value-checked
+    bit-exactly against a DuckDB recursive-CTE replay of the same
+    fixed-order IEEE arithmetic (the x80 oracle discipline)."""
+    from ..operators.timeseries import holt_winters
+
+    events = load_table(spark, sf_dir, "events")
+    return holt_winters(events)
+
+
+@query(
+    "x148_length_psi",
+    oracle="""
+    WITH hist AS (
+      SELECT source AS src,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), binned AS (
+      SELECT src, CAST(length(bin(len)) - 1 AS INT) AS b,
+             CAST(sum(cnt) AS BIGINT) AS n
+      FROM hist GROUP BY 1, 2
+    ), tot_bin AS (
+      SELECT b, CAST(sum(n) AS BIGINT) AS n_all FROM binned GROUP BY 1
+    ), tot_src AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM binned GROUP BY 1
+    ), n_total AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+             CAST(count(DISTINCT b) AS BIGINT) AS n_bins
+      FROM binned
+    ), cells AS (
+      SELECT s.src, tb.b, s.n_src, tb.n_all,
+             CAST(coalesce(bi.n, 0) AS BIGINT) AS n_in, nt.n_tot, nt.n_bins
+      FROM tot_src s CROSS JOIN tot_bin tb
+      LEFT JOIN binned bi ON bi.src = s.src AND bi.b = tb.b
+      CROSS JOIN n_total nt
+    ), terms AS (
+      SELECT src, n_src, n_bins,
+             CAST(trunc(
+               ((CAST(n_in AS DOUBLE) + 0.5)
+                  / (CAST(n_src AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE))
+                - (CAST(n_all - n_in AS DOUBLE) + 0.5)
+                  / (CAST(n_tot - n_src AS DOUBLE)
+                     + 0.5 * CAST(n_bins AS DOUBLE)))
+               * ln(((CAST(n_in AS DOUBLE) + 0.5)
+                     / (CAST(n_src AS DOUBLE) + 0.5 * CAST(n_bins AS DOUBLE)))
+                    / ((CAST(n_all - n_in AS DOUBLE) + 0.5)
+                       / (CAST(n_tot - n_src AS DOUBLE)
+                          + 0.5 * CAST(n_bins AS DOUBLE))))
+               * 1e12) AS BIGINT) AS tq
+      FROM cells
+    ), per AS (
+      SELECT src, n_src, max(n_bins) AS n_bins,
+             CAST(sum(tq) AS BIGINT) AS psi_q
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT src AS source, n_src AS n_docs, n_bins,
+           round(CAST(psi_q AS DOUBLE) / 1e12 + 1e-9, 6) + 0.0 AS psi,
+           CAST(psi_q AS DOUBLE) / 1e12 > 0.2 AS drifted
+    FROM per
+    """,
+)
+def x148_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's length distribution
+    vs the rest of the corpus — the interpretable drift score next to
+    the KS test, over integer bit-length bins with Laplace smoothing;
+    reads the SAME persisted length histogram as x139."""
+    from ..operators.curation import length_psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_psi(docs)
+
+
+@query(
+    "x149_lsh_calibration",
+    oracle=f"""
+    WITH cand AS ({_P12_ALL_CANDIDATES}),
+    shingle_sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(text), ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(lower(text), ' ')[i],
+                              string_split(lower(text), ' ')[i+1],
+                              string_split(lower(text), ' ')[i+2])
+             )) AS shingles
+      FROM documents
+    ), verified AS (
+      SELECT c.est_jaccard,
+             round(len(list_intersect(a.shingles, b.shingles))
+                   / CAST(len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   + 1e-9, 4) AS jac
+      FROM cand c
+      JOIN shingle_sets a ON a.doc_id = c.doc_a
+      JOIN shingle_sets b ON b.doc_id = c.doc_b
+    ), lv AS (
+      SELECT CAST(trunc(est_jaccard * 16 + 0.5) AS INT) AS level,
+             CAST(trunc(jac * 1e6) AS BIGINT) AS qex,
+             CAST(trunc(abs(est_jaccard - jac) * 1e6) AS BIGINT) AS qae
+      FROM verified
+    ), per AS (
+      SELECT level, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(qex) AS BIGINT) AS sex, CAST(sum(qae) AS BIGINT) AS sae
+      FROM lv GROUP BY 1
+    )
+    SELECT round(CAST(level AS DOUBLE) / 16.0 + 1e-9, 4) + 0.0 AS est_jaccard,
+           n_pairs,
+           round(CAST(sex AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6
+                 + 1e-9, 6) + 0.0 AS mean_exact_jaccard,
+           round(CAST(sae AS DOUBLE) / CAST(n_pairs AS DOUBLE) / 1e6
+                 + 1e-9, 6) + 0.0 AS mean_abs_err
+    FROM per
+    """,
+)
+def x149_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the MinHash estimator vs exact Jaccard per
+    estimate level — the accuracy curve that tells you where the dedup
+    threshold is trustworthy (x136 gives the yield curve).  One LSH
+    pass with banding-only candidacy; exact verification on candidates
+    only; a <= 17-row aggregate."""
+    from ..operators.dedup import lsh_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_calibration(docs)

@@ -1977,3 +1977,34 @@ def acf_view(spark, counts_path: str, max_lag_hours: int = 24) -> DataFrame:
     view = acf_from_dense(densify_hourly(sparse), max_lag_hours)
     _ACF_VIEW_FRAMES.extend(cache.tracked_since(pos))
     return view
+
+
+_HW_VIEW_FRAMES: list[DataFrame] = []
+
+
+def forecast_view(spark, counts_path: str, **hw_kwargs) -> DataFrame:
+    """Holt-Winters forecast over the SAME hourly-count store — the
+    SEVENTH consumer of the one rollup (detectors + trend +
+    periodicity + forecast).  Identical code path as the batch
+    operator (``holt_winters_from_dense``); same replay dedup and
+    scope-release cache bounds as the sibling views."""
+    from .. import cache
+    from ..operators.timeseries import densify_hourly, holt_winters_from_dense
+
+    cache.release(_HW_VIEW_FRAMES)
+    _HW_VIEW_FRAMES.clear()
+    pos = cache.mark()
+    sparse = _seasonal_sparse_of(_read_log(spark, counts_path))
+    view = holt_winters_from_dense(densify_hourly(sparse), **hw_kwargs)
+    _HW_VIEW_FRAMES.extend(cache.tracked_since(pos))
+    return view
+
+
+def psi_view(spark, path: str, smooth: float = 0.5, crit: float = 0.2) -> DataFrame:
+    """Current merged PSI drift report — the SECOND consumer of the
+    length-histogram store (KS answers 'statistically different?',
+    PSI scores how far the mass moved); bit-equal to
+    operators.curation.length_psi over all ingested docs."""
+    from ..operators.curation import psi_from_hist
+
+    return psi_from_hist(_length_hist_of(_read_log(spark, path)), smooth, crit)

@@ -426,6 +426,8 @@ def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
         ("x145_autocorrelation", 2),
         ("x146_detector_consensus", 5),
         ("q47_sole_late_supplier", 3),
+        ("x147_holt_winters", 1),
+        ("x148_length_psi", 3),
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

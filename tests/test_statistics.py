@@ -1,6 +1,7 @@
-"""Hand-verifiable cases for the round-6 statistics family:
-KS length drift, Heaps' law, Mann-Kendall trend, Markov transitions,
-chi-squared independence, and closed-form OLS."""
+"""Hand-verifiable cases for the round-6 statistics family: KS length
+drift, Heaps' law, Mann-Kendall trend, Markov transitions, chi-squared
+independence, closed-form OLS, ACF, detector consensus, Holt-Winters,
+PSI drift, and LSH calibration."""
 
 from __future__ import annotations
 
@@ -266,3 +267,115 @@ def test_sole_late_supplier_hand_case(spark, sf_dir):
     ).write.parquet(os.path.join(d, "supplier.parquet"))
     out = QUERIES["q47_sole_late_supplier"].builder(spark, d).collect()
     assert [(r["s_name"], r["numwait"]) for r in out] == [("S1", 1)]
+
+
+def test_holt_winters_matches_python_reference(spark):
+    """The codegen array fold reproduces an independently-written
+    Python Holt-Winters to 4dp on a seasonal+ramp series, and a
+    series shorter than two seasons reports NULL fits."""
+    import datetime as dt
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    pattern = [2, 8, 4, 6]
+    rows, vals, eid = [], [], 0
+    for h in range(20):
+        n = pattern[h % 4] + h // 4
+        vals.append(n)
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), "svc"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    out = {r["event_type"]: r for r in holt_winters(events, season=4).collect()}
+
+    a, b, g = 0.3, 0.1, 0.2
+    ca, cb, cg = 0.7, 0.9, 0.8
+    m = 4
+    L = sum(vals[:m]) / float(m)
+    B = (sum(vals[m : 2 * m]) / float(m) - L) / float(m)
+    S = [v - L for v in vals[:m]]
+    sse = 0.0
+    for i in range(m, len(vals)):
+        x = float(vals[i])
+        pos = i % m
+        stm = S[pos]
+        err = x - (L + B + stm)
+        sse += err * err
+        nl = a * (x - stm) + ca * (L + B)
+        nb = b * (nl - L) + cb * B
+        ns = g * (x - nl) + cg * stm
+        L, B, S[pos] = nl, nb, ns
+    svc = out["svc"]
+    assert svc["level"] == round(L + 1e-9, 4)
+    assert svc["trend"] == round(B + 1e-9, 4)
+    assert svc["forecast_next"] == round(L + B + S[len(vals) % m] + 1e-9, 4)
+    assert svc["rmse"] == round(math.sqrt(sse / (len(vals) - m)) + 1e-9, 4)
+
+    short = spark.createDataFrame(
+        rows[:5], "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+    )
+    sr = holt_winters(short, season=4).collect()[0]
+    assert sr["level"] is None and sr["rmse"] is None
+
+
+def test_length_psi_hand_case(spark):
+    """PSI replicates the hand formula: A and C share one length bin,
+    B sits alone in another — B's mass is maximally displaced from the
+    rest, so psi_B > psi_A = psi_C (identical profiles score equal)."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import length_psi
+
+    def text(n):
+        return " ".join(["w"] * n)
+
+    # A mirrors the majority's 50/50 length mix -> stable; C's mass
+    # sits entirely in one bin -> drifted
+    rows = (
+        [("A", i, text(4)) for i in range(5)]
+        + [("A", 10 + i, text(16)) for i in range(5)]
+        + [("B", 100 + i, text(4)) for i in range(20)]
+        + [("B", 150 + i, text(16)) for i in range(20)]
+        + [("C", 200 + i, text(16)) for i in range(10)]
+    )
+    out = {r["source"]: r for r in length_psi(_docs(spark, rows)).collect()}
+    assert not out["A"]["drifted"]
+    assert out["C"]["drifted"] and out["C"]["psi"] > out["A"]["psi"]
+
+    # replicate C's score by hand: len 4 -> bit-length bin 2, len 16
+    # -> bin 4; totals bin2 = 25, bin4 = 35; C holds 10 docs in bin4
+    def psi(in_counts, src_n, all_counts, tot_n, n_bins, sm=0.5):
+        total = 0.0
+        for b in sorted(all_counts):
+            n_in = in_counts.get(b, 0)
+            p = (n_in + sm) / (src_n + sm * n_bins)
+            q = (all_counts[b] - n_in + sm) / (tot_n - src_n + sm * n_bins)
+            total += math.trunc((p - q) * math.log(p / q) * 1e12)
+        return round(total / 1e12 + 1e-9, 6)
+
+    want_c = psi({4: 10}, 10, {2: 25, 4: 35}, 60, 2)
+    assert out["C"]["psi"] == want_c
+
+
+def test_lsh_calibration_identical_docs(spark):
+    """Identical docs estimate AND verify at Jaccard 1.0 -> the top
+    level reports mean_exact 1.0 with zero error; unrelated docs that
+    collide in a band land at low levels with low exact Jaccard."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import lsh_calibration
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [("s", 1, t), ("s", 2, t)] + [
+        ("s", 10 + i, f"doc {i} unique words body " + " ".join(f"w{i}{j}" for j in range(8)))
+        for i in range(4)
+    ]
+    out = {r["est_jaccard"]: r for r in lsh_calibration(_docs(spark, rows)).collect()}
+    top = out[1.0]
+    assert top["n_pairs"] >= 1
+    assert top["mean_exact_jaccard"] == 1.0
+    assert top["mean_abs_err"] == 0.0

@@ -2641,17 +2641,43 @@ def test_streaming_trend_view_matches_batch(spark, tmp_path):
     }
     assert got_acf == want_acf and len(got_acf) > 0
 
+    # and the SEVENTH: merged Holt-Winters forecast == batch operator
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        holt_winters,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import forecast_view
+
+    got_hw = {
+        r["event_type"]: tuple(r)
+        for r in forecast_view(spark, counts_path, season=4).collect()
+    }
+    want_hw = {
+        r["event_type"]: tuple(r)
+        for r in holt_winters(
+            spark.createDataFrame(rows, SCHEMA).withColumn(
+                "ts", F.to_timestamp("ts_str")
+            ),
+            season=4,
+        ).collect()
+    }
+    assert got_hw == want_hw and got_hw["ramp"][2] is not None
+
 
 def test_streaming_length_histogram_serves_ks_view(spark, sf_dir, tmp_path):
-    """The length-histogram store's merged KS drift report is
-    bit-equal to the batch operator over all ingested docs, survives
-    replay, and keeps composing after online compaction."""
+    """ONE length-histogram store serves BOTH drift monitors: the
+    merged KS and PSI reports are bit-equal to their batch operators
+    over all ingested docs, survive replay, and keep composing after
+    online compaction."""
     from kafka_spark_streaming_pipeline_spark.catalog import load_table
-    from kafka_spark_streaming_pipeline_spark.operators.curation import ks_drift
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        ks_drift,
+        length_psi,
+    )
     from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
         compact_length_histogram,
         ks_view,
         make_length_histogram_sink,
+        psi_view,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2664,16 +2690,22 @@ def test_streaming_length_histogram_serves_ks_view(spark, sf_dir, tmp_path):
     sink(b1, 1)
 
     def view():
-        return {
-            (r["source_a"], r["source_b"]): tuple(r)
-            for r in ks_view(spark, path).collect()
-        }
+        return (
+            {
+                (r["source_a"], r["source_b"]): tuple(r)
+                for r in ks_view(spark, path).collect()
+            },
+            {r["source"]: tuple(r) for r in psi_view(spark, path).collect()},
+        )
 
     def batch(frame):
-        return {
-            (r["source_a"], r["source_b"]): tuple(r)
-            for r in ks_drift(frame).collect()
-        }
+        return (
+            {
+                (r["source_a"], r["source_b"]): tuple(r)
+                for r in ks_drift(frame).collect()
+            },
+            {r["source"]: tuple(r) for r in length_psi(frame).collect()},
+        )
 
     two = view()
     assert two == batch(docs.filter(F.col("doc_id") % 3 != 2))

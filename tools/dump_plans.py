@@ -139,6 +139,9 @@ AUDITED = {
     "x145_autocorrelation": "ACF: one log pass to the persisted hours x types grid; lag self-join + exact-BIGINT Pearson moments over aggregated rows only (sixth consumer of the shared rollup)",
     "x146_detector_consensus": "detector consensus: ONE log pass to the persisted dense grid; all five detectors (seasonal/robust/CUSUM/dispersion/trend) are readers of the cached grid; every join is hours x types or k-row",
     "q47_sole_late_supplier": "TPC-H Q21 shape: the (orderkey, suppkey, late) projection computed ONCE and persisted — semi/anti/probe roles all read the cache; orderkey-equi self-joins; top-20 over the supplier-count aggregate",
+    "x147_holt_winters": "Holt-Winters: one log pass to the persisted grid; each type's whole series folds inside ONE row as a codegen array fold — no Python, no driver loop, no iterative jobs",
+    "x148_length_psi": "PSI drift: the persisted length histogram (shared with the KS screen) bins map-side; skeleton cross and the quantized term sum run over k x ~20-bin rows only",
+    "x149_lsh_calibration": "LSH calibration: ONE LSH pass (banding-only candidacy) + exact verify on candidates only — never n^2; final aggregate is <= 17 rows",
 }
 
 
