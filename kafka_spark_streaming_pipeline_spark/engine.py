@@ -984,3 +984,46 @@ class Engine:
         from .operators.dedup import lsh_calibration
 
         return lsh_calibration(self.table("documents"), **kwargs)
+
+    def journey_patterns(self, **kwargs) -> DataFrame:
+        """Top event-type n-grams by session support (x150)."""
+        from .operators.timeseries import session_ngrams
+
+        return session_ngrams(self.table("events"), **kwargs)
+
+    def tail_index(self, **kwargs) -> DataFrame:
+        """Hill estimator of the term-frequency tail per source
+        (x151)."""
+        from .operators.curation import hill_tail_index
+
+        return hill_tail_index(self.table("documents"), **kwargs)
+
+    def engagement(self, **kwargs) -> DataFrame:
+        """DAU/WAU/MAU + stickiness per day (x152)."""
+        from .operators.timeseries import active_users
+
+        return active_users(self.table("events"), **kwargs)
+
+    def audit_quantile_sketch(self, **kwargs) -> DataFrame:
+        """DDSketch-vs-exact quantile accuracy audit (x153)."""
+        from .plans import QUERIES
+
+        return QUERIES["x153_quantile_sketch_audit"].builder(
+            self.spark, self.sf_dir
+        )
+
+    def audit_cardinality_sketch(self, **kwargs) -> DataFrame:
+        """Portable-HLL-vs-exact distinct-count audit (x154)."""
+        from .plans import QUERIES
+
+        return QUERIES["x154_cardinality_sketch_audit"].builder(
+            self.spark, self.sf_dir
+        )
+
+    def audit_bloom_filter(self, build: DataFrame, probe: DataFrame,
+                           col: str, **kwargs) -> DataFrame:
+        """Bloom FPR + no-false-negative audit over any two value
+        sets (x155)."""
+        from .operators.sketches import bloom_fpr_audit
+
+        return bloom_fpr_audit(build, probe, col, **kwargs)

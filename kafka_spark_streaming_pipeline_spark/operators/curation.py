@@ -3190,3 +3190,67 @@ def length_psi(
 
     hist = tracked_persist(length_histogram(docs, source_col, text_col))
     return psi_from_hist(hist, smooth, crit)
+
+
+def hill_tail_index(
+    docs: DataFrame,
+    k: int = 50,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hill estimator of the term-frequency tail index per source —
+    the heavy-tail diagnostic next to the Zipf fit: the OLS slope
+    (x132) fits the WHOLE rank curve, while the Hill alpha
+    (1 / mean ln(f_i / f_(k+1)) over the top-k frequencies) measures
+    just the head's decay, so the two disagreeing localizes WHERE the
+    distribution deviates (head vs tail).
+
+    One token histogram (the shared ``term_histogram``), a rank
+    window over DISTINCT TERMS only (cnt desc, term tiebreak —
+    deterministic under frequency ties), and a k-row-per-source
+    aggregate of micro-quantized BIGINT ln-ratio terms.  Sources with
+    fewer than k+1 types report NULL."""
+    from ..cache import tracked_persist
+
+    hist = term_histogram(docs, source_col, text_col)
+    w = W.partitionBy("src").orderBy(F.col("cnt").desc(), "term")
+    # persisted: the (k+1)-per-source head feeds both the f_(k+1)
+    # lookup and the ln-ratio sum — without it the corpus explode +
+    # rank window run twice
+    top = tracked_persist(
+        hist.select(
+            "src", "cnt", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= k + 1)
+    )
+    fk1 = top.filter(F.col("rn") == k + 1).select(
+        "src", F.col("cnt").alias("f_k1")
+    )
+    lterm = F.log(F.col("cnt").cast("double") / F.col("f_k1").cast("double"))
+    per = (
+        top.filter(F.col("rn") <= k)
+        .join(F.broadcast(fk1), "src", "left")
+        .select(
+            "src",
+            "f_k1",
+            F.when(
+                F.col("f_k1").isNotNull(), (lterm * F.lit(1e6)).cast("long")
+            ).alias("lq"),
+        )
+        .groupBy("src", "f_k1")
+        .agg(
+            F.count("*").cast("long").alias("n_head"),
+            F.sum("lq").cast("long").alias("lsum"),
+        )
+    )
+    mean_l = F.col("lsum").cast("double") / F.lit(1e6) / F.col("n_head").cast(
+        "double"
+    )
+    return per.select(
+        F.col("src").alias(source_col),
+        F.col("n_head").alias("k"),
+        F.col("f_k1").alias("f_kplus1"),
+        F.when(
+            (F.col("n_head") == k) & (mean_l > 0),
+            F.round(F.lit(1.0) / mean_l + F.lit(1e-9), 4) + F.lit(0.0),
+        ).alias("hill_alpha"),
+    )

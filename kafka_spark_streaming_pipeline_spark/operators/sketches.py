@@ -565,3 +565,66 @@ def kmv_overlap_matrix(sketches: DataFrame, key: str, k: int = KMV_K) -> DataFra
     b = sketches.select(F.col(key).alias(f"{key}_b"), F.col("kmv").alias("b"))
     ab = a.join(F.broadcast(b), F.col(f"{key}_a") < F.col(f"{key}_b"))
     return _kmv_pair_stats(ab, k)
+
+
+def bloom_fpr_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    col: str,
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Empirical false-positive-rate audit of the Bloom filter: build
+    on one value set, probe a second, and measure the observed FPR
+    among TRUE NEGATIVES against the theoretical (1 - e^{-kn/m})^k —
+    plus the no-false-negative invariant (missed members MUST be 0).
+    The 'can I trust this filter at this sizing' report run before a
+    100 TB corpus screens against it.
+
+    Both value sets reduce to DISTINCT values first (persisted — the
+    build side feeds the filter, the membership join, and the count);
+    the probe pass is the same broadcast map-only scan as production
+    ``bloom_probe``.  Output: ONE row of exact counts + the two rates
+    (observed composed from exact BIGINTs, theoretical from fixed
+    literals — both engines bit-agree)."""
+    from ..cache import tracked_persist
+
+    b = tracked_persist(build.select(F.col(col).alias("v")).distinct())
+    p = probe.select(F.col(col).alias("v")).distinct()
+    flagged = p.join(b.withColumn("m", F.lit(1)), "v", "left").select(
+        "v", F.coalesce("m", F.lit(0)).alias("member")
+    )
+    packed = bloom_pack(bloom_build(b, "v", bits, k), bits)
+    probed = bloom_probe(packed, flagged, "v", bits, k)
+    n_ins = b.agg(F.count("*").cast("long").alias("n_inserted"))
+    per = probed.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("member").cast("long").alias("n_members"),
+        F.sum(
+            (F.lit(1) - F.col("member")) * F.col("bloom_hit")
+        ).cast("long").alias("n_false_pos"),
+        F.sum(
+            F.col("member") * (F.lit(1) - F.col("bloom_hit"))
+        ).cast("long").alias("n_missed_members"),
+    ).crossJoin(F.broadcast(n_ins))
+    tn = (F.col("n_probes") - F.col("n_members")).cast("double")
+    fpr = F.col("n_false_pos").cast("double") / tn
+    theo = F.pow(
+        F.lit(1.0)
+        - F.exp(
+            F.lit(-float(k)) * F.col("n_inserted").cast("double") / F.lit(float(bits))
+        ),
+        F.lit(float(k)),
+    )
+    return per.select(
+        "n_inserted",
+        "n_probes",
+        "n_members",
+        (F.col("n_probes") - F.col("n_members")).alias("n_true_neg"),
+        "n_false_pos",
+        "n_missed_members",
+        F.when(tn > 0, F.round(fpr + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+            "observed_fpr"
+        ),
+        (F.round(theo + F.lit(1e-9), 6) + F.lit(0.0)).alias("theoretical_fpr"),
+    )

@@ -1227,3 +1227,141 @@ def holt_winters(
     return holt_winters_from_dense(
         dense_hourly_counts(events, ts_col, type_col), alpha, beta, gamma, season
     )
+
+
+def session_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    gap_ms: int = 1_800_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Sequential-pattern mining, the bounded-contiguous form: the
+    top-k event-type n-grams by SESSION SUPPORT (sessions containing
+    the pattern at least once) — the 'what do journeys actually look
+    like' report that the transition matrix (x142, memoryless) can't
+    answer: a Markov chain sees A->B and B->C but not whether A->B->C
+    happens as one journey.
+
+    One sessionize window pass -> per-session ordered sequence
+    (in-group sort, bounded by session length) -> contiguous n-grams
+    per session, DISTINCT within a session so support counts sessions
+    once -> vocabulary-bounded gram counts -> TakeOrderedAndProject
+    top-k (cnt desc, gram tiebreak)."""
+    from ..cache import tracked_persist
+
+    sessions = sessionize(events, gap_ms, user_col, ts_col)
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct(ts_col, "event_id", type_col))),
+        lambda s: s[type_col],
+    )
+    # persisted: the per-session frame feeds BOTH the support
+    # denominator and the gram counts — without it each consumer
+    # re-runs the full sessionize window pass
+    per_session = tracked_persist(
+        sessions.groupBy(user_col, "session_id").agg(seq.alias("seq"))
+    )
+    # Spark's sequence(1, stop) DESCENDS when stop < 1, so sessions
+    # shorter than n need an explicit empty-index guard
+    idx = F.when(
+        F.size("seq") >= n, F.sequence(F.lit(1), F.size("seq") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("seq"), i + j) for j in range(n)]
+            ),
+        )
+    )
+    n_sessions = per_session.agg(F.count("*").cast("long").alias("n_total"))
+    counts = (
+        per_session.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(n_sessions))
+        .orderBy(F.col("n_sessions").desc(), "ngram")
+        .limit(top_k)
+    )
+    w = W.orderBy(F.col("n_sessions").desc(), "ngram")
+    return ranked.select(
+        "ngram",
+        "n_sessions",
+        (
+            F.round(
+                F.col("n_sessions").cast("double") / F.col("n_total").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("support"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / WAU / MAU + stickiness per day — the product-analytics
+    rollup (stickiness = DAU/MAU, the 'how habitual is usage' number)
+    computed without three separate sliding-distinct passes: ONE
+    distinct (user, day) frame (persisted — it feeds the day bounds
+    and the range join), ONE range join onto the dense day grid with
+    conditional distinct counts for all three windows.
+
+    Scale shape: the corpus reduces to user x active-day rows first;
+    the 28x grid expansion and the distinct counts run on that
+    aggregate, never the raw log.  Quiet days appear with dau = 0
+    (the dense grid matters for honest stickiness curves)."""
+    from ..cache import tracked_persist
+
+    ud = tracked_persist(
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc("day", ts_col).alias("day"),
+        ).distinct()
+    )
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("d")
+    )
+    j = grid.join(
+        ud,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.col("d") - F.expr("INTERVAL 27 DAY")),
+        "left",
+    )
+    per = j.groupBy("d").agg(
+        F.count_distinct(
+            F.when(F.col("day") == F.col("d"), F.col("u"))
+        ).cast("long").alias("dau"),
+        F.count_distinct(
+            F.when(
+                F.col("day") >= F.col("d") - F.expr("INTERVAL 6 DAY"), F.col("u")
+            )
+        ).cast("long").alias("wau"),
+        F.count_distinct("u").cast("long").alias("mau"),
+    )
+    return per.select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau",
+        "mau",
+        F.when(
+            F.col("mau") > 0,
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0),
+        ).alias("stickiness"),
+    )

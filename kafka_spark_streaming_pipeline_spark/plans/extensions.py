@@ -8637,3 +8637,323 @@ def x149_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lsh_calibration(docs)
+
+
+@query(
+    "x150_session_ngrams",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+             list(event_type ORDER BY ts, event_id) AS seq
+      FROM sessions GROUP BY 1, 2
+    ), grams AS (
+      SELECT unnest(list_distinct(list_transform(
+               range(1, greatest(len(seq) - 2, 0) + 1),
+               i -> concat_ws(' ', seq[i], seq[i+1], seq[i+2])))) AS ngram
+      FROM seqs
+    ), counts AS (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM grams GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM seqs
+    )
+    SELECT ngram, n_sessions,
+           round(CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 + 1e-9, 6) + 0.0 AS support,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT ngram, n_sessions,
+                 row_number() OVER (ORDER BY n_sessions DESC, ngram) AS rn
+          FROM counts) CROSS JOIN tot
+    WHERE rn <= 20
+    """,
+)
+def x150_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: top-20 event-type trigrams by
+    session support — the journey-shape report the memoryless
+    transition matrix can't answer.  One sessionize pass; trigram
+    expansion is in-group; counts are vocabulary-bounded."""
+    from ..operators.timeseries import session_ngrams
+
+    events = load_table(spark, sf_dir, "events")
+    return session_ngrams(events)
+
+
+@query(
+    "x151_hill_tail_index",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS src, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hist AS (
+      SELECT src, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY 1, 2
+    ), ranked AS (
+      SELECT src, cnt,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cnt DESC, term) AS rn
+      FROM hist
+    ), fk1 AS (
+      SELECT src, cnt AS f_k1 FROM ranked WHERE rn = 51
+    ), head AS (
+      SELECT r.src, f.f_k1,
+             CASE WHEN f.f_k1 IS NOT NULL THEN
+               CAST(trunc(ln(CAST(r.cnt AS DOUBLE) / CAST(f.f_k1 AS DOUBLE))
+                          * 1e6) AS BIGINT)
+             END AS lq
+      FROM ranked r LEFT JOIN fk1 f USING (src)
+      WHERE r.rn <= 50
+    ), per AS (
+      SELECT src, f_k1, CAST(count(*) AS BIGINT) AS n_head,
+             CAST(sum(lq) AS BIGINT) AS lsum
+      FROM head GROUP BY 1, 2
+    )
+    SELECT src AS source, n_head AS k, f_k1 AS f_kplus1,
+           CASE WHEN n_head = 50
+                     AND CAST(lsum AS DOUBLE) / 1e6
+                         / CAST(n_head AS DOUBLE) > 0 THEN
+             round(1.0 / (CAST(lsum AS DOUBLE) / 1e6
+                          / CAST(n_head AS DOUBLE)) + 1e-9, 4) + 0.0
+           END AS hill_alpha
+    FROM per
+    """,
+)
+def x151_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of the term-frequency head per source — the
+    decay diagnostic that localizes WHERE a source deviates from
+    Zipf (head vs tail) when read next to x132's whole-curve fit.
+    Rank window over distinct terms; k-row aggregate."""
+    from ..operators.curation import hill_tail_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hill_tail_index(docs)
+
+
+@query(
+    "x152_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM ud),
+                                    (SELECT max(day) FROM ud),
+                                    INTERVAL 1 DAY)) AS d
+    ), j AS (
+      SELECT g.d, ud.u, ud.day
+      FROM grid g LEFT JOIN ud
+        ON ud.day <= g.d AND ud.day >= g.d - INTERVAL 27 DAY
+    )
+    SELECT d AS day,
+           CAST(count(DISTINCT CASE WHEN day = d THEN u END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT CASE WHEN day >= d - INTERVAL 6 DAY THEN u END)
+                AS BIGINT) AS wau,
+           CAST(count(DISTINCT u) AS BIGINT) AS mau,
+           CASE WHEN count(DISTINCT u) > 0 THEN
+             round(CAST(count(DISTINCT CASE WHEN day = d THEN u END) AS DOUBLE)
+                   / CAST(count(DISTINCT u) AS DOUBLE) + 1e-9, 4) + 0.0
+           END AS stickiness
+    FROM j GROUP BY 1
+    """,
+)
+def x152_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness per day from ONE distinct (user, day)
+    frame and ONE range join onto the dense day grid — the
+    product-analytics rollup without three sliding-distinct passes."""
+    from ..operators.timeseries import active_users
+
+    events = load_table(spark, sf_dir, "events")
+    return active_users(events)
+
+
+_X76_ORACLE = _REGISTRY["x76_dd_quantiles"].oracle
+_X89_ORACLE = _REGISTRY["x89_hll_portable_rollup"].oracle
+
+
+@query(
+    "x153_quantile_sketch_audit",
+    oracle=f"""
+    WITH est AS ({_X76_ORACLE}),
+    exact AS (
+      SELECT o_orderpriority,
+             unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q,
+             unnest([round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4),
+                     round(quantile_cont(o_totalprice, 0.95) + 1e-9, 4),
+                     round(quantile_cont(o_totalprice, 0.99) + 1e-9, 4)])
+               AS exact
+      FROM orders GROUP BY 1
+    )
+    SELECT e.o_orderpriority, e.q, e.n, e.estimate, x.exact,
+           round(abs(e.estimate - x.exact) / x.exact + 1e-9, 6) + 0.0
+             AS rel_err,
+           abs(e.estimate - x.exact) / x.exact <= 0.02 AS within_bound
+    FROM est e
+    JOIN exact x ON e.o_orderpriority = x.o_orderpriority AND e.q = x.q
+    """,
+)
+def x153_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit #1: DDSketch quantile estimates (x76)
+    against exact percentiles, with relative error and a 2*alpha
+    tolerance flag (alpha = 0.01; the extra headroom covers the gap
+    between the sketch's order-statistic target and the interpolated
+    exact percentile).  This is the self-verification a pipeline runs
+    before trusting the mergeable sketch at a new sizing — the engine
+    auditing its own approximations."""
+    from ..operators.sketches import dd_build, dd_quantiles
+
+    orders = load_table(spark, sf_dir, "orders")
+    pre = dd_build(orders, "o_totalprice", keys=["o_orderpriority"])
+    est = dd_quantiles(pre, [0.5, 0.95, 0.99], keys=["o_orderpriority"]).select(
+        "o_orderpriority",
+        "q",
+        "n",
+        (F.round(F.col("estimate") + F.lit(1e-9), 4)).alias("estimate"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5) + F.lit(1e-9), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95) + F.lit(1e-9), 4).alias("p95"),
+        F.round(F.percentile("o_totalprice", 0.99) + F.lit(1e-9), 4).alias("p99"),
+    ).select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, exact)"
+        ),
+    )
+    j = est.join(exact, ["o_orderpriority", "q"])
+    err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    return j.select(
+        "o_orderpriority",
+        "q",
+        "n",
+        "estimate",
+        "exact",
+        (F.round(err + F.lit(1e-9), 6) + F.lit(0.0)).alias("rel_err"),
+        (err <= F.lit(0.02)).alias("within_bound"),
+    )
+
+
+@query(
+    "x154_cardinality_sketch_audit",
+    oracle=f"""
+    WITH est AS ({_X89_ORACLE}),
+    exact AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.approx_distinct, x.exact_distinct,
+           round(abs(e.approx_distinct - CAST(x.exact_distinct AS DOUBLE))
+                 / CAST(x.exact_distinct AS DOUBLE) + 1e-9, 6) + 0.0
+             AS rel_err,
+           abs(e.approx_distinct - CAST(x.exact_distinct AS DOUBLE))
+                 / CAST(x.exact_distinct AS DOUBLE) <= 0.195
+             AS within_3sigma
+    FROM est e JOIN exact x USING (event_type)
+    """,
+)
+def x154_cardinality_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit #2: the portable-HLL distinct-user
+    estimate (x89, 256 registers) against the exact distinct count,
+    with relative error and the 3-sigma flag (sigma ~ 1.04/sqrt(m) =
+    6.5%)."""
+    from ..operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_rollup,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    pre = hll_portable_registers(events, ["event_type", "day"], "user_id")
+    est = hll_portable_estimate(
+        hll_portable_rollup(pre, ["event_type"]), ["event_type"]
+    ).select("event_type", "approx_distinct")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    j = est.join(exact, "event_type")
+    err = F.abs(
+        F.col("approx_distinct") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return j.select(
+        "event_type",
+        "approx_distinct",
+        "exact_distinct",
+        (F.round(err + F.lit(1e-9), 6) + F.lit(0.0)).alias("rel_err"),
+        (err <= F.lit(0.195)).alias("within_3sigma"),
+    )
+
+
+@query(
+    "x155_bloom_fpr_audit",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')),
+                    1, 16) AS v
+      FROM documents
+    ), b AS (
+      SELECT DISTINCT v FROM fp WHERE doc_id % 2 = 0
+    ), p AS (
+      SELECT DISTINCT v FROM fp
+    ), flagged AS (
+      SELECT p.v, CASE WHEN b.v IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM p LEFT JOIN b USING (v)
+    ), ebits AS (
+      SELECT DISTINCT unnest({_bf_bits_sql('v')}) AS bit FROM b
+    ), pbits AS (
+      SELECT v, member, unnest({_bf_bits_sql('v')}) AS bit FROM flagged
+    ), hits AS (
+      SELECT v, member,
+             min(CASE WHEN ebits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM pbits LEFT JOIN ebits USING (bit)
+      GROUP BY 1, 2
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(member) AS BIGINT) AS n_members,
+             CAST(sum((1 - member) * hit) AS BIGINT) AS n_false_pos,
+             CAST(sum(member * (1 - hit)) AS BIGINT) AS n_missed_members
+      FROM hits
+    ), ins AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM b
+    )
+    SELECT n_inserted, n_probes, n_members,
+           n_probes - n_members AS n_true_neg,
+           n_false_pos, n_missed_members,
+           CASE WHEN CAST(n_probes - n_members AS DOUBLE) > 0 THEN
+             round(CAST(n_false_pos AS DOUBLE)
+                   / CAST(n_probes - n_members AS DOUBLE) + 1e-9, 6) + 0.0
+           END AS observed_fpr,
+           round(pow(1.0 - exp(-4.0 * CAST(n_inserted AS DOUBLE) / 65536.0),
+                     4.0) + 1e-9, 6) + 0.0 AS theoretical_fpr
+    FROM agg CROSS JOIN ins
+    """,
+)
+def x155_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit #3: empirical Bloom false-positive rate
+    (build on even-doc fingerprints, probe odd-doc fingerprints)
+    against the theoretical (1-e^{-kn/m})^k, plus the
+    zero-false-negative invariant — the trust report for the
+    decontamination screen's filter sizing."""
+    from ..operators.sketches import bloom_fpr_audit
+    from ..operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("v")
+    )
+    return bloom_fpr_audit(
+        fps.filter(F.col("doc_id") % 2 == 0),
+        fps,  # probe EVERYTHING: members exercise the no-false-negative
+        # invariant, odd-only fingerprints measure the FPR
+        "v",
+    )

@@ -428,6 +428,10 @@ def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
         ("q47_sole_late_supplier", 3),
         ("x147_holt_winters", 1),
         ("x148_length_psi", 3),
+        ("x150_session_ngrams", 2),
+        ("x151_hill_tail_index", 2),
+        ("x152_active_users", 2),
+        ("x155_bloom_fpr_audit", 3),
     ):
         df = QUERIES[name].builder(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -379,3 +379,102 @@ def test_lsh_calibration_identical_docs(spark):
     assert top["n_pairs"] >= 1
     assert top["mean_exact_jaccard"] == 1.0
     assert top["mean_abs_err"] == 0.0
+
+
+def test_session_ngrams_hand_case(spark):
+    """'A B C' appears in 2 of 3 sessions (twice within one session
+    counts once); a 2-event session contributes no trigram but still
+    counts in the support denominator."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        session_ngrams,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    seqs = {1: list("ABCABC"), 2: list("ABC"), 3: list("XY")}
+    rows, eid = [], 0
+    for u, seq in seqs.items():
+        for i, t in enumerate(seq):
+            rows.append((eid, base + dt.timedelta(minutes=i), u, t))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    out = {r["ngram"]: r for r in session_ngrams(events).collect()}
+    abc = out["A B C"]
+    assert abc["n_sessions"] == 2 and abc["rank"] == 1
+    assert abc["support"] == round(2 / 3 + 1e-9, 6)
+    assert out["B C A"]["n_sessions"] == 1
+
+
+def test_hill_tail_index_hand_case(spark):
+    """Counts 61-i for ranks i=1..60 give a hand-computable Hill
+    alpha; a small vocabulary reports NULL."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        hill_tail_index,
+    )
+
+    toks = []
+    for i in range(1, 61):
+        toks += [f"t{i:02d}"] * (61 - i)
+    rows = [("big", 1, " ".join(toks)), ("small", 2, "a b c")]
+    out = {r["source"]: r for r in hill_tail_index(_docs(spark, rows)).collect()}
+    big = out["big"]
+    assert big["k"] == 50 and big["f_kplus1"] == 10
+    lsum = sum(math.trunc(math.log((61 - i) / 10.0) * 1e6) for i in range(1, 51))
+    mean_l = lsum / 1e6 / 50
+    assert big["hill_alpha"] == round(1.0 / mean_l + 1e-9, 4)
+    assert out["small"]["hill_alpha"] is None
+
+
+def test_active_users_hand_case(spark):
+    """Day 9: only u3 is daily-active, weekly window misses days 1-2,
+    monthly window sees all three users -> stickiness 1/3."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        active_users,
+    )
+
+    base = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        (1, base, 1), (2, base, 2),                       # day 1: u1, u2
+        (3, base + dt.timedelta(days=1), 1),              # day 2: u1
+        (4, base + dt.timedelta(days=8), 3),              # day 9: u3
+    ]
+    events = spark.createDataFrame(
+        [(e, t, u) for e, t, u in rows],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT",
+    )
+    out = {r["day"].day: r for r in active_users(events).collect()}
+    assert len(out) == 9
+    d1 = out[1]
+    assert d1["dau"] == 2 and d1["wau"] == 2 and d1["mau"] == 2
+    assert d1["stickiness"] == 1.0
+    d9 = out[9]
+    assert d9["dau"] == 1 and d9["wau"] == 1 and d9["mau"] == 3
+    assert d9["stickiness"] == round(1 / 3 + 1e-9, 4)
+    d5 = out[5]
+    assert d5["dau"] == 0 and d5["mau"] == 2 and d5["stickiness"] == 0.0
+
+
+def test_bloom_fpr_audit_invariants(spark):
+    """Members are NEVER missed (no false negatives) and the observed
+    FPR on disjoint probes stays within a sane factor of theoretical
+    at this sizing."""
+    from kafka_spark_streaming_pipeline_spark.operators.sketches import (
+        bloom_fpr_audit,
+    )
+
+    build = spark.createDataFrame([(f"in{i}",) for i in range(500)], "v STRING")
+    probe = spark.createDataFrame(
+        [(f"in{i}",) for i in range(500)] + [(f"out{i}",) for i in range(2000)],
+        "v STRING",
+    )
+    r = bloom_fpr_audit(build, probe, "v").collect()[0]
+    assert r["n_inserted"] == 500 and r["n_probes"] == 2500
+    assert r["n_members"] == 500 and r["n_missed_members"] == 0
+    assert r["n_true_neg"] == 2000
+    # 500 keys in 65536 bits, k=4: theoretical FPR ~ 8.6e-7 — the
+    # observed count over 2000 true negatives is almost surely 0
+    assert r["observed_fpr"] <= 0.01
+    assert 0.0 <= r["theoretical_fpr"] < 0.001

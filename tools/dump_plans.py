@@ -142,6 +142,12 @@ AUDITED = {
     "x147_holt_winters": "Holt-Winters: one log pass to the persisted grid; each type's whole series folds inside ONE row as a codegen array fold — no Python, no driver loop, no iterative jobs",
     "x148_length_psi": "PSI drift: the persisted length histogram (shared with the KS screen) bins map-side; skeleton cross and the quantized term sum run over k x ~20-bin rows only",
     "x149_lsh_calibration": "LSH calibration: ONE LSH pass (banding-only candidacy) + exact verify on candidates only — never n^2; final aggregate is <= 17 rows",
+    "x150_session_ngrams": "session n-grams: one sessionize window pass into the PERSISTED per-session frame (denominator + gram counts both read it); in-group trigram expansion; TakeOrderedAndProject",
+    "x151_hill_tail_index": "Hill tail index: one corpus explode into the rank window; the PERSISTED (k+1)-per-source head feeds f_(k+1) and the ln-ratio sum",
+    "x152_active_users": "DAU/WAU/MAU: corpus reduces to the PERSISTED distinct (user, day) frame first; the 28x grid expansion + three conditional distinct counts run on that aggregate only",
+    "x153_quantile_sketch_audit": "quantile audit: the x76 sketch dataflow + one exact-percentile aggregate, joined on 15 rows",
+    "x154_cardinality_sketch_audit": "cardinality audit: the x89 register dataflow + one exact distinct aggregate, joined on k rows",
+    "x155_bloom_fpr_audit": "bloom FPR audit: persisted distinct build side feeds filter/membership/count; probe is the production broadcast map-only scan; output is ONE row of exact counts",
 }
 
 
