@@ -1027,3 +1027,22 @@ class Engine:
         from .operators.sketches import bloom_fpr_audit
 
         return bloom_fpr_audit(build, probe, col, **kwargs)
+
+    def embedding_report(self, **kwargs) -> DataFrame:
+        """Per-dimension embedding health (dead dims, anisotropy
+        inputs) (x156)."""
+        from .operators.embed import embedding_health
+
+        return embedding_health(self.table("embeddings"), **kwargs)
+
+    def class_separation(self, **kwargs) -> DataFrame:
+        """Fisher discriminant ratio per label pair (x157)."""
+        from .operators.embed import fisher_separation
+
+        return fisher_separation(self.table("embeddings"), **kwargs)
+
+    def label_consistency(self, **kwargs) -> DataFrame:
+        """1-NN label agreement on a broadcast query sample (x158)."""
+        from .operators.similarity import knn_label_agreement
+
+        return knn_label_agreement(self.table("embeddings"), **kwargs)

@@ -388,3 +388,132 @@ def centroid_drift(
             ).alias("drift"),
         )
     )
+
+
+def embedding_health(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    near_zero: float = 0.01,
+) -> DataFrame:
+    """Per-dimension embedding health report: mean, std, and the
+    fraction of near-zero activations per dimension — the 'is this
+    embedding space alive' screen that catches dead dimensions
+    (collapsed autoencoder units, over-aggressive quantization) and
+    mean-offset anisotropy (the common-direction disease x80
+    removes) BEFORE a similarity index is built on the space.
+
+    One posexplode into a (dim)-keyed combinable aggregate; moment
+    terms are trunc-quantized BIGINT (1e-8 units — sums safe through
+    ~1e9 vectors/dim for O(10) activations).  ``is_dead`` flags
+    dimensions whose std collapses or whose activations are almost
+    all near zero."""
+    q = F.lit(1e8)
+    rows = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        (F.col("col") * q).cast("long").alias("qv"),
+        (F.col("col") * F.col("col") * q).cast("long").alias("qvv"),
+        (F.abs(F.col("col")) < F.lit(near_zero)).cast("long").alias("nz"),
+    )
+    per = rows.groupBy("dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("sv"),
+        F.sum("qvv").cast("long").alias("svv"),
+        F.sum("nz").cast("long").alias("n_near_zero"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / F.lit(1e8) / nd
+    var = F.col("svv").cast("double") / F.lit(1e8) / nd - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    nzf = F.col("n_near_zero").cast("double") / nd
+    return per.select(
+        "dim",
+        "n",
+        (F.round(mean + F.lit(1e-9), 6) + F.lit(0.0)).alias("mean"),
+        (F.round(std + F.lit(1e-9), 6) + F.lit(0.0)).alias("std"),
+        (F.round(nzf + F.lit(1e-9), 6) + F.lit(0.0)).alias("near_zero_frac"),
+        ((std < F.lit(1e-4)) | (nzf > F.lit(0.99))).alias("is_dead"),
+    )
+
+
+def fisher_separation(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Fisher discriminant ratio between every label pair:
+    J = sum over dims of (mu_a - mu_b)^2 / (var_a + var_b + eps) —
+    the closed-form 'are these classes separable in this space'
+    score that ranks label pairs by how much the embedding actually
+    distinguishes them (a retrieval/classification-readiness check
+    that needs no model training).
+
+    One posexplode into a (label, dim) moment aggregate (labels x
+    dims rows); the pair join and the per-dim term sum run on that
+    tiny frame.  Per-dim terms are trunc-quantized BIGINT before the
+    cross-dim sum (house float discipline)."""
+    q = F.lit(1e8)
+    rows = emb.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")),
+    ).select(
+        "lbl",
+        (F.col("pos") + 1).alias("dim"),
+        (F.col("col") * q).cast("long").alias("qv"),
+        (F.col("col") * F.col("col") * q).cast("long").alias("qvv"),
+    )
+    per = rows.groupBy("lbl", "dim").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qv").cast("long").alias("sv"),
+        F.sum("qvv").cast("long").alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / F.lit(1e8) / nd
+    var = F.col("svv").cast("double") / F.lit(1e8) / nd - mean * mean
+    stats = per.select(
+        "lbl", "dim", F.col("n").alias("n_vec"), mean.alias("mu"), var.alias("vr")
+    )
+    a = stats.select(
+        F.col("lbl").alias("label_a"),
+        "dim",
+        F.col("n_vec").alias("n_a"),
+        F.col("mu").alias("mu_a"),
+        F.col("vr").alias("vr_a"),
+    )
+    b = stats.select(
+        F.col("lbl").alias("label_b"),
+        "dim",
+        F.col("n_vec").alias("n_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("vr").alias("vr_b"),
+    )
+    pairs = a.join(b, "dim").where(F.col("label_a") < F.col("label_b"))
+    # a zero-variance separated dim is 'infinitely' discriminative —
+    # cap its term so the quantized cross-dim sum can never overflow
+    # (cap * 1e9 * n_dims stays far under BIGINT)
+    term = F.least(
+        (F.col("mu_a") - F.col("mu_b"))
+        * (F.col("mu_a") - F.col("mu_b"))
+        / (F.col("vr_a") + F.col("vr_b") + F.lit(1e-9)),
+        F.lit(1e6),
+    )
+    out = pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (term * F.lit(1e9)).cast("long").alias("tq"),
+    ).groupBy("label_a", "label_b", "n_a", "n_b").agg(
+        F.sum("tq").cast("long").alias("jq")
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (
+            F.round(F.col("jq").cast("double") / F.lit(1e9) + F.lit(1e-9), 4)
+            + F.lit(0.0)
+        ).alias("fisher_j"),
+    )

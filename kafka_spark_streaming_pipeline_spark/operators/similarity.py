@@ -1706,3 +1706,62 @@ def cluster_silhouette(
         ).alias("mean_sim"),
     )
     return agg.withColumn("weak", F.col("mean_silhouette") < F.lit(weak_below))
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    n_queries: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out 1-NN label agreement on a deterministic query
+    sample: for each sampled vector, does its nearest OTHER neighbor
+    (exact cosine) share its label?  The model-free 'is this
+    embedding space organized by the labels' score — the behavioral
+    companion to the Fisher ratio (which measures axis-aligned
+    moments; this measures what a retrieval system would actually
+    return).
+
+    Scale shape: the sample (first ``n_queries`` ids — deterministic,
+    no RNG) is BROADCAST against the corpus exactly like production
+    ANN serving (p13): one corpus scan, no self-join; the top-1
+    window runs over |Q| x |C|-scored-then-filtered rows reduced to
+    |Q| rows.  Output: one row per label present in the sample with
+    its 1-NN agreement rate, plus the sample size."""
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        id_col, vec_col, F.col(label_col).alias("q_label")
+    )
+    top1 = cosine_topk(queries, emb, k=2, id_col=id_col, vec_col=vec_col).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy("rank")
+    nn = top1.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    labels = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("n_label")
+    )
+    qlabels = queries.select(
+        F.col(id_col).alias("query_id"), "q_label"
+    )
+    j = nn.join(F.broadcast(qlabels), "query_id").join(
+        labels, "neighbor_id"
+    )
+    per = j.groupBy(F.col("q_label").alias(label_col)).agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum((F.col("n_label") == F.col("q_label")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return per.select(
+        label_col,
+        "n_queries",
+        "n_agree",
+        (
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_queries").cast("double")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("agreement"),
+    )

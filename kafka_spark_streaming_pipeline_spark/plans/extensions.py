@@ -8957,3 +8957,147 @@ def x155_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         # invariant, odd-only fingerprints measure the FPR
         "v",
     )
+
+
+@query(
+    "x156_embedding_health",
+    oracle="""
+    WITH exploded AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), rows_q AS (
+      SELECT dim,
+             CAST(trunc(v * 1e8) AS BIGINT) AS qv,
+             CAST(trunc(v * v * 1e8) AS BIGINT) AS qvv,
+             CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END AS nz
+      FROM exploded
+    ), per AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS sv,
+             CAST(sum(qvv) AS BIGINT) AS svv,
+             CAST(sum(nz) AS BIGINT) AS n_near_zero
+      FROM rows_q GROUP BY 1
+    ), stats AS (
+      SELECT dim, n, n_near_zero,
+             CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE) AS mean,
+             sqrt(greatest(CAST(svv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)
+                  - (CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE))
+                    * (CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)), 0.0))
+               AS std,
+             CAST(n_near_zero AS DOUBLE) / CAST(n AS DOUBLE) AS nzf
+      FROM per
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           round(mean + 1e-9, 6) + 0.0 AS mean,
+           round(std + 1e-9, 6) + 0.0 AS std,
+           round(nzf + 1e-9, 6) + 0.0 AS near_zero_frac,
+           (std < 1e-4 OR nzf > 0.99) AS is_dead
+    FROM stats
+    """,
+)
+def x156_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health: mean/std/near-zero fraction +
+    dead-dimension flags — the space-liveness screen run before any
+    index build; one posexplode into a dim-keyed combinable
+    aggregate."""
+    from ..operators.embed import embedding_health
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_health(emb)
+
+
+@query(
+    "x157_fisher_separation",
+    oracle="""
+    WITH exploded AS (
+      SELECT label AS lbl, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings
+    ), rows_q AS (
+      SELECT lbl, dim,
+             CAST(trunc(v * 1e8) AS BIGINT) AS qv,
+             CAST(trunc(v * v * 1e8) AS BIGINT) AS qvv
+      FROM exploded
+    ), per AS (
+      SELECT lbl, dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qv) AS BIGINT) AS sv, CAST(sum(qvv) AS BIGINT) AS svv
+      FROM rows_q GROUP BY 1, 2
+    ), stats AS (
+      SELECT lbl, dim, n AS n_vec,
+             CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE) AS mu,
+             CAST(svv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)
+               - (CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE))
+                 * (CAST(sv AS DOUBLE) / 1e8 / CAST(n AS DOUBLE)) AS vr
+      FROM per
+    ), pairs AS (
+      SELECT a.lbl AS label_a, b.lbl AS label_b, a.n_vec AS n_a,
+             b.n_vec AS n_b,
+             CAST(trunc(least((a.mu - b.mu) * (a.mu - b.mu)
+                              / (a.vr + b.vr + 1e-9), 1e6) * 1e9)
+                  AS BIGINT) AS tq
+      FROM stats a JOIN stats b ON a.dim = b.dim AND a.lbl < b.lbl
+    ), agg AS (
+      SELECT label_a, label_b, n_a, n_b, CAST(sum(tq) AS BIGINT) AS jq
+      FROM pairs GROUP BY 1, 2, 3, 4
+    )
+    SELECT label_a, label_b, n_a, n_b,
+           round(CAST(jq AS DOUBLE) / 1e9 + 1e-9, 4) + 0.0 AS fisher_j
+    FROM agg
+    """,
+)
+def x157_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher discriminant ratio per label pair — closed-form class
+    separability of the embedding space from one (label, dim) moment
+    aggregate; no model training."""
+    from ..operators.embed import fisher_separation
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return fisher_separation(emb)
+
+
+@query(
+    "x158_knn_label_agreement",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS v, label AS q_label
+      FROM embeddings WHERE vec_id < 100
+    ), c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v, label AS n_label
+      FROM embeddings
+    ), scored AS (
+      SELECT q.query_id, q.q_label, c.neighbor_id, c.n_label,
+             round(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v)))
+                   + 1e-9, 4) AS cosine_sim
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)
+               AS rank
+      FROM scored
+    ), nn AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS rn
+      FROM ranked WHERE rank <= 2 AND neighbor_id <> query_id
+    ), per AS (
+      SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_queries,
+             CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM nn WHERE rn = 1 GROUP BY 1
+    )
+    SELECT label, n_queries, n_agree,
+           round(CAST(n_agree AS DOUBLE) / CAST(n_queries AS DOUBLE)
+                 + 1e-9, 4) + 0.0 AS agreement
+    FROM per
+    """,
+)
+def x158_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 1-NN label agreement on a deterministic broadcast
+    query sample — the behavioral 'is the space organized by labels'
+    score next to x157's moment-based Fisher ratio; production ANN
+    dataflow (p13), one corpus scan."""
+    from ..operators.similarity import knn_label_agreement
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_agreement(emb, n_queries=100)

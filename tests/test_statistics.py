@@ -478,3 +478,70 @@ def test_bloom_fpr_audit_invariants(spark):
     # observed count over 2000 true negatives is almost surely 0
     assert r["observed_fpr"] <= 0.01
     assert 0.0 <= r["theoretical_fpr"] < 0.001
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+
+
+def test_embedding_health_dead_dimension(spark):
+    """A dimension that is identically zero is dead; a live dimension
+    reports its exact mean/std."""
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        embedding_health,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 0.0], 0),
+        (3, [5.0, 0.0], 0),
+    ]
+    out = {r["dim"]: r for r in embedding_health(_vecs(spark, rows)).collect()}
+    d1 = out[1]
+    assert d1["mean"] == 3.0 and not d1["is_dead"]
+    import math
+    assert abs(d1["std"] - math.sqrt(8 / 3)) < 1e-5
+    d2 = out[2]
+    assert d2["is_dead"] and d2["near_zero_frac"] == 1.0 and d2["std"] == 0.0
+
+
+def test_fisher_separation_orders_pairs(spark):
+    """Labels separated along a dimension get a much larger Fisher J
+    than overlapping ones, and the zero-variance cap keeps perfectly
+    separated clusters finite."""
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        fisher_separation,
+    )
+
+    rows = (
+        [(i, [0.0 + 0.1 * i, 1.0], 0) for i in range(4)]
+        + [(10 + i, [10.0 + 0.1 * i, 1.0], 1) for i in range(4)]
+        + [(20 + i, [0.05 + 0.1 * i, 1.0], 2) for i in range(4)]
+    )
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in fisher_separation(_vecs(spark, rows)).collect()
+    }
+    far = out[(0, 1)]["fisher_j"]
+    near = out[(0, 2)]["fisher_j"]
+    assert far > 100 * near
+    # dim 2 is constant for every label -> capped, not overflowed
+    assert all(r["fisher_j"] <= 2e6 for r in out.values())
+
+
+def test_knn_label_agreement_clusters(spark):
+    """Two tight clusters with consistent labels agree at 1.0; an
+    adversarially mislabeled vector drags only its own label down."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    rows = (
+        [(i, [1.0, 0.01 * i], 0) for i in range(3)]
+        + [(3 + i, [-1.0, 0.01 * i], 1) for i in range(3)]
+    )
+    out = {r["label"]: r for r in knn_label_agreement(_vecs(spark, rows), n_queries=10).collect()}
+    assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
+    assert out[0]["n_queries"] == 3 and out[1]["n_queries"] == 3

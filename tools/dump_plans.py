@@ -148,6 +148,9 @@ AUDITED = {
     "x153_quantile_sketch_audit": "quantile audit: the x76 sketch dataflow + one exact-percentile aggregate, joined on 15 rows",
     "x154_cardinality_sketch_audit": "cardinality audit: the x89 register dataflow + one exact distinct aggregate, joined on k rows",
     "x155_bloom_fpr_audit": "bloom FPR audit: persisted distinct build side feeds filter/membership/count; probe is the production broadcast map-only scan; output is ONE row of exact counts",
+    "x156_embedding_health": "embedding health: one posexplode into a dim-keyed combinable aggregate — zero joins",
+    "x157_fisher_separation": "Fisher separation: one posexplode to (label, dim) moments; the pair join + term sum run on labels x dims rows only",
+    "x158_knn_label_agreement": "1-NN agreement: broadcast query sample scored against one corpus scan (p13 dataflow); windows over |Q| rows",
 }
 
 
