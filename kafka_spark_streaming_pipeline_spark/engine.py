@@ -1046,3 +1046,23 @@ class Engine:
         from .operators.similarity import knn_label_agreement
 
         return knn_label_agreement(self.table("embeddings"), **kwargs)
+
+    def train_classifier(self, label_col: str = "lang", **kwargs) -> DataFrame:
+        """Train the multinomial NB quality/domain classifier on the
+        documents table; returns the broadcastable dense model (x159)."""
+        from .operators.classify import nb_train
+
+        return nb_train(self.table("documents"), label_col=label_col, **kwargs)
+
+    def classify_docs(self, model: DataFrame, **kwargs) -> DataFrame:
+        """Score documents against a trained NB model (x159)."""
+        from .operators.classify import nb_score
+
+        return nb_score(self.table("documents"), model, **kwargs)
+
+    def classifier_report(self, label_col: str = "lang", **kwargs) -> DataFrame:
+        """Even/odd-split NB confusion matrix — the audit run before a
+        model-based filter is trusted (x159)."""
+        from .operators.classify import nb_confusion
+
+        return nb_confusion(self.table("documents"), label_col=label_col, **kwargs)

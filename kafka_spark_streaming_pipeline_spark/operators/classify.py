@@ -1,0 +1,175 @@
+"""Multinomial Naive Bayes text classifier — train + score + audit.
+
+The quality/domain classifier step of a curation pipeline (the role
+fastText linear classifiers play in CCNet-style corpus filtering, and
+the model-based companion to the x07 marker heuristic): closed-form
+training (one token-count aggregate), so the whole train -> score ->
+confusion dataflow is declarative DataFrame code with a DuckDB value
+oracle — no iterative optimization, no Python in the hot path.
+
+Scale shape (100 TB): training is ONE corpus scan (explode -> (label,
+token) count); the dense model is |V| x |L| rows — vocabulary-sized,
+NOT corpus-sized — and is broadcast to the score-side join exactly
+like the x25/x63 decontamination eval sides.  Scoring is one corpus
+scan -> per-(doc, label) BIGINT sum -> argmax window over |docs| x |L|
+rows.  All log-likelihoods are micro-quantized BIGINT (trunc(ln(p) *
+1e6)) before any sum, so the argmax is integer arithmetic and
+deterministic across engines (house float discipline, cf.
+operators/embed.fisher_separation).
+
+Reference parity: the reference pipeline has no model-based filter at
+all (spark_job/spark_streaming.py validates with fixed rules); this is
+part of the §2.9-beyond-reference curation surface next to x53 Gopher
+rules and x64 DSIR weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ln(p) in micro-units: BIGINT sums stay exact (|qll| <= ~3e7 per
+# token; 1e5 tokens/doc * 3e7 = 3e12, far under BIGINT).
+_Q = 1e6
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Train a multinomial NB model: one explode -> (label, token)
+    count aggregate, densified to every (vocab token, label) pair with
+    Laplace smoothing ``alpha``.
+
+    Returns the DENSE model frame ``(label, tok, qll, prior_q)`` —
+    |V| x |L| rows with quantized log-likelihood ``qll =
+    trunc(ln((c + alpha) / (N_label + alpha * |V|)) * 1e6)`` and the
+    per-label log-prior ``prior_q = trunc(ln(n_docs_label /
+    n_docs) * 1e6)`` repeated per row (broadcast-friendly single
+    frame).  Unseen-(token, label) pairs get the smoothed zero-count
+    likelihood, so scoring never needs a fallback branch."""
+    from ..cache import tracked_persist
+
+    lbl = F.col(label_col).alias("label")
+    tok_rows = docs.select(lbl, F.explode(tokens(F.col(text_col))).alias("tok"))
+    # ONE corpus text scan; everything below runs on this model-sized
+    # (label, tok, c) frame (release via cache.unpersist_tracked)
+    counts = tracked_persist(
+        tok_rows.groupBy("label", "tok").agg(F.count("*").cast("long").alias("c"))
+    )
+    vocab = counts.select("tok").distinct()
+    n_vocab = vocab.count()  # one scalar: |V| (model-sized, not corpus)
+    label_tot = counts.groupBy("label").agg(F.sum("c").cast("long").alias("n_tok"))
+    # |L| rows collected: priors need the global doc total (the frame
+    # itself stays lazy — a label-only columnar scan, re-run once)
+    doc_counts = docs.groupBy(lbl).agg(F.count("*").cast("long").alias("n"))
+    n_docs = sum(r["n"] for r in doc_counts.collect())
+    priors = doc_counts.select(
+        "label",
+        (F.log(F.col("n").cast("double") / F.lit(float(n_docs))) * _Q)
+        .cast("long")
+        .alias("prior_q"),
+    )
+    dense = (
+        vocab.crossJoin(F.broadcast(label_tot))
+        .join(counts, ["label", "tok"], "left")
+        .select(
+            "label",
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(alpha))
+                    / (
+                        F.col("n_tok").cast("double")
+                        + F.lit(alpha) * F.lit(float(n_vocab))
+                    )
+                )
+                * _Q
+            )
+            .cast("long")
+            .alias("qll"),
+        )
+    )
+    return dense.join(F.broadcast(priors), "label")
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained model: one corpus scan ->
+    (doc, tok, tf) -> broadcast join with the dense model -> BIGINT
+    per-(doc, label) score -> argmax window (score DESC, label ASC —
+    deterministic ties).  Out-of-vocabulary tokens are dropped (the
+    standard multinomial-NB treatment); a document with NO in-vocab
+    tokens falls back to the prior-only argmax (the majority-prior
+    label), so every input document gets a prediction.
+
+    Returns ``(id_col, predicted, score_q)``; ``score_q`` is the
+    winning quantized log-posterior (NULL on the prior-only path,
+    where no token evidence was summed)."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(model), "tok")
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))
+            .cast("long")
+            .alias("score_q")
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("label").alias("predicted"), "score_q")
+    )
+    # prior-only fallback: ONE row (the max-prior label, label ASC on
+    # ties), broadcast-crossed with the zero-evidence documents
+    prior_w = W.orderBy(F.col("prior_q").desc(), F.col("label").asc())
+    top_prior = (
+        model.select("label", "prior_q")
+        .distinct()
+        .withColumn("rn", F.row_number().over(prior_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("predicted"))
+    )
+    uncovered = docs.select(id_col).join(best.select(id_col), id_col, "left_anti")
+    fallback = uncovered.crossJoin(F.broadcast(top_prior)).select(
+        id_col, "predicted", F.lit(None).cast("long").alias("score_q")
+    )
+    return best.unionByName(fallback)
+
+
+def nb_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """End-to-end classifier audit on a deterministic even/odd
+    ``id_col`` split: train on even ids, score odd ids, return the
+    confusion matrix ``(label, predicted, n_docs)`` — at most |L|^2
+    rows, the artifact a curation run reviews before trusting the
+    classifier as a filter."""
+    train = docs.filter(F.col(id_col) % 2 == 0)
+    test = docs.filter(F.col(id_col) % 2 == 1)
+    model = nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
+    preds = nb_score(test, model, id_col=id_col, text_col=text_col)
+    truth = test.select(F.col(id_col), F.col(label_col).alias("label"))
+    return (
+        preds.join(truth, id_col)
+        .groupBy("label", "predicted")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

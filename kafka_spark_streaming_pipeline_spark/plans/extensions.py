@@ -9101,3 +9101,87 @@ def x158_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_label_agreement(emb, n_queries=100)
+
+
+@query(
+    "x159_nb_classifier",
+    oracle="""
+    WITH train AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), test AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 1
+    ), tok_rows AS (
+      SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS tok
+      FROM train
+    ), counts AS (
+      SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok_rows GROUP BY 1, 2
+    ), vocab AS (
+      SELECT DISTINCT tok FROM counts
+    ), nv AS (
+      SELECT count(*) AS v FROM vocab
+    ), label_tot AS (
+      SELECT label, CAST(sum(c) AS BIGINT) AS n_tok FROM counts GROUP BY 1
+    ), docn AS (
+      SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+      FROM train GROUP BY 1
+    ), nd AS (
+      SELECT sum(n) AS s FROM docn
+    ), priors AS (
+      SELECT label,
+             CAST(trunc(ln(CAST(n AS DOUBLE) / (SELECT s FROM nd)) * 1e6)
+                  AS BIGINT) AS prior_q
+      FROM docn
+    ), dense AS (
+      SELECT lt.label, v.tok,
+             CAST(trunc(ln((COALESCE(c.c, 0) + 0.5)
+                           / (lt.n_tok + 0.5 * (SELECT v FROM nv))) * 1e6)
+                  AS BIGINT) AS qll
+      FROM vocab v CROSS JOIN label_tot lt
+      LEFT JOIN counts c ON c.label = lt.label AND c.tok = v.tok
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM test)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.doc_id, d.label,
+             CAST(sum(t.tf * d.qll) + any_value(p.prior_q) AS BIGINT)
+               AS score_q
+      FROM tf t JOIN dense d USING (tok) JOIN priors p ON p.label = d.label
+      GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, label AS predicted
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_q DESC, label ASC)
+                     AS rn
+            FROM scored)
+      WHERE rn = 1
+    ), topp AS (
+      SELECT label AS predicted FROM priors
+      ORDER BY prior_q DESC, label ASC LIMIT 1
+    ), preds AS (
+      SELECT doc_id, predicted FROM best
+      UNION ALL
+      SELECT u.doc_id, t.predicted
+      FROM (SELECT doc_id FROM test
+            WHERE doc_id NOT IN (SELECT doc_id FROM best)) u
+      CROSS JOIN topp t
+    )
+    SELECT tr.lang AS label, p.predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM preds p JOIN test tr USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def x159_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang classifier, end-to-end audit:
+    closed-form train on even doc_ids (ONE token-count corpus scan,
+    micro-quantized BIGINT log-likelihoods), score odd doc_ids against
+    the broadcast |V| x |L| dense model, report the confusion matrix —
+    the model-based quality/domain-filter step of a curation pipeline
+    (the fastText-classifier role in CCNet-style filtering) next to
+    x53's rule filter and x07's marker heuristic."""
+    from ..operators.classify import nb_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_confusion(docs, label_col="lang")

@@ -545,3 +545,67 @@ def test_knn_label_agreement_clusters(spark):
     out = {r["label"]: r for r in knn_label_agreement(_vecs(spark, rows), n_queries=10).collect()}
     assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
     assert out[0]["n_queries"] == 3 and out[1]["n_queries"] == 3
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
+
+
+def test_nb_classifier_learns_planted_vocab(spark):
+    """Disjoint class vocabularies are perfectly separable; an all-OOV
+    document falls back to the majority-prior label."""
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+
+    rows = []
+    for i in range(8):  # 'a' docs out-number 'b' docs 2:1 in training
+        rows.append((2 * i, "alpha apple axe alpha", "a"))
+    for i in range(4):
+        rows.append((100 + 2 * i, "beta bolt bus beta", "b"))
+    # odd ids = test split
+    rows += [
+        (1, "alpha axe apple", "a"),
+        (3, "beta bus bolt", "b"),
+        (5, "alpha alpha bolt", "a"),
+        (7, "zzz qqq www", "b"),  # all OOV -> prior-only -> majority 'a'
+    ]
+    docs = _docs(spark, rows)
+    conf = {
+        (r["label"], r["predicted"]): r["n_docs"]
+        for r in nb_confusion(docs, label_col="lang").collect()
+    }
+    assert conf[("a", "a")] == 2
+    assert conf[("b", "b")] == 1
+    assert conf[("b", "a")] == 1  # the OOV doc took the prior fallback
+    # score surface: the OOV doc carries a NULL score_q (no evidence)
+    model = nb_train(docs.filter("doc_id % 2 = 0"), label_col="lang")
+    preds = {
+        r["doc_id"]: r
+        for r in nb_score(docs.filter("doc_id % 2 = 1"), model).collect()
+    }
+    assert preds[7]["predicted"] == "a" and preds[7]["score_q"] is None
+    assert preds[1]["predicted"] == "a" and preds[1]["score_q"] is not None
+
+
+def test_nb_model_shape_and_priors(spark):
+    """The dense model covers every (vocab token, label) pair exactly
+    once, and priors reflect the doc-count ratio."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.operators.classify import nb_train
+
+    docs = _docs(
+        spark,
+        [(0, "x y", "a"), (2, "y z", "a"), (4, "z w", "b")],
+    )
+    m = nb_train(docs, label_col="lang").collect()
+    assert len(m) == 4 * 2  # |V|=4 tokens x |L|=2 labels
+    by = {(r["label"], r["tok"]): r for r in m}
+    assert by[("a", "x")]["prior_q"] == int(math.log(2 / 3) * 1e6)
+    assert by[("b", "x")]["prior_q"] == int(math.log(1 / 3) * 1e6)
+    # 'x' unseen under 'b': smoothed zero-count likelihood
+    assert by[("b", "x")]["qll"] == int(math.log(0.5 / (2 + 0.5 * 4)) * 1e6)
+    assert by[("a", "y")]["qll"] == int(math.log(2.5 / (4 + 0.5 * 4)) * 1e6)
