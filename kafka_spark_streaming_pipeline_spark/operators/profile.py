@@ -895,3 +895,147 @@ def ols2_fit(
             ok & (cyy > 0), F.round(r2 + F.lit(1e-9), 6) + F.lit(0.0)
         ).alias("r_squared"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ks: tuple[int, ...] = (2, 5, 10, 25),
+) -> DataFrame:
+    """K-anonymity / l-diversity audit of a release projection: group
+    rows into equivalence classes over the quasi-identifier columns,
+    then report, for each anonymity threshold ``k``, how many classes
+    and rows fall below it (re-identifiable under linkage attack) and
+    the worst l-diversity (distinct sensitive values) among those
+    at-risk classes — the privacy screen a corpus release runs next to
+    x33's PII redaction (redaction removes direct identifiers; this
+    measures what the REMAINING quasi-identifiers still leak).
+
+    One scan -> QI-class aggregate (bounded by QI cardinality, not row
+    count); the per-k report is an explode over a literal array on
+    that tiny frame.  Output: one row per k with exact BIGINT counts.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("cls_n"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_div"),
+    )
+    tot = classes.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("cls_n").cast("long").alias("n_rows"),
+    )
+    per_k = (
+        classes.select(
+            "cls_n",
+            "l_div",
+            F.explode(F.array(*[F.lit(k) for k in ks])).alias("k"),
+        )
+        .filter(F.col("cls_n") < F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_risky_classes"),
+            F.sum("cls_n").cast("long").alias("n_risky_rows"),
+            F.min("l_div").cast("long").alias("min_l_div_at_risk"),
+        )
+    )
+    # keep zero-risk thresholds in the report (left join from the k list)
+    k_frame = classes.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in ks])).alias("k")
+    )
+    out = (
+        k_frame.join(per_k, "k", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "n_classes",
+            "n_rows",
+            F.coalesce(F.col("n_risky_classes"), F.lit(0)).cast("long").alias(
+                "n_risky_classes"
+            ),
+            F.coalesce(F.col("n_risky_rows"), F.lit(0)).cast("long").alias(
+                "n_risky_rows"
+            ),
+            "min_l_div_at_risk",
+        )
+    )
+    return out.withColumn(
+        "risky_row_frac",
+        F.round(
+            F.col("n_risky_rows").cast("double") / F.col("n_rows").cast("double")
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0),
+    )
+
+
+def welch_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test plus Cohen's d between every
+    group pair on an INTEGER-valued metric — "is source A's length /
+    token-count distribution actually different from source B's, and
+    by how much" — the pairwise effect-size companion to x144's chi2
+    independence and x139's KS drift (those test association/shape;
+    this quantifies mean shift with a magnitude readers can act on).
+
+    One scan -> per-group (n, sum, sum-of-squares) BIGINT moments
+    (exact for integer metrics — no float-summation order issues), so
+    the |G|^2/2 pair join runs on a |G|-row frame.  ``z_flag`` uses
+    the normal approximation of the t reference (documented: exact at
+    the corpus's per-group n >> 30).  Non-integer metrics should be
+    pre-quantized by the caller (house discipline)."""
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sv"),
+        F.sum(v * v).cast("long").alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sv").cast("double") / nd
+    # sample variance (ddof=1) from exact BIGINT moments
+    var = (F.col("svv").cast("double") - F.col("sv").cast("double") * mean) / (
+        nd - F.lit(1.0)
+    )
+    stats = per.select(
+        "g", "n", mean.alias("m"), F.greatest(var, F.lit(0.0)).alias("s2")
+    )
+    a = stats.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = stats.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).where(F.col("group_a") < F.col("group_b"))
+    va_n = F.col("s2_a") / F.col("n_a").cast("double")
+    vb_n = F.col("s2_b") / F.col("n_b").cast("double")
+    se2 = va_n + vb_n
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2 + F.lit(1e-300))
+    dfree = (se2 * se2) / (
+        va_n * va_n / (F.col("n_a").cast("double") - F.lit(1.0))
+        + vb_n * vb_n / (F.col("n_b").cast("double") - F.lit(1.0))
+        + F.lit(1e-300)
+    )
+    pooled = (
+        (F.col("n_a").cast("double") - F.lit(1.0)) * F.col("s2_a")
+        + (F.col("n_b").cast("double") - F.lit(1.0)) * F.col("s2_b")
+    ) / (F.col("n_a").cast("double") + F.col("n_b").cast("double") - F.lit(2.0))
+    d = (F.col("m_a") - F.col("m_b")) / F.sqrt(pooled + F.lit(1e-300))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        (F.round(t + F.lit(1e-9), 4) + F.lit(0.0)).alias("t_stat"),
+        (F.round(dfree + F.lit(1e-9), 2) + F.lit(0.0)).alias("welch_df"),
+        (F.round(d + F.lit(1e-9), 4) + F.lit(0.0)).alias("cohens_d"),
+        (F.abs(t) > F.lit(1.96)).alias("z_flag"),
+    )

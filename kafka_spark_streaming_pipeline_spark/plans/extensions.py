@@ -9185,3 +9185,109 @@ def x159_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_confusion(docs, label_col="lang")
+
+
+@query(
+    "x160_k_anonymity",
+    oracle="""
+    WITH proj AS (
+      SELECT lang, CAST(trunc(n_chars / 128.0) AS BIGINT) AS len_bucket,
+             source
+      FROM documents
+    ), classes AS (
+      SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS cls_n,
+             CAST(count(DISTINCT source) AS BIGINT) AS l_div
+      FROM proj GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(cls_n) AS BIGINT) AS n_rows
+      FROM classes
+    ), ks AS (
+      SELECT unnest([2, 5, 10, 25]) AS k
+    ), per_k AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_risky_classes,
+             CAST(sum(cls_n) AS BIGINT) AS n_risky_rows,
+             CAST(min(l_div) AS BIGINT) AS min_l_div_at_risk
+      FROM ks JOIN classes ON cls_n < k GROUP BY 1
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k, tot.n_classes, tot.n_rows,
+           CAST(COALESCE(n_risky_classes, 0) AS BIGINT) AS n_risky_classes,
+           CAST(COALESCE(n_risky_rows, 0) AS BIGINT) AS n_risky_rows,
+           min_l_div_at_risk,
+           round(CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
+                 / CAST(tot.n_rows AS DOUBLE) + 1e-9, 6) + 0.0
+             AS risky_row_frac
+    FROM ks LEFT JOIN per_k USING (k) CROSS JOIN tot
+    """,
+)
+def x160_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity / l-diversity audit of the documents release
+    projection (quasi-identifiers: lang x 128-char length bucket;
+    sensitive attribute: source) — the linkage-attack privacy screen
+    next to x33's PII redaction.  One scan into a QI-class aggregate
+    bounded by QI cardinality; the per-threshold report explodes a
+    4-literal array on that tiny frame."""
+    from ..operators.profile import k_anonymity_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+    )
+    return k_anonymity_audit(proj, ["lang", "len_bucket"], "source")
+
+
+@query(
+    "x161_welch_source_pairs",
+    oracle="""
+    WITH vals AS (
+      SELECT source AS g,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS v
+      FROM documents
+    ), per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM vals GROUP BY 1
+    ), stats AS (
+      SELECT g, n, CAST(sv AS DOUBLE) / n AS m,
+             greatest((CAST(svv AS DOUBLE)
+                       - CAST(sv AS DOUBLE) * (CAST(sv AS DOUBLE) / n))
+                      / (n - 1.0), 0.0) AS s2
+      FROM per
+    ), pairs AS (
+      SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+             a.m AS m_a, b.m AS m_b, a.s2 AS s2_a, b.s2 AS s2_b,
+             a.s2 / a.n AS va_n, b.s2 / b.n AS vb_n
+      FROM stats a JOIN stats b ON a.g < b.g
+    )
+    SELECT group_a, group_b, n_a, n_b,
+           round((m_a - m_b) / sqrt(va_n + vb_n + 1e-300) + 1e-9, 4) + 0.0
+             AS t_stat,
+           round((va_n + vb_n) * (va_n + vb_n)
+                 / (va_n * va_n / (n_a - 1.0) + vb_n * vb_n / (n_b - 1.0)
+                    + 1e-300) + 1e-9, 2) + 0.0 AS welch_df,
+           round((m_a - m_b)
+                 / sqrt(((n_a - 1.0) * s2_a + (n_b - 1.0) * s2_b)
+                        / (n_a + n_b - 2.0) + 1e-300) + 1e-9, 4) + 0.0
+             AS cohens_d,
+           abs((m_a - m_b) / sqrt(va_n + vb_n + 1e-300)) > 1.96 AS z_flag
+    FROM pairs
+    """,
+)
+def x161_welch_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test + Cohen's d between every source pair on the
+    per-doc token count — the pairwise mean-shift/effect-size screen
+    next to x144's chi2 (association) and x139's KS (shape): which
+    sources actually differ in length, and by a magnitude worth
+    acting on.  One scan -> |sources|-row exact BIGINT moments; the
+    pair join is broadcast on that tiny frame."""
+    from ..operators.profile import welch_pairs
+    from ..operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("source"), token_count(F.col("text")).alias("n_tokens")
+    )
+    return welch_pairs(vals, "source", "n_tokens")

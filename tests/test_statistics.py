@@ -609,3 +609,51 @@ def test_nb_model_shape_and_priors(spark):
     # 'x' unseen under 'b': smoothed zero-count likelihood
     assert by[("b", "x")]["qll"] == int(math.log(0.5 / (2 + 0.5 * 4)) * 1e6)
     assert by[("a", "y")]["qll"] == int(math.log(2.5 / (4 + 0.5 * 4)) * 1e6)
+
+
+def test_k_anonymity_audit_planted(spark):
+    """A singleton QI class is risky at every k; the big class only
+    below its size; l-diversity reports the worst at-risk class."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        k_anonymity_audit,
+    )
+
+    rows = [("a", 1, "s1")] + [("b", 1, f"s{i % 2}") for i in range(6)]
+    df = spark.createDataFrame(rows, "lang STRING, len_bucket INT, src STRING")
+    out = {
+        r["k"]: r
+        for r in k_anonymity_audit(df, ["lang", "len_bucket"], "src").collect()
+    }
+    assert out[2]["n_risky_classes"] == 1 and out[2]["n_risky_rows"] == 1
+    assert out[2]["min_l_div_at_risk"] == 1  # the singleton has 1 source
+    assert out[25]["n_risky_classes"] == 2 and out[25]["n_risky_rows"] == 7
+    assert out[25]["risky_row_frac"] == 1.0
+    assert out[5]["n_risky_rows"] == 1 and out[10]["n_risky_rows"] == 7
+    assert out[2]["n_classes"] == 2 and out[2]["n_rows"] == 7
+
+
+def test_welch_pairs_known_values(spark):
+    """Hand-checked Welch t / df / Cohen's d on two small groups, and
+    a shifted group flags while an identical one does not."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import welch_pairs
+
+    rows = (
+        [("a", v) for v in (10, 12, 14, 16)]  # m=13, s2=20/3
+        + [("b", v) for v in (30, 34, 38, 42)]  # m=36, s2=80/3
+        + [("c", v) for v in (10, 12, 14, 16)]  # == a
+    )
+    df = spark.createDataFrame(rows, "g STRING, v INT")
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in welch_pairs(df, "g", "v").collect()
+    }
+    ab = out[("a", "b")]
+    import math
+
+    se = math.sqrt(20 / 3 / 4 + 80 / 3 / 4)
+    assert abs(ab["t_stat"] - round(-23 / se, 4)) < 1e-9
+    assert ab["z_flag"]
+    pooled = math.sqrt((3 * 20 / 3 + 3 * 80 / 3) / 6)
+    assert abs(ab["cohens_d"] - round(-23 / pooled, 4)) < 1e-9
+    ac = out[("a", "c")]
+    assert ac["t_stat"] == 0.0 and not ac["z_flag"]
