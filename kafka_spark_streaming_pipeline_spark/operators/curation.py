@@ -3254,3 +3254,85 @@ def hill_tail_index(
             F.round(F.lit(1.0) / mean_l + F.lit(1e-9), 4) + F.lit(0.0),
         ).alias("hill_alpha"),
     )
+
+
+def conformal_thresholds(
+    cal: DataFrame,
+    test: DataFrame,
+    qscore_col: str,
+    alpha_ppm: tuple[int, ...] = (10_000, 50_000, 100_000),
+) -> DataFrame:
+    """Split-conformal calibration of a quality-filter threshold: on
+    the calibration split, take the k-th smallest score where k =
+    floor(alpha * (n_cal + 1)) — the distribution-free threshold that
+    rejects at most an alpha fraction of in-distribution documents
+    (finite-sample guarantee, no model assumptions) — then report the
+    ACHIEVED keep-rate on the held-out split.  The principled way to
+    turn any quality signal (x08, x129) into a filter cutoff, replacing
+    hand-picked thresholds.
+
+    ``qscore_col`` must be BIGINT-quantized (house discipline); alphas
+    arrive in parts-per-million so the rank k = (alpha_ppm *
+    (n_cal + 1)) // 1e6 is EXACT integer arithmetic — no float
+    boundary can flip an order statistic.
+
+    Scale shape: one calibration scan -> distinct-score histogram
+    (bounded by score quantization, not rows); the cumulative walk
+    runs on that tiny frame (key_skew_profile discipline); the test
+    scan aggregates against the |alphas|-row broadcast threshold
+    frame.  Output: one row per alpha."""
+    from pyspark.sql import Window as W
+
+    q = F.col(qscore_col)
+    hist = cal.groupBy(q.alias("q")).agg(F.count("*").cast("long").alias("nk"))
+    tot = hist.agg(F.sum("nk").cast("long").alias("n_cal"))
+    cum = hist.withColumn("ck", F.sum("nk").over(W.orderBy("q")))
+    alphas = cal.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(a)) for a in alpha_ppm])).alias("a")
+    ).select(F.col("a").cast("long").alias("alpha_ppm"))
+    ranks = alphas.crossJoin(F.broadcast(tot)).select(
+        "alpha_ppm",
+        "n_cal",
+        F.greatest(
+            F.expr("alpha_ppm * (n_cal + 1) div 1000000"),
+            F.lit(1).cast("long"),
+        )
+        .cast("long")
+        .alias("k_rank"),
+    )
+    thr = (
+        ranks.join(cum.crossJoin(F.broadcast(tot)).select("q", "ck", "n_cal"), "n_cal")
+        .filter(F.col("ck") >= F.col("k_rank"))
+        .groupBy("alpha_ppm", "n_cal", "k_rank")
+        .agg(F.min("q").alias("threshold_q"))
+    )
+    kept = (
+        test.select(q.alias("tq"))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("alpha_ppm", "n_cal", "k_rank", "threshold_q")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum((F.col("tq") >= F.col("threshold_q")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return kept.select(
+        (F.col("alpha_ppm").cast("double") / F.lit(1e6)).alias("alpha"),
+        "n_cal",
+        "k_rank",
+        (
+            F.round(F.col("threshold_q").cast("double") / F.lit(1e6) + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("threshold"),
+        "n_test",
+        "n_kept",
+        (
+            F.round(
+                F.col("n_kept").cast("double") / F.col("n_test").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("test_keep_rate"),
+    )

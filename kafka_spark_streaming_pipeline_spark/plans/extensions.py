@@ -9291,3 +9291,74 @@ def x161_welch_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"), token_count(F.col("text")).alias("n_tokens")
     )
     return welch_pairs(vals, "source", "n_tokens")
+
+
+@query(
+    "x162_conformal_threshold",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(trunc(CAST(len(list_distinct(string_split(lower(text), ' ')))
+                             AS DOUBLE)
+                        / len(string_split(lower(text), ' ')) * 1e6)
+                  AS BIGINT) AS qs
+      FROM documents
+    ), cal AS (
+      SELECT qs FROM scored WHERE doc_id % 2 = 0
+    ), test AS (
+      SELECT qs FROM scored WHERE doc_id % 2 = 1
+    ), hist AS (
+      SELECT qs AS q, CAST(count(*) AS BIGINT) AS nk FROM cal GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(nk) AS BIGINT) AS n_cal FROM hist
+    ), cum AS (
+      SELECT q, sum(nk) OVER (ORDER BY q) AS ck FROM hist
+    ), alphas AS (
+      SELECT unnest([10000, 50000, 100000]) AS alpha_ppm
+    ), ranks AS (
+      SELECT alpha_ppm, n_cal,
+             greatest(alpha_ppm * (n_cal + 1) // 1000000, 1) AS k_rank
+      FROM alphas CROSS JOIN tot
+    ), thr AS (
+      SELECT alpha_ppm, n_cal, k_rank, min(q) AS threshold_q
+      FROM ranks JOIN cum ON ck >= k_rank GROUP BY 1, 2, 3
+    ), kept AS (
+      SELECT alpha_ppm, n_cal, k_rank, threshold_q,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN t.qs >= threshold_q THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM thr CROSS JOIN test t GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(alpha_ppm AS DOUBLE) / 1e6 AS alpha, n_cal,
+           CAST(k_rank AS BIGINT) AS k_rank,
+           round(CAST(threshold_q AS DOUBLE) / 1e6 + 1e-9, 6) + 0.0
+             AS threshold,
+           n_test, n_kept,
+           round(CAST(n_kept AS DOUBLE) / n_test + 1e-9, 6) + 0.0
+             AS test_keep_rate
+    FROM kept
+    """,
+)
+def x162_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal quality-filter calibration on the lexical-
+    diversity score (distinct-token ratio, micro-quantized): the
+    k = floor(alpha * (n_cal + 1))-th smallest calibration score is
+    the distribution-free reject threshold; the held-out split
+    reports the achieved keep rate — hand-picked filter cutoffs
+    (x53's fixed bands) replaced by a finite-sample guarantee."""
+    from ..operators.curation import conformal_thresholds
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t) * F.lit(1e6))
+        .cast("long")
+        .alias("qs"),
+    )
+    return conformal_thresholds(
+        scored.filter(F.col("doc_id") % 2 == 0),
+        scored.filter(F.col("doc_id") % 2 == 1),
+        "qs",
+    )

@@ -992,3 +992,27 @@ def test_vocabulary_churn_separates_type_and_mass(spark):
     assert r["type_gain_rate"] == round(10 / 11 + 1e-9, 6)
     assert r["mass_gain_rate"] == round(10 / 50 + 1e-9, 6)
     assert r["mass_loss_rate"] == round(20 / 50 + 1e-9, 6)
+
+
+def test_conformal_thresholds_exact_rank(spark):
+    """With calibration scores 1..100 (quantized), alpha=0.05 gives
+    k = floor(0.05 * 101) = 5 -> threshold = 5th smallest; the keep
+    rate on an identical test split is exact."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        conformal_thresholds,
+    )
+
+    cal = spark.createDataFrame([(i * 10_000,) for i in range(1, 101)], "qs LONG")
+    test = spark.createDataFrame([(i * 10_000,) for i in range(1, 101)], "qs LONG")
+    out = {
+        r["alpha"]: r
+        for r in conformal_thresholds(cal, test, "qs").collect()
+    }
+    r = out[0.05]
+    assert r["n_cal"] == 100 and r["k_rank"] == 5
+    assert r["threshold"] == 0.05  # 5 * 10_000 / 1e6
+    assert r["n_kept"] == 96 and r["test_keep_rate"] == 0.96
+    # alpha so small the rank clamps to 1 -> keeps everything >= min
+    r1 = out[0.01]
+    assert r1["k_rank"] == 1 and r1["n_kept"] == 100
+    assert out[0.1]["k_rank"] == 10 and out[0.1]["n_kept"] == 91
