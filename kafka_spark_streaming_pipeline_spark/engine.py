@@ -1066,3 +1066,29 @@ class Engine:
         from .operators.classify import nb_confusion
 
         return nb_confusion(self.table("documents"), label_col=label_col, **kwargs)
+
+    def privacy_audit(self, quasi_cols: list[str], sensitive_col: str, **kw) -> DataFrame:
+        """K-anonymity / l-diversity audit of a documents release
+        projection (x160)."""
+        from .operators.profile import k_anonymity_audit
+
+        return k_anonymity_audit(self.table("documents"), quasi_cols, sensitive_col, **kw)
+
+    def source_effect_sizes(self, value_col: str = "n_chars", **kw) -> DataFrame:
+        """Welch t + Cohen's d between every source pair (x161)."""
+        from .operators.profile import welch_pairs
+
+        return welch_pairs(self.table("documents"), "source", value_col, **kw)
+
+    def calibrate_quality_threshold(self, cal: DataFrame, test: DataFrame, qscore_col: str, **kw) -> DataFrame:
+        """Split-conformal filter-threshold calibration (x162)."""
+        from .operators.curation import conformal_thresholds
+
+        return conformal_thresholds(cal, test, qscore_col, **kw)
+
+    def search_quality_report(self, **kw) -> DataFrame:
+        """MRR / precision@k / nDCG@k of the BM25 ranker on
+        self-supervised queries (x163)."""
+        from .operators.retrieval import retrieval_eval
+
+        return retrieval_eval(self.table("documents"), **kw)

@@ -661,3 +661,177 @@ def prf_search(
     return out.withColumn(
         "expanded_terms", F.lit(",".join(sorted(expansion)))
     )
+
+
+def retrieval_eval(
+    docs: DataFrame,
+    n_queries: int = 20,
+    topk: int = 10,
+    n_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rel_col: str = "source",
+) -> DataFrame:
+    """Retrieval-quality eval harness: MRR, precision@k and nDCG@k of
+    the BM25 ranker (p18's scoring) over a deterministic query set —
+    the missing measurement next to the search operators themselves
+    (p17/p18/x50/x54 build rankers; this says how good they are before
+    one is trusted for retrieval-augmented curation).
+
+    Protocol (self-supervised, no human labels): each of the first
+    ``n_queries`` documents becomes a query made of its ``n_terms``
+    RAREST tokens (min document frequency — max-IDF terms, df >= 2 so
+    every term matches at least one other document, token-asc
+    tiebreak); a retrieved document is RELEVANT iff it shares the
+    query document's ``rel_col`` (the source acts as a topic label);
+    the query document itself is excluded from its result list.
+
+    Scale shape: ONE corpus scan into a persisted (doc, term, tf) +
+    doc-length frame (bm25_topk discipline); document frequency and
+    the global (N, avgdl) run on that frame; the query side is
+    |Q| x n_terms rows, broadcast into the postings join, so scoring
+    touches only postings of query terms.  Scores are rounded before
+    ranking (house tie discipline), tiebreak doc id.  Output: one row
+    per query with its metrics."""
+    from pyspark.sql import Window as W
+
+    from ..cache import tracked_persist
+
+    toks = tokens(F.col(text_col))
+    tf = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("d"),
+            F.col(rel_col).alias("rel"),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("d", "rel", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("d").agg(F.first("dl").alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # query construction: rarest n_terms per query doc (df >= 2)
+    qw = W.partitionBy("qid").orderBy(F.col("df").asc(), F.col("term").asc())
+    qterms = (
+        tf.filter(F.col("d") < n_queries)
+        .filter(F.length("term") >= 3)
+        .select(F.col("d").alias("qid"), "term")
+        .join(dfreq.filter(F.col("df") >= 2), "term")
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= n_terms)
+        .select("qid", "term", "df")
+    )
+    qmeta = (
+        docs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(rel_col).alias("q_rel"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("d") != F.col("qid"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", "d", "rel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        F.lit(1.0)
+                        + (
+                            F.col("n_docs").cast("double")
+                            - F.col("df")
+                            + F.lit(0.5)
+                        )
+                        / (F.col("df").cast("double") + F.lit(0.5))
+                    )
+                    * F.col("tf").cast("double")
+                    * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+                        )
+                    )
+                )
+                + F.lit(1e-9),
+                6,
+            ).alias("score")
+        )
+    )
+    rw = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("d").asc())
+    top = (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= topk)
+        .join(F.broadcast(qmeta), "qid")
+        .withColumn("is_rel", (F.col("rel") == F.col("q_rel")).cast("long"))
+    )
+    ln2 = F.lit(0.6931471805599453)
+    per_q = top.groupBy("qid").agg(
+        F.count("*").cast("long").alias("n_retrieved"),
+        F.sum("is_rel").cast("long").alias("n_rel_at_k"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rank"))).alias("first_rel_rank"),
+        F.sum(
+            F.col("is_rel").cast("double")
+            / (F.log(F.col("rank").cast("double") + F.lit(1.0)) / ln2)
+        ).alias("dcg_raw"),
+    )
+    # ideal DCG: R = relevant docs in the corpus (same rel group, self
+    # excluded), capped at topk; a closed-form explode over 1..cap
+    rel_counts = (
+        docs.groupBy(F.col(rel_col).alias("q_rel")).agg(
+            (F.count("*") - F.lit(1)).cast("long").alias("n_rel_corpus")
+        )
+    )
+    ideal = (
+        qmeta.join(F.broadcast(rel_counts), "q_rel")
+        .select(
+            "qid",
+            "n_rel_corpus",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        F.least(F.col("n_rel_corpus"), F.lit(topk)), F.lit(1)
+                    ),
+                )
+            ).alias("i"),
+        )
+        .groupBy("qid", "n_rel_corpus")
+        .agg(
+            F.sum(
+                F.lit(1.0) / (F.log(F.col("i").cast("double") + F.lit(1.0)) / ln2)
+            ).alias("idcg_raw")
+        )
+    )
+    out = per_q.join(F.broadcast(ideal), "qid").select(
+        "qid",
+        "n_rel_corpus",
+        "n_retrieved",
+        "n_rel_at_k",
+        (
+            F.round(
+                F.col("n_rel_at_k").cast("double") / F.lit(float(topk)) + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("p_at_k"),
+        (
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel_rank").cast("double"), F.lit(0.0)
+                )
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("mrr"),
+        (
+            F.round(F.col("dcg_raw") / F.col("idcg_raw") + F.lit(1e-9), 4)
+            + F.lit(0.0)
+        ).alias("ndcg_at_k"),
+    )
+    return out

@@ -9362,3 +9362,86 @@ def x162_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("doc_id") % 2 == 1),
         "qs",
     )
+
+
+@query(
+    "x163_retrieval_eval",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS d, source AS rel,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ), tf AS (
+      SELECT d, rel, CAST(len(t) AS BIGINT) AS dl, term,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT d, rel, t, unnest(t) AS term FROM base)
+      GROUP BY 1, 2, 3, 4
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+      FROM (SELECT d, any_value(dl) AS dl FROM tf GROUP BY 1)
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+      SELECT qid, term, df FROM (
+        SELECT tf.d AS qid, tf.term, dfreq.df,
+               row_number() OVER (PARTITION BY tf.d
+                                  ORDER BY dfreq.df ASC, tf.term ASC) AS rn
+        FROM tf JOIN dfreq USING (term)
+        WHERE tf.d < 20 AND length(tf.term) >= 3 AND dfreq.df >= 2
+      ) WHERE rn <= 3
+    ), qmeta AS (
+      SELECT doc_id AS qid, source AS q_rel FROM documents WHERE doc_id < 20
+    ), scored AS (
+      SELECT q.qid, tf.d, tf.rel,
+             round(sum(ln(1 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                   + 1e-9, 6) AS score
+      FROM tf JOIN qterms q USING (term) CROSS JOIN stats s
+      WHERE tf.d <> q.qid
+      GROUP BY 1, 2, 3
+    ), top AS (
+      SELECT * FROM (
+        SELECT scored.*, row_number() OVER (PARTITION BY qid
+                                            ORDER BY score DESC, d ASC)
+                        AS rank
+        FROM scored) WHERE rank <= 10
+    ), labeled AS (
+      SELECT top.*, CASE WHEN top.rel = m.q_rel THEN 1 ELSE 0 END AS is_rel
+      FROM top JOIN qmeta m USING (qid)
+    ), per_q AS (
+      SELECT qid, CAST(count(*) AS BIGINT) AS n_retrieved,
+             CAST(sum(is_rel) AS BIGINT) AS n_rel_at_k,
+             min(CASE WHEN is_rel = 1 THEN rank END) AS first_rel_rank,
+             sum(is_rel / (ln(rank + 1.0) / 0.6931471805599453)) AS dcg_raw
+      FROM labeled GROUP BY 1
+    ), rel_counts AS (
+      SELECT source AS q_rel, CAST(count(*) - 1 AS BIGINT) AS n_rel_corpus
+      FROM documents GROUP BY 1
+    ), ideal AS (
+      SELECT qid, n_rel_corpus,
+             sum(1.0 / (ln(i + 1.0) / 0.6931471805599453)) AS idcg_raw
+      FROM (SELECT m.qid, rc.n_rel_corpus,
+                   unnest(range(1, greatest(least(rc.n_rel_corpus, 10), 1)
+                                   + 1)) AS i
+            FROM qmeta m JOIN rel_counts rc USING (q_rel))
+      GROUP BY 1, 2
+    )
+    SELECT p.qid, i.n_rel_corpus, p.n_retrieved, p.n_rel_at_k,
+           round(CAST(n_rel_at_k AS DOUBLE) / 10.0 + 1e-9, 4) + 0.0 AS p_at_k,
+           round(coalesce(1.0 / first_rel_rank, 0.0) + 1e-9, 4) + 0.0 AS mrr,
+           round(dcg_raw / idcg_raw + 1e-9, 4) + 0.0 AS ndcg_at_k
+    FROM per_q p JOIN ideal i USING (qid)
+    """,
+)
+def x163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: MRR / precision@10 / nDCG@10 of the
+    BM25 ranker over 20 self-supervised queries (each query doc's 3
+    rarest df>=2 tokens; relevance = same source, self excluded) —
+    the measurement harness for the search family (p17/p18/x50/x54):
+    how good is the ranker, query by query, before retrieval-augmented
+    curation trusts it."""
+    from ..operators.retrieval import retrieval_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval_eval(docs, n_queries=20, topk=10, n_terms=3)

@@ -1016,3 +1016,32 @@ def test_conformal_thresholds_exact_rank(spark):
     r1 = out[0.01]
     assert r1["k_rank"] == 1 and r1["n_kept"] == 100
     assert out[0.1]["k_rank"] == 10 and out[0.1]["n_kept"] == 91
+
+
+def test_retrieval_eval_planted_relevance(spark):
+    """A corpus with two topics and topic-exclusive rare terms: every
+    query's nearest results share its source, so MRR and nDCG are 1.0
+    and p@k reflects the topic size."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    rows = []
+    for i in range(3):
+        rows.append((i, f"alpha apple axe common filler{i}", "sA"))
+    for i in range(3):
+        rows.append((10 + i, f"beta bolt bus common filler{10+i}", "sB"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    out = {
+        r["qid"]: r
+        for r in retrieval_eval(docs, n_queries=20, topk=10, n_terms=3).collect()
+    }
+    assert len(out) == 6
+    for qid, r in out.items():
+        assert r["n_rel_corpus"] == 2
+        assert r["mrr"] == 1.0, (qid, r)  # a same-topic doc ranks first
+        assert r["ndcg_at_k"] == 1.0
+        # the 3 rarest terms are topic-exclusive (df=3 beats 'common'
+        # at df=6), so exactly the 2 same-topic docs are retrieved
+        assert r["n_retrieved"] == 2 and r["n_rel_at_k"] == 2
+        assert r["p_at_k"] == 0.2
