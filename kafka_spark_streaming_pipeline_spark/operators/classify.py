@@ -94,7 +94,11 @@ def nb_train(
             .alias("qll"),
         )
     )
-    return dense.join(F.broadcast(priors), "label")
+    # the model is |V| x |L| rows and is consumed several times by
+    # nb_score (score join, prior-only fallback) — persist it so no
+    # consumer re-derives the densification (release via
+    # cache.unpersist_tracked / Engine.clear_caches)
+    return tracked_persist(dense.join(F.broadcast(priors), "label"))
 
 
 def nb_score(

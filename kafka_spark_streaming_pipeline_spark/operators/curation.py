@@ -3283,8 +3283,14 @@ def conformal_thresholds(
     frame.  Output: one row per alpha."""
     from pyspark.sql import Window as W
 
+    from ..cache import tracked_persist
+
     q = F.col(qscore_col)
-    hist = cal.groupBy(q.alias("q")).agg(F.count("*").cast("long").alias("nk"))
+    # ONE calibration scan: the distinct-score histogram (bounded by
+    # score quantization) feeds the total and the cumulative walk
+    hist = tracked_persist(
+        cal.groupBy(q.alias("q")).agg(F.count("*").cast("long").alias("nk"))
+    )
     tot = hist.agg(F.sum("nk").cast("long").alias("n_cal"))
     cum = hist.withColumn("ck", F.sum("nk").over(W.orderBy("q")))
     alphas = cal.sparkSession.range(1).select(

@@ -916,9 +916,15 @@ def k_anonymity_audit(
     count); the per-k report is an explode over a literal array on
     that tiny frame.  Output: one row per k with exact BIGINT counts.
     """
-    classes = df.groupBy(*quasi_cols).agg(
-        F.count("*").cast("long").alias("cls_n"),
-        F.countDistinct(sensitive_col).cast("long").alias("l_div"),
+    from ..cache import tracked_persist
+
+    # ONE scan: the QI-class frame (bounded by QI cardinality) feeds
+    # both the totals and the per-k report from cache
+    classes = tracked_persist(
+        df.groupBy(*quasi_cols).agg(
+            F.count("*").cast("long").alias("cls_n"),
+            F.countDistinct(sensitive_col).cast("long").alias("l_div"),
+        )
     )
     tot = classes.agg(
         F.count("*").cast("long").alias("n_classes"),
@@ -999,8 +1005,14 @@ def welch_pairs(
     var = (F.col("svv").cast("double") - F.col("sv").cast("double") * mean) / (
         nd - F.lit(1.0)
     )
-    stats = per.select(
-        "g", "n", mean.alias("m"), F.greatest(var, F.lit(0.0)).alias("s2")
+    from ..cache import tracked_persist
+
+    # ONE scan: the |G|-row moment frame feeds both sides of the pair
+    # join from cache
+    stats = tracked_persist(
+        per.select(
+            "g", "n", mean.alias("m"), F.greatest(var, F.lit(0.0)).alias("s2")
+        )
     )
     a = stats.select(
         F.col("g").alias("group_a"),

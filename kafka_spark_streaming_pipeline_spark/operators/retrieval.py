@@ -725,9 +725,11 @@ def retrieval_eval(
         .filter(F.col("rn") <= n_terms)
         .select("qid", "term", "df")
     )
+    # derived from the cached postings frame — no extra corpus scan
     qmeta = (
-        docs.filter(F.col(id_col) < n_queries)
-        .select(F.col(id_col).alias("qid"), F.col(rel_col).alias("q_rel"))
+        tf.filter(F.col("d") < n_queries)
+        .groupBy(F.col("d").alias("qid"))
+        .agg(F.first("rel").alias("q_rel"))
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")
@@ -782,9 +784,10 @@ def retrieval_eval(
     # ideal DCG: R = relevant docs in the corpus (same rel group, self
     # excluded), capped at topk; a closed-form explode over 1..cap
     rel_counts = (
-        docs.groupBy(F.col(rel_col).alias("q_rel")).agg(
-            (F.count("*") - F.lit(1)).cast("long").alias("n_rel_corpus")
-        )
+        tf.groupBy("d")
+        .agg(F.first("rel").alias("q_rel"))
+        .groupBy("q_rel")
+        .agg((F.count("*") - F.lit(1)).cast("long").alias("n_rel_corpus"))
     )
     ideal = (
         qmeta.join(F.broadcast(rel_counts), "q_rel")

@@ -151,6 +151,11 @@ AUDITED = {
     "x156_embedding_health": "embedding health: one posexplode into a dim-keyed combinable aggregate — zero joins",
     "x157_fisher_separation": "Fisher separation: one posexplode to (label, dim) moments; the pair join + term sum run on labels x dims rows only",
     "x158_knn_label_agreement": "1-NN agreement: broadcast query sample scored against one corpus scan (p13 dataflow); windows over |Q| rows",
+    "x159_nb_classifier": "NB classifier: ONE train-corpus token scan into a persisted (label, tok, c) frame; dense |V|x|L| model broadcast to the score join; argmax window over |docs|x|L| rows",
+    "x160_k_anonymity": "k-anonymity: one scan to a QI-class aggregate (QI-cardinality-bounded); per-k report explodes a 4-literal array on that frame",
+    "x161_welch_source_pairs": "Welch pairs: one scan to |sources|-row exact BIGINT moments; the pair join is broadcast on that tiny frame",
+    "x162_conformal_threshold": "conformal: calibration scan to a distinct-score histogram (quantization-bounded); rank walk on that frame; test scan aggregates vs the |alphas|-row broadcast",
+    "x163_retrieval_eval": "retrieval eval: ONE corpus scan into persisted postings; |Q|x3 query terms broadcast into the postings join; metrics windows over |Q| rows",
 }
 
 
