@@ -939,7 +939,11 @@ class Engine:
 
     def lang_balance(self, **kwargs) -> DataFrame:
         """Chi-squared independence of predicted language vs source
-        with Cramer's V (x144)."""
+        with Cramer's V (x144).  The 0.05 critical value is derived
+        from the table's ACTUAL dof (Wilson-Hilferty) unless an
+        explicit ``crit=`` is passed — the corpus contingency table is
+        typically ~20 sources x 5 languages (76 dof, crit ~97.4), not
+        a textbook 12-dof table."""
         from pyspark.sql import functions as F
 
         from .operators.profile import chi2_independence

@@ -3274,44 +3274,63 @@ def conformal_thresholds(
     ``qscore_col`` must be BIGINT-quantized (house discipline); alphas
     arrive in parts-per-million so the rank k = (alpha_ppm *
     (n_cal + 1)) // 1e6 is EXACT integer arithmetic — no float
-    boundary can flip an order statistic.
+    boundary can flip an order statistic.  When alpha < 1/(n_cal+1)
+    the rank is 0 and NO finite-sample cutoff exists (clamping to the
+    minimum score would reject up to 1/(n_cal+1) > alpha of
+    in-distribution documents, breaking the guarantee) — the row is
+    emitted with NULL threshold / n_kept / test_keep_rate.
 
-    Scale shape: one calibration scan -> distinct-score histogram
-    (bounded by score quantization, not rows); the cumulative walk
-    runs on that tiny frame (key_skew_profile discipline); the test
-    scan aggregates against the |alphas|-row broadcast threshold
-    frame.  Output: one row per alpha."""
+    Scale shape: one persisted calibration-score histogram (bounded by
+    score quantization, not rows) serves the totals; the cumulative
+    walk is fed from an identity re-aggregation of the cached
+    histogram so the single-partition exchange's direct child is an
+    aggregate the plan linter can prove bounded (key_skew_profile
+    discipline, operators/profile.py); the test scan aggregates
+    against the |alphas|-row broadcast threshold frame.  Output: one
+    row per alpha."""
     from pyspark.sql import Window as W
 
     from ..cache import tracked_persist
 
     q = F.col(qscore_col)
     # ONE calibration scan: the distinct-score histogram (bounded by
-    # score quantization) feeds the total and the cumulative walk
+    # score quantization) is persisted for the totals' consumers.  The
+    # cumulative walk feeds from an identity RE-AGGREGATION of the
+    # cached histogram (q is unique, sum(nk) == nk) — NOT from hist
+    # directly: the global window's single-partition exchange must
+    # have an aggregate as its direct child so the plan linter can
+    # prove it bounded (key_skew_profile discipline, profile.py; an
+    # InMemoryRelation child hides the proof, and Spark's cache
+    # substitution re-inserts one for any plan-equal subtree, so the
+    # re-aggregation is the only shape that survives).
     hist = tracked_persist(
         cal.groupBy(q.alias("q")).agg(F.count("*").cast("long").alias("nk"))
     )
     tot = hist.agg(F.sum("nk").cast("long").alias("n_cal"))
-    cum = hist.withColumn("ck", F.sum("nk").over(W.orderBy("q")))
+    cum = (
+        hist.groupBy("q")
+        .agg(F.sum("nk").cast("long").alias("nk"))
+        .withColumn("ck", F.sum("nk").over(W.orderBy("q")))
+    )
     alphas = cal.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(int(a)) for a in alpha_ppm])).alias("a")
     ).select(F.col("a").cast("long").alias("alpha_ppm"))
     ranks = alphas.crossJoin(F.broadcast(tot)).select(
         "alpha_ppm",
         "n_cal",
-        F.greatest(
-            F.expr("alpha_ppm * (n_cal + 1) div 1000000"),
-            F.lit(1).cast("long"),
-        )
+        F.expr("alpha_ppm * (n_cal + 1) div 1000000")
         .cast("long")
         .alias("k_rank"),
     )
-    thr = (
-        ranks.join(cum.crossJoin(F.broadcast(tot)).select("q", "ck", "n_cal"), "n_cal")
+    thr_hit = (
+        ranks.filter(F.col("k_rank") >= 1)
+        .join(cum.crossJoin(F.broadcast(tot)).select("q", "ck", "n_cal"), "n_cal")
         .filter(F.col("ck") >= F.col("k_rank"))
         .groupBy("alpha_ppm", "n_cal", "k_rank")
         .agg(F.min("q").alias("threshold_q"))
     )
+    # k_rank == 0 rows survive with NULL threshold_q (no valid cutoff)
+    thr = ranks.join(thr_hit, ["alpha_ppm", "n_cal", "k_rank"], "left")
     kept = (
         test.select(q.alias("tq"))
         .crossJoin(F.broadcast(thr))

@@ -694,7 +694,11 @@ def retrieval_eval(
     |Q| x n_terms rows, broadcast into the postings join, so scoring
     touches only postings of query terms.  Scores are rounded before
     ranking (house tie discipline), tiebreak doc id.  Output: one row
-    per query with its metrics."""
+    per query — EVERY query appears (zero metrics, n_retrieved 0, when
+    its terms match no other document; NULL ndcg when n_rel_corpus ==
+    0, i.e. the query doc's source is unique and the query is
+    unanswerable — dropping or zeroing those rows would skew the
+    aggregate MRR/nDCG)."""
     from pyspark.sql import Window as W
 
     from ..cache import tracked_persist
@@ -789,6 +793,12 @@ def retrieval_eval(
         .groupBy("q_rel")
         .agg((F.count("*") - F.lit(1)).cast("long").alias("n_rel_corpus"))
     )
+    # anchored on qmeta so EVERY query appears (a query whose rare
+    # terms match no other document still reports a zero-metric row;
+    # dropping it would silently inflate aggregate MRR/nDCG).  The
+    # sequence still runs over >= 1 position so idcg_raw is non-NULL,
+    # but n_rel_corpus == 0 (the query doc's source is unique: the
+    # query is UNANSWERABLE) reports NULL ndcg, not 0.
     ideal = (
         qmeta.join(F.broadcast(rel_counts), "q_rel")
         .select(
@@ -810,14 +820,16 @@ def retrieval_eval(
             ).alias("idcg_raw")
         )
     )
-    out = per_q.join(F.broadcast(ideal), "qid").select(
+    out = ideal.join(F.broadcast(per_q), "qid", "left").select(
         "qid",
         "n_rel_corpus",
-        "n_retrieved",
-        "n_rel_at_k",
+        F.coalesce("n_retrieved", F.lit(0)).cast("long").alias("n_retrieved"),
+        F.coalesce("n_rel_at_k", F.lit(0)).cast("long").alias("n_rel_at_k"),
         (
             F.round(
-                F.col("n_rel_at_k").cast("double") / F.lit(float(topk)) + F.lit(1e-9),
+                F.coalesce("n_rel_at_k", F.lit(0)).cast("double")
+                / F.lit(float(topk))
+                + F.lit(1e-9),
                 4,
             )
             + F.lit(0.0)
@@ -832,9 +844,14 @@ def retrieval_eval(
             )
             + F.lit(0.0)
         ).alias("mrr"),
-        (
-            F.round(F.col("dcg_raw") / F.col("idcg_raw") + F.lit(1e-9), 4)
-            + F.lit(0.0)
+        F.when(
+            F.col("n_rel_corpus") > 0,
+            F.round(
+                F.coalesce(F.col("dcg_raw"), F.lit(0.0)) / F.col("idcg_raw")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0),
         ).alias("ndcg_at_k"),
     )
     return out

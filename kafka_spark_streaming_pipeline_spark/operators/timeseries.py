@@ -968,12 +968,19 @@ def acf_from_dense(
     zero-filled grid matters for the same reason (sparse series
     overstate correlation by skipping quiet hours).
 
-    The Pearson r composes from exact BIGINT moment sums (counts are
-    integers; bounds: sum(ca*cb) <= n_hours * maxcnt^2 and the n*sxy
-    products stay under BIGINT through ~1e6 events/hour on multi-year
-    grids) with an explicit zero-variance guard — a constant
-    overlapping window reports no row instead of an ANSI
-    divide-by-zero inside corr()."""
+    The Pearson r composes from exact BIGINT moment SUMS (counts are
+    integers; sum(ca*cb) <= n_hours * maxcnt^2 stays under BIGINT
+    through ~1e7 events/hour on multi-year grids); the n*sxx and
+    sx*sx PRODUCTS are formed in DECIMAL(38,0) — on a multi-year grid
+    sx^2 ~ (26k hours * rate)^2 exceeds int64 at only ~1e5
+    events/hour (silent wrap, or ANSI throw), while naive double
+    products lose r to catastrophic cancellation (n*sxx and sx^2
+    agree to ~12 digits; their ~1e6-sized difference inherits the
+    ~4e3 ulp error of 1e19-scale doubles — measured 0.3% ACF error).
+    Decimal keeps the cancellation EXACT through ~1e9 events/hour on
+    century-long grids, and only the final ratio drops to double.  An
+    explicit zero-variance guard makes a constant overlapping window
+    report no row instead of an ANSI divide-by-zero inside corr()."""
     spark = dense.sparkSession
     lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag_hours))).alias("lag_hours")
     a = dense.select(
@@ -993,11 +1000,18 @@ def acf_from_dense(
         F.sum(F.col("ca") * F.col("cb")).cast("long").alias("sxy"),
     )
     n = F.col("n_hours")
-    den_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    den_y = n * F.col("syy") - F.col("sy") * F.col("sy")
-    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / F.sqrt(
-        den_x.cast("double") * den_y.cast("double")
-    )
+    # products in DECIMAL(38,0): exact where int64 wraps (~1e5
+    # events/hour) and double cancels (0.3% measured ACF error); the
+    # n*s and s*s products stay under 38 digits through ~1e9
+    # events/hour on century-long grids
+    dec = "decimal(38,0)"
+    nd = n.cast(dec)
+    sx, sy = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    sxx, syy = F.col("sxx").cast(dec), F.col("syy").cast(dec)
+    sxy = F.col("sxy").cast(dec)
+    den_x = (nd * sxx - sx * sx).cast("double")
+    den_y = (nd * syy - sy * sy).cast("double")
+    r = (nd * sxy - sx * sy).cast("double") / F.sqrt(den_x * den_y)
     return (
         per.filter((n >= min_hours) & (den_x > 0) & (den_y > 0))
         .select(
@@ -1253,8 +1267,14 @@ def session_ngrams(
     from ..cache import tracked_persist
 
     sessions = sessionize(events, gap_ms, user_col, ts_col)
+    # mirror sessionize's degradation convention: event_id is the
+    # deterministic same-timestamp tiebreak when present, optional
+    # otherwise (frames without it must not fail analysis)
+    sort_cols = (
+        [ts_col, "event_id"] if "event_id" in events.columns else [ts_col]
+    )
     seq = F.transform(
-        F.array_sort(F.collect_list(F.struct(ts_col, "event_id", type_col))),
+        F.array_sort(F.collect_list(F.struct(*sort_cols, type_col))),
         lambda s: s[type_col],
     )
     # persisted: the per-session frame feeds BOTH the support

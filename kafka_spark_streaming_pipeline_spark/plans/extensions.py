@@ -9317,15 +9317,19 @@ def x161_welch_source_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest([10000, 50000, 100000]) AS alpha_ppm
     ), ranks AS (
       SELECT alpha_ppm, n_cal,
-             greatest(alpha_ppm * (n_cal + 1) // 1000000, 1) AS k_rank
+             alpha_ppm * (n_cal + 1) // 1000000 AS k_rank
       FROM alphas CROSS JOIN tot
     ), thr AS (
-      SELECT alpha_ppm, n_cal, k_rank, min(q) AS threshold_q
-      FROM ranks JOIN cum ON ck >= k_rank GROUP BY 1, 2, 3
+      SELECT r.alpha_ppm, r.n_cal, r.k_rank, min(c.q) AS threshold_q
+      FROM ranks r LEFT JOIN cum c
+        ON c.ck >= r.k_rank AND r.k_rank >= 1
+      GROUP BY 1, 2, 3
     ), kept AS (
       SELECT alpha_ppm, n_cal, k_rank, threshold_q,
              CAST(count(*) AS BIGINT) AS n_test,
-             CAST(sum(CASE WHEN t.qs >= threshold_q THEN 1 ELSE 0 END)
+             CAST(sum(CASE WHEN threshold_q IS NULL THEN NULL
+                           WHEN t.qs >= threshold_q THEN 1
+                           ELSE 0 END)
                   AS BIGINT) AS n_kept
       FROM thr CROSS JOIN test t GROUP BY 1, 2, 3, 4
     )
@@ -9427,11 +9431,17 @@ def x162_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM qmeta m JOIN rel_counts rc USING (q_rel))
       GROUP BY 1, 2
     )
-    SELECT p.qid, i.n_rel_corpus, p.n_retrieved, p.n_rel_at_k,
-           round(CAST(n_rel_at_k AS DOUBLE) / 10.0 + 1e-9, 4) + 0.0 AS p_at_k,
-           round(coalesce(1.0 / first_rel_rank, 0.0) + 1e-9, 4) + 0.0 AS mrr,
-           round(dcg_raw / idcg_raw + 1e-9, 4) + 0.0 AS ndcg_at_k
-    FROM per_q p JOIN ideal i USING (qid)
+    SELECT i.qid, i.n_rel_corpus,
+           CAST(coalesce(p.n_retrieved, 0) AS BIGINT) AS n_retrieved,
+           CAST(coalesce(p.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+           round(CAST(coalesce(p.n_rel_at_k, 0) AS DOUBLE) / 10.0 + 1e-9, 4)
+             + 0.0 AS p_at_k,
+           round(coalesce(1.0 / p.first_rel_rank, 0.0) + 1e-9, 4) + 0.0 AS mrr,
+           CASE WHEN i.n_rel_corpus > 0
+                THEN round(coalesce(p.dcg_raw, 0.0) / i.idcg_raw + 1e-9, 4)
+                     + 0.0
+           END AS ndcg_at_k
+    FROM ideal i LEFT JOIN per_q p USING (qid)
     """,
 )
 def x163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1012,10 +1012,34 @@ def test_conformal_thresholds_exact_rank(spark):
     assert r["n_cal"] == 100 and r["k_rank"] == 5
     assert r["threshold"] == 0.05  # 5 * 10_000 / 1e6
     assert r["n_kept"] == 96 and r["test_keep_rate"] == 0.96
-    # alpha so small the rank clamps to 1 -> keeps everything >= min
+    # alpha=0.01: floor(0.01 * 101) = 1 naturally (no clamping)
     r1 = out[0.01]
     assert r1["k_rank"] == 1 and r1["n_kept"] == 100
     assert out[0.1]["k_rank"] == 10 and out[0.1]["n_kept"] == 91
+
+
+def test_conformal_thresholds_no_valid_cutoff_is_null(spark):
+    """alpha < 1/(n_cal+1) admits NO finite-sample cutoff: the rank is
+    0 and the row reports NULL threshold / n_kept / keep-rate instead
+    of clamping to the minimum score (which would over-reject)."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        conformal_thresholds,
+    )
+
+    cal = spark.createDataFrame([(i * 10_000,) for i in range(1, 11)], "qs LONG")
+    test = spark.createDataFrame([(i * 10_000,) for i in range(1, 11)], "qs LONG")
+    out = {
+        r["alpha"]: r
+        for r in conformal_thresholds(cal, test, "qs").collect()
+    }
+    # floor(0.01 * 11) = 0 -> no cutoff
+    r = out[0.01]
+    assert r["k_rank"] == 0 and r["n_cal"] == 10
+    assert r["threshold"] is None
+    assert r["n_kept"] is None and r["test_keep_rate"] is None
+    assert r["n_test"] == 10  # the test split is still counted
+    # floor(0.1 * 11) = 1 -> the minimum IS valid at alpha = 0.1
+    assert out[0.1]["k_rank"] == 1 and out[0.1]["n_kept"] == 10
 
 
 def test_retrieval_eval_planted_relevance(spark):
@@ -1045,3 +1069,41 @@ def test_retrieval_eval_planted_relevance(spark):
         # at df=6), so exactly the 2 same-topic docs are retrieved
         assert r["n_retrieved"] == 2 and r["n_rel_at_k"] == 2
         assert r["p_at_k"] == 0.2
+
+
+def test_retrieval_eval_keeps_unanswerable_and_dry_queries(spark):
+    """Every query appears: a query doc with a UNIQUE source (no
+    relevant doc exists in the corpus) reports NULL ndcg, not 0; a
+    query doc whose every token is a hapax (no df>=2 term) retrieves
+    nothing and reports an explicit zero-metric row instead of
+    silently dropping out of the aggregate."""
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    rows = [
+        # qid 0: terms match the sA docs, but its source is unique ->
+        # unanswerable (n_rel_corpus = 0)
+        (0, "alpha apple axe", "sUnique"),
+        # qid 1: all-hapax text -> no query terms -> nothing retrieved
+        (1, "qqq zzz www", "sA"),
+    ]
+    for i in range(3):
+        rows.append((2 + i, f"alpha apple axe common filler{i}", "sA"))
+    for i in range(3):
+        rows.append((10 + i, f"beta bolt bus common filler{10+i}", "sB"))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, source STRING")
+    out = {
+        r["qid"]: r
+        for r in retrieval_eval(docs, n_queries=20, topk=10, n_terms=3).collect()
+    }
+    assert len(out) == 8  # all 8 docs are queries; none dropped
+    solo = out[0]
+    assert solo["n_rel_corpus"] == 0 and solo["n_retrieved"] > 0
+    assert solo["n_rel_at_k"] == 0 and solo["mrr"] == 0.0
+    assert solo["ndcg_at_k"] is None  # unanswerable, not 'scored 0'
+    dry = out[1]
+    assert dry["n_retrieved"] == 0 and dry["n_rel_at_k"] == 0
+    assert dry["p_at_k"] == 0.0 and dry["mrr"] == 0.0
+    assert dry["n_rel_corpus"] == 3  # answerable, the ranker found none
+    assert dry["ndcg_at_k"] == 0.0

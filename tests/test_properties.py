@@ -378,7 +378,10 @@ def test_rrf_fuse_permutation_invariant_and_bounded(spark, n_lists, seed):
         for r in rrf_fuse(shuffled, topk=200).collect()
     }
     assert fused == fused2
-    assert all(s <= n_lists / 61.0 + 1e-9 for s, _, _ in fused.values())
+    # rrf_fuse rounds to 6 dp (retrieval.py), which can round UP by as
+    # much as 5e-7 (e.g. rank-1 in every list: 2/61 = 0.03278688... ->
+    # 0.032787), so the bound needs that rounding headroom.
+    assert all(s <= n_lists / 61.0 + 5e-7 for s, _, _ in fused.values())
 
 
 @settings(max_examples=8, deadline=None)

@@ -144,6 +144,30 @@ def test_chi2_independence_extremes(spark):
     assert r2["dof"] == 1
 
 
+def test_chi2_default_crit_tracks_actual_dof(spark):
+    """crit=None derives the 0.05 critical value from the table's
+    ACTUAL dof (Wilson-Hilferty): a 2x2 diagonal with chi2 = 20 is
+    dependent at dof 1 (crit ~3.8), while the same chi2 on a wide
+    table with dof 30 (crit ~43.8) is NOT — a fixed 12-dof default
+    would flag it as a false positive."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        chi2_independence,
+    )
+
+    diag = [("r1", "c1")] * 10 + [("r2", "c2")] * 10
+    df = spark.createDataFrame(diag, "rv STRING, cv STRING")
+    r = chi2_independence(df, "rv", "cv").collect()[0]
+    assert r["dof"] == 1 and r["chi2"] == 20.0 and r["dependent"]
+
+    # 2 balanced obs in every cell of a 4x11 grid (dof 30): chi2 = 0,
+    # then one extra obs in one cell nudges chi2 well under crit ~43.8
+    wide = [(f"r{i}", f"c{j}") for i in range(4) for j in range(11)] * 2
+    wide.append(("r0", "c0"))
+    df2 = spark.createDataFrame(wide, "rv STRING, cv STRING")
+    r2 = chi2_independence(df2, "rv", "cv").collect()[0]
+    assert r2["dof"] == 30 and not r2["dependent"]
+
+
 def test_ols2_fit_recovers_exact_plane(spark):
     """Noise-free y = 2 + 3 x1 + 5 x2 is recovered exactly with
     R^2 = 1; a collinear design (x2 = 2 x1) reports NULLs."""
@@ -162,6 +186,33 @@ def test_ols2_fit_recovers_exact_plane(spark):
     df2 = spark.createDataFrame(rows2, "grp STRING, x1 DOUBLE, x2 DOUBLE, y DOUBLE")
     r2 = ols2_fit(df2, "y", "x1", "x2", "grp").collect()[0]
     assert r2["b1"] is None and r2["r_squared"] is None
+
+
+def test_acf_survives_counts_that_overflow_int64_products(spark):
+    """An alternating high-rate series (cnt ~2e6 over 2,400 hours)
+    pushes sx*sx past int64 (~2.3e19 > 9.2e18); the double-precision
+    moment products must still recover ACF(lag 1) = -1 exactly
+    (x_{t+1} is a negative-slope linear function of x_t)."""
+    import datetime as dt
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        acf_from_dense,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), "hot", 2_000_000 + (h % 2))
+        for h in range(2400)
+    ]
+    dense = spark.createDataFrame(rows, "h TIMESTAMP, t STRING, cnt LONG")
+    out = {
+        r["lag_hours"]: r["acf"]
+        for r in acf_from_dense(dense, max_lag_hours=2).collect()
+    }
+    # the decimal moments are EXACT, so the linear relationship gives
+    # r = -1 / +1 exactly (the double-product version reported -1.0028)
+    assert out[1] == -1.0
+    assert out[2] == 1.0
 
 
 def test_autocorrelation_periodic_series(spark):
@@ -406,6 +457,25 @@ def test_session_ngrams_hand_case(spark):
     assert out["B C A"]["n_sessions"] == 1
 
 
+def test_session_ngrams_without_event_id(spark):
+    """Frames without event_id follow sessionize's degradation
+    convention (ts-only ordering) instead of failing analysis."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        session_ngrams,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=i), 1, t) for i, t in enumerate("ABCD")
+    ]
+    events = spark.createDataFrame(
+        rows, "ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    )
+    out = {r["ngram"]: r for r in session_ngrams(events).collect()}
+    assert out["A B C"]["n_sessions"] == 1
+    assert out["B C D"]["n_sessions"] == 1
+
+
 def test_hill_tail_index_hand_case(spark):
     """Counts 61-i for ranks i=1..60 give a hand-computable Hill
     alpha; a small vocabulary reports NULL."""
@@ -547,7 +617,7 @@ def test_knn_label_agreement_clusters(spark):
     assert out[0]["n_queries"] == 3 and out[1]["n_queries"] == 3
 
 
-def _docs(spark, rows):
+def _lang_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING")
 
 
@@ -572,7 +642,7 @@ def test_nb_classifier_learns_planted_vocab(spark):
         (5, "alpha alpha bolt", "a"),
         (7, "zzz qqq www", "b"),  # all OOV -> prior-only -> majority 'a'
     ]
-    docs = _docs(spark, rows)
+    docs = _lang_docs(spark, rows)
     conf = {
         (r["label"], r["predicted"]): r["n_docs"]
         for r in nb_confusion(docs, label_col="lang").collect()
@@ -597,7 +667,7 @@ def test_nb_model_shape_and_priors(spark):
 
     from kafka_spark_streaming_pipeline_spark.operators.classify import nb_train
 
-    docs = _docs(
+    docs = _lang_docs(
         spark,
         [(0, "x y", "a"), (2, "y z", "a"), (4, "z w", "b")],
     )
