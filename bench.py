@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
 
@@ -137,12 +138,22 @@ def main() -> None:
                 QUERIES[name].builder(spark, warmup_dir).count()
             except Exception as exc:  # warm-up must never fail the bench
                 print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+        # the warm-up registered one operator-internal cache set per
+        # query on the warm-up data — release before any timed run
+        unpersist_tracked()
 
     # Best-of-3 per query: the co-tenant host load varies by an order
     # of magnitude between runs (observed: the same query at 1.0s and
     # 22.9s minutes apart); the min is the steady-state engine
     # throughput (the quantity BASELINE.md envelopes describe), not one
     # draw of noise.
+    #
+    # Caches are released AFTER each query's best-of-3, not between
+    # repeats: within a query, repeat 2-3 legitimately reuse what
+    # repeat 1 built (x95's steady-state search is the point), but
+    # letting all 35 queries' operator-internal frames accumulate for
+    # the whole run measured memory pressure, not plans — the r6 bench
+    # regressed +60% uniformly on unchanged code from exactly this.
     times: dict[str, float] = {}
     for name in HEADLINE:
         q = QUERIES[name]
@@ -153,6 +164,7 @@ def main() -> None:
             n = df.count()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        unpersist_tracked()
         print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
@@ -177,6 +189,7 @@ def main() -> None:
                 t0 = time.time()
                 q.builder(spark, slope_dir).count()
                 best = min(best, time.time() - t0)
+            unpersist_tracked()
             sf_ratio[name] = round(times[name] / best, 2) if best > 0 else None
             print(
                 f"# slope {name}: {round(best, 3)}s at {slope_dir} -> "
@@ -185,26 +198,50 @@ def main() -> None:
             )
 
     # Streaming layer throughput (the reference's actual workload —
-    # BASELINE.md measures 1.32 events/s end-to-end): run the live
+    # BASELINE.md measures 1.32 events/s end-to-end): the live
     # pipeline (transform + keyed gap state + idempotent log sink)
-    # over synthetic micro-batches and report events/s alongside the
-    # query wall times, so the streaming tier gets round-over-round
-    # tracking too.  Size via SPARK_GRAFT_STREAM_EVENTS (0 disables).
+    # over synthetic micro-batches, best-of-3, in a FRESH SESSION
+    # (subprocess) — it is the headline number vs the baseline and
+    # must never inherit the query bench's accumulated session state.
+    # Size via SPARK_GRAFT_STREAM_EVENTS (0 disables).
     streaming_eps = None
     n_stream_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", "100000"))
     if n_stream_events > 0:
         try:
-            from tools.bench_streaming import measure
+            import subprocess
 
-            stream_metrics = measure(spark, n_events=n_stream_events, n_batches=4)
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tools", "bench_streaming.py"),
+                    str(n_stream_events), "4", "3",
+                ],
+                capture_output=True, text=True, timeout=1800,
+            )
+            stream_metrics = json.loads(proc.stdout.strip().splitlines()[-1])
             streaming_eps = stream_metrics["value"]
             print(
-                f"# streaming: {stream_metrics['n_events']} events in "
+                f"# streaming (isolated session, best of 3): "
+                f"{stream_metrics['n_events']} events in "
                 f"{stream_metrics['wall_sec']}s -> {streaming_eps} events/s",
                 file=sys.stderr,
             )
         except Exception as exc:  # the query bench must still report
             print(f"# streaming bench failed: {exc}", file=sys.stderr)
+
+    # The three in-session doc-throughput measures run best-of-3 like
+    # the queries (a single draw inherits co-tenant noise), with the
+    # tracked caches released between repeats and between families so
+    # each starts from the same session state.
+    def _best_of3(fn):
+        best = None
+        for _ in range(3):
+            m = fn()
+            unpersist_tracked()
+            if best is None or m["value"] > best["value"]:
+                best = m
+        return best
 
     # Quality-gate throughput (LM scoring + history dedup + routing),
     # the curation-ingest analog of the live-pipeline number above.
@@ -214,10 +251,12 @@ def main() -> None:
         try:
             from tools.bench_streaming import measure_gate
 
-            gate_metrics = measure_gate(spark, sf_dir, n_docs=n_gate_docs)
+            gate_metrics = _best_of3(
+                lambda: measure_gate(spark, sf_dir, n_docs=n_gate_docs)
+            )
             gate_dps = gate_metrics["value"]
             print(
-                f"# gate: {gate_metrics['n_docs']} docs in "
+                f"# gate (best of 3): {gate_metrics['n_docs']} docs in "
                 f"{gate_metrics['wall_sec']}s -> {gate_dps} docs/s",
                 file=sys.stderr,
             )
@@ -233,10 +272,12 @@ def main() -> None:
         try:
             from tools.bench_streaming import measure_ingest
 
-            ingest_metrics = measure_ingest(spark, sf_dir, n_docs=n_ingest_docs)
+            ingest_metrics = _best_of3(
+                lambda: measure_ingest(spark, sf_dir, n_docs=n_ingest_docs)
+            )
             ingest_dps = ingest_metrics["value"]
             print(
-                f"# ingest: {ingest_metrics['n_docs']} docs in "
+                f"# ingest (best of 3): {ingest_metrics['n_docs']} docs in "
                 f"{ingest_metrics['wall_sec']}s -> {ingest_dps} docs/s "
                 f"(gate + datasheet + heavy-hitters)",
                 file=sys.stderr,
@@ -252,10 +293,12 @@ def main() -> None:
         try:
             from tools.bench_streaming import measure_curation
 
-            cur_metrics = measure_curation(spark, sf_dir, n_docs=n_cur_docs)
+            cur_metrics = _best_of3(
+                lambda: measure_curation(spark, sf_dir, n_docs=n_cur_docs)
+            )
             curation_dps = cur_metrics["value"]
             print(
-                f"# curation: {cur_metrics['n_docs']} docs in "
+                f"# curation (best of 3): {cur_metrics['n_docs']} docs in "
                 f"{cur_metrics['wall_sec']}s -> {curation_dps} docs/s "
                 f"({cur_metrics['accepted']} accepted)",
                 file=sys.stderr,
@@ -272,6 +315,7 @@ def main() -> None:
     }
     if streaming_eps is not None:
         out["streaming_events_per_sec"] = streaming_eps
+        out["streaming_isolation"] = "fresh-session subprocess, best of 3"
     if gate_dps is not None:
         out["gate_docs_per_sec"] = gate_dps
     if ingest_dps is not None:

@@ -9,8 +9,10 @@ oracle — no iterative optimization, no Python in the hot path.
 
 Scale shape (100 TB): training is ONE corpus scan (explode -> (label,
 token) count); the dense model is |V| x |L| rows — vocabulary-sized,
-NOT corpus-sized — and is broadcast to the score-side join exactly
-like the x25/x63 decontamination eval sides.  Scoring is one corpus
+NOT corpus-sized — and joins the score side broadcast while it fits
+(like the x25/x63 decontamination eval sides) or by a plain shuffle
+on the well-spread token key above ``nb_score``'s documented
+``broadcast_max_rows`` gate.  Scoring is one corpus
 scan -> per-(doc, label) BIGINT sum -> argmax window over |docs| x |L|
 rows.  All log-likelihoods are micro-quantized BIGINT (trunc(ln(p) *
 1e6)) before any sum, so the argmax is integer arithmetic and
@@ -106,14 +108,25 @@ def nb_score(
     model: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Score documents against a trained model: one corpus scan ->
-    (doc, tok, tf) -> broadcast join with the dense model -> BIGINT
-    per-(doc, label) score -> argmax window (score DESC, label ASC —
-    deterministic ties).  Out-of-vocabulary tokens are dropped (the
-    standard multinomial-NB treatment); a document with NO in-vocab
-    tokens falls back to the prior-only argmax (the majority-prior
-    label), so every input document gets a prediction.
+    (doc, tok, tf) -> model join -> BIGINT per-(doc, label) score ->
+    argmax window (score DESC, label ASC — deterministic ties).
+    Out-of-vocabulary tokens are dropped (the standard multinomial-NB
+    treatment); a document with NO in-vocab tokens falls back to the
+    prior-only argmax (the majority-prior label), so every input
+    document gets a prediction.
+
+    Join strategy is SIZE-GATED: the dense model is |V| x |L| rows,
+    and broadcasting it is only right while that fits comfortably in
+    every executor (~100 MB at the 2M-row default, ~50 B/row).  Web-
+    scale vocabularies (1e8 tokens x dozens of labels) blow past any
+    broadcast budget, so above ``broadcast_max_rows`` the model joins
+    by a plain shuffle on ``tok`` — a well-spread key (token hash), so
+    the shuffle is skew-free and scales with |V| instead of pinning
+    |V| x |L| into RAM.  The gate costs one count() on the model frame
+    (cached when it came from ``nb_train``).
 
     Returns ``(id_col, predicted, score_q)``; ``score_q`` is the
     winning quantized log-posterior (NULL on the prior-only path,
@@ -123,8 +136,11 @@ def nb_score(
         .groupBy(id_col, "tok")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+    model_side = (
+        F.broadcast(model) if model.count() <= broadcast_max_rows else model
+    )
     scored = (
-        tf.join(F.broadcast(model), "tok")
+        tf.join(model_side, "tok")
         .groupBy(id_col, "label")
         .agg(
             (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))

@@ -448,3 +448,45 @@ def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
         else:
             # every textual scan nests inside a cached printout
             assert scans <= cached + 1, (name, scans, cached)
+
+
+def test_nb_score_model_join_is_size_gated(spark):
+    """The dense NB model broadcasts while it fits (default gate) and
+    falls back to a plain shuffle join on the well-spread token key
+    when |V| x |L| exceeds broadcast_max_rows — a 1e8-term vocabulary
+    must never be pinned into every executor's RAM."""
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha apple", "a"), (1, "beta bolt", "b"), (2, "alpha beta", "a")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    model = nb_train(docs, label_col="lang")
+    # pin the static planner: without this, tiny cached frames get
+    # auto-broadcast regardless of the hint, masking the gate
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_b = (
+            nb_score(docs, model)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan_b  # default: model fits
+        plan_s = (
+            nb_score(docs, model, broadcast_max_rows=0)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" in plan_s or "ShuffledHashJoin" in plan_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # both strategies produce identical predictions
+    by_b = {r["doc_id"]: r["predicted"] for r in nb_score(docs, model).collect()}
+    by_s = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_score(docs, model, broadcast_max_rows=0).collect()
+    }
+    assert by_b == by_s

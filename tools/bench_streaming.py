@@ -136,11 +136,26 @@ def measure(spark, n_events: int = 200_000, n_batches: int = 4) -> dict:
 
 
 def main() -> None:
+    """CLI entry: a FRESH SparkSession per invocation, best-of-N
+    repeats.  bench.py shells out to this (subprocess) for the
+    headline ``streaming_events_per_sec`` so the query bench's
+    accumulated session state (hundreds of tracked caches at the end
+    of a 35-query best-of-3 sweep) can never contaminate the one
+    number compared against BASELINE.md's 1.32 events/s."""
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     spark = get_spark(app_name="stream_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(measure(spark, n_events, n_batches)))
+    best = None
+    for _ in range(repeats):
+        m = measure(spark, n_events, n_batches)
+        if best is None or m["value"] > best["value"]:
+            best = m
+        print(f"# repeat: {m['value']} events/s", file=sys.stderr)
+    best["repeats"] = repeats
+    best["isolation"] = "fresh-session subprocess"
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":

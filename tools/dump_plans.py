@@ -156,6 +156,7 @@ AUDITED = {
     "x161_welch_source_pairs": "Welch pairs: one scan to |sources|-row exact BIGINT moments; the pair join is broadcast on that tiny frame",
     "x162_conformal_threshold": "conformal: calibration scan to a distinct-score histogram (quantization-bounded); rank walk on that frame; test scan aggregates vs the |alphas|-row broadcast",
     "x163_retrieval_eval": "retrieval eval: ONE corpus scan into persisted postings; |Q|x3 query terms broadcast into the postings join; metrics windows over |Q| rows",
+    "x164_release_audit": "release audit: ONE persisted per-doc projection feeds datasheet/PII/k-anonymity/Bloom (one documents scan); sketch audits add one orders + one events scan; every aggregate bounded",
 }
 
 
