@@ -1096,3 +1096,12 @@ class Engine:
         from .operators.retrieval import retrieval_eval
 
         return retrieval_eval(self.table("documents"), **kw)
+
+    def release_audit(self) -> DataFrame:
+        """The composed pre-publication gate (x164): datasheet + PII
+        residue + k-anonymity + Bloom trust + sketch-accuracy audits
+        as one long-form (family, item, metric, value, ok) report —
+        one documents scan, one orders scan, one events scan."""
+        from .plans import QUERIES
+
+        return QUERIES["x164_release_audit"].builder(self.spark, self.sf_dir)

@@ -9455,3 +9455,357 @@ def x163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval_eval(docs, n_queries=20, topk=10, n_terms=3)
+
+
+_X164_ORACLE = f"""
+    WITH per0 AS (
+      SELECT doc_id, source, lang,
+             CAST(trunc(n_chars / 128.0) AS BIGINT) AS len_bucket,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stopword_ratio,
+             list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS avg_word_len,
+             substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 16) AS fp,
+             CASE WHEN len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                       + len(regexp_extract_all(text, '{_PII_IPV4}'))
+                       + len(regexp_extract_all(text, '{_PII_PHONE}')) > 0
+                  THEN 1 ELSE 0 END AS has_pii
+      FROM documents
+    ), per AS (
+      SELECT doc_id, source, lang, len_bucket, n_tokens, fp, has_pii,
+             CASE WHEN ((CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+                        + (CASE WHEN avg_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0
+                       >= 0.9 THEN 1 ELSE 0 END AS hi_q
+      FROM per0
+    ), ds AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate,
+             CAST(sum(hi_q) AS DOUBLE) / count(*) AS hiq,
+             CAST(sum(has_pii) AS BIGINT) AS n_pii,
+             CAST(count(*) AS BIGINT) AS n
+      FROM per GROUP BY source
+    ), datasheet_rows AS (
+      SELECT 'datasheet' AS family, source AS item, 'n_docs' AS metric,
+             CAST(n_docs AS DOUBLE) + 0.0 AS value, CAST(NULL AS BOOLEAN) AS ok
+      FROM ds
+      UNION ALL
+      SELECT 'datasheet', source, 'total_tokens',
+             CAST(total_tokens AS DOUBLE) + 0.0, CAST(NULL AS BOOLEAN)
+      FROM ds
+      UNION ALL
+      SELECT 'datasheet', source, 'dup_rate',
+             round(dup_rate + 1e-9, 6) + 0.0, CAST(NULL AS BOOLEAN)
+      FROM ds
+      UNION ALL
+      SELECT 'datasheet', source, 'hi_quality_rate',
+             round(hiq + 1e-9, 6) + 0.0, CAST(NULL AS BOOLEAN)
+      FROM ds
+    ), pii_rows AS (
+      SELECT 'pii' AS family, source AS item, 'pii_doc_rate' AS metric,
+             round(CAST(n_pii AS DOUBLE) / n + 1e-9, 6) + 0.0 AS value,
+             n_pii = 0 AS ok
+      FROM ds
+    ), ka_classes AS (
+      SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS cls_n
+      FROM per GROUP BY 1, 2
+    ), ka_tot AS (
+      SELECT CAST(sum(cls_n) AS BIGINT) AS n_rows FROM ka_classes
+    ), ka_ks AS (
+      SELECT unnest([2, 5, 10, 25]) AS k
+    ), ka_per_k AS (
+      SELECT k, CAST(sum(cls_n) AS BIGINT) AS n_risky_rows
+      FROM ka_ks JOIN ka_classes ON cls_n < k GROUP BY 1
+    ), kanon_rows AS (
+      SELECT 'k_anonymity' AS family,
+             'k=' || CAST(ka_ks.k AS VARCHAR) AS item,
+             'risky_row_frac' AS metric,
+             round(CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
+                   / CAST(ka_tot.n_rows AS DOUBLE) + 1e-9, 6) + 0.0 AS value,
+             CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
+               / CAST(ka_tot.n_rows AS DOUBLE) <= 0.05 AS ok
+      FROM ka_ks LEFT JOIN ka_per_k USING (k) CROSS JOIN ka_tot
+    ), bf_b AS (
+      SELECT DISTINCT fp AS v FROM per WHERE doc_id % 2 = 0
+    ), bf_p AS (
+      SELECT DISTINCT fp AS v FROM per
+    ), bf_flagged AS (
+      SELECT bf_p.v, CASE WHEN bf_b.v IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM bf_p LEFT JOIN bf_b USING (v)
+    ), bf_ebits AS (
+      SELECT DISTINCT unnest({_bf_bits_sql('v')}) AS bit FROM bf_b
+    ), bf_pbits AS (
+      SELECT v, member, unnest({_bf_bits_sql('v')}) AS bit FROM bf_flagged
+    ), bf_hits AS (
+      SELECT v, member,
+             min(CASE WHEN bf_ebits.bit IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM bf_pbits LEFT JOIN bf_ebits USING (bit)
+      GROUP BY 1, 2
+    ), bf_agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(member) AS BIGINT) AS n_members,
+             CAST(sum((1 - member) * hit) AS BIGINT) AS n_false_pos,
+             CAST(sum(member * (1 - hit)) AS BIGINT) AS n_missed_members
+      FROM bf_hits
+    ), bf_ins AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM bf_b
+    ), bloom_rows AS (
+      SELECT 'bloom' AS family, 'fingerprint_filter' AS item,
+             'observed_fpr' AS metric,
+             CASE WHEN CAST(n_probes - n_members AS DOUBLE) > 0 THEN
+               round(CAST(n_false_pos AS DOUBLE)
+                     / CAST(n_probes - n_members AS DOUBLE) + 1e-9, 6) + 0.0
+             END AS value,
+             CASE WHEN CAST(n_probes - n_members AS DOUBLE) > 0 THEN
+               CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_members AS DOUBLE)
+                 <= 3.0 * pow(1.0 - exp(-4.0 * CAST(n_inserted AS DOUBLE)
+                                        / 65536.0), 4.0) + 1e-6
+             END AS ok
+      FROM bf_agg CROSS JOIN bf_ins
+      UNION ALL
+      SELECT 'bloom', 'fingerprint_filter', 'missed_members',
+             CAST(n_missed_members AS DOUBLE) + 0.0,
+             n_missed_members = 0
+      FROM bf_agg
+    ), dd_est AS ({_X76_ORACLE}),
+    dd_exact AS (
+      SELECT o_orderpriority,
+             unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q,
+             unnest([round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4),
+                     round(quantile_cont(o_totalprice, 0.95) + 1e-9, 4),
+                     round(quantile_cont(o_totalprice, 0.99) + 1e-9, 4)])
+               AS exact
+      FROM orders GROUP BY 1
+    ), dd_err AS (
+      SELECT abs(e.estimate - x.exact) / x.exact AS rel_err
+      FROM dd_est e
+      JOIN dd_exact x ON e.o_orderpriority = x.o_orderpriority AND e.q = x.q
+    ), dd_rows AS (
+      SELECT 'quantile_sketch' AS family, 'ddsketch_totalprice' AS item,
+             'max_rel_err' AS metric,
+             round(max(rel_err) + 1e-9, 6) + 0.0 AS value,
+             bool_and(rel_err <= 0.02) AS ok
+      FROM dd_err
+    ), hll_est AS ({_X89_ORACLE}),
+    hll_exact AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+    ), hll_err AS (
+      SELECT abs(e.approx_distinct - CAST(x.exact_distinct AS DOUBLE))
+               / CAST(x.exact_distinct AS DOUBLE) AS rel_err
+      FROM hll_est e JOIN hll_exact x USING (event_type)
+    ), hll_rows AS (
+      SELECT 'cardinality_sketch' AS family, 'hll_distinct_users' AS item,
+             'max_rel_err' AS metric,
+             round(max(rel_err) + 1e-9, 6) + 0.0 AS value,
+             bool_and(rel_err <= 0.195) AS ok
+      FROM hll_err
+    )
+    SELECT * FROM datasheet_rows
+    UNION ALL SELECT * FROM pii_rows
+    UNION ALL SELECT * FROM kanon_rows
+    UNION ALL SELECT * FROM bloom_rows
+    UNION ALL SELECT * FROM dd_rows
+    UNION ALL SELECT * FROM hll_rows
+    """
+
+
+@query("x164_release_audit", oracle=_X164_ORACLE)
+def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed PRE-PUBLICATION gate a corpus release runs — x93's
+    datasheet, PII residue (x33's counters on the raw text), x160's
+    k-anonymity screen, x155's Bloom trust report, and the x153/x154
+    sketch-accuracy audits fused into ONE long-form report (family,
+    item, metric, value, ok).  ``ok`` is NULL for informational
+    metrics and a hard verdict where a principled bound exists: zero
+    PII residue, risky_row_frac <= 0.05 per anonymity threshold,
+    observed Bloom FPR <= 3x theoretical with ZERO false negatives,
+    every DDSketch quantile within 2*alpha, every HLL estimate within
+    3 sigma.
+
+    Composition discipline (x94/x146): all four document-side families
+    read ONE persisted per-doc projection (source, lang, length
+    bucket, tokens, quality, fingerprint, PII flag — one corpus text
+    scan total); the sketch audits add one orders scan and one events
+    scan.  Every downstream aggregate is bounded (per-source, per-QI-
+    class, per-threshold), so the report is a fixed few-dozen rows at
+    any corpus size."""
+    from ..cache import tracked_persist
+    from ..operators import text as tx
+    from ..operators.profile import k_anonymity_audit
+    from ..operators.sketches import (
+        bloom_fpr_audit,
+        dd_build,
+        dd_quantiles,
+        hll_portable_estimate,
+        hll_portable_registers,
+        hll_portable_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    pii = tx.pii_counts(t)
+    per_doc = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+            tx.token_count(t).alias("n_tokens"),
+            (tx.quality_score(t) >= 0.9).cast("long").alias("hi_q"),
+            tx.fingerprint(t).alias("fp"),
+            (
+                (pii["EMAIL"] + pii["IPV4"] + pii["PHONE"]) > 0
+            ).cast("long").alias("has_pii"),
+        )
+    )
+    okn = F.lit(None).cast("boolean")
+    n = F.count("*")
+    ds = per_doc.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("fp").cast("double") / n
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_rate"),
+        (
+            F.round(F.sum("hi_q").cast("double") / n + F.lit(1e-9), 6)
+            + F.lit(0.0)
+        ).alias("hiq"),
+        F.sum("has_pii").cast("long").alias("n_pii"),
+    )
+    datasheet = ds.select(
+        F.lit("datasheet").alias("family"),
+        F.col("source").alias("item"),
+        F.expr(
+            "stack(4,"
+            " 'n_docs', CAST(n_docs AS DOUBLE) + 0.0D,"
+            " 'total_tokens', CAST(total_tokens AS DOUBLE) + 0.0D,"
+            " 'dup_rate', dup_rate,"
+            " 'hi_quality_rate', hiq) AS (metric, value)"
+        ),
+        okn.alias("ok"),
+    )
+    pii_fam = ds.select(
+        F.lit("pii").alias("family"),
+        F.col("source").alias("item"),
+        F.lit("pii_doc_rate").alias("metric"),
+        (
+            F.round(
+                F.col("n_pii").cast("double") / F.col("n_docs").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("value"),
+        (F.col("n_pii") == 0).alias("ok"),
+    )
+    ka = k_anonymity_audit(
+        per_doc.select("lang", "len_bucket", "source"),
+        ["lang", "len_bucket"],
+        "source",
+    )
+    kanon = ka.select(
+        F.lit("k_anonymity").alias("family"),
+        F.concat(F.lit("k="), F.col("k").cast("string")).alias("item"),
+        F.lit("risky_row_frac").alias("metric"),
+        (F.col("risky_row_frac") + F.lit(0.0)).alias("value"),
+        (F.col("risky_row_frac") <= F.lit(0.05)).alias("ok"),
+    )
+    bl = bloom_fpr_audit(
+        per_doc.filter(F.col("doc_id") % 2 == 0).select(F.col("fp").alias("v")),
+        per_doc.select(F.col("fp").alias("v")),
+        "v",
+    )
+    bloom = bl.select(
+        F.lit("bloom").alias("family"),
+        F.lit("fingerprint_filter").alias("item"),
+        F.expr(
+            "stack(2,"
+            " 'observed_fpr', observed_fpr + 0.0D,"
+            "   observed_fpr <= 3.0D * theoretical_fpr + 1e-6D,"
+            " 'missed_members', CAST(n_missed_members AS DOUBLE) + 0.0D,"
+            "   n_missed_members = 0) AS (metric, value, ok)"
+        ),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    dd_est = dd_quantiles(
+        dd_build(orders, "o_totalprice", keys=["o_orderpriority"]),
+        [0.5, 0.95, 0.99],
+        keys=["o_orderpriority"],
+    ).select(
+        "o_orderpriority",
+        "q",
+        F.round(F.col("estimate") + F.lit(1e-9), 4).alias("estimate"),
+    )
+    dd_exact = orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", 0.5) + F.lit(1e-9), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.95) + F.lit(1e-9), 4).alias("p95"),
+        F.round(F.percentile("o_totalprice", 0.99) + F.lit(1e-9), 4).alias("p99"),
+    ).select(
+        "o_orderpriority",
+        F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, exact)"),
+    )
+    dd_err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    dd_fam = (
+        dd_est.join(dd_exact, ["o_orderpriority", "q"])
+        .agg(
+            (F.round(F.max(dd_err) + F.lit(1e-9), 6) + F.lit(0.0)).alias("value"),
+            F.expr("bool_and(abs(estimate - exact) / exact <= 0.02D)").alias("ok"),
+        )
+        .select(
+            F.lit("quantile_sketch").alias("family"),
+            F.lit("ddsketch_totalprice").alias("item"),
+            F.lit("max_rel_err").alias("metric"),
+            "value",
+            "ok",
+        )
+    )
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    hll_est = hll_portable_estimate(
+        hll_portable_rollup(
+            hll_portable_registers(events, ["event_type", "day"], "user_id"),
+            ["event_type"],
+        ),
+        ["event_type"],
+    ).select("event_type", "approx_distinct")
+    hll_exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    hll_err = F.abs(
+        F.col("approx_distinct") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    hll_fam = (
+        hll_est.join(hll_exact, "event_type")
+        .agg(
+            (F.round(F.max(hll_err) + F.lit(1e-9), 6) + F.lit(0.0)).alias("value"),
+            F.expr(
+                "bool_and(abs(approx_distinct - CAST(exact_distinct AS DOUBLE))"
+                " / CAST(exact_distinct AS DOUBLE) <= 0.195D)"
+            ).alias("ok"),
+        )
+        .select(
+            F.lit("cardinality_sketch").alias("family"),
+            F.lit("hll_distinct_users").alias("item"),
+            F.lit("max_rel_err").alias("metric"),
+            "value",
+            "ok",
+        )
+    )
+    return (
+        datasheet.unionByName(pii_fam)
+        .unionByName(kanon)
+        .unionByName(bloom)
+        .unionByName(dd_fam)
+        .unionByName(hll_fam)
+    )

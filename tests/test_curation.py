@@ -1107,3 +1107,36 @@ def test_retrieval_eval_keeps_unanswerable_and_dry_queries(spark):
     assert dry["p_at_k"] == 0.0 and dry["mrr"] == 0.0
     assert dry["n_rel_corpus"] == 3  # answerable, the ranker found none
     assert dry["ndcg_at_k"] == 0.0
+
+
+def test_release_audit_families_and_invariants(spark, sf_dir):
+    """The composed x164 gate reports every family, and the hard
+    invariants hold on clean synthetic data: zero PII residue, zero
+    Bloom false negatives, sketch audits within their bounds;
+    informational datasheet rows carry NULL verdicts."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["x164_release_audit"].builder(spark, sf_dir).collect()
+    fams = {r["family"] for r in rows}
+    assert fams == {
+        "datasheet", "pii", "k_anonymity", "bloom",
+        "quantile_sketch", "cardinality_sketch",
+    }
+    by = {}
+    for r in rows:
+        by.setdefault((r["family"], r["metric"]), []).append(r)
+    # informational metrics: NULL verdict by design
+    assert all(r["ok"] is None for r in by[("datasheet", "n_docs")])
+    assert all(r["ok"] is None for r in by[("datasheet", "dup_rate")])
+    # hard invariants on the synthetic corpus (no real PII planted)
+    assert all(r["value"] == 0.0 and r["ok"] for r in by[("pii", "pii_doc_rate")])
+    [missed] = by[("bloom", "missed_members")]
+    assert missed["value"] == 0.0 and missed["ok"]
+    [dd] = by[("quantile_sketch", "max_rel_err")]
+    assert dd["ok"] and dd["value"] <= 0.02
+    [hll] = by[("cardinality_sketch", "max_rel_err")]
+    assert hll["ok"] and hll["value"] <= 0.195
+    # one k-anonymity row per threshold, frac in [0, 1]
+    kas = by[("k_anonymity", "risky_row_frac")]
+    assert {r["item"] for r in kas} == {"k=2", "k=5", "k=10", "k=25"}
+    assert all(0.0 <= r["value"] <= 1.0 for r in kas)
