@@ -1105,3 +1105,11 @@ class Engine:
         from .plans import QUERIES
 
         return QUERIES["x164_release_audit"].builder(self.spark, self.sf_dir)
+
+    def audit_ann_recall(self) -> DataFrame:
+        """Per-query recall@10 of the multi-table LSH search vs the
+        exact brute-force baseline (x165) — run before trusting the
+        bucketed index."""
+        from .plans import QUERIES
+
+        return QUERIES["x165_ann_recall_audit"].builder(self.spark, self.sf_dir)

@@ -9809,3 +9809,93 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dd_fam)
         .unionByName(hll_fam)
     )
+
+
+_X165_ORACLE = f"""
+    WITH approx AS ({_lsh_topk_oracle(_srp_tables(3), "id < 50", 10)}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v)))
+                                + 1e-9, 4) DESC, c.neighbor_id) AS rank
+        FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 50) q
+        CROSS JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+                    FROM embeddings) c
+      ) WHERE rank <= 10
+    ), ja AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+      FROM approx GROUP BY 1
+    ), hits AS (
+      SELECT e.query_id,
+             CAST(count(*) AS BIGINT) AS n_exact,
+             CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM exact e
+      LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT h.query_id, CAST(10 AS BIGINT) AS k, h.n_exact,
+           CAST(COALESCE(ja.n_approx, 0) AS BIGINT) AS n_approx, h.n_hits,
+           round(CAST(h.n_hits AS DOUBLE) / h.n_exact + 1e-9, 4) + 0.0
+             AS recall
+    FROM hits h LEFT JOIN ja USING (query_id)
+    """
+
+
+@query("x165_ann_recall_audit", oracle=_X165_ORACLE)
+def x165_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit — the similarity-search member of the
+    self-verification family (x153 quantiles, x154 cardinality, x155
+    Bloom): per-query recall@10 of the 3-table SRP-LSH search (x49's
+    scale path) against the exact brute-force baseline (p13), over 50
+    query vectors.  The number a pipeline checks before trusting the
+    bucketed index for retrieval-augmented curation: a table count or
+    plane set that silently tanks recall shows here, not in
+    production.
+
+    Both rankings share the house tie discipline (4-dp rounded cosine,
+    id tiebreak), so the top-k SETS — and therefore the recall — are
+    fully deterministic and value-pinned against the SQL oracle.
+    Scale shape: the exact side is one broadcast-queries x corpus scan
+    (p13's dataflow, priced by |Q|); the approx side touches only
+    bucket-cohabitant pairs; the hit join runs on |Q| x k rows."""
+    from ..operators.similarity import cosine_topk, lsh_cosine_topk_multi
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk_multi(
+        q, emb, _srp_tables(3), k=10, quantized=True
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    ja = approx.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_approx")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+    )
+    return hits.join(ja, "query_id", "left").select(
+        "query_id",
+        F.lit(10).cast("long").alias("k"),
+        "n_exact",
+        F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+        "n_hits",
+        (
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double")
+                + F.lit(1e-9),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("recall"),
+    )

@@ -2881,3 +2881,18 @@ def test_threshold_sensitivity_cumulative_counts(spark):
     cums = [r["n_pairs_at_or_above"] for r in out]
     assert cums == sorted(cums)
     assert cums[-1] == sum(r["n_pairs"] for r in out)
+
+
+def test_ann_recall_audit_self_hit_and_bounds(spark, sf_dir):
+    """Every query's exact top-10 contains itself, and the LSH
+    candidate set always contains the query's own bucket — so recall
+    is bounded away from 0; all counters stay within [0, k]."""
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["x165_ann_recall_audit"].builder(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["n_exact"] == 10 and r["k"] == 10
+        assert 1 <= r["n_hits"] <= 10  # self-match guarantees >= 1
+        assert 0 < r["n_approx"] <= 10
+        assert r["recall"] == round(r["n_hits"] / 10 + 1e-9, 4)
