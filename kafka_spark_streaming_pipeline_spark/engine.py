@@ -1113,3 +1113,13 @@ class Engine:
         from .plans import QUERIES
 
         return QUERIES["x165_ann_recall_audit"].builder(self.spark, self.sf_dir)
+
+    def batch_plan_report(self, max_len: int = 512, bucket_width: int = 64) -> DataFrame:
+        """Length-bucketed padding-waste report vs the naive
+        pad-to-max baseline (x166) — sizes a dynamic-batching
+        training loader."""
+        from .operators.curation import padding_efficiency
+
+        return padding_efficiency(
+            self.table("documents"), max_len=max_len, bucket_width=bucket_width
+        )

@@ -3361,3 +3361,92 @@ def conformal_thresholds(
             + F.lit(0.0)
         ).alias("test_keep_rate"),
     )
+
+
+def padding_efficiency(
+    docs: DataFrame,
+    max_len: int = 512,
+    bucket_width: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch-planning report: how much padding a
+    training loader wastes batching these documents, per length bucket
+    and against the naive pad-everything-to-max_len baseline — the
+    datasheet a dynamic-batching (bucket-by-length) loader is sized
+    from.  Documents longer than ``max_len`` tokens truncate to it
+    (the loader's behavior); each doc pads to its bucket's cap
+    (ceil(len / bucket_width) * bucket_width, capped at max_len).
+
+    Output (long-form): one row per non-empty bucket with strategy
+    'bucketed' (bucket, cap_len, n_docs, sum_tokens, padded_tokens,
+    waste_tokens, efficiency = sum/padded) plus ONE 'naive_max_len'
+    row (every doc padded to max_len) — the efficiency gap between
+    them is the win bucketing buys.  All integer arithmetic except
+    the final ratio.
+
+    Scale shape: ONE corpus scan -> per-bucket combinable aggregate
+    (bounded by max_len / bucket_width buckets); the naive row is a
+    re-aggregation of the same tiny frame."""
+    from ..cache import tracked_persist
+    from .text import token_count
+
+    eff_len = F.least(token_count(F.col(text_col)), F.lit(max_len))
+    n_buckets = (max_len + bucket_width - 1) // bucket_width
+    bucket = F.least(
+        F.ceil(eff_len.cast("double") / F.lit(float(bucket_width))).cast("long"),
+        F.lit(n_buckets).cast("long"),
+    )
+    # ONE corpus scan; both strategies read this bucket-count frame
+    per_bucket = tracked_persist(
+        docs.select(bucket.alias("bucket"), eff_len.alias("len"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("len").cast("long").alias("sum_tokens"),
+        )
+    )
+    cap = F.col("bucket") * F.lit(bucket_width)
+    bucketed = per_bucket.select(
+        F.lit("bucketed").alias("strategy"),
+        F.col("bucket").cast("long").alias("bucket"),
+        cap.cast("long").alias("cap_len"),
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * cap).cast("long").alias("padded_tokens"),
+        (F.col("n_docs") * cap - F.col("sum_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )
+    naive = per_bucket.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_tokens").cast("long").alias("sum_tokens"),
+    ).select(
+        F.lit("naive_max_len").alias("strategy"),
+        F.lit(None).cast("long").alias("bucket"),
+        F.lit(max_len).cast("long").alias("cap_len"),
+        "n_docs",
+        "sum_tokens",
+        (F.col("n_docs") * F.lit(max_len)).cast("long").alias("padded_tokens"),
+        (F.col("n_docs") * F.lit(max_len) - F.col("sum_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+    )
+    out = bucketed.unionByName(naive)
+    return out.select(
+        "strategy",
+        "bucket",
+        "cap_len",
+        "n_docs",
+        "sum_tokens",
+        "padded_tokens",
+        "waste_tokens",
+        (
+            F.round(
+                F.col("sum_tokens").cast("double")
+                / F.col("padded_tokens").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("efficiency"),
+    )

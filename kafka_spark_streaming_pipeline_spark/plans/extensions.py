@@ -9899,3 +9899,53 @@ def x165_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("recall"),
     )
+
+
+@query(
+    "x166_padding_efficiency",
+    oracle="""
+    WITH lens AS (
+      SELECT least(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 512)
+               AS len
+      FROM documents
+    ), per AS (
+      SELECT least(CAST(ceil(len / 64.0) AS BIGINT), 8) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len) AS BIGINT) AS sum_tokens
+      FROM lens GROUP BY 1
+    ), bucketed AS (
+      SELECT 'bucketed' AS strategy, bucket, bucket * 64 AS cap_len,
+             n_docs, sum_tokens,
+             n_docs * bucket * 64 AS padded_tokens,
+             n_docs * bucket * 64 - sum_tokens AS waste_tokens
+      FROM per
+    ), naive AS (
+      SELECT 'naive_max_len' AS strategy, CAST(NULL AS BIGINT) AS bucket,
+             CAST(512 AS BIGINT) AS cap_len,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_docs) * 512 AS BIGINT) AS padded_tokens,
+             CAST(sum(n_docs) * 512 - sum(sum_tokens) AS BIGINT)
+               AS waste_tokens
+      FROM per
+    ), unioned AS (
+      SELECT * FROM bucketed UNION ALL SELECT * FROM naive
+    )
+    SELECT strategy, bucket, CAST(cap_len AS BIGINT) AS cap_len, n_docs,
+           sum_tokens, CAST(padded_tokens AS BIGINT) AS padded_tokens,
+           CAST(waste_tokens AS BIGINT) AS waste_tokens,
+           round(CAST(sum_tokens AS DOUBLE) / padded_tokens + 1e-9, 6) + 0.0
+             AS efficiency
+    FROM unioned
+    """,
+)
+def x166_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch-planning report: per-bucket padding waste
+    (64-token buckets, 512 max length) vs the naive pad-to-max
+    baseline — the datasheet a dynamic-batching training loader is
+    sized from; the efficiency gap is the win bucketing buys.  ONE
+    corpus scan into a <= 8-row combinable aggregate."""
+    from ..operators.curation import padding_efficiency
+
+    docs = load_table(spark, sf_dir, "documents")
+    return padding_efficiency(docs, max_len=512, bucket_width=64)

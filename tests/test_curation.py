@@ -1140,3 +1140,37 @@ def test_release_audit_families_and_invariants(spark, sf_dir):
     kas = by[("k_anonymity", "risky_row_frac")]
     assert {r["item"] for r in kas} == {"k=2", "k=5", "k=10", "k=25"}
     assert all(0.0 <= r["value"] <= 1.0 for r in kas)
+
+
+def test_padding_efficiency_hand_case(spark):
+    """Lengths 10/64/65/600 at width 64, max 512: buckets 1,1,2,8
+    (600 truncates to 512); waste is exact integer arithmetic and the
+    naive baseline pads everything to 512."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        padding_efficiency,
+    )
+
+    def text(n):
+        return " ".join(["w"] * n)
+
+    docs = spark.createDataFrame(
+        [(i, text(n)) for i, n in enumerate([10, 64, 65, 600])],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = padding_efficiency(docs).collect()
+    by = {(r["strategy"], r["bucket"]): r for r in rows}
+    b1 = by[("bucketed", 1)]
+    assert b1["n_docs"] == 2 and b1["sum_tokens"] == 74
+    assert b1["padded_tokens"] == 128 and b1["waste_tokens"] == 54
+    b2 = by[("bucketed", 2)]
+    assert b2["n_docs"] == 1 and b2["cap_len"] == 128 and b2["waste_tokens"] == 63
+    b8 = by[("bucketed", 8)]  # the 600-token doc truncates to 512
+    assert b8["sum_tokens"] == 512 and b8["waste_tokens"] == 0
+    nv = by[("naive_max_len", None)]
+    assert nv["n_docs"] == 4 and nv["padded_tokens"] == 4 * 512
+    assert nv["waste_tokens"] == 4 * 512 - (10 + 64 + 65 + 512)
+    # bucketing strictly beats naive on this corpus
+    bucketed_eff = sum(r["sum_tokens"] for r in rows if r["strategy"] == "bucketed") / sum(
+        r["padded_tokens"] for r in rows if r["strategy"] == "bucketed"
+    )
+    assert bucketed_eff > nv["efficiency"]

@@ -158,6 +158,7 @@ AUDITED = {
     "x163_retrieval_eval": "retrieval eval: ONE corpus scan into persisted postings; |Q|x3 query terms broadcast into the postings join; metrics windows over |Q| rows",
     "x164_release_audit": "release audit: ONE persisted per-doc projection feeds datasheet/PII/k-anonymity/Bloom (one documents scan); sketch audits add one orders + one events scan; every aggregate bounded",
     "x165_ann_recall_audit": "ANN recall audit: broadcast-queries exact baseline (p13 dataflow) vs bucket-cohabitant LSH candidates (x49 dataflow); the hit join runs on |Q| x k rows",
+    "x166_padding_efficiency": "padding report: ONE corpus scan into a <=8-row bucket aggregate; the naive baseline re-aggregates the same tiny frame",
 }
 
 
