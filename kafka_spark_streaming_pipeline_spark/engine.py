@@ -1123,3 +1123,10 @@ class Engine:
         return padding_efficiency(
             self.table("documents"), max_len=max_len, bucket_width=bucket_width
         )
+
+    def classifier_calibration(self, label_col: str = "lang", **kw) -> DataFrame:
+        """Accuracy per prediction-margin bucket of the NB classifier
+        (x167) — which confidence threshold buys which accuracy."""
+        from .operators.classify import nb_calibration
+
+        return nb_calibration(self.table("documents"), label_col=label_col, **kw)

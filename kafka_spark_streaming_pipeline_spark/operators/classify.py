@@ -193,3 +193,107 @@ def nb_confusion(
         .groupBy("label", "predicted")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+def nb_calibration(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_bucket: int = 10,
+) -> DataFrame:
+    """Classifier reliability curve on the even/odd split: bucket the
+    scored test documents by prediction MARGIN (top-1 minus top-2
+    quantized log-posterior, in whole natural-log units, capped at
+    ``max_bucket``) and report accuracy per bucket — the calibration
+    evidence that says WHERE the classifier's confidence is
+    trustworthy before a margin threshold gates a corpus (x159 says
+    how good the classifier is overall; this says which margin buys
+    which accuracy).
+
+    Prior-only fallback documents (no in-vocab token) have no margin
+    and report as bucket -1.  The margin is exact BIGINT arithmetic
+    (micro-quantized log-likelihood sums), so bucket assignment is
+    deterministic across engines.
+
+    Scale shape: the x159 dataflow (one train token scan -> dense
+    model; one test token scan -> per-(doc, label) scores) plus a
+    top-2 window over |docs| x |L| rows; the report is a <=
+    (max_bucket + 2)-row aggregate."""
+    train = docs.filter(F.col(id_col) % 2 == 0)
+    test = docs.filter(F.col(id_col) % 2 == 1)
+    model = nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
+    tf = (
+        test.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    scored = (
+        tf.join(F.broadcast(model), "tok")
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))
+            .cast("long")
+            .alias("score_q")
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label").asc())
+    ranked = scored.select(
+        id_col,
+        "label",
+        "score_q",
+        F.row_number().over(w).alias("rn"),
+        F.lead("score_q").over(w).alias("next_q"),
+    )
+    top = ranked.filter(F.col("rn") == 1).select(
+        id_col,
+        F.col("label").alias("predicted"),
+        (F.col("score_q") - F.coalesce(F.col("next_q"), F.col("score_q")))
+        .cast("long")
+        .alias("margin_q"),
+    )
+    # prior-only fallback: no token evidence -> no margin -> bucket -1
+    prior_w = W.orderBy(F.col("prior_q").desc(), F.col("label").asc())
+    top_prior = (
+        model.select("label", "prior_q")
+        .distinct()
+        .withColumn("rn", F.row_number().over(prior_w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("predicted"))
+    )
+    uncovered = test.select(id_col).join(top.select(id_col), id_col, "left_anti")
+    fallback = uncovered.crossJoin(F.broadcast(top_prior)).select(
+        id_col, "predicted", F.lit(None).cast("long").alias("margin_q")
+    )
+    preds = top.unionByName(fallback)
+    truth = test.select(F.col(id_col), F.col(label_col).alias("truth"))
+    bucket = F.when(
+        F.col("margin_q").isNull(), F.lit(-1).cast("long")
+    ).otherwise(
+        F.least(
+            F.expr("margin_q div 1000000").cast("long"),
+            F.lit(max_bucket).cast("long"),
+        )
+    )
+    n = F.count("*")
+    return (
+        preds.join(truth, id_col)
+        .groupBy(bucket.alias("margin_bucket"))
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum((F.col("predicted") == F.col("truth")).cast("long"))
+            .cast("long")
+            .alias("n_correct"),
+            (
+                F.round(
+                    F.sum((F.col("predicted") == F.col("truth")).cast("long"))
+                    .cast("double")
+                    / n
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("accuracy"),
+        )
+    )

@@ -9949,3 +9949,97 @@ def x166_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return padding_efficiency(docs, max_len=512, bucket_width=64)
+
+
+@query(
+    "x167_classifier_calibration",
+    oracle="""
+    WITH train AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), test AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 1
+    ), tok_rows AS (
+      SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS tok
+      FROM train
+    ), counts AS (
+      SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok_rows GROUP BY 1, 2
+    ), vocab AS (
+      SELECT DISTINCT tok FROM counts
+    ), nv AS (
+      SELECT count(*) AS v FROM vocab
+    ), label_tot AS (
+      SELECT label, CAST(sum(c) AS BIGINT) AS n_tok FROM counts GROUP BY 1
+    ), docn AS (
+      SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+      FROM train GROUP BY 1
+    ), nd AS (
+      SELECT sum(n) AS s FROM docn
+    ), priors AS (
+      SELECT label,
+             CAST(trunc(ln(CAST(n AS DOUBLE) / (SELECT s FROM nd)) * 1e6)
+                  AS BIGINT) AS prior_q
+      FROM docn
+    ), dense AS (
+      SELECT lt.label, v.tok,
+             CAST(trunc(ln((COALESCE(c.c, 0) + 0.5)
+                           / (lt.n_tok + 0.5 * (SELECT v FROM nv))) * 1e6)
+                  AS BIGINT) AS qll
+      FROM vocab v CROSS JOIN label_tot lt
+      LEFT JOIN counts c ON c.label = lt.label AND c.tok = v.tok
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM test)
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.doc_id, d.label,
+             CAST(sum(t.tf * d.qll) + any_value(p.prior_q) AS BIGINT)
+               AS score_q
+      FROM tf t JOIN dense d USING (tok) JOIN priors p ON p.label = d.label
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, label, score_q,
+             row_number() OVER w AS rn,
+             lead(score_q) OVER w AS next_q
+      FROM scored
+      WINDOW w AS (PARTITION BY doc_id ORDER BY score_q DESC, label ASC)
+    ), top AS (
+      SELECT doc_id, label AS predicted,
+             CAST(score_q - COALESCE(next_q, score_q) AS BIGINT) AS margin_q
+      FROM ranked WHERE rn = 1
+    ), topp AS (
+      SELECT label AS predicted FROM priors
+      ORDER BY prior_q DESC, label ASC LIMIT 1
+    ), preds AS (
+      SELECT doc_id, predicted, margin_q FROM top
+      UNION ALL
+      SELECT u.doc_id, t.predicted, CAST(NULL AS BIGINT)
+      FROM (SELECT doc_id FROM test
+            WHERE doc_id NOT IN (SELECT doc_id FROM top)) u
+      CROSS JOIN topp t
+    ), labeled AS (
+      SELECT CASE WHEN p.margin_q IS NULL THEN -1
+                  ELSE least(p.margin_q // 1000000, 10) END AS margin_bucket,
+             CASE WHEN p.predicted = tr.lang THEN 1 ELSE 0 END AS correct
+      FROM preds p JOIN test tr USING (doc_id)
+    )
+    SELECT CAST(margin_bucket AS BIGINT) AS margin_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(correct) AS BIGINT) AS n_correct,
+           round(CAST(sum(correct) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0
+             AS accuracy
+    FROM labeled GROUP BY 1
+    """,
+)
+def x167_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability curve (x159's companion): accuracy per
+    prediction-margin bucket (top-1 minus top-2 quantized
+    log-posterior, whole-nat buckets capped at 10; prior-only
+    fallbacks at -1) on the even/odd split — the calibration evidence
+    that says WHICH margin threshold buys WHICH accuracy before a
+    model-based filter gates a corpus on confidence."""
+    from ..operators.classify import nb_calibration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_calibration(docs, label_col="lang")

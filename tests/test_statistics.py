@@ -727,3 +727,31 @@ def test_welch_pairs_known_values(spark):
     assert abs(ab["cohens_d"] - round(-23 / pooled, 4)) < 1e-9
     ac = out[("a", "c")]
     assert ac["t_stat"] == 0.0 and not ac["z_flag"]
+
+
+def test_nb_calibration_buckets_margin_and_fallback(spark):
+    """Disjoint-vocabulary classes give confidently-correct buckets; an
+    all-OOV document lands in the -1 (prior-only) bucket and is scored
+    against the truth like any other prediction."""
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_calibration,
+    )
+
+    rows = []
+    for i in range(4):  # even ids = train
+        rows.append((2 * i, "alpha apple axe", "a"))
+    for i in range(2):
+        rows.append((100 + 2 * i, "beta bolt bus", "b"))
+    rows += [
+        (1, "alpha apple axe", "a"),   # strong margin, correct
+        (3, "beta bolt bus", "b"),     # strong margin, correct
+        (5, "zzz qqq www", "b"),       # all OOV -> prior-only 'a' -> wrong
+    ]
+    docs = _lang_docs(spark, rows)
+    out = {r["margin_bucket"]: r for r in nb_calibration(docs).collect()}
+    fb = out[-1]
+    assert fb["n_docs"] == 1 and fb["n_correct"] == 0 and fb["accuracy"] == 0.0
+    scored = {b: r for b, r in out.items() if b >= 0}
+    assert sum(r["n_docs"] for r in scored.values()) == 2
+    assert all(r["accuracy"] == 1.0 for r in scored.values())
+    assert all(b >= 1 for b in scored)  # disjoint vocab -> real margin
