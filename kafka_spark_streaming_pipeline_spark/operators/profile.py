@@ -935,16 +935,27 @@ def k_anonymity_audit(
     count); the per-k report is an explode over a literal array on
     that tiny frame.  Output: one row per k with exact BIGINT counts.
     """
+    # ONE scan into the QI-class frame; the per-k walk is shared with
+    # the streaming privacy view (k_anonymity_from_classes)
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("cls_n"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_div"),
+    )
+    return k_anonymity_from_classes(classes, ks)
+
+
+def k_anonymity_from_classes(
+    classes: DataFrame, ks: tuple[int, ...] = (2, 5, 10, 25)
+) -> DataFrame:
+    """The per-threshold k-anonymity report from an already-built
+    equivalence-class frame ``(..., cls_n, l_div)`` — the shared walk
+    behind the batch audit (x160, classes from one corpus scan) and
+    the streaming privacy view (classes folded from per-batch count
+    partials).  The class frame is bounded by QI cardinality, so it is
+    persisted here for its two consumers (totals + per-k report)."""
     from ..cache import tracked_persist
 
-    # ONE scan: the QI-class frame (bounded by QI cardinality) feeds
-    # both the totals and the per-k report from cache
-    classes = tracked_persist(
-        df.groupBy(*quasi_cols).agg(
-            F.count("*").cast("long").alias("cls_n"),
-            F.countDistinct(sensitive_col).cast("long").alias("l_div"),
-        )
-    )
+    classes = tracked_persist(classes)
     tot = classes.agg(
         F.count("*").cast("long").alias("n_classes"),
         F.sum("cls_n").cast("long").alias("n_rows"),

@@ -2008,3 +2008,87 @@ def psi_view(spark, path: str, smooth: float = 0.5, crit: float = 0.2) -> DataFr
     from ..operators.curation import psi_from_hist
 
     return psi_from_hist(_length_hist_of(_read_log(spark, path)), smooth, crit)
+
+
+# ----------------------------------------- incremental privacy audit
+
+
+def make_privacy_sink(path: str, quasi_cols: list[str], sensitive_col: str):
+    """Continuously-maintained k-anonymity / l-diversity state (the
+    streaming twin of x160): each batch appends its (quasi...,
+    sensitive, n) count partials — sum-mergeable, bounded per batch by
+    QI x sensitive cardinality, never by rows — so the privacy screen
+    of a growing release projection is answerable at any moment
+    without rescanning history.  Anonymity degrades MONOTONICALLY
+    under ingest only per class (new rows can only grow a class), but
+    new rows create NEW small classes, which is exactly why the audit
+    must re-run as the corpus grows; this sink makes that re-run
+    log-sized.  Shares the replay/compaction contract of the other
+    sinks."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counts = batch_df.groupBy(*quasi_cols, sensitive_col).agg(
+            F.count("*").cast("long").alias("n")
+        )
+        AtomicParquetTable(path).append(
+            counts.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _privacy_counts_of(
+    log: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", *quasi_cols, sensitive_col])
+        .groupBy(*quasi_cols, sensitive_col)
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def privacy_view(
+    spark,
+    path: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ks: tuple[int, ...] = (2, 5, 10, 25),
+) -> DataFrame:
+    """Current k-anonymity report over everything ingested: fold the
+    count partials to equivalence classes (cls_n = sum of partials,
+    l_div = distinct sensitive values present) and run the SAME per-k
+    walk as the batch audit (operators/profile.k_anonymity_from_classes)
+    — bit-equal to x160 over the union of all batches.  Touches only
+    the class-count log, never raw documents."""
+    from ..operators.profile import k_anonymity_from_classes
+
+    counts = _privacy_counts_of(
+        _read_log(spark, path), quasi_cols, sensitive_col
+    )
+    classes = counts.groupBy(*quasi_cols).agg(
+        F.sum("n").cast("long").alias("cls_n"),
+        # counts is already unique per (quasi, sensitive): row count IS
+        # the distinct-sensitive count
+        F.count("*").cast("long").alias("l_div"),
+    )
+    return k_anonymity_from_classes(classes, ks)
+
+
+def compact_privacy(
+    spark,
+    path: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    quiesced: bool = True,
+) -> None:
+    """Fold the privacy count log; same CAS contract as the other
+    sinks."""
+    _compact(
+        spark,
+        path,
+        lambda log: _privacy_counts_of(log, quasi_cols, sensitive_col),
+        quiesced,
+    )

@@ -2716,3 +2716,55 @@ def test_streaming_length_histogram_serves_ks_view(spark, sf_dir, tmp_path):
     assert view() == two
     sink(b2, 2)  # live append composes with the folded histogram
     assert view() == batch(docs)
+
+
+def test_streaming_privacy_view_matches_batch_audit(spark, sf_dir, tmp_path):
+    """The streamed k-anonymity report must be bit-equal to the batch
+    x160 audit over the union of ingested batches; replay- and
+    compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        k_anonymity_audit,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_privacy,
+        make_privacy_sink,
+        privacy_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+        "doc_id",
+    )
+    path = str(tmp_path / "priv")
+    sink = make_privacy_sink(path, ["lang", "len_bucket"], "source")
+    b0 = proj.filter(F.col("doc_id") % 2 == 0).drop("doc_id")
+    b1 = proj.filter(F.col("doc_id") % 2 == 1).drop("doc_id")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return {
+            r["k"]: r
+            for r in privacy_view(
+                spark, path, ["lang", "len_bucket"], "source"
+            ).collect()
+        }
+
+    got = view()
+    want = {
+        r["k"]: r
+        for r in k_anonymity_audit(
+            proj.drop("doc_id"), ["lang", "len_bucket"], "source"
+        ).collect()
+    }
+    assert got == want and len(got) == 4
+
+    sink(b1, 1)  # replay -> deduped partials
+    assert view() == got
+    compact_privacy(spark, path, ["lang", "len_bucket"], "source", quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
