@@ -116,6 +116,13 @@ HEADLINE = [
     # pattern).
     "x146_detector_consensus",
     "x147_holt_winters",
+    # r07 additions: the composed pre-publication release audit (one
+    # per-doc projection serving four audit families + two sketch
+    # audits — prices the shared-frame composition like x94/x146) and
+    # the ANN recall audit (exact brute-force baseline + LSH candidate
+    # generation in one query — the heaviest self-verification).
+    "x164_release_audit",
+    "x165_ann_recall_audit",
 ]
 
 

@@ -131,23 +131,7 @@ def nb_score(
     Returns ``(id_col, predicted, score_q)``; ``score_q`` is the
     winning quantized log-posterior (NULL on the prior-only path,
     where no token evidence was summed)."""
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    model_side = (
-        F.broadcast(model) if model.count() <= broadcast_max_rows else model
-    )
-    scored = (
-        tf.join(model_side, "tok")
-        .groupBy(id_col, "label")
-        .agg(
-            (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))
-            .cast("long")
-            .alias("score_q")
-        )
-    )
+    scored = _score_frame(docs, model, id_col, text_col, broadcast_max_rows)
     w = W.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label").asc())
     best = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -195,6 +179,36 @@ def nb_confusion(
     )
 
 
+def _score_frame(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """The per-(doc, label) quantized log-posterior frame shared by
+    ``nb_score`` (argmax) and ``nb_calibration`` (top-2 margin): one
+    corpus token scan -> (doc, tok, tf) -> SIZE-GATED model join (see
+    ``nb_score``'s broadcast_max_rows contract) -> BIGINT score sum."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    model_side = (
+        F.broadcast(model) if model.count() <= broadcast_max_rows else model
+    )
+    return (
+        tf.join(model_side, "tok")
+        .groupBy(id_col, "label")
+        .agg(
+            (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))
+            .cast("long")
+            .alias("score_q")
+        )
+    )
+
+
 def nb_calibration(
     docs: DataFrame,
     label_col: str = "lang",
@@ -202,6 +216,7 @@ def nb_calibration(
     text_col: str = "text",
     alpha: float = 0.5,
     max_bucket: int = 10,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Classifier reliability curve on the even/odd split: bucket the
     scored test documents by prediction MARGIN (top-1 minus top-2
@@ -224,20 +239,7 @@ def nb_calibration(
     train = docs.filter(F.col(id_col) % 2 == 0)
     test = docs.filter(F.col(id_col) % 2 == 1)
     model = nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
-    tf = (
-        test.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
-    scored = (
-        tf.join(F.broadcast(model), "tok")
-        .groupBy(id_col, "label")
-        .agg(
-            (F.sum(F.col("tf") * F.col("qll")) + F.first("prior_q"))
-            .cast("long")
-            .alias("score_q")
-        )
-    )
+    scored = _score_frame(test, model, id_col, text_col, broadcast_max_rows)
     w = W.partitionBy(id_col).orderBy(F.col("score_q").desc(), F.col("label").asc())
     ranked = scored.select(
         id_col,
