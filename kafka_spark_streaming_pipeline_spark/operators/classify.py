@@ -63,12 +63,28 @@ def nb_train(
     counts = tracked_persist(
         tok_rows.groupBy("label", "tok").agg(F.count("*").cast("long").alias("c"))
     )
+    doc_counts = docs.groupBy(lbl).agg(F.count("*").cast("long").alias("n"))
+    return nb_model_from_counts(counts, doc_counts, alpha=alpha)
+
+
+def nb_model_from_counts(
+    counts: DataFrame, doc_counts: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """The dense-model densification shared by batch training
+    (``nb_train``: counts from one corpus scan) and the streaming
+    classifier view (counts folded from per-batch sum-mergeable
+    partials): takes ``(label, tok, c)`` token counts and ``(label,
+    n)`` document counts, returns the ``(label, tok, qll, prior_q)``
+    dense model.  Both consumers get bit-identical models for the
+    same underlying corpus because everything here is a deterministic
+    function of the two count frames."""
+    from ..cache import tracked_persist
+
     vocab = counts.select("tok").distinct()
     n_vocab = vocab.count()  # one scalar: |V| (model-sized, not corpus)
     label_tot = counts.groupBy("label").agg(F.sum("c").cast("long").alias("n_tok"))
     # |L| rows collected: priors need the global doc total (the frame
-    # itself stays lazy — a label-only columnar scan, re-run once)
-    doc_counts = docs.groupBy(lbl).agg(F.count("*").cast("long").alias("n"))
+    # itself stays lazy — a label-only scan, re-run once)
     n_docs = sum(r["n"] for r in doc_counts.collect())
     priors = doc_counts.select(
         "label",

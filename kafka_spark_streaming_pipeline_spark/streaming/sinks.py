@@ -2092,3 +2092,75 @@ def compact_privacy(
         lambda log: _privacy_counts_of(log, quasi_cols, sensitive_col),
         quiesced,
     )
+
+
+# ------------------------------------ incremental classifier training
+
+
+def make_classifier_sink(path: str, label_col: str = "lang", text_col: str = "text"):
+    """Continuously-trained Naive Bayes classifier state (the
+    streaming twin of x159's train step): each labeled batch appends
+    its (label, tok, c) token-count partials and (label, n) document
+    counts — both sum-mergeable, bounded per batch by batch vocabulary
+    x labels, never by history — so the model retrains from log-sized
+    state as labeled data streams in, instead of rescanning the whole
+    labeled corpus per refresh.  Shares the replay/compaction contract
+    of the other sinks."""
+    from ..operators.text import tokens
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        lbl = F.col(label_col).alias("label")
+        counts = (
+            batch_df.select(lbl, F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("label", "tok")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        AtomicParquetTable(f"{path}/toks").append(
+            counts.withColumn("__commit", F.lit(batch_id))
+        )
+        docn = batch_df.groupBy(lbl).agg(F.count("*").cast("long").alias("n"))
+        AtomicParquetTable(f"{path}/docs").append(
+            docn.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _classifier_toks_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "label", "tok"])
+        .groupBy("label", "tok")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def _classifier_docs_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "label"])
+        .groupBy("label")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def classifier_model_view(spark, path: str, alpha: float = 0.5) -> DataFrame:
+    """Current dense NB model over everything ingested: fold both
+    count logs and run the SAME densification as batch training
+    (operators/classify.nb_model_from_counts) — bit-equal to
+    ``nb_train`` over the union of all batches.  The returned frame
+    plugs straight into ``nb_score`` / the size-gated model join."""
+    from ..operators.classify import nb_model_from_counts
+
+    counts = _classifier_toks_of(_read_log(spark, f"{path}/toks"))
+    docn = _classifier_docs_of(_read_log(spark, f"{path}/docs"))
+    return nb_model_from_counts(counts, docn, alpha=alpha)
+
+
+def compact_classifier(spark, path: str, quiesced: bool = True) -> None:
+    """Fold both classifier count logs; same CAS contract as the
+    other sinks."""
+    _compact(spark, f"{path}/toks", _classifier_toks_of, quiesced)
+    _compact(spark, f"{path}/docs", _classifier_docs_of, quiesced)

@@ -2768,3 +2768,52 @@ def test_streaming_privacy_view_matches_batch_audit(spark, sf_dir, tmp_path):
     compact_privacy(spark, path, ["lang", "len_bucket"], "source", quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_classifier_model_matches_batch_training(spark, sf_dir, tmp_path):
+    """The incrementally-trained NB model must be bit-equal to batch
+    nb_train over the union of ingested batches, survive replay and
+    online compaction, and plug into nb_score unchanged."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_score,
+        nb_train,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        classifier_model_view,
+        compact_classifier,
+        make_classifier_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "clf")
+    sink = make_classifier_sink(path)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def model_rows():
+        return sorted(
+            tuple(r) for r in classifier_model_view(spark, path).collect()
+        )
+
+    got = model_rows()
+    want = sorted(tuple(r) for r in nb_train(docs).collect())
+    assert got == want and len(got) > 0
+
+    sink(b1, 1)  # replay -> deduped partials
+    assert model_rows() == got
+    compact_classifier(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert model_rows() == got
+
+    # the streamed model scores identically to the batch model
+    preds_stream = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_score(b1, classifier_model_view(spark, path)).collect()
+    }
+    preds_batch = {
+        r["doc_id"]: r["predicted"] for r in nb_score(b1, nb_train(docs)).collect()
+    }
+    assert preds_stream == preds_batch
