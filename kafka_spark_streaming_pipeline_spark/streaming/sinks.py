@@ -2164,3 +2164,43 @@ def compact_classifier(spark, path: str, quiesced: bool = True) -> None:
     other sinks."""
     _compact(spark, f"{path}/toks", _classifier_toks_of, quiesced)
     _compact(spark, f"{path}/docs", _classifier_docs_of, quiesced)
+
+
+def release_audit_view(
+    spark,
+    datasheet_path: str,
+    privacy_path: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    ks: tuple[int, ...] = (2, 5, 10, 25),
+) -> DataFrame:
+    """The CONTINUOUS form of the x164 pre-publication gate for the
+    families with streaming state: the same long-form (family, item,
+    metric, value, ok) report, served from the datasheet and privacy
+    stores — so 'is this corpus releasable right now?' is answerable
+    at any moment from log-sized state instead of a full-corpus audit
+    run.  Verdict semantics mirror x164: NULL ok on informational
+    datasheet rows (dup_rate here is the HLL estimate, hence
+    'dup_rate_est'), risky_row_frac <= 0.05 per anonymity
+    threshold."""
+    okn = F.lit(None).cast("boolean")
+    ds = datasheet_view(spark, datasheet_path).select(
+        F.lit("datasheet").alias("family"),
+        F.col("source").alias("item"),
+        F.expr(
+            "stack(4,"
+            " 'n_docs', CAST(n_docs AS DOUBLE) + 0.0D,"
+            " 'total_tokens', CAST(total_tokens AS DOUBLE) + 0.0D,"
+            " 'dup_rate_est', dup_rate_est + 0.0D,"
+            " 'hi_quality_rate', hi_quality_rate + 0.0D) AS (metric, value)"
+        ),
+        okn.alias("ok"),
+    )
+    ka = privacy_view(spark, privacy_path, quasi_cols, sensitive_col, ks).select(
+        F.lit("k_anonymity").alias("family"),
+        F.concat(F.lit("k="), F.col("k").cast("string")).alias("item"),
+        F.lit("risky_row_frac").alias("metric"),
+        (F.col("risky_row_frac") + F.lit(0.0)).alias("value"),
+        (F.col("risky_row_frac") <= F.lit(0.05)).alias("ok"),
+    )
+    return ds.unionByName(ka)

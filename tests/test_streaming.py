@@ -2817,3 +2817,62 @@ def test_streaming_classifier_model_matches_batch_training(spark, sf_dir, tmp_pa
         r["doc_id"]: r["predicted"] for r in nb_score(b1, nb_train(docs)).collect()
     }
     assert preds_stream == preds_batch
+
+
+def test_streaming_release_audit_view_composes_both_stores(spark, sf_dir, tmp_path):
+    """The continuous release-audit view serves x164's long form from
+    the datasheet + privacy stores: datasheet rows match the
+    datasheet view, k-anonymity rows match the privacy view, verdict
+    semantics mirror the batch gate."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        datasheet_view,
+        make_datasheet_sink,
+        make_privacy_sink,
+        privacy_view,
+        release_audit_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds_path, priv_path = str(tmp_path / "ds"), str(tmp_path / "priv")
+    ds_sink = make_datasheet_sink(ds_path)
+    priv_sink = make_privacy_sink(priv_path, ["lang", "len_bucket"], "source")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+        "doc_id",
+    )
+    for b in (0, 1):
+        half = docs.filter(F.col("doc_id") % 2 == b)
+        ds_sink(half, b)
+        priv_sink(proj.filter(F.col("doc_id") % 2 == b).drop("doc_id"), b)
+
+    rows = release_audit_view(
+        spark, ds_path, priv_path, ["lang", "len_bucket"], "source"
+    ).collect()
+    fams = {r["family"] for r in rows}
+    assert fams == {"datasheet", "k_anonymity"}
+    got_n = {
+        r["item"]: r["value"]
+        for r in rows
+        if r["family"] == "datasheet" and r["metric"] == "n_docs"
+    }
+    want_n = {
+        r["source"]: float(r["n_docs"])
+        for r in datasheet_view(spark, ds_path).collect()
+    }
+    assert got_n == want_n
+    got_ka = {
+        r["item"]: (r["value"], r["ok"])
+        for r in rows
+        if r["family"] == "k_anonymity"
+    }
+    want_ka = {
+        f"k={r['k']}": (r["risky_row_frac"], r["risky_row_frac"] <= 0.05)
+        for r in privacy_view(
+            spark, priv_path, ["lang", "len_bucket"], "source"
+        ).collect()
+    }
+    assert got_ka == want_ka
+    assert all(r["ok"] is None for r in rows if r["family"] == "datasheet")
