@@ -1130,3 +1130,10 @@ class Engine:
         from .operators.classify import nb_calibration
 
         return nb_calibration(self.table("documents"), label_col=label_col, **kw)
+
+    def tokenizer_report(self, group_col: str = "lang", **kw) -> DataFrame:
+        """Per-language tokenizer fertility / bytes-per-token /
+        chars-per-word budgeting report (x168)."""
+        from .operators.profile import tokenizer_fertility
+
+        return tokenizer_fertility(self.table("documents"), group_col=group_col, **kw)

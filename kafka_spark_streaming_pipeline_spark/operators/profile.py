@@ -1081,3 +1081,61 @@ def welch_pairs(
         (F.round(d + F.lit(1e-9), 4) + F.lit(0.0)).alias("cohens_d"),
         (F.abs(t) > F.lit(1.96)).alias("z_flag"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-efficiency report per language (or any grouping): how
+    many sub-word tokens the BPE-ish pre-tokenizer spends per
+    whitespace word (FERTILITY — the standard 'is the tokenizer fair
+    to this language' number: high-fertility languages pay more
+    sequence length per sentence, skewing both cost and effective
+    context), plus bytes per token and characters per word — the
+    budgeting inputs next to x12's per-doc counts and x30's mixture
+    weights.
+
+    ONE corpus scan into a |groups|-row combinable aggregate of exact
+    BIGINT sums; the three ratios divide those sums (corpus-level
+    fertility, not a mean of per-doc ratios — short docs don't get
+    up-weighted)."""
+    from .text import bpe_regex_token_count, token_count
+
+    t = F.col(text_col)
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        token_count(t).alias("ws"),
+        bpe_regex_token_count(t).alias("bpe"),
+        F.octet_length(t).cast("long").alias("bytes"),
+        F.length(t).cast("long").alias("chars"),
+    )
+    g = per.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_words"),
+        F.sum("bpe").cast("long").alias("n_tokens"),
+        F.sum("bytes").cast("long").alias("n_bytes"),
+        F.sum("chars").cast("long").alias("n_chars"),
+    )
+
+    def ratio(num, den):
+        return (
+            F.round(
+                F.col(num).cast("double") / F.col(den).cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        )
+
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_bytes",
+        ratio("n_tokens", "n_words").alias("fertility"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+        ratio("n_chars", "n_words").alias("chars_per_word"),
+    )

@@ -10043,3 +10043,43 @@ def x167_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_calibration(docs, label_col="lang")
+
+
+@query(
+    "x168_tokenizer_fertility",
+    oracle="""
+    WITH per AS (
+      SELECT lang AS grp,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(lower(text),
+                                         '[a-z]+|[0-9]|[^a-z0-9 ]+'))
+                  AS BIGINT) AS bpe,
+             CAST(strlen(text) AS BIGINT) AS bytes,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT grp AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ws) AS BIGINT) AS n_words,
+           CAST(sum(bpe) AS BIGINT) AS n_tokens,
+           CAST(sum(bytes) AS BIGINT) AS n_bytes,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws) + 1e-9, 6) + 0.0
+             AS fertility,
+           round(CAST(sum(bytes) AS DOUBLE) / sum(bpe) + 1e-9, 6) + 0.0
+             AS bytes_per_token,
+           round(CAST(sum(chars) AS DOUBLE) / sum(ws) + 1e-9, 6) + 0.0
+             AS chars_per_word
+    FROM per GROUP BY 1
+    """,
+)
+def x168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (BPE-ish sub-word tokens per
+    whitespace word), bytes/token and chars/word — the 'is the
+    tokenizer fair to this language' budgeting report next to x12's
+    per-doc counts and x30's mixture weights.  One scan into a
+    |langs|-row exact-BIGINT aggregate; corpus-level ratios, not means
+    of per-doc ratios."""
+    from ..operators.profile import tokenizer_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(docs, group_col="lang")

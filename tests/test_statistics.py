@@ -755,3 +755,26 @@ def test_nb_calibration_buckets_margin_and_fallback(spark):
     assert sum(r["n_docs"] for r in scored.values()) == 2
     assert all(r["accuracy"] == 1.0 for r in scored.values())
     assert all(b >= 1 for b in scored)  # disjoint vocab -> real margin
+
+
+def test_tokenizer_fertility_hand_case(spark):
+    """'ab cd' -> 2 words / 2 sub-tokens (fertility 1); 'a-b c!d' ->
+    2 words / 6 sub-tokens (letter runs split on punctuation,
+    fertility 3).  Corpus-level ratios divide exact sums."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        tokenizer_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "ab cd", "en"), (1, "a-b c!d", "xx"), (2, "a-b c!d", "xx")],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    out = {r["lang"]: r for r in tokenizer_fertility(docs).collect()}
+    en = out["en"]
+    assert en["n_words"] == 2 and en["n_tokens"] == 2
+    assert en["fertility"] == 1.0
+    xx = out["xx"]
+    # per doc: words 'a-b','c!d' = 2; sub-tokens a,-,b + c,!,d = 6
+    assert xx["n_docs"] == 2 and xx["n_words"] == 4 and xx["n_tokens"] == 12
+    assert xx["fertility"] == 3.0
+    assert xx["chars_per_word"] == round(14 / 4 + 1e-9, 6)

@@ -160,6 +160,7 @@ AUDITED = {
     "x165_ann_recall_audit": "ANN recall audit: broadcast-queries exact baseline (p13 dataflow) vs bucket-cohabitant LSH candidates (x49 dataflow); the hit join runs on |Q| x k rows",
     "x166_padding_efficiency": "padding report: ONE corpus scan into a <=8-row bucket aggregate; the naive baseline re-aggregates the same tiny frame",
     "x167_classifier_calibration": "calibration: the x159 dataflow + a top-2 window over |docs|x|L| rows; the report is a <=12-row bucket aggregate",
+    "x168_tokenizer_fertility": "fertility: ONE corpus scan into a |langs|-row exact-BIGINT combinable aggregate — zero joins",
 }
 
 
