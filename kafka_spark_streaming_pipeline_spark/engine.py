@@ -1137,3 +1137,13 @@ class Engine:
         from .operators.profile import tokenizer_fertility
 
         return tokenizer_fertility(self.table("documents"), group_col=group_col, **kw)
+
+    def filter_confound_audit(self) -> DataFrame:
+        """Chi-squared independence of the style quality signal vs
+        document length (x169) — does a heuristic filter silently act
+        as a length filter?"""
+        from .plans import QUERIES
+
+        return QUERIES["x169_quality_length_confound"].builder(
+            self.spark, self.sf_dir
+        )

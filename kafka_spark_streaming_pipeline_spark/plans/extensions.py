@@ -10083,3 +10083,109 @@ def x168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tokenizer_fertility(docs, group_col="lang")
+
+
+@query(
+    "x169_quality_length_confound",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+               AS stop_r,
+             list_sum(list_transform(string_split(lower(text), ' '),
+                                     t -> length(t)))
+               / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS awl
+      FROM documents
+    ), labeled AS (
+      SELECT (CASE WHEN stop_r BETWEEN 0.01 AND 0.6 THEN 'S1' ELSE 'S0' END)
+             || (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 'W1' ELSE 'W0' END)
+               AS rv,
+             CAST(CAST(trunc(log2(greatest(n_tok, 1) + 0.0)) AS BIGINT)
+                  AS VARCHAR) AS cv
+      FROM m
+    ), cells AS (
+      SELECT rv, cv, CAST(count(*) AS BIGINT) AS n_obs
+      FROM labeled GROUP BY 1, 2
+    ), rmarg AS (
+      SELECT rv, CAST(sum(n_obs) AS BIGINT) AS n_row FROM cells GROUP BY 1
+    ), cmarg AS (
+      SELECT cv, CAST(sum(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_obs) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT rv) AS BIGINT) AS n_r,
+             CAST(count(DISTINCT cv) AS BIGINT) AS n_c
+      FROM cells
+    ), full_grid AS (
+      SELECT rmarg.rv, cmarg.cv, n_row, n_col FROM rmarg CROSS JOIN cmarg
+    ), wide AS (
+      SELECT g.rv, g.cv, CAST(coalesce(cells.n_obs, 0) AS BIGINT) AS n_obs,
+             n_row, n_col, n_total, n_r, n_c,
+             CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+               / CAST(n_total AS DOUBLE) AS expected_raw
+      FROM full_grid g
+      LEFT JOIN cells ON g.rv = cells.rv AND g.cv = cells.cv
+      CROSS JOIN tot
+    ), per_cell AS (
+      SELECT rv, cv, n_obs, n_total, n_r, n_c,
+             round(expected_raw + 1e-9, 4) + 0.0 AS expected,
+             CAST(trunc((CAST(n_obs AS DOUBLE) - expected_raw)
+                  * (CAST(n_obs AS DOUBLE) - expected_raw) / expected_raw
+                  * 1e6) AS BIGINT) AS termq
+      FROM wide
+    ), stat AS (
+      SELECT n_total, n_r, n_c, CAST(sum(termq) AS BIGINT) AS chiq
+      FROM per_cell GROUP BY 1, 2, 3
+    ), shared AS (
+      SELECT n_total,
+             round(CAST(chiq AS DOUBLE) / 1e6 + 1e-9, 4) + 0.0 AS chi2,
+             CAST((n_r - 1) * (n_c - 1) AS BIGINT) AS dof,
+             round(sqrt(CAST(chiq AS DOUBLE) / 1e6
+                   / (CAST(n_total AS DOUBLE) * CAST(least(n_r, n_c) AS DOUBLE)
+                      - CAST(n_total AS DOUBLE))) + 1e-9, 6) + 0.0
+               AS cramers_v,
+             CAST(chiq AS DOUBLE) / 1e6 >
+               CAST((n_r - 1) * (n_c - 1) AS DOUBLE)
+               * pow(1.0 - 2.0 / (9.0 * (n_r - 1) * (n_c - 1))
+                     + 1.6448536269514722
+                       * sqrt(2.0 / (9.0 * (n_r - 1) * (n_c - 1))), 3.0)
+               AS dependent
+      FROM stat
+    )
+    SELECT rv AS style_band, cv AS len_band, n_obs, expected,
+           chi2, dof, cramers_v, dependent
+    FROM per_cell JOIN shared USING (n_total)
+    """,
+)
+def x169_quality_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-confound audit: is the STYLE quality signal (stopword +
+    word-length bands, deliberately excluding quality_score's built-in
+    length term) independent of document LENGTH (log2 token buckets)?
+    A dependent table means a style-threshold filter silently acts as
+    a length filter and skews the curated length distribution — the
+    check a pipeline runs before gating on any heuristic signal.
+    One scan to the style x length contingency table; the 0.05
+    critical value derives from the table's ACTUAL dof
+    (Wilson-Hilferty default, mirrored exactly in the oracle)."""
+    from ..operators.profile import chi2_independence
+    from ..operators.text import avg_word_len, stopword_ratio, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    stop_r, awl, n_tok = stopword_ratio(t), avg_word_len(t), token_count(t)
+    labeled = docs.select(
+        F.concat(
+            F.when((stop_r >= 0.01) & (stop_r <= 0.6), F.lit("S1")).otherwise(
+                F.lit("S0")
+            ),
+            F.when((awl >= 2.0) & (awl <= 12.0), F.lit("W1")).otherwise(
+                F.lit("W0")
+            ),
+        ).alias("style_band"),
+        F.floor(F.log2(F.greatest(n_tok, F.lit(1)).cast("double")))
+        .cast("long")
+        .cast("string")
+        .alias("len_band"),
+    )
+    return chi2_independence(labeled, "style_band", "len_band")

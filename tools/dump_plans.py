@@ -161,6 +161,7 @@ AUDITED = {
     "x166_padding_efficiency": "padding report: ONE corpus scan into a <=8-row bucket aggregate; the naive baseline re-aggregates the same tiny frame",
     "x167_classifier_calibration": "calibration: the x159 dataflow + a top-2 window over |docs|x|L| rows; the report is a <=12-row bucket aggregate",
     "x168_tokenizer_fertility": "fertility: ONE corpus scan into a |langs|-row exact-BIGINT combinable aggregate — zero joins",
+    "x169_quality_length_confound": "confound audit: one scan to the 4 x log2-buckets contingency table; chi2 machinery on the tiny persisted cell frame",
 }
 
 
