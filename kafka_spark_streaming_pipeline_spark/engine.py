@@ -1147,3 +1147,11 @@ class Engine:
         return QUERIES["x169_quality_length_confound"].builder(
             self.spark, self.sf_dir
         )
+
+    def context_length_report(self, max_lens: tuple[int, ...] = (128, 256, 512, 1024, 2048)) -> DataFrame:
+        """Per candidate sequence length: documents truncated and
+        corpus tokens lost (x170) — the truncation side of the
+        padding/truncation trade x166 prices."""
+        from .operators.curation import truncation_loss
+
+        return truncation_loss(self.table("documents"), max_lens=max_lens)

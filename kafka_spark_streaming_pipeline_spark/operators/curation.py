@@ -3450,3 +3450,68 @@ def padding_efficiency(
             + F.lit(0.0)
         ).alias("efficiency"),
     )
+
+
+def truncation_loss(
+    docs: DataFrame,
+    max_lens: tuple[int, ...] = (128, 256, 512, 1024, 2048),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length sweep: for each candidate ``max_len``, the
+    fraction of documents that would truncate and the fraction of
+    corpus TOKENS lost to truncation — the report that picks a
+    training sequence length (the doc-count view understates the
+    damage: a few long documents can carry most of the tokens, so
+    both fractions are reported).
+
+    ONE corpus scan -> per-doc token count -> explode over the
+    |max_lens| literals -> combinable aggregate (|max_lens| rows).
+    All integer sums; the two fractions divide exact BIGINTs."""
+    from .text import token_count
+
+    lens = docs.select(token_count(F.col(text_col)).alias("len"))
+    swept = lens.select(
+        "len",
+        F.explode(F.array(*[F.lit(int(m)) for m in max_lens])).alias("max_len"),
+    )
+    n = F.count("*")
+    return (
+        swept.groupBy(F.col("max_len").cast("long").alias("max_len"))
+        .agg(
+            n.cast("long").alias("n_docs"),
+            F.sum((F.col("len") > F.col("max_len")).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("len").cast("long").alias("n_tokens"),
+            F.sum(
+                F.greatest(F.col("len") - F.col("max_len"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_tokens_lost"),
+        )
+        .select(
+            "max_len",
+            "n_docs",
+            "n_truncated",
+            "n_tokens",
+            "n_tokens_lost",
+            (
+                F.round(
+                    F.col("n_truncated").cast("double")
+                    / F.col("n_docs").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("doc_trunc_frac"),
+            (
+                F.round(
+                    F.col("n_tokens_lost").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("token_loss_frac"),
+        )
+    )

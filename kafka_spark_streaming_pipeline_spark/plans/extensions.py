@@ -10189,3 +10189,38 @@ def x169_quality_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("len_band"),
     )
     return chi2_independence(labeled, "style_band", "len_band")
+
+
+@query(
+    "x170_truncation_loss",
+    oracle="""
+    WITH lens AS (
+      SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len
+      FROM documents
+    ), swept AS (
+      SELECT len, unnest([128, 256, 512, 1024, 2048]) AS max_len
+      FROM lens
+    )
+    SELECT CAST(max_len AS BIGINT) AS max_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len > max_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(len) AS BIGINT) AS n_tokens,
+           CAST(sum(greatest(len - max_len, 0)) AS BIGINT) AS n_tokens_lost,
+           round(CAST(sum(CASE WHEN len > max_len THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) + 1e-9, 6) + 0.0 AS doc_trunc_frac,
+           round(CAST(sum(greatest(len - max_len, 0)) AS DOUBLE)
+                 / sum(len) + 1e-9, 6) + 0.0 AS token_loss_frac
+    FROM swept GROUP BY 1
+    """,
+)
+def x170_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sweep: per candidate max sequence length, the
+    fraction of documents truncated and the fraction of corpus TOKENS
+    lost — the report that picks a training sequence length (x166
+    prices the padding side of the same decision; this prices the
+    truncation side).  One scan, |max_lens|-row exact aggregate."""
+    from ..operators.curation import truncation_loss
+
+    docs = load_table(spark, sf_dir, "documents")
+    return truncation_loss(docs)

@@ -1174,3 +1174,26 @@ def test_padding_efficiency_hand_case(spark):
         r["padded_tokens"] for r in rows if r["strategy"] == "bucketed"
     )
     assert bucketed_eff > nv["efficiency"]
+
+
+def test_truncation_loss_hand_case(spark):
+    """Lengths 100 and 300 at max_len 128/256: exact truncated counts
+    and token losses; monotone decreasing loss in max_len."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        truncation_loss,
+    )
+
+    def text(n):
+        return " ".join(["w"] * n)
+
+    docs = spark.createDataFrame(
+        [(0, text(100)), (1, text(300))], "doc_id BIGINT, text STRING"
+    )
+    out = {r["max_len"]: r for r in truncation_loss(docs, (128, 256)).collect()}
+    r128 = out[128]
+    assert r128["n_truncated"] == 1 and r128["n_tokens_lost"] == 300 - 128
+    assert r128["doc_trunc_frac"] == 0.5
+    assert r128["token_loss_frac"] == round(172 / 400 + 1e-9, 6)
+    r256 = out[256]
+    assert r256["n_truncated"] == 1 and r256["n_tokens_lost"] == 44
+    assert r256["token_loss_frac"] < r128["token_loss_frac"]

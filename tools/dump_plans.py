@@ -162,6 +162,7 @@ AUDITED = {
     "x167_classifier_calibration": "calibration: the x159 dataflow + a top-2 window over |docs|x|L| rows; the report is a <=12-row bucket aggregate",
     "x168_tokenizer_fertility": "fertility: ONE corpus scan into a |langs|-row exact-BIGINT combinable aggregate — zero joins",
     "x169_quality_length_confound": "confound audit: one scan to the 4 x log2-buckets contingency table; chi2 machinery on the tiny persisted cell frame",
+    "x170_truncation_loss": "truncation sweep: ONE corpus scan -> per-doc length -> |max_lens| literal explode -> combinable aggregate",
 }
 
 
