@@ -54,14 +54,12 @@ def nb_train(
     n_docs) * 1e6)`` repeated per row (broadcast-friendly single
     frame).  Unseen-(token, label) pairs get the smoothed zero-count
     likelihood, so scoring never needs a fallback branch."""
-    from ..cache import tracked_persist
-
     lbl = F.col(label_col).alias("label")
     tok_rows = docs.select(lbl, F.explode(tokens(F.col(text_col))).alias("tok"))
-    # ONE corpus text scan; everything below runs on this model-sized
-    # (label, tok, c) frame (release via cache.unpersist_tracked)
-    counts = tracked_persist(
-        tok_rows.groupBy("label", "tok").agg(F.count("*").cast("long").alias("c"))
+    # ONE corpus text scan; nb_model_from_counts persists this
+    # model-sized (label, tok, c) frame for its several consumers
+    counts = tok_rows.groupBy("label", "tok").agg(
+        F.count("*").cast("long").alias("c")
     )
     doc_counts = docs.groupBy(lbl).agg(F.count("*").cast("long").alias("n"))
     return nb_model_from_counts(counts, doc_counts, alpha=alpha)
@@ -77,9 +75,17 @@ def nb_model_from_counts(
     n)`` document counts, returns the ``(label, tok, qll, prior_q)``
     dense model.  Both consumers get bit-identical models for the
     same underlying corpus because everything here is a deterministic
-    function of the two count frames."""
+    function of the two count frames.
+
+    Both inputs are persisted here: ``counts`` feeds the |V| count,
+    the vocabulary, the per-label totals AND the densification join
+    (un-persisted, the streaming view would re-fold its whole log 3x
+    per model build); ``doc_counts`` feeds the collected total and
+    the priors."""
     from ..cache import tracked_persist
 
+    counts = tracked_persist(counts)
+    doc_counts = tracked_persist(doc_counts)
     vocab = counts.select("tok").distinct()
     n_vocab = vocab.count()  # one scalar: |V| (model-sized, not corpus)
     label_tot = counts.groupBy("label").agg(F.sum("c").cast("long").alias("n_tok"))
@@ -154,8 +160,23 @@ def nb_score(
         .filter(F.col("rn") == 1)
         .select(id_col, F.col("label").alias("predicted"), "score_q")
     )
-    # prior-only fallback: ONE row (the max-prior label, label ASC on
-    # ties), broadcast-crossed with the zero-evidence documents
+    return best.unionByName(
+        _prior_fallback(docs, model, best, id_col, "score_q")
+    )
+
+
+def _prior_fallback(
+    docs: DataFrame,
+    model: DataFrame,
+    covered: DataFrame,
+    id_col: str,
+    null_col: str,
+) -> DataFrame:
+    """The prior-only OOV fallback shared by ``nb_score`` and
+    ``nb_calibration``: ONE row (the max-prior label, label ASC on
+    ties) broadcast-crossed with the zero-evidence documents (those
+    absent from ``covered``), carrying a NULL ``null_col`` (no token
+    evidence was summed, so neither a score nor a margin exists)."""
     prior_w = W.orderBy(F.col("prior_q").desc(), F.col("label").asc())
     top_prior = (
         model.select("label", "prior_q")
@@ -164,11 +185,12 @@ def nb_score(
         .filter(F.col("rn") == 1)
         .select(F.col("label").alias("predicted"))
     )
-    uncovered = docs.select(id_col).join(best.select(id_col), id_col, "left_anti")
-    fallback = uncovered.crossJoin(F.broadcast(top_prior)).select(
-        id_col, "predicted", F.lit(None).cast("long").alias("score_q")
+    uncovered = docs.select(id_col).join(
+        covered.select(id_col), id_col, "left_anti"
     )
-    return best.unionByName(fallback)
+    return uncovered.crossJoin(F.broadcast(top_prior)).select(
+        id_col, "predicted", F.lit(None).cast("long").alias(null_col)
+    )
 
 
 def nb_confusion(
@@ -272,19 +294,9 @@ def nb_calibration(
         .alias("margin_q"),
     )
     # prior-only fallback: no token evidence -> no margin -> bucket -1
-    prior_w = W.orderBy(F.col("prior_q").desc(), F.col("label").asc())
-    top_prior = (
-        model.select("label", "prior_q")
-        .distinct()
-        .withColumn("rn", F.row_number().over(prior_w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("label").alias("predicted"))
+    preds = top.unionByName(
+        _prior_fallback(test, model, top, id_col, "margin_q")
     )
-    uncovered = test.select(id_col).join(top.select(id_col), id_col, "left_anti")
-    fallback = uncovered.crossJoin(F.broadcast(top_prior)).select(
-        id_col, "predicted", F.lit(None).cast("long").alias("margin_q")
-    )
-    preds = top.unionByName(fallback)
     truth = test.select(F.col(id_col), F.col(label_col).alias("truth"))
     bucket = F.when(
         F.col("margin_q").isNull(), F.lit(-1).cast("long")

@@ -718,11 +718,12 @@ def chi2_independence(
     margins and the cell output).  Per-cell (O-E)^2/E terms are
     trunc-quantized to micro-units BEFORE the cross-cell sum (house
     float discipline).  ``crit=None`` (the default) derives the 0.05
-    critical value from the table's ACTUAL dof via the
-    Wilson-Hilferty cube approximation (within 0.1% of the exact
-    quantile for dof >= 3; 21.03 at 12 dof vs the exact 21.026) — a
-    fixed default would be the wrong quantile for every other table
-    shape.  Pass an explicit ``crit`` to pin a textbook value.
+    critical value from the table's ACTUAL dof: exact quantiles for
+    dof 1 and 2 (where the cube approximation is 2.5% / 0.9%
+    anti-conservative), Wilson-Hilferty above (within 0.1% of exact
+    for dof >= 3; 21.03 at 12 dof vs the exact 21.026) — a fixed
+    default would be the wrong quantile for every other table shape.
+    Pass an explicit ``crit`` to pin a textbook value.
     Output: one row per observed cell carrying its counts plus the
     shared chi2 / dof / Cramer's V / verdict."""
     from ..cache import tracked_persist
@@ -776,16 +777,23 @@ def chi2_independence(
         crit_col = F.lit(float(crit))
     else:
         # Wilson-Hilferty: chi2_{0.95}(k) ~ k*(1 - 2/(9k) + z_.95*sqrt(2/(9k)))^3
+        # — accurate to <0.1% for dof >= 3, but ~2.5% anti-conservative
+        # at dof 1 (3.747 vs the exact 3.841) and ~0.9% at dof 2, so the
+        # two small dofs get their exact quantiles pinned
         k = dof.cast("double")
         z95 = F.lit(1.6448536269514722)
-        crit_col = F.when(
-            dof >= 1,
-            k
-            * F.pow(
-                F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k)
-                + z95 * F.sqrt(F.lit(2.0) / (F.lit(9.0) * k)),
-                F.lit(3.0),
-            ),
+        crit_col = (
+            F.when(dof == 1, F.lit(3.841458820694124))
+            .when(dof == 2, F.lit(5.991464547107979))
+            .when(
+                dof >= 3,
+                k
+                * F.pow(
+                    F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * k)
+                    + z95 * F.sqrt(F.lit(2.0) / (F.lit(9.0) * k)),
+                    F.lit(3.0),
+                ),
+            )
         )  # dof == 0 (single row or column level): no test, NULL verdict
     v = F.sqrt(
         chi2

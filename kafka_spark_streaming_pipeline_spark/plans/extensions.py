@@ -9457,6 +9457,9 @@ def x163_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(docs, n_queries=20, topk=10, n_terms=3)
 
 
+_X153_ORACLE = _REGISTRY["x153_quantile_sketch_audit"].oracle
+_X154_ORACLE = _REGISTRY["x154_cardinality_sketch_audit"].oracle
+
 _X164_ORACLE = f"""
     WITH per0 AS (
       SELECT doc_id, source, lang,
@@ -9526,8 +9529,12 @@ _X164_ORACLE = f"""
              'risky_row_frac' AS metric,
              round(CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
                    / CAST(ka_tot.n_rows AS DOUBLE) + 1e-9, 6) + 0.0 AS value,
-             CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
-               / CAST(ka_tot.n_rows AS DOUBLE) <= 0.05 AS ok
+             -- verdict on the ROUNDED value: the Spark side thresholds
+             -- x160's 6dp output, and engine/oracle must agree at the
+             -- 0.05 boundary
+             round(CAST(COALESCE(n_risky_rows, 0) AS DOUBLE)
+                   / CAST(ka_tot.n_rows AS DOUBLE) + 1e-9, 6) + 0.0
+               <= 0.05 AS ok
       FROM ka_ks LEFT JOIN ka_per_k USING (k) CROSS JOIN ka_tot
     ), bf_b AS (
       SELECT DISTINCT fp AS v FROM per WHERE doc_id % 2 = 0
@@ -9554,6 +9561,9 @@ _X164_ORACLE = f"""
     ), bf_ins AS (
       SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM bf_b
     ), bloom_rows AS (
+      -- verdict on the ROUNDED rates: the Spark side compares the 6dp
+      -- outputs of bloom_fpr_audit, and engine/oracle must agree at
+      -- the 3x-theoretical boundary
       SELECT 'bloom' AS family, 'fingerprint_filter' AS item,
              'observed_fpr' AS metric,
              CASE WHEN CAST(n_probes - n_members AS DOUBLE) > 0 THEN
@@ -9561,9 +9571,11 @@ _X164_ORACLE = f"""
                      / CAST(n_probes - n_members AS DOUBLE) + 1e-9, 6) + 0.0
              END AS value,
              CASE WHEN CAST(n_probes - n_members AS DOUBLE) > 0 THEN
-               CAST(n_false_pos AS DOUBLE) / CAST(n_probes - n_members AS DOUBLE)
-                 <= 3.0 * pow(1.0 - exp(-4.0 * CAST(n_inserted AS DOUBLE)
-                                        / 65536.0), 4.0) + 1e-6
+               round(CAST(n_false_pos AS DOUBLE)
+                     / CAST(n_probes - n_members AS DOUBLE) + 1e-9, 6) + 0.0
+                 <= 3.0 * (round(pow(1.0 - exp(-4.0 * CAST(n_inserted AS DOUBLE)
+                                               / 65536.0), 4.0) + 1e-9, 6) + 0.0)
+                    + 1e-6
              END AS ok
       FROM bf_agg CROSS JOIN bf_ins
       UNION ALL
@@ -9571,40 +9583,22 @@ _X164_ORACLE = f"""
              CAST(n_missed_members AS DOUBLE) + 0.0,
              n_missed_members = 0
       FROM bf_agg
-    ), dd_est AS ({_X76_ORACLE}),
-    dd_exact AS (
-      SELECT o_orderpriority,
-             unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q,
-             unnest([round(quantile_cont(o_totalprice, 0.5) + 1e-9, 4),
-                     round(quantile_cont(o_totalprice, 0.95) + 1e-9, 4),
-                     round(quantile_cont(o_totalprice, 0.99) + 1e-9, 4)])
-               AS exact
-      FROM orders GROUP BY 1
-    ), dd_err AS (
-      SELECT abs(e.estimate - x.exact) / x.exact AS rel_err
-      FROM dd_est e
-      JOIN dd_exact x ON e.o_orderpriority = x.o_orderpriority AND e.q = x.q
     ), dd_rows AS (
+      -- composed from the registered x153 audit (one source of truth
+      -- for the sketch dataflow and the 2*alpha tolerance)
       SELECT 'quantile_sketch' AS family, 'ddsketch_totalprice' AS item,
              'max_rel_err' AS metric,
              round(max(rel_err) + 1e-9, 6) + 0.0 AS value,
-             bool_and(rel_err <= 0.02) AS ok
-      FROM dd_err
-    ), hll_est AS ({_X89_ORACLE}),
-    hll_exact AS (
-      SELECT event_type,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
-      FROM events GROUP BY 1
-    ), hll_err AS (
-      SELECT abs(e.approx_distinct - CAST(x.exact_distinct AS DOUBLE))
-               / CAST(x.exact_distinct AS DOUBLE) AS rel_err
-      FROM hll_est e JOIN hll_exact x USING (event_type)
+             bool_and(within_bound) AS ok
+      FROM ({_X153_ORACLE})
     ), hll_rows AS (
+      -- composed from the registered x154 audit (one source of truth
+      -- for the register dataflow and the 3-sigma tolerance)
       SELECT 'cardinality_sketch' AS family, 'hll_distinct_users' AS item,
              'max_rel_err' AS metric,
              round(max(rel_err) + 1e-9, 6) + 0.0 AS value,
-             bool_and(rel_err <= 0.195) AS ok
-      FROM hll_err
+             bool_and(within_3sigma) AS ok
+      FROM ({_X154_ORACLE})
     )
     SELECT * FROM datasheet_rows
     UNION ALL SELECT * FROM pii_rows
@@ -9638,14 +9632,7 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import tracked_persist
     from ..operators import text as tx
     from ..operators.profile import k_anonymity_audit
-    from ..operators.sketches import (
-        bloom_fpr_audit,
-        dd_build,
-        dd_quantiles,
-        hll_portable_estimate,
-        hll_portable_registers,
-        hll_portable_rollup,
-    )
+    from ..operators.sketches import bloom_fpr_audit
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
@@ -9738,30 +9725,16 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   n_missed_members = 0) AS (metric, value, ok)"
         ),
     )
-    orders = load_table(spark, sf_dir, "orders")
-    dd_est = dd_quantiles(
-        dd_build(orders, "o_totalprice", keys=["o_orderpriority"]),
-        [0.5, 0.95, 0.99],
-        keys=["o_orderpriority"],
-    ).select(
-        "o_orderpriority",
-        "q",
-        F.round(F.col("estimate") + F.lit(1e-9), 4).alias("estimate"),
-    )
-    dd_exact = orders.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", 0.5) + F.lit(1e-9), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.95) + F.lit(1e-9), 4).alias("p95"),
-        F.round(F.percentile("o_totalprice", 0.99) + F.lit(1e-9), 4).alias("p99"),
-    ).select(
-        "o_orderpriority",
-        F.expr("stack(3, 0.5D, p50, 0.95D, p95, 0.99D, p99) AS (q, exact)"),
-    )
-    dd_err = F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+    # composed from the REGISTERED x153/x154 audits — one source of
+    # truth for the sketch dataflows and their tolerance literals (the
+    # oracle composes the same way from their oracle fragments)
     dd_fam = (
-        dd_est.join(dd_exact, ["o_orderpriority", "q"])
+        x153_quantile_sketch_audit(spark, sf_dir)
         .agg(
-            (F.round(F.max(dd_err) + F.lit(1e-9), 6) + F.lit(0.0)).alias("value"),
-            F.expr("bool_and(abs(estimate - exact) / exact <= 0.02D)").alias("ok"),
+            (F.round(F.max("rel_err") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "value"
+            ),
+            F.expr("bool_and(within_bound)").alias("ok"),
         )
         .select(
             F.lit("quantile_sketch").alias("family"),
@@ -9771,28 +9744,13 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok",
         )
     )
-    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    hll_est = hll_portable_estimate(
-        hll_portable_rollup(
-            hll_portable_registers(events, ["event_type", "day"], "user_id"),
-            ["event_type"],
-        ),
-        ["event_type"],
-    ).select("event_type", "approx_distinct")
-    hll_exact = events.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("long").alias("exact_distinct")
-    )
-    hll_err = F.abs(
-        F.col("approx_distinct") - F.col("exact_distinct").cast("double")
-    ) / F.col("exact_distinct").cast("double")
     hll_fam = (
-        hll_est.join(hll_exact, "event_type")
+        x154_cardinality_sketch_audit(spark, sf_dir)
         .agg(
-            (F.round(F.max(hll_err) + F.lit(1e-9), 6) + F.lit(0.0)).alias("value"),
-            F.expr(
-                "bool_and(abs(approx_distinct - CAST(exact_distinct AS DOUBLE))"
-                " / CAST(exact_distinct AS DOUBLE) <= 0.195D)"
-            ).alias("ok"),
+            (F.round(F.max("rel_err") + F.lit(1e-9), 6) + F.lit(0.0)).alias(
+                "value"
+            ),
+            F.expr("bool_and(within_3sigma)").alias("ok"),
         )
         .select(
             F.lit("cardinality_sketch").alias("family"),
@@ -10146,11 +10104,14 @@ def x168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - CAST(n_total AS DOUBLE))) + 1e-9, 6) + 0.0
                AS cramers_v,
              CAST(chiq AS DOUBLE) / 1e6 >
-               CAST((n_r - 1) * (n_c - 1) AS DOUBLE)
-               * pow(1.0 - 2.0 / (9.0 * (n_r - 1) * (n_c - 1))
-                     + 1.6448536269514722
-                       * sqrt(2.0 / (9.0 * (n_r - 1) * (n_c - 1))), 3.0)
-               AS dependent
+               CASE WHEN (n_r - 1) * (n_c - 1) = 1 THEN 3.841458820694124
+                    WHEN (n_r - 1) * (n_c - 1) = 2 THEN 5.991464547107979
+                    ELSE CAST((n_r - 1) * (n_c - 1) AS DOUBLE)
+                         * pow(1.0 - 2.0 / (9.0 * (n_r - 1) * (n_c - 1))
+                               + 1.6448536269514722
+                                 * sqrt(2.0 / (9.0 * (n_r - 1) * (n_c - 1))),
+                               3.0)
+               END AS dependent
       FROM stat
     )
     SELECT rv AS style_band, cv AS len_band, n_obs, expected,
