@@ -1155,3 +1155,13 @@ class Engine:
         from .operators.curation import truncation_loss
 
         return truncation_loss(self.table("documents"), max_lens=max_lens)
+
+    def dedup_cluster_profile(self, **kwargs) -> DataFrame:
+        """Near-dup cluster-size distribution incl. singletons (x171)
+        — the giant-component early warning before canonical
+        selection acts on dedup output."""
+        from .operators.dedup import component_size_profile
+
+        return component_size_profile(
+            self.dedup_clusters(**kwargs), self.table("documents")
+        )

@@ -1516,3 +1516,56 @@ def lsh_calibration(
             + F.lit(0.0)
         ).alias("mean_abs_err"),
     )
+
+
+def component_size_profile(components: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Cluster-size distribution of the near-dup components — the
+    'how big are the duplicate families' report an operator reads
+    before acting on dedup output: a healthy corpus shows many small
+    clusters and a long singleton tail, while one giant component
+    (threshold too loose, or a boilerplate shingle stitching unrelated
+    docs together) means canonical-selection would delete most of the
+    corpus.  Singletons (documents in no cluster) are reported as
+    cluster_size = 1 so the fractions sum to 1 over the corpus.
+
+    Scale shape: component sizes from one aggregate of the (doc,
+    component) frame; the size DISTRIBUTION is another aggregate of
+    that |clusters|-row frame; the corpus total and clustered total
+    are one-row aggregates broadcast into the final projection.
+    Output: one row per distinct cluster size."""
+    sizes = components.groupBy("component").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    dist = sizes.groupBy("sz").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )
+    tot = corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+    clustered = components.agg(F.count("*").cast("long").alias("n_in"))
+    singles = (
+        tot.crossJoin(F.broadcast(clustered))
+        .filter(F.col("n_corpus") > F.col("n_in"))
+        .select(
+            F.lit(1).cast("long").alias("sz"),
+            (F.col("n_corpus") - F.col("n_in")).cast("long").alias("n_clusters"),
+            (F.col("n_corpus") - F.col("n_in")).cast("long").alias("n_docs"),
+        )
+    )
+    return (
+        dist.unionByName(singles)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            (
+                F.round(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_corpus").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("corpus_frac"),
+        )
+    )

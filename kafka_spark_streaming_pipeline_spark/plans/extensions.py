@@ -10185,3 +10185,56 @@ def x170_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return truncation_loss(docs)
+
+
+@query(
+    "x171_dedup_cluster_profile",
+    oracle=f"""
+    WITH comp AS ({_P14_ORACLE}),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz
+      FROM comp GROUP BY 1
+    ), dist AS (
+      SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents
+    ), clustered AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_in FROM comp
+    ), singles AS (
+      SELECT CAST(1 AS BIGINT) AS sz,
+             CAST(n_corpus - n_in AS BIGINT) AS n_clusters,
+             CAST(n_corpus - n_in AS BIGINT) AS n_docs
+      FROM tot CROSS JOIN clustered
+      WHERE n_corpus - n_in > 0
+    ), unioned AS (
+      SELECT * FROM dist UNION ALL SELECT * FROM singles
+    )
+    SELECT sz AS cluster_size, n_clusters, n_docs,
+           round(CAST(n_docs AS DOUBLE) / (SELECT n_corpus FROM tot)
+                 + 1e-9, 6) + 0.0 AS corpus_frac
+    FROM unioned
+    """,
+)
+def x171_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (p14's components profiled):
+    many small clusters + a singleton tail is healthy; one giant
+    component means the threshold or a boilerplate shingle is
+    stitching unrelated documents together and canonical-selection
+    would gut the corpus.  Sizes from one aggregate of the component
+    frame; singletons derived from the corpus total so corpus_frac
+    sums to 1."""
+    from ..operators.dedup import (
+        component_size_profile,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+        )
+    )
+    return component_size_profile(comp, docs)

@@ -2896,3 +2896,21 @@ def test_ann_recall_audit_self_hit_and_bounds(spark, sf_dir):
         assert 1 <= r["n_hits"] <= 10  # self-match guarantees >= 1
         assert 0 < r["n_approx"] <= 10
         assert r["recall"] == round(r["n_hits"] / 10 + 1e-9, 4)
+
+
+def test_component_size_profile_hand_case(spark):
+    """Components {A,B,C} and {D,E} over a 10-doc corpus: one size-3
+    cluster, one size-2, five singletons; fractions sum to 1."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        component_size_profile,
+    )
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "id BIGINT, component BIGINT"
+    )
+    corpus = spark.range(10).withColumnRenamed("id", "doc_id")
+    out = {r["cluster_size"]: r for r in component_size_profile(comp, corpus).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 5 and out[1]["n_docs"] == 5
+    assert abs(sum(r["corpus_frac"] for r in out.values()) - 1.0) < 1e-6

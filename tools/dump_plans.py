@@ -163,6 +163,7 @@ AUDITED = {
     "x168_tokenizer_fertility": "fertility: ONE corpus scan into a |langs|-row exact-BIGINT combinable aggregate — zero joins",
     "x169_quality_length_confound": "confound audit: one scan to the 4 x log2-buckets contingency table; chi2 machinery on the tiny persisted cell frame",
     "x170_truncation_loss": "truncation sweep: ONE corpus scan -> per-doc length -> |max_lens| literal explode -> combinable aggregate",
+    "x171_dedup_cluster_profile": "cluster profile: p14's component frame aggregated twice (sizes -> distribution); corpus/clustered totals broadcast one-row aggregates",
 }
 
 
