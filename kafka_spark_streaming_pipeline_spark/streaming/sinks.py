@@ -2204,3 +2204,92 @@ def release_audit_view(
         (F.col("risky_row_frac") <= F.lit(0.05)).alias("ok"),
     )
     return ds.unionByName(ka)
+
+
+# -------------------------------------- incremental tokenizer budget
+
+
+def make_fertility_sink(path: str, group_col: str = "lang", text_col: str = "text"):
+    """Continuously-maintained tokenizer-budget state (the streaming
+    twin of x168): each batch appends per-group exact BIGINT sums of
+    whitespace words, BPE-ish sub-word tokens, bytes and chars — all
+    sum-mergeable, |groups| rows per batch — so fertility and
+    bytes-per-token stay answerable as the corpus grows without
+    re-tokenizing history.  Shares the replay/compaction contract."""
+    from ..operators.text import bpe_regex_token_count, token_count
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        t = F.col(text_col)
+        sums = (
+            batch_df.select(
+                F.col(group_col).alias("grp"),
+                token_count(t).alias("ws"),
+                bpe_regex_token_count(t).alias("bpe"),
+                F.octet_length(t).cast("long").alias("bytes"),
+                F.length(t).cast("long").alias("chars"),
+            )
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("ws").cast("long").alias("n_words"),
+                F.sum("bpe").cast("long").alias("n_tokens"),
+                F.sum("bytes").cast("long").alias("n_bytes"),
+                F.sum("chars").cast("long").alias("n_chars"),
+            )
+        )
+        AtomicParquetTable(path).append(
+            sums.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _fertility_sums_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "grp"])
+        .groupBy("grp")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def fertility_view(spark, path: str, group_col: str = "lang") -> DataFrame:
+    """Current tokenizer-budget report over everything ingested —
+    bit-equal to the batch x168 operator over the union of batches
+    (corpus-level ratios of exact folded sums)."""
+    sums = _fertility_sums_of(_read_log(spark, path))
+
+    def ratio(num, den):
+        return (
+            F.round(
+                F.col(num).cast("double") / F.col(den).cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        )
+
+    return sums.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_bytes",
+        ratio("n_tokens", "n_words").alias("fertility"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+        ratio("n_chars", "n_words").alias("chars_per_word"),
+    )
+
+
+def compact_fertility(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the fertility sum log; same CAS contract as the other
+    sinks."""
+    _compact(spark, path, _fertility_sums_of, quiesced)

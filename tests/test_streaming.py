@@ -2876,3 +2876,39 @@ def test_streaming_release_audit_view_composes_both_stores(spark, sf_dir, tmp_pa
     }
     assert got_ka == want_ka
     assert all(r["ok"] is None for r in rows if r["family"] == "datasheet")
+
+
+def test_streaming_fertility_view_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed tokenizer-budget report must be bit-equal to the
+    batch x168 operator over the union of ingested batches; replay-
+    and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        tokenizer_fertility,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_fertility,
+        fertility_view,
+        make_fertility_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "fert")
+    sink = make_fertility_sink(path)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(tuple(r) for r in fertility_view(spark, path).collect())
+
+    got = view()
+    want = sorted(tuple(r) for r in tokenizer_fertility(docs).collect())
+    assert got == want and len(got) > 0
+
+    sink(b1, 1)  # replay -> deduped partials
+    assert view() == got
+    compact_fertility(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
