@@ -2173,16 +2173,18 @@ def release_audit_view(
     quasi_cols: list[str],
     sensitive_col: str,
     ks: tuple[int, ...] = (2, 5, 10, 25),
+    pii_path: str | None = None,
 ) -> DataFrame:
     """The CONTINUOUS form of the x164 pre-publication gate for the
     families with streaming state: the same long-form (family, item,
     metric, value, ok) report, served from the datasheet and privacy
-    stores — so 'is this corpus releasable right now?' is answerable
-    at any moment from log-sized state instead of a full-corpus audit
-    run.  Verdict semantics mirror x164: NULL ok on informational
-    datasheet rows (dup_rate here is the HLL estimate, hence
-    'dup_rate_est'), risky_row_frac <= 0.05 per anonymity
-    threshold."""
+    stores — plus the PII-residue family when a ``make_pii_sink``
+    store is given — so 'is this corpus releasable right now?' is
+    answerable at any moment from log-sized state instead of a
+    full-corpus audit run.  Verdict semantics mirror x164: NULL ok on
+    informational datasheet rows (dup_rate here is the HLL estimate,
+    hence 'dup_rate_est'), risky_row_frac <= 0.05 per anonymity
+    threshold, zero PII residue."""
     okn = F.lit(None).cast("boolean")
     ds = datasheet_view(spark, datasheet_path).select(
         F.lit("datasheet").alias("family"),
@@ -2203,7 +2205,17 @@ def release_audit_view(
         (F.col("risky_row_frac") + F.lit(0.0)).alias("value"),
         (F.col("risky_row_frac") <= F.lit(0.05)).alias("ok"),
     )
-    return ds.unionByName(ka)
+    out = ds.unionByName(ka)
+    if pii_path is not None:
+        pii = pii_view(spark, pii_path).select(
+            F.lit("pii").alias("family"),
+            F.col("source").alias("item"),
+            F.lit("pii_doc_rate").alias("metric"),
+            (F.col("pii_doc_rate") + F.lit(0.0)).alias("value"),
+            "ok",
+        )
+        out = out.unionByName(pii)
+    return out
 
 
 # -------------------------------------- incremental tokenizer budget
@@ -2293,3 +2305,74 @@ def compact_fertility(spark, path: str, quiesced: bool = True) -> None:
     """Fold the fertility sum log; same CAS contract as the other
     sinks."""
     _compact(spark, path, _fertility_sums_of, quiesced)
+
+
+def make_pii_sink(path: str, source_col: str = "source", text_col: str = "text"):
+    """Continuously-maintained PII-residue state (the streaming form
+    of x164's pii family): per batch, per-source counts of documents
+    and of documents with ANY PII regex hit — sum-mergeable, |sources|
+    rows per batch — so the zero-residue release invariant is
+    checkable at any moment without rescanning text.  Shares the
+    replay/compaction contract."""
+    from ..operators.text import pii_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pii = pii_counts(F.col(text_col))
+        sums = (
+            batch_df.select(
+                F.col(source_col).alias("src"),
+                ((pii["EMAIL"] + pii["IPV4"] + pii["PHONE"]) > 0)
+                .cast("long")
+                .alias("has_pii"),
+            )
+            .groupBy("src")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("has_pii").cast("long").alias("n_pii_docs"),
+            )
+        )
+        AtomicParquetTable(path).append(
+            sums.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _pii_sums_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "src"])
+        .groupBy("src")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_pii_docs").cast("long").alias("n_pii_docs"),
+        )
+    )
+
+
+def pii_view(spark, path: str) -> DataFrame:
+    """Current per-source PII residue over everything ingested:
+    (source, n_docs, n_pii_docs, pii_doc_rate, ok = zero residue)."""
+    sums = _pii_sums_of(_read_log(spark, path))
+    return sums.select(
+        F.col("src").alias("source"),
+        "n_docs",
+        "n_pii_docs",
+        (
+            F.round(
+                F.col("n_pii_docs").cast("double")
+                / F.col("n_docs").cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pii_doc_rate"),
+        (F.col("n_pii_docs") == 0).alias("ok"),
+    )
+
+
+def compact_pii(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the PII count log; same CAS contract as the other sinks."""
+    _compact(spark, path, _pii_sums_of, quiesced)

@@ -2912,3 +2912,58 @@ def test_streaming_fertility_view_matches_batch_operator(spark, sf_dir, tmp_path
     compact_fertility(spark, path, quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_pii_view_and_release_audit_family(spark, sf_dir, tmp_path):
+    """The PII-residue store folds to exact per-source counts (zero on
+    the synthetic corpus, ok=true), survives replay + compaction, and
+    joins the continuous release-audit report as the 'pii' family."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_pii,
+        make_datasheet_sink,
+        make_pii_sink,
+        make_privacy_sink,
+        pii_view,
+        release_audit_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds_path = str(tmp_path / "ds")
+    priv_path = str(tmp_path / "priv")
+    pii_path = str(tmp_path / "pii")
+    ds_sink = make_datasheet_sink(ds_path)
+    priv_sink = make_privacy_sink(priv_path, ["lang", "len_bucket"], "source")
+    pii_sink = make_pii_sink(pii_path)
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+        "doc_id",
+    )
+    for b in (0, 1):
+        half = docs.filter(F.col("doc_id") % 2 == b)
+        ds_sink(half, b)
+        priv_sink(proj.filter(F.col("doc_id") % 2 == b).drop("doc_id"), b)
+        pii_sink(half, b)
+
+    got = {r["source"]: r for r in pii_view(spark, pii_path).collect()}
+    want = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {s: r["n_docs"] for s, r in got.items()} == want
+    assert all(r["n_pii_docs"] == 0 and r["ok"] for r in got.values())
+
+    pii_sink(docs.filter(F.col("doc_id") % 2 == 1), 1)  # replay
+    compact_pii(spark, pii_path, quiesced=False)
+    got2 = {r["source"]: r for r in pii_view(spark, pii_path).collect()}
+    assert {s: r["n_docs"] for s, r in got2.items()} == want
+
+    report = release_audit_view(
+        spark, ds_path, priv_path, ["lang", "len_bucket"], "source",
+        pii_path=pii_path,
+    )
+    pii_rows = report.filter("family = 'pii'").collect()
+    assert len(pii_rows) == len(want)
+    assert all(r["value"] == 0.0 and r["ok"] for r in pii_rows)

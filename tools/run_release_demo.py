@@ -36,6 +36,7 @@ from kafka_spark_streaming_pipeline_spark.streaming.sinks import (  # noqa: E402
     classifier_model_view,
     make_classifier_sink,
     make_datasheet_sink,
+    make_pii_sink,
     make_privacy_sink,
     release_audit_view,
 )
@@ -59,14 +60,17 @@ def main() -> None:
         ds_sink = make_datasheet_sink(f"{work}/ds")
         priv_sink = make_privacy_sink(f"{work}/priv", QUASI, "source")
         clf_sink = make_classifier_sink(f"{work}/clf")
+        pii_sink = make_pii_sink(f"{work}/pii")
 
         for b in (0, 1):
             half = docs.filter(F.col("doc_id") % 2 == b)
             ds_sink(half, b)
             priv_sink(proj.filter(F.col("doc_id") % 2 == b).drop("doc_id"), b)
             clf_sink(half.select("doc_id", "lang", "text"), b)
+            pii_sink(half, b)
             report = release_audit_view(
-                spark, f"{work}/ds", f"{work}/priv", QUASI, "source"
+                spark, f"{work}/ds", f"{work}/priv", QUASI, "source",
+                pii_path=f"{work}/pii",
             )
             ka = {
                 r["item"]: r
@@ -75,8 +79,10 @@ def main() -> None:
             n_sources = report.filter(
                 "family = 'datasheet' AND metric = 'n_docs'"
             ).count()
+            n_pii_bad = report.filter("family = 'pii' AND NOT ok").count()
             print(
                 f"after batch {b}: datasheet covers {n_sources} sources; "
+                f"PII residue in {n_pii_bad} sources; "
                 "k-anonymity risky_row_frac: "
                 + ", ".join(
                     f"{k}={ka[k]['value']} ({'ok' if ka[k]['ok'] else 'RISKY'})"
