@@ -422,6 +422,15 @@ def embedding_health(
         F.sum("qvv").cast("long").alias("svv"),
         F.sum("nz").cast("long").alias("n_near_zero"),
     )
+    return embedding_health_from_moments(per)
+
+
+def embedding_health_from_moments(per: DataFrame) -> DataFrame:
+    """The health report from an already-built per-dimension moment
+    frame ``(dim, n, sv, svv, n_near_zero)`` — shared by the batch
+    operator (moments from one posexplode) and the streaming embedding
+    monitor (moments folded from per-batch sum-mergeable partials), so
+    both produce bit-identical reports for the same vectors."""
     nd = F.col("n").cast("double")
     mean = F.col("sv").cast("double") / F.lit(1e8) / nd
     var = F.col("svv").cast("double") / F.lit(1e8) / nd - mean * mean

@@ -2376,3 +2376,71 @@ def pii_view(spark, path: str) -> DataFrame:
 def compact_pii(spark, path: str, quiesced: bool = True) -> None:
     """Fold the PII count log; same CAS contract as the other sinks."""
     _compact(spark, path, _pii_sums_of, quiesced)
+
+
+# --------------------------------------- incremental embedding health
+
+
+def make_embedding_health_sink(path: str, vec_col: str = "embedding",
+                               near_zero: float = 0.01):
+    """Continuously-maintained embedding-space health (the streaming
+    twin of x156): each vector batch appends per-dimension quantized
+    moment partials (n, sum, sum-of-squares, near-zero count) — all
+    sum-mergeable, |dims| rows per batch — so dead-dimension and
+    anisotropy screens stay answerable as vectors stream in, without
+    re-reading the embedding store.  Shares the replay/compaction
+    contract."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        q = F.lit(1e8)
+        rows = batch_df.select(
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+        ).select(
+            (F.col("pos") + 1).alias("dim"),
+            (F.col("col") * q).cast("long").alias("qv"),
+            (F.col("col") * F.col("col") * q).cast("long").alias("qvv"),
+            (F.abs(F.col("col")) < F.lit(near_zero)).cast("long").alias("nz"),
+        )
+        per = rows.groupBy("dim").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("qv").cast("long").alias("sv"),
+            F.sum("qvv").cast("long").alias("svv"),
+            F.sum("nz").cast("long").alias("n_near_zero"),
+        )
+        AtomicParquetTable(path).append(
+            per.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _embedding_moments_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "dim"])
+        .groupBy("dim")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sv").cast("long").alias("sv"),
+            F.sum("svv").cast("long").alias("svv"),
+            F.sum("n_near_zero").cast("long").alias("n_near_zero"),
+        )
+    )
+
+
+def embedding_health_view(spark, path: str) -> DataFrame:
+    """Current per-dimension health report over every ingested vector
+    — bit-equal to the batch x156 operator over the union of batches
+    (the SAME report derivation runs on the folded moments)."""
+    from ..operators.embed import embedding_health_from_moments
+
+    return embedding_health_from_moments(
+        _embedding_moments_of(_read_log(spark, path))
+    )
+
+
+def compact_embedding_health(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the moment log; same CAS contract as the other sinks."""
+    _compact(spark, path, _embedding_moments_of, quiesced)

@@ -2967,3 +2967,39 @@ def test_streaming_pii_view_and_release_audit_family(spark, sf_dir, tmp_path):
     pii_rows = report.filter("family = 'pii'").collect()
     assert len(pii_rows) == len(want)
     assert all(r["value"] == 0.0 and r["ok"] for r in pii_rows)
+
+
+def test_streaming_embedding_health_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed per-dimension health report must be bit-equal to
+    the batch x156 operator over the union of ingested vector batches;
+    replay- and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        embedding_health,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_embedding_health,
+        embedding_health_view,
+        make_embedding_health_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_health")
+    sink = make_embedding_health_sink(path)
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(tuple(r) for r in embedding_health_view(spark, path).collect())
+
+    got = view()
+    want = sorted(tuple(r) for r in embedding_health(emb).collect())
+    assert got == want and len(got) > 0
+
+    sink(b1, 1)  # replay -> deduped partials
+    assert view() == got
+    compact_embedding_health(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
