@@ -723,3 +723,76 @@ def test_hamming_band_pairs_pigeonhole_complete(spark, docs, max_hamming):
                 if h <= max_hamming:
                     want[(i, j)] = h
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lens=st.lists(st.integers(1, 700), min_size=1, max_size=12),
+)
+def test_padding_and_truncation_conservation(spark, lens):
+    """Padding report: every doc lands in exactly one bucket, waste +
+    tokens == padded capacity, and the naive row accounts for the
+    whole corpus.  Truncation sweep: loss is exact vs a Python
+    reference and monotone non-increasing in max_len."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        padding_efficiency,
+        truncation_loss,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = padding_efficiency(docs, max_len=512, bucket_width=64).collect()
+    bucketed = [r for r in rows if r["strategy"] == "bucketed"]
+    [naive] = [r for r in rows if r["strategy"] == "naive_max_len"]
+    assert sum(r["n_docs"] for r in bucketed) == len(lens) == naive["n_docs"]
+    eff = [min(n, 512) for n in lens]
+    assert sum(r["sum_tokens"] for r in bucketed) == sum(eff) == naive["sum_tokens"]
+    for r in bucketed:
+        assert r["waste_tokens"] == r["padded_tokens"] - r["sum_tokens"] >= 0
+        assert r["cap_len"] == r["bucket"] * 64
+
+    out = {
+        r["max_len"]: r for r in truncation_loss(docs, (128, 256, 512)).collect()
+    }
+    prev = None
+    for m in (128, 256, 512):
+        want_lost = sum(max(n - m, 0) for n in lens)
+        want_trunc = sum(1 for n in lens if n > m)
+        r = out[m]
+        assert r["n_tokens_lost"] == want_lost and r["n_truncated"] == want_trunc
+        if prev is not None:
+            assert r["n_tokens_lost"] <= prev
+        prev = r["n_tokens_lost"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    scores=st.lists(st.integers(0, 50), min_size=3, max_size=40),
+    alpha_ppm=st.sampled_from([10_000, 100_000, 300_000]),
+)
+def test_conformal_threshold_matches_python_rank(spark, scores, alpha_ppm):
+    """The engine's conformal threshold equals the k-th smallest
+    calibration score computed in plain Python (k = floor(alpha *
+    (n+1)); NULL when k = 0), for arbitrary duplicate-heavy quantized
+    score sets."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        conformal_thresholds,
+    )
+
+    qs = [s * 10_000 for s in scores]
+    cal = spark.createDataFrame([(v,) for v in qs], "qs LONG")
+    test = spark.createDataFrame([(v,) for v in qs], "qs LONG")
+    [r] = conformal_thresholds(
+        cal, test, "qs", alpha_ppm=(alpha_ppm,)
+    ).collect()
+    n = len(qs)
+    k = alpha_ppm * (n + 1) // 1_000_000
+    assert r["k_rank"] == k and r["n_cal"] == n
+    if k == 0:
+        assert r["threshold"] is None and r["n_kept"] is None
+    else:
+        want_thr = sorted(qs)[k - 1]
+        assert r["threshold"] == round(want_thr / 1e6 + 1e-9, 6)
+        assert r["n_kept"] == sum(1 for v in qs if v >= want_thr)
