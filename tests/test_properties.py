@@ -796,3 +796,84 @@ def test_conformal_threshold_matches_python_rank(spark, scores, alpha_ppm):
         want_thr = sorted(qs)[k - 1]
         assert r["threshold"] == round(want_thr / 1e6 + 1e-9, 6)
         assert r["n_kept"] == sum(1 for v in qs if v >= want_thr)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2), st.sampled_from(["x", "y", "z"])),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_k_anonymity_matches_python_reference(spark, rows):
+    """Per-threshold risky classes/rows and worst l-diversity equal a
+    plain-Python computation over random quasi-identifier/sensitive
+    triples."""
+    from collections import Counter, defaultdict
+
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        k_anonymity_audit,
+    )
+
+    df = spark.createDataFrame(rows, "q1 INT, q2 INT, s STRING")
+    got = {r["k"]: r for r in k_anonymity_audit(df, ["q1", "q2"], "s").collect()}
+
+    cls_n = Counter((a, b) for a, b, _ in rows)
+    l_div = defaultdict(set)
+    for a, b, s in rows:
+        l_div[(a, b)].add(s)
+    for k in (2, 5, 10, 25):
+        risky = [c for c, n in cls_n.items() if n < k]
+        r = got[k]
+        assert r["n_classes"] == len(cls_n) and r["n_rows"] == len(rows)
+        assert r["n_risky_classes"] == len(risky)
+        assert r["n_risky_rows"] == sum(cls_n[c] for c in risky)
+        want_l = min((len(l_div[c]) for c in risky), default=None)
+        assert r["min_l_div_at_risk"] == want_l
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 20),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5),
+            st.sampled_from(["L1", "L2"]),
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ).filter(
+        lambda rows: len({l for i, _, l in rows if i % 2 == 0}) >= 1
+        and any(i % 2 == 0 for i, _, _ in rows)
+        and any(i % 2 == 1 for i, _, _ in rows)
+    )
+)
+def test_nb_calibration_consistent_with_nb_score(spark, rows):
+    """Calibration's per-bucket counts cover every test document
+    exactly once, and its predictions agree with nb_score on the same
+    train/test split (the two paths share the scoring frame)."""
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_calibration,
+        nb_score,
+        nb_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), l) for i, toks, l in rows],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    cal = nb_calibration(docs).collect()
+    n_test = sum(1 for i, _, _ in rows if i % 2 == 1)
+    assert sum(r["n_docs"] for r in cal) == n_test
+    assert all(0 <= r["n_correct"] <= r["n_docs"] for r in cal)
+    # cross-check aggregate accuracy against nb_score + truth
+    model = nb_train(docs.filter(F.col("doc_id") % 2 == 0))
+    preds = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_score(docs.filter(F.col("doc_id") % 2 == 1), model).collect()
+    }
+    truth = {i: l for i, _, l in rows if i % 2 == 1}
+    want_correct = sum(1 for i, p in preds.items() if p == truth[i])
+    assert sum(r["n_correct"] for r in cal) == want_correct
