@@ -737,3 +737,306 @@ def rake_keyphrases(
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer: Viterbi hard-EM training
+# over a substring candidate vocabulary, then prune by loss
+# contribution.  Completes the tokenizer-family story next to BPE
+# (bpe_train/bpe_encode) and the fertility/budget reports that consume
+# tokenizers (x166/x168/x170).
+#
+# Determinism kit: piece probabilities are carried as INTEGER
+# micro-nat code lengths, cost(piece) = floor(ln(total/cnt) * 1e6 +
+# 0.5) — DP comparisons, tie-breaks (lower cost, then smaller start
+# position), Laplace counts, and the contribution ranking are all
+# exact integer arithmetic, so Spark, DuckDB (unrolled-CTE replay) and
+# the sequential Python reference in tests agree bit-for-bit.  The
+# only float op is the one ln per piece per iteration, rounded to a
+# micro-nat — a cross-libm 1-ulp difference moves the integer only if
+# the true value sits within ~1e-9 of a rounding boundary.
+
+UNIGRAM_MAX_WORD_LEN = 12
+UNIGRAM_MAX_PIECE_LEN = 4
+UNIGRAM_VOCAB_MULTI = 40
+UNIGRAM_KEEP_MULTI = 24
+UNIGRAM_ITERATIONS = 2
+
+_VIT_BIG = 1 << 40  # any real word cost << this; missing-piece sentinel
+_VIT_UNREACH = 1 << 41  # unreachable DP slot (filtered before compare)
+
+
+def _cost_map_literal(model: list[tuple[str, int]]) -> Column:
+    """map<piece, cost_micro> literal from a collected model — the
+    tokenizer artifact is vocab-bounded by construction, so inlining it
+    keeps the per-word DP a pure codegen expression (no join)."""
+    entries = []
+    for piece, cost in model:
+        entries.append(F.lit(piece))
+        entries.append(F.lit(int(cost)).cast("long"))
+    return F.create_map(*entries)
+
+
+def _viterbi_dp(w: Column, cost_map: Column, max_piece_len: int) -> Column:
+    """dp array for word ``w``: element j+1 is struct(c=min total
+    micro-nat cost of segmenting the first j chars, b=backpointer).
+    One left fold over positions; each step takes the array_min over
+    the <= max_piece_len candidate predecessors — struct comparison is
+    lexicographic (cost, then start position), which IS the tie rule
+    (prefer the longer final piece)."""
+
+    def step(acc: Column, j: Column) -> Column:
+        cand = F.filter(
+            F.transform(
+                F.sequence(F.greatest(F.lit(0), j - max_piece_len), j - F.lit(1)),
+                lambda i: F.struct(
+                    (
+                        F.element_at(acc, i + 1)["c"]
+                        + F.coalesce(
+                            F.element_at(cost_map, F.substring(w, i + 1, j - i)),
+                            F.lit(_VIT_BIG).cast("long"),
+                        )
+                    ).alias("c"),
+                    i.cast("int").alias("b"),
+                ),
+            ),
+            lambda s: s["c"] < F.lit(_VIT_BIG),
+        )
+        best = F.coalesce(
+            F.array_min(cand),
+            F.struct(
+                F.lit(_VIT_UNREACH).cast("long").alias("c"),
+                F.lit(-1).alias("b"),
+            ),
+        )
+        return F.concat(acc, F.array(best))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(
+            F.struct(F.lit(0).cast("long").alias("c"), F.lit(-1).alias("b"))
+        ),
+        step,
+    )
+
+
+def _viterbi_pieces(w: Column, dp: Column) -> Column:
+    """Backtrack the dp array into the argmin segmentation (array of
+    pieces, right-to-left order — callers only count/explode).  An
+    unreachable word (possible only at encode time with an
+    out-of-vocabulary character) yields an empty array."""
+
+    def step(acc: Column, _: Column) -> Column:
+        bp = F.element_at(dp, acc["pos"] + 1)["b"]
+        return F.when(acc["pos"] <= 0, acc).otherwise(
+            F.struct(
+                bp.alias("pos"),
+                F.concat(
+                    acc["ps"], F.array(F.substring(w, bp + 1, acc["pos"] - bp))
+                ).alias("ps"),
+            )
+        )
+
+    reachable = F.element_at(dp, F.length(w) + 1)["c"] < F.lit(_VIT_BIG)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.struct(
+            F.when(reachable, F.length(w).cast("int"))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+            F.array().cast("array<string>").alias("ps"),
+        ),
+        step,
+        lambda acc: acc["ps"],
+    )
+
+
+def _micro_cost(total: int, cnt: int) -> int:
+    import math
+
+    return int(math.floor(math.log(total / cnt) * 1e6 + 0.5))
+
+
+def _word_freqs(docs: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """(w, freq): corpus word frequencies, words truncated to
+    ``max_word_len`` chars — the ONE corpus scan; everything after is
+    vocabulary-sized."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .select(F.substring(F.col("word"), 1, max_word_len).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    vocab_multi: int = UNIGRAM_VOCAB_MULTI,
+    keep_multi: int = UNIGRAM_KEEP_MULTI,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+    iterations: int = UNIGRAM_ITERATIONS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, SentencePiece), hard-EM
+    variant: candidate pieces are all word substrings of length <=
+    ``max_piece_len`` (all single chars + the ``vocab_multi`` most
+    frequent multi-char pieces); each EM iteration Viterbi-segments
+    every distinct word under the current model and re-estimates piece
+    probabilities from the (word-frequency-weighted) usage counts with
+    add-one smoothing; after ``iterations`` rounds the vocabulary is
+    pruned to all chars + the ``keep_multi`` multi-char pieces with the
+    largest loss contribution cnt x cost (the total micro-nats the
+    piece encodes — Kudo's prune criterion without the re-segmentation
+    term), and final code lengths are renormalized over the survivors.
+
+    Scale shape (the bpe_train/k-means iterative-driver pattern): the
+    corpus is scanned ONCE into the distinct-word frequency frame
+    (localCheckpoint'ed, reused every iteration); the per-word Viterbi
+    DP is a pure codegen fold (no joins, no Python) over that frame
+    with the model inlined as a map literal; driver state is bounded
+    by the VOCABULARY PARAMS (chars + vocab_multi rows collected per
+    iteration), never by corpus size.
+
+    Output: (piece, piece_len, cnt, cost_micro, contribution) — cnt is
+    the post-EM smoothed count, cost_micro = floor(ln(total/cnt)*1e6 +
+    0.5) over the pruned vocabulary, contribution the pre-prune ranking
+    key.  All integers."""
+    wf = _word_freqs(docs, text_col, max_word_len).localCheckpoint()
+
+    cand = (
+        wf.select(
+            "w",
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i"),
+        )
+        .select(
+            "w",
+            "freq",
+            "i",
+            F.explode(F.sequence(F.lit(1), F.lit(max_piece_len))).alias("l"),
+        )
+        .filter(F.col("i") + F.col("l") - 1 <= F.length("w"))
+        .select(F.substring(F.col("w"), F.col("i"), F.col("l")).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    chars = cand.filter(F.length("piece") == 1)
+    multi = (
+        cand.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(vocab_multi)
+    )
+    # the tokenizer vocabulary: bounded by params (all corpus chars +
+    # vocab_multi pieces), THE artifact being trained — collect is the
+    # iterative-driver pattern shared with bpe_train's per-round argmax
+    kept = sorted(
+        (r["piece"], int(r["cnt"])) for r in chars.unionAll(multi).collect()
+    )
+    total = sum(c for _, c in kept)
+    model = [(p, _micro_cost(total, c)) for p, c in kept]
+
+    counts = dict(kept)
+    for _ in range(iterations):
+        cost_map = _cost_map_literal(model)
+        dp = _viterbi_dp(F.col("w"), cost_map, max_piece_len)
+        seg = (
+            wf.select("freq", _viterbi_pieces(F.col("w"), dp).alias("ps"))
+            .select("freq", F.explode("ps").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("long").alias("used"))
+        )
+        used = {r["piece"]: int(r["used"]) for r in seg.collect()}
+        counts = {p: used.get(p, 0) + 1 for p, _ in kept}
+        total = sum(counts.values())
+        model = [(p, _micro_cost(total, counts[p])) for p in counts]
+
+    # prune by loss contribution: chars are never pruned (coverage);
+    # multi-char pieces keep the keep_multi largest cnt x cost
+    cost = dict(model)
+    contrib = {p: counts[p] * cost[p] for p in counts}
+    multi_kept = sorted(
+        (p for p in counts if len(p) >= 2),
+        key=lambda p: (-contrib[p], p),
+    )[:keep_multi]
+    final_pieces = sorted([p for p in counts if len(p) == 1] + multi_kept)
+    final_total = sum(counts[p] for p in final_pieces)
+    rows = [
+        (p, len(p), counts[p], _micro_cost(final_total, counts[p]), contrib[p])
+        for p in final_pieces
+    ]
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "piece string, piece_len int, cnt long, cost_micro long, contribution long",
+    )
+
+
+def unigram_lm_encode(
+    docs: DataFrame,
+    model,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    max_word_len: int = UNIGRAM_MAX_WORD_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Viterbi-encode the corpus with a trained unigram-LM model — the
+    encode half of the tokenizer (unigram_lm_train trains, this
+    tokenizes), mirroring bpe_encode for the BPE family.
+
+    ``model`` is a ``unigram_lm_train`` output DataFrame (collected
+    here — vocab-bounded, the tokenizer artifact) or a list of
+    (piece, cost_micro) pairs.
+
+    Scale shape: word stats (min-cost segmentation length + cost) are
+    computed ONCE per DISTINCT word — the same codegen DP fold as
+    training over the vocabulary-sized word frame — then joined back to
+    the exploded corpus on the word key (well-spread, vocabulary-sized
+    build side; AQE broadcasts when tiny) and rolled up per document.
+    A word containing a character outside the model's coverage is
+    unreachable and reported in ``n_oov_words`` (words are truncated to
+    ``max_word_len`` exactly as in training).
+
+    Output: (id, n_words, n_oov_words, n_pieces, total_cost_micro)."""
+    if isinstance(model, DataFrame):
+        model = [
+            (r["piece"], int(r["cost_micro"]))
+            for r in model.select("piece", "cost_micro").collect()
+        ]
+    cost_map = _cost_map_literal(model)
+
+    dw = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "").select(
+        id_col, F.substring(F.col("word"), 1, max_word_len).alias("w")
+    )
+    dp = _viterbi_dp(F.col("w"), cost_map, max_piece_len)
+    wstats = (
+        dw.select("w")
+        .distinct()
+        .select("w", dp.alias("dp"))
+        .select(
+            "w",
+            F.element_at(F.col("dp"), F.length("w") + 1)["c"].alias("wcost"),
+            F.size(_viterbi_pieces(F.col("w"), F.col("dp"))).alias("np"),
+        )
+        .select(
+            "w",
+            F.when(F.col("wcost") < F.lit(_VIT_BIG), F.col("wcost")).alias("wcost"),
+            F.when(F.col("wcost") < F.lit(_VIT_BIG), F.col("np")).alias("np"),
+        )
+    )
+    return (
+        dw.join(wstats, "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            (F.count("*") - F.count("np")).cast("long").alias("n_oov_words"),
+            F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce(F.sum("wcost"), F.lit(0)).cast("long").alias(
+                "total_cost_micro"
+            ),
+        )
+    )

@@ -10238,3 +10238,201 @@ def x171_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return component_size_profile(comp, docs)
+
+
+def _unigram_viterbi_ctes(
+    tag: str,
+    model: str,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+) -> str:
+    """One Viterbi pass over the wf word frame as unrolled DP CTEs +
+    a recursive backtrack — the SQL replay of operators/text.py's
+    ``_viterbi_dp``/``_viterbi_pieces`` codegen folds.  ``d{tag}_{j}``
+    accumulates dp rows (w, freq, j, c, b) position by position (the
+    per-position argmin is a row_number over the <= max_piece_len
+    predecessor rows, ordered (cost, start) exactly like the Spark
+    struct array_min); ``bt{tag}`` walks the backpointers — linear, so
+    a recursive CTE CAN do it (one row per word per step, no path
+    explosion)."""
+    ctes = [
+        f"d{tag}_0 AS MATERIALIZED (SELECT w, freq, 0 AS j, CAST(0 AS BIGINT) AS c, -1 AS b FROM wf)"
+    ]
+    for j in range(1, max_word_len + 1):
+        lo = max(0, j - max_piece_len)
+        ctes.append(
+            f"""d{tag}_{j} AS MATERIALIZED (
+      SELECT * FROM d{tag}_{j - 1}
+      UNION ALL
+      SELECT w, freq, j, c, b FROM (
+        SELECT p.w, p.freq, {j} AS j, p.c + m.cost AS c, p.j AS b,
+               row_number() OVER (PARTITION BY p.w ORDER BY p.c + m.cost, p.j) AS rn
+        FROM d{tag}_{j - 1} p JOIN {model} m
+          ON m.piece = substr(p.w, p.j + 1, {j} - p.j)
+        WHERE p.j >= {lo} AND p.j < {j} AND len(p.w) >= {j}
+      ) WHERE rn = 1
+    )"""
+        )
+    ctes.append(
+        f"""bt{tag}(w, freq, pos, piece) AS (
+      SELECT w, freq, CAST(len(w) AS INT), CAST(NULL AS VARCHAR) FROM wf
+      UNION ALL
+      SELECT bt.w, bt.freq, d.b, substr(bt.w, d.b + 1, bt.pos - d.b)
+      FROM bt{tag} bt JOIN d{tag}_{max_word_len} d
+        ON d.w = bt.w AND d.j = bt.pos
+      WHERE bt.pos > 0
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def _unigram_train_ctes(
+    vocab_multi: int = 40,
+    keep_multi: int = 24,
+    max_word_len: int = 12,
+    max_piece_len: int = 4,
+    iterations: int = 2,
+) -> str:
+    """The WHOLE unigram-LM hard-EM training as chained CTEs (the
+    x37-kmeans unrolling pattern): candidate substring counts -> m0 ->
+    per-iteration (Viterbi DP, backtrack counts, add-one smoothing,
+    integer micro-nat costs) -> contribution prune -> renormalized
+    final model ``mf``.  Every compared value is integer arithmetic;
+    the one float op (ln) is floored to a micro-nat in both engines."""
+    ctes = [
+        f"""wf AS MATERIALIZED (
+      SELECT substr(word, 1, {max_word_len}) AS w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY 1
+    )""",
+        f"""cand AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT substr(w, CAST(i.i AS INT), CAST(l.l AS INT)) AS piece, freq
+        FROM wf, range(1, {max_word_len + 1}) i(i), range(1, {max_piece_len + 1}) l(l)
+        WHERE i.i + l.l - 1 <= len(w)
+      ) GROUP BY 1
+    )""",
+        f"""keep AS MATERIALIZED (
+      SELECT piece, cnt FROM cand WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        FROM cand WHERE len(piece) >= 2
+      ) WHERE rn <= {vocab_multi}
+    )""",
+        """m0 AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(floor(ln((SELECT sum(cnt) FROM keep)::DOUBLE / cnt) * 1e6 + 0.5) AS BIGINT) AS cost
+      FROM keep
+    )""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            _unigram_viterbi_ctes(str(t), f"m{t - 1}", max_word_len, max_piece_len)
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT k.piece, CAST(coalesce(sum(bt.freq), 0) + 1 AS BIGINT) AS cnt
+      FROM keep k LEFT JOIN bt{t} bt ON bt.piece = k.piece
+      GROUP BY 1
+    )"""
+        )
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(floor(ln((SELECT sum(cnt) FROM c{t})::DOUBLE / cnt) * 1e6 + 0.5) AS BIGINT) AS cost
+      FROM c{t}
+    )"""
+        )
+    ctes.append(
+        f"""pruned AS MATERIALIZED (
+      SELECT piece, cnt, cnt * cost AS contribution
+      FROM m{iterations} WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, cnt, contribution FROM (
+        SELECT piece, cnt, cnt * cost AS contribution,
+               row_number() OVER (ORDER BY cnt * cost DESC, piece) AS rn
+        FROM m{iterations} WHERE len(piece) >= 2
+      ) WHERE rn <= {keep_multi}
+    )"""
+    )
+    ctes.append(
+        """mf AS MATERIALIZED (
+      SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
+             CAST(floor(ln((SELECT sum(cnt) FROM pruned)::DOUBLE / cnt) * 1e6 + 0.5) AS BIGINT) AS cost_micro,
+             CAST(contribution AS BIGINT) AS contribution
+      FROM pruned
+    )"""
+    )
+    return ",\n    ".join(ctes)
+
+
+def _unigram_train_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    {_unigram_train_ctes()}
+    SELECT piece, piece_len, CAST(cnt AS BIGINT) AS cnt, cost_micro, contribution
+    FROM mf
+    """
+
+
+def _unigram_encode_oracle(max_word_len: int = 12) -> str:
+    """Training replay + a THIRD Viterbi pass under the final model,
+    then the per-document rollup of the distinct-word stats."""
+    return f"""
+    WITH RECURSIVE
+    {_unigram_train_ctes()},
+    mfm AS MATERIALIZED (SELECT piece, cost_micro AS cost FROM mf),
+    {_unigram_viterbi_ctes("3", "mfm", max_word_len)},
+    wnp AS MATERIALIZED (SELECT w, CAST(count(piece) AS BIGINT) AS np FROM bt3 GROUP BY w),
+    wcost AS MATERIALIZED (SELECT w, c FROM d3_{max_word_len} WHERE j = len(w)),
+    wstat AS MATERIALIZED (SELECT wc.w, wc.c AS wcost, wnp.np FROM wcost wc JOIN wnp USING (w)),
+    dw AS (
+      SELECT doc_id, substr(word, 1, {max_word_len}) AS w
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      WHERE word <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(*) - count(ws.np) AS BIGINT) AS n_oov_words,
+           CAST(coalesce(sum(ws.np), 0) AS BIGINT) AS n_pieces,
+           CAST(coalesce(sum(ws.wcost), 0) AS BIGINT) AS total_cost_micro
+    FROM dw LEFT JOIN wstat ws USING (w)
+    GROUP BY doc_id
+    """
+
+
+@query("x172_unigram_lm_train", oracle=_unigram_train_oracle())
+def x172_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training: hard-EM
+    over the substring candidate vocabulary (all chars + top-40
+    multi-char pieces, 2 Viterbi-EM rounds with add-one smoothing),
+    pruned to chars + the 24 highest loss-contribution pieces —
+    completes the tokenizer family next to BPE (x77 trains, x88
+    encodes) and feeds the fertility/budget reports (x166/x168/x170).
+    Value-checked: the model lives in integer micro-nat code lengths
+    (the one ln per piece per iteration is floored to an integer in
+    both engines), the per-word Viterbi DP is replayed in the oracle
+    as unrolled per-position argmin CTEs + a recursive backtrack, and
+    the tie rule (lower cost, then smaller start position) is pinned
+    on both sides.  Fold-equivalence to a sequential Python reference
+    stays property-tested in tests/test_properties.py."""
+    from ..operators.text import unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_train(docs)
+
+
+@query("x173_unigram_lm_encode", oracle=_unigram_encode_oracle())
+def x173_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi-encode the corpus with the x172-trained unigram model:
+    per-document piece counts + total micro-nat code length (+ OOV
+    words) — the encode half of the unigram tokenizer (mirrors x88 for
+    BPE).  Word stats are computed once per DISTINCT word by the same
+    codegen DP fold as training, then joined back on the word key —
+    the join is vocabulary-sized and well-spread, never per-document
+    Python."""
+    from ..operators.text import unigram_lm_encode, unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_encode(docs, unigram_lm_train(docs))

@@ -877,3 +877,153 @@ def test_nb_calibration_consistent_with_nb_score(spark, rows):
     truth = {i: l for i, _, l in rows if i % 2 == 1}
     want_correct = sum(1 for i, p in preds.items() if p == truth[i])
     assert sum(r["n_correct"] for r in cal) == want_correct
+
+
+def _py_unigram_train(
+    words_list, vocab_multi, keep_multi, max_piece_len, max_word_len, iterations
+):
+    """Sequential reference of operators/text.py's unigram_lm_train —
+    the exact spec (candidate counts, integer micro-nat costs, Viterbi
+    tie rule (cost, then smaller start), add-one smoothing,
+    contribution prune, final renormalize)."""
+    import math
+    from collections import Counter
+
+    freqs = Counter(w[:max_word_len] for w in words_list if w)
+    cand = Counter()
+    for w, f in freqs.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                cand[w[i : i + ln]] += f
+    multi = sorted(
+        (p for p in cand if len(p) >= 2), key=lambda p: (-cand[p], p)
+    )[:vocab_multi]
+    kept = sorted([p for p in cand if len(p) == 1] + multi)
+    counts = {p: cand[p] for p in kept}
+
+    def costs(cnts):
+        import math
+
+        total = sum(cnts.values())
+        return {
+            p: math.floor(math.log(total / c) * 1e6 + 0.5)
+            for p, c in cnts.items()
+        }
+
+    cost = costs(counts)
+
+    def viterbi(w, cost):
+        n = len(w)
+        dp = [(0, -1)] + [(None, -1)] * n
+        for j in range(1, n + 1):
+            best = None
+            for i in range(max(0, j - max_piece_len), j):
+                if dp[i][0] is None:
+                    continue
+                c = cost.get(w[i:j])
+                if c is None:
+                    continue
+                if best is None or (dp[i][0] + c, i) < best:
+                    best = (dp[i][0] + c, i)
+            if best is not None:
+                dp[j] = best
+        if dp[n][0] is None:
+            return None
+        pieces, pos = [], n
+        while pos > 0:
+            b = dp[pos][1]
+            pieces.append(w[b:pos])
+            pos = b
+        return pieces
+
+    for _ in range(iterations):
+        used = Counter()
+        for w, f in freqs.items():
+            for p in viterbi(w, cost) or []:
+                used[p] += f
+        counts = {p: used.get(p, 0) + 1 for p in kept}
+        cost = costs(counts)
+
+    contrib = {p: counts[p] * cost[p] for p in kept}
+    multi_kept = sorted(
+        (p for p in kept if len(p) >= 2), key=lambda p: (-contrib[p], p)
+    )[:keep_multi]
+    final = sorted([p for p in kept if len(p) == 1] + multi_kept)
+    fcost = costs({p: counts[p] for p in final})
+    model = [(p, len(p), counts[p], fcost[p], contrib[p]) for p in final]
+    final_cost = {p: fcost[p] for p in final}
+    return model, final_cost, viterbi
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abrs", min_size=1, max_size=9), min_size=1, max_size=14
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_unigram_lm_train_matches_python_reference(spark, words_list):
+    """The distributed hard-EM loop (codegen Viterbi folds + vocab-
+    bounded driver state) must learn the exact model the sequential
+    reference learns — candidate selection, both EM rounds' counts,
+    the contribution prune, and the renormalized integer costs."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        unigram_lm_train,
+    )
+
+    expected, _, _ = _py_unigram_train(
+        words_list, vocab_multi=6, keep_multi=3, max_piece_len=3,
+        max_word_len=12, iterations=2,
+    )
+    docs = spark.createDataFrame([(1, " ".join(words_list))], ["doc_id", "text"])
+    got = [
+        (r.piece, r.piece_len, r.cnt, r.cost_micro, r.contribution)
+        for r in unigram_lm_train(
+            docs, vocab_multi=6, keep_multi=3, max_piece_len=3
+        ).orderBy("piece").collect()
+    ]
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abrs", min_size=1, max_size=9),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_unigram_lm_encode_matches_python_reference(spark, doc_words):
+    """Per-document encode totals must equal the sequential reference's
+    per-word Viterbi segmentation under the trained model (train and
+    encode share the corpus here, so no OOV)."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        unigram_lm_encode, unigram_lm_train,
+    )
+
+    all_words = [w for ws in doc_words for w in ws]
+    _, final_cost, viterbi = _py_unigram_train(
+        all_words, vocab_multi=6, keep_multi=3, max_piece_len=3,
+        max_word_len=12, iterations=2,
+    )
+    expected = {}
+    for i, ws in enumerate(doc_words):
+        segs = [viterbi(w[:12], final_cost) for w in ws]
+        expected[i] = (
+            len(ws),
+            sum(1 for s in segs if s is None),
+            sum(len(s) for s in segs if s is not None),
+            sum(final_cost[p] for s in segs if s is not None for p in s),
+        )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        ["doc_id", "text"],
+    )
+    model = unigram_lm_train(docs, vocab_multi=6, keep_multi=3, max_piece_len=3)
+    got = {
+        r.doc_id: (r.n_words, r.n_oov_words, r.n_pieces, r.total_cost_micro)
+        for r in unigram_lm_encode(docs, model, max_piece_len=3).collect()
+    }
+    assert got == expected
