@@ -32,7 +32,7 @@ operator is value-checkable against the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from .dedup import shingle_arr
@@ -3287,15 +3287,39 @@ def conformal_thresholds(
     aggregate the plan linter can prove bounded (key_skew_profile
     discipline, operators/profile.py); the test scan aggregates
     against the |alphas|-row broadcast threshold frame.  Output: one
-    row per alpha."""
+    row per alpha.
+
+    Implementation: both splits reduce to exact (q, nk) histograms in
+    ONE scan each, then delegate to ``conformal_from_hist`` — the same
+    entry point the streaming twin's maintained histogram store feeds
+    (streaming/sinks.py make_conformal_sink), so the continuous view
+    is bit-equal to this operator by construction."""
+    q = F.col(qscore_col)
+    cal_hist = cal.groupBy(q.alias("q")).agg(
+        F.count("*").cast("long").alias("nk")
+    )
+    test_hist = test.groupBy(q.alias("q")).agg(
+        F.count("*").cast("long").alias("nk")
+    )
+    return conformal_from_hist(cal_hist, test_hist, alpha_ppm)
+
+
+def conformal_from_hist(
+    cal_hist: DataFrame,
+    test_hist: DataFrame,
+    alpha_ppm: tuple[int, ...] = (10_000, 50_000, 100_000),
+) -> DataFrame:
+    """``conformal_thresholds`` over pre-aggregated exact score
+    histograms (q, nk) — the shared core of the batch operator and the
+    streaming view (whose maintained state is exactly these mergeable
+    count cells).  All rank arithmetic is integer; histogram totals
+    replace row counts one-for-one (sum(nk) == count of underlying
+    rows), so the two entry points are value-identical."""
     from pyspark.sql import Window as W
 
     from ..cache import tracked_persist
 
-    q = F.col(qscore_col)
-    # ONE calibration scan: the distinct-score histogram (bounded by
-    # score quantization) is persisted for the totals' consumers.  The
-    # cumulative walk feeds from an identity RE-AGGREGATION of the
+    # The cumulative walk feeds from an identity RE-AGGREGATION of the
     # cached histogram (q is unique, sum(nk) == nk) — NOT from hist
     # directly: the global window's single-partition exchange must
     # have an aggregate as its direct child so the plan linter can
@@ -3304,7 +3328,7 @@ def conformal_thresholds(
     # substitution re-inserts one for any plan-equal subtree, so the
     # re-aggregation is the only shape that survives).
     hist = tracked_persist(
-        cal.groupBy(q.alias("q")).agg(F.count("*").cast("long").alias("nk"))
+        cal_hist.groupBy("q").agg(F.sum("nk").cast("long").alias("nk"))
     )
     tot = hist.agg(F.sum("nk").cast("long").alias("n_cal"))
     cum = (
@@ -3312,7 +3336,7 @@ def conformal_thresholds(
         .agg(F.sum("nk").cast("long").alias("nk"))
         .withColumn("ck", F.sum("nk").over(W.orderBy("q")))
     )
-    alphas = cal.sparkSession.range(1).select(
+    alphas = cal_hist.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(int(a)) for a in alpha_ppm])).alias("a")
     ).select(F.col("a").cast("long").alias("alpha_ppm"))
     ranks = alphas.crossJoin(F.broadcast(tot)).select(
@@ -3332,12 +3356,20 @@ def conformal_thresholds(
     # k_rank == 0 rows survive with NULL threshold_q (no valid cutoff)
     thr = ranks.join(thr_hit, ["alpha_ppm", "n_cal", "k_rank"], "left")
     kept = (
-        test.select(q.alias("tq"))
+        test_hist.select(F.col("q").alias("tq"), "nk")
         .crossJoin(F.broadcast(thr))
         .groupBy("alpha_ppm", "n_cal", "k_rank", "threshold_q")
         .agg(
-            F.count("*").cast("long").alias("n_test"),
-            F.sum((F.col("tq") >= F.col("threshold_q")).cast("long"))
+            F.sum("nk").cast("long").alias("n_test"),
+            # three-way: NULL threshold stays NULL (no valid cutoff),
+            # a valid threshold counts nk above it and 0 below —
+            # sum(over all-below) must be 0, not NULL, to match the
+            # row-level sum((tq >= thr)::long) it replaces
+            F.sum(
+                F.when(F.col("threshold_q").isNull(), F.lit(None))
+                .when(F.col("tq") >= F.col("threshold_q"), F.col("nk"))
+                .otherwise(F.lit(0))
+            )
             .cast("long")
             .alias("n_kept"),
         )
@@ -3515,3 +3547,16 @@ def truncation_loss(
             ).alias("token_loss_frac"),
         )
     )
+
+
+def lexdiv_qscore(text: Column) -> Column:
+    """Micro-quantized lexical-diversity quality score (distinct-token
+    ratio * 1e6, BIGINT) — the conformal-calibration signal shared
+    verbatim by the batch x162 query and the streaming conformal sink
+    so the continuous view is bit-equal to the batch operator."""
+    from .text import tokens
+
+    t = tokens(text)
+    return (
+        F.size(F.array_distinct(t)).cast("double") / F.size(t) * F.lit(1e6)
+    ).cast("long")

@@ -698,13 +698,32 @@ def retrieval_eval(
     its terms match no other document; NULL ndcg when n_rel_corpus ==
     0, i.e. the query doc's source is unique and the query is
     unanswerable — dropping or zeroing those rows would skew the
-    aggregate MRR/nDCG)."""
-    from pyspark.sql import Window as W
+    aggregate MRR/nDCG).
 
-    from ..cache import tracked_persist
+    Implementation: the corpus reduces to the (d, rel, dl, term, tf)
+    postings frame in one scan (``eval_tf_frame``), then delegates to
+    ``retrieval_eval_from_tf`` — the same entry point the streaming
+    twin's maintained postings store feeds (streaming/sinks.py
+    make_retrieval_eval_sink), so the continuous view is bit-equal to
+    this operator by construction."""
+    return retrieval_eval_from_tf(
+        eval_tf_frame(docs, id_col, text_col, rel_col),
+        n_queries=n_queries, topk=topk, n_terms=n_terms, k1=k1, b=b,
+    )
 
+
+def eval_tf_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rel_col: str = "source",
+) -> DataFrame:
+    """(d, rel, dl, term, tf): the tf-grade postings frame the eval
+    harness scores against — per-document facts, so per-batch partials
+    of a streamed corpus union to exactly the batch frame (each doc
+    arrives in one batch; no cross-batch merging needed)."""
     toks = tokens(F.col(text_col))
-    tf = tracked_persist(
+    return (
         docs.select(
             F.col(id_col).alias("d"),
             F.col(rel_col).alias("rel"),
@@ -714,6 +733,26 @@ def retrieval_eval(
         .groupBy("d", "rel", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
+
+
+def retrieval_eval_from_tf(
+    tf_raw: DataFrame,
+    n_queries: int = 20,
+    topk: int = 10,
+    n_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """``retrieval_eval`` over a pre-built (d, rel, dl, term, tf)
+    postings frame — the shared core of the batch operator and the
+    streaming view (whose maintained store is exactly this frame).
+    The frame is persisted here: every downstream branch (stats, df,
+    query mining, scoring, ideal-DCG) reads it."""
+    from pyspark.sql import Window as W
+
+    from ..cache import tracked_persist
+
+    tf = tracked_persist(tf_raw)
     stats = tf.groupBy("d").agg(F.first("dl").alias("dl")).agg(
         F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -9350,16 +9350,12 @@ def x162_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distribution-free reject threshold; the held-out split
     reports the achieved keep rate — hand-picked filter cutoffs
     (x53's fixed bands) replaced by a finite-sample guarantee."""
-    from ..operators.curation import conformal_thresholds
-    from ..operators.text import tokens
+    from ..operators.curation import conformal_thresholds, lexdiv_qscore
 
     docs = load_table(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
     scored = docs.select(
         "doc_id",
-        (F.size(F.array_distinct(t)).cast("double") / F.size(t) * F.lit(1e6))
-        .cast("long")
-        .alias("qs"),
+        lexdiv_qscore(F.col("text")).alias("qs"),
     )
     return conformal_thresholds(
         scored.filter(F.col("doc_id") % 2 == 0),

@@ -2444,3 +2444,131 @@ def embedding_health_view(spark, path: str) -> DataFrame:
 def compact_embedding_health(spark, path: str, quiesced: bool = True) -> None:
     """Fold the moment log; same CAS contract as the other sinks."""
     _compact(spark, path, _embedding_moments_of, quiesced)
+
+
+# ------------------------------------- incremental conformal calibration
+
+
+def make_conformal_sink(path: str, id_col: str = "doc_id", text_col: str = "text"):
+    """Continuously-maintained split-conformal calibration state (the
+    x162 audit's streaming twin): each batch appends its exact
+    per-split score-histogram cells (is_cal, q, nk) — the
+    lexical-diversity score and the doc_id-parity cal/test split are
+    shared verbatim with the batch query — and cells ADD, so the
+    merged thresholds are BIT-EQUAL to conformal_thresholds over every
+    document ever ingested.  State is bounded by score quantization
+    (distinct q values), never the corpus.  Same append-exactly-once
+    contract as the other counting sinks."""
+    from ..operators.curation import lexdiv_qscore
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cells = (
+            batch_df.select(
+                (F.col(id_col) % 2 == 0).alias("is_cal"),
+                lexdiv_qscore(F.col(text_col)).alias("q"),
+            )
+            .groupBy("is_cal", "q")
+            .agg(F.count("*").cast("long").alias("nk"))
+        )
+        AtomicParquetTable(path).append(
+            cells.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _conformal_hist_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "is_cal", "q"])
+        .groupBy("is_cal", "q")
+        .agg(F.sum("nk").cast("long").alias("nk"))
+    )
+
+
+def conformal_view(
+    spark, path: str, alpha_ppm: tuple[int, ...] = (10_000, 50_000, 100_000)
+) -> DataFrame:
+    """Current conformal quality-filter thresholds + achieved held-out
+    keep rates — the continuously-answered 'what cutoff gives an
+    alpha-bounded reject rate right now?'.  Bit-equal to the batch
+    x162 operator over the union of ingested batches: both entry the
+    same conformal_from_hist core, and the maintained state IS its
+    input histogram."""
+    from ..operators.curation import conformal_from_hist
+
+    hist = _conformal_hist_of(_read_log(spark, path))
+    return conformal_from_hist(
+        hist.filter(F.col("is_cal")).select("q", "nk"),
+        hist.filter(~F.col("is_cal")).select("q", "nk"),
+        alpha_ppm,
+    )
+
+
+def compact_conformal(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the conformal score-histogram log to one row per
+    (is_cal, q) cell; cell-wise sums are a valid partial, so live
+    appends keep composing after compaction."""
+    _compact(spark, path, _conformal_hist_of, quiesced)
+
+
+# --------------------------------------- incremental retrieval evaluation
+
+
+def make_retrieval_eval_sink(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rel_col: str = "source",
+):
+    """Incrementally-maintained tf-grade postings store (d, rel, dl,
+    term, tf) — the eval-ready sibling of make_index_sink's (term, df,
+    postings) index: the retrieval-quality harness needs per-(doc,
+    term) frequencies, doc lengths, and relevance labels, which the
+    search index deliberately drops.  Rows are PER-DOCUMENT facts, so
+    per-batch partials union to exactly the batch frame (each document
+    arrives in one batch — the same append-only-corpus assumption as
+    make_index_sink); a replayed batch recomputes identical rows and
+    deduplicates at read time."""
+    from ..operators.retrieval import eval_tf_frame
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = eval_tf_frame(batch_df, id_col, text_col, rel_col)
+        AtomicParquetTable(path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _retrieval_tf_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "d", "term"])
+        .select("d", "rel", "dl", "term", "tf")
+    )
+
+
+def retrieval_eval_view(spark, path: str, **eval_kwargs) -> DataFrame:
+    """Current retrieval-quality report (MRR / p@k / nDCG per query)
+    over the maintained postings store — the continuously-answered
+    'how good is the ranker against the corpus as ingested so far?'.
+    Bit-equal to the batch x163 operator over the union of ingested
+    batches: both enter the same retrieval_eval_from_tf core, and the
+    merged store is exactly its input frame."""
+    from ..operators.retrieval import retrieval_eval_from_tf
+
+    return retrieval_eval_from_tf(
+        _retrieval_tf_of(_read_log(spark, path)), **eval_kwargs
+    )
+
+
+def compact_retrieval_eval(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the postings log to one row per (d, term); rows are
+    per-document facts (no cross-batch merging), so the fold is pure
+    replay-dedup and live appends keep composing after compaction."""
+    _compact(spark, path, _retrieval_tf_of, quiesced)

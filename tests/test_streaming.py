@@ -3003,3 +3003,92 @@ def test_streaming_embedding_health_matches_batch_operator(spark, sf_dir, tmp_pa
     compact_embedding_health(spark, path, quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_conformal_view_matches_batch_operator(spark, sf_dir, tmp_path):
+    """The streamed conformal thresholds must be bit-equal to the
+    batch x162 operator (conformal_thresholds on the doc_id-parity
+    split of the union corpus); replay- and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        conformal_thresholds,
+        lexdiv_qscore,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_conformal,
+        conformal_view,
+        make_conformal_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "conf")
+    sink = make_conformal_sink(path)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(
+            tuple(r) for r in conformal_view(spark, path).collect()
+        )
+
+    got = view()
+    scored = docs.select(
+        "doc_id", lexdiv_qscore(F.col("text")).alias("qs")
+    )
+    want = sorted(
+        tuple(r)
+        for r in conformal_thresholds(
+            scored.filter(F.col("doc_id") % 2 == 0),
+            scored.filter(F.col("doc_id") % 2 == 1),
+            "qs",
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+    sink(b1, 1)  # replay -> deduped cells
+    assert view() == got
+    compact_conformal(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
+
+
+def test_streaming_retrieval_eval_view_matches_batch_operator(
+    spark, sf_dir, tmp_path
+):
+    """The streamed retrieval-quality report must be bit-equal to the
+    batch x163 operator over the union of ingested batches; replay-
+    and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_retrieval_eval,
+        make_retrieval_eval_sink,
+        retrieval_eval_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "reval")
+    sink = make_retrieval_eval_sink(path)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(
+            tuple(r) for r in retrieval_eval_view(spark, path).collect()
+        )
+
+    got = view()
+    want = sorted(tuple(r) for r in retrieval_eval(docs).collect())
+    assert got == want and len(got) == 20
+
+    sink(b1, 1)  # replay -> deduped postings
+    assert view() == got
+    compact_retrieval_eval(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
