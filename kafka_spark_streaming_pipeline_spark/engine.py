@@ -1165,3 +1165,22 @@ class Engine:
         return component_size_profile(
             self.dedup_clusters(**kwargs), self.table("documents")
         )
+
+    def train_unigram_tokenizer(self, **kw) -> DataFrame:
+        """Unigram-LM (SentencePiece-style) tokenizer model via Viterbi
+        hard-EM + contribution pruning (x172) — the probabilistic
+        sibling of train_bpe; integer micro-nat code lengths."""
+        from .operators.text import unigram_lm_train
+
+        return unigram_lm_train(self.table("documents"), **kw)
+
+    def unigram_encode(self, model=None, **kw) -> DataFrame:
+        """Viterbi-encode the corpus with a unigram-LM model (x173):
+        per-document piece counts, total code length, OOV words.
+        Trains a fresh x172 model when none is passed."""
+        from .operators.text import unigram_lm_encode, unigram_lm_train
+
+        docs = self.table("documents")
+        if model is None:
+            model = unigram_lm_train(docs)
+        return unigram_lm_encode(docs, model, **kw)
