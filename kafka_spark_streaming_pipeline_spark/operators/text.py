@@ -1040,3 +1040,55 @@ def unigram_lm_encode(
             ),
         )
     )
+
+
+def tokenizer_compare(
+    docs: DataFrame,
+    bpe_merges: list,
+    unigram_model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Side-by-side corpus compression report for the two trained
+    tokenizer families (BPE merge list vs unigram-LM model) on the
+    SAME corpus — the pick-a-tokenizer decision table: fewer pieces
+    per word = cheaper training tokens for the same text.
+
+    Unigram accounting covers segmentable words only (OOV words are
+    excluded from both numerator and denominator — they have no piece
+    count); BPE covers every word by construction.
+
+    Scale shape: two map-only encode passes (the codegen replace chain
+    and the distinct-word DP join) + one 1-row aggregate each — no new
+    shuffle beyond the encodes themselves.
+
+    Output: (tokenizer, n_words, n_pieces, pieces_per_word)."""
+    bpe = bpe_encode(docs, bpe_merges, text_col=text_col, id_col=id_col).agg(
+        F.sum("n_words").cast("long").alias("w"),
+        F.sum("n_symbols").cast("long").alias("p"),
+    )
+    uni = unigram_lm_encode(
+        docs, unigram_model, text_col=text_col, id_col=id_col
+    ).agg(
+        (F.sum("n_words") - F.sum("n_oov_words")).cast("long").alias("w"),
+        F.sum("n_pieces").cast("long").alias("p"),
+    )
+    ratio = (
+        F.round(
+            F.col("p").cast("double") / F.col("w").cast("double") + F.lit(1e-9), 6
+        )
+        + F.lit(0.0)
+    ).alias("pieces_per_word")
+    return bpe.select(
+        F.lit("bpe").alias("tokenizer"),
+        F.col("w").alias("n_words"),
+        F.col("p").alias("n_pieces"),
+        ratio,
+    ).unionByName(
+        uni.select(
+            F.lit("unigram").alias("tokenizer"),
+            F.col("w").alias("n_words"),
+            F.col("p").alias("n_pieces"),
+            ratio,
+        )
+    )

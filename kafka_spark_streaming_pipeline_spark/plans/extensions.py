@@ -10432,3 +10432,35 @@ def x173_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_encode(docs, unigram_lm_train(docs))
+
+
+@query(
+    "x174_tokenizer_compare",
+    oracle=f"""
+    SELECT 'bpe' AS tokenizer,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_symbols) AS BIGINT) AS n_pieces,
+           round(sum(n_symbols)::DOUBLE / sum(n_words) + 1e-9, 6) + 0.0
+             AS pieces_per_word
+    FROM ({_bpe_encode_sql(X88_MERGES)})
+    UNION ALL
+    SELECT 'unigram' AS tokenizer,
+           CAST(sum(n_words) - sum(n_oov_words) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(sum(n_pieces)::DOUBLE / (sum(n_words) - sum(n_oov_words))
+                 + 1e-9, 6) + 0.0 AS pieces_per_word
+    FROM ({_unigram_encode_oracle()})
+    """,
+)
+def x174_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick-a-tokenizer report: corpus pieces-per-word under the x88
+    BPE merge list vs the x172-trained unigram-LM model, one row per
+    tokenizer family — the decision table a training-data pipeline
+    consults before committing a token budget (x166/x168/x170 then
+    price the chosen tokenizer's padding/fertility/truncation).  Both
+    encodes are the production paths (map-only replace chain;
+    distinct-word DP join); the oracle replays each end to end."""
+    from ..operators.text import tokenizer_compare, unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tokenizer_compare(docs, X88_MERGES, unigram_lm_train(docs))
