@@ -902,8 +902,37 @@ def unigram_lm_train(
     Output: (piece, piece_len, cnt, cost_micro, contribution) — cnt is
     the post-EM smoothed count, cost_micro = floor(ln(total/cnt)*1e6 +
     0.5) over the pruned vocabulary, contribution the pre-prune ranking
-    key.  All integers."""
-    wf = _word_freqs(docs, text_col, max_word_len).localCheckpoint()
+    key.  All integers.
+
+    Implementation: the corpus reduces to the (w, freq) word-frequency
+    frame in one scan, then delegates to ``unigram_lm_train_from_words``
+    — the same entry point the streaming twin's maintained
+    word-frequency store feeds (streaming/sinks.py make_wordfreq_sink),
+    so the continuously-retrained model is bit-equal to this operator
+    by construction (word counts are sum-mergeable)."""
+    return unigram_lm_train_from_words(
+        _word_freqs(docs, text_col, max_word_len),
+        vocab_multi=vocab_multi,
+        keep_multi=keep_multi,
+        max_piece_len=max_piece_len,
+        iterations=iterations,
+    )
+
+
+def unigram_lm_train_from_words(
+    word_freqs: DataFrame,
+    vocab_multi: int = UNIGRAM_VOCAB_MULTI,
+    keep_multi: int = UNIGRAM_KEEP_MULTI,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    iterations: int = UNIGRAM_ITERATIONS,
+) -> DataFrame:
+    """``unigram_lm_train`` over a pre-aggregated (w, freq)
+    word-frequency frame — the shared core of the batch operator and
+    the streaming view (whose maintained state is exactly these
+    sum-mergeable word counts).  The frame is localCheckpoint'ed here:
+    candidate mining and every EM iteration's Viterbi pass re-scan
+    it."""
+    wf = word_freqs.localCheckpoint()
 
     cand = (
         wf.select(
@@ -967,7 +996,7 @@ def unigram_lm_train(
         (p, len(p), counts[p], _micro_cost(final_total, counts[p]), contrib[p])
         for p in final_pieces
     ]
-    return docs.sparkSession.createDataFrame(
+    return word_freqs.sparkSession.createDataFrame(
         rows,
         "piece string, piece_len int, cnt long, cost_micro long, contribution long",
     )

@@ -2572,3 +2572,71 @@ def compact_retrieval_eval(spark, path: str, quiesced: bool = True) -> None:
     per-document facts (no cross-batch merging), so the fold is pure
     replay-dedup and live appends keep composing after compaction."""
     _compact(spark, path, _retrieval_tf_of, quiesced)
+
+
+# -------------------------------------- incremental tokenizer retraining
+
+
+def make_wordfreq_sink(path: str, text_col: str = "text", max_word_len: int = 12):
+    """Continuously-maintained corpus word-frequency state — the ONE
+    corpus-derived input of unigram-LM tokenizer training (x172): each
+    batch appends its (w, freq) count partials; counts ADD, so the
+    model retrained from the merged store is BIT-EQUAL to batch
+    training over every document ever ingested.  State is bounded by
+    the vocabulary (distinct truncated words), never the corpus.  Same
+    append-exactly-once contract as the other counting sinks.
+
+    ``max_word_len`` must match the training parameter (words are
+    truncated BEFORE counting, exactly as _word_freqs does)."""
+    from ..operators.text import _word_freqs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = _word_freqs(batch_df, text_col, max_word_len)
+        AtomicParquetTable(path).append(
+            partial.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _wordfreq_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "w"])
+        .groupBy("w")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+    )
+
+
+def wordfreq_view(spark, path: str) -> DataFrame:
+    """Current merged (w, freq) word-frequency table over all ingested
+    batches — the tokenizer trainer's input state, also useful on its
+    own (Zipf checks, vocabulary growth)."""
+    return _wordfreq_of(_read_log(spark, path))
+
+
+def unigram_model_view(spark, path: str, **train_kwargs) -> DataFrame:
+    """Continuously-retrained unigram-LM tokenizer: runs the full
+    Viterbi hard-EM (x172) from the maintained word-frequency store —
+    the 'would the tokenizer trained RIGHT NOW differ?' answer a
+    corpus owner checks before re-tokenizing.  Bit-equal to the batch
+    x172 operator over the union of ingested batches: both enter the
+    same unigram_lm_train_from_words core, and word counts are
+    sum-mergeable.  NOTE: this runs the EM loop (bounded driver
+    iterations over the vocabulary-sized store), so it is a
+    train-on-read view, not a constant-time report — run it on the
+    retraining cadence, not per batch."""
+    from ..operators.text import unigram_lm_train_from_words
+
+    return unigram_lm_train_from_words(
+        _wordfreq_of(_read_log(spark, path)), **train_kwargs
+    )
+
+
+def compact_wordfreq(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the word-frequency log to one row per word; word counts are
+    a valid partial (sums), so live appends keep composing after
+    compaction."""
+    _compact(spark, path, _wordfreq_of, quiesced)

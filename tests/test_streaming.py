@@ -3092,3 +3092,47 @@ def test_streaming_retrieval_eval_view_matches_batch_operator(
     compact_retrieval_eval(spark, path, quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_unigram_model_view_matches_batch_training(
+    spark, sf_dir, tmp_path
+):
+    """The tokenizer retrained from the maintained word-frequency
+    store must be bit-equal to batch x172 training over the union of
+    ingested batches (word counts are sum-mergeable); replay- and
+    compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        unigram_lm_train,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_wordfreq,
+        make_wordfreq_sink,
+        unigram_model_view,
+        wordfreq_view,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "wf")
+    sink = make_wordfreq_sink(path)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 != 0)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def model():
+        return sorted(
+            tuple(r) for r in unigram_model_view(spark, path).collect()
+        )
+
+    got = model()
+    want = sorted(tuple(r) for r in unigram_lm_train(docs).collect())
+    assert got == want and len(got) > 0
+
+    sink(b1, 1)  # replay -> deduped count partials
+    assert model() == got
+    n_words = wordfreq_view(spark, path).count()
+    compact_wordfreq(spark, path, quiesced=False)
+    assert wordfreq_view(spark, path).count() == n_words
+    sink(b1, 1)  # replay of a folded batch
+    assert model() == got
