@@ -164,6 +164,9 @@ AUDITED = {
     "x169_quality_length_confound": "confound audit: one scan to the 4 x log2-buckets contingency table; chi2 machinery on the tiny persisted cell frame",
     "x170_truncation_loss": "truncation sweep: ONE corpus scan -> per-doc length -> |max_lens| literal explode -> combinable aggregate",
     "x171_dedup_cluster_profile": "cluster profile: p14's component frame aggregated twice (sizes -> distribution); corpus/clustered totals broadcast one-row aggregates",
+    "x172_unigram_lm_train": "unigram-LM training: the audited plan is the RETURNED artifact — the vocab-sized model as a LocalTableScan (0 scans/exchanges BY DESIGN, x77 precedent); the build itself runs ONE corpus scan into the checkpointed word-frequency frame, then map-only codegen Viterbi folds per EM pass (model inlined as a map literal, no joins), driver state bounded by vocab params",
+    "x173_unigram_lm_encode": "unigram encode: per-word DP computed once per DISTINCT word, joined back on the well-spread word key; per-doc rollup is one combinable aggregate",
+    "x174_tokenizer_compare": "tokenizer compare: two map-only encode passes (BPE replace chain; unigram distinct-word DP join) + one 1-row aggregate each — no new shuffles",
 }
 
 
