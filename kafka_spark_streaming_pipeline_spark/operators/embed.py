@@ -526,3 +526,75 @@ def fisher_separation(
             + F.lit(0.0)
         ).alias("fisher_j"),
     )
+
+
+def int8_quantize_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar int8 quantization fidelity audit — the 4x-memory
+    compression tier BELOW product quantization (x62 trades recall for
+    64x; this trades almost nothing for 4x): each vector is encoded as
+    round-half-up codes floor(x / scale * 127 + 0.5) against its own
+    max-abs scale, and the audit reports how faithful the dequantized
+    copy is — the go/no-go check before serving ANN from int8.
+
+    Per vector: the scale, cosine(v, dequant(v)) (the scale cancels,
+    so it is computed dot(v,c)/(|v||c|) directly on the integer
+    codes), and the max absolute elementwise reconstruction error.
+    Zero-vectors (scale 0) report NULL fidelity/error.
+
+    Scale shape: map-only — one scan, per-row array folds, zero
+    exchanges (the x88/x33 class).  Every binding is let-bound so the
+    O(dim) subexpressions evaluate once per row, not O(dim^2)
+    (let_expr discipline, operators/text.py)."""
+    from .similarity import _dot
+    from .text import let_expr as _let
+
+    def per_vec(v: Column) -> Column:
+        def with_scale(scale: Column) -> Column:
+            codes_d = F.transform(
+                v, lambda x: F.floor(x / scale * 127.0 + F.lit(0.5)).cast("double")
+            )
+
+            def with_codes(cd: Column) -> Column:
+                cos = F.round(
+                    _dot(v, cd) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(cd, cd)))
+                    + F.lit(1e-9),
+                    4,
+                ) + F.lit(0.0)
+                err = F.round(
+                    F.array_max(
+                        F.zip_with(
+                            v, cd, lambda a, c: F.abs(a - c * scale / F.lit(127.0))
+                        )
+                    )
+                    + F.lit(1e-9),
+                    6,
+                ) + F.lit(0.0)
+                return F.struct(
+                    (F.round(scale + F.lit(1e-9), 6) + F.lit(0.0)).alias("scale"),
+                    cos.alias("cos_fidelity"),
+                    err.alias("max_abs_err"),
+                )
+
+            return F.when(scale > 0, _let(codes_d, with_codes)).otherwise(
+                F.struct(
+                    F.lit(0.0).alias("scale"),
+                    F.lit(None).cast("double").alias("cos_fidelity"),
+                    F.lit(None).cast("double").alias("max_abs_err"),
+                )
+            )
+
+        return _let(F.array_max(F.transform(v, F.abs)), with_scale)
+
+    return emb.select(
+        F.col(id_col),
+        per_vec(F.col(vec_col).cast("array<double>")).alias("__a"),
+    ).select(
+        id_col,
+        F.col("__a.scale").alias("scale"),
+        F.col("__a.cos_fidelity").alias("cos_fidelity"),
+        F.col("__a.max_abs_err").alias("max_abs_err"),
+    )

@@ -10464,3 +10464,51 @@ def x174_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tokenizer_compare(docs, X88_MERGES, unigram_lm_train(docs))
+
+
+@query(
+    "x175_int8_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v
+    ), c AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS cd
+      FROM s WHERE scale > 0
+    ), e AS (
+      SELECT c.vec_id,
+             max(abs(c.v[u.i] - c.cd[u.i] * c.scale / 127.0)) AS max_err
+      FROM c, unnest(range(1, len(c.v) + 1)) AS u(i)
+      GROUP BY 1
+    ), m AS (
+      SELECT vec_id, scale,
+             round(list_dot_product(v, cd)
+                   / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cd, cd)))
+                   + 1e-9, 4) + 0.0 AS cos_fidelity
+      FROM c
+    )
+    SELECT s.vec_id,
+           CASE WHEN s.scale > 0 THEN round(s.scale + 1e-9, 6) + 0.0
+                ELSE 0.0 END AS scale,
+           m.cos_fidelity,
+           CASE WHEN s.scale > 0 THEN round(e.max_err + 1e-9, 6) + 0.0 END
+             AS max_abs_err
+    FROM s LEFT JOIN m USING (vec_id) LEFT JOIN e ON e.vec_id = s.vec_id
+    """,
+)
+def x175_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization fidelity audit (the 4x compression
+    tier below x62's PQ): per-vector max-abs scale, round-half-up
+    codes, cosine(v, dequant(v)) and max elementwise error — the
+    go/no-go report before serving ANN from int8 codes.  Map-only
+    (zero exchanges); the scale cancellation lets both engines score
+    fidelity directly on the integer codes, so the audit is
+    value-pinned end to end."""
+    from ..operators.embed import int8_quantize_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_audit(emb)

@@ -2914,3 +2914,29 @@ def test_component_size_profile_hand_case(spark):
     assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
     assert out[1]["n_clusters"] == 5 and out[1]["n_docs"] == 5
     assert abs(sum(r["corpus_frac"] for r in out.values()) - 1.0) < 1e-6
+
+
+def test_int8_quantize_audit_hand_case(spark):
+    """Hand arithmetic: scale = max|x|; codes floor(x/scale*127+0.5);
+    fidelity on the codes; zero vector -> NULL metrics."""
+    from kafka_spark_streaming_pipeline_spark.operators.embed import (
+        int8_quantize_audit,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in int8_quantize_audit(emb).collect()}
+    r1 = rows[1]
+    assert r1.scale == 1.0
+    # codes = [127, floor(-63.5 + 0.5)] = [127, -63]
+    # cos = (1*127 + (-0.5)(-63)) / (sqrt(1.25) * sqrt(127^2+63^2))
+    import math
+
+    cos = (127 + 31.5) / (math.sqrt(1.25) * math.sqrt(127**2 + 63**2))
+    assert r1.cos_fidelity == round(cos + 1e-9, 4)
+    # dequant = [1.0, -63/127]; max err = |-0.5 + 63/127|
+    assert r1.max_abs_err == round(abs(-0.5 + 63 / 127) + 1e-9, 6)
+    r2 = rows[2]
+    assert r2.scale == 0.0 and r2.cos_fidelity is None and r2.max_abs_err is None
