@@ -156,7 +156,7 @@ AUDITED = {
     "x161_welch_source_pairs": "Welch pairs: one scan to |sources|-row exact BIGINT moments; the pair join is broadcast on that tiny frame",
     "x162_conformal_threshold": "conformal: calibration scan to a distinct-score histogram (quantization-bounded); rank walk on that frame; test scan aggregates vs the |alphas|-row broadcast",
     "x163_retrieval_eval": "retrieval eval: ONE corpus scan into persisted postings; |Q|x3 query terms broadcast into the postings join; metrics windows over |Q| rows",
-    "x164_release_audit": "release audit: ONE persisted per-doc projection feeds datasheet/PII/k-anonymity/Bloom (one documents scan); sketch audits add one orders + one events scan; every aggregate bounded",
+    "x164_release_audit": "release audit: the per-doc projection is persisted and feeds datasheet/PII/k-anonymity/Bloom — the 12 textual scan nodes in the dump are plan-equal subtrees SERVED FROM that cache (13 cached readers; Spark's cache substitution leaves the scan node textually in place), so the table is READ once per family input, not 12 times; sketch audits add one orders + one events scan; every aggregate bounded",
     "x165_ann_recall_audit": "ANN recall audit: broadcast-queries exact baseline (p13 dataflow) vs bucket-cohabitant LSH candidates (x49 dataflow); the hit join runs on |Q| x k rows",
     "x166_padding_efficiency": "padding report: ONE corpus scan into a <=8-row bucket aggregate; the naive baseline re-aggregates the same tiny frame",
     "x167_classifier_calibration": "calibration: the x159 dataflow + a top-2 window over |docs|x|L| rows; the report is a <=12-row bucket aggregate",
