@@ -1184,3 +1184,13 @@ class Engine:
         if model is None:
             model = unigram_lm_train(docs)
         return unigram_lm_encode(docs, model, **kw)
+
+    def tokenizer_audit(self) -> DataFrame:
+        """The composed tokenizer-budget gate (x176): tokenizer-family
+        comparison + per-language fertility + padding efficiency +
+        truncation sweep as one long-form (family, item, metric,
+        value) report — the x164 sibling for the token-budget
+        decision."""
+        from .plans import QUERIES
+
+        return QUERIES["x176_tokenizer_audit"].builder(self.spark, self.sf_dir)

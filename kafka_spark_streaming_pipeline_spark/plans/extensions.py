@@ -9855,9 +9855,7 @@ def x165_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x166_padding_efficiency",
-    oracle="""
+_X166_ORACLE = """
     WITH lens AS (
       SELECT least(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 512)
                AS len
@@ -9891,8 +9889,10 @@ def x165_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum_tokens AS DOUBLE) / padded_tokens + 1e-9, 6) + 0.0
              AS efficiency
     FROM unioned
-    """,
-)
+    """
+
+
+@query("x166_padding_efficiency", oracle=_X166_ORACLE)
 def x166_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batch-planning report: per-bucket padding waste
     (64-token buckets, 512 max length) vs the naive pad-to-max
@@ -9999,9 +9999,7 @@ def x167_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_calibration(docs, label_col="lang")
 
 
-@query(
-    "x168_tokenizer_fertility",
-    oracle="""
+_X168_ORACLE = """
     WITH per AS (
       SELECT lang AS grp,
              CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws,
@@ -10024,8 +10022,10 @@ def x167_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(chars) AS DOUBLE) / sum(ws) + 1e-9, 6) + 0.0
              AS chars_per_word
     FROM per GROUP BY 1
-    """,
-)
+    """
+
+
+@query("x168_tokenizer_fertility", oracle=_X168_ORACLE)
 def x168_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (BPE-ish sub-word tokens per
     whitespace word), bytes/token and chars/word — the 'is the
@@ -10148,9 +10148,7 @@ def x169_quality_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_independence(labeled, "style_band", "len_band")
 
 
-@query(
-    "x170_truncation_loss",
-    oracle="""
+_X170_ORACLE = """
     WITH lens AS (
       SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS len
       FROM documents
@@ -10169,8 +10167,10 @@ def x169_quality_length_confound(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(greatest(len - max_len, 0)) AS DOUBLE)
                  / sum(len) + 1e-9, 6) + 0.0 AS token_loss_frac
     FROM swept GROUP BY 1
-    """,
-)
+    """
+
+
+@query("x170_truncation_loss", oracle=_X170_ORACLE)
 def x170_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length sweep: per candidate max sequence length, the
     fraction of documents truncated and the fraction of corpus TOKENS
@@ -10434,9 +10434,7 @@ def x173_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_encode(docs, unigram_lm_train(docs))
 
 
-@query(
-    "x174_tokenizer_compare",
-    oracle=f"""
+_X174_ORACLE = f"""
     SELECT 'bpe' AS tokenizer,
            CAST(sum(n_words) AS BIGINT) AS n_words,
            CAST(sum(n_symbols) AS BIGINT) AS n_pieces,
@@ -10450,8 +10448,10 @@ def x173_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(n_pieces)::DOUBLE / (sum(n_words) - sum(n_oov_words))
                  + 1e-9, 6) + 0.0 AS pieces_per_word
     FROM ({_unigram_encode_oracle()})
-    """,
-)
+    """
+
+
+@query("x174_tokenizer_compare", oracle=_X174_ORACLE)
 def x174_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pick-a-tokenizer report: corpus pieces-per-word under the x88
     BPE merge list vs the x172-trained unigram-LM model, one row per
@@ -10512,3 +10512,92 @@ def x175_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_quantize_audit(emb)
+
+
+_X176_ORACLE = f"""
+    WITH cmp AS ({_X174_ORACLE}),
+    fert AS ({_X168_ORACLE}),
+    pad AS ({_X166_ORACLE}),
+    tr AS ({_X170_ORACLE})
+    SELECT 'compare' AS family, tokenizer AS item,
+           'pieces_per_word' AS metric, pieces_per_word AS value FROM cmp
+    UNION ALL
+    SELECT 'fertility', lang, 'fertility', fertility FROM fert
+    UNION ALL
+    SELECT 'fertility', lang, 'bytes_per_token', bytes_per_token FROM fert
+    UNION ALL
+    SELECT 'padding', strategy || '@' || CAST(cap_len AS VARCHAR),
+           'efficiency', efficiency FROM pad
+    UNION ALL
+    SELECT 'truncation', CAST(max_len AS VARCHAR), 'doc_trunc_frac',
+           doc_trunc_frac FROM tr
+    UNION ALL
+    SELECT 'truncation', CAST(max_len AS VARCHAR), 'token_loss_frac',
+           token_loss_frac FROM tr
+    """
+
+
+@query("x176_tokenizer_audit", oracle=_X176_ORACLE)
+def x176_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed tokenizer-budget audit — the x164-release-audit
+    sibling for the token-budget decision: ONE long-form (family,
+    item, metric, value) report answering 'which tokenizer, which
+    sequence length, and what does it cost per language?' — tokenizer
+    family comparison (x174: BPE vs trained unigram pieces/word),
+    per-language fertility + bytes/token (x168), per-bucket padding
+    efficiency vs pad-to-max (x166), and the truncation sweep (x170).
+    Each constituent keeps its own audited one-scan shape (this is a
+    run-rarely gate, not a hot path); the oracle composes the four
+    constituents' full replays verbatim."""
+    from ..operators.curation import padding_efficiency, truncation_loss
+    from ..operators.profile import tokenizer_fertility
+    from ..operators.text import tokenizer_compare, unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    val = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    cmp_rows = tokenizer_compare(docs, X88_MERGES, unigram_lm_train(docs)).select(
+        F.lit("compare").alias("family"),
+        F.col("tokenizer").alias("item"),
+        F.lit("pieces_per_word").alias("metric"),
+        val("pieces_per_word").alias("value"),
+    )
+    fert = tokenizer_fertility(docs, group_col="lang")
+    fert_rows = fert.select(
+        F.lit("fertility").alias("family"),
+        F.col("lang").alias("item"),
+        F.lit("fertility").alias("metric"),
+        val("fertility").alias("value"),
+    ).unionByName(
+        fert.select(
+            F.lit("fertility").alias("family"),
+            F.col("lang").alias("item"),
+            F.lit("bytes_per_token").alias("metric"),
+            val("bytes_per_token").alias("value"),
+        )
+    )
+    pad_rows = padding_efficiency(docs, max_len=512, bucket_width=64).select(
+        F.lit("padding").alias("family"),
+        F.concat(
+            F.col("strategy"), F.lit("@"), F.col("cap_len").cast("string")
+        ).alias("item"),
+        F.lit("efficiency").alias("metric"),
+        val("efficiency").alias("value"),
+    )
+    tr = truncation_loss(docs)
+    tr_rows = tr.select(
+        F.lit("truncation").alias("family"),
+        F.col("max_len").cast("string").alias("item"),
+        F.lit("doc_trunc_frac").alias("metric"),
+        val("doc_trunc_frac").alias("value"),
+    ).unionByName(
+        tr.select(
+            F.lit("truncation").alias("family"),
+            F.col("max_len").cast("string").alias("item"),
+            F.lit("token_loss_frac").alias("metric"),
+            val("token_loss_frac").alias("value"),
+        )
+    )
+    return cmp_rows.unionByName(fert_rows).unionByName(pad_rows).unionByName(
+        tr_rows
+    )
