@@ -1194,3 +1194,11 @@ class Engine:
         from .plans import QUERIES
 
         return QUERIES["x176_tokenizer_audit"].builder(self.spark, self.sf_dir)
+
+    def conformal_prediction_sets(self, **kw) -> DataFrame:
+        """Split-conformal prediction sets for the NB classifier
+        (x177): per alpha, empirical coverage (>= 1-alpha marginally)
+        and average set size — uncertainty-aware labeling."""
+        from .operators.classify import nb_conformal_sets
+
+        return nb_conformal_sets(self.table("documents"), **kw)

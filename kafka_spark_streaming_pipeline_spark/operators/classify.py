@@ -327,3 +327,189 @@ def nb_calibration(
             ).alias("accuracy"),
         )
     )
+
+
+def _evidence_frame(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_max_rows: int,
+) -> DataFrame:
+    """Per-(doc, label) token-evidence sums WITHOUT the prior — the
+    conformal machinery densifies missing pairs (a document with zero
+    in-vocab tokens still scores every label via its prior), so the
+    prior is added downstream after the coalesce, unlike
+    ``_score_frame`` which fuses it into the covered-pairs aggregate.
+    Same one-scan + size-gated model join shape."""
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    model_side = (
+        F.broadcast(model) if model.count() <= broadcast_max_rows else model
+    )
+    return (
+        tf.join(model_side, "tok")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("tf") * F.col("qll")).cast("long").alias("ev"))
+    )
+
+
+def nb_conformal_sets(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha_ppm: tuple[int, ...] = (50_000, 100_000, 200_000),
+    alpha: float = 0.5,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Split-conformal prediction SETS for the NB classifier (Vovk;
+    the classification twin of x162's threshold calibration): train on
+    id%3==0, calibrate on id%3==1, evaluate on id%3==2.  The
+    nonconformity of a (doc, label) is the negated quantized
+    log-posterior -(evidence + prior) — exact BIGINT; qhat is the
+    k = ceil((n_cal+1)(1-alpha))-th smallest calibration nonconformity
+    of the TRUE label (integer rank arithmetic: k = (n_cal+1) -
+    alpha_ppm*(n_cal+1) div 1e6); a test document's prediction set is
+    every label at or under qhat.  Reported per alpha: empirical
+    coverage (true label in set — guaranteed >= 1-alpha marginally)
+    and average set size (the price of that guarantee: an uncertain
+    classifier pays in wider sets, not silent errors).  k > n_cal
+    means no finite-sample qhat exists: the set degenerates to ALL
+    labels (NULL qhat), never a guarantee-breaking clamp (the x162
+    NULL discipline).
+
+    Scale shape: scoring is the x159 dataflow (one token scan per
+    split, size-gated model join); the calibration walk runs on the
+    nonconformity histogram (bounded by distinct scores) with the
+    conformal_from_hist lint discipline; the per-alpha set scan is one
+    pass over the |test| x |L| score frame against the broadcast
+    |alphas|-row qhat frame.  Output: one row per alpha."""
+    from ..cache import tracked_persist
+
+    train = docs.filter(F.col(id_col) % 3 == 0)
+    cal = docs.filter(F.col(id_col) % 3 == 1)
+    test = docs.filter(F.col(id_col) % 3 == 2)
+    model = nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
+    labels = model.select("label", "prior_q").distinct()
+
+    truth = cal.select(F.col(id_col), F.col(label_col).alias("label"))
+    # LEFT join: a calibration document whose true label was never
+    # trained has INFINITE nonconformity (a NULL here) — it counts in
+    # n_cal (pushing k into the infinite region makes qhat NULL = the
+    # full-set degenerate answer, the conservative direction) but has
+    # no finite histogram cell; silently dropping it would bias qhat
+    # optimistic for the deployed distribution.
+    calf = tracked_persist(
+        truth.join(F.broadcast(labels), "label", "left")
+        .join(
+            _evidence_frame(cal, model, id_col, text_col, broadcast_max_rows),
+            [id_col, "label"],
+            "left",
+        )
+        .select(
+            (-(F.coalesce(F.col("ev"), F.lit(0)) + F.col("prior_q")))
+            .cast("long")
+            .alias("a")
+        )
+    )
+    # k-th-smallest walk on the FINITE nonconformity histogram —
+    # identity re-aggregation before the global window so the single-
+    # partition exchange's child is an aggregate (conformal_from_hist
+    # discipline); a k beyond the finite region finds no ck and yields
+    # NULL qhat via the left join below.
+    hist = tracked_persist(
+        calf.filter(F.col("a").isNotNull())
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("nk"))
+    )
+    tot = calf.agg(F.count("*").cast("long").alias("n_cal"))
+    cum = (
+        hist.groupBy("a")
+        .agg(F.sum("nk").cast("long").alias("nk"))
+        .withColumn("ck", F.sum("nk").over(W.orderBy("a")))
+    )
+    alphas = docs.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(x)) for x in alpha_ppm])).alias("alpha_ppm")
+    ).select(F.col("alpha_ppm").cast("long").alias("alpha_ppm"))
+    ranks = alphas.crossJoin(F.broadcast(tot)).select(
+        "alpha_ppm",
+        "n_cal",
+        (
+            F.col("n_cal")
+            + F.lit(1)
+            - F.expr("alpha_ppm * (n_cal + 1) div 1000000")
+        )
+        .cast("long")
+        .alias("k_rank"),
+    )
+    qhat_hit = (
+        ranks.filter(F.col("k_rank") >= 1)
+        .join(cum.crossJoin(F.broadcast(tot)).select("a", "ck", "n_cal"), "n_cal")
+        .filter(F.col("ck") >= F.col("k_rank"))
+        .groupBy("alpha_ppm", "n_cal", "k_rank")
+        .agg(F.min("a").alias("qhat"))
+    )
+    qhat = ranks.join(qhat_hit, ["alpha_ppm", "n_cal", "k_rank"], "left")
+
+    t_truth = test.select(F.col(id_col), F.col(label_col).alias("true_label"))
+    testf = (
+        test.select(id_col)
+        .crossJoin(F.broadcast(labels))
+        .join(
+            _evidence_frame(test, model, id_col, text_col, broadcast_max_rows),
+            [id_col, "label"],
+            "left",
+        )
+        .join(t_truth, id_col)
+        .select(
+            id_col,
+            "label",
+            "true_label",
+            (-(F.coalesce(F.col("ev"), F.lit(0)) + F.col("prior_q")))
+            .cast("long")
+            .alias("a"),
+        )
+    )
+    in_set = F.col("qhat").isNull() | (F.col("a") <= F.col("qhat"))
+    sets = (
+        testf.crossJoin(F.broadcast(qhat))
+        .groupBy("alpha_ppm", "n_cal", "k_rank", id_col)
+        .agg(
+            F.sum(F.when(in_set, 1).otherwise(0)).cast("long").alias("set_size"),
+            F.max(
+                F.when((F.col("label") == F.col("true_label")) & in_set, 1)
+                .otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    return (
+        sets.groupBy("alpha_ppm", "n_cal", "k_rank")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            (
+                F.round(
+                    F.sum("covered").cast("double") / F.count("*") + F.lit(1e-9), 6
+                )
+                + F.lit(0.0)
+            ).alias("coverage"),
+            (
+                F.round(
+                    F.sum("set_size").cast("double") / F.count("*") + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("avg_set_size"),
+        )
+        .select(
+            (F.col("alpha_ppm").cast("double") / F.lit(1e6)).alias("alpha"),
+            "n_cal",
+            "k_rank",
+            "n_test",
+            "coverage",
+            "avg_set_size",
+        )
+    )

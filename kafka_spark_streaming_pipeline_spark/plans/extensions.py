@@ -10601,3 +10601,118 @@ def x176_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cmp_rows.unionByName(fert_rows).unionByName(pad_rows).unionByName(
         tr_rows
     )
+
+
+@query(
+    "x177_conformal_prediction_sets",
+    oracle="""
+    WITH train AS (
+      SELECT * FROM documents WHERE doc_id % 3 = 0
+    ), cal AS (
+      SELECT * FROM documents WHERE doc_id % 3 = 1
+    ), test AS (
+      SELECT * FROM documents WHERE doc_id % 3 = 2
+    ), tok_rows AS (
+      SELECT lang AS label, unnest(string_split(lower(text), ' ')) AS tok
+      FROM train
+    ), counts AS (
+      SELECT label, tok, CAST(count(*) AS BIGINT) AS c
+      FROM tok_rows GROUP BY 1, 2
+    ), vocab AS (
+      SELECT DISTINCT tok FROM counts
+    ), nv AS (
+      SELECT count(*) AS v FROM vocab
+    ), label_tot AS (
+      SELECT label, CAST(sum(c) AS BIGINT) AS n_tok FROM counts GROUP BY 1
+    ), docn AS (
+      SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+      FROM train GROUP BY 1
+    ), nd AS (
+      SELECT sum(n) AS s FROM docn
+    ), priors AS (
+      SELECT label,
+             CAST(trunc(ln(CAST(n AS DOUBLE) / (SELECT s FROM nd)) * 1e6)
+                  AS BIGINT) AS prior_q
+      FROM docn
+    ), dense AS (
+      SELECT lt.label, v.tok,
+             CAST(trunc(ln((COALESCE(c.c, 0) + 0.5)
+                           / (lt.n_tok + 0.5 * (SELECT v FROM nv))) * 1e6)
+                  AS BIGINT) AS qll
+      FROM vocab v CROSS JOIN label_tot lt
+      LEFT JOIN counts c ON c.label = lt.label AND c.tok = v.tok
+    ), cal_ev AS (
+      SELECT t.doc_id, d.label, CAST(sum(t.tf * d.qll) AS BIGINT) AS ev
+      FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM cal) GROUP BY 1, 2) t
+      JOIN dense d USING (tok) GROUP BY 1, 2
+    ), calf AS (
+      SELECT -(COALESCE(s.ev, 0) + p.prior_q) AS a
+      FROM cal c
+      LEFT JOIN priors p ON p.label = c.lang
+      LEFT JOIN cal_ev s ON s.doc_id = c.doc_id AND s.label = c.lang
+    ), ncal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calf
+    ), alphas AS (
+      SELECT CAST(unnest([50000, 100000, 200000]) AS BIGINT) AS alpha_ppm
+    ), ranks AS (
+      SELECT alpha_ppm, n_cal,
+             CAST((n_cal + 1) - alpha_ppm * (n_cal + 1) // 1000000 AS BIGINT)
+               AS k_rank
+      FROM alphas CROSS JOIN ncal
+    ), hist AS (
+      SELECT a, count(*) AS nk FROM calf WHERE a IS NOT NULL GROUP BY 1
+    ), cum AS (
+      SELECT a, sum(nk) OVER (ORDER BY a) AS ck FROM hist
+    ), qh AS (
+      SELECT r.alpha_ppm, r.n_cal, r.k_rank, min(c.a) AS qhat
+      FROM ranks r LEFT JOIN cum c
+        ON c.ck >= r.k_rank AND r.k_rank >= 1
+      GROUP BY 1, 2, 3
+    ), test_ev AS (
+      SELECT t.doc_id, d.label, CAST(sum(t.tf * d.qll) AS BIGINT) AS ev
+      FROM (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                  FROM test) GROUP BY 1, 2) t
+      JOIN dense d USING (tok) GROUP BY 1, 2
+    ), testf AS (
+      SELECT td.doc_id, p.label, td.lang AS true_label,
+             -(COALESCE(s.ev, 0) + p.prior_q) AS a
+      FROM test td CROSS JOIN priors p
+      LEFT JOIN test_ev s ON s.doc_id = td.doc_id AND s.label = p.label
+    ), sets AS (
+      SELECT q.alpha_ppm, q.n_cal, q.k_rank, tf2.doc_id,
+             sum(CASE WHEN q.qhat IS NULL OR tf2.a <= q.qhat
+                      THEN 1 ELSE 0 END) AS set_size,
+             max(CASE WHEN tf2.label = tf2.true_label
+                       AND (q.qhat IS NULL OR tf2.a <= q.qhat)
+                      THEN 1 ELSE 0 END) AS covered
+      FROM qh q CROSS JOIN testf tf2
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(alpha_ppm AS DOUBLE) / 1e6 AS alpha,
+           n_cal, k_rank,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(CAST(sum(covered) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0
+             AS coverage,
+           round(CAST(sum(set_size) AS DOUBLE) / count(*) + 1e-9, 6) + 0.0
+             AS avg_set_size
+    FROM sets GROUP BY 1, 2, 3
+    """,
+)
+def x177_conformal_prediction_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets for the NB lang classifier
+    (x159's model + x162's finite-sample machinery composed into
+    uncertainty-aware labeling): per alpha, the k-th-smallest true-
+    label nonconformity on the calibration split becomes the set
+    threshold, and the held-out split reports empirical coverage
+    (guaranteed >= 1-alpha marginally) and average set size — the
+    classifier-as-labeler's error budget, priced in set width instead
+    of silent mistakes.  Exact BIGINT nonconformities and integer rank
+    arithmetic end to end; oracle replays train -> dense model ->
+    both splits' scores -> rank walk -> set scan."""
+    from ..operators.classify import nb_conformal_sets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_conformal_sets(docs)

@@ -1027,3 +1027,101 @@ def test_unigram_lm_encode_matches_python_reference(spark, doc_words):
         for r in unigram_lm_encode(docs, model, max_piece_len=3).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr"]),
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1,
+                     max_size=5),
+        ),
+        min_size=6, max_size=18,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_nb_conformal_sets_matches_python_reference(spark, labeled_docs):
+    """The distributed conformal-set pipeline (NB scoring + histogram
+    rank walk + set scan) must reproduce a sequential reference of the
+    whole protocol exactly: quantized model, nonconformities, the
+    ceil((n+1)(1-alpha)) rank, qhat, coverage and set sizes."""
+    import math
+    from collections import Counter
+
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_conformal_sets,
+    )
+
+    rows = [(i, lab, " ".join(ws)) for i, (lab, ws) in enumerate(labeled_docs)]
+    train = [(l, t) for i, l, t in rows if i % 3 == 0]
+    cal = [(l, t) for i, l, t in rows if i % 3 == 1]
+    test = [(l, t) for i, l, t in rows if i % 3 == 2]
+    # hypothesis may produce splits with empty train/cal/test — the
+    # operator needs at least one doc per split and >= 1 trained label
+    if not train or not cal or not test:
+        return
+
+    counts = Counter()
+    docn = Counter()
+    for lab, t in train:
+        docn[lab] += 1
+        for tok in t.split(" "):
+            counts[(lab, tok)] += 1
+    vocab = sorted({tok for _, tok in counts})
+    label_tot = Counter()
+    for (lab, tok), c in counts.items():
+        label_tot[lab] += c
+    nd = sum(docn.values())
+    prior = {
+        lab: math.trunc(math.log(n / nd) * 1e6) for lab, n in docn.items()
+    }
+    qll = {
+        (lab, tok): math.trunc(
+            math.log(
+                (counts.get((lab, tok), 0) + 0.5)
+                / (label_tot[lab] + 0.5 * len(vocab))
+            )
+            * 1e6
+        )
+        for lab in docn
+        for tok in vocab
+    }
+
+    def score(text, lab):
+        tf = Counter(text.split(" "))
+        ev = sum(
+            n * qll[(lab, tok)] for tok, n in tf.items() if (lab, tok) in qll
+        )
+        return ev + prior[lab]
+
+    # untrained true labels: infinite nonconformity — counted in n_cal,
+    # absent from the finite order statistics (mirrors the operator)
+    a_fin = sorted(-score(t, lab) for lab, t in cal if lab in prior)
+    n_cal = len(cal)
+    expected = {}
+    for app in (50_000, 100_000, 200_000):
+        k = (n_cal + 1) - (app * (n_cal + 1)) // 1_000_000
+        qhat = a_fin[k - 1] if 1 <= k <= len(a_fin) else None
+        sizes, covered = [], 0
+        for lab, t in test:
+            in_set = [
+                l2
+                for l2 in sorted(docn)
+                if qhat is None or -score(t, l2) <= qhat
+            ]
+            sizes.append(len(in_set))
+            covered += lab in in_set
+        expected[app / 1e6] = (
+            n_cal,
+            k,
+            len(test),
+            round(covered / len(test) + 1e-9, 6),
+            round(sum(sizes) / len(test) + 1e-9, 6),
+        )
+
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.alpha: (r.n_cal, r.k_rank, r.n_test, r.coverage, r.avg_set_size)
+        for r in nb_conformal_sets(docs).collect()
+    }
+    assert got == expected
