@@ -116,6 +116,13 @@ HEADLINE = [
     # training — the EM loop over the substring candidate vocabulary,
     # the heaviest new family this round.
     "x172_unigram_lm_train",
+    # r08 second batch: the composed tokenizer-budget audit (x174
+    # compare + x168 fertility + x166 padding + x170 truncation as one
+    # long-form gate — prices the composed-audit shape like x164) and
+    # the conformal prediction sets (NB scoring of two splits + the
+    # calibration rank walk — the heaviest statistics addition).
+    "x176_tokenizer_audit",
+    "x177_conformal_prediction_sets",
 ]
 
 # A sub-second measurement on this co-tenant host varies by multiples
