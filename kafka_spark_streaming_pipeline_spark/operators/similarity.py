@@ -1765,3 +1765,74 @@ def knn_label_agreement(
             + F.lit(0.0)
         ).alias("agreement"),
     )
+
+
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    planes: list[list[int]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination — the SEMANTIC sibling of the
+    lexical screens (x25 exact n-grams, x63 Bloom, x87 tiered): a
+    training vector is contaminated when some EVAL vector is
+    cosine-similar above ``threshold``, catching paraphrased or
+    re-rendered eval items that share no n-grams (where every lexical
+    tier is blind).
+
+    Scale shape: both sides bucket by the shared integer SRP planes
+    (one scan each); candidates are the bucket-equijoin of the train
+    side against the BROADCAST eval side (the eval suite is tiny by
+    construction — the same broadcast-eval-side contract as x25/x63),
+    so the train corpus never self-joins and never shuffles beyond
+    the bucket key.  Exact cosine only on candidates; per-train-doc
+    argmax via a well-spread window (cosine desc, eval id asc —
+    deterministic).  SRP blocking is approximate by design: sign
+    agreement on all planes is required, the same recall contract as
+    x14 (audited by x165's machinery).
+
+    Output: every train id with (max_eval_cosine, matched_eval_id,
+    is_contaminated) — NULL cosine/match when no eval vector shares
+    the bucket (is_contaminated false)."""
+
+    def prep(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(name), _as_double(F.col(vec_col)).alias(f"v_{name}")
+            )
+            .withColumn("bucket", int_srp_bucket(F.col(f"v_{name}"), planes))
+            .withColumn(
+                f"n_{name}", F.sqrt(_dot(F.col(f"v_{name}"), F.col(f"v_{name}")))
+            )
+        )
+
+    t = prep(train_emb, "tid")
+    e = prep(eval_emb, "eid")
+    sim = F.round(
+        _dot(F.col("v_tid"), F.col("v_eid")) / (F.col("n_tid") * F.col("n_eid"))
+        + F.lit(1e-9),
+        4,
+    )
+    cand = t.join(F.broadcast(e), "bucket").select(
+        "tid", "eid", sim.alias("cos")
+    )
+    w = W.partitionBy("tid").orderBy(F.col("cos").desc(), F.col("eid").asc())
+    pick = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "tid",
+            F.col("cos").alias("max_eval_cosine"),
+            F.col("eid").alias("matched_eval_id"),
+        )
+    )
+    return t.select("tid").join(pick, "tid", "left").select(
+        F.col("tid").alias(id_col),
+        "max_eval_cosine",
+        "matched_eval_id",
+        F.coalesce(
+            F.col("max_eval_cosine") >= F.lit(threshold), F.lit(False)
+        ).alias("is_contaminated"),
+    )

@@ -10716,3 +10716,50 @@ def x177_conformal_prediction_sets(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents")
     return nb_conformal_sets(docs)
+
+
+@query(
+    "x178_semantic_decontaminate",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), b AS (
+      SELECT id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket,
+             sqrt(list_dot_product(v, v)) AS n
+      FROM v
+    ), t AS (
+      SELECT * FROM b WHERE id % 20 <> 0
+    ), e AS (
+      SELECT * FROM b WHERE id % 20 = 0
+    ), cand AS (
+      SELECT t.id AS tid, e.id AS eid,
+             round(list_dot_product(t.v, e.v) / (t.n * e.n) + 1e-9, 4) AS cos
+      FROM t JOIN e USING (bucket)
+    ), pick AS (
+      SELECT tid, cos AS max_eval_cosine, eid AS matched_eval_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY tid
+                                         ORDER BY cos DESC, eid ASC) AS rn
+            FROM cand)
+      WHERE rn = 1
+    )
+    SELECT t.id AS vec_id, p.max_eval_cosine, p.matched_eval_id,
+           coalesce(p.max_eval_cosine >= 0.4, false) AS is_contaminated
+    FROM t LEFT JOIN pick p ON p.tid = t.id
+    """,
+)
+def x178_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) decontamination of the training
+    split against the held-out eval split (vec_id % 20 == 0 — the x25
+    split convention): SRP-bucket blocking, broadcast eval side, exact
+    cosine on candidates, per-train-doc argmax — catches paraphrased
+    eval leakage that the exact/Bloom/tiered lexical screens cannot
+    see.  Completes the decontamination family's fourth modality."""
+    from ..operators.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 20 != 0),
+        emb.filter(F.col("vec_id") % 20 == 0),
+        NEARDUP_PLANES,
+        threshold=0.4,
+    )
