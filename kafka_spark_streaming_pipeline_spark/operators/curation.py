@@ -3560,3 +3560,49 @@ def lexdiv_qscore(text: Column) -> Column:
     return (
         F.size(F.array_distinct(t)).cast("double") / F.size(t) * F.lit(1e6)
     ).cast("long")
+
+
+def leakage_safe_split(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment — the CONSTRUCTIVE fix
+    to what x96 detects: a document's split is keyed on its near-dup
+    CLUSTER representative (p14 component min-id; singletons key on
+    themselves), so an entire duplicate cluster always lands in ONE
+    split and benchmark near-dups can never straddle train/test.  The
+    buckets are x26's exact md5 arithmetic (90/5/5), applied to the
+    anchor id instead of the document id; ``moved`` marks documents
+    whose split differs from the naive per-doc assignment — the
+    measurable cost of hygiene.
+
+    Scale shape: the component frame is |clustered docs| (pairs-sized,
+    never corpus); one left join on the doc key, then map-only hash
+    arithmetic.  Output: (id, anchor_id, split, moved)."""
+    from .text import hash60
+
+    def bucket(val: Column) -> Column:
+        return hash60(val.cast("string")) % 100
+
+    def split_of(b: Column) -> Column:
+        return (
+            F.when(b < 90, F.lit("train"))
+            .when(b < 95, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    comp = components.select(F.col("id").alias(id_col), "component")
+    anchor = F.coalesce(F.col("component"), F.col(id_col))
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            anchor.alias("anchor_id"),
+            split_of(bucket(anchor)).alias("split"),
+            (
+                split_of(bucket(anchor)) != split_of(bucket(F.col(id_col)))
+            ).alias("moved"),
+        )
+    )

@@ -10763,3 +10763,48 @@ def x178_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         NEARDUP_PLANES,
         threshold=0.4,
     )
+
+
+@query(
+    "x179_leakage_safe_split",
+    oracle=f"""
+    WITH comp AS ({_P14_ORACLE}),
+    a AS (
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS anchor_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), b AS (
+      SELECT doc_id, anchor_id,
+             ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS ab,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS db
+      FROM a
+    )
+    SELECT doc_id, anchor_id,
+           CASE WHEN ab < 90 THEN 'train' WHEN ab < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           (CASE WHEN ab < 90 THEN 'train' WHEN ab < 95 THEN 'val'
+                 ELSE 'test' END)
+             <> (CASE WHEN db < 90 THEN 'train' WHEN db < 95 THEN 'val'
+                      ELSE 'test' END) AS moved
+    FROM b
+    """,
+)
+def x179_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 90/5/5 split: every document assigned by the md5
+    bucket of its near-dup cluster representative (p14 components;
+    singletons by their own id) — whole duplicate clusters land in one
+    split, closing the train/test leak x96 audits; ``moved`` counts
+    the documents hygiene relocated vs the naive x26 assignment.  The
+    oracle replays the closure and the exact hash arithmetic."""
+    from ..operators.curation import leakage_safe_split
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(
+        minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+        )
+    )
+    return leakage_safe_split(comp, docs)
