@@ -769,7 +769,18 @@ _VIT_UNREACH = 1 << 41  # unreachable DP slot (filtered before compare)
 def _cost_map_literal(model: list[tuple[str, int]]) -> Column:
     """map<piece, cost_micro> literal from a collected model — the
     tokenizer artifact is vocab-bounded by construction, so inlining it
-    keeps the per-word DP a pure codegen expression (no join)."""
+    keeps the per-word DP a pure codegen expression (no join).
+
+    Scale boundary: a map literal is right while the vocabulary is
+    expression-sized (the default chars + 40/24 multi-char pieces —
+    and comfortably up to a few thousand).  A production 32k-100k
+    SentencePiece vocabulary would blow up the generated expression;
+    the scale path there is the x173 distinct-word shape taken one
+    step further: explode each distinct word's (i, len) substring
+    grid, JOIN the piece-cost table on the well-spread piece key,
+    regroup to a per-word map_from_entries, and run the same fold on
+    the per-word map column — same DP, join-fed instead of inlined
+    (the nb_score broadcast_max_rows gating discipline)."""
     entries = []
     for piece, cost in model:
         entries.append(F.lit(piece))
