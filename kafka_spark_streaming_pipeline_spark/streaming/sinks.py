@@ -2640,3 +2640,63 @@ def compact_wordfreq(spark, path: str, quiesced: bool = True) -> None:
     a valid partial (sums), so live appends keep composing after
     compaction."""
     _compact(spark, path, _wordfreq_of, quiesced)
+
+
+# --------------------------------- incremental semantic decontamination
+
+
+def make_semantic_decontam_sink(
+    path: str,
+    eval_emb: DataFrame,
+    planes: list,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuously-maintained semantic-contamination verdicts (the
+    x178 screen at ingest): each embedding batch is screened against
+    the FIXED eval set (SRP-bucket blocking, broadcast eval side —
+    exactly the batch operator) and its per-document verdict rows are
+    appended.  Verdicts are per-document facts against an immutable
+    eval suite, so per-batch partials union to exactly the batch
+    screen over every vector ever ingested — the same
+    append-only-corpus contract as make_index_sink; a changed eval
+    suite is an offline re-screen, not a merge.
+
+    ``eval_emb`` and ``planes`` must match the batch x178 parameters
+    for the view to be bit-equal."""
+    from ..operators.similarity import semantic_decontaminate
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        verdicts = semantic_decontaminate(
+            batch_df, eval_emb, planes, threshold, id_col, vec_col
+        )
+        AtomicParquetTable(path).append(
+            verdicts.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _semantic_decontam_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "vec_id"])
+        .select("vec_id", "max_eval_cosine", "matched_eval_id", "is_contaminated")
+    )
+
+
+def semantic_decontam_view(spark, path: str) -> DataFrame:
+    """Current per-document semantic-contamination verdicts over all
+    ingested embedding batches — bit-equal to batch x178 on the union
+    corpus (verdicts are per-document facts against the fixed eval
+    suite)."""
+    return _semantic_decontam_of(_read_log(spark, path))
+
+
+def compact_semantic_decontam(spark, path: str, quiesced: bool = True) -> None:
+    """Fold the verdict log to one row per vector; pure replay-dedup
+    (no cross-batch merging), live appends keep composing."""
+    _compact(spark, path, _semantic_decontam_of, quiesced)

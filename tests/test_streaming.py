@@ -3136,3 +3136,49 @@ def test_streaming_unigram_model_view_matches_batch_training(
     assert wordfreq_view(spark, path).count() == n_words
     sink(b1, 1)  # replay of a folded batch
     assert model() == got
+
+
+def test_streaming_semantic_decontam_view_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed contamination verdicts must be bit-equal to the
+    batch x178 screen over the union of ingested embedding batches;
+    replay- and compaction-safe."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from kafka_spark_streaming_pipeline_spark.plans.extensions import (
+        NEARDUP_PLANES,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_semantic_decontam,
+        make_semantic_decontam_sink,
+        semantic_decontam_view,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 20 != 0)
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    path = str(tmp_path / "sdecon")
+    sink = make_semantic_decontam_sink(path, ev, NEARDUP_PLANES)
+    b0 = train.filter(F.col("vec_id") % 3 == 0)
+    b1 = train.filter(F.col("vec_id") % 3 != 0)
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(
+            tuple(r) for r in semantic_decontam_view(spark, path).collect()
+        )
+
+    got = view()
+    want = sorted(
+        tuple(r)
+        for r in semantic_decontaminate(train, ev, NEARDUP_PLANES).collect()
+    )
+    assert got == want and len(got) > 0
+
+    sink(b1, 1)  # replay -> deduped verdicts
+    assert view() == got
+    compact_semantic_decontam(spark, path, quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
