@@ -490,3 +490,69 @@ def test_nb_score_model_join_is_size_gated(spark):
         for r in nb_score(docs, model, broadcast_max_rows=0).collect()
     }
     assert by_b == by_s
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark):
+    """x178's candidate join must broadcast the (tiny) eval side so
+    the train corpus never shuffles on the 16-value bucket key — a
+    shuffle there would funnel 100 TB through <= 2^planes partitions."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+    from kafka_spark_streaming_pipeline_spark.plans.extensions import (
+        NEARDUP_PLANES,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.5] * 64) for i in range(40)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            semantic_decontaminate(
+                emb.filter("vec_id % 20 != 0"),
+                emb.filter("vec_id % 20 = 0"),
+                NEARDUP_PLANES,
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the bucket equijoin against eval is broadcast even with the
+        # auto threshold disabled (explicit F.broadcast hint)
+        assert "BroadcastHashJoin" in plan, plan
+        bucket_smj = [
+            ln for ln in plan.splitlines()
+            if "SortMergeJoin" in ln and "bucket" in ln
+        ]
+        assert not bucket_smj, bucket_smj
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_conformal_sets_walk_window_child_is_aggregate(spark):
+    """x177's k-th-smallest walk runs a global window over the
+    nonconformity histogram; the single-partition exchange's direct
+    child must be an aggregate (the conformal_from_hist linter
+    discipline) so the exchanged frame is provably
+    quantization-bounded, never corpus-sized."""
+    from kafka_spark_streaming_pipeline_spark.operators.classify import (
+        nb_conformal_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"tok{i % 5} tok{i % 3}") for i in range(24)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    plan = (
+        nb_conformal_sets(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    single = [i for i, ln in enumerate(lines) if "SinglePartition" in ln]
+    assert single, "expected the global cumulative-walk exchange"
+    for i in single:
+        below = "\n".join(lines[i + 1 : i + 4])
+        assert "HashAggregate" in below or "SortAggregate" in below, (
+            lines[i] + "\n" + below
+        )
