@@ -10372,12 +10372,18 @@ def _unigram_train_oracle() -> str:
     """
 
 
-def _unigram_encode_oracle(max_word_len: int = 12) -> str:
+def _unigram_encode_oracle(
+    max_word_len: int = 12,
+    vocab_multi: int = 40,
+    keep_multi: int = 24,
+) -> str:
     """Training replay + a THIRD Viterbi pass under the final model,
-    then the per-document rollup of the distinct-word stats."""
+    then the per-document rollup of the distinct-word stats.  Vocab
+    params pass through to the training CTEs so the x180 vocab-size
+    sweep can replay the whole pipeline per candidate size."""
     return f"""
     WITH RECURSIVE
-    {_unigram_train_ctes()},
+    {_unigram_train_ctes(vocab_multi=vocab_multi, keep_multi=keep_multi)},
     mfm AS MATERIALIZED (SELECT piece, cost_micro AS cost FROM mf),
     {_unigram_viterbi_ctes("3", "mfm", max_word_len)},
     wnp AS MATERIALIZED (SELECT w, CAST(count(piece) AS BIGINT) AS np FROM bt3 GROUP BY w),
@@ -10808,3 +10814,54 @@ def x179_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return leakage_safe_split(comp, docs)
+
+
+def _x180_branch(keep: int) -> str:
+    return f"""
+    SELECT CAST({keep} AS BIGINT) AS multi_pieces_kept,
+           CAST(sum(n_words) - sum(n_oov_words) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(sum(n_pieces)::DOUBLE
+                 / (sum(n_words) - sum(n_oov_words)) + 1e-9, 6) + 0.0
+             AS pieces_per_word
+    FROM ({_unigram_encode_oracle(keep_multi=keep)})
+    """
+
+
+@query(
+    "x180_vocab_size_sweep",
+    oracle=" UNION ALL ".join(_x180_branch(k) for k in (8, 16, 24)),
+)
+def x180_vocab_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size elbow: train the unigram-LM tokenizer at
+    three multi-char vocabulary budgets (keep_multi 8/16/24), encode
+    the corpus with each, and report pieces-per-word per budget — THE
+    curve a tokenizer owner reads to pick vocabulary size (returns
+    diminish once the elbow passes; every extra piece costs embedding
+    rows at training time).  The oracle replays the full hard-EM
+    train + encode pipeline once per budget."""
+    from ..operators.text import unigram_lm_encode, unigram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for keep in (8, 16, 24):
+        model = unigram_lm_train(docs, keep_multi=keep)
+        enc = unigram_lm_encode(docs, model).agg(
+            (F.sum("n_words") - F.sum("n_oov_words")).cast("long").alias("w"),
+            F.sum("n_pieces").cast("long").alias("p"),
+        )
+        row = enc.select(
+            F.lit(keep).cast("long").alias("multi_pieces_kept"),
+            F.col("w").alias("n_words"),
+            F.col("p").alias("n_pieces"),
+            (
+                F.round(
+                    F.col("p").cast("double") / F.col("w").cast("double")
+                    + F.lit(1e-9),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("pieces_per_word"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
