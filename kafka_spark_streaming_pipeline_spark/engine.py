@@ -1202,3 +1202,12 @@ class Engine:
         from .operators.classify import nb_conformal_sets
 
         return nb_conformal_sets(self.table("documents"), **kw)
+
+    def t_closeness(self, quasi_cols: list[str], sensitive_col: str, **kw) -> DataFrame:
+        """T-closeness audit (x181) — the privacy-triad leg next to
+        privacy_audit's k-anonymity / l-diversity: per threshold t,
+        equivalence classes whose sensitive distribution diverges more
+        than t (total variation) from the corpus-wide one."""
+        from .operators.profile import t_closeness_audit
+
+        return t_closeness_audit(self.table("documents"), quasi_cols, sensitive_col, **kw)

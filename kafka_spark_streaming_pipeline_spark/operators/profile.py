@@ -1147,3 +1147,108 @@ def tokenizer_fertility(
         ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
         ratio("n_chars", "n_words").alias("chars_per_word"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: tuple[int, ...] = (100_000, 200_000, 300_000),
+) -> DataFrame:
+    """T-closeness audit — the third leg of the privacy triad after
+    k-anonymity and l-diversity (x160): even a large, diverse
+    equivalence class leaks when its SENSITIVE-value distribution
+    diverges from the corpus-wide one (a class that is 90% one source
+    against a uniform global tells an attacker the source with 90%
+    confidence regardless of class size).  Distance is total variation
+    0.5 * sum_v |p_class(v) - p_global(v)|; a class violates at
+    threshold t when its distance exceeds t.
+
+    Exact arithmetic: the TVD numerator sum_v |c_v*N - g_v*n_cls| is
+    computed over DECIMAL(18,0) operand products (exact DECIMAL(38,0)
+    sums, order-independent — the x158 ACF widening discipline);
+    absent sensitive values contribute (N - sum_present g_v) * n_cls
+    in closed form, so the (QI-class x sensitive) cell frame is the
+    only state — bounded by cardinality, never rows.  The single
+    float op is the final division, rounded to 6 before both the
+    report and the threshold comparison, so the verdicts are
+    engine-exact.
+
+    Output: one row per t — (t, n_classes, n_classes_over,
+    n_rows_over, max_tvd)."""
+    from ..cache import tracked_persist
+
+    d18 = "decimal(18,0)"
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("cv")
+    )
+    glob = df.groupBy(sensitive_col).agg(F.count("*").cast("long").alias("gv"))
+    n_total = glob.agg(F.sum("gv").cast("long").alias("n_tot"))
+    # per class: present-value numerator parts + present global mass
+    per_cell = (
+        cells.join(F.broadcast(glob), sensitive_col)
+        .groupBy(*quasi_cols)
+        .agg(
+            F.sum("cv").cast("long").alias("cls_n"),
+            F.sum("gv").cast("long").alias("g_present"),
+            F.collect_list(F.struct("cv", "gv")).alias("pairs"),
+        )
+    )
+    num_present = F.aggregate(
+        F.col("pairs"),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, p: acc
+        + F.abs(
+            p["cv"].cast(d18) * F.col("n_tot").cast(d18)
+            - p["gv"].cast(d18) * F.col("cls_n").cast(d18)
+        ).cast("decimal(38,0)"),
+    )
+    tvd = (
+        F.round(
+            (
+                num_present
+                + (F.col("n_tot") - F.col("g_present")).cast(d18)
+                * F.col("cls_n").cast(d18)
+            ).cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("cls_n").cast("double")
+                * F.col("n_tot").cast("double")
+            )
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    classes = tracked_persist(
+        per_cell.crossJoin(F.broadcast(n_total)).select(
+            F.col("cls_n"), tvd.alias("tvd")
+        )
+    )
+    ts = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(int(t)) for t in t_ppm])).alias("tp")
+    )
+    return (
+        classes.crossJoin(F.broadcast(ts))
+        .groupBy("tp")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum((F.col("tvd") > F.col("tp") / F.lit(1e6)).cast("long"))
+            .cast("long")
+            .alias("n_classes_over"),
+            F.sum(
+                F.when(F.col("tvd") > F.col("tp") / F.lit(1e6), F.col("cls_n"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_rows_over"),
+            F.max("tvd").alias("max_tvd"),
+        )
+        .select(
+            (F.col("tp").cast("double") / F.lit(1e6)).alias("t"),
+            "n_classes",
+            "n_classes_over",
+            "n_rows_over",
+            "max_tvd",
+        )
+    )

@@ -10865,3 +10865,75 @@ def x180_vocab_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "x181_t_closeness",
+    oracle="""
+    WITH proj AS (
+      SELECT lang, CAST(trunc(n_chars / 128.0) AS BIGINT) AS len_bucket,
+             source
+      FROM documents
+    ), cells AS (
+      SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS cv
+      FROM proj GROUP BY 1, 2, 3
+    ), gsrc AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS gv FROM proj GROUP BY 1
+    ), nt AS (
+      SELECT CAST(sum(gv) AS BIGINT) AS n_tot FROM gsrc
+    ), cls AS (
+      SELECT lang, len_bucket, CAST(sum(cv) AS BIGINT) AS cls_n
+      FROM cells GROUP BY 1, 2
+    ), num AS (
+      SELECT c.lang, c.len_bucket,
+             CAST(sum(abs(CAST(c.cv AS DECIMAL(18,0))
+                            * CAST((SELECT n_tot FROM nt) AS DECIMAL(18,0))
+                          - CAST(g.gv AS DECIMAL(18,0))
+                            * CAST(k.cls_n AS DECIMAL(18,0))))
+                  AS DECIMAL(38,0)) AS np,
+             CAST(sum(g.gv) AS BIGINT) AS g_present
+      FROM cells c JOIN gsrc g USING (source)
+      JOIN cls k USING (lang, len_bucket)
+      GROUP BY 1, 2
+    ), classes AS (
+      SELECT k.cls_n,
+             round(CAST(n.np
+                        + CAST((SELECT n_tot FROM nt) - n.g_present
+                               AS DECIMAL(18,0))
+                          * CAST(k.cls_n AS DECIMAL(18,0))
+                        AS DOUBLE)
+                   / (2.0 * k.cls_n * (SELECT n_tot FROM nt))
+                   + 1e-9, 6) + 0.0 AS tvd
+      FROM num n JOIN cls k USING (lang, len_bucket)
+    ), ts AS (
+      SELECT CAST(unnest([100000, 200000, 300000]) AS BIGINT) AS tp
+    )
+    SELECT CAST(tp AS DOUBLE) / 1e6 AS t,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN tvd > tp / 1e6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_over,
+           CAST(sum(CASE WHEN tvd > tp / 1e6 THEN cls_n ELSE 0 END) AS BIGINT)
+             AS n_rows_over,
+           max(tvd) AS max_tvd
+    FROM classes CROSS JOIN ts
+    GROUP BY tp
+    """,
+)
+def x181_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-closeness audit on the x160 release projection (QI = lang x
+    128-char length bucket, sensitive = source): per threshold t, the
+    equivalence classes whose sensitive-value distribution sits
+    further than t (total variation) from the corpus-wide one — the
+    privacy-triad leg k-anonymity and l-diversity miss (a large
+    diverse class still leaks when its mix is skewed).  Exact decimal
+    numerators; one cell-frame scan; closed-form handling of sensitive
+    values absent from a class."""
+    from ..operators.profile import t_closeness_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+    )
+    return t_closeness_audit(proj, ["lang", "len_bucket"], "source")

@@ -778,3 +778,28 @@ def test_tokenizer_fertility_hand_case(spark):
     assert xx["n_docs"] == 2 and xx["n_words"] == 4 and xx["n_tokens"] == 12
     assert xx["fertility"] == 3.0
     assert xx["chars_per_word"] == round(14 / 4 + 1e-9, 6)
+
+
+def test_t_closeness_hand_case(spark):
+    """Hand arithmetic: two QI classes against a 50/50 global source
+    mix — the skewed class (3:1) has TVD 0.25, the balanced one 0."""
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        t_closeness_audit,
+    )
+
+    rows = (
+        [("a", 0, "s1")] * 3 + [("a", 0, "s2")] * 1
+        + [("b", 0, "s1")] * 1 + [("b", 0, "s2")] * 3
+        + [("c", 0, "s1")] * 2 + [("c", 0, "s2")] * 2
+    )
+    df = spark.createDataFrame(rows, "lang string, len_bucket long, source string")
+    out = {
+        r.t: (r.n_classes, r.n_classes_over, r.n_rows_over, r.max_tvd)
+        for r in t_closeness_audit(
+            df, ["lang", "len_bucket"], "source", t_ppm=(100_000, 300_000)
+        ).collect()
+    }
+    # global: s1 6/12, s2 6/12.  class a: (3/4, 1/4) -> TVD 0.25;
+    # class b symmetric 0.25; class c: (1/2, 1/2) -> 0.
+    assert out[0.1] == (3, 2, 8, 0.25)
+    assert out[0.3] == (3, 0, 0, 0.25)
