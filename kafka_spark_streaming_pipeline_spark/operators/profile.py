@@ -1175,14 +1175,38 @@ def t_closeness_audit(
     engine-exact.
 
     Output: one row per t — (t, n_classes, n_classes_over,
-    n_rows_over, max_tvd)."""
-    from ..cache import tracked_persist
+    n_rows_over, max_tvd).
 
-    d18 = "decimal(18,0)"
+    Implementation: the projection reduces to (QI..., sensitive, cv)
+    count cells in one scan, then delegates to
+    ``t_closeness_from_cells`` — the same entry point the streaming
+    privacy store feeds (streaming/sinks.t_closeness_view; the store
+    maintained by make_privacy_sink IS this cell frame), so the
+    continuous view is bit-equal to this operator by construction."""
     cells = df.groupBy(*quasi_cols, sensitive_col).agg(
         F.count("*").cast("long").alias("cv")
     )
-    glob = df.groupBy(sensitive_col).agg(F.count("*").cast("long").alias("gv"))
+    return t_closeness_from_cells(cells, quasi_cols, sensitive_col, t_ppm)
+
+
+def t_closeness_from_cells(
+    cells: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: tuple[int, ...] = (100_000, 200_000, 300_000),
+) -> DataFrame:
+    """``t_closeness_audit`` over a pre-aggregated (QI..., sensitive,
+    cv) count-cell frame — the shared core of the batch audit and the
+    streaming view (whose maintained state is exactly these
+    sum-mergeable cells).  The global sensitive distribution is
+    derived from the cells themselves (sums commute with the
+    cell partials), so the two entry points are value-identical."""
+    from ..cache import tracked_persist
+
+    d18 = "decimal(18,0)"
+    glob = cells.groupBy(sensitive_col).agg(
+        F.sum("cv").cast("long").alias("gv")
+    )
     n_total = glob.agg(F.sum("gv").cast("long").alias("n_tot"))
     # per class: present-value numerator parts + present global mass
     per_cell = (
@@ -1225,7 +1249,7 @@ def t_closeness_audit(
             F.col("cls_n"), tvd.alias("tvd")
         )
     )
-    ts = df.sparkSession.range(1).select(
+    ts = cells.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(int(t)) for t in t_ppm])).alias("tp")
     )
     return (

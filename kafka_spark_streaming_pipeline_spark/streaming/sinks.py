@@ -2700,3 +2700,24 @@ def compact_semantic_decontam(spark, path: str, quiesced: bool = True) -> None:
     """Fold the verdict log to one row per vector; pure replay-dedup
     (no cross-batch merging), live appends keep composing."""
     _compact(spark, path, _semantic_decontam_of, quiesced)
+
+
+def t_closeness_view(
+    spark,
+    path: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_ppm: tuple[int, ...] = (100_000, 200_000, 300_000),
+) -> DataFrame:
+    """Current t-closeness report over everything ingested — the THIRD
+    consumer of the privacy count store (k-anonymity and l-diversity
+    read it via privacy_view): the maintained (QI..., sensitive, n)
+    cells are exactly the batch audit's cell frame, so the report is
+    bit-equal to x181 over the union of all batches.  Touches only the
+    class-count log, never raw documents."""
+    from ..operators.profile import t_closeness_from_cells
+
+    cells = _privacy_counts_of(
+        _read_log(spark, path), quasi_cols, sensitive_col
+    ).withColumnRenamed("n", "cv")
+    return t_closeness_from_cells(cells, quasi_cols, sensitive_col, t_ppm)

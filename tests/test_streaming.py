@@ -3182,3 +3182,53 @@ def test_streaming_semantic_decontam_view_matches_batch(spark, sf_dir, tmp_path)
     compact_semantic_decontam(spark, path, quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_t_closeness_view_matches_batch(spark, sf_dir, tmp_path):
+    """The t-closeness report folded from the privacy count store must
+    be bit-equal to the batch x181 audit over the union of ingested
+    batches; replay- and compaction-safe (third consumer of the same
+    store as privacy_view)."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        t_closeness_audit,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_privacy,
+        make_privacy_sink,
+        t_closeness_view,
+    )
+
+    quasi = ["lang", "len_bucket"]
+    docs = load_table(spark, sf_dir, "documents")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+        "doc_id",
+    )
+    path = str(tmp_path / "tclose")
+    sink = make_privacy_sink(path, quasi, "source")
+    b0 = proj.filter(F.col("doc_id") % 3 == 0).drop("doc_id")
+    b1 = proj.filter(F.col("doc_id") % 3 != 0).drop("doc_id")
+    sink(b0, 0)
+    sink(b1, 1)
+
+    def view():
+        return sorted(
+            tuple(r)
+            for r in t_closeness_view(spark, path, quasi, "source").collect()
+        )
+
+    got = view()
+    want = sorted(
+        tuple(r)
+        for r in t_closeness_audit(proj.drop("doc_id"), quasi, "source").collect()
+    )
+    assert got == want and len(got) == 3
+
+    sink(b1, 1)  # replay -> deduped partials
+    assert view() == got
+    compact_privacy(spark, path, quasi, "source", quiesced=False)
+    sink(b1, 1)  # replay of a folded batch
+    assert view() == got
