@@ -1211,3 +1211,12 @@ class Engine:
         from .operators.profile import t_closeness_audit
 
         return t_closeness_audit(self.table("documents"), quasi_cols, sensitive_col, **kw)
+
+    def release_audit_extended(self) -> DataFrame:
+        """x164 plus the round-8 families (t-closeness, semantic
+        contamination) — the full pre-publication gate (x182)."""
+        from .plans import QUERIES
+
+        return QUERIES["x182_release_audit_extended"].builder(
+            self.spark, self.sf_dir
+        )

@@ -10937,3 +10937,101 @@ def x181_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     return t_closeness_audit(proj, ["lang", "len_bucket"], "source")
+
+
+@query(
+    "x182_release_audit_extended",
+    oracle=f"""
+    SELECT * FROM ({_X164_ORACLE})
+    UNION ALL
+    SELECT 't_closeness' AS family,
+           't_ppm=' || CAST(CAST(t * 1e6 AS BIGINT) AS VARCHAR) AS item,
+           'risky_row_frac' AS metric,
+           round(CAST(n_rows_over AS DOUBLE)
+                 / (SELECT count(*) FROM documents) + 1e-9, 6) + 0.0 AS value,
+           round(CAST(n_rows_over AS DOUBLE)
+                 / (SELECT count(*) FROM documents) + 1e-9, 6) + 0.0 <= 0.05
+             AS ok
+    FROM ({_REGISTRY["x181_t_closeness"].oracle})
+    UNION ALL
+    SELECT 'semantic_contamination' AS family,
+           'eval_overlap' AS item,
+           'contaminated_frac' AS metric,
+           round(CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) + 0.0 AS value,
+           round(CAST(sum(CASE WHEN is_contaminated THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) + 1e-9, 6) + 0.0 <= 0.01 AS ok
+    FROM ({_REGISTRY["x178_semantic_decontaminate"].oracle})
+    """,
+)
+def x182_release_audit_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The x164 pre-publication gate EXTENDED with the round-8
+    families: t-closeness (the privacy-triad leg k-anonymity misses —
+    risky-row fraction per distance threshold, bound 0.05 like the
+    k-anonymity verdict) and semantic contamination (fraction of
+    training embeddings cosine-close to the eval suite, bound 1%) —
+    every release question in ONE long-form (family, item, metric,
+    value, ok) report.  Composition: x164's output rides through
+    verbatim; the two new families add one cell-frame aggregate and
+    one bucket-blocked screen."""
+    from ..operators.profile import t_closeness_audit
+    from ..operators.similarity import semantic_decontaminate
+
+    base = _REGISTRY["x164_release_audit"].builder(spark, sf_dir)
+
+    docs = load_table(spark, sf_dir, "documents")
+    proj = docs.select(
+        "lang",
+        (F.col("n_chars") / F.lit(128.0)).cast("long").alias("len_bucket"),
+        "source",
+    )
+    total = docs.agg(F.count("*").cast("long").alias("n_rows"))
+    tc_frac = (
+        F.round(
+            F.col("n_rows_over").cast("double") / F.col("n_rows").cast("double")
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    tc_rows = (
+        t_closeness_audit(proj, ["lang", "len_bucket"], "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.lit("t_closeness").alias("family"),
+            F.concat(
+                F.lit("t_ppm="), (F.col("t") * F.lit(1e6)).cast("long").cast("string")
+            ).alias("item"),
+            F.lit("risky_row_frac").alias("metric"),
+            tc_frac.alias("value"),
+            (tc_frac <= F.lit(0.05)).alias("ok"),
+        )
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd_frac = (
+        F.round(
+            F.sum(F.col("is_contaminated").cast("long")).cast("double")
+            / F.count("*")
+            + F.lit(1e-9),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    sd_rows = (
+        semantic_decontaminate(
+            emb.filter(F.col("vec_id") % 20 != 0),
+            emb.filter(F.col("vec_id") % 20 == 0),
+            NEARDUP_PLANES,
+            threshold=0.4,
+        )
+        .agg(sd_frac.alias("value"))
+        .select(
+            F.lit("semantic_contamination").alias("family"),
+            F.lit("eval_overlap").alias("item"),
+            F.lit("contaminated_frac").alias("metric"),
+            "value",
+            (F.col("value") <= F.lit(0.01)).alias("ok"),
+        )
+    )
+    return base.unionByName(tc_rows).unionByName(sd_rows)
