@@ -167,6 +167,13 @@ AUDITED = {
     "x172_unigram_lm_train": "unigram-LM training: the audited plan is the RETURNED artifact — the vocab-sized model as a LocalTableScan (0 scans/exchanges BY DESIGN, x77 precedent); the build itself runs ONE corpus scan into the checkpointed word-frequency frame, then map-only codegen Viterbi folds per EM pass (model inlined as a map literal, no joins), driver state bounded by vocab params",
     "x173_unigram_lm_encode": "unigram encode: per-word DP computed once per DISTINCT word, joined back on the well-spread word key; per-doc rollup is one combinable aggregate",
     "x174_tokenizer_compare": "tokenizer compare: two map-only encode passes (BPE replace chain; unigram distinct-word DP join) + one 1-row aggregate each — no new shuffles",
+    "x176_tokenizer_audit": "tokenizer audit: four constituents each keep their audited one-scan shape (x174 encodes, x168/x166/x170 single-scan bounded aggregates); the union is a run-rarely gate, not a hot path",
+    "x177_conformal_prediction_sets": "conformal sets: x159 scoring dataflow per split (size-gated model join); the rank walk's single-partition window reads the quantization-bounded nonconformity histogram (aggregate child, lint-proven); set scan joins the broadcast |alphas|-row qhat frame",
+    "x178_semantic_decontaminate": "semantic decontamination: SRP buckets map-only on both sides; the candidate join BROADCASTS the eval suite so the train corpus never shuffles on the 16-value bucket key; per-doc argmax window on the well-spread train id",
+    "x179_leakage_safe_split": "leakage-safe split: p14 closure on pairs only; one left join on the doc key + map-only md5 bucket arithmetic",
+    "x180_vocab_size_sweep": "vocab sweep: three independent train+encode pipelines, each the x172/x173 audited shape; 1-row aggregate per branch",
+    "x181_t_closeness": "t-closeness: one scan to the (QI x sensitive) cell frame; exact decimal numerator fold per class; per-t report over the broadcast threshold literals",
+    "x182_release_audit_extended": "extended release gate: x164's audited composition rides through verbatim; t-closeness adds one cell-frame aggregate, contamination one broadcast-eval bucket screen",
 }
 
 
