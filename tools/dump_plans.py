@@ -95,7 +95,7 @@ AUDITED = {
     "x101_phash_image_neardup": "pHash near-dup: one Arrow decode pass (mapInPandas), codegen dHash words, band groupBy + capped block pairs — never a self-join of payloads",
     "x102_doc_fate": "doc fate: pure projection over the SAME persisted flag frame the funnel aggregates — no extra corpus work",
     "x103_audio_fingerprint_neardup": "audio near-dup: one Arrow decode pass, codegen energy-gradient words, band groupBy + capped block pairs — never a self-join of payloads",
-    "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins",
+    "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins. Stage pricing (r8, sf0.1, measured): keys ~0.8s | pairs+verify ~2.1s | closure was ~4.2s dominated by ROUND COUNT (graph diameter 8 -> 8 materialized rounds of a 670-row frame); r8's pointer doubling in connected_components cuts rounds to O(log diameter) (8 -> 4) at identical fixpoint labels — the scale-relevant guarantee, since per-round cost at 100 TB is shuffle-dominated and unchanged",
     "x105_mmr_rerank": "MMR rerank: corpus touched only by the BM25 shortlist stage (one persisted narrow scan, TakeOrderedAndProject); the n^2 sim matrix is a broadcast self-pair of a constant-size frame",
     "x106_embedding_drift": "embedding drift: one union scan -> one (key, side, dim) aggregate; exact-BIGINT quantized sums make the centroids order-independent; output is keys-sized",
     "x107_key_skew_profile": "skew profile: ONE persisted frequency aggregate per key feeds histogram + top-k; percentile walk over the persisted freq-of-freq rows",
@@ -168,7 +168,7 @@ AUDITED = {
     "x173_unigram_lm_encode": "unigram encode: per-word DP computed once per DISTINCT word, joined back on the well-spread word key; per-doc rollup is one combinable aggregate",
     "x174_tokenizer_compare": "tokenizer compare: two map-only encode passes (BPE replace chain; unigram distinct-word DP join) + one 1-row aggregate each — no new shuffles",
     "x176_tokenizer_audit": "tokenizer audit: four constituents each keep their audited one-scan shape (x174 encodes, x168/x166/x170 single-scan bounded aggregates); the union is a run-rarely gate, not a hot path",
-    "x177_conformal_prediction_sets": "conformal sets: x159 scoring dataflow per split (size-gated model join); the rank walk's single-partition window reads the quantization-bounded nonconformity histogram (aggregate child, lint-proven); set scan joins the broadcast |alphas|-row qhat frame",
+    "x177_conformal_prediction_sets": "conformal sets: x159 scoring dataflow per split (size-gated model join); the rank walk's single-partition window reads the quantization-bounded nonconformity histogram (aggregate child, lint-proven); set scan joins the broadcast |alphas|-row qhat frame. The dump's textual scan count is cache-substitution reprints (x164 convention): the persisted model/evidence subtrees re-print their base scans per reader — the tables are READ once per split",
     "x178_semantic_decontaminate": "semantic decontamination: SRP buckets map-only on both sides; the candidate join BROADCASTS the eval suite so the train corpus never shuffles on the 16-value bucket key; per-doc argmax window on the well-spread train id",
     "x179_leakage_safe_split": "leakage-safe split: p14 closure on pairs only; one left join on the doc key + map-only md5 bucket arithmetic",
     "x180_vocab_size_sweep": "vocab sweep: three independent train+encode pipelines, each the x172/x173 audited shape; 1-row aggregate per branch",
