@@ -1125,3 +1125,60 @@ def test_nb_conformal_sets_matches_python_reference(spark, labeled_docs):
         for r in nb_conformal_sets(docs).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0, max_size=15,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_leakage_safe_split_never_straddles_clusters(spark, edges):
+    """x179's invariant: every near-dup cluster lands in exactly ONE
+    split (the whole point — no train/test leakage through near-dups),
+    singletons keep their naive assignment (moved == False), and
+    ``moved`` is exactly 'split differs from the naive per-doc
+    bucket'."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n_docs = 31
+    docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+    pairs = [(a, b) for a, b in edges if a != b]
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+
+    def split(b):
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    if pairs:
+        comp = connected_components(
+            spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        )
+    else:
+        comp = spark.createDataFrame([], "id long, component long")
+    rows = leakage_safe_split(comp, docs).collect()
+    assert len(rows) == n_docs
+
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, set()).add(r.split)
+        # split is the anchor's bucket; moved iff it differs from the
+        # doc's own naive bucket
+        assert r.split == split(bucket(r.anchor_id))
+        assert r.moved == (r.split != split(bucket(r.doc_id)))
+    # one split per cluster, no straddling
+    assert all(len(s) == 1 for s in by_anchor.values())
+    # singletons (docs in no pair) anchor on themselves and never move
+    linked = {x for p in pairs for x in p}
+    for r in rows:
+        if r.doc_id not in linked:
+            assert r.anchor_id == r.doc_id and r.moved is False
