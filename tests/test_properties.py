@@ -1182,3 +1182,58 @@ def test_leakage_safe_split_never_straddles_clusters(spark, edges):
     for r in rows:
         if r.doc_id not in linked:
             assert r.anchor_id == r.doc_id and r.moved is False
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.integers(0, 2),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_t_closeness_matches_python_reference(spark, rows):
+    """The decimal-numerator TVD per equivalence class and the per-t
+    report must match an exact-fraction sequential reference on random
+    projections (incl. sensitive values absent from a class)."""
+    from fractions import Fraction
+
+    from kafka_spark_streaming_pipeline_spark.operators.profile import (
+        t_closeness_audit,
+    )
+
+    from collections import Counter
+
+    n = len(rows)
+    glob = Counter(s for _, _, s in rows)
+    classes = Counter((l, b) for l, b, _ in rows)
+    cells = Counter(((l, b), s) for l, b, s in rows)
+    tvds = {}
+    for cls, cls_n in classes.items():
+        tvd = sum(
+            abs(
+                Fraction(cells.get((cls, s), 0), cls_n) - Fraction(g, n)
+            )
+            for s, g in glob.items()
+        ) / 2
+        tvds[cls] = round(float(tvd) + 1e-9, 6)
+    expected = {}
+    for tp in (100_000, 200_000, 300_000):
+        t = tp / 1e6
+        over = [c for c, v in tvds.items() if v > t]
+        expected[t] = (
+            len(classes),
+            len(over),
+            sum(classes[c] for c in over),
+            round(max(tvds.values()) + 1e-9, 6) if tvds else None,
+        )
+
+    df = spark.createDataFrame(rows, "lang string, len_bucket long, source string")
+    got = {
+        r.t: (r.n_classes, r.n_classes_over, r.n_rows_over, r.max_tvd)
+        for r in t_closeness_audit(df, ["lang", "len_bucket"], "source").collect()
+    }
+    assert got == expected
