@@ -30,7 +30,12 @@ sys.path.insert(0, REPO)
 from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
-from tools.bench_history import diff_regressions, load_history, merge_history
+from tools.bench_history import (
+    compact_regressions,
+    diff_regressions,
+    load_history,
+    merge_history,
+)
 
 # Headline set: the flagship + the heaviest representatives of each
 # operator family (scan-agg, join, window, manifest state, dedup, ANN,
@@ -419,6 +424,11 @@ def main() -> None:
             "full": "BENCH_FULL.json",
         }
     out["n_regressions"] = len(regressions)
+    # VERDICT r8 item 1: the regression NAMES must survive the driver's
+    # 2000-char tail, not just the count — capped compact list inside
+    # the parsed line itself ({q, r, vs}; full detail in BENCH_FULL).
+    if regressions:
+        out["regressions"] = compact_regressions(regressions)
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1950:
         print(f"# WARNING compact line {len(line)} chars > tail window",

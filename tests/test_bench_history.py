@@ -78,3 +78,21 @@ def test_build_history_over_committed_records():
     assert "p12_minhash_lsh" in hist and "x104_entity_resolution" in hist
     for v in hist.values():
         assert v["best"] > 0 and v["round"].startswith("r")
+
+
+def test_compact_regressions_budgeted_and_round_trips():
+    # VERDICT r8 item 1: names must survive inside the one-line JSON.
+    from tools.bench_history import compact_regressions
+    import json
+
+    regs = diff_regressions(
+        {f"q{i:02d}_very_long_query_name": 3.0 for i in range(10)},
+        {f"q{i:02d}_very_long_query_name": {"best": 1.0, "round": "r05"}
+         for i in range(10)},
+    )
+    compact = compact_regressions(regs, max_n=5)
+    assert len(compact) == 5
+    assert compact[0] == {"q": regs[0]["query"], "r": 3.0, "vs": "r05"}
+    # each entry must stay tiny so 5 of them fit the tail budget
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 300
