@@ -198,8 +198,9 @@ def main() -> None:
     regressions = diff_regressions(times, history, REGRESSION_THRESHOLD)
     for r in regressions:
         print(
-            f"# REGRESSION {r['query']}: {r['ratio']}x vs {r['vs']} "
-            f"({r['sec']}s now, {r['prior_sec']}s best)",
+            f"# REGRESSION {r['query']}: {r['ratio']}x vs median "
+            f"{r['baseline_sec']}s ({r['sec']}s now, best {r['prior_sec']}s "
+            f"in {r['vs']})",
             file=sys.stderr,
         )
     try:

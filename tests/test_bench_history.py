@@ -65,9 +65,31 @@ def test_diff_regressions_sorted_most_severe_first():
 def test_merge_history_keeps_best_and_is_pure():
     history = {"a": {"best": 1.0, "round": "r06"}}
     merged = merge_history(history, {"a": 0.8, "b": 2.0}, "local")
-    assert merged["a"] == {"best": 0.8, "round": "local"}
-    assert merged["b"] == {"best": 2.0, "round": "local"}
-    assert history["a"]["best"] == 1.0  # input untouched
+    # legacy entry seeded into the per-round map, best recomputed
+    assert merged["a"]["best"] == 0.8 and merged["a"]["round"] == "local"
+    assert merged["a"]["times"] == {"r06": 1.0, "local": 0.8}
+    assert merged["b"]["best"] == 2.0 and merged["b"]["times"] == {"local": 2.0}
+    assert history["a"]["best"] == 1.0 and "times" not in history["a"]
+
+
+def test_regression_baseline_is_cross_round_median_not_lucky_min():
+    # r8 phantom alerts: one lucky 0.359s draw in r04 made every later
+    # normal-noise draw look 1.5x "regressed".  vs-median: no alert.
+    from tools.bench_history import baseline_sec
+
+    entry = {
+        "best": 0.359,
+        "round": "r04",
+        "times": {"r03": 0.787, "r04": 0.359, "r05": 0.414,
+                  "r06": 0.604, "r07": 0.613, "r08": 0.54},
+    }
+    assert baseline_sec(entry) == (0.54 + 0.604) / 2  # even-n median
+    regs = diff_regressions({"p18": 0.61}, {"p18": entry})
+    assert regs == []  # 0.61s is ordinary noise vs the 0.572s median
+    regs = diff_regressions({"p18": 1.2}, {"p18": entry})
+    assert len(regs) == 1 and regs[0]["baseline_sec"] == 0.572
+    # legacy entries without a times map fall back to best
+    assert baseline_sec({"best": 1.0, "round": "r01"}) == 1.0
 
 
 def test_build_history_over_committed_records():

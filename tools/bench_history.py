@@ -56,7 +56,15 @@ def times_from_record(rec: dict) -> dict[str, float]:
 
 
 def build_history(repo: str = REPO) -> dict[str, dict]:
-    """Per-query best committed time across all BENCH_r*.json rounds."""
+    """Per-query committed times across all BENCH_r*.json rounds.
+
+    Each entry keeps the full {round: sec} map plus the derived best.
+    The regression baseline is the cross-round MEDIAN, not the min:
+    the min over N noisy draws is an extreme value that only ratchets
+    down as rounds accumulate, so sub-second queries drift "up" vs it
+    by construction (r8's p18/x93 flags were exactly this — isolated
+    10-repeat re-measures sat at/below the cross-round median while
+    1.5x above the one lucky r4/r5 draw)."""
     history: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         label = os.path.basename(path)[len("BENCH_"):-len(".json")]
@@ -65,10 +73,27 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
         except Exception:
             continue
         for name, t in times_from_record(rec).items():
-            cur = history.get(name)
-            if cur is None or t < cur["best"]:
-                history[name] = {"best": t, "round": label}
+            cur = history.setdefault(name, {"times": {}})
+            cur["times"][label] = t
+    for name, cur in history.items():
+        best_round = min(cur["times"], key=cur["times"].get)
+        cur["best"] = cur["times"][best_round]
+        cur["round"] = best_round
     return history
+
+
+def baseline_sec(entry: dict) -> float:
+    """Robust regression baseline for one history entry.
+
+    Median of the committed per-round times when available; entries
+    from the pre-r9 {best, round} format fall back to the best."""
+    times = entry.get("times")
+    if times:
+        ts = sorted(times.values())
+        n = len(ts)
+        mid = n // 2
+        return ts[mid] if n % 2 else (ts[mid - 1] + ts[mid]) / 2.0
+    return entry["best"]
 
 
 def diff_regressions(
@@ -77,18 +102,20 @@ def diff_regressions(
     threshold: float = 1.5,
     floor_sec: float = 0.1,
 ) -> list[dict]:
-    """Queries slower than ``threshold``x their best committed time.
+    """Queries slower than ``threshold``x their committed baseline.
 
-    Prior bests under ``floor_sec`` are overhead-dominated at sf0.1
-    (sub-100ms measurements vary multiples on the co-tenant host), so
-    the ratio is computed against max(best, floor) to avoid crying
-    wolf on noise — the same guard the slope check uses."""
+    The baseline is the cross-round median (``baseline_sec``) — robust
+    to the lucky-draw min — and baselines under ``floor_sec`` are
+    overhead-dominated at sf0.1 (sub-100ms measurements vary multiples
+    on the co-tenant host), so the ratio is computed against
+    max(median, floor) to avoid crying wolf on noise — the same guard
+    the slope check uses."""
     out = []
     for name, t in sorted(times.items()):
         prior = history.get(name)
         if not prior:
             continue
-        base = max(prior["best"], floor_sec)
+        base = max(baseline_sec(prior), floor_sec)
         if t > threshold * base:
             out.append(
                 {
@@ -96,6 +123,7 @@ def diff_regressions(
                     "sec": t,
                     "ratio": round(t / base, 2),
                     "vs": prior["round"],
+                    "baseline_sec": round(base, 3),
                     "prior_sec": prior["best"],
                 }
             )
@@ -123,12 +151,25 @@ def compact_regressions(
 def merge_history(
     history: dict[str, dict], times: dict[str, float], label: str
 ) -> dict[str, dict]:
-    """New history with this run's improvements folded in (pure)."""
-    out = {k: dict(v) for k, v in history.items()}
+    """New history with this run folded in under ``label`` (pure).
+
+    The run's time is recorded in the per-round map (a repeated label
+    keeps the latest draw) and best/round are recomputed, so the
+    median baseline sees every round while the committed best is still
+    available for slope context."""
+    out = {
+        k: {**v, "times": dict(v.get("times", {}))}
+        for k, v in history.items()
+    }
     for name, t in times.items():
-        cur = out.get(name)
-        if cur is None or t < cur["best"]:
-            out[name] = {"best": t, "round": label}
+        cur = out.setdefault(name, {"times": {}})
+        if not cur["times"] and "best" in cur:
+            # legacy {best, round} entry: seed the map with it
+            cur["times"][cur["round"]] = cur["best"]
+        cur["times"][label] = t
+        best_round = min(cur["times"], key=cur["times"].get)
+        cur["best"] = cur["times"][best_round]
+        cur["round"] = best_round
     return out
 
 
