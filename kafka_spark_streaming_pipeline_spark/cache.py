@@ -70,3 +70,35 @@ def release(frames: list[DataFrame], blocking: bool = False) -> int:
         except ValueError:
             pass
     return n
+
+
+def lineage_checkpoint(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint``: physically truncates the lineage of a
+    multi-consumer frame.
+
+    ``tracked_persist`` serves DATA from the cache, but Spark's cache
+    substitution leaves the full analyzed subtree in place per reader —
+    a composed audit that stacks persisted subtrees re-optimizes and
+    reprints each one per reference (x177's dump reached 178 textual
+    scan nodes / 348 exchanges this way; VERDICT r8 item 2).  A local
+    checkpoint replaces the plan with a ``LogicalRDD`` leaf, so every
+    downstream reference starts from the materialized rows: plan
+    compile/display cost stops growing with composition depth.
+
+    Lifecycle: NOT registered with the unpersist registry, on purpose.
+    Force-unpersisting a checkpointed RDD makes every plan referencing
+    it UNRECOMPUTABLE (checkpoint-block-not-found, unlike a persisted
+    frame which silently recomputes), and the returned query result
+    itself references the ``LogicalRDD`` leaf — so release is left to
+    Spark's ContextCleaner, which frees the MEMORY_AND_DISK blocks
+    when the last plan holding the RDD is dropped.  That keeps
+    ``unpersist_tracked()`` safe to call at any time, unchanged.
+
+    Use ONLY for bounded frames (models, histograms, per-doc
+    projections) that several consumers re-read: the blocks are not
+    rebuilt on executor loss (local, not reliable, checkpoint — an
+    executor failure fails the query and the operator reruns, the same
+    contract as x37's k-means loop truncation); and the cut is opaque
+    to Catalyst, so no filter/column pushdown crosses it — callers
+    checkpoint narrow, already-reduced frames."""
+    return df.localCheckpoint(eager=False)

@@ -388,12 +388,18 @@ def nb_conformal_sets(
     conformal_from_hist lint discipline; the per-alpha set scan is one
     pass over the |test| x |L| score frame against the broadcast
     |alphas|-row qhat frame.  Output: one row per alpha."""
-    from ..cache import tracked_persist
+    from ..cache import lineage_checkpoint
 
     train = docs.filter(F.col(id_col) % 3 == 0)
     cal = docs.filter(F.col(id_col) % 3 == 1)
     test = docs.filter(F.col(id_col) % 3 == 2)
-    model = nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
+    # Lineage-truncate the |V| x |L| model: it feeds labels + both
+    # splits' evidence joins, and under plain persist each reader
+    # re-optimizes/reprints the whole train subtree (VERDICT r8 item
+    # 2: x177's dump hit 178 scans / 348 exchanges of reprints).
+    model = lineage_checkpoint(
+        nb_train(train, label_col=label_col, text_col=text_col, alpha=alpha)
+    )
     labels = model.select("label", "prior_q").distinct()
 
     truth = cal.select(F.col(id_col), F.col(label_col).alias("label"))
@@ -403,7 +409,7 @@ def nb_conformal_sets(
     # full-set degenerate answer, the conservative direction) but has
     # no finite histogram cell; silently dropping it would bias qhat
     # optimistic for the deployed distribution.
-    calf = tracked_persist(
+    calf = lineage_checkpoint(
         truth.join(F.broadcast(labels), "label", "left")
         .join(
             _evidence_frame(cal, model, id_col, text_col, broadcast_max_rows),
@@ -421,7 +427,7 @@ def nb_conformal_sets(
     # partition exchange's child is an aggregate (conformal_from_hist
     # discipline); a k beyond the finite region finds no ck and yields
     # NULL qhat via the left join below.
-    hist = tracked_persist(
+    hist = lineage_checkpoint(
         calf.filter(F.col("a").isNotNull())
         .groupBy("a")
         .agg(F.count("*").cast("long").alias("nk"))

@@ -9625,7 +9625,7 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan.  Every downstream aggregate is bounded (per-source, per-QI-
     class, per-threshold), so the report is a fixed few-dozen rows at
     any corpus size."""
-    from ..cache import tracked_persist
+    from ..cache import lineage_checkpoint
     from ..operators import text as tx
     from ..operators.profile import k_anonymity_audit
     from ..operators.sketches import bloom_fpr_audit
@@ -9633,7 +9633,11 @@ def x164_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     pii = tx.pii_counts(t)
-    per_doc = tracked_persist(
+    # lineage_checkpoint, not persist: four families read this frame
+    # and x182 re-composes the whole gate — truncating here stops the
+    # reprint/re-optimize growth with composition depth (VERDICT r8
+    # item 2) while the blocks serve readers exactly like the cache.
+    per_doc = lineage_checkpoint(
         docs.select(
             "doc_id",
             "source",

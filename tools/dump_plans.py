@@ -156,7 +156,7 @@ AUDITED = {
     "x161_welch_source_pairs": "Welch pairs: one scan to |sources|-row exact BIGINT moments; the pair join is broadcast on that tiny frame",
     "x162_conformal_threshold": "conformal: calibration scan to a distinct-score histogram (quantization-bounded); rank walk on that frame; test scan aggregates vs the |alphas|-row broadcast",
     "x163_retrieval_eval": "retrieval eval: ONE corpus scan into persisted postings; |Q|x3 query terms broadcast into the postings join; metrics windows over |Q| rows",
-    "x164_release_audit": "release audit: the per-doc projection is persisted and feeds datasheet/PII/k-anonymity/Bloom — the 12 textual scan nodes in the dump are plan-equal subtrees SERVED FROM that cache (13 cached readers; Spark's cache substitution leaves the scan node textually in place), so the table is READ once per family input, not 12 times; sketch audits add one orders + one events scan; every aggregate bounded",
+    "x164_release_audit": "release audit: the per-doc projection is lineage_checkpoint'ed (r9) — downstream families read a LogicalRDD leaf, so the composed plan no longer reprints/re-optimizes the text-scan subtree per reader; sketch audits add one orders + one events scan; every aggregate bounded",
     "x165_ann_recall_audit": "ANN recall audit: broadcast-queries exact baseline (p13 dataflow) vs bucket-cohabitant LSH candidates (x49 dataflow); the hit join runs on |Q| x k rows",
     "x166_padding_efficiency": "padding report: ONE corpus scan into a <=8-row bucket aggregate; the naive baseline re-aggregates the same tiny frame",
     "x167_classifier_calibration": "calibration: the x159 dataflow + a top-2 window over |docs|x|L| rows; the report is a <=12-row bucket aggregate",
@@ -168,7 +168,7 @@ AUDITED = {
     "x173_unigram_lm_encode": "unigram encode: per-word DP computed once per DISTINCT word, joined back on the well-spread word key; per-doc rollup is one combinable aggregate",
     "x174_tokenizer_compare": "tokenizer compare: two map-only encode passes (BPE replace chain; unigram distinct-word DP join) + one 1-row aggregate each — no new shuffles",
     "x176_tokenizer_audit": "tokenizer audit: four constituents each keep their audited one-scan shape (x174 encodes, x168/x166/x170 single-scan bounded aggregates); the union is a run-rarely gate, not a hot path",
-    "x177_conformal_prediction_sets": "conformal sets: x159 scoring dataflow per split (size-gated model join); the rank walk's single-partition window reads the quantization-bounded nonconformity histogram (aggregate child, lint-proven); set scan joins the broadcast |alphas|-row qhat frame. The dump's textual scan count is cache-substitution reprints (x164 convention): the persisted model/evidence subtrees re-print their base scans per reader — the tables are READ once per split",
+    "x177_conformal_prediction_sets": "conformal sets: x159 scoring dataflow per split (size-gated model join); the rank walk's single-partition window reads the quantization-bounded nonconformity histogram (aggregate child, lint-proven); set scan joins the broadcast |alphas|-row qhat frame. Model/calibration frames are lineage_checkpoint'ed (r9): the dump collapsed from 178 textual scans / 348 exchanges of cache-substitution reprints to 6 scans / 42 exchanges — each remaining node is real work",
     "x178_semantic_decontaminate": "semantic decontamination: SRP buckets map-only on both sides; the candidate join BROADCASTS the eval suite so the train corpus never shuffles on the 16-value bucket key; per-doc argmax window on the well-spread train id",
     "x179_leakage_safe_split": "leakage-safe split: p14 closure on pairs only; one left join on the doc key + map-only md5 bucket arithmetic",
     "x180_vocab_size_sweep": "vocab sweep: three independent train+encode pipelines, each the x172/x173 audited shape; 1-row aggregate per branch",
