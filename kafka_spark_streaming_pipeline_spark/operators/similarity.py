@@ -1836,3 +1836,153 @@ def semantic_decontaminate(
             F.col("max_eval_cosine") >= F.lit(threshold), F.lit(False)
         ).alias("is_contaminated"),
     )
+
+
+def bitext_margin_mine(
+    emb: DataFrame,
+    lang_of: DataFrame,
+    tables: list[list[list[int]]],
+    src_lang: str,
+    tgt_lang: str,
+    knn_k: int = 8,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Margin-based bitext (translation-pair) mining between two
+    languages — the Artetxe & Schwenk (2019) ratio-margin criterion
+    over multilingual sentence embeddings, the standard way parallel
+    corpora are mined at scale (CCMatrix/LASER): a cross-language pair
+    is kept not when its cosine is high in absolute terms (hubness
+    makes absolute thresholds unusable) but when it is high RELATIVE
+    to each side's neighborhood:
+
+        margin(x, y) = cos(x, y) / ((mu_k(x) + mu_k(y)) / 2)
+
+    with ``mu_k(v)`` the mean cosine of v's k nearest cross-language
+    candidates.  A hub vector that is close to everything has a high
+    mu and gets no credit; a pair that stands out from both sides'
+    neighborhoods scores > 1.
+
+    Scale shape (100 TB): both language sides bucket by the shared
+    MULTI-TABLE integer SRP planes (``tables`` — the
+    lsh_cosine_topk_multi recall dial: per-table collision
+    probability p, miss probability (1-p)^n_tables; every table's
+    bucket is computed in ONE projection and exploded, so adding
+    tables never re-reads the corpus); candidates are the (tbl,
+    bucket) equi-join of the two sides — a plain shuffle join on the
+    well-spread key, since for bitext mining NEITHER side is small
+    enough to broadcast (unlike x178's tiny eval suite) — collapsed
+    by a (src, tgt) dedup after scoring (the score is deterministic,
+    so the dedup keys on ids and never shuffles vectors).  The corpus
+    never self-joins and nothing all-pairs: candidate count is the
+    sum over tables x buckets of |src_b| x |tgt_b|, bounded exactly
+    like x14/x49.  k-NN means are computed FROM the candidate set
+    (the ANN-blocked approximation of the exact margin — audited
+    against brute force by the x165-style recall test), as two
+    ranked windows over candidates.  The pair itself participates in
+    both neighborhoods (the k-NN set is the neighborhood INCLUDING
+    the candidate — the deterministic convention; true translations
+    still stand out because the other k-1 neighbors drag the mean
+    down).
+
+    Float discipline: cosines are 4-dp rounded (house rule), then
+    re-quantized to BIGINT ten-thousandths so the neighborhood SUMS
+    are exact integers — the mean and the final margin are a fixed
+    expression over exact inputs, bit-stable across engines.  Pairs
+    whose neighborhood-mean denominator is <= 0 (possible with
+    negative cosines) get no margin and are dropped.
+
+    Output: (src_id, tgt_id, cosine_sim, margin) for every candidate
+    with margin >= ``margin_threshold``, margin 4-dp rounded.
+
+    Reference parity: none — the reference pipeline
+    (spark_job/spark_streaming.py) has no similarity surface at all;
+    this extends the §2.9 curation family (x178 semantic decontam,
+    x51 SemDeDup) to the cross-lingual corpus-construction step.
+    """
+    if not tables:
+        raise ValueError("at least one hyperplane table required")
+    langs = lang_of.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("l")
+    )
+
+    def side(lang: str, name: str) -> DataFrame:
+        base = (
+            emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+            .join(langs.filter(F.col("l") == lang).select("id"), "id")
+            .select(F.col("id").alias(name), F.col("v").alias(f"v_{name}"))
+            .withColumn(
+                f"n_{name}", F.sqrt(_dot(F.col(f"v_{name}"), F.col(f"v_{name}")))
+            )
+        )
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    int_srp_bucket(F.col(f"v_{name}"), planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return base.select("*", F.explode(entries).alias("tb")).select(
+            *base.columns,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+
+    s = side(src_lang, "sid")
+    t = side(tgt_lang, "tid")
+    cos = F.round(
+        _dot(F.col("v_sid"), F.col("v_tid")) / (F.col("n_sid") * F.col("n_tid"))
+        + F.lit(1e-9),
+        4,
+    )
+    from ..cache import tracked_persist
+
+    # candidates feed the pair scan AND both neighborhood aggregates;
+    # a pair meeting in several tables collapses to one row (cos is
+    # deterministic, so the dedup keys on ids only)
+    cand = tracked_persist(
+        s.join(t, ["tbl", "bucket"])
+        .select(
+            "sid",
+            "tid",
+            cos.alias("cos"),
+            F.round(cos * 10000).cast("long").alias("cq"),
+        )
+        .dropDuplicates(["sid", "tid"])
+    )
+
+    def neighborhood(key: str, other: str) -> DataFrame:
+        w = W.partitionBy(key).orderBy(F.col("cos").desc(), F.col(other).asc())
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= knn_k)
+            .groupBy(key)
+            .agg(
+                F.sum("cq").cast("long").alias(f"sum_{key}"),
+                F.count("*").cast("long").alias(f"k_{key}"),
+            )
+        )
+
+    mu_s = neighborhood("sid", "tid")
+    mu_t = neighborhood("tid", "sid")
+    denom = (
+        F.col("sum_sid").cast("double") / F.col("k_sid").cast("double")
+        + F.col("sum_tid").cast("double") / F.col("k_tid").cast("double")
+    ) / F.lit(20000.0)
+    margin = F.round(F.col("cos") / denom + F.lit(1e-9), 4)
+    return (
+        cand.join(mu_s, "sid")
+        .join(mu_t, "tid")
+        .filter(denom > 0)
+        .select(
+            F.col("sid").alias("src_id"),
+            F.col("tid").alias("tgt_id"),
+            F.col("cos").alias("cosine_sim"),
+            margin.alias("margin"),
+        )
+        .filter(F.col("margin") >= F.lit(margin_threshold))
+    )

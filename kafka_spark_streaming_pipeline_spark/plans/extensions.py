@@ -11039,3 +11039,91 @@ def x182_release_audit_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return base.unionByName(tc_rows).unionByName(sd_rows)
+
+
+def _bitext_cand_sql(tables: list) -> str:
+    """SQL twin of bitext_margin_mine's multi-table candidate join:
+    per-table (bucket) equi-joins of the two language sides, UNION
+    (which dedups a pair meeting in several tables — cos is a
+    deterministic function of the ids, so row-dedup == pair-dedup)."""
+    parts = []
+    for planes in tables:
+        b = _srp_bucket_sql(planes)
+        parts.append(
+            f"SELECT s.id AS sid, t.id AS tid, "
+            f"round(list_dot_product(s.v, t.v) / (s.n * t.n) + 1e-9, 4) AS cos "
+            f"FROM (SELECT id, v, n, {b} AS bucket FROM s0) s "
+            f"JOIN (SELECT id, v, n, {b} AS bucket FROM t0) t USING (bucket)"
+        )
+    return " UNION ".join(parts)
+
+
+@query(
+    "x183_bitext_mining",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), lng AS (
+      SELECT doc_id AS id, lang FROM documents
+    ), bb AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS n, lang
+      FROM e JOIN lng USING (id)
+    ), s0 AS (
+      SELECT * FROM bb WHERE lang = 'en'
+    ), t0 AS (
+      SELECT * FROM bb WHERE lang = 'de'
+    ), cand AS (
+      {_bitext_cand_sql(_srp_tables(3))}
+    ), candq AS (
+      SELECT *, CAST(round(cos * 10000) AS BIGINT) AS cq FROM cand
+    ), mu_s AS (
+      SELECT sid, CAST(sum(cq) AS BIGINT) AS sum_s,
+             CAST(count(*) AS BIGINT) AS k_s
+      FROM (SELECT *, row_number() OVER (PARTITION BY sid
+                                         ORDER BY cos DESC, tid ASC) AS rn
+            FROM candq)
+      WHERE rn <= 8 GROUP BY 1
+    ), mu_t AS (
+      SELECT tid, CAST(sum(cq) AS BIGINT) AS sum_t,
+             CAST(count(*) AS BIGINT) AS k_t
+      FROM (SELECT *, row_number() OVER (PARTITION BY tid
+                                         ORDER BY cos DESC, sid ASC) AS rn
+            FROM candq)
+      WHERE rn <= 8 GROUP BY 1
+    ), scored AS (
+      SELECT c.sid, c.tid, c.cos,
+             (CAST(sum_s AS DOUBLE) / CAST(k_s AS DOUBLE)
+              + CAST(sum_t AS DOUBLE) / CAST(k_t AS DOUBLE)) / 20000.0
+               AS denom
+      FROM candq c JOIN mu_s USING (sid) JOIN mu_t USING (tid)
+    )
+    SELECT sid AS src_id, tid AS tgt_id, cos AS cosine_sim,
+           round(cos / denom + 1e-9, 4) AS margin
+    FROM scored
+    WHERE denom > 0 AND round(cos / denom + 1e-9, 4) >= 1.05
+    """,
+)
+def x183_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining (en -> de) by the Artetxe & Schwenk
+    ratio-margin criterion over the embedding table: 3-table
+    SRP-bucket-blocked cross-language candidates (x49's recall dial —
+    never all-pairs), exact 4-dp cosine on candidates, per-side k-NN
+    neighborhood means re-quantized to exact BIGINT sums, margin =
+    cos / (mean of the two neighborhood means) — pairs with margin >=
+    1.05 are mined as translation candidates.  The cross-lingual
+    member of the curation family next to x178 (semantic
+    decontamination) and x51 (SemDeDup); blocking recall is audited
+    against brute force by the x165-style test."""
+    from ..operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_margin_mine(
+        emb,
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        _srp_tables(3),
+        src_lang="en",
+        tgt_lang="de",
+        knn_k=8,
+        margin_threshold=1.05,
+    )
