@@ -710,6 +710,114 @@ def bigram_cross_entropy(
     )
 
 
+def trigram_cross_entropy(
+    docs: DataFrame,
+    k_smooth: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jelinek-Mercer interpolated TRIGRAM LM perplexity filter — the
+    sharper sibling of ``bigram_cross_entropy`` (x74): each document
+    scored by the mean negative log of
+
+        p(w3|w1 w2) = l3 * (c123+k)/(c12 + k*V3)      trigram tier
+                    + l2 * (c23 +k)/(c2  + k*V2)      bigram backoff
+                    + l1 * (c3  +k)/(N1  + k*V1)      unigram backoff
+
+    Fixed-weight interpolation (the KenLM-family backoff made
+    deterministic: no discount estimation loop) ALWAYS mixes the three
+    tiers, so rare-but-valid trigrams are rescued by their bigram /
+    unigram mass while shuffled-word salad — whose bigrams and
+    trigrams are both unseen-rare — stays expensive: strictly better
+    salad-vs-fluent separation than the bigram model at the same scan
+    cost (pinned by test).
+
+    Scale shape: ONE corpus scan (the x74 persisted-narrow-frame
+    pattern, one tier up).  A single projection explodes trigrams and
+    compacts each occurrence to five portable 60-bit hashes — the
+    trigram key, its (w1 w2) context key, the (w2 w3) bigram key, the
+    w2 context key, and the w3 unigram key — so the persisted frame is
+    six longs per trigram occurrence, no strings.  ALL lower-tier
+    counts derive from that one trigram frame (bigram c23 = count of
+    (w2 w3) as a trigram tail, unigram c3 = count of w3 as a trigram
+    tail — the continuation-style counting Kneser-Ney uses, which
+    keeps the scan count at one; the tiny doc-boundary undercount is a
+    modeling convention, applied identically in the oracle).  Model
+    tables are vocabulary-sized, tier V's and N1 fold into broadcast
+    scalars, and the scoring join keys on the well-spread trigram
+    hash.  Docs with < 3 tokens have no trigrams and drop out (the
+    x74 inner-join convention)."""
+    from ..cache import tracked_persist
+
+    l3, l2, l1 = lambdas
+    tg = F.col("tg")
+    w = lambda i: F.split_part(tg, F.lit(" "), F.lit(i))  # noqa: E731
+    narrow = tracked_persist(
+        docs.select(
+            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 3)).alias("tg")
+        )
+        .filter(F.size(F.split(tg, " ")) == 3)
+        .select(
+            F.col(id_col),
+            hash60(tg, "tlm|").alias("tg_h"),
+            hash60(F.concat_ws(" ", w(1), w(2)), "tlm|").alias("c12_h"),
+            hash60(F.concat_ws(" ", w(2), w(3)), "tlm|").alias("b23_h"),
+            hash60(w(2), "tlm|").alias("w2_h"),
+            hash60(w(3), "tlm|").alias("w3_h"),
+        )
+    )
+    # trigram tier: c123 per trigram type, c12 per context, V3 contexts
+    tgc = narrow.groupBy("tg_h").agg(
+        F.count("*").alias("c3"),
+        F.min("c12_h").alias("c12_h"),
+        F.min("b23_h").alias("b23_h"),
+        F.min("w3_h").alias("w3_h"),
+    )
+    ctx12 = tgc.groupBy("c12_h").agg(F.sum("c3").alias("c12"))
+    # bigram tier over (w2 w3)-as-trigram-tail occurrences
+    bgc = narrow.groupBy("b23_h").agg(
+        F.count("*").alias("c2b"), F.min("w2_h").alias("w2_h")
+    )
+    ctx2 = bgc.groupBy("w2_h").agg(F.sum("c2b").alias("c2"))
+    # unigram tier over w3-as-trigram-tail occurrences
+    unic = narrow.groupBy("w3_h").agg(F.count("*").alias("c1w"))
+    scalars = (
+        ctx12.agg(F.count("*").alias("v3"))
+        .crossJoin(ctx2.agg(F.count("*").alias("v2")))
+        .crossJoin(unic.agg(F.count("*").alias("v1"), F.sum("c1w").alias("n1")))
+    )
+    probs = (
+        tgc.join(ctx12, "c12_h")
+        .join(bgc, "b23_h")
+        .join(ctx2, "w2_h")
+        .join(unic, "w3_h")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "tg_h",
+            (
+                F.lit(l3)
+                * (F.col("c3") + F.lit(k_smooth))
+                / (F.col("c12") + F.lit(k_smooth) * F.col("v3"))
+                + F.lit(l2)
+                * (F.col("c2b") + F.lit(k_smooth))
+                / (F.col("c2") + F.lit(k_smooth) * F.col("v2"))
+                + F.lit(l1)
+                * (F.col("c1w") + F.lit(k_smooth))
+                / (F.col("n1") + F.lit(k_smooth) * F.col("v1"))
+            ).alias("p"),
+        )
+    )
+    return (
+        narrow.join(probs, "tg_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(-F.log("p")) + F.lit(1e-9), 6).alias("cross_entropy"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 32,

@@ -11127,3 +11127,74 @@ def x183_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_k=8,
         margin_threshold=1.05,
     )
+
+
+@query(
+    "x184_trigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), tgr AS (
+      SELECT doc_id,
+             t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS tg,
+             t[u.i] AS w1, t[u.i+1] AS w2, t[u.i+2] AS w3
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) u(i)
+    ), narrow AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('tlm|' || tg), 1, 15))::BIGINT AS tg_h,
+             ('0x' || substr(md5('tlm|' || w1 || ' ' || w2), 1, 15))::BIGINT
+               AS c12_h,
+             ('0x' || substr(md5('tlm|' || w2 || ' ' || w3), 1, 15))::BIGINT
+               AS b23_h,
+             ('0x' || substr(md5('tlm|' || w2), 1, 15))::BIGINT AS w2_h,
+             ('0x' || substr(md5('tlm|' || w3), 1, 15))::BIGINT AS w3_h
+      FROM tgr
+    ), tgc AS (
+      SELECT tg_h, count(*) AS c3, min(c12_h) AS c12_h,
+             min(b23_h) AS b23_h, min(w3_h) AS w3_h
+      FROM narrow GROUP BY tg_h
+    ), ctx12 AS (
+      SELECT c12_h, sum(c3) AS c12 FROM tgc GROUP BY 1
+    ), bgc AS (
+      SELECT b23_h, count(*) AS c2b, min(w2_h) AS w2_h FROM narrow GROUP BY 1
+    ), ctx2 AS (
+      SELECT w2_h, sum(c2b) AS c2 FROM bgc GROUP BY 1
+    ), unic AS (
+      SELECT w3_h, count(*) AS c1w FROM narrow GROUP BY 1
+    ), sc AS (
+      SELECT (SELECT count(*) FROM ctx12) AS v3,
+             (SELECT count(*) FROM ctx2) AS v2,
+             (SELECT count(*) FROM unic) AS v1,
+             (SELECT sum(c1w) FROM unic) AS n1
+    ), probs AS (
+      SELECT tgc.tg_h,
+             0.6::DOUBLE * (c3 + 0.5::DOUBLE) / (c12 + 0.5::DOUBLE * v3)
+           + 0.3::DOUBLE * (c2b + 0.5::DOUBLE) / (c2 + 0.5::DOUBLE * v2)
+           + 0.1::DOUBLE * (c1w + 0.5::DOUBLE) / (n1 + 0.5::DOUBLE * v1) AS p
+      FROM tgc
+      JOIN ctx12 USING (c12_h)
+      JOIN bgc USING (b23_h)
+      JOIN ctx2 USING (w2_h)
+      JOIN unic USING (w3_h)
+      CROSS JOIN sc
+    )
+    SELECT n.doc_id, count(*) AS n_trigrams,
+           round(avg(-ln(p.p)) + 1e-9, 6) AS cross_entropy
+    FROM narrow n JOIN probs p USING (tg_h)
+    GROUP BY n.doc_id
+    """,
+)
+def x184_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM perplexity filter (Jelinek-Mercer fixed
+    weights 0.6/0.3/0.1 over add-k trigram/bigram/unigram tiers) — the
+    sharper successor to x74's bigram filter: shuffled-word salad pays
+    on ALL tiers while rare-but-fluent text is rescued by its backoff
+    mass.  ONE corpus scan into a persisted six-long narrow frame;
+    every tier count (continuation-style, Kneser-Ney convention)
+    derives from that frame; scoring joins on the well-spread trigram
+    hash.  Strictly better salad-vs-fluent separation than x74 on the
+    same fixture (pinned by test)."""
+    from ..operators.curation import trigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return trigram_cross_entropy(docs, k_smooth=0.5)

@@ -1197,3 +1197,100 @@ def test_truncation_loss_hand_case(spark):
     r256 = out[256]
     assert r256["n_truncated"] == 1 and r256["n_tokens_lost"] == 44
     assert r256["token_loss_frac"] < r128["token_loss_frac"]
+
+
+def test_trigram_strictly_sharper_than_bigram_on_salad(spark):
+    """x184's reason to exist: on the SAME fluent-vs-salad fixture the
+    interpolated trigram LM separates (mean salad CE - mean fluent CE)
+    strictly wider than the x74 bigram LM — order evidence three
+    tokens deep beats two.  Both must also separate at all (gap > 0);
+    measured 0.316 (trigram) vs 0.247 (bigram) on this fixture."""
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        bigram_cross_entropy,
+        trigram_cross_entropy,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog near the old stone bridge",
+        "a gentle river flows through the quiet valley under the morning sun",
+        "children play happy games in the green park beside the tall trees",
+    ]
+    rows, did = [], 0
+    for s in base:
+        for _ in range(4):
+            rows.append((did, s + " " + s))
+            did += 1
+    for s in base:
+        for _ in range(4):
+            rows.append((did, " ".join(sorted((s + " " + s).split()))))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n_fluent = 12
+
+    def sep(fn):
+        ce = {r["doc_id"]: r["cross_entropy"] for r in fn(docs).collect()}
+        unpersist_tracked()
+        fluent = sum(v for k, v in ce.items() if k < n_fluent) / n_fluent
+        salad = sum(v for k, v in ce.items() if k >= n_fluent) / n_fluent
+        return salad - fluent
+
+    bi, tri = sep(bigram_cross_entropy), sep(trigram_cross_entropy)
+    assert bi > 0 and tri > 0
+    assert tri > bi
+
+
+def test_trigram_cross_entropy_interpolation_tiers(spark):
+    """The three tiers actually mix: a pure-Python replay of the
+    trigram/bigram/unigram continuation counts and the 0.6/0.3/0.1
+    interpolation reproduces every per-doc cross-entropy exactly (6-dp
+    house rounding)."""
+    import math
+
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        trigram_cross_entropy,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta gamma"),
+        (1, "alpha beta gamma alpha beta gamma delta"),
+        (2, "delta gamma beta alpha delta gamma beta"),
+        (3, "epsilon zeta eta theta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["cross_entropy"])
+        for r in trigram_cross_entropy(docs).collect()
+    }
+    unpersist_tracked()
+
+    # pure-Python replay on the token strings (hashing is injective on
+    # this tiny vocab, so string keys replay the hash-keyed counts)
+    k = 0.5
+    tri, c12, b23, w2c, uni = {}, {}, {}, {}, {}
+    occ = []
+    for did, text in rows:
+        t = text.lower().split()
+        for i in range(len(t) - 2):
+            w1, w2, w3 = t[i], t[i + 1], t[i + 2]
+            occ.append((did, (w1, w2, w3)))
+            tri[(w1, w2, w3)] = tri.get((w1, w2, w3), 0) + 1
+            c12[(w1, w2)] = c12.get((w1, w2), 0) + 1
+            b23[(w2, w3)] = b23.get((w2, w3), 0) + 1
+            w2c[w2] = w2c.get(w2, 0) + 1
+            uni[w3] = uni.get(w3, 0) + 1
+    v3, v2, v1, n1 = len(c12), len(w2c), len(uni), sum(uni.values())
+    expect = {}
+    for did, (w1, w2, w3) in occ:
+        p = (
+            0.6 * (tri[(w1, w2, w3)] + k) / (c12[(w1, w2)] + k * v3)
+            + 0.3 * (b23[(w2, w3)] + k) / (w2c[w2] + k * v2)
+            + 0.1 * (uni[w3] + k) / (n1 + k * v1)
+        )
+        n, s = expect.get(did, (0, 0.0))
+        expect[did] = (n + 1, s - math.log(p))
+    want = {
+        did: (n, round(s / n + 1e-9, 6)) for did, (n, s) in expect.items()
+    }
+    assert got == want
