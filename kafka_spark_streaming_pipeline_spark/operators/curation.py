@@ -3688,18 +3688,6 @@ def leakage_safe_split(
     Scale shape: the component frame is |clustered docs| (pairs-sized,
     never corpus); one left join on the doc key, then map-only hash
     arithmetic.  Output: (id, anchor_id, split, moved)."""
-    from .text import hash60
-
-    def bucket(val: Column) -> Column:
-        return hash60(val.cast("string")) % 100
-
-    def split_of(b: Column) -> Column:
-        return (
-            F.when(b < 90, F.lit("train"))
-            .when(b < 95, F.lit("val"))
-            .otherwise(F.lit("test"))
-        )
-
     comp = components.select(F.col("id").alias(id_col), "component")
     anchor = F.coalesce(F.col("component"), F.col(id_col))
     return (
@@ -3708,9 +3696,24 @@ def leakage_safe_split(
         .select(
             id_col,
             anchor.alias("anchor_id"),
-            split_of(bucket(anchor)).alias("split"),
+            split_of_id(anchor).alias("split"),
             (
-                split_of(bucket(anchor)) != split_of(bucket(F.col(id_col)))
+                split_of_id(anchor) != split_of_id(F.col(id_col))
             ).alias("moved"),
         )
+    )
+
+
+def split_of_id(val: Column) -> Column:
+    """The x26/x179 split assignment for one id column: exact md5
+    bucket (90/5/5) -> train/val/test.  Shared by the batch split
+    (``leakage_safe_split``) and the streaming split-stability sink so
+    both produce bit-identical assignments for the same anchor."""
+    from .text import hash60
+
+    b = hash60(val.cast("string")) % 100
+    return (
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
     )

@@ -2721,3 +2721,173 @@ def t_closeness_view(
         _read_log(spark, path), quasi_cols, sensitive_col
     ).withColumnRenamed("n", "cv")
     return t_closeness_from_cells(cells, quasi_cols, sensitive_col, t_ppm)
+
+
+# ------------------------------------- leakage-safe split stability
+
+def make_split_anchor_sink(
+    assign_path: str,
+    history_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    min_est_jaccard: float = 0.5,
+):
+    """The streaming twin of x179 (leakage-safe splits): maintains
+    per-document near-dup CLUSTER ANCHORS incrementally as the corpus
+    grows, so split assignments stay cluster-keyed — and therefore
+    leakage-safe — without ever recomputing the closure over the full
+    corpus.
+
+    Contract: attach AFTER ``make_signature_sink`` on the same stream
+    (the batch's signatures are already in the history view when this
+    runs; per-commit dedup keeps that exact under replay).  Per batch:
+
+    1. Band-join the batch against the merged signature history
+       (``incremental_neardup`` — O(batch) work, history text never
+       read) to get this batch's near-dup matches.
+    2. Map each matched partner to its CURRENT anchor from the
+       assignment log (a matched doc with no assignment yet — an
+       in-batch partner — anchors on itself).
+    3. Run the pointer-doubled closure over the BATCH-SCOPE graph
+       (batch ids x matched anchors — pairs-sized, never corpus):
+       one batch can transitively bridge several existing clusters,
+       and old anchors are exactly the minima of their clusters, so
+       the group minimum IS the merged cluster's true min-id anchor.
+    4. Append one assignment row per batch doc — (doc, anchor,
+       split_of(anchor), moved, anchor_changed) with the x179/x26 md5
+       arithmetic — plus one UPDATE row for every existing doc whose
+       cluster was absorbed into a smaller anchor (anchor_changed =
+       true).  Anchors therefore only ever DECREASE for a given doc
+       (min over a growing merge set — the monotonicity invariant the
+       test pins), and the final state equals the one-shot batch
+       x179 assignment over the full corpus regardless of batch
+       order.
+
+    Scale shape: per-batch cost is band joins + a closure bounded by
+    the batch's match graph; the update scan joins the assignment
+    view on the ANCHOR key (anchors are cluster-sized, well-spread).
+    Nothing re-reads corpus text and nothing is O(corpus) per batch
+    except the assignment-view read, which is the same merged-log
+    read every other incremental view pays."""
+    from ..operators.curation import split_of_id
+    from ..operators.dedup import connected_components, incremental_neardup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hist = signature_view(spark, history_path, id_col)
+        pairs = (
+            incremental_neardup(
+                batch_df,
+                hist,
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                shingle_k=shingle_k,
+                min_est_jaccard=min_est_jaccard,
+            )
+            .filter(F.col("new_id") != F.col("matched_id"))
+            .select("new_id", "matched_id")
+            .distinct()
+        )
+        try:
+            assigned = _split_assign_view_of(
+                _read_log(spark, assign_path), id_col
+            ).select(
+                F.col(id_col).alias("matched_id"),
+                F.col("anchor_id").alias("cur_anchor"),
+            )
+        except FileNotFoundError:
+            assigned = spark.createDataFrame(
+                [], f"matched_id long, cur_anchor long"
+            )
+        edges = pairs.join(assigned, "matched_id", "left").select(
+            F.col("new_id").alias("doc_a"),
+            F.coalesce(F.col("cur_anchor"), F.col("matched_id")).alias("doc_b"),
+        )
+        comp = connected_components(edges).localCheckpoint(eager=False)
+
+        batch_ids = batch_df.select(id_col).distinct()
+        prev = assigned.select(
+            F.col("matched_id").alias(id_col),
+            F.col("cur_anchor").alias("prev_anchor"),
+        )
+        anchor = F.coalesce(F.col("component"), F.col(id_col))
+        batch_rows = (
+            batch_ids.join(
+                comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+            )
+            .join(prev, id_col, "left")
+            .select(
+                F.col(id_col),
+                anchor.alias("anchor_id"),
+                split_of_id(anchor).alias("split"),
+                (split_of_id(anchor) != split_of_id(F.col(id_col))).alias("moved"),
+                F.coalesce(
+                    F.col("prev_anchor") != anchor, F.lit(False)
+                ).alias("anchor_changed"),
+            )
+        )
+        # existing docs whose cluster anchor was absorbed by a smaller
+        # one this batch (never the batch's own docs — those already
+        # carry their final row above)
+        updates = (
+            prev.join(
+                comp.select(F.col("id").alias("prev_anchor"), "component"),
+                "prev_anchor",
+            )
+            .filter(F.col("component") < F.col("prev_anchor"))
+            .join(batch_ids, id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.col("component").alias("anchor_id"),
+                split_of_id(F.col("component")).alias("split"),
+                (
+                    split_of_id(F.col("component")) != split_of_id(F.col(id_col))
+                ).alias("moved"),
+                F.lit(True).alias("anchor_changed"),
+            )
+        )
+        AtomicParquetTable(assign_path).append(
+            batch_rows.unionByName(updates).withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _split_assign_view_of(log: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Latest assignment per doc.  Within one commit a doc appears at
+    most once (batch rows and update rows are disjoint by the
+    left_anti in the sink); across commits the LOWEST anchor is the
+    newest (anchors only decrease), so ordering by anchor ascending
+    inside the __commit tiebreak makes replayed-then-compacted logs
+    resolve identically to live ones."""
+    w = W.partitionBy(id_col).orderBy(
+        F.col("__commit").desc(), F.col("anchor_id").asc()
+    )
+    return (
+        _drop_replays_behind_watermark(log)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__commit")
+    )
+
+
+def split_stability_view(spark, assign_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Current leakage-safe split assignment for every ingested doc:
+    (doc, anchor_id, split, moved, anchor_changed) — equal to the
+    one-shot batch x179 assignment over everything ingested (pinned by
+    test), with ``anchor_changed`` marking docs whose cluster was
+    merged into a smaller anchor after first assignment."""
+    return _split_assign_view_of(_read_log(spark, assign_path), id_col)
+
+
+def compact_split_assignments(
+    spark, assign_path: str, quiesced: bool = True
+) -> None:
+    """Fold the assignment log to one row per document; same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, assign_path, _split_assign_view_of, quiesced)

@@ -3232,3 +3232,108 @@ def test_streaming_t_closeness_view_matches_batch(spark, sf_dir, tmp_path):
     compact_privacy(spark, path, quasi, "source", quiesced=False)
     sink(b1, 1)  # replay of a folded batch
     assert view() == got
+
+
+def test_streaming_split_stability_matches_batch_and_anchor_monotone(spark, tmp_path):
+    """The x179 streaming twin: anchors maintained incrementally from
+    the signature history must end bit-equal to the one-shot batch
+    leakage-safe split over everything ingested; a later batch that
+    absorbs an existing cluster into a smaller anchor emits
+    anchor_changed=true update rows; per-doc anchors never increase
+    across batches (monotonicity); replays dedupe; online compaction +
+    a post-compaction batch stay exact."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        leakage_safe_split,
+    )
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        connected_components,
+        incremental_neardup,
+        minhash_signatures,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_split_assignments,
+        make_signature_sink,
+        make_split_anchor_sink,
+        split_stability_view,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    t2 = "one two three four five six seven eight nine ten " * 3
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sig_path = str(tmp_path / "sigs")
+    assign_path = str(tmp_path / "assign")
+    sig_sink = make_signature_sink(sig_path)
+    split_sink = make_split_anchor_sink(
+        assign_path, sig_path, min_est_jaccard=0.3
+    )
+
+    def run(rows, batch_id):
+        b = docs(rows)
+        sig_sink(b, batch_id)   # contract: signatures land first
+        split_sink(b, batch_id)
+
+    batches = [
+        [(10, t1), (11, t1 + " tail"), (12, "totally unrelated words here")],
+        [(20, t2), (30, "another unrelated document entirely")],
+        [(21, t2 + " extra")],          # joins 20's cluster
+        [(5, t1 + " bridge words")],    # absorbs {10, 11} -> anchor 5
+    ]
+    anchors_over_time: dict[int, list[int]] = {}
+    for i, rows in enumerate(batches):
+        run(rows, i)
+        for r in split_stability_view(spark, assign_path).collect():
+            anchors_over_time.setdefault(r["doc_id"], []).append(r["anchor_id"])
+
+    # monotonicity: a doc's anchor never increases as the graph grows
+    for did, seq in anchors_over_time.items():
+        assert all(a >= b for a, b in zip(seq, seq[1:])), (did, seq)
+
+    view = {
+        r["doc_id"]: (r["anchor_id"], r["split"], r["moved"], r["anchor_changed"])
+        for r in split_stability_view(spark, assign_path).collect()
+    }
+    # the absorbed cluster carries the anchor_changed marker
+    assert view[10][0] == 5 and view[10][3]
+    assert view[11][0] == 5 and view[11][3]
+    assert not view[12][3] and not view[30][3]
+
+    # merged view == one-shot batch x179 over everything ingested
+    all_rows = [r for b in batches for r in b]
+    corpus = docs(all_rows)
+    pairs = (
+        incremental_neardup(
+            corpus, minhash_signatures(corpus), min_est_jaccard=0.3
+        )
+        .filter("new_id != matched_id")
+        .select("new_id", "matched_id")
+    )
+    comps = connected_components(pairs, "new_id", "matched_id")
+    want = {
+        r["doc_id"]: (r["anchor_id"], r["split"], r["moved"])
+        for r in leakage_safe_split(comps, corpus).collect()
+    }
+    assert {k: v[:3] for k, v in view.items()} == want
+
+    # replay of the last batch: per-commit dedup, unchanged
+    run(batches[-1], 3)
+    assert {
+        k: v[:3]
+        for k, v in {
+            r["doc_id"]: (r["anchor_id"], r["split"], r["moved"])
+            for r in split_stability_view(spark, assign_path).collect()
+        }.items()
+    } == want
+
+    # online compaction, then a fresh batch still lands exactly
+    compact_split_assignments(spark, assign_path, quiesced=False)
+    assert {
+        r["doc_id"]: (r["anchor_id"], r["split"], r["moved"])
+        for r in split_stability_view(spark, assign_path).collect()
+    } == want
+    run([(40, "brand new post compaction text")], 4)
+    out = split_stability_view(spark, assign_path)
+    assert out.count() == len(want) + 1
+    assert {r["doc_id"]: r["anchor_id"] for r in out.collect()}[40] == 40
