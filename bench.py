@@ -128,6 +128,12 @@ HEADLINE = [
     # calibration rank walk — the heaviest statistics addition).
     "x176_tokenizer_audit",
     "x177_conformal_prediction_sets",
+    # r09 additions: cross-lingual bitext mining (3-table SRP-blocked
+    # candidate join + per-side neighborhood windows — the heaviest
+    # new family) and the interpolated trigram LM (one corpus scan to
+    # a six-long narrow frame + tiered model joins, x74's successor).
+    "x183_bitext_mining",
+    "x184_trigram_perplexity",
 ]
 
 # A sub-second measurement on this co-tenant host varies by multiples

@@ -110,6 +110,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-bucket blocking, then
     exact cosine only within buckets.  Same scale shape as MinHash LSH
@@ -118,7 +119,23 @@ def embedding_neardup_pairs(
     functions, so the embedding scan runs once and the only shuffle is
     the bucket groupBy.  Blocking is approximate by design: pairs whose
     signs differ on some plane are not candidates (recall grows with
-    fewer planes / multiple tables)."""
+    fewer planes / multiple tables).
+
+    ``max_bucket_size`` is the p12/x101 loud cap, and for a FIXED plane
+    set it is load-bearing at scale: bucket population grows with the
+    corpus while the bucket count stays 2^planes, so the uncapped
+    Sum(|bucket|^2) pair expansion goes quadratic — the r9 three-point
+    scale record measured exactly that (second-decade ratio 48.6x vs
+    10x data before the cap; see BENCH_SCALE.json).  With the cap,
+    oversized buckets truncate to their ``max_bucket_size`` smallest
+    ids (deterministic, never silent — emitted pairs from a truncated
+    bucket carry ``block_truncated=true``; the column appears only
+    when the cap is set, so the default schema is unchanged).  The cap
+    bounds compute; RECALL in dense regions is the multi-table /
+    more-planes dial (x61's centered 3-table blocking, planes scaling
+    with log N) — a production corpus sizes 2^planes ~ N/target_bucket
+    and keeps the cap as the skew guard, the same division of labor as
+    MinHash banding."""
     v = (
         emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("bucket", int_srp_bucket(F.col("v"), planes))
@@ -127,13 +144,35 @@ def embedding_neardup_pairs(
         # three — same sqrt(dot(v,v)) expression, bit-identical value
         .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
+    from .dedup import unordered_pairs_expr
+
+    if max_bucket_size is not None:
+        from .dedup import _capped_block_pairs
+
+        prepared = v.select(
+            F.col("bucket").alias("blk"),
+            F.col("id"),
+            F.struct("v", "n").alias("pl"),
+        )
+        pairs = _capped_block_pairs(prepared, "id", "pl", max_bucket_size)
+        sim = F.round(
+            _dot(F.col("payload_a.v"), F.col("payload_b.v"))
+            / (F.col("payload_a.n") * F.col("payload_b.n"))
+            + F.lit(1e-9),
+            4,
+        )
+        return pairs.select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            sim.alias("cosine_sim"),
+            "block_truncated",
+        ).filter(F.col("cosine_sim") >= threshold)
+
     buckets = (
         v.groupBy("bucket")
         .agg(F.array_sort(F.collect_list(F.struct("id", "v", "n"))).alias("members"))
         .filter(F.size("members") >= 2)
     )
-    from .dedup import unordered_pairs_expr
-
     pair_arr = unordered_pairs_expr(
         F.col("members"),
         inner=lambda x, y: F.struct(

@@ -515,12 +515,19 @@ NEARDUP_PLANES = [[((7 * i + 13 * p + 5) % 17) - 8 for i in range(64)] for p in 
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
     ), b AS (
       SELECT id, v, {_srp_bucket_sql(NEARDUP_PLANES)} AS bucket FROM v
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY id) AS rn,
+             count(*) OVER (PARTITION BY bucket) AS bsz
+      FROM b
+    ), kept AS (
+      SELECT * FROM r WHERE bsz >= 2 AND rn <= 64
     )
     SELECT a.id AS vec_a, bb.id AS vec_b,
            round(list_dot_product(a.v, bb.v)
                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
-                 + 1e-9, 4) AS cosine_sim
-    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id
+                 + 1e-9, 4) AS cosine_sim,
+           a.bsz > 64 AS block_truncated
+    FROM kept a JOIN kept bb ON a.bucket = bb.bucket AND a.id < bb.id
     WHERE round(list_dot_product(a.v, bb.v)
                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
                 + 1e-9, 4) >= 0.4
@@ -530,11 +537,20 @@ def x14_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-bucket blocking (sign
     bits over integer-quantized projections, so bucketing is exact in
     both engines), exact cosine within buckets only — the same
-    join-free bucket-expansion shape as MinHash LSH."""
+    join-free bucket-expansion shape as MinHash LSH, INCLUDING its
+    loud bucket cap (64: oversized buckets truncate to their 64
+    smallest ids, emitted pairs flagged block_truncated).  The r9
+    three-point scale record measured the uncapped form going
+    quadratic once bucket population outgrew the fixed 16-bucket plane
+    set (48.6x per 10x data on the second decade); with the cap the
+    expansion is corpus-linear, and dense-region recall is the
+    multi-table/more-planes dial (x61)."""
     from ..operators.similarity import embedding_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, NEARDUP_PLANES, threshold=0.4)
+    return embedding_neardup_pairs(
+        emb, NEARDUP_PLANES, threshold=0.4, max_bucket_size=64
+    )
 
 
 def _cos4(a: str, b: str) -> str:

@@ -3105,3 +3105,37 @@ def test_bitext_blocking_recall_vs_exact(spark, sf_dir):
     # guards against plane/table-count regressions, and real
     # translation pairs (cos ~1) block with near-certainty
     assert agg["recall"] >= 0.30
+
+
+def test_embedding_neardup_bucket_cap_truncates_loudly(spark):
+    """x14's r9 scale fix: with a fixed plane set, bucket population
+    grows with the corpus, so the uncapped Sum(|bucket|^2) expansion
+    goes quadratic (measured 48.6x per 10x data in BENCH_SCALE).  The
+    cap truncates an oversized bucket to its max_bucket_size smallest
+    ids — pairs bounded, every emitted pair from that bucket flagged
+    block_truncated=true — while small buckets pass through unflagged,
+    and the uncapped call keeps its original schema."""
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    # one giant bucket: 40 near-identical vectors; one small bucket:
+    # 3 near-identical vectors pointing the other way
+    rows = [(i, [10.0 + (i % 5) * 0.001] * 8) for i in range(40)]
+    rows += [(100 + i, [-10.0 - i * 0.001] * 8) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1] * 8]  # sign of the coordinate sum: 2 buckets
+    out = embedding_neardup_pairs(
+        emb, planes, threshold=0.9, max_bucket_size=10
+    ).collect()
+    big = [r for r in out if r.vec_a < 100]
+    small = [r for r in out if r.vec_a >= 100]
+    # 10 survivors (ids 0..9) -> exactly C(10,2) pairs, all flagged
+    assert len(big) == 45
+    assert {r.vec_a for r in big} | {r.vec_b for r in big} == set(range(10))
+    assert all(r.block_truncated for r in big)
+    assert len(small) == 3 and not any(r.block_truncated for r in small)
+    # uncapped: full expansion, no flag column
+    un = embedding_neardup_pairs(emb, planes, threshold=0.9)
+    assert "block_truncated" not in un.columns
+    assert un.filter("vec_a < 100").count() == 40 * 39 // 2

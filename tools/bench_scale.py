@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Three-point scale-slope record (VERDICT r8 item 1): time every
+bench headliner at sf0.01, sf0.1, and a deterministic 10x
+amplification of sf0.1 (tools/make_scale_data.py — re-keyed ids,
+token-bijected text, orthogonally-transformed embeddings, so
+dedup/join semantics stay honest), and commit per-query ratios across
+TWO measured decades instead of one.
+
+A query is linear in data when each decade's time ratio is ~<= the
+10x data ratio; the r8 record showed every headliner sublinear over
+sf0.01 -> sf0.1 but rested the second decade on plan reading — this
+makes it a measurement.  Reliability discipline mirrors bench.py:
+best-of-N per point (noise on this co-tenant host is multiplicative),
+a denominator under SLOPE_FLOOR_SEC marks that decade's ratio
+overhead-dominated ("od"), and a reliable ratio above 2x data
+triggers one numerator re-measure before being reported.
+
+Writes BENCH_SCALE.json at the repo root; prints a compact summary.
+
+Usage: python3 tools/bench_scale.py  (builds .scaledata/sf1.0 if absent)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE, SLOPE_FLOOR_SEC  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.plans import QUERIES  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+SMALL = "/root/testdata/sf0.01"
+MID = "/root/testdata/sf0.1"
+BIG = os.path.join(REPO, ".scaledata", "sf1.0")
+DATA_RATIO = 10.0
+RATIO_LIMIT = 2.0 * DATA_RATIO
+
+
+def _best_of(spark, name: str, sf_dir: str, repeats: int) -> float:
+    q = QUERIES[name]
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        q.builder(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    unpersist_tracked()
+    return round(best, 3)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_scale")
+    spark.range(1).count()
+
+    if not os.path.isdir(BIG):
+        print(f"# building {BIG} (10x of {MID})", file=sys.stderr)
+        from tools.make_scale_data import amplify
+
+        amplify(spark, MID, BIG, 10)
+
+    # codegen warm-up (identical generated classes regardless of path)
+    for name in HEADLINE:
+        try:
+            QUERIES[name].builder(spark, "/root/testdata/sf0.001").count()
+        except Exception as exc:
+            print(f"# warmup {name} skipped: {exc}", file=sys.stderr)
+    unpersist_tracked()
+
+    points = [("small", SMALL, 5), ("mid", MID, 3), ("big", BIG, 2)]
+    times: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
+    for label, sf_dir, repeats in points:
+        for name in HEADLINE:
+            times[name][label] = _best_of(spark, name, sf_dir, repeats)
+            print(
+                f"# {label} {name}: {times[name][label]}s", file=sys.stderr
+            )
+
+    queries: dict[str, dict] = {}
+    worst = {"r1": (None, 0.0), "r2": (None, 0.0)}
+    n_od = {"r1": 0, "r2": 0}
+    for name in HEADLINE:
+        t = times[name]
+        rec = {"t_small": t["small"], "t_mid": t["mid"], "t_big": t["big"]}
+        for rk, num_label, den_label in (
+            ("r1", "mid", "small"),
+            ("r2", "big", "mid"),
+        ):
+            den = t[den_label]
+            od = den < SLOPE_FLOOR_SEC
+            ratio = round(t[num_label] / den, 2) if den > 0 else None
+            if ratio is not None and ratio > RATIO_LIMIT and not od:
+                # one numerator re-measure: real superlinearity
+                # survives, a noisy draw doesn't (bench.py discipline)
+                re_best = _best_of(
+                    spark, name, {"mid": MID, "big": BIG}[num_label], 2
+                )
+                if re_best < t[num_label]:
+                    t[num_label] = re_best
+                    rec[f"t_{num_label}"] = re_best
+                ratio = round(t[num_label] / den, 2)
+                print(
+                    f"# re-measured {name} at {num_label}: {re_best}s "
+                    f"-> {rk}={ratio}",
+                    file=sys.stderr,
+                )
+            rec[rk] = ratio
+            rec[f"od_{rk[-1]}"] = od
+            if od:
+                n_od[rk] += 1
+            elif ratio is not None and ratio > worst[rk][1]:
+                worst[rk] = (name, ratio)
+        queries[name] = rec
+
+    out = {
+        "metric": "three_point_scale_slope",
+        "points": {"small": 0.01, "mid": 0.1, "big": "sf0.1 x10 amplified"},
+        "data_ratio_per_decade": DATA_RATIO,
+        "slope_floor_sec": SLOPE_FLOOR_SEC,
+        "amplifier": "tools/make_scale_data.py (deterministic, re-keyed ids)",
+        "repeats": {"small": 5, "mid": 3, "big": 2},
+        "queries": queries,
+        "summary": {
+            "n_queries": len(HEADLINE),
+            "max_reliable_r1": worst["r1"],
+            "max_reliable_r2": worst["r2"],
+            "n_od_r1": n_od["r1"],
+            "n_od_r2": n_od["r2"],
+        },
+    }
+    path = os.path.join(REPO, "BENCH_SCALE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(out["summary"], separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()

@@ -174,6 +174,8 @@ AUDITED = {
     "x180_vocab_size_sweep": "vocab sweep: three independent train+encode pipelines, each the x172/x173 audited shape; 1-row aggregate per branch",
     "x181_t_closeness": "t-closeness: one scan to the (QI x sensitive) cell frame; exact decimal numerator fold per class; per-t report over the broadcast threshold literals",
     "x182_release_audit_extended": "extended release gate: x164's audited composition rides through verbatim; t-closeness adds one cell-frame aggregate, contamination one broadcast-eval bucket screen",
+    "x183_bitext_mining": "bitext mining: both language sides bucket via ONE projection per side (3 SRP tables exploded, never re-scanned); candidates are a shuffle equi-join on the well-spread (tbl, bucket) key (neither side broadcastable at mining scale) deduped on ids; the persisted candidate frame serves the pair scan and both k-NN neighborhood windows",
+    "x184_trigram_perplexity": "trigram LM: ONE corpus scan into the persisted six-long narrow frame; all three tier count tables and the scalars derive from that cache; scoring joins on the well-spread trigram hash (x74's audited shape, one tier up)",
 }
 
 
