@@ -116,8 +116,30 @@ def main() -> None:
                 worst[rk] = (name, ratio)
         queries[name] = rec
 
+    # standing annotations for reliable-but-above-data ratios whose
+    # cause is understood and whose production dial is documented —
+    # the record must say WHY a ratio is what it is, not just list it
+    annotations = {
+        "x51_semantic_dedup": (
+            "fixed nlist: in-cell pair scan grows with cell population; "
+            "production sizes nlist ~ sqrt(N) so cells stay bounded "
+            "(operators/similarity.semantic_dedup docstring)"
+        ),
+        "x104_entity_resolution": (
+            "capped block pairs grow with block population under the "
+            "fixed blocking-key set; the caps bound the worst case and "
+            "closure rounds are log-diameter (r8 pointer doubling)"
+        ),
+        "x183_bitext_mining": (
+            "fixed 3x16 bucket grid: candidate join is "
+            "Sum(|src_b| x |tgt_b|) — sublinear at these SFs, but at "
+            "production scale plane count must grow with log N (same "
+            "dial as x14/x61)"
+        ),
+    }
     out = {
         "metric": "three_point_scale_slope",
+        "annotations": annotations,
         "points": {"small": 0.01, "mid": 0.1, "big": "sf0.1 x10 amplified"},
         "data_ratio_per_decade": DATA_RATIO,
         "slope_floor_sec": SLOPE_FLOOR_SEC,
