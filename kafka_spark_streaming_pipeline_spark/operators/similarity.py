@@ -776,7 +776,11 @@ def semantic_dedup(
       lowest-id members with ``cluster_truncated=true`` provenance
       (same honest-cap convention as dedup._capped_block_pairs) —
       at real scale the centroid count is sized so clusters stay far
-      below the cap.
+      below the cap: with the standard nlist ~ sqrt(N) dial, expected
+      cluster size grows as sqrt(N) and the in-cluster pair term stays
+      ~linear in N.  A FIXED nlist instead makes that term quadratic —
+      measured directly by the r9 three-point record (BENCH_SCALE
+      x51: 11.4x per 10x data at the registry's fixed test nlist).
     """
     v = (
         emb.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
@@ -1888,6 +1892,7 @@ def bitext_margin_mine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     lang_col: str = "lang",
+    mutual_best: bool = False,
 ) -> DataFrame:
     """Margin-based bitext (translation-pair) mining between two
     languages — the Artetxe & Schwenk (2019) ratio-margin criterion
@@ -1934,7 +1939,12 @@ def bitext_margin_mine(
     negative cosines) get no margin and are dropped.
 
     Output: (src_id, tgt_id, cosine_sim, margin) for every candidate
-    with margin >= ``margin_threshold``, margin 4-dp rounded.
+    with margin >= ``margin_threshold``, margin 4-dp rounded.  With
+    ``mutual_best=True`` the output keeps only BIDIRECTIONAL best
+    pairs (y is x's best-margin candidate and x is y's — the
+    LASER/CCMatrix alignment filter that turns mined candidates into
+    a one-to-one sentence alignment): two ranked windows over the
+    thresholded frame, no extra scans.
 
     Reference parity: none — the reference pipeline
     (spark_job/spark_streaming.py) has no similarity surface at all;
@@ -2013,7 +2023,7 @@ def bitext_margin_mine(
         + F.col("sum_tid").cast("double") / F.col("k_tid").cast("double")
     ) / F.lit(20000.0)
     margin = F.round(F.col("cos") / denom + F.lit(1e-9), 4)
-    return (
+    frame = (
         cand.join(mu_s, "sid")
         .join(mu_t, "tid")
         .filter(denom > 0)
@@ -2024,4 +2034,22 @@ def bitext_margin_mine(
             margin.alias("margin"),
         )
         .filter(F.col("margin") >= F.lit(margin_threshold))
+    )
+    if not mutual_best:
+        return frame
+    # LASER/CCMatrix bidirectional filter: keep (x, y) only when y is
+    # x's best-margin candidate AND x is y's — each side's argmax is
+    # one ranked window over the (already margin-thresholded) frame;
+    # ties break on the partner id ascending, deterministic.
+    w_s = W.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    w_t = W.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id").asc()
+    )
+    return (
+        frame.withColumn("rn_s", F.row_number().over(w_s))
+        .withColumn("rn_t", F.row_number().over(w_t))
+        .filter((F.col("rn_s") == 1) & (F.col("rn_t") == 1))
+        .drop("rn_s", "rn_t")
     )

@@ -11214,3 +11214,42 @@ def x184_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return trigram_cross_entropy(docs, k_smooth=0.5)
+
+
+@query(
+    "x185_bitext_mutual_best",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin DESC, tgt_id ASC) AS rn_s,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY margin DESC, src_id ASC) AS rn_t
+      FROM ({{X183}})
+    )
+    SELECT src_id, tgt_id, cosine_sim, margin
+    FROM ranked WHERE rn_s = 1 AND rn_t = 1
+    """.replace("{X183}", _REGISTRY["x183_bitext_mining"].oracle),
+)
+def x185_bitext_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional-best bitext alignment — the LASER/CCMatrix filter
+    on top of x183's margin mining: a pair survives only when each
+    side is the other's best-margin candidate, turning the mined
+    candidate set into a one-to-one sentence alignment (the form a
+    translation-pair training set actually consumes).  Two ranked
+    windows over the thresholded margin frame; no extra scans beyond
+    x183's dataflow."""
+    from ..operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_margin_mine(
+        emb,
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        _srp_tables(3),
+        src_lang="en",
+        tgt_lang="de",
+        knn_k=8,
+        margin_threshold=1.05,
+        mutual_best=True,
+    )

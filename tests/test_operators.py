@@ -3139,3 +3139,54 @@ def test_embedding_neardup_bucket_cap_truncates_loudly(spark):
     un = embedding_neardup_pairs(emb, planes, threshold=0.9)
     assert "block_truncated" not in un.columns
     assert un.filter("vec_a < 100").count() == 40 * 39 // 2
+
+
+def test_bitext_mutual_best_is_one_to_one_and_keeps_planted(spark):
+    """x185: mutual-best filtering keeps every planted translation
+    (identical vectors are each other's best margin) and the surviving
+    alignment is one-to-one — no src or tgt appears twice — while the
+    plain margin output does contain one-sided multi-matches on this
+    fixture."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+
+    def vec(seed, dim=8):
+        return [
+            float(int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:6], 16) % 19 - 9)
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i), "en") for i in range(20)]
+    rows += [
+        (1000 + i, vec(i) if i < 5 else vec(1000 + i), "de") for i in range(20)
+    ]
+    emb = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, embedding array<double>"
+    )
+    lang = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "vec_id long, lang string"
+    )
+    tables = [
+        [[((3 * j + 5 * p + 11 * t + 1) % 13) - 6 for j in range(8)]
+         for p in range(2)]
+        for t in range(2)
+    ]
+    kw = dict(knn_k=4, margin_threshold=1.0)
+    plain = bitext_margin_mine(emb, lang, tables, "en", "de", **kw).collect()
+    mutual = bitext_margin_mine(
+        emb, lang, tables, "en", "de", mutual_best=True, **kw
+    ).collect()
+
+    planted = {(i, 1000 + i) for i in range(5)}
+    got = {(r.src_id, r.tgt_id) for r in mutual}
+    assert planted <= got
+    srcs = [r.src_id for r in mutual]
+    tgts = [r.tgt_id for r in mutual]
+    assert len(srcs) == len(set(srcs)) and len(tgts) == len(set(tgts))
+    assert got <= {(r.src_id, r.tgt_id) for r in plain}
+    # the plain output is NOT one-to-one here, so the filter did work
+    plain_srcs = [r.src_id for r in plain]
+    assert len(plain_srcs) != len(set(plain_srcs))
