@@ -748,9 +748,48 @@ def trigram_cross_entropy(
     scalars, and the scoring join keys on the well-spread trigram
     hash.  Docs with < 3 tokens have no trigrams and drop out (the
     x74 inner-join convention)."""
+    narrow, tgc, ctx12, bgc, ctx2, unic, scalars = _trigram_model_tables(
+        docs, id_col, text_col
+    )
+    l3, l2, l1 = lambdas
+    probs = (
+        tgc.join(ctx12, "c12_h")
+        .join(bgc, "b23_h")
+        .join(ctx2, "w2_h")
+        .join(unic, "w3_h")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "tg_h",
+            (
+                F.lit(l3)
+                * (F.col("c3") + F.lit(k_smooth))
+                / (F.col("c12") + F.lit(k_smooth) * F.col("v3"))
+                + F.lit(l2)
+                * (F.col("c2b") + F.lit(k_smooth))
+                / (F.col("c2") + F.lit(k_smooth) * F.col("v2"))
+                + F.lit(l1)
+                * (F.col("c1w") + F.lit(k_smooth))
+                / (F.col("n1") + F.lit(k_smooth) * F.col("v1"))
+            ).alias("p"),
+        )
+    )
+    return (
+        narrow.join(probs, "tg_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(-F.log("p")) + F.lit(1e-9), 6).alias("cross_entropy"),
+        )
+    )
+
+
+def _trigram_model_tables(docs: DataFrame, id_col: str, text_col: str):
+    """Shared model-estimation pass for the trigram LM (the x74
+    _bigram_model_tables pattern one tier up): ONE corpus scan into
+    the persisted six-long narrow frame, then every tier count table
+    and the scalar frame derive from that cache."""
     from ..cache import tracked_persist
 
-    l3, l2, l1 = lambdas
     tg = F.col("tg")
     w = lambda i: F.split_part(tg, F.lit(" "), F.lit(i))  # noqa: E731
     narrow = tracked_persist(
@@ -787,33 +826,96 @@ def trigram_cross_entropy(
         .crossJoin(ctx2.agg(F.count("*").alias("v2")))
         .crossJoin(unic.agg(F.count("*").alias("v1"), F.sum("c1w").alias("n1")))
     )
-    probs = (
-        tgc.join(ctx12, "c12_h")
-        .join(bgc, "b23_h")
-        .join(ctx2, "w2_h")
-        .join(unic, "w3_h")
-        .crossJoin(F.broadcast(scalars))
+    return narrow, tgc, ctx12, bgc, ctx2, unic, scalars
+
+
+def save_trigram_lm(
+    docs: DataFrame,
+    path: str,
+    k_smooth: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Train-once half of the trigram perplexity gate (the
+    save_bigram_lm contract one tier up): persist the five
+    vocabulary-sized count tables + the scalar meta, after which
+    scoring a new batch or stream never touches the training corpus
+    again."""
+    narrow, tgc, ctx12, bgc, ctx2, unic, scalars = _trigram_model_tables(
+        docs, id_col, text_col
+    )
+    tgc.select("tg_h", "c3").write.mode("overwrite").parquet(f"{path}/trigrams")
+    ctx12.write.mode("overwrite").parquet(f"{path}/contexts12")
+    bgc.select("b23_h", "c2b").write.mode("overwrite").parquet(f"{path}/bigrams23")
+    ctx2.write.mode("overwrite").parquet(f"{path}/contexts2")
+    unic.write.mode("overwrite").parquet(f"{path}/unigrams")
+    scalars.withColumn("k_smooth", F.lit(k_smooth)).withColumn(
+        "l3", F.lit(lambdas[0])
+    ).withColumn("l2", F.lit(lambdas[1])).withColumn(
+        "l1", F.lit(lambdas[2])
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    narrow.unpersist()
+
+
+def score_with_trigram_lm(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score-many half: per-document interpolated cross-entropy of a
+    NEW batch under the persisted trigram model.  Every tier joins
+    LEFT with coalesce(0), so unseen events degrade tier by tier
+    exactly as interpolation intends — unseen trigram in a seen
+    context: (0+k)/(c12+kV3); unseen context: (0+k)/(0+kV3) = 1/V3;
+    likewise per lower tier — novel text is scored, never dropped.
+    O(batch) work against five vocabulary-sized tables; zero
+    training-corpus reads."""
+    spark = batch.sparkSession
+    tgc = spark.read.parquet(f"{path}/trigrams")
+    ctx12 = spark.read.parquet(f"{path}/contexts12")
+    bgc = spark.read.parquet(f"{path}/bigrams23")
+    ctx2 = spark.read.parquet(f"{path}/contexts2")
+    unic = spark.read.parquet(f"{path}/unigrams")
+    meta = spark.read.parquet(f"{path}/meta").first()
+    k = meta["k_smooth"]
+    l3, l2, l1 = meta["l3"], meta["l2"], meta["l1"]
+
+    tg = F.col("tg")
+    w = lambda i: F.split_part(tg, F.lit(" "), F.lit(i))  # noqa: E731
+    rows = (
+        batch.select(
+            F.col(id_col), F.explode(shingle_arr(F.col(text_col), 3)).alias("tg")
+        )
+        .filter(F.size(F.split(tg, " ")) == 3)
         .select(
-            "tg_h",
-            (
-                F.lit(l3)
-                * (F.col("c3") + F.lit(k_smooth))
-                / (F.col("c12") + F.lit(k_smooth) * F.col("v3"))
-                + F.lit(l2)
-                * (F.col("c2b") + F.lit(k_smooth))
-                / (F.col("c2") + F.lit(k_smooth) * F.col("v2"))
-                + F.lit(l1)
-                * (F.col("c1w") + F.lit(k_smooth))
-                / (F.col("n1") + F.lit(k_smooth) * F.col("v1"))
-            ).alias("p"),
+            F.col(id_col),
+            hash60(tg, "tlm|").alias("tg_h"),
+            hash60(F.concat_ws(" ", w(1), w(2)), "tlm|").alias("c12_h"),
+            hash60(F.concat_ws(" ", w(2), w(3)), "tlm|").alias("b23_h"),
+            hash60(w(2), "tlm|").alias("w2_h"),
+            hash60(w(3), "tlm|").alias("w3_h"),
         )
     )
+    c = lambda name: F.coalesce(F.col(name), F.lit(0))  # noqa: E731
+    p = (
+        F.lit(l3) * (c("c3") + F.lit(k)) / (c("c12") + F.lit(k) * F.col("v3"))
+        + F.lit(l2) * (c("c2b") + F.lit(k)) / (c("c2") + F.lit(k) * F.col("v2"))
+        + F.lit(l1) * (c("c1w") + F.lit(k)) / (F.col("n1") + F.lit(k) * F.col("v1"))
+    )
+    meta_df = spark.read.parquet(f"{path}/meta").select("v3", "v2", "v1", "n1")
     return (
-        narrow.join(probs, "tg_h")
+        rows.join(tgc, "tg_h", "left")
+        .join(ctx12, "c12_h", "left")
+        .join(bgc, "b23_h", "left")
+        .join(ctx2, "w2_h", "left")
+        .join(unic, "w3_h", "left")
+        .crossJoin(F.broadcast(meta_df))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_trigrams"),
-            F.round(F.avg(-F.log("p")) + F.lit(1e-9), 6).alias("cross_entropy"),
+            F.round(F.avg(-F.log(p)) + F.lit(1e-9), 6).alias("cross_entropy"),
         )
     )
 

@@ -1294,3 +1294,55 @@ def test_trigram_cross_entropy_interpolation_tiers(spark):
         did: (n, round(s / n + 1e-9, 6)) for did, (n, s) in expect.items()
     }
     assert got == want
+
+
+def test_trigram_lm_save_score_roundtrip_and_unseen_backoff(spark, tmp_path):
+    """The trigram train-once/score-many split (x74's
+    save/score contract one tier up): scoring the training corpus
+    through the persisted model reproduces trigram_cross_entropy
+    exactly; a batch with unseen trigrams/contexts/words still gets a
+    finite score through the tier-by-tier backoff (never dropped),
+    and fully-novel text scores strictly worse than re-scored
+    training text."""
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        save_trigram_lm,
+        score_with_trigram_lm,
+        trigram_cross_entropy,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta gamma"),
+        (1, "alpha beta gamma alpha beta gamma delta"),
+        (2, "delta gamma beta alpha delta gamma beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tri_lm")
+    save_trigram_lm(docs, path)
+    unpersist_tracked()
+
+    want = {
+        (r["doc_id"], r["n_trigrams"], r["cross_entropy"])
+        for r in trigram_cross_entropy(docs).collect()
+    }
+    unpersist_tracked()
+    got = {
+        (r["doc_id"], r["n_trigrams"], r["cross_entropy"])
+        for r in score_with_trigram_lm(docs, path).collect()
+    }
+    assert got == want
+
+    novel = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),        # seen trigrams
+            (11, "zz yy xx ww vv"),                # fully novel
+            (12, "alpha beta zz"),                 # seen context, novel tail
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r["cross_entropy"] for r in
+              score_with_trigram_lm(novel, path).collect()}
+    assert set(scored) == {10, 11, 12}           # nothing dropped
+    assert all(s == s and s < float("inf") for s in scored.values())
+    assert scored[11] > scored[10]               # novel costs more
+    assert scored[12] > scored[10]
