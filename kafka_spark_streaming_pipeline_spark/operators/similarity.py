@@ -2003,7 +2003,24 @@ def bitext_margin_mine(
         )
         .dropDuplicates(["sid", "tid"])
     )
+    return bitext_margin_from_candidates(
+        cand, knn_k, margin_threshold, mutual_best
+    )
 
+
+def bitext_margin_from_candidates(
+    cand: DataFrame,
+    knn_k: int = 8,
+    margin_threshold: float = 1.05,
+    mutual_best: bool = False,
+) -> DataFrame:
+    """Neighborhood means + ratio margin (+ optional mutual-best) over
+    a prepared candidate frame (sid, tid, cos, cq) — the shared core
+    of batch mining (``bitext_margin_mine``) and the streaming twin
+    (``sinks.bitext_stream_view``, which maintains the candidate log
+    incrementally and re-derives margins over the merged log): both
+    produce bit-identical pairs for the same underlying candidate set
+    because everything here is a deterministic function of it."""
     def neighborhood(key: str, other: str) -> DataFrame:
         w = W.partitionBy(key).orderBy(F.col("cos").desc(), F.col(other).asc())
         return (
@@ -2052,4 +2069,61 @@ def bitext_margin_mine(
         .withColumn("rn_t", F.row_number().over(w_t))
         .filter((F.col("rn_s") == 1) & (F.col("rn_t") == 1))
         .drop("rn_s", "rn_t")
+    )
+
+
+def bitext_prep_frame(
+    df: DataFrame,
+    tables: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One projection per vector for bitext mining: (id, l, v, n,
+    buckets[array, one per SRP table]) — the per-side prep shared by
+    the batch miner and the streaming candidate sink, so both assign
+    bit-identical buckets and norms."""
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("l"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    return base.withColumn(
+        "buckets",
+        F.array(*[int_srp_bucket(F.col("v"), planes) for planes in tables]),
+    )
+
+
+def bitext_candidates_between(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Cross-language candidate pairs between two prepped frames
+    (bitext_prep_frame output): (tbl, bucket) equi-join over the
+    exploded bucket arrays, id-deduped, with the house 4-dp cosine
+    and its exact BIGINT ten-thousandths twin."""
+
+    def expl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(name),
+            F.col("v").alias(f"v_{name}"),
+            F.col("n").alias(f"n_{name}"),
+            F.posexplode("buckets").alias("tbl", "bucket"),
+        )
+
+    s, t = expl(src, "sid"), expl(tgt, "tid")
+    cos = F.round(
+        _dot(F.col("v_sid"), F.col("v_tid")) / (F.col("n_sid") * F.col("n_tid"))
+        + F.lit(1e-9),
+        4,
+    )
+    return (
+        s.join(t, ["tbl", "bucket"])
+        .select(
+            "sid",
+            "tid",
+            cos.alias("cos"),
+            F.round(cos * 10000).cast("long").alias("cq"),
+        )
+        .dropDuplicates(["sid", "tid"])
     )

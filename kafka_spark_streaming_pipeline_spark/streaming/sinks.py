@@ -2891,3 +2891,125 @@ def compact_split_assignments(
     """Fold the assignment log to one row per document; same
     quiesced/online contract as the other compactors."""
     _compact(spark, assign_path, _split_assign_view_of, quiesced)
+
+
+# --------------------------------------------- incremental bitext mining
+
+def make_bitext_candidate_sink(
+    cand_path: str,
+    emb_path: str,
+    tables: list[list[list[int]]],
+    src_lang: str,
+    tgt_lang: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+):
+    """Streaming twin of x183/x185 (bitext mining), candidate-log
+    form: margins depend on k-NN neighborhood MEANS that change
+    retroactively as the corpus grows, so the margin itself cannot be
+    maintained row-incrementally — but the CANDIDATE SET can: a
+    cross-language pair is discovered exactly once, when its later
+    endpoint arrives (new-src x all-tgt plus new-tgt x old-src — the
+    same later-endpoint contract as the signature history), so the
+    union of per-batch candidates equals the one-shot batch candidate
+    set regardless of batch order.  ``bitext_stream_view`` then
+    re-derives neighborhoods and margins over the merged log through
+    the SAME core the batch miner uses
+    (``bitext_margin_from_candidates``) — bit-equal to batch x183/x185
+    by construction (pinned by test).
+
+    Per batch: O(batch x matched buckets) join work + one read of the
+    merged embedding log (the prep side is the persisted artifact,
+    ~(dim+3) values per vector — the corpus itself is never re-read;
+    same cost class as the other incremental views).  Both logs get
+    the house contract: per-commit replay dedup, atomic appends,
+    online compaction."""
+    from ..operators.similarity import (
+        bitext_candidates_between,
+        bitext_prep_frame,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        prep = bitext_prep_frame(
+            batch_df.filter(F.col(lang_col).isin(src_lang, tgt_lang)),
+            tables,
+            id_col,
+            vec_col,
+            lang_col,
+        ).localCheckpoint(eager=False)
+        try:
+            old = _bitext_emb_view_of(_read_log(spark, emb_path))
+        except FileNotFoundError:
+            old = spark.createDataFrame(
+                [],
+                "id long, l string, v array<double>, n double, "
+                "buckets array<long>",
+            )
+        new_s = prep.filter(F.col("l") == src_lang)
+        new_t = prep.filter(F.col("l") == tgt_lang)
+        old_s = old.filter(F.col("l") == src_lang)
+        all_t = old.filter(F.col("l") == tgt_lang).unionByName(new_t)
+        cand = bitext_candidates_between(new_s, all_t).unionByName(
+            bitext_candidates_between(old_s, new_t)
+        )
+        AtomicParquetTable(cand_path).append(
+            cand.withColumn("__commit", F.lit(batch_id))
+        )
+        AtomicParquetTable(emb_path).append(
+            prep.withColumn("__commit", F.lit(batch_id))
+        )
+
+    return sink
+
+
+def _bitext_emb_view_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "id"])
+        .select("id", "l", "v", "n", "buckets")
+        .dropDuplicates(["id"])
+    )
+
+
+def _bitext_cand_view_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "sid", "tid"])
+        .select("sid", "tid", "cos", "cq")
+        .dropDuplicates(["sid", "tid"])
+    )
+
+
+def bitext_stream_view(
+    spark,
+    cand_path: str,
+    knn_k: int = 8,
+    margin_threshold: float = 1.05,
+    mutual_best: bool = False,
+) -> DataFrame:
+    """Current mined bitext pairs over everything ingested — margins
+    and (optionally) the mutual-best alignment recomputed over the
+    merged candidate log through the batch miner's own core, so the
+    view is bit-equal to running x183/x185 on the full corpus."""
+    from ..operators.similarity import bitext_margin_from_candidates
+
+    return bitext_margin_from_candidates(
+        _bitext_cand_view_of(_read_log(spark, cand_path)),
+        knn_k=knn_k,
+        margin_threshold=margin_threshold,
+        mutual_best=mutual_best,
+    )
+
+
+def compact_bitext_candidates(spark, cand_path: str, quiesced: bool = True) -> None:
+    """Fold the candidate log to one row per pair; house contract."""
+    _compact(spark, cand_path, _bitext_cand_view_of, quiesced)
+
+
+def compact_bitext_embeddings(spark, emb_path: str, quiesced: bool = True) -> None:
+    """Fold the embedding prep log to one row per vector."""
+    _compact(spark, emb_path, _bitext_emb_view_of, quiesced)

@@ -3337,3 +3337,96 @@ def test_streaming_split_stability_matches_batch_and_anchor_monotone(spark, tmp_
     out = split_stability_view(spark, assign_path)
     assert out.count() == len(want) + 1
     assert {r["doc_id"]: r["anchor_id"] for r in out.collect()}[40] == 40
+
+
+def test_streaming_bitext_mining_matches_batch(spark, tmp_path):
+    """The x183/x185 streaming twin: candidates accumulate exactly-once
+    (later-endpoint contract), and the view re-derives margins through
+    the batch miner's own core — so after any batch order the view is
+    bit-equal to one-shot batch mining over everything ingested, for
+    both the plain-margin and mutual-best forms; replays dedupe;
+    online compaction of both logs + a post-compaction batch stay
+    exact."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        bitext_margin_mine,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        bitext_stream_view,
+        compact_bitext_candidates,
+        compact_bitext_embeddings,
+        make_bitext_candidate_sink,
+    )
+
+    def vec(seed, dim=8):
+        return [
+            float(int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:6], 16) % 19 - 9)
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i), "en") for i in range(12)]
+    rows += [(1000 + i, vec(i) if i < 3 else vec(1000 + i), "de") for i in range(12)]
+    rows += [(2000, vec(2000), "fr")]  # other-language row: ignored
+    tables = [
+        [[((3 * j + 5 * p + 11 * t + 1) % 13) - 6 for j in range(8)]
+         for p in range(2)]
+        for t in range(2)
+    ]
+
+    def df(chunk):
+        return spark.createDataFrame(
+            chunk, "vec_id long, embedding array<double>, lang string"
+        )
+
+    cand_path = str(tmp_path / "bt_cand")
+    emb_path = str(tmp_path / "bt_emb")
+    sink = make_bitext_candidate_sink(
+        cand_path, emb_path, tables, "en", "de"
+    )
+    batches = [rows[:9], rows[9:17], rows[17:]]
+    for i, chunk in enumerate(batches):
+        sink(df(chunk), i)
+
+    emb_all = df(rows).select("vec_id", "embedding")
+    lang_all = df(rows).select("vec_id", "lang")
+    kw = dict(knn_k=4, margin_threshold=1.0)
+
+    def snap(view_df):
+        return {
+            (r.src_id, r.tgt_id): (r.cosine_sim, r.margin)
+            for r in view_df.collect()
+        }
+
+    for mb in (False, True):
+        want = snap(
+            bitext_margin_mine(
+                emb_all, lang_all, tables, "en", "de", mutual_best=mb, **kw
+            )
+        )
+        got = snap(bitext_stream_view(spark, cand_path, mutual_best=mb, **kw))
+        assert got == want, f"mutual_best={mb}"
+    assert {(i, 1000 + i) for i in range(3)} <= set(
+        snap(bitext_stream_view(spark, cand_path, **kw))
+    )
+
+    # replay the last batch -> per-commit dedup, unchanged
+    sink(df(batches[-1]), 2)
+    assert snap(bitext_stream_view(spark, cand_path, **kw)) == snap(
+        bitext_margin_mine(emb_all, lang_all, tables, "en", "de", **kw)
+    )
+
+    # online compaction of BOTH logs, then a fresh batch still lands
+    compact_bitext_candidates(spark, cand_path, quiesced=False)
+    compact_bitext_embeddings(spark, emb_path, quiesced=False)
+    extra = [(50, vec(0), "en")]  # a third copy of the planted vector
+    sink(df(extra), 3)
+    want = snap(
+        bitext_margin_mine(
+            df(rows + extra).select("vec_id", "embedding"),
+            df(rows + extra).select("vec_id", "lang"),
+            tables, "en", "de", **kw,
+        )
+    )
+    assert snap(bitext_stream_view(spark, cand_path, **kw)) == want
+    assert any(s == 50 for s, _ in want)  # the new copy actually mines
