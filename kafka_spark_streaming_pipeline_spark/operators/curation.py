@@ -873,15 +873,44 @@ def score_with_trigram_lm(
     O(batch) work against five vocabulary-sized tables; zero
     training-corpus reads."""
     spark = batch.sparkSession
-    tgc = spark.read.parquet(f"{path}/trigrams")
-    ctx12 = spark.read.parquet(f"{path}/contexts12")
-    bgc = spark.read.parquet(f"{path}/bigrams23")
-    ctx2 = spark.read.parquet(f"{path}/contexts2")
-    unic = spark.read.parquet(f"{path}/unigrams")
     meta = spark.read.parquet(f"{path}/meta").first()
-    k = meta["k_smooth"]
-    l3, l2, l1 = meta["l3"], meta["l2"], meta["l1"]
+    return score_with_trigram_tables(
+        batch,
+        spark.read.parquet(f"{path}/trigrams"),
+        spark.read.parquet(f"{path}/contexts12"),
+        spark.read.parquet(f"{path}/bigrams23"),
+        spark.read.parquet(f"{path}/contexts2"),
+        spark.read.parquet(f"{path}/unigrams"),
+        spark.read.parquet(f"{path}/meta").select("v3", "v2", "v1", "n1"),
+        k_smooth=meta["k_smooth"],
+        lambdas=(meta["l3"], meta["l2"], meta["l1"]),
+        id_col=id_col,
+        text_col=text_col,
+    )
 
+
+def score_with_trigram_tables(
+    batch: DataFrame,
+    tgc: DataFrame,
+    ctx12: DataFrame,
+    bgc: DataFrame,
+    ctx2: DataFrame,
+    unic: DataFrame,
+    meta_df: DataFrame,
+    k_smooth: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The tier-joined scoring core shared by the persisted-model path
+    (``score_with_trigram_lm``) and the streaming counts view
+    (``sinks.trigram_stream_score``): given the five count tables
+    (tg_h->c3, c12_h->c12, b23_h->c2b, w2_h->c2, w3_h->c1w) and the
+    scalar frame (v3, v2, v1, n1), scores a batch with left joins and
+    coalesce backoff — identical arithmetic wherever the tables come
+    from."""
+    k = k_smooth
+    l3, l2, l1 = lambdas
     tg = F.col("tg")
     w = lambda i: F.split_part(tg, F.lit(" "), F.lit(i))  # noqa: E731
     rows = (
@@ -904,11 +933,10 @@ def score_with_trigram_lm(
         + F.lit(l2) * (c("c2b") + F.lit(k)) / (c("c2") + F.lit(k) * F.col("v2"))
         + F.lit(l1) * (c("c1w") + F.lit(k)) / (F.col("n1") + F.lit(k) * F.col("v1"))
     )
-    meta_df = spark.read.parquet(f"{path}/meta").select("v3", "v2", "v1", "n1")
     return (
-        rows.join(tgc, "tg_h", "left")
+        rows.join(tgc.select("tg_h", "c3"), "tg_h", "left")
         .join(ctx12, "c12_h", "left")
-        .join(bgc, "b23_h", "left")
+        .join(bgc.select("b23_h", "c2b"), "b23_h", "left")
         .join(ctx2, "w2_h", "left")
         .join(unic, "w3_h", "left")
         .crossJoin(F.broadcast(meta_df))

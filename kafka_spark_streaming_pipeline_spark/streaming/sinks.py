@@ -3013,3 +3013,113 @@ def compact_bitext_candidates(spark, cand_path: str, quiesced: bool = True) -> N
 def compact_bitext_embeddings(spark, emb_path: str, quiesced: bool = True) -> None:
     """Fold the embedding prep log to one row per vector."""
     _compact(spark, emb_path, _bitext_emb_view_of, quiesced)
+
+
+# --------------------------------------- continuous trigram-LM counts
+
+def make_trigram_counts_sink(path: str, text_col: str = "text", id_col: str = "doc_id"):
+    """Continuously-maintained trigram-LM count state — the x184
+    family's wordfreq-sink analogue: each batch appends its three tier
+    count PARTIALS (trigram types with their tier keys, bigram-tail
+    counts, unigram-tail counts), all sum-mergeable, so the model
+    derived from the merged store is BIT-EQUAL to batch training over
+    every document ever ingested (the ctx12/ctx2/scalar tables are
+    deterministic functions of the folded tiers, exactly as in
+    _trigram_model_tables).  State is bounded by the distinct-n-gram
+    vocabulary, never the corpus.  House append-exactly-once
+    contract on all three sub-logs."""
+    from ..operators.curation import _trigram_model_tables
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        narrow, tgc, _, bgc, _, unic, _ = _trigram_model_tables(
+            batch_df, id_col, text_col
+        )
+        AtomicParquetTable(f"{path}/tgc").append(
+            tgc.withColumn("__commit", F.lit(batch_id))
+        )
+        AtomicParquetTable(f"{path}/bgc").append(
+            bgc.withColumn("__commit", F.lit(batch_id))
+        )
+        AtomicParquetTable(f"{path}/unic").append(
+            unic.withColumn("__commit", F.lit(batch_id))
+        )
+        narrow.unpersist()
+
+    return sink
+
+
+def _trigram_tgc_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "tg_h"])
+        .groupBy("tg_h")
+        .agg(
+            F.sum("c3").cast("long").alias("c3"),
+            F.min("c12_h").alias("c12_h"),
+            F.min("b23_h").alias("b23_h"),
+            F.min("w3_h").alias("w3_h"),
+        )
+    )
+
+
+def _trigram_bgc_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "b23_h"])
+        .groupBy("b23_h")
+        .agg(
+            F.sum("c2b").cast("long").alias("c2b"),
+            F.min("w2_h").alias("w2_h"),
+        )
+    )
+
+
+def _trigram_unic_of(log: DataFrame) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", "w3_h"])
+        .groupBy("w3_h")
+        .agg(F.sum("c1w").cast("long").alias("c1w"))
+    )
+
+
+def trigram_stream_score(
+    spark,
+    path: str,
+    batch: DataFrame,
+    k_smooth: float = 0.5,
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score any frame against the CONTINUOUSLY-trained trigram LM:
+    folds the three tier logs, derives contexts and scalars exactly as
+    batch training does, and scores through the shared
+    score_with_trigram_tables core — scoring the union of ingested
+    docs here is bit-equal to x184 over that union (pinned by test)."""
+    from ..operators.curation import score_with_trigram_tables
+
+    tgc = _trigram_tgc_of(_read_log(spark, f"{path}/tgc"))
+    bgc = _trigram_bgc_of(_read_log(spark, f"{path}/bgc"))
+    unic = _trigram_unic_of(_read_log(spark, f"{path}/unic"))
+    ctx12 = tgc.groupBy("c12_h").agg(F.sum("c3").alias("c12"))
+    ctx2 = bgc.groupBy("w2_h").agg(F.sum("c2b").alias("c2"))
+    scalars = (
+        ctx12.agg(F.count("*").alias("v3"))
+        .crossJoin(ctx2.agg(F.count("*").alias("v2")))
+        .crossJoin(unic.agg(F.count("*").alias("v1"), F.sum("c1w").alias("n1")))
+    )
+    return score_with_trigram_tables(
+        batch, tgc, ctx12, bgc, ctx2, unic, scalars,
+        k_smooth=k_smooth, lambdas=lambdas, id_col=id_col, text_col=text_col,
+    )
+
+
+def compact_trigram_counts(spark, path: str, quiesced: bool = True) -> None:
+    """Fold all three tier logs; counts are valid partials (sums), so
+    live appends keep composing after compaction."""
+    _compact(spark, f"{path}/tgc", _trigram_tgc_of, quiesced)
+    _compact(spark, f"{path}/bgc", _trigram_bgc_of, quiesced)
+    _compact(spark, f"{path}/unic", _trigram_unic_of, quiesced)

@@ -3430,3 +3430,65 @@ def test_streaming_bitext_mining_matches_batch(spark, tmp_path):
     )
     assert snap(bitext_stream_view(spark, cand_path, **kw)) == want
     assert any(s == 50 for s, _ in want)  # the new copy actually mines
+
+
+def test_streaming_trigram_counts_match_batch_model(spark, tmp_path):
+    """Continuous trigram-LM retraining (the x184 family's wordfreq
+    analogue): tier count partials appended per batch are
+    sum-mergeable, so scoring the union of ingested docs against the
+    folded store is bit-equal to batch x184 over that union; replays
+    dedupe; online compaction of all three tier logs + a
+    post-compaction batch stay exact."""
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        trigram_cross_entropy,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_trigram_counts,
+        make_trigram_counts_sink,
+        trigram_stream_score,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta alpha beta gamma"),
+        (1, "alpha beta gamma alpha beta gamma delta"),
+        (2, "delta gamma beta alpha delta gamma beta"),
+        (3, "epsilon zeta eta theta epsilon zeta"),
+        (4, "theta eta zeta epsilon theta eta"),
+    ]
+
+    def df(chunk):
+        return spark.createDataFrame(chunk, "doc_id long, text string")
+
+    path = str(tmp_path / "tri_counts")
+    sink = make_trigram_counts_sink(path)
+    sink(df(rows[:2]), 0)
+    sink(df(rows[2:4]), 1)
+    sink(df(rows[4:]), 2)
+    unpersist_tracked()
+
+    def snap(frame):
+        return {
+            (r["doc_id"], r["n_trigrams"], r["cross_entropy"])
+            for r in frame.collect()
+        }
+
+    union = df(rows)
+    want = snap(trigram_cross_entropy(union))
+    unpersist_tracked()
+    assert snap(trigram_stream_score(spark, path, union)) == want
+
+    # replay -> per-commit dedup keeps counts exact
+    sink(df(rows[2:4]), 1)
+    unpersist_tracked()
+    assert snap(trigram_stream_score(spark, path, union)) == want
+
+    # online compaction of all three tier logs, then a fresh batch
+    compact_trigram_counts(spark, path, quiesced=False)
+    assert snap(trigram_stream_score(spark, path, union)) == want
+    extra = [(9, "alpha beta gamma zz alpha beta gamma")]
+    sink(df(extra), 3)
+    unpersist_tracked()
+    want2 = snap(trigram_cross_entropy(df(rows + extra)))
+    unpersist_tracked()
+    assert snap(trigram_stream_score(spark, path, df(rows + extra))) == want2
