@@ -2127,3 +2127,114 @@ def bitext_candidates_between(src: DataFrame, tgt: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["sid", "tid"])
     )
+
+
+def bitext_recall_audit(
+    emb: DataFrame,
+    lang_of: DataFrame,
+    tables: list[list[list[int]]],
+    src_lang: str,
+    tgt_lang: str,
+    n_queries: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Bitext blocking-recall audit — the x165 self-verification
+    discipline applied to x183's candidate generation: for each of the
+    first ``n_queries`` source-language vectors, find its EXACT
+    brute-force nearest target-language neighbor (broadcast queries x
+    target corpus, the p13 dataflow — priced by |Q|, the corpus never
+    shuffles) and report whether that pair would have been a blocked
+    candidate (bucket agreement in ANY SRP table).  The number a
+    mining pipeline checks before trusting the bucket grid: a plane
+    or table-count change that silently tanks candidate recall shows
+    here, not in the mined corpus.
+
+    Output: (query_id, exact_tgt, exact_cos, blocked) — one row per
+    query; 4-dp cosine with id tiebreak, fully deterministic."""
+    langs = lang_of.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("l")
+    )
+    prep = bitext_prep_frame(
+        emb.join(langs, emb[id_col] == langs["id"]).select(
+            emb[id_col], F.col(vec_col), F.col("l").alias(lang_col)
+        ),
+        tables,
+        id_col,
+        vec_col,
+        lang_col,
+    )
+    q = prep.filter(
+        (F.col("l") == src_lang) & (F.col("id") < n_queries)
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("n").alias("qn"),
+        F.col("buckets").alias("qb"),
+    )
+    t = prep.filter(F.col("l") == tgt_lang).select(
+        F.col("id").alias("tid"), "v", "n", "buckets"
+    )
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("n")) + F.lit(1e-9), 4
+    )
+    blocked = F.exists(
+        F.zip_with(F.col("qb"), F.col("buckets"), lambda a, b: a == b),
+        lambda m: m,
+    )
+    scored = t.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "tid",
+        cos.alias("exact_cos"),
+        blocked.alias("blocked"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("exact_cos").desc(), F.col("tid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("tid").alias("exact_tgt"), "exact_cos", "blocked")
+    )
+
+
+def bitext_margin_sensitivity(
+    emb: DataFrame,
+    lang_of: DataFrame,
+    tables: list[list[list[int]]],
+    src_lang: str,
+    tgt_lang: str,
+    knn_k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Margin threshold-sensitivity curve (the x136 discipline for
+    bitext mining): pair yield at every 0.05-wide margin tier from ONE
+    mining pass with no threshold — the pre-commit answer to 'is 1.05
+    a fragile margin here?'.  The cumulative window runs over the
+    tier histogram aggregate, never pairs."""
+    frame = bitext_margin_mine(
+        emb,
+        lang_of,
+        tables,
+        src_lang,
+        tgt_lang,
+        knn_k=knn_k,
+        margin_threshold=0.0,
+        id_col=id_col,
+        vec_col=vec_col,
+        lang_col=lang_col,
+    )
+    hist = frame.groupBy(
+        (F.floor(F.col("margin") * 20) / F.lit(20.0)).alias("margin_tier")
+    ).agg(F.count("*").cast("long").alias("n_pairs"))
+    w = W.orderBy(F.col("margin_tier").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return hist.select(
+        "margin_tier",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_or_above"),
+    )

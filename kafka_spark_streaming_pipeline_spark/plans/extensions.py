@@ -11074,9 +11074,11 @@ def _bitext_cand_sql(tables: list) -> str:
     return " UNION ".join(parts)
 
 
-@query(
-    "x183_bitext_mining",
-    oracle=f"""
+def _bitext_margin_oracle(threshold: float) -> str:
+    """x183's margin dataflow as SQL, parameterized on the margin
+    threshold (x183 mines at 1.05; x187's sensitivity curve replays
+    at 0.0 to get the full tier histogram)."""
+    return f"""
     WITH e AS (
       SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
     ), lng AS (
@@ -11116,9 +11118,11 @@ def _bitext_cand_sql(tables: list) -> str:
     SELECT sid AS src_id, tid AS tgt_id, cos AS cosine_sim,
            round(cos / denom + 1e-9, 4) AS margin
     FROM scored
-    WHERE denom > 0 AND round(cos / denom + 1e-9, 4) >= 1.05
-    """,
-)
+    WHERE denom > 0 AND round(cos / denom + 1e-9, 4) >= {threshold!r}
+    """
+
+
+@query("x183_bitext_mining", oracle=_bitext_margin_oracle(1.05))
 def x183_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lingual bitext mining (en -> de) by the Artetxe & Schwenk
     ratio-margin criterion over the embedding table: 3-table
@@ -11252,4 +11256,98 @@ def x185_bitext_mutual_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_k=8,
         margin_threshold=1.05,
         mutual_best=True,
+    )
+
+
+def _bitext_buckets_sql(tables: list) -> str:
+    """DuckDB list literal of every table's SRP bucket over column v."""
+    return "[" + ", ".join(_srp_bucket_sql(p) for p in tables) + "]"
+
+
+@query(
+    "x186_bitext_recall_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+    ), lng AS (
+      SELECT doc_id AS id, lang FROM documents
+    ), bb AS (
+      SELECT id, v, sqrt(list_dot_product(v, v)) AS n, lang,
+             {_bitext_buckets_sql(_srp_tables(3))} AS buckets
+      FROM e JOIN lng USING (id)
+    ), q AS (
+      SELECT id AS query_id, v AS qv, n AS qn, buckets AS qb
+      FROM bb WHERE lang = 'en' AND id < 50
+    ), t AS (
+      SELECT id AS tid, v, n, buckets FROM bb WHERE lang = 'de'
+    ), scored AS (
+      SELECT q.query_id, t.tid,
+             round(list_dot_product(q.qv, t.v) / (q.qn * t.n) + 1e-9, 4)
+               AS exact_cos,
+             len(list_filter(range(1, len(q.qb) + 1),
+                             i -> q.qb[i] = t.buckets[i])) > 0 AS blocked
+      FROM q CROSS JOIN t
+    )
+    SELECT query_id, tid AS exact_tgt, exact_cos, blocked
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY exact_cos DESC, tid ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def x186_bitext_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext blocking-recall audit (the x165 self-verification
+    discipline for x183's candidate generation): each of the first 50
+    English vectors gets its EXACT brute-force nearest German neighbor
+    (broadcast queries x target corpus), reported with whether that
+    pair shares a bucket in ANY of the 3 SRP tables — the committed
+    answer to 'what does the bucket grid miss', checked before
+    trusting the mined corpus."""
+    from ..operators.similarity import bitext_recall_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_recall_audit(
+        emb,
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        _srp_tables(3),
+        src_lang="en",
+        tgt_lang="de",
+        n_queries=50,
+    )
+
+
+@query(
+    "x187_bitext_margin_sensitivity",
+    oracle=f"""
+    WITH pairs AS ({_bitext_margin_oracle(0.0)}),
+    hist AS (
+      SELECT floor(margin * 20) / 20.0 AS margin_tier,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT margin_tier, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY margin_tier DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_pairs_at_or_above
+    FROM hist
+    """,
+)
+def x187_bitext_margin_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin threshold-sensitivity curve for bitext mining (the x136
+    discipline): pair yield per 0.05-wide margin tier from ONE
+    threshold-free mining pass — 'is 1.05 a fragile margin here?'
+    answered before committing a mined corpus.  The cumulative window
+    runs over the tier histogram, never pairs."""
+    from ..operators.similarity import bitext_margin_sensitivity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return bitext_margin_sensitivity(
+        emb,
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        _srp_tables(3),
+        src_lang="en",
+        tgt_lang="de",
+        knn_k=8,
     )

@@ -3190,3 +3190,45 @@ def test_bitext_mutual_best_is_one_to_one_and_keeps_planted(spark):
     # the plain output is NOT one-to-one here, so the filter did work
     plain_srcs = [r.src_id for r in plain]
     assert len(plain_srcs) != len(set(plain_srcs))
+
+
+def test_bitext_recall_audit_planted_pairs_always_blocked(spark):
+    """x186: a planted translation (identical vectors) is its query's
+    exact top-1 AND always blocked — identical vectors agree on every
+    plane of every table, so blocking can only miss non-identical
+    neighbors."""
+    import hashlib
+
+    from kafka_spark_streaming_pipeline_spark.operators.similarity import (
+        bitext_recall_audit,
+    )
+
+    def vec(seed, dim=8):
+        return [
+            float(int(hashlib.md5(f"{seed}|{j}".encode()).hexdigest()[:6], 16) % 19 - 9)
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i), "en") for i in range(10)]
+    rows += [(1000 + i, vec(i) if i < 4 else vec(1000 + i), "de") for i in range(10)]
+    emb = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id long, embedding array<double>"
+    )
+    lang = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "vec_id long, lang string"
+    )
+    tables = [
+        [[((3 * j + 5 * p + 11 * t + 1) % 13) - 6 for j in range(8)]
+         for p in range(2)]
+        for t in range(2)
+    ]
+    out = {
+        r.query_id: (r.exact_tgt, r.exact_cos, r.blocked)
+        for r in bitext_recall_audit(
+            emb, lang, tables, "en", "de", n_queries=10
+        ).collect()
+    }
+    assert len(out) == 10
+    for i in range(4):  # planted twins: exact top-1 with cos 1.0, blocked
+        tgt, cos, blocked = out[i]
+        assert tgt == 1000 + i and cos == 1.0 and blocked

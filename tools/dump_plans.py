@@ -176,6 +176,8 @@ AUDITED = {
     "x182_release_audit_extended": "extended release gate: x164's audited composition rides through verbatim; t-closeness adds one cell-frame aggregate, contamination one broadcast-eval bucket screen",
     "x183_bitext_mining": "bitext mining: both language sides bucket via ONE projection per side (3 SRP tables exploded, never re-scanned); candidates are a shuffle equi-join on the well-spread (tbl, bucket) key (neither side broadcastable at mining scale) deduped on ids; the persisted candidate frame serves the pair scan and both k-NN neighborhood windows",
     "x184_trigram_perplexity": "trigram LM: ONE corpus scan into the persisted six-long narrow frame; all three tier count tables and the scalars derive from that cache; scoring joins on the well-spread trigram hash (x74's audited shape, one tier up)",
+    "x186_bitext_recall_audit": "bitext recall audit: exact side is broadcast-queries x target corpus (p13 dataflow, priced by |Q|); blocked flag is a pure array expression on the prep buckets — no second join; top-1 window over |Q|-keyed rows",
+    "x187_bitext_margin_sensitivity": "margin sensitivity: ONE threshold-free mining pass (x183's audited dataflow); tier histogram aggregate; the cumulative single-partition window reads the bounded histogram, never pairs",
 }
 
 
