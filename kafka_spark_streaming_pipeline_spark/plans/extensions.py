@@ -11351,3 +11351,93 @@ def x187_bitext_margin_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
         tgt_lang="de",
         knn_k=8,
     )
+
+
+@query(
+    "x188_bitext_corpus",
+    oracle=f"""
+    SELECT p.src_id, p.tgt_id,
+           ds.text AS src_text, dt.text AS tgt_text,
+           p.cosine_sim, p.margin
+    FROM ({_REGISTRY["x185_bitext_mutual_best"].oracle}) p
+    JOIN documents ds ON ds.doc_id = p.src_id
+    JOIN documents dt ON dt.doc_id = p.tgt_id
+    """,
+)
+def x188_bitext_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mined parallel corpus itself — the deliverable a
+    translation-model pipeline trains on: x185's one-to-one mutual-best
+    alignment joined back to both sides' text (two id-keyed joins on
+    the tiny aligned-pair frame; corpus text is read once per side and
+    never shuffles beyond the join).  Ends the bitext story
+    candidates -> margins -> alignment -> corpus."""
+    from ..operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = bitext_margin_mine(
+        emb,
+        docs.select(F.col("doc_id").alias("vec_id"), "lang"),
+        _srp_tables(3),
+        src_lang="en",
+        tgt_lang="de",
+        knn_k=8,
+        margin_threshold=1.05,
+        mutual_best=True,
+    )
+    src_txt = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+    )
+    tgt_txt = docs.select(
+        F.col("doc_id").alias("tgt_id"), F.col("text").alias("tgt_text")
+    )
+    return (
+        pairs.join(src_txt, "src_id")
+        .join(tgt_txt, "tgt_id")
+        .select(
+            "src_id", "tgt_id", "src_text", "tgt_text", "cosine_sim", "margin"
+        )
+    )
+
+
+@query(
+    "x189_bitext_yield",
+    oracle=f"""
+    SELECT 'candidates' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM ({_bitext_margin_oracle(-1e18)})
+    UNION ALL
+    SELECT 'margin_mined' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM ({_bitext_margin_oracle(1.05)})
+    UNION ALL
+    SELECT 'mutual_best' AS stage, CAST(count(*) AS BIGINT) AS n
+    FROM ({_REGISTRY["x185_bitext_mutual_best"].oracle})
+    """,
+)
+def x189_bitext_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining funnel (the x55 yield-report discipline): how many
+    pairs survive each stage — blocked candidates (with a computable
+    margin), margin >= 1.05, mutual-best one-to-one — the
+    observability row a mining run publishes next to its corpus.
+    Three bounded aggregates over the shared dataflow."""
+    from ..operators.similarity import bitext_margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+
+    def stage(name: str, **kw):
+        return (
+            bitext_margin_mine(
+                emb, lang, _srp_tables(3), "en", "de", knn_k=8, **kw
+            )
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.lit(name).alias("stage"), "n")
+        )
+
+    return (
+        stage("candidates", margin_threshold=-1e18)
+        .unionByName(stage("margin_mined", margin_threshold=1.05))
+        .unionByName(
+            stage("mutual_best", margin_threshold=1.05, mutual_best=True)
+        )
+    )

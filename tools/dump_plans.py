@@ -178,6 +178,8 @@ AUDITED = {
     "x184_trigram_perplexity": "trigram LM: ONE corpus scan into the persisted six-long narrow frame; all three tier count tables and the scalars derive from that cache; scoring joins on the well-spread trigram hash (x74's audited shape, one tier up)",
     "x186_bitext_recall_audit": "bitext recall audit: exact side is broadcast-queries x target corpus (p13 dataflow, priced by |Q|); blocked flag is a pure array expression on the prep buckets — no second join; top-1 window over |Q|-keyed rows",
     "x187_bitext_margin_sensitivity": "margin sensitivity: ONE threshold-free mining pass (x183's audited dataflow); tier histogram aggregate; the cumulative single-partition window reads the bounded histogram, never pairs",
+    "x188_bitext_corpus": "bitext corpus: x185's aligned-pair frame (tiny) joins text back via two id-keyed joins — corpus text read once per side, never shuffled beyond the join",
+    "x189_bitext_yield": "bitext yield funnel: three bounded 1-row aggregates over the shared mining dataflow; single-partition exchanges are the three scalar counts",
 }
 
 
