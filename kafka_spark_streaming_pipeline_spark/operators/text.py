@@ -1132,3 +1132,122 @@ def tokenizer_compare(
             ratio,
         )
     )
+
+
+def code_switching_report(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document language-consistency (code-switching) report: the
+    document is cut into fixed-size token chunks (x42's map-only
+    chunker, zero overlap), each chunk gets the x07 marker lang-id,
+    and the per-doc rollup answers 'is this document monolingual?' —
+    the curation gate that catches mixed-language web text and
+    template/boilerplate splices that a whole-doc argmax hides (the
+    majority language wins the whole-doc vote even when half the
+    chunks disagree).
+
+    Output per doc: n_chunks, n_langs (distinct non-'und' chunk
+    languages), majority_lang (most chunks, tie by lang asc; NULL when
+    every chunk is 'und'), agreement (majority / scored chunks, 4-dp),
+    code_switched (n_langs >= 2).
+
+    Scale shape: chunking is a pure projection (one scan, no shuffle);
+    the only exchanges are the (doc, chunk_lang) count aggregate and
+    the per-doc rollups — all keyed on the well-spread doc id, all
+    bounded by chunks-per-doc."""
+    from pyspark.sql import Window as W
+
+    from .curation import chunk_documents
+
+    chunks = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=0,
+        text_col=text_col, id_col=id_col,
+    )
+    per = (
+        chunks.select(F.col(id_col), lang_id(F.col("chunk_text")).alias("cl"))
+        .groupBy(id_col, "cl")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    scored = per.filter(F.col("cl") != "und")
+    w = W.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("cl").asc())
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("cl").alias("majority_lang"),
+            F.col("n").alias("n_major"),
+        )
+    )
+    tot = per.groupBy(id_col).agg(F.sum("n").cast("long").alias("n_chunks"))
+    sct = scored.groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_scored"),
+        F.countDistinct("cl").cast("long").alias("n_langs"),
+    )
+    return (
+        tot.join(sct, id_col, "left")
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("long").alias("n_langs"),
+            "majority_lang",
+            F.round(
+                F.col("n_major").cast("double") / F.col("n_scored").cast("double")
+                + F.lit(1e-9),
+                4,
+            ).alias("agreement"),
+            F.coalesce(F.col("n_langs") >= 2, F.lit(False)).alias("code_switched"),
+        )
+    )
+
+
+def pii_pseudonym_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudonymization map: every PII entity replaced by a STABLE
+    surrogate (first 16 hex of md5('pseud|' || TYPE || '|' || entity))
+    so analytics keep joinability — the same email maps to the same
+    surrogate in every document — while the raw entity never leaves
+    this projection (the output carries only surrogates and counts;
+    redaction (x33) destroys joins, pseudonymization preserves them,
+    the standard GDPR-pipeline distinction).
+
+    Extraction is SEQUENTIAL in PII_ORDER on progressively-redacted
+    text — exactly redact_pii's consumption semantics, so any overlap
+    between patterns resolves in the same fixed order as the
+    redaction pass.
+
+    Output: (entity_type, surrogate, n_docs, n_occurrences) — one row
+    per distinct entity per type; map-only extraction, one aggregate
+    keyed on the well-spread surrogate."""
+    frames = []
+    cur = F.col(text_col)
+    for label in PII_ORDER:
+        matches = F.regexp_extract_all(cur, F.lit(PII_PATTERNS[label]), F.lit(0))
+        frames.append(
+            docs.select(
+                F.col(id_col), F.explode(matches).alias("entity")
+            ).select(
+                F.lit(label).alias("entity_type"),
+                F.substring(
+                    F.md5(F.concat(F.lit(f"pseud|{label}|"), F.col("entity"))),
+                    1,
+                    16,
+                ).alias("surrogate"),
+                F.col(id_col),
+            )
+        )
+        cur = F.regexp_replace(cur, PII_PATTERNS[label], f"[{label}]")
+    allm = frames[0]
+    for f in frames[1:]:
+        allm = allm.unionByName(f)
+    return allm.groupBy("entity_type", "surrogate").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )

@@ -11441,3 +11441,146 @@ def x189_bitext_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage("mutual_best", margin_threshold=1.05, mutual_best=True)
         )
     )
+
+
+@query(
+    "x190_code_switching",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(list_slice(t, u.s, u.s + 15), ' ') AS ct
+      FROM toks, unnest(range(1, greatest(len(t), 1) + 1, 16)) u(s)
+    ), counted AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(ct, ' '),
+                  w -> w IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS n_en,
+             CAST(len(list_filter(string_split(ct, ' '),
+                  w -> w IN ('el', 'la', 'de', 'que'))) AS BIGINT) AS n_es,
+             CAST(len(list_filter(string_split(ct, ' '),
+                  w -> w IN ('der', 'die', 'und', 'das'))) AS BIGINT) AS n_de,
+             CAST(len(list_filter(string_split(ct, ' '),
+                  w -> w IN ('le', 'la', 'et', 'les'))) AS BIGINT) AS n_fr
+      FROM chunks
+    ), labeled AS (
+      SELECT doc_id,
+             CASE WHEN greatest(n_en, n_es, n_de, n_fr) = 0 THEN 'und'
+                  WHEN n_en = greatest(n_en, n_es, n_de, n_fr) THEN 'en'
+                  WHEN n_es = greatest(n_en, n_es, n_de, n_fr) THEN 'es'
+                  WHEN n_de = greatest(n_en, n_es, n_de, n_fr) THEN 'de'
+                  ELSE 'fr' END AS cl
+      FROM counted
+    ), per AS (
+      SELECT doc_id, cl, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chunks FROM per GROUP BY 1
+    ), sct AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_scored,
+             CAST(count(DISTINCT cl) AS BIGINT) AS n_langs
+      FROM per WHERE cl <> 'und' GROUP BY 1
+    ), top AS (
+      SELECT doc_id, cl AS majority_lang, n AS n_major
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY n DESC, cl ASC) AS rn
+            FROM per WHERE cl <> 'und')
+      WHERE rn = 1
+    )
+    SELECT t.doc_id, t.n_chunks,
+           CAST(coalesce(s.n_langs, 0) AS BIGINT) AS n_langs,
+           p.majority_lang,
+           round(CAST(p.n_major AS DOUBLE) / CAST(s.n_scored AS DOUBLE)
+                 + 1e-9, 4) AS agreement,
+           coalesce(s.n_langs >= 2, false) AS code_switched
+    FROM tot t
+    LEFT JOIN sct s USING (doc_id)
+    LEFT JOIN top p USING (doc_id)
+    """,
+)
+def x190_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document code-switching report: 16-token chunks (x42's
+    map-only chunker), per-chunk x07 marker lang-id, per-doc rollup —
+    n_langs, majority language, chunk agreement, code_switched flag.
+    Catches mixed-language splices the whole-doc argmax hides."""
+    from ..operators.text import code_switching_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return code_switching_report(docs, chunk_tokens=16)
+
+
+_X191_PLANT = (
+    "text || ' contact user' || doc_id || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END"
+    " || ' ip 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)"
+    " || ' tel 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+
+@query(
+    "x191_pii_pseudonyms",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {_X191_PLANT} AS t FROM documents
+    ), em AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{_PII_EMAIL}')) AS entity
+      FROM t0
+    ), t1 AS (
+      SELECT doc_id, regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t
+      FROM t0
+    ), ip AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{_PII_IPV4}')) AS entity
+      FROM t1
+    ), t2 AS (
+      SELECT doc_id, regexp_replace(t, '{_PII_IPV4}', '[IPV4]', 'g') AS t
+      FROM t1
+    ), ph AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{_PII_PHONE}')) AS entity
+      FROM t2
+    ), allm AS (
+      SELECT 'EMAIL' AS entity_type,
+             substr(md5('pseud|EMAIL|' || entity), 1, 16) AS surrogate,
+             doc_id FROM em
+      UNION ALL
+      SELECT 'IPV4', substr(md5('pseud|IPV4|' || entity), 1, 16), doc_id
+      FROM ip
+      UNION ALL
+      SELECT 'PHONE', substr(md5('pseud|PHONE|' || entity), 1, 16), doc_id
+      FROM ph
+    )
+    SELECT entity_type, surrogate,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM allm GROUP BY 1, 2
+    """,
+)
+def x191_pii_pseudonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pseudonymization map over the x33 planted corpus (the
+    synthetic tables carry no organic PII): every entity maps to a
+    STABLE md5 surrogate so downstream analytics keep joinability
+    (same email = same surrogate everywhere) while raw entities never
+    leave the extraction projection.  Sequential extraction in
+    PII_ORDER on progressively-redacted text — redact_pii's exact
+    consumption semantics, so pattern overlaps resolve in the same
+    fixed order as redaction.  Map-only extraction + one aggregate on the
+    well-spread surrogate key."""
+    from ..operators.text import pii_pseudonym_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii_pseudonym_table(planted)

@@ -3232,3 +3232,73 @@ def test_bitext_recall_audit_planted_pairs_always_blocked(spark):
     for i in range(4):  # planted twins: exact top-1 with cos 1.0, blocked
         tgt, cos, blocked = out[i]
         assert tgt == 1000 + i and cos == 1.0 and blocked
+
+
+def test_code_switching_detects_mixed_language_chunks(spark):
+    """x190: a doc whose first 16-token chunk is English-marked and
+    second chunk German-marked flags code_switched with n_langs=2 and
+    agreement 0.5; a monolingual doc stays clean with agreement 1.0;
+    a marker-free doc has NULL majority and no flag."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        code_switching_report,
+    )
+
+    en = "the cat of the house and the dog of the yard and the bird sits here"
+    de = "der hund und die katze und das haus und der baum und die sonne hier"
+    filler = " ".join(f"w{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (0, en + " " + de),          # chunk 1 en, chunk 2 de
+            (1, en + " " + en),          # monolingual
+            (2, filler),                 # no markers at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_chunks"], r["n_langs"], r["majority_lang"],
+            r["agreement"], r["code_switched"],
+        )
+        for r in code_switching_report(docs, chunk_tokens=16).collect()
+    }
+    n_chunks, n_langs, major, agree, switched = out[0]
+    assert switched and n_langs == 2 and agree == 0.5
+    assert out[1][1] == 1 and out[1][2] == "en" and out[1][3] == 1.0
+    assert not out[1][4]
+    assert out[2][1] == 0 and out[2][2] is None and not out[2][4]
+
+
+def test_pii_pseudonyms_stable_and_joinable(spark):
+    """x191: the same entity maps to the same surrogate in every doc
+    (n_docs counts distinct docs — joinability preserved); surrogates
+    are stable across calls; raw entities never appear in the
+    output."""
+    from kafka_spark_streaming_pipeline_spark.operators.text import (
+        pii_pseudonym_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail alice@corp.io and bob@corp.io here"),
+            (1, "again alice@corp.io plus ip 10.0.0.2 and tel 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pii_pseudonym_table(docs).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["entity_type"], []).append(r)
+    # alice@corp.io in both docs -> ONE surrogate row with n_docs=2
+    emails = {r["surrogate"]: (r["n_docs"], r["n_occurrences"])
+              for r in by_type["EMAIL"]}
+    assert (2, 2) in emails.values()
+    assert len(by_type["EMAIL"]) == 2  # alice (x2 docs) + bob
+    assert len(by_type["IPV4"]) == 1 and by_type["IPV4"][0]["n_docs"] == 1
+    assert len(by_type["PHONE"]) == 1
+    # stability: the surrogate is a pure function of the entity
+    again = {r["surrogate"] for r in pii_pseudonym_table(docs).collect()}
+    assert {r["surrogate"] for r in rows} == again
+    # no raw entity leaks: every surrogate is 16 hex chars
+    assert all(len(r["surrogate"]) == 16 and
+               all(c in "0123456789abcdef" for c in r["surrogate"])
+               for r in rows)

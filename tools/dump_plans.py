@@ -180,6 +180,8 @@ AUDITED = {
     "x187_bitext_margin_sensitivity": "margin sensitivity: ONE threshold-free mining pass (x183's audited dataflow); tier histogram aggregate; the cumulative single-partition window reads the bounded histogram, never pairs",
     "x188_bitext_corpus": "bitext corpus: x185's aligned-pair frame (tiny) joins text back via two id-keyed joins — corpus text read once per side, never shuffled beyond the join",
     "x189_bitext_yield": "bitext yield funnel: three bounded 1-row aggregates over the shared mining dataflow; single-partition exchanges are the three scalar counts",
+    "x190_code_switching": "code switching: chunking is a pure projection (x42, zero shuffle); lang-id is codegen marker counting per chunk; only exchanges are doc-keyed count aggregates and rollups",
+    "x191_pii_pseudonyms": "pseudonyms: sequential regex extraction is map-only (progressively-redacted text stays one codegen projection); one aggregate on the well-spread surrogate key",
 }
 
 
