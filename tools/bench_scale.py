@@ -114,6 +114,11 @@ def main() -> None:
                 n_od[rk] += 1
             elif ratio is not None and ratio > worst[rk][1]:
                 worst[rk] = (name, ratio)
+        # end-to-end two-decade ratio vs 100x data — the single most
+        # robust linearity number (per-decade ratios split one
+        # measurement's noise across two quotients; this doesn't)
+        if t["small"] >= SLOPE_FLOOR_SEC:
+            rec["r20"] = round(t["big"] / t["small"], 2)
         queries[name] = rec
 
     # standing annotations for reliable-but-above-data ratios whose
@@ -150,6 +155,14 @@ def main() -> None:
             "n_queries": len(HEADLINE),
             "max_reliable_r1": worst["r1"],
             "max_reliable_r2": worst["r2"],
+            "max_r20_vs_100x_data": max(
+                (
+                    (q["r20"], n)
+                    for n, q in queries.items()
+                    if "r20" in q
+                ),
+                default=(None, None),
+            )[::-1],
             "n_od_r1": n_od["r1"],
             "n_od_r2": n_od["r2"],
         },
