@@ -3847,3 +3847,50 @@ def split_of_id(val: Column) -> Column:
         .when(b < 95, F.lit("val"))
         .otherwise(F.lit("test"))
     )
+
+
+def effective_token_budget(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Dedup-adjusted token budget per source — the number a training
+    plan actually spends: raw token counts overstate the corpus by the
+    near-duplicate mass, so the effective budget counts each near-dup
+    CLUSTER once, at its canonical representative (p14 min-id; the
+    doc a hard dedup would keep).  Per source: docs/tokens raw vs
+    kept, and the duplicate token fraction the plan must discount.
+
+    Scale shape: the p14 LSH closure (capped buckets, corpus text
+    scanned once for signatures) + one membership left join + ONE
+    conditional per-source aggregate over a single corpus scan —
+    token counting and survivorship resolve in the same pass."""
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    comp = connected_components(
+        minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    ).select(F.col("id").alias(id_col), "component")
+    kept = F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)
+    labeled = docs.join(comp, id_col, "left").select(
+        F.col("source"),
+        token_count(F.col(text_col)).alias("nt"),
+        kept.alias("kept"),
+    )
+    n = F.count("*")
+    raw_tokens = F.sum("nt").cast("long")
+    eff_tokens = F.sum(F.when(F.col("kept"), F.col("nt")).otherwise(0)).cast("long")
+    return labeled.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        raw_tokens.alias("raw_tokens"),
+        eff_tokens.alias("effective_tokens"),
+        (
+            F.round(
+                F.lit(1.0) - eff_tokens.cast("double") / raw_tokens.cast("double")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_token_frac"),
+    )

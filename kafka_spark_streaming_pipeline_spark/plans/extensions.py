@@ -11584,3 +11584,39 @@ def x191_pii_pseudonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return pii_pseudonym_table(planted)
+
+
+@query(
+    "x192_effective_token_budget",
+    oracle=f"""
+    WITH comp AS ({_P14_ORACLE}),
+    labeled AS (
+      SELECT d.source,
+             CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS nt,
+             coalesce(c.component, d.doc_id) = d.doc_id AS kept
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(nt) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS BIGINT)
+             AS effective_tokens,
+           round(1.0 - CAST(sum(CASE WHEN kept THEN nt ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(nt) AS DOUBLE) + 1e-9, 6) + 0.0
+             AS dup_token_frac
+    FROM labeled GROUP BY 1
+    """,
+)
+def x192_effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-adjusted token budget per source: raw vs effective tokens
+    (each near-dup cluster counted once at its p14 canonical
+    representative) and the duplicate token fraction a training plan
+    must discount — the honest input to x100's budget planning."""
+    from ..operators.curation import effective_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return effective_token_budget(
+        docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
+    )

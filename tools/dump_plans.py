@@ -182,6 +182,7 @@ AUDITED = {
     "x189_bitext_yield": "bitext yield funnel: three bounded 1-row aggregates over the shared mining dataflow; single-partition exchanges are the three scalar counts",
     "x190_code_switching": "code switching: chunking is a pure projection (x42, zero shuffle); lang-id is codegen marker counting per chunk; only exchanges are doc-keyed count aggregates and rollups",
     "x191_pii_pseudonyms": "pseudonyms: sequential regex extraction is map-only (progressively-redacted text stays one codegen projection); one aggregate on the well-spread surrogate key",
+    "x192_effective_token_budget": "effective tokens: p14 capped closure + one membership left join; token counting and survivorship resolve in ONE conditional per-source aggregate over a single corpus scan",
 }
 
 
