@@ -33,6 +33,7 @@ from kafka_spark_streaming_pipeline_spark.session import get_spark
 from tools.bench_history import (
     compact_regressions,
     diff_regressions,
+    diff_throughput_drops,
     load_history,
     merge_history,
 )
@@ -209,13 +210,9 @@ def main() -> None:
             f"in {r['vs']})",
             file=sys.stderr,
         )
-    try:
-        with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
-            json.dump(merge_history(history, times, "local"), fh,
-                      indent=1, sort_keys=True)
-            fh.write("\n")
-    except Exception as exc:
-        print(f"# history update failed: {exc}", file=sys.stderr)
+    # (BENCH_HISTORY.json is written ONCE at the end of the run, after
+    # the throughput metrics are measured, so query times AND layer
+    # throughputs fold into the same record — VERDICT r9 item 2.)
 
     # Scale-slope check: re-time the headline set at a 10x-smaller SF
     # and report t_main / t_small per query.  "Fast at sf0.1" alone
@@ -370,6 +367,41 @@ def main() -> None:
         except Exception as exc:
             print(f"# curation bench failed: {exc}", file=sys.stderr)
 
+    # Layer throughput history + drop alerting (VERDICT r9 item 2:
+    # three inconsistent published streaming numbers and no tracking —
+    # the committed bench.py protocol below is CANONICAL, and a drop
+    # below 1/1.5 of the cross-round median fires a marker exactly
+    # like a query regression does).
+    metrics = {
+        k: v
+        for k, v in {
+            "streaming_events_per_sec": streaming_eps,
+            "gate_docs_per_sec": gate_dps,
+            "ingest_docs_per_sec": ingest_dps,
+            "curation_docs_per_sec": curation_dps,
+        }.items()
+        if v is not None
+    }
+    tp_drops = diff_throughput_drops(metrics, history, REGRESSION_THRESHOLD)
+    for d in tp_drops:
+        print(
+            f"# THROUGHPUT DROP {d['metric']}: {d['ratio']}x below median "
+            f"{d['baseline']} ({d['value']} now, best {d['prior_best']} "
+            f"in {d['vs']})",
+            file=sys.stderr,
+        )
+    try:
+        merged = merge_history(
+            history, times, "local",
+            regressed={r["query"] for r in regressions},
+        )
+        merged = merge_history(merged, metrics, "local")
+        with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
+            json.dump(merged, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as exc:
+        print(f"# history update failed: {exc}", file=sys.stderr)
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full lossless record -> BENCH_FULL.json (committed by the
@@ -392,6 +424,15 @@ def main() -> None:
         "gate_docs_per_sec": gate_dps,
         "ingest_docs_per_sec": ingest_dps,
         "curation_docs_per_sec": curation_dps,
+        "throughput_drops_vs_history": tp_drops,
+        # The CANONICAL streaming protocol (VERDICT r9 item 2): an
+        # isolated fresh-JVM subprocess (tools/bench_streaming.py),
+        # best-of-3, SPARK_GRAFT_STREAM_EVENTS events in 4
+        # micro-batches through validate -> keyed gap state -> idempotent
+        # log sink.  Numbers from other protocols (in-session runs,
+        # different batch counts) are not comparable and must not be
+        # quoted as "the" streaming throughput.
+        "streaming_protocol": "subprocess fresh-JVM best-of-3, 4 micro-batches",
     }
     try:
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
@@ -431,6 +472,12 @@ def main() -> None:
             "full": "BENCH_FULL.json",
         }
     out["n_regressions"] = len(regressions)
+    out["n_tp_drops"] = len(tp_drops)
+    if tp_drops:
+        out["tp_drops"] = [
+            {"m": d["metric"], "r": d["ratio"], "vs": d["vs"]}
+            for d in tp_drops[:3]
+        ]
     # VERDICT r8 item 1: the regression NAMES must survive the driver's
     # 2000-char tail, not just the count — capped compact list inside
     # the parsed line itself ({q, r, vs}; full detail in BENCH_FULL).

@@ -285,14 +285,24 @@ class Engine:
         ).select(F.col("neighbor_id").alias("doc_id"), "rank")
         return rrf_fuse([sparse, dense], id_col="doc_id", topk=k)
 
-    def semantic_dedup(self, n_centroids: int = 32, threshold: float = 0.3) -> DataFrame:
+    def semantic_dedup(
+        self, n_centroids: int | None = None, threshold: float = 0.3
+    ) -> DataFrame:
         """SemDeDup pruning over the embeddings table (first
-        ``n_centroids`` vectors seed the deterministic centroids)."""
+        ``n_centroids`` vectors seed the deterministic centroids).
+        By default the centroid count is sized from the corpus —
+        nlist = ceil(sqrt(N)) — so the in-cell pair term stays
+        subquadratic at scale (VERDICT r9 item 1; same dial as the
+        x51 registry query)."""
+        import math
+
         from pyspark.sql import functions as F
 
         from .operators.similarity import semantic_dedup
 
         emb = self.table("embeddings")
+        if n_centroids is None:
+            n_centroids = int(math.ceil(math.sqrt(emb.count())))
         cents = emb.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cell"),
             F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),

@@ -873,7 +873,8 @@ def score_with_trigram_lm(
     O(batch) work against five vocabulary-sized tables; zero
     training-corpus reads."""
     spark = batch.sparkSession
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta_df = spark.read.parquet(f"{path}/meta")
+    meta = meta_df.first()
     return score_with_trigram_tables(
         batch,
         spark.read.parquet(f"{path}/trigrams"),
@@ -881,7 +882,7 @@ def score_with_trigram_lm(
         spark.read.parquet(f"{path}/bigrams23"),
         spark.read.parquet(f"{path}/contexts2"),
         spark.read.parquet(f"{path}/unigrams"),
-        spark.read.parquet(f"{path}/meta").select("v3", "v2", "v1", "n1"),
+        meta_df.select("v3", "v2", "v1", "n1"),
         k_smooth=meta["k_smooth"],
         lambdas=(meta["l3"], meta["l2"], meta["l1"]),
         id_col=id_col,

@@ -2054,10 +2054,17 @@ def bitext_margin_from_candidates(
     )
     if not mutual_best:
         return frame
-    # LASER/CCMatrix bidirectional filter: keep (x, y) only when y is
-    # x's best-margin candidate AND x is y's — each side's argmax is
-    # one ranked window over the (already margin-thresholded) frame;
-    # ties break on the partner id ascending, deterministic.
+    return bitext_mutual_best(frame)
+
+
+def bitext_mutual_best(frame: DataFrame) -> DataFrame:
+    """LASER/CCMatrix bidirectional filter over a mined-pair frame
+    (src_id, tgt_id, cosine_sim, margin): keep (x, y) only when y is
+    x's best-margin candidate AND x is y's — each side's argmax is
+    one ranked window over the (already margin-thresholded) frame;
+    ties break on the partner id ascending, deterministic.  Exposed
+    standalone so funnels (x189) can mine once at threshold -inf and
+    re-derive every stage from the single persisted frame."""
     w_s = W.partitionBy("src_id").orderBy(
         F.col("margin").desc(), F.col("tgt_id").asc()
     )

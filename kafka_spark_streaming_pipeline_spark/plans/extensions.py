@@ -2298,7 +2298,7 @@ def x50_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, v, sqrt(list_dot_product(v, v)) AS n FROM e
     ), cents AS (
       SELECT id AS cell, v AS cv, sqrt(list_dot_product(v, v)) AS cn
-      FROM e WHERE id < 32
+      FROM e WHERE id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)
     ), sims AS (
       SELECT en.id, cents.cell,
              round(list_dot_product(en.v, cents.cv) / (en.n * cents.cn) + 1e-9, 6)
@@ -2329,20 +2329,30 @@ def x50_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic deduplication: nearest-centroid assignment
-    (32 deterministic centroids — the first 32 corpus vectors; no RNG;
-    SemDeDup sizes the centroid count with the corpus so cluster-local
-    pairing stays subquadratic)
+    """SemDeDup semantic deduplication: nearest-centroid assignment,
     then within-cluster cosine pruning at threshold 0.3 (the synthetic
     embeddings are near-orthogonal: in-cluster p99 cosine is ~0.32, so
     0.3 prunes the genuinely-similar ~1% tail), keeping the
     lowest-id witness per removed vector.  Assignment is a broadcast
     argmax (shuffle-free); pairwise cosine runs only inside clusters
-    via array HOF pair expansion (one groupBy shuffle)."""
+    via array HOF pair expansion (one groupBy shuffle).
+
+    The centroid count is SIZED FROM THE CORPUS: nlist =
+    ceil(sqrt(N)) deterministic centroids (the lowest-id corpus
+    vectors; no RNG, oracle-replayable).  A fixed nlist makes the
+    in-cell pair scan quadratic in N — measured directly by the r9
+    three-point scale record (BENCH_SCALE x51: 11.4x per 10x data at
+    the old fixed nlist=32); with nlist ~ sqrt(N) the expected cell
+    population stays ~sqrt(N) and the pair term drops to ~N^1.5
+    (VERDICT r9 item 1).  The one-row count() driving nlist is a
+    sanctioned driver-bounded scalar, same as the tokenizer loops."""
+    import math
+
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 32).select(
+    nlist = int(math.ceil(math.sqrt(emb.count())))
+    cents = emb.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cell"),
         F.transform("embedding", lambda x: x.cast("double")).alias("centroid"),
     )
@@ -11418,27 +11428,38 @@ def x189_bitext_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs survive each stage — blocked candidates (with a computable
     margin), margin >= 1.05, mutual-best one-to-one — the
     observability row a mining run publishes next to its corpus.
-    Three bounded aggregates over the shared dataflow."""
-    from ..operators.similarity import bitext_margin_mine
+
+    ONE mining pass (ADVICE r9): the candidate join + margin windows
+    run once at threshold -inf into a persisted frame; all three
+    stage counts are bounded aggregates / window filters over that
+    single frame (margin_mined is a filter; mutual_best is the
+    bidirectional-argmax windows over the filtered subset — exactly
+    what ``mutual_best=True`` computes, by construction)."""
+    from ..cache import tracked_persist
+    from ..operators.similarity import bitext_margin_mine, bitext_mutual_best
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     lang = docs.select(F.col("doc_id").alias("vec_id"), "lang")
 
-    def stage(name: str, **kw):
-        return (
-            bitext_margin_mine(
-                emb, lang, _srp_tables(3), "en", "de", knn_k=8, **kw
-            )
-            .agg(F.count("*").cast("long").alias("n"))
-            .select(F.lit(name).alias("stage"), "n")
+    mined = tracked_persist(
+        bitext_margin_mine(
+            emb, lang, _srp_tables(3), "en", "de", knn_k=8,
+            margin_threshold=-1e18,
+        )
+    )
+    thresholded = mined.filter(F.col("margin") >= 1.05)
+
+    def count_stage(name: str, frame):
+        return frame.agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
         )
 
     return (
-        stage("candidates", margin_threshold=-1e18)
-        .unionByName(stage("margin_mined", margin_threshold=1.05))
+        count_stage("candidates", mined)
+        .unionByName(count_stage("margin_mined", thresholded))
         .unionByName(
-            stage("mutual_best", margin_threshold=1.05, mutual_best=True)
+            count_stage("mutual_best", bitext_mutual_best(thresholded))
         )
     )
 

@@ -102,6 +102,87 @@ def test_build_history_over_committed_records():
         assert v["best"] > 0 and v["round"].startswith("r")
 
 
+def test_baseline_excludes_regressed_rounds():
+    # ADVICE r9: a regression that persists pulls its own median up and
+    # self-clears.  Rounds flagged regressed must not vote.
+    from tools.bench_history import baseline_sec
+
+    entry = {
+        "best": 1.0,
+        "round": "r04",
+        "times": {"r04": 1.0, "r05": 1.1, "r06": 2.4, "r07": 2.5, "r08": 2.6},
+        "regressed": ["r06", "r07", "r08"],
+    }
+    assert baseline_sec(entry) == 1.05  # median of the accepted rounds
+    # all-flagged entries fall back to the unfiltered median
+    all_flagged = {
+        "best": 2.0,
+        "round": "r06",
+        "times": {"r06": 2.0, "r07": 3.0},
+        "regressed": ["r06", "r07"],
+    }
+    assert baseline_sec(all_flagged) == 2.5
+
+
+def test_merge_history_records_regressed_label():
+    merged = merge_history(
+        {"a": {"times": {"r08": 1.0}, "best": 1.0, "round": "r08"}},
+        {"a": 2.5},
+        "local",
+        regressed={"a"},
+    )
+    assert merged["a"]["regressed"] == ["local"]
+    # merging the same label twice stays idempotent
+    again = merge_history(merged, {"a": 2.6}, "local", regressed={"a"})
+    assert again["a"]["regressed"] == ["local"]
+
+
+def test_throughput_history_and_drop_alerts():
+    # VERDICT r9 item 2: layer throughputs (higher is better) ride the
+    # same history machinery; a drop below median/threshold fires.
+    from tools.bench_history import (
+        diff_throughput_drops,
+        metrics_from_record,
+    )
+
+    rec = {"parsed": {"queries": {"q01": 0.5},
+                      "streaming_events_per_sec": 8742.8,
+                      "gate_docs_per_sec": 1711.3}}
+    m = metrics_from_record(rec)
+    assert m == {"streaming_events_per_sec": 8742.8,
+                 "gate_docs_per_sec": 1711.3}
+    # tail fallback when the driver failed to parse the line
+    tail_rec = {"parsed": None,
+                "tail": '..., "streaming_events_per_sec": 5425.6}'}
+    assert metrics_from_record(tail_rec) == {
+        "streaming_events_per_sec": 5425.6
+    }
+
+    hist = merge_history({}, {"streaming_events_per_sec": 9000.0}, "r08")
+    hist = merge_history(hist, {"streaming_events_per_sec": 8000.0}, "r09")
+    entry = hist["streaming_events_per_sec"]
+    assert entry["higher_is_better"] and entry["best"] == 9000.0
+    # median 8500 -> 5000 is a 1.7x drop: fires; 6000 (1.42x): doesn't
+    drops = diff_throughput_drops(
+        {"streaming_events_per_sec": 5000.0}, hist, threshold=1.5
+    )
+    assert len(drops) == 1 and drops[0]["ratio"] == 1.7
+    assert diff_throughput_drops(
+        {"streaming_events_per_sec": 6000.0}, hist, threshold=1.5
+    ) == []
+    # a query-time entry never produces a throughput drop, and
+    # diff_regressions never flags a throughput entry
+    assert diff_throughput_drops({"q01": 0.1}, {"q01": {"best": 1.0,
+        "round": "r08", "times": {"r08": 1.0}}}) == []
+    assert diff_regressions({"streaming_events_per_sec": 99999.0}, hist) == []
+
+
+def test_build_history_carries_throughput_entries():
+    hist = build_history()
+    assert hist["streaming_events_per_sec"]["higher_is_better"]
+    assert "r09" in hist["streaming_events_per_sec"]["times"]
+
+
 def test_compact_regressions_budgeted_and_round_trips():
     # VERDICT r8 item 1: names must survive inside the one-line JSON.
     from tools.bench_history import compact_regressions

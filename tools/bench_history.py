@@ -28,6 +28,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # opening quote is present.  Times are "name": 1.234 pairs.
 _PAIR_RE = re.compile(r'"([a-z]\w+)":\s*([0-9]+(?:\.[0-9]+)?)')
 
+# Layer-throughput metrics (higher is better) that ride the same
+# history/median-alert machinery as query times (VERDICT r9 item 2:
+# r9's committed streaming number swung -38% vs r8 and nothing fired,
+# because the history tracked only query wall times).
+THROUGHPUT_KEYS = (
+    "streaming_events_per_sec",
+    "gate_docs_per_sec",
+    "ingest_docs_per_sec",
+    "curation_docs_per_sec",
+)
+
 
 def times_from_record(rec: dict) -> dict[str, float]:
     """Per-query wall times from one BENCH_r{N}.json record.
@@ -55,6 +66,41 @@ def times_from_record(rec: dict) -> dict[str, float]:
     return out
 
 
+def metrics_from_record(rec: dict) -> dict[str, float]:
+    """Layer-throughput metrics from one BENCH_r{N}.json record.
+
+    Prefers the driver-parsed JSON; falls back to a per-key regex over
+    the raw tail (the metrics sit AFTER the queries map, so the
+    times_from_record region cut never sees them)."""
+    parsed = rec.get("parsed")
+    out: dict[str, float] = {}
+    if isinstance(parsed, dict):
+        for k in THROUGHPUT_KEYS:
+            v = parsed.get(k)
+            if isinstance(v, (int, float)):
+                out[k] = float(v)
+    if out:
+        return out
+    tail = rec.get("tail", "") or ""
+    for k in THROUGHPUT_KEYS:
+        m = re.search(rf'"{k}":\s*([0-9]+(?:\.[0-9]+)?)', tail)
+        if m:
+            out[k] = float(m.group(1))
+    return out
+
+
+def regressed_from_record(rec: dict) -> set[str]:
+    """Query names the round itself flagged as regressed, from the
+    compact ``regressions`` list bench.py embeds in the one-line JSON
+    (``[{"q": name, "r": ratio, "vs": round}, ...]``)."""
+    parsed = rec.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("regressions"), list):
+        return {
+            r.get("q") for r in parsed["regressions"] if isinstance(r, dict)
+        } - {None}
+    return set()
+
+
 def build_history(repo: str = REPO) -> dict[str, dict]:
     """Per-query committed times across all BENCH_r*.json rounds.
 
@@ -64,7 +110,12 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
     down as rounds accumulate, so sub-second queries drift "up" vs it
     by construction (r8's p18/x93 flags were exactly this — isolated
     10-repeat re-measures sat at/below the cross-round median while
-    1.5x above the one lucky r4/r5 draw)."""
+    1.5x above the one lucky r4/r5 draw).
+
+    Rounds a record itself flagged as regressed for a query are kept
+    in the times map but listed under ``regressed`` so baseline_sec
+    can exclude them — otherwise a regression that persists a few
+    rounds pulls its own median up and self-clears (ADVICE r9)."""
     history: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         label = os.path.basename(path)[len("BENCH_"):-len(".json")]
@@ -72,11 +123,20 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
             rec = json.load(open(path))
         except Exception:
             continue
+        flagged = regressed_from_record(rec)
         for name, t in times_from_record(rec).items():
             cur = history.setdefault(name, {"times": {}})
             cur["times"][label] = t
+            if name in flagged:
+                cur.setdefault("regressed", []).append(label)
+        for name, v in metrics_from_record(rec).items():
+            cur = history.setdefault(
+                name, {"times": {}, "higher_is_better": True}
+            )
+            cur["times"][label] = v
     for name, cur in history.items():
-        best_round = min(cur["times"], key=cur["times"].get)
+        pick = max if cur.get("higher_is_better") else min
+        best_round = pick(cur["times"], key=cur["times"].get)
         cur["best"] = cur["times"][best_round]
         cur["round"] = best_round
     return history
@@ -85,11 +145,17 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
 def baseline_sec(entry: dict) -> float:
     """Robust regression baseline for one history entry.
 
-    Median of the committed per-round times when available; entries
-    from the pre-r9 {best, round} format fall back to the best."""
+    Median of the committed per-round times when available — EXCLUDING
+    rounds flagged as regressed when they were committed (a persistent
+    regression must not vote its own median up; ADVICE r9).  If every
+    round is flagged, falls back to the unfiltered median so the
+    baseline never goes undefined.  Entries from the pre-r9
+    {best, round} format fall back to the best."""
     times = entry.get("times")
     if times:
-        ts = sorted(times.values())
+        flagged = set(entry.get("regressed", ()))
+        accepted = {k: v for k, v in times.items() if k not in flagged}
+        ts = sorted((accepted or times).values())
         n = len(ts)
         mid = n // 2
         return ts[mid] if n % 2 else (ts[mid - 1] + ts[mid]) / 2.0
@@ -113,7 +179,7 @@ def diff_regressions(
     out = []
     for name, t in sorted(times.items()):
         prior = history.get(name)
-        if not prior:
+        if not prior or prior.get("higher_is_better"):
             continue
         base = max(baseline_sec(prior), floor_sec)
         if t > threshold * base:
@@ -125,6 +191,35 @@ def diff_regressions(
                     "vs": prior["round"],
                     "baseline_sec": round(base, 3),
                     "prior_sec": prior["best"],
+                }
+            )
+    return sorted(out, key=lambda r: -r["ratio"])
+
+
+def diff_throughput_drops(
+    metrics: dict[str, float],
+    history: dict[str, dict],
+    threshold: float = 1.5,
+) -> list[dict]:
+    """Throughput metrics slower than 1/``threshold`` of their
+    cross-round median — the higher-is-better mirror of
+    diff_regressions (VERDICT r9 item 2: a -38% streaming swing must
+    fire a marker, exactly like a 1.5x query slowdown does)."""
+    out = []
+    for name, v in sorted(metrics.items()):
+        prior = history.get(name)
+        if not prior or not prior.get("higher_is_better"):
+            continue
+        base = baseline_sec(prior)  # median works direction-free
+        if base > 0 and v < base / threshold:
+            out.append(
+                {
+                    "metric": name,
+                    "value": v,
+                    "ratio": round(base / v, 2),
+                    "vs": prior["round"],
+                    "baseline": round(base, 1),
+                    "prior_best": prior["best"],
                 }
             )
     return sorted(out, key=lambda r: -r["ratio"])
@@ -149,25 +244,44 @@ def compact_regressions(
 
 
 def merge_history(
-    history: dict[str, dict], times: dict[str, float], label: str
+    history: dict[str, dict],
+    times: dict[str, float],
+    label: str,
+    regressed: set[str] | frozenset[str] = frozenset(),
 ) -> dict[str, dict]:
     """New history with this run folded in under ``label`` (pure).
 
     The run's time is recorded in the per-round map (a repeated label
     keeps the latest draw) and best/round are recomputed, so the
     median baseline sees every round while the committed best is still
-    available for slope context."""
+    available for slope context.  Queries in ``regressed`` (this run's
+    own diff_regressions output) get the label appended to their
+    ``regressed`` list so future baselines exclude the draw — the
+    median tracks only accepted performance (ADVICE r9)."""
     out = {
-        k: {**v, "times": dict(v.get("times", {}))}
+        k: {
+            **v,
+            "times": dict(v.get("times", {})),
+            **(
+                {"regressed": list(v["regressed"])}
+                if "regressed" in v
+                else {}
+            ),
+        }
         for k, v in history.items()
     }
     for name, t in times.items():
         cur = out.setdefault(name, {"times": {}})
+        if name in THROUGHPUT_KEYS:
+            cur["higher_is_better"] = True
         if not cur["times"] and "best" in cur:
             # legacy {best, round} entry: seed the map with it
             cur["times"][cur["round"]] = cur["best"]
         cur["times"][label] = t
-        best_round = min(cur["times"], key=cur["times"].get)
+        if name in regressed and label not in cur.get("regressed", ()):
+            cur.setdefault("regressed", []).append(label)
+        pick = max if cur.get("higher_is_better") else min
+        best_round = pick(cur["times"], key=cur["times"].get)
         cur["best"] = cur["times"][best_round]
         cur["round"] = best_round
     return out

@@ -26,8 +26,12 @@ stay honest — no cross-replica artifacts):
   dimension ROTATION + per-dimension SIGN FLIPS (v'_j = s_{k,j} *
   v_{(j + 7k) % d}).  Both are orthogonal maps applied uniformly
   within the replica, so intra-replica dot products and norms are
-  bit-preserved (same pair structure for ANN/semantic workloads)
-  while cross-replica cosines decorrelate.
+  preserved up to float summation order (the permutation reorders
+  the additions, so values can differ at the ulp level — the
+  amplifier test allows 1e-6 relative noise; replicas feed timing
+  records, not value-parity checks) and the pair structure for
+  ANN/semantic workloads carries over, while cross-replica cosines
+  decorrelate.
 - Timestamps are left unchanged: 10x rows per time window is exactly
   what 10x traffic looks like; windowed/grid aggregates keep their
   group counts and grow linearly in input, the honest scaling.
