@@ -27,7 +27,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+from kafka_spark_streaming_pipeline_spark.cache import session_gc, unpersist_tracked
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
 from tools.bench_history import (
@@ -135,6 +135,10 @@ HEADLINE = [
     # a six-long narrow frame + tiered model joins, x74's successor).
     "x183_bitext_mining",
     "x184_trigram_perplexity",
+    # r10 addition: cross-document exact-substring dedup spans (the
+    # Lee-et-al k-gram family — window-hash aggregate + islands merge,
+    # the one dedup family previously absent).
+    "x193_substring_dedup",
 ]
 
 # A sub-second measurement on this co-tenant host varies by multiples
@@ -147,6 +151,14 @@ REGRESSION_THRESHOLD = 1.5
 
 
 def _best_of(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, int]:
+    """THE per-query measurement routine — best-of-N to completion,
+    tracked caches released after the query's repeats, then a GC
+    nudge so lineage-checkpoint blocks from checkpointing queries
+    (x164/x177/x182...) are reclaimed instead of accumulating memory
+    pressure across a long run (ADVICE r9).  Shared with
+    tools/bench_scale.py so both records measure through one code
+    path (VERDICT r9 item 3: the two tools' numbers diverged 4.7x on
+    x17 at the same SF)."""
     q = QUERIES[name]
     best, n = float("inf"), 0
     for _ in range(repeats):
@@ -154,6 +166,7 @@ def _best_of(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, int]:
         n = q.builder(spark, sf_dir).count()
         best = min(best, time.time() - t0)
     unpersist_tracked()
+    session_gc(spark)
     return best, n
 
 

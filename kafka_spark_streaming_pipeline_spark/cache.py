@@ -102,3 +102,28 @@ def lineage_checkpoint(df: DataFrame) -> DataFrame:
     to Catalyst, so no filter/column pushdown crosses it — callers
     checkpoint narrow, already-reduced frames."""
     return df.localCheckpoint(eager=False)
+
+
+def session_gc(spark) -> None:
+    """Reclaim orphaned ``lineage_checkpoint`` blocks in a long-lived
+    session (ADVICE r9): a localCheckpoint's MEMORY_AND_DISK blocks
+    are freed by Spark's ContextCleaner only after DRIVER GC notices
+    the RDD is unreachable — a bench loop running hundreds of
+    checkpointing queries (x164/x177/x182, the sinks) without a GC
+    cycle accumulates them between queries.  One Python ``gc.collect``
+    (drops the Python-side plan wrappers) plus a JVM ``System.gc()``
+    nudge lets the cleaner run; checkpoints still referenced by live
+    plans survive (the cleaner only frees unreachable RDDs), so this
+    is safe to call between queries at any time.
+
+    Deliberately NOT part of unpersist_tracked: force-unpersisting a
+    checkpointed RDD would make plans referencing it unrecomputable
+    (see lineage_checkpoint); GC-driven release is the only safe
+    reclamation path."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # non-JVM test doubles: the Python collect already ran

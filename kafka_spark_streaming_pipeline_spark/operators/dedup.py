@@ -1050,6 +1050,83 @@ def duplicate_span_trim(
     )
 
 
+def substring_dedup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring dedup REMOVAL SPANS — the
+    k-gram form of Lee et al. 2021's suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better"),
+    emitting the spans themselves rather than x71's per-doc coverage
+    stats: every maximal run of token positions covered by k-token
+    windows shared with >= ``min_docs`` distinct documents becomes one
+    row — the edit list a corpus-cleaning pass applies.
+
+    Two docs sharing any >= k consecutive tokens are guaranteed to
+    share a window, so every cross-document repeated run of length
+    >= k is reported in full, with no pairwise comparison anywhere.
+
+    Output: one row per (document, maximal duplicated span) —
+    (doc_id, span_start, span_end, span_len [1-based token positions,
+    inclusive], n_windows [shared k-gram occurrences merged into the
+    span], max_window_docs [the widest cross-document spread among
+    them]).  Ordering-free and deterministic.
+
+    Scale shape (the reason this form replaces a suffix array on
+    Spark): one window-hash frequency aggregate (shuffle on the
+    well-spread 60-bit hash), one hash-keyed join back, then a per-doc
+    ordered window to merge overlapping/adjacent hits into maximal
+    spans (gaps-and-islands: a hit whose start exceeds the running max
+    end + 1 opens a new island) and one (doc, island) aggregate.
+    Never a self-join, never all-pairs, and no caps needed — the
+    frequency filter is a pure aggregate, and the join-back fan-out is
+    bounded by the document's own window count (linear in corpus
+    tokens).  A window shared by millions of documents costs its own
+    occurrence list, which is exactly the data being removed."""
+    n_toks = F.size(tokens(F.col(text_col)))
+    g = docs.select(
+        F.col(id_col),
+        n_toks.alias("__n"),
+        F.posexplode(shingle_arr(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("s"),
+        # a short doc's single partial shingle must not claim past the end
+        F.least(F.col("pos0") + k, F.col("__n")).alias("e"),
+        _hash64(F.col("gram"), "").alias("h"),
+    )
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    hits = g.join(shared, "h").select(id_col, "s", "e", "n_docs")
+    w = W.partitionBy(id_col).orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    islands = (
+        hits.withColumn(
+            "__brk",
+            F.when(
+                prev_end.isNull() | (F.col("s") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("s").cast("int").alias("span_start"),
+        F.max("e").cast("int").alias("span_end"),
+        (F.max("e") - F.min("s") + 1).cast("int").alias("span_len"),
+        F.count("*").cast("long").alias("n_windows"),
+        F.max("n_docs").cast("long").alias("max_window_docs"),
+    ).drop("__island")
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     history_sigs: DataFrame,

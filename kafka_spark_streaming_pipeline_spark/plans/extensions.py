@@ -5743,8 +5743,15 @@ def x103_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT ex.rec_id, ex.blk,
              row_number() OVER (PARTITION BY ex.rec_id ORDER BY d.c, ex.blk) AS rk
       FROM ex JOIN dfreq d USING (blk)
+    ), top3 AS (
+      SELECT rec_id, blk, rk FROM ranked WHERE rk <= 3
+    ), nk AS (
+      SELECT rec_id, count(*) AS n FROM top3 GROUP BY rec_id
     ), keys AS (
-      SELECT rec_id, blk FROM ranked WHERE rk <= 2
+      SELECT a.rec_id, a.blk || ' ' || b.blk AS blk
+      FROM top3 a JOIN top3 b ON a.rec_id = b.rec_id AND a.rk < b.rk
+      UNION ALL
+      SELECT t.rec_id, t.blk FROM top3 t JOIN nk USING (rec_id) WHERE nk.n = 1
     ), bsz AS (
       SELECT blk, count(*) AS n FROM keys GROUP BY blk
     ), kept AS (
@@ -5761,7 +5768,7 @@ def x103_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFram
       FROM cand JOIN toks ta ON ta.rec_id = cand.id_a
                 JOIN toks tb ON tb.rec_id = cand.id_b
       WHERE CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
-            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.6
+            / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.75
     ), edges AS (
       SELECT id_a AS src, id_b AS dst FROM verified
       UNION
@@ -5785,12 +5792,28 @@ def x104_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over dirty mention records: every document's
     first-8-word mention string plus a deterministic dirty variant
     (one word dropped, keyed by doc id) resolved back onto entities
-    via multi-pass rare-token blocking -> capped in-block pairs ->
-    token-Jaccard verify -> distributed closure -> golden-record
-    survivorship.  The 2-pass rarest-token blocking carries a recall
-    guarantee for single-token drops (operators/linkage.py docstring);
-    the oracle replays blocking, verification, and the closure
-    (recursive CTE) exactly."""
+    via CONJUNCTIVE rare-token-pair blocking -> capped in-block pairs
+    -> token-Jaccard verify -> distributed closure -> golden-record
+    survivorship.  The composite keys (every pair of a record's
+    rarest-3 tokens, in global (df, token) order) are the scale dial
+    the r9 record called for (VERDICT r9 item 5): block population is
+    the JOINT frequency of two rare tokens instead of one token's df,
+    so blocks shrink multiplicatively as the corpus grows, while the
+    single-token-drop recall guarantee carries over
+    (operators/linkage.rare_token_pair_keys docstring); the oracle
+    replays blocking, verification, and the closure (recursive CTE)
+    exactly.
+
+    min_jaccard = 0.75 (not the operator's 0.6 default): the higher-
+    recall blocking surfaces the incidental 0.6-0.75 similarity band
+    among the synthetic low-entropy 8-word mentions, and at 0.6 those
+    edges PERCOLATE into one 3,213-record mega-component (measured:
+    5,635 verified pairs, closure dominates the runtime).  0.75 sits
+    above the corpus's percolation point (1,550 pairs, max cluster
+    11) while the planted single-token-drop variants match at
+    Jaccard 7/8 = 0.875 with margin — the standard ER practice of
+    setting the verify threshold above the transitive-noise band,
+    since the closure makes every accepted edge global."""
     from ..operators.linkage import entity_resolve
 
     docs = load_table(spark, sf_dir, "documents")
@@ -5805,7 +5828,9 @@ def x104_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(w8, lambda x, i: (i + F.lit(1)) != drop_idx), " "
         ).alias("mention"),
     )
-    return entity_resolve(base.unionByName(variant))
+    return entity_resolve(
+        base.unionByName(variant), conjunctive=True, min_jaccard=0.75
+    )
 
 
 @query(
@@ -11641,3 +11666,59 @@ def x192_effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return effective_token_budget(
         docs, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5
     )
+
+
+@query(
+    "x193_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS s,
+             least(u.i + 7, len(t)) AS e,
+             ('0x' || substr(md5(concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2],
+                                           t[u.i+3], t[u.i+4], t[u.i+5],
+                                           t[u.i+6], t[u.i+7])),
+                             1, 15))::BIGINT AS h
+      FROM toks, unnest(range(1, greatest(len(t) - 7, 1) + 1)) u(i)
+    ), shared AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.s, g.e, shared.n_docs
+      FROM g JOIN shared USING (h)
+    ), brk AS (
+      SELECT *,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+             THEN 1 ELSE 0 END AS b
+      FROM hits
+    ), isl AS (
+      SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(min(s) AS INT) AS span_start,
+           CAST(max(e) AS INT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS INT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(n_docs) AS BIGINT) AS max_window_docs
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def x193_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup spans (Lee et al. 2021,
+    k-gram form): every maximal token run covered by 8-token windows
+    shared by >= 2 documents, as explicit (span_start, span_end) edit
+    rows — x71 reports the coverage stats, this emits the removal
+    spans a cleaning pass applies (VERDICT r9 item 4).  One window-hash
+    frequency aggregate + hash join-back + a per-doc gaps-and-islands
+    merge; no pairwise expansion anywhere, so no caps are needed."""
+    from ..operators.dedup import substring_dedup_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_spans(docs, k=8, min_docs=2)

@@ -1547,6 +1547,84 @@ def test_duplicate_span_trim_cuts_shared_runs_only(spark):
     assert out2[10].cleaned_fingerprint == hashlib.md5(b"head").hexdigest()
 
 
+def test_substring_dedup_spans_planted_repetition(spark):
+    """x193's operator: planted cross-document repetitions come back
+    as exact maximal spans; within-doc-only repeats and unshared docs
+    emit nothing; overlapping windows merge into one island."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    shared8 = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    run10 = "a b c d e f g h i j"  # 10 toks -> 3 overlapping k=8 windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared8} four five six"),
+            (2, f"seven eight {shared8} nine"),
+            (3, "totally unrelated words here with no shared content at all"),
+            (4, f"head {run10} mid mid2 mid3 {shared8} tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = substring_dedup_spans(docs, k=8, min_docs=2).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r.doc_id, []).append(r)
+    # doc 3 shares nothing
+    assert 3 not in spans
+    # doc 1: the 8-token run sits at positions 4..11 — ONE window,
+    # exactly one span of length 8 (boundary-straddling windows are
+    # not shared, so the span does not bleed into the surroundings)
+    (s1,) = spans[1]
+    assert (s1.span_start, s1.span_end, s1.span_len) == (4, 11, 8)
+    assert s1.n_windows == 1 and s1.max_window_docs >= 2
+    # doc 2: same run at positions 3..10
+    (s2,) = spans[2]
+    assert (s2.span_start, s2.span_end, s2.span_len) == (3, 10, 8)
+    # doc 4 has no partner for run10 -> only the shared8 span at
+    # positions 15..22 (head=1, run10=2..11, mids=12..14)
+    (s4,) = spans[4]
+    assert (s4.span_start, s4.span_end, s4.span_len) == (15, 22, 8)
+
+    # overlapping windows MERGE: plant run10 in two docs -> the three
+    # k=8 windows coalesce into one maximal span of length 10
+    docs2 = spark.createDataFrame(
+        [(10, f"head {run10}"), (11, f"{run10} tail tail2")],
+        ["doc_id", "text"],
+    )
+    out2 = {r.doc_id: r for r in substring_dedup_spans(docs2, k=8).collect()}
+    assert (out2[10].span_start, out2[10].span_end) == (2, 11)
+    assert out2[10].span_len == 10 and out2[10].n_windows == 3
+    assert (out2[11].span_start, out2[11].span_end) == (1, 10)
+
+    # two DISJOINT shared runs in one doc -> two separate spans
+    runA = "r1 r2 r3 r4 r5 r6 r7 r8"
+    runB = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs3 = spark.createDataFrame(
+        [
+            (20, f"{runA} gap1 gap2 {runB}"),
+            (21, f"x {runA} y"),
+            (22, f"z {runB} w"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows3 = [
+        r for r in substring_dedup_spans(docs3, k=8).collect()
+        if r.doc_id == 20
+    ]
+    assert sorted((r.span_start, r.span_end) for r in rows3) == [
+        (1, 8), (11, 18)
+    ]
+
+    # a doc repeating a run ONLY within itself (min_docs=2 distinct
+    # docs) emits nothing
+    docs4 = spark.createDataFrame(
+        [(30, f"{runA} filler {runA}"), (31, "nothing in common here at all ok")],
+        ["doc_id", "text"],
+    )
+    assert substring_dedup_spans(docs4, k=8).count() == 0
+
+
 def test_pmi_collocations_rank_fixed_phrases_first(spark):
     """A pair that always co-occurs outranks independent frequent
     words; min_count suppresses one-off pairs."""
@@ -2274,6 +2352,55 @@ def test_entity_resolution_links_single_token_drops(spark):
     assert out[104]["cluster_size"] == 1 and out[104]["is_canonical"]
     # distinct bases never merge
     assert len({out[b]["entity_id"] for b in bases}) == 3
+
+
+def test_entity_resolution_conjunctive_keeps_drop_recall(spark):
+    """The conjunctive rare-token-PAIR blocking (x104's scale dial)
+    preserves the single-token-drop guarantee: the variant still lands
+    in its base's entity whichever of the base's rarest-3 tokens was
+    dropped; composite keys never collide with 1-token degenerate
+    keys; low-Jaccard shared-rare-token records stay separate."""
+    from kafka_spark_streaming_pipeline_spark.operators.linkage import (
+        entity_resolve,
+        rare_token_pair_keys,
+    )
+
+    bases = {
+        1: "quick brown fox jumps over lazy dog tonight",
+        2: "alpha beta gamma delta epsilon zeta eta theta",
+        3: "stormy petrel circles windward basalt cliffs alone",
+    }
+    rows = [(rid, m) for rid, m in bases.items()]
+    rows.append((101, "brown fox jumps over lazy dog tonight"))
+    rows.append((102, "alpha beta gamma epsilon zeta eta theta"))
+    rows.append((103, "stormy petrel circles windward basalt cliffs"))
+    rows.append((104, "crimson green blue purple"))
+    rows.append((105, "crimson orange yellow pink"))
+    recs = spark.createDataFrame(rows, ["rec_id", "mention"])
+    out = {
+        r["rec_id"]: r
+        for r in entity_resolve(recs, conjunctive=True).collect()
+    }
+    for base_id, var_id in [(1, 101), (2, 102), (3, 103)]:
+        assert out[var_id]["entity_id"] == out[base_id]["entity_id"] == base_id
+        assert out[base_id]["cluster_size"] == 2
+    assert out[104]["entity_id"] != out[105]["entity_id"]
+
+    # key-shape invariants: <= 3 composite keys per record, each key
+    # a pair in global (df, token) order; a 1-token record keys its
+    # lone token verbatim
+    toks = spark.createDataFrame(
+        [(1, ["zeb", "yak", "wol", "vix"]), (2, ["solo"])],
+        ["rec_id", "toks"],
+    )
+    keys = {}
+    for r in rare_token_pair_keys(toks, top_k=3).collect():
+        keys.setdefault(r.rec_id, []).append(r.blk)
+    assert len(keys[1]) == 3 and all(" " in k for k in keys[1])
+    # all tokens df=1: order falls back to token asc -> rarest-3 are
+    # vix, wol, yak
+    assert sorted(keys[1]) == ["vix wol", "vix yak", "wol yak"]
+    assert keys[2] == ["solo"]
 
 
 def test_mmr_demotes_redundant_high_scorer(spark):
