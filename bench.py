@@ -139,6 +139,9 @@ HEADLINE = [
     # Lee-et-al k-gram family — window-hash aggregate + islands merge,
     # the one dedup family previously absent).
     "x193_substring_dedup",
+    # the apply stage (keep-one-copy edit + canonical protection +
+    # map-only token filter) — heavier than the spans report
+    "x194_substring_dedup_clean",
 ]
 
 # A sub-second measurement on this co-tenant host varies by multiples

@@ -1086,18 +1086,7 @@ def substring_dedup_spans(
     bounded by the document's own window count (linear in corpus
     tokens).  A window shared by millions of documents costs its own
     occurrence list, which is exactly the data being removed."""
-    n_toks = F.size(tokens(F.col(text_col)))
-    g = docs.select(
-        F.col(id_col),
-        n_toks.alias("__n"),
-        F.posexplode(shingle_arr(F.col(text_col), k)).alias("pos0", "gram"),
-    ).select(
-        id_col,
-        (F.col("pos0") + 1).alias("s"),
-        # a short doc's single partial shingle must not claim past the end
-        F.least(F.col("pos0") + k, F.col("__n")).alias("e"),
-        _hash64(F.col("gram"), "").alias("h"),
-    )
+    g = _window_occurrences(docs, k, text_col, id_col)
     shared = (
         g.groupBy("h")
         .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
@@ -1125,6 +1114,215 @@ def substring_dedup_spans(
         F.count("*").cast("long").alias("n_windows"),
         F.max("n_docs").cast("long").alias("max_window_docs"),
     ).drop("__island")
+
+
+def _window_occurrences(
+    docs: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Every k-token window occurrence as (id, s, e [1-based token
+    positions, inclusive], h [portable 60-bit hash]) — the shared
+    front end of the substring-dedup family (spans report, cross-doc
+    cleaner, self-repetition trimmer).  A short doc's single partial
+    shingle never claims past its own end."""
+    n_toks = F.size(tokens(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        n_toks.alias("__n"),
+        F.posexplode(shingle_arr(F.col(text_col), k)).alias("pos0", "gram"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("s"),
+        F.least(F.col("pos0") + k, F.col("__n")).alias("e"),
+        _hash64(F.col("gram"), "").alias("h"),
+    )
+
+
+def _apply_keep_rule(
+    docs: DataFrame,
+    removals: DataFrame,
+    protections: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Edit application shared by ``substring_dedup_clean`` and
+    ``self_repetition_trim``: a token position survives unless it is
+    covered by a removal occurrence AND not covered by a protection
+    (kept-canonical) occurrence — so canonical coverage is never
+    clipped by an overlapping duplicate occurrence.
+
+    Both occurrence sets aggregate to per-doc span ARRAYS (bounded by
+    the doc's own window count, never corpus-sized) and the keep test
+    is a codegen higher-order filter over the token array — map-only
+    after two doc-keyed aggregates and two doc-keyed left joins; the
+    corpus text is read once."""
+    span_t = "array<struct<s:int,e:int>>"
+
+    def spans_of(occ: DataFrame, name: str) -> DataFrame:
+        return occ.groupBy(id_col).agg(
+            F.collect_list(
+                F.struct(
+                    F.col("s").cast("int").alias("s"),
+                    F.col("e").cast("int").alias("e"),
+                )
+            ).alias(name)
+        )
+
+    def covered(arr: str, i):
+        return F.exists(
+            F.coalesce(F.col(arr), F.lit(None).cast(span_t)),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        )
+
+    toks = tokens(F.col(text_col))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.coalesce(covered("__rem", i), F.lit(False))
+        | F.coalesce(covered("__prot", i), F.lit(False)),
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(spans_of(removals, "__rem"), id_col, "left")
+        .join(spans_of(protections, "__prot"), id_col, "left")
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size(toks).cast("int").alias("n_tokens_before"),
+            (F.size(toks) - F.size(kept)).cast("int").alias(
+                "n_tokens_removed"
+            ),
+        )
+    )
+
+
+def substring_dedup_clean(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY cross-document exact-substring dedup (the edit stage to
+    ``substring_dedup_spans``'s report): every k-token window string
+    shared by >= ``min_docs`` documents survives exactly ONCE
+    corpus-wide — at its canonical occurrence (lowest doc id, then
+    lowest position) — and every other occurrence's coverage is cut
+    from the text, Lee et al. 2021's keep-one-copy semantics.
+    Canonical coverage is protected: a token inside a kept occurrence
+    is never clipped by an overlapping duplicate occurrence of
+    another window.
+
+    Output: one row per document — (doc_id, cleaned_text,
+    n_tokens_before, n_tokens_removed); documents with nothing shared
+    pass through unchanged.
+
+    Scale shape: the spans-report dataflow (window-hash frequency
+    aggregate + hash join-back) plus ONE per-hash canonical window
+    (row_number over the well-spread hash key) and the shared
+    map-only edit applier — still no pairwise comparison anywhere."""
+    g = _window_occurrences(docs, k, text_col, id_col)
+    shared = (
+        g.groupBy("h")
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = g.join(shared, "h")
+    w = W.partitionBy("h").orderBy(id_col, "s")
+    marked = hits.withColumn("__rn", F.row_number().over(w))
+    return _apply_keep_rule(
+        docs,
+        marked.filter(F.col("__rn") > 1).select(id_col, "s", "e"),
+        marked.filter(F.col("__rn") == 1).select(id_col, "s", "e"),
+        text_col,
+        id_col,
+    )
+
+
+def self_repetition_trim(
+    docs: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document repetition removal — the cleaner to x29's
+    repetition *report*: any k-token window string occurring more than
+    once in the SAME document keeps its first occurrence and loses the
+    later ones' coverage (degenerate generations, boilerplate loops,
+    stutter).  The guarantee: every k-window string the document
+    contained still occurs at least once — first occurrences are
+    protected, so periodic text collapses to its first period plus
+    the k-1-token tail of the last rotated window's first occurrence
+    (each rotation is its own protected window) instead of vanishing:
+    'a b a b a b' (k=2) cleans to 'a b a', never ''.
+
+    Output matches ``substring_dedup_clean``: (doc_id, cleaned_text,
+    n_tokens_before, n_tokens_removed).
+
+    Scale shape: the repeat detection is a per-(doc, hash) window —
+    partitioned on the doc id, so it composes with any corpus
+    partitioning and never shuffles on a skewed key — then the shared
+    map-only edit applier."""
+    g = _window_occurrences(docs, k, text_col, id_col)
+    grp = W.partitionBy(id_col, "h")
+    marked = g.withColumn(
+        "__rn", F.row_number().over(grp.orderBy("s"))
+    ).withColumn("__cnt", F.count("*").over(grp))
+    # protections are first occurrences of REPEATED windows only: a
+    # unique window overlapping a duplicate's coverage must not veto
+    # its removal (it is not removable content needing a survivor)
+    repeated = marked.filter(F.col("__cnt") >= 2)
+    return _apply_keep_rule(
+        docs,
+        repeated.filter(F.col("__rn") > 1).select(id_col, "s", "e"),
+        repeated.filter(F.col("__rn") == 1).select(id_col, "s", "e"),
+        text_col,
+        id_col,
+    )
+
+
+def incremental_substring_clean(
+    new_docs: DataFrame,
+    history_hashes: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cross-document substring dedup of a NEW batch — the
+    window-hash sibling of ``incremental_neardup``: history is
+    represented purely by its persisted distinct window-hash set
+    (column ``h``), so cleaning a batch costs O(batch windows + one
+    hash membership join) and history TEXT is never re-read.
+
+    Keep-one-copy under corpus-prefix causality: an occurrence whose
+    hash exists in history is removed (its canonical copy already
+    shipped); a hash new to the corpus but shared by >= 2 documents
+    WITHIN the batch keeps its first occurrence (lowest id, lowest
+    position — protected exactly as in ``substring_dedup_clean``) and
+    loses the rest; a hash seen only once stays untouched and enters
+    history.  Shipped batches are final — equal to the one-shot batch
+    cleaner whenever arrival follows doc-id order and no document
+    self-repeats a window that only later becomes cross-document
+    shared (the retroactive-edit corner streaming causality forbids).
+
+    Output matches ``substring_dedup_clean``; feed the batch's
+    distinct hashes back into the history table
+    (streaming.sinks.make_substring_clean_sink closes the loop)."""
+    from ..cache import tracked_persist
+
+    hist = history_hashes.select("h").distinct()
+    g = tracked_persist(_window_occurrences(new_docs, k, text_col, id_col))
+    in_hist = g.join(hist, "h", "left_semi").select(id_col, "s", "e")
+    fresh = g.join(hist, "h", "left_anti")
+    grp = W.partitionBy("h")
+    marked = fresh.withColumn(
+        "__rn", F.row_number().over(grp.orderBy(id_col, "s"))
+    ).withColumn("__nd", F.size(F.collect_set(id_col).over(grp)))
+    shared = marked.filter(F.col("__nd") >= 2)
+    removals = in_hist.unionByName(
+        shared.filter(F.col("__rn") > 1).select(id_col, "s", "e")
+    )
+    protections = shared.filter(F.col("__rn") == 1).select(id_col, "s", "e")
+    return _apply_keep_rule(new_docs, removals, protections, text_col, id_col)
 
 
 def incremental_neardup(

@@ -11722,3 +11722,193 @@ def x193_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dedup_spans(docs, k=8, min_docs=2)
+
+
+_SUBSTR_CLEAN_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, u.i AS s,
+             least(u.i + {km1}, len(t)) AS e,
+             ('0x' || substr(md5(concat_ws(' ', {parts})),
+                             1, 15))::BIGINT AS h
+      FROM toks, unnest(range(1, greatest(len(t) - {km1}, 1) + 1)) u(i)
+    ), marked AS (
+      {marked}
+    ), rem AS (
+      SELECT doc_id, s, e FROM marked WHERE rn > 1
+    ), prot AS (
+      SELECT doc_id, s, e FROM marked WHERE rn = 1
+    ), posed AS (
+      SELECT doc_id, u.i AS p, t[u.i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) u(i)
+    ), kept AS (
+      SELECT p.doc_id, p.p, p.tok FROM posed p
+      WHERE NOT EXISTS (SELECT 1 FROM rem r
+                        WHERE r.doc_id = p.doc_id AND p.p BETWEEN r.s AND r.e)
+         OR EXISTS (SELECT 1 FROM prot q
+                    WHERE q.doc_id = p.doc_id AND p.p BETWEEN q.s AND q.e)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+             CAST(count(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           coalesce(a.ct, '') AS cleaned_text,
+           CAST(len(tk.t) AS INT) AS n_tokens_before,
+           CAST(len(tk.t) - coalesce(a.n_kept, 0) AS INT) AS n_tokens_removed
+    FROM toks tk LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _window_parts(k: int) -> str:
+    return ", ".join(f"t[u.i+{j}]" if j else "t[u.i]" for j in range(k))
+
+
+@query(
+    "x194_substring_dedup_clean",
+    oracle=_SUBSTR_CLEAN_ORACLE.format(
+        km1=7,
+        parts=_window_parts(8),
+        marked="""
+      SELECT g.*, row_number() OVER (PARTITION BY g.h
+                                     ORDER BY g.doc_id, g.s) AS rn
+      FROM g JOIN (SELECT h FROM g GROUP BY h
+                   HAVING count(DISTINCT doc_id) >= 2) sh USING (h)
+        """,
+    ),
+)
+def x194_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY stage of cross-document substring dedup (x193 emits the
+    report; this emits the edited corpus): every 8-token window string
+    shared by >= 2 documents survives exactly once corpus-wide at its
+    canonical occurrence (lowest doc id, lowest position) — Lee et
+    al. 2021's keep-one-copy semantics, with canonical coverage
+    protected from clipping by overlapping duplicate occurrences.
+    The spans-report dataflow plus one per-hash canonical window
+    (row_number on the well-spread hash) and a map-only higher-order
+    token filter; the oracle replays hashing, canonical choice, and
+    the keep rule position-by-position."""
+    from ..operators.dedup import substring_dedup_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup_clean(docs, k=8, min_docs=2)
+
+
+@query(
+    "x195_self_repetition_trim",
+    oracle=_SUBSTR_CLEAN_ORACLE.format(
+        km1=3,
+        parts=_window_parts(4),
+        marked="""
+      SELECT doc_id, s, e, h,
+             row_number() OVER (PARTITION BY doc_id, h ORDER BY s) AS rn
+      FROM (SELECT g.*, count(*) OVER (PARTITION BY doc_id, h) AS cnt
+            FROM g) c
+      WHERE cnt >= 2
+        """,
+    ),
+)
+def x195_self_repetition_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition trim — the cleaner to x29's
+    repetition report: any 4-token window occurring more than once in
+    the same document keeps its first occurrence and loses later
+    coverage (degenerate generations, boilerplate loops); protected
+    first occurrences make periodic text collapse to its first period
+    plus the k-1 rotated-window tail instead of vanishing (every
+    repeated window string survives at least once).  Repeat detection is a per-(doc, hash)
+    window partitioned on the doc id — composes with any corpus
+    partitioning, no skewed-key shuffle — then the shared map-only
+    edit applier (operators/dedup._apply_keep_rule)."""
+    from ..operators.dedup import self_repetition_trim
+
+    docs = load_table(spark, sf_dir, "documents")
+    return self_repetition_trim(docs, k=4)
+
+
+@query(
+    "x196_incremental_substring_clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g0 AS (
+      SELECT doc_id, u.i AS s,
+             least(u.i + 7, len(t)) AS e,
+             ('0x' || substr(md5(concat_ws(' ', t[u.i], t[u.i+1], t[u.i+2],
+                                           t[u.i+3], t[u.i+4], t[u.i+5],
+                                           t[u.i+6], t[u.i+7])),
+                             1, 15))::BIGINT AS h
+      FROM toks, unnest(range(1, greatest(len(t) - 7, 1) + 1)) u(i)
+    ), hist AS (
+      SELECT DISTINCT h FROM g0 WHERE doc_id % 3 = 0
+    ), g AS (
+      SELECT * FROM g0 WHERE doc_id % 3 != 0
+    ), in_hist AS (
+      SELECT g.doc_id, g.s, g.e FROM g JOIN hist USING (h)
+    ), fresh AS (
+      SELECT g.* FROM g WHERE NOT EXISTS (
+        SELECT 1 FROM hist WHERE hist.h = g.h)
+    ), nd AS (
+      SELECT h, count(DISTINCT doc_id) AS nd FROM fresh GROUP BY h
+    ), marked AS (
+      SELECT f.doc_id, f.s, f.e, nd.nd,
+             row_number() OVER (PARTITION BY f.h
+                                ORDER BY f.doc_id, f.s) AS rn
+      FROM fresh f JOIN nd USING (h)
+    ), rem AS (
+      SELECT doc_id, s, e FROM in_hist
+      UNION ALL
+      SELECT doc_id, s, e FROM marked WHERE nd >= 2 AND rn > 1
+    ), prot AS (
+      SELECT doc_id, s, e FROM marked WHERE nd >= 2 AND rn = 1
+    ), posed AS (
+      SELECT doc_id, u.i AS p, t[u.i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) u(i)
+      WHERE doc_id % 3 != 0
+    ), kept AS (
+      SELECT p.doc_id, p.p, p.tok FROM posed p
+      WHERE NOT EXISTS (SELECT 1 FROM rem r
+                        WHERE r.doc_id = p.doc_id AND p.p BETWEEN r.s AND r.e)
+         OR EXISTS (SELECT 1 FROM prot q
+                    WHERE q.doc_id = p.doc_id AND p.p BETWEEN q.s AND q.e)
+    ), agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS ct,
+             CAST(count(*) AS INT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           coalesce(a.ct, '') AS cleaned_text,
+           CAST(len(tk.t) AS INT) AS n_tokens_before,
+           CAST(len(tk.t) - coalesce(a.n_kept, 0) AS INT) AS n_tokens_removed
+    FROM toks tk LEFT JOIN agg a USING (doc_id)
+    WHERE tk.doc_id % 3 != 0
+    """,
+)
+def x196_incremental_substring_clean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental substring dedup of an arriving batch against a
+    corpus-prefix hash history (the x47/x65 ingest discipline applied
+    to the x194 family): history = the distinct window hashes of every
+    doc_id % 3 == 0 document, batch = the rest.  Occurrences whose
+    hash exists in history are removed (canonical already shipped);
+    hashes new to the corpus but shared within the batch keep exactly
+    their first occurrence.  History text is never re-read — the
+    membership join touches only the persisted hash set; the streamed
+    form is streaming.sinks.make_substring_clean_sink."""
+    from ..operators.dedup import (
+        _window_occurrences,
+        incremental_substring_clean,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        _window_occurrences(
+            docs.filter(F.col("doc_id") % 3 == 0), 8, "text", "doc_id"
+        )
+        .select("h")
+        .distinct()
+    )
+    return incremental_substring_clean(
+        docs.filter(F.col("doc_id") % 3 != 0), hist, k=8
+    )

@@ -1165,6 +1165,113 @@ def compact_signatures(spark, history_path: str, quiesced: bool = True) -> None:
     _compact(spark, history_path, _signature_view_of, quiesced)
 
 
+# ------------------- incremental substring-dedup (window-hash history)
+
+def make_substring_clean_sink(
+    history_path: str,
+    clean_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming substring-dedup ingest (the streamed form of x194):
+    each micro-batch is cleaned against the window-hash history of all
+    PRIOR batches plus its own internal duplication
+    (operators.dedup.incremental_substring_clean — corpus-prefix
+    causality, shipped batches are final), its cleaned rows append to
+    ``clean_path`` and its distinct window hashes to ``history_path``.
+    O(batch windows) per batch; history text is never re-read.
+
+    Replay safety: the clean step excludes hashes the SAME batch id
+    committed (a replayed batch must not see its own first attempt as
+    'history'), so re-running a batch reproduces byte-identical
+    cleaned rows and per-commit dedup in the views drops them.  Same
+    log contract as the other incremental sinks: atomic appends,
+    per-commit replay dedup, online-compaction watermark honored."""
+    from ..cache import unpersist_tracked
+    from ..operators.dedup import (
+        _window_occurrences,
+        incremental_substring_clean,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            log = _read_log(spark, history_path)
+            hist = _window_hash_view_of(
+                log.filter(F.col("__commit") != batch_id)
+            )
+        except FileNotFoundError:
+            hist = spark.createDataFrame([], "h bigint")
+        cleaned = incremental_substring_clean(
+            batch_df, hist, k, text_col, id_col
+        )
+        AtomicParquetTable(clean_path).append(
+            cleaned.withColumn("__commit", F.lit(batch_id))
+        )
+        hashes = (
+            _window_occurrences(batch_df, k, text_col, id_col)
+            .select("h")
+            .distinct()
+        )
+        AtomicParquetTable(history_path).append(
+            hashes.withColumn("__commit", F.lit(batch_id))
+        )
+        unpersist_tracked()
+
+    return sink
+
+
+def window_hash_view(spark, history_path: str) -> DataFrame:
+    """Merged distinct window-hash history — the frame
+    ``incremental_substring_clean`` consumes."""
+    return _window_hash_view_of(_read_log(spark, history_path))
+
+
+def _window_hash_view_of(log: DataFrame) -> DataFrame:
+    return _drop_replays_behind_watermark(log).select("h").distinct()
+
+
+def substring_clean_view(
+    spark, clean_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merged cleaned corpus: per-commit dedup (exactly-once under
+    replay) over the streamed x194 output rows."""
+    return _substring_clean_view_of(_read_log(spark, clean_path), id_col)
+
+
+def _substring_clean_view_of(
+    log: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    return (
+        _drop_replays_behind_watermark(log)
+        .dropDuplicates(["__commit", id_col])
+        .drop("__commit")
+    )
+
+
+def compact_window_hashes(
+    spark, history_path: str, quiesced: bool = True
+) -> None:
+    """Fold the hash log to one row per distinct hash; same
+    quiesced/online contract as the other compactors."""
+    _compact(spark, history_path, _window_hash_view_of, quiesced)
+
+
+def compact_substring_clean(
+    spark, clean_path: str, id_col: str = "doc_id", quiesced: bool = True
+) -> None:
+    """Fold the cleaned-corpus log to one row per document."""
+    _compact(
+        spark,
+        clean_path,
+        lambda log: _substring_clean_view_of(log, id_col),
+        quiesced,
+    )
+
+
 # ------------------------------------------- incremental bloom filter
 
 def make_bloom_sink(sketch_path: str, value_col: str):

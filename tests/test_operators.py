@@ -1625,6 +1625,159 @@ def test_substring_dedup_spans_planted_repetition(spark):
     assert substring_dedup_spans(docs4, k=8).count() == 0
 
 
+def test_substring_dedup_clean_keeps_one_copy(spark):
+    """x194's operator: a shared run survives exactly once corpus-wide
+    (at the lowest doc id / lowest position), other copies are cut;
+    canonical coverage is protected from overlapping duplicates;
+    untouched docs pass through byte-identical."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+
+    shared8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared8} three"),
+            (2, f"pre {shared8} post"),
+            (3, "totally unrelated words here with no shared content at all"),
+            # doc 1 is canonical (lowest id); doc 4 also repeats the
+            # run TWICE — both copies must go
+            (4, f"{shared8} mid1 mid2 {shared8}"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r for r in substring_dedup_clean(docs, k=8).collect()
+    }
+    assert out[1].cleaned_text == f"one two {shared8} three"
+    assert out[1].n_tokens_removed == 0
+    assert out[2].cleaned_text == "pre post"
+    assert out[2].n_tokens_removed == 8
+    assert out[3].n_tokens_removed == 0
+    assert out[4].cleaned_text == "mid1 mid2"
+    assert out[4].n_tokens_removed == 16
+    assert out[4].n_tokens_before == 18
+
+
+def test_incremental_substring_clean_prefix_causality(spark):
+    """x196's operator: in-history occurrences are removed entirely
+    (canonical shipped), batch-internal fresh shares keep exactly the
+    first occurrence, once-seen fresh hashes pass through; and the
+    documented causality corner — a shipped doc's self-repeat that
+    only later becomes shared is NOT retroactively edited, while the
+    late arrival is cleaned."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        _window_occurrences,
+        incremental_substring_clean,
+        substring_dedup_clean,
+    )
+
+    hist_run = "h1 h2 h3 h4 h5 h6 h7 h8"
+    fresh_run = "f1 f2 f3 f4 f5 f6 f7 f8"
+    history_docs = spark.createDataFrame(
+        [(1, f"start {hist_run} finish")], ["doc_id", "text"]
+    )
+    hist = (
+        _window_occurrences(history_docs, 8, "text", "doc_id")
+        .select("h")
+        .distinct()
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, f"copy {hist_run} here"),
+            (11, f"a b {fresh_run} c"),
+            (12, f"d {fresh_run} e f"),
+            (13, "entirely novel words that appear exactly once overall"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_substring_clean(batch, hist, k=8).collect()
+    }
+    assert out[10].cleaned_text == "copy here"
+    assert out[11].cleaned_text == f"a b {fresh_run} c"  # first keeps
+    assert out[12].cleaned_text == "d e f"
+    assert out[13].n_tokens_removed == 0
+
+    # causality corner: doc 1 (shipped) contains the run TWICE; the
+    # batch cleaner would trim doc 1's second copy once doc 20 makes
+    # the run shared — the incremental path cannot and must not
+    selfrep = spark.createDataFrame(
+        [(1, f"{hist_run} mid {hist_run}")], ["doc_id", "text"]
+    )
+    hist2 = (
+        _window_occurrences(selfrep, 8, "text", "doc_id")
+        .select("h")
+        .distinct()
+    )
+    late = spark.createDataFrame(
+        [(20, f"x {hist_run} y")], ["doc_id", "text"]
+    )
+    inc = incremental_substring_clean(late, hist2, k=8).collect()[0]
+    assert inc.cleaned_text == "x y"  # late arrival cleaned
+    batch_all = {
+        r.doc_id: r
+        for r in substring_dedup_clean(
+            selfrep.unionByName(late), k=8
+        ).collect()
+    }
+    # the one-shot cleaner edits doc 1 retroactively; incremental
+    # leaves shipped batches final — the documented divergence
+    assert batch_all[1].n_tokens_removed == 8
+
+
+def test_self_repetition_trim_collapses_periods(spark):
+    """x195's operator: a repeated later block is cut, periodic text
+    collapses to its first period plus the k-1 rotated-window tail
+    (every distinct window's first occurrence is protected — no
+    window string the doc contained is lost), and non-repetitive docs
+    pass through unchanged."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        self_repetition_trim,
+    )
+
+    run4 = "r1 r2 r3 r4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"head {run4} filler fill2 {run4} tail"),
+            # pure period: rotations (b c d a) etc. are themselves
+            # protected windows, so the first period + k-1 tail stays
+            (2, "a b c d a b c d a b c d"),
+            (3, "all distinct words in this document right here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in self_repetition_trim(docs, k=4).collect()}
+    assert out[1].cleaned_text == f"head {run4} filler fill2 tail"
+    assert out[1].n_tokens_removed == 4
+    assert out[2].cleaned_text == "a b c d a b c"
+    assert out[2].n_tokens_removed == 5
+    assert out[3].n_tokens_removed == 0
+    assert out[3].cleaned_text == "all distinct words in this document right here"
+    # the preservation guarantee: every REPEATED 4-window string still
+    # occurs in the cleaned text (unique windows spanning a removed
+    # gap may legitimately disappear with it)
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        _window_occurrences,
+    )
+
+    cleaned = self_repetition_trim(docs, k=4).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    before_rep = (
+        _window_occurrences(docs, 4, "text", "doc_id")
+        .groupBy("doc_id", "h")
+        .count()
+        .filter(F.col("count") >= 2)
+        .select("doc_id", "h")
+    )
+    after = _window_occurrences(cleaned, 4, "text", "doc_id").select(
+        "doc_id", "h"
+    ).distinct()
+    assert before_rep.join(after, ["doc_id", "h"], "left_anti").count() == 0
+
+
 def test_pmi_collocations_rank_fixed_phrases_first(spark):
     """A pair that always co-occurs outranks independent frequent
     words; min_count suppresses one-off pairs."""

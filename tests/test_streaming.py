@@ -1627,6 +1627,80 @@ def test_streaming_signature_history_matches_batch_and_survives_replay(spark, tm
     assert signature_view(spark, path).count() == len(want) + 1
 
 
+def test_streaming_substring_clean_matches_batch_and_survives_replay(spark, tmp_path):
+    """Substring-dedup ingest streamed batch-by-batch through
+    make_substring_clean_sink must equal the one-shot batch cleaner
+    (x194) over the same corpus when arrival follows doc-id order;
+    replays reproduce byte-identical rows and dedupe; online
+    compaction of both logs + replay stays exact; history text is
+    never re-read (the membership join sees only hashes)."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        compact_substring_clean,
+        compact_window_hashes,
+        make_substring_clean_sink,
+        substring_clean_view,
+        window_hash_view,
+    )
+
+    run8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+
+    def docs(rows):
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    hist_path = str(tmp_path / "window_hashes")
+    clean_path = str(tmp_path / "cleaned")
+    sink = make_substring_clean_sink(hist_path, clean_path)
+
+    b0 = [
+        (1, f"one two {run8} three"),
+        (2, f"pre {run8} post"),
+        (3, "totally unrelated words in the first batch entirely"),
+    ]
+    b1 = [
+        (10, f"late copy {run8} arrives"),
+        (11, "another unique later document with fresh words only"),
+    ]
+    sink(docs(b0), 0)
+    sink(docs(b1), 1)
+
+    def view_map():
+        return {
+            r.doc_id: (r.cleaned_text, r.n_tokens_removed)
+            for r in substring_clean_view(spark, clean_path).collect()
+        }
+
+    want = {
+        r.doc_id: (r.cleaned_text, r.n_tokens_removed)
+        for r in substring_dedup_clean(docs(b0 + b1)).collect()
+    }
+    assert view_map() == want
+    assert want[1] == (f"one two {run8} three", 0)
+    assert want[2] == ("pre post", 8)
+    assert want[10] == ("late copy arrives", 8)
+
+    # replay batch 1 -> byte-identical rows, per-commit dedup
+    sink(docs(b1), 1)
+    assert view_map() == want
+
+    # online compaction of BOTH logs, then replay -> still exact
+    compact_window_hashes(spark, hist_path, quiesced=False)
+    compact_substring_clean(spark, clean_path, quiesced=False)
+    sink(docs(b1), 1)
+    assert view_map() == want
+
+    # a post-compaction batch repeating the run is still cleaned
+    sink(docs([(20, f"{run8} after compaction")]), 2)
+    out = view_map()
+    assert out[20] == ("after compaction", 8)
+    assert len(out) == len(want) + 1
+    # the hash history stayed a distinct set through folding
+    hv = window_hash_view(spark, hist_path)
+    assert hv.count() == hv.distinct().count()
+
+
 def test_streaming_bloom_filter_merges_exactly_no_false_negatives(spark, tmp_path):
     """The streamed bloom filter must equal the batch-built filter
     word for word (bit_or merges exactly), survive replay + online

@@ -273,6 +273,9 @@ AUDITED = {
     "x175_int8_quantization": "int8 audit: per-vector scale/codes/fidelity as array expressions — map-only, zero exchanges",
     "x185_bitext_mutual_best": "mutual-best alignment: two ranked windows over the thresholded margin frame — no scans beyond x183's dataflow",
     "x193_substring_dedup": "substring dedup: window-hash frequency aggregate (well-spread 60-bit key) + hash join-back + per-doc gaps-and-islands window — no pairwise expansion, no caps needed",
+    "x194_substring_dedup_clean": "substring dedup apply: x193's hash dataflow + one per-hash canonical window (row_number on the well-spread hash) + map-only higher-order token filter — corpus text read once, no pairwise expansion",
+    "x195_self_repetition_trim": "self-repetition trim: per-(doc, hash) repeat window partitioned on the doc id (composes with corpus partitioning, no skewed-key shuffle) + the shared map-only edit applier",
+    "x196_incremental_substring_clean": "incremental substring clean: batch windows join the persisted hash SET only (semi/anti membership) — history text never re-read; batch-internal canonicals via one hash-keyed window",
 }
 
 
