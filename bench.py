@@ -151,26 +151,49 @@ HEADLINE = [
 # rather than trusted (VERDICT r7 task 1).
 SLOPE_FLOOR_SEC = 0.15
 REGRESSION_THRESHOLD = 1.5
+# Materialization protocol stamped into records and history (r10:
+# count() -> noop-write; see _best_of).  History baselines compare
+# only same-protocol rounds.
+MEASURE = "noop-write"
 
 
 def _best_of(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, int]:
-    """THE per-query measurement routine — best-of-N to completion,
-    tracked caches released after the query's repeats, then a GC
-    nudge so lineage-checkpoint blocks from checkpointing queries
-    (x164/x177/x182...) are reclaimed instead of accumulating memory
-    pressure across a long run (ADVICE r9).  Shared with
-    tools/bench_scale.py so both records measure through one code
-    path (VERDICT r9 item 3: the two tools' numbers diverged 4.7x on
-    x17 at the same SF)."""
+    """THE per-query measurement routine — best-of-N to FULL
+    materialization, tracked caches released after the query's
+    repeats, then a GC nudge so lineage-checkpoint blocks from
+    checkpointing queries (x164/x177/x182...) are reclaimed instead of
+    accumulating memory pressure across a long run (ADVICE r9).
+    Shared with tools/bench_scale.py so both records measure through
+    one code path (VERDICT r9 item 3: the two tools' numbers diverged
+    4.7x on x17 at the same SF).
+
+    Materialization is a noop-sink WRITE, not count() (r10 protocol):
+    count() lets Catalyst prune any final projection that does not
+    change the row count — x194's whole keep-one-copy edit (canonical
+    windows + higher-order token filter) collapsed to a 0.4s scan
+    under count() vs 5.0s real work under noop — so every
+    output-bearing map-only query under-measured.  The noop sink
+    materializes every output column on the executors with no I/O.
+    One-time level shift vs the r9 count()-based history: aggregates
+    are unchanged within noise; large-output queries gain their
+    (real) row-assembly cost; the shift is recorded in the bench JSON
+    as measure=noop-write."""
     q = QUERIES[name]
-    best, n = float("inf"), 0
+    best = float("inf")
     for _ in range(repeats):
+        # the timer brackets plan BUILDING too: iterative operators
+        # (connected components, EM, BPE rounds) do their driver-loop
+        # work eagerly inside the builder via localCheckpoint actions
         t0 = time.time()
-        n = q.builder(spark, sf_dir).count()
+        q.builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         best = min(best, time.time() - t0)
     unpersist_tracked()
     session_gc(spark)
-    return best, n
+    # row count deliberately not re-derived: it would re-execute the
+    # query untimed (the oracle gate owns row-correctness, not bench)
+    return best, -1
 
 
 def main() -> None:
@@ -207,9 +230,9 @@ def main() -> None:
     # this.
     times: dict[str, float] = {}
     for name in HEADLINE:
-        best, n = _best_of(spark, name, sf_dir, 3)
+        best, _ = _best_of(spark, name, sf_dir, 3)
         times[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
 
@@ -218,7 +241,9 @@ def main() -> None:
     # the builder).  Loud stderr markers + the diff in BENCH_FULL.json;
     # BENCH_HISTORY.json is then updated with this run's improvements.
     history = load_history(REPO)
-    regressions = diff_regressions(times, history, REGRESSION_THRESHOLD)
+    regressions = diff_regressions(
+        times, history, REGRESSION_THRESHOLD, measure=MEASURE
+    )
     for r in regressions:
         print(
             f"# REGRESSION {r['query']}: {r['ratio']}x vs median "
@@ -410,6 +435,7 @@ def main() -> None:
         merged = merge_history(
             history, times, "local",
             regressed={r["query"] for r in regressions},
+            measure=MEASURE,
         )
         merged = merge_history(merged, metrics, "local")
         with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
@@ -428,6 +454,7 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
+        "measure": "noop-write",
         "sf": sf_val,
         "queries": times,
         "sf_ratio": sf_ratio,
@@ -466,6 +493,7 @@ def main() -> None:
         "metric": "headline_query_wall_time",
         "value": total,
         "unit": "sec",
+        "measure": "noop-write",
         "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf_val,
     }

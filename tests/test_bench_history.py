@@ -199,3 +199,46 @@ def test_compact_regressions_budgeted_and_round_trips():
     # each entry must stay tiny so 5 of them fit the tail budget
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 300
+
+
+def test_protocol_aware_baseline_and_regressions():
+    """r10: count() -> noop-write.  Baselines compare only same-
+    protocol rounds; the first round under a new protocol has no
+    baseline and must not flag; merge_history stamps the protocol."""
+    from tools.bench_history import baseline_sec, merge_history
+
+    entry = {
+        "times": {"r07": 1.0, "r08": 1.2, "r09": 1.1, "r10": 4.0},
+        "proto": {"r07": "count", "r08": "count", "r09": "count",
+                  "r10": "noop-write"},
+    }
+    # unfiltered median sees all four rounds (legacy behavior)
+    assert baseline_sec(entry) == 1.15
+    # protocol-filtered medians split cleanly
+    assert baseline_sec(entry, "count") == 1.1
+    assert baseline_sec(entry, "noop-write") == 4.0
+    # no round under a brand-new protocol -> None, caller skips
+    only_old = {"times": {"r07": 1.0}, "proto": {"r07": "count"}}
+    assert baseline_sec(only_old, "noop-write") is None
+    # diff_regressions: a 5x 'slowdown' that is really a protocol
+    # level shift must NOT flag when no same-protocol baseline exists
+    assert (
+        diff_regressions({"q01": 5.0}, {"q01": only_old},
+                         measure="noop-write")
+        == []
+    )
+    # ...but once a noop round is committed, real regressions do flag
+    hist2 = {"q01": {"times": {"r10": 1.0},
+                     "proto": {"r10": "noop-write"}, "best": 1.0,
+                     "round": "r10"}}
+    flagged = diff_regressions({"q01": 5.0}, hist2, measure="noop-write")
+    assert len(flagged) == 1 and flagged[0]["ratio"] == 5.0
+    # merge_history stamps the measure on query entries only
+    merged = merge_history({}, {"q01": 2.0}, "local",
+                           measure="noop-write")
+    assert merged["q01"]["proto"]["local"] == "noop-write"
+    merged = merge_history(
+        merged, {"streaming_events_per_sec": 9000.0}, "local",
+        measure="noop-write",
+    )
+    assert "proto" not in merged["streaming_events_per_sec"]

@@ -124,9 +124,11 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
         except Exception:
             continue
         flagged = regressed_from_record(rec)
+        measure = rec.get("measure", "count")
         for name, t in times_from_record(rec).items():
             cur = history.setdefault(name, {"times": {}})
             cur["times"][label] = t
+            cur.setdefault("proto", {})[label] = measure
             if name in flagged:
                 cur.setdefault("regressed", []).append(label)
         for name, v in metrics_from_record(rec).items():
@@ -142,17 +144,35 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
     return history
 
 
-def baseline_sec(entry: dict) -> float:
+def baseline_sec(entry: dict, measure: str | None = None) -> float | None:
     """Robust regression baseline for one history entry.
 
     Median of the committed per-round times when available — EXCLUDING
     rounds flagged as regressed when they were committed (a persistent
-    regression must not vote its own median up; ADVICE r9).  If every
-    round is flagged, falls back to the unfiltered median so the
+    regression must not vote its own median up; ADVICE r9) AND, when
+    ``measure`` is given, rounds recorded under a DIFFERENT
+    materialization protocol (r10 moved count() -> noop-write; a
+    level-shifted protocol must not be compared against the old one's
+    median, or genuinely level-shifted queries would flag forever).
+    Returns None when a protocol filter leaves no round — the caller
+    skips the regression check, the correct behavior in the first
+    round of a new protocol.  If every round is regression-flagged,
+    falls back to the unfiltered (same-protocol) median so the
     baseline never goes undefined.  Entries from the pre-r9
     {best, round} format fall back to the best."""
     times = entry.get("times")
     if times:
+        # a missing proto map means every round predates stamping —
+        # i.e. the count() era — so absent entries default to "count"
+        proto = entry.get("proto", {})
+        if measure is not None:
+            times = {
+                k: v
+                for k, v in times.items()
+                if proto.get(k, "count") == measure
+            }
+            if not times:
+                return None
         flagged = set(entry.get("regressed", ()))
         accepted = {k: v for k, v in times.items() if k not in flagged}
         ts = sorted((accepted or times).values())
@@ -167,6 +187,7 @@ def diff_regressions(
     history: dict[str, dict],
     threshold: float = 1.5,
     floor_sec: float = 0.1,
+    measure: str | None = None,
 ) -> list[dict]:
     """Queries slower than ``threshold``x their committed baseline.
 
@@ -181,7 +202,10 @@ def diff_regressions(
         prior = history.get(name)
         if not prior or prior.get("higher_is_better"):
             continue
-        base = max(baseline_sec(prior), floor_sec)
+        raw = baseline_sec(prior, measure)
+        if raw is None:  # no committed round under this protocol yet
+            continue
+        base = max(raw, floor_sec)
         if t > threshold * base:
             out.append(
                 {
@@ -248,6 +272,7 @@ def merge_history(
     times: dict[str, float],
     label: str,
     regressed: set[str] | frozenset[str] = frozenset(),
+    measure: str | None = None,
 ) -> dict[str, dict]:
     """New history with this run folded in under ``label`` (pure).
 
@@ -262,6 +287,7 @@ def merge_history(
         k: {
             **v,
             "times": dict(v.get("times", {})),
+            **({"proto": dict(v["proto"])} if "proto" in v else {}),
             **(
                 {"regressed": list(v["regressed"])}
                 if "regressed" in v
@@ -278,6 +304,8 @@ def merge_history(
             # legacy {best, round} entry: seed the map with it
             cur["times"][cur["round"]] = cur["best"]
         cur["times"][label] = t
+        if measure is not None and name not in THROUGHPUT_KEYS:
+            cur.setdefault("proto", {})[label] = measure
         if name in regressed and label not in cur.get("regressed", ()):
             cur.setdefault("regressed", []).append(label)
         pick = max if cur.get("higher_is_better") else min

@@ -56,13 +56,23 @@ def _best_of(spark, name: str, sf_dir: str, repeats: int) -> float:
 
 
 def _latest_committed(history: dict) -> dict[str, float]:
-    """query -> its time in the LATEST committed BENCH_r{N}.json."""
+    """query -> its time in the LATEST committed BENCH_r{N}.json
+    recorded under the CURRENT materialization protocol — a noop-write
+    mid-point must not be cross-checked against a count()-era time
+    (the protocol shift is a real level change, not a measurement
+    artifact).  Empty before the first committed same-protocol round,
+    which disables the cross-check exactly then."""
+    from bench import MEASURE
+
     out = {}
     for name, entry in history.items():
         if entry.get("higher_is_better"):
             continue
+        proto = entry.get("proto", {})
         rounds = [
-            k for k in entry.get("times", {}) if k.startswith("r")
+            k
+            for k in entry.get("times", {})
+            if k.startswith("r") and proto.get(k, "count") == MEASURE
         ]
         if rounds:
             out[name] = entry["times"][max(rounds)]
@@ -177,8 +187,13 @@ def main() -> None:
             "fixed 3x16 bucket grid: candidate join is "
             "Sum(|src_b| x |tgt_b|) — sublinear at these SFs, but at "
             "production scale plane count must grow with log N (same "
-            "dial as x14/x61; measured 5-table point in "
-            "BITEXT_SCALE.json, r10)"
+            "dial as x14/x61).  BITEXT_SCALE.json (r10) MEASURES the "
+            "dial over both decades: on planted production-strength "
+            "pairs (cos 0.92) a 12-table x 10-plane grid holds recall "
+            "0.943 vs the 3x4 reference's 0.90 at 5.1x candidates for "
+            "10x data; the raw synthetic corpus's en-de pairs (mean "
+            "cos 0.33, r~0.61) sit below the LSH feasibility bound, "
+            "measured and documented there"
         ),
     }
     out = {
