@@ -1038,6 +1038,147 @@ def quality_yield_curve(
     )
 
 
+def quality_threshold_for_budget(
+    docs: DataFrame,
+    budget_den: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """The INVERSE of the yield curve (quality_yield_curve answers
+    'how much survives threshold t'; this answers 'which threshold
+    fits my token budget'): cumulative doc/token mass per quality
+    LEVEL walking from the highest score down, each level flagged
+    with whether keeping everything at-or-above it still fits the
+    budget.  The loosest fitting level is the data-derived cutoff —
+    the highest-quality ``corpus_tokens // budget_den`` tokens.
+
+    The budget is an integer division of the corpus total
+    (``budget_den = 4`` -> a quarter of the corpus), exact in BIGINT
+    in both engines — no float fraction at the budget boundary.
+
+    Scale shape: one corpus scan into a quality-level aggregate
+    (bounded by the composite score's value set), a cumulative window
+    over those few rows (aggregate child — the sanctioned bounded
+    single-partition window), and one broadcast scalar join."""
+    from .text import quality_score
+
+    scored = docs.select(
+        quality_score(F.col(text_col)).alias("q"),
+        token_count(F.col(text_col)).alias("nt"),
+    )
+    levels = scored.groupBy("q").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    tot = scored.agg(
+        F.sum("nt").cast("long").alias("corpus_tokens")
+    )
+    w = (
+        W.orderBy(F.desc("q"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        levels.withColumn(
+            "cum_docs", F.sum("n_docs").over(w).cast("long")
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(F.col("q") + 1e-9, 4).alias("threshold"),
+            "n_docs",
+            "n_tokens",
+            "cum_docs",
+            "cum_tokens",
+            F.expr(f"corpus_tokens div {int(budget_den)}")
+            .cast("long")
+            .alias("budget_tokens"),
+            (
+                F.col("cum_tokens")
+                <= F.expr(f"corpus_tokens div {int(budget_den)}")
+            ).alias("fits_budget"),
+        )
+    )
+
+
+def materialize_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_den: int = 4,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the temperature-scaled mixture at a global token
+    budget — source_mixture (the x30 weights) composed with the x41
+    budget sampler: each source's target is its mix weight times the
+    global budget (``corpus_tokens // budget_den``), filled by the
+    deterministic salted-hash ranking kept while the running token
+    total fits.  The per-source summary a mixture run publishes:
+    (source, mix_weight, target_tokens, kept_docs, kept_tokens,
+    utilization).
+
+    Utilization < 1 on two honest grounds: document granularity (the
+    marginal doc overshoots) and source exhaustion (an upweighted
+    rare source may simply run out — its oversample_factor > 1 in x30
+    says repetition, not more unique data, closes that gap).
+
+    Scale shape: the x30 aggregates (n_sources rows, broadcast), one
+    per-source cumulative window over the salted ranking, one
+    broadcast target join, one per-source summary aggregate."""
+    from .text import hash60
+
+    mix = source_mixture(docs, alpha, shard_col, text_col)
+    tot = mix.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
+    targets = mix.crossJoin(F.broadcast(tot)).select(
+        shard_col,
+        "mix_weight",
+        F.floor(
+            F.expr(f"corpus_tokens div {int(budget_den)}")
+            * F.col("mix_weight")
+            + F.lit(1e-6)
+        )
+        .cast("long")
+        .alias("target_tokens"),
+    )
+    t = docs.select(
+        F.col(id_col),
+        F.col(shard_col),
+        token_count(F.col(text_col)).alias("nt"),
+        hash60(F.col(id_col).cast("string"), salt="mixture|").alias("rk"),
+    )
+    w = (
+        W.partitionBy(shard_col)
+        .orderBy("rk", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    kept = (
+        t.withColumn("cum", F.sum("nt").over(w).cast("long"))
+        .join(F.broadcast(targets), shard_col)
+        .filter(F.col("cum") <= F.col("target_tokens"))
+        .groupBy(shard_col)
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("nt").cast("long").alias("kept_tokens"),
+        )
+    )
+    return targets.join(kept, shard_col, "left").select(
+        shard_col,
+        "mix_weight",
+        "target_tokens",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+            "kept_docs"
+        ),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.round(
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            / F.greatest(F.col("target_tokens"), F.lit(1))
+            + F.lit(1e-9),
+            4,
+        ).alias("utilization"),
+    )
+
+
 def length_outlier_trim(
     docs: DataFrame,
     lo: float = 0.01,

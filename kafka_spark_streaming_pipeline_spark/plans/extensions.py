@@ -11912,3 +11912,121 @@ def x196_incremental_substring_clean(
     return incremental_substring_clean(
         docs.filter(F.col("doc_id") % 3 != 0), hist, k=8
     )
+
+
+@query(
+    "x197_quality_budget_threshold",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+        len(list_filter(string_split(lower(text), ' '),
+                        t -> t IN ('the','a','of','and','to','in','is','it','that','for')))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS stop_r,
+        list_sum(list_transform(string_split(lower(text), ' '), t -> length(t)))
+          / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS awl
+      FROM documents
+    ), scored AS (
+      SELECT nt,
+             ((CASE WHEN nt BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN stop_r BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+              + (CASE WHEN awl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END)) / 3.0 AS q
+      FROM m
+    ), levels AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens
+      FROM scored GROUP BY q
+    ), cum AS (
+      SELECT *,
+             CAST(sum(n_docs) OVER (ORDER BY q DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+             CAST(sum(n_tokens) OVER (ORDER BY q DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM levels
+    ), tot AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS corpus_tokens FROM scored
+    )
+    SELECT round(q + 1e-9, 4) AS threshold, n_docs, n_tokens,
+           cum_docs, cum_tokens,
+           CAST(corpus_tokens // 4 AS BIGINT) AS budget_tokens,
+           cum_tokens <= corpus_tokens // 4 AS fits_budget
+    FROM cum, tot
+    """,
+)
+def x197_quality_budget_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived quality cutoff for a token budget — the INVERSE of
+    x43's yield curve: cumulative doc/token mass per quality level
+    from the top down, each level flagged with whether keeping
+    everything at-or-above it fits a quarter-of-corpus budget
+    (integer-exact BIGINT division, no float at the boundary).  The
+    loosest fitting level is the cutoff a budgeted curation run
+    applies.  One scan -> quality-level aggregate -> bounded
+    cumulative window -> broadcast scalar join."""
+    from ..operators.curation import quality_threshold_for_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_threshold_for_budget(docs, budget_den=4)
+
+
+@query(
+    "x198_materialize_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per
+    ), sh AS (
+      SELECT per.*, n_tokens / CAST(corpus_tokens AS DOUBLE) AS raw_share FROM per, tot
+    ), ps AS (
+      SELECT sum(pow(raw_share, 0.5)) AS pow_sum FROM sh
+    ), weights AS (
+      SELECT source,
+             round(pow(raw_share, 0.5) / pow_sum + 1e-9, 6) AS mix_weight
+      FROM sh, ps
+    ), targets AS (
+      SELECT source, mix_weight,
+             CAST(floor((corpus_tokens // 4) * mix_weight + 1e-6) AS BIGINT)
+               AS target_tokens
+      FROM weights, tot
+    ), t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+             ('0x' || substr(md5('mixture|' || doc_id), 1, 15))::BIGINT AS rk
+      FROM documents
+    ), ranked AS (
+      SELECT *, CAST(sum(nt) OVER (
+               PARTITION BY source ORDER BY rk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM t
+    ), kept AS (
+      SELECT r.source, CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(sum(r.nt) AS BIGINT) AS kept_tokens
+      FROM ranked r JOIN targets g USING (source)
+      WHERE r.cum <= g.target_tokens
+      GROUP BY r.source
+    )
+    SELECT g.source, g.mix_weight, g.target_tokens,
+           CAST(coalesce(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           round(coalesce(k.kept_tokens, 0)
+                 / CAST(greatest(g.target_tokens, 1) AS DOUBLE) + 1e-9, 4)
+             AS utilization
+    FROM targets g LEFT JOIN kept k USING (source)
+    """,
+)
+def x198_materialize_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled mixture (x30's weights) at a
+    quarter-of-corpus global token budget via the x41 deterministic
+    budget sampler — the composition a training-data run actually
+    executes, reported as the per-source summary (target vs kept,
+    utilization; shortfall = doc granularity or source exhaustion,
+    which x30's oversample_factor > 1 already predicts means
+    repetition).  n_sources-row aggregates broadcast; one per-source
+    cumulative window over the salted ranking."""
+    from ..operators.curation import materialize_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return materialize_mixture(docs, alpha=0.5, budget_den=4)

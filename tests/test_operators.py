@@ -1625,6 +1625,70 @@ def test_substring_dedup_spans_planted_repetition(spark):
     assert substring_dedup_spans(docs4, k=8).count() == 0
 
 
+def test_quality_threshold_for_budget_walks_levels(spark):
+    """x197's operator: cumulative walk from the top quality level
+    down, integer-exact budget, and the fits flag flips exactly where
+    the budget is exceeded."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quality_threshold_for_budget,
+    )
+
+    hi = "the cat sat on a mat and the dog lay in a bed of hay " \
+         "while the sun set over it for a warm end to that day now"
+    lo = "alpha beta gamma delta epsilon"  # 5 toks, no stopwords
+    docs = spark.createDataFrame(
+        [(1, hi)] + [(i, lo) for i in range(10, 18)], ["doc_id", "text"]
+    )
+    n_hi = len(hi.split(" "))
+    assert 20 <= n_hi <= 2000
+    rows = sorted(
+        quality_threshold_for_budget(docs, budget_den=2).collect(),
+        key=lambda r: -r.threshold,
+    )
+    total = n_hi + 8 * 5
+    assert [r.budget_tokens for r in rows] == [total // 2] * len(rows)
+    assert rows[0].threshold == 1.0 and rows[0].cum_tokens == n_hi
+    assert rows[0].fits_budget  # 30 <= 35
+    assert rows[-1].cum_tokens == total and not rows[-1].fits_budget
+    # cumulative consistency
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens == a.cum_tokens + b.n_tokens
+        assert b.cum_docs == a.cum_docs + b.n_docs
+
+
+def test_materialize_mixture_targets_and_caps(spark):
+    """x198's operator: per-source targets split the global budget by
+    the temperature weights, kept tokens never exceed the target,
+    utilization <= 1, and the selection is deterministic across
+    runs."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        materialize_mixture,
+    )
+
+    body = ("tok " * 20).strip()
+    per_doc = len(body.split(" "))
+    rows = [(i, "big", body) for i in range(40)]
+    rows += [(100 + i, "rare", body) for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in materialize_mixture(docs, budget_den=4).collect()}
+    assert set(out) == {"big", "rare"}
+    total_tokens = 44 * per_doc
+    budget = total_tokens // 4
+    for r in out.values():
+        assert r.kept_tokens <= r.target_tokens
+        assert r.utilization <= 1.0
+        assert abs(r.target_tokens - int(budget * r.mix_weight)) <= 1
+    # alpha=0.5 upweights the rare source above its raw 4/44 share
+    assert out["rare"].mix_weight > 4 / 44
+    # deterministic: identical summary on a second run
+    again = {
+        r.source: r for r in materialize_mixture(docs, budget_den=4).collect()
+    }
+    assert {s: (r.kept_docs, r.kept_tokens) for s, r in out.items()} == {
+        s: (r.kept_docs, r.kept_tokens) for s, r in again.items()
+    }
+
+
 def test_substring_dedup_clean_keeps_one_copy(spark):
     """x194's operator: a shared run survives exactly once corpus-wide
     (at the lowest doc id / lowest position), other copies are cut;

@@ -276,6 +276,8 @@ AUDITED = {
     "x194_substring_dedup_clean": "substring dedup apply: x193's hash dataflow + one per-hash canonical window (row_number on the well-spread hash) + map-only higher-order token filter — corpus text read once, no pairwise expansion",
     "x195_self_repetition_trim": "self-repetition trim: per-(doc, hash) repeat window partitioned on the doc id (composes with corpus partitioning, no skewed-key shuffle) + the shared map-only edit applier",
     "x196_incremental_substring_clean": "incremental substring clean: batch windows join the persisted hash SET only (semi/anti membership) — history text never re-read; batch-internal canonicals via one hash-keyed window",
+    "x197_quality_budget_threshold": "budget threshold: one scan to a quality-level aggregate (value-set bounded); cumulative window over those few rows (aggregate child); broadcast scalar budget join",
+    "x198_materialize_mixture": "materialize mixture: x30's n_sources-row weight aggregates broadcast; ONE per-source cumulative window over the salted ranking; per-source summary aggregate",
 }
 
 
