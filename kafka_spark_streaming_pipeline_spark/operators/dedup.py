@@ -1085,8 +1085,15 @@ def substring_dedup_spans(
     frequency filter is a pure aggregate, and the join-back fan-out is
     bounded by the document's own window count (linear in corpus
     tokens).  A window shared by millions of documents costs its own
-    occurrence list, which is exactly the data being removed."""
-    g = _window_occurrences(docs, k, text_col, id_col)
+    occurrence list, which is exactly the data being removed.
+
+    The occurrence frame is tracked_persist'ed: it feeds BOTH the
+    frequency aggregate and the join-back — unpersisted, the
+    tokenize/posexplode/hash pipeline executes twice (measured 2x the
+    wall time at the amplified decade)."""
+    from ..cache import tracked_persist
+
+    g = tracked_persist(_window_occurrences(docs, k, text_col, id_col))
     shared = (
         g.groupBy("h")
         .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
@@ -1218,8 +1225,12 @@ def substring_dedup_clean(
     Scale shape: the spans-report dataflow (window-hash frequency
     aggregate + hash join-back) plus ONE per-hash canonical window
     (row_number over the well-spread hash key) and the shared
-    map-only edit applier — still no pairwise comparison anywhere."""
-    g = _window_occurrences(docs, k, text_col, id_col)
+    map-only edit applier — still no pairwise comparison anywhere.
+    The occurrence frame persists once for its two consumers (see
+    substring_dedup_spans)."""
+    from ..cache import tracked_persist
+
+    g = tracked_persist(_window_occurrences(docs, k, text_col, id_col))
     shared = (
         g.groupBy("h")
         .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
@@ -1228,7 +1239,9 @@ def substring_dedup_clean(
     )
     hits = g.join(shared, "h")
     w = W.partitionBy("h").orderBy(id_col, "s")
-    marked = hits.withColumn("__rn", F.row_number().over(w))
+    # persisted: the removals and protections filters are two
+    # consumers of one join+window pass
+    marked = tracked_persist(hits.withColumn("__rn", F.row_number().over(w)))
     return _apply_keep_rule(
         docs,
         marked.filter(F.col("__rn") > 1).select(id_col, "s", "e"),
@@ -1262,11 +1275,16 @@ def self_repetition_trim(
     partitioned on the doc id, so it composes with any corpus
     partitioning and never shuffles on a skewed key — then the shared
     map-only edit applier."""
+    from ..cache import tracked_persist
+
     g = _window_occurrences(docs, k, text_col, id_col)
     grp = W.partitionBy(id_col, "h")
-    marked = g.withColumn(
-        "__rn", F.row_number().over(grp.orderBy("s"))
-    ).withColumn("__cnt", F.count("*").over(grp))
+    # persisted: removals and protections both read this window pass
+    marked = tracked_persist(
+        g.withColumn(
+            "__rn", F.row_number().over(grp.orderBy("s"))
+        ).withColumn("__cnt", F.count("*").over(grp))
+    )
     # protections are first occurrences of REPEATED windows only: a
     # unique window overlapping a duplicate's coverage must not veto
     # its removal (it is not removable content needing a survivor)
@@ -1314,9 +1332,13 @@ def incremental_substring_clean(
     in_hist = g.join(hist, "h", "left_semi").select(id_col, "s", "e")
     fresh = g.join(hist, "h", "left_anti")
     grp = W.partitionBy("h")
-    marked = fresh.withColumn(
-        "__rn", F.row_number().over(grp.orderBy(id_col, "s"))
-    ).withColumn("__nd", F.size(F.collect_set(id_col).over(grp)))
+    # persisted: the removals and protections filters are two readers
+    # of one window pass over the fresh occurrences
+    marked = tracked_persist(
+        fresh.withColumn(
+            "__rn", F.row_number().over(grp.orderBy(id_col, "s"))
+        ).withColumn("__nd", F.size(F.collect_set(id_col).over(grp)))
+    )
     shared = marked.filter(F.col("__nd") >= 2)
     removals = in_hist.unionByName(
         shared.filter(F.col("__rn") > 1).select(id_col, "s", "e")
