@@ -1667,3 +1667,311 @@ def q47_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "q48_order_count_distribution",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def q48_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed how many
+    (non-urgent) orders — a FILTERED left outer join (the filter
+    rides the join condition so customers with only urgent orders
+    still count as zero, the part naive WHERE placement gets wrong)
+    into a double aggregation.
+
+    Scale shape: the outer join shuffles both sides on the customer
+    key once; both aggregates combine map-side; the second groupBy is
+    over the tiny (distinct order-count) domain."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    co = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q49_top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q49_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the quarter's revenue-per-supplier view, then
+    the supplier(s) achieving its MAXIMUM — the classic
+    view + scalar-subquery-on-the-same-view pattern (ties all
+    surface, unlike a LIMIT 1).  Revenue is rounded identically on
+    both sides of the equality, so the max-match is engine-stable.
+
+    Scale shape: the shipdate band is pushed to the scan; the revenue
+    view is computed ONCE and persisted for its two consumers (rows +
+    max); the supplier join broadcasts the dimension."""
+    from ..cache import tracked_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = tracked_persist(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(rev, F.col("s_suppkey") == rev["l_suppkey"])
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q50_large_volume_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity) + 1e-9, 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           round(o.o_totalprice + 1e-9, 2) AS o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q50_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    the large-volume threshold, joined back to order and customer —
+    the aggregate-HAVING-then-enrich pattern (the IN-subquery form
+    decorrelates to exactly this plan).
+
+    Scale shape: ONE lineitem aggregate on the order key; the
+    survivors (a ~1% tail at the 250 threshold) drive both enrichment
+    joins, so order/customer rows are only touched for qualifying
+    orders under AQE's runtime join-strategy pick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("__raw"),
+            _r(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("__raw") > 250)
+        .select("l_orderkey", "total_qty")
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name",
+            "o_orderkey",
+            _r(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q51_dormant_rich_customers",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey, c_acctbal,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ), tot AS (
+      SELECT CAST(sum(bal_cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM cents WHERE bal_cents > 0
+    ), eligible AS (
+      SELECT c.c_custkey, c.c_acctbal, c.c_custkey % 7 AS code
+      FROM cents c, tot
+      WHERE c.bal_cents * tot.n > tot.total_cents
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    )
+    SELECT code, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal) + 1e-9, 2) AS totacctbal
+    FROM eligible GROUP BY code
+    """,
+)
+def q51_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    order (every synthetic customer has some order, so dormancy since
+    2001 stands in for Q22's never-ordered), bucketed by a derived
+    code — scalar-average subquery + anti join + grouped rollup.
+
+    The above-average comparison runs in exact integer cents
+    (bal_cents * n > total_cents): a float mean's last-ulp wobble
+    between engines cannot flip a boundary customer.
+
+    Scale shape: the average is a broadcast one-row aggregate; the
+    anti join shuffles on the well-spread customer key; the rollup
+    domain is 7 codes."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cents = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.col("c_acctbal") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+    )
+    tot = cents.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= "2001-01-01"
+    ).select("o_custkey")
+    eligible = (
+        cents.crossJoin(F.broadcast(tot))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total_cents"))
+        .join(
+            recent, cents["c_custkey"] == recent["o_custkey"], "left_anti"
+        )
+        .select(
+            "c_acctbal", (F.col("c_custkey") % 7).alias("code")
+        )
+    )
+    return eligible.groupBy("code").agg(
+        F.count("*").cast("long").alias("numcust"),
+        _r(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@query(
+    "q52_region_pair_volume",
+    oracle="""
+    SELECT supp_region, cust_region, yr,
+           round(sum(volume) + 1e-9, 2) AS revenue
+    FROM (
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             CAST(year(l.l_shipdate) AS INT) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN region r1 ON r1.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      WHERE (r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+         OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA')
+    ) shipping
+    GROUP BY supp_region, cust_region, yr
+    """,
+)
+def q52_region_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape lifted to REGION pairs (25 nations over the
+    small synthetic population make any single nation pair empty —
+    regions keep the bilateral-volume semantics with a real result
+    set): shipping volume between ASIA and EUROPE by direction and
+    year, through the seven-way join chain whose whole point is join
+    REORDERING — the region filters must reach the supplier/customer
+    dimension scans so the fact table joins pre-filtered sides.
+
+    Scale shape: both dimension stacks (supplier+nation+region,
+    customer+nation+region) broadcast after their pushed filters;
+    lineitem and orders shuffle once on the order key; year
+    extraction is map-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    def side(name: str, key_out: str):
+        n = nation.select(
+            F.col("n_nationkey").alias(f"{name}_nk"),
+            F.col("n_regionkey").alias(f"{name}_rk"),
+        )
+        r = region.select(
+            F.col("r_regionkey").alias(f"{name}_rrk"),
+            F.col("r_name").alias(key_out),
+        )
+        return n.join(
+            F.broadcast(r), F.col(f"{name}_rk") == F.col(f"{name}_rrk")
+        ).filter(F.col(key_out).isin("ASIA", "EUROPE"))
+
+    supp_side = supplier.join(
+        F.broadcast(side("s", "supp_region")),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    cust_side = customer.join(
+        F.broadcast(side("c", "cust_region")),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    joined = (
+        li.join(
+            F.broadcast(supp_side), li["l_suppkey"] == F.col("s_suppkey")
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust_side),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .filter(
+            (
+                (F.col("supp_region") == "ASIA")
+                & (F.col("cust_region") == "EUROPE")
+            )
+            | (
+                (F.col("supp_region") == "EUROPE")
+                & (F.col("cust_region") == "ASIA")
+            )
+        )
+        .select(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume"),
+        )
+    )
+    return joined.groupBy("supp_region", "cust_region", "yr").agg(
+        _r(F.sum("volume"), 2).alias("revenue")
+    )

@@ -41,6 +41,12 @@ def canonical(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def _query_names() -> set[str]:
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+
+    return set(QUERIES)
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
@@ -48,8 +54,22 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        raise SystemExit(
+            f"unknown flags {unknown}: usage is "
+            "check_oracle.py [--json OUT.json] [sf_dir] [query ...] "
+            "(a misparsed flag would silently select zero queries and "
+            "report a vacuous '0 failures')"
+        )
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
+    missing = [q for q in only if q not in _query_names()]
+    if missing:
+        raise SystemExit(
+            f"unknown query names {missing}: a typo here would silently "
+            "select nothing and report a vacuous '0 failures'"
+        )
 
     import duckdb
 

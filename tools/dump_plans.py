@@ -276,6 +276,11 @@ AUDITED = {
     "x194_substring_dedup_clean": "substring dedup apply: x193's hash dataflow + one per-hash canonical window (row_number on the well-spread hash) + map-only higher-order token filter — corpus text read once, no pairwise expansion",
     "x195_self_repetition_trim": "self-repetition trim: per-(doc, hash) repeat window partitioned on the doc id (composes with corpus partitioning, no skewed-key shuffle) + the shared map-only edit applier",
     "x196_incremental_substring_clean": "incremental substring clean: batch windows join the persisted hash SET only (semi/anti membership) — history text never re-read; batch-internal canonicals via one hash-keyed window",
+    "q48_order_count_distribution": "Q13 shape: filter rides the OUTER JOIN condition (zero-order customers survive); one customer-key shuffle; second aggregate over the tiny count domain",
+    "q49_top_revenue_supplier": "Q15 shape: shipdate band pushed to the scan; the revenue view persists once for rows + max; supplier dimension broadcasts",
+    "q50_large_volume_orders": "Q18 shape: ONE order-key lineitem aggregate; only the HAVING survivors drive the enrichment joins (AQE picks the strategy)",
+    "q51_dormant_rich_customers": "Q22 shape: broadcast one-row exact-cents average (no float boundary); anti join on the well-spread customer key; 7-code rollup",
+    "q52_region_pair_volume": "Q7 shape: both dimension stacks broadcast after pushed region filters; fact and orders shuffle once on the order key",
     "x197_quality_budget_threshold": "budget threshold: one scan to a quality-level aggregate (value-set bounded); cumulative window over those few rows (aggregate child); broadcast scalar budget join",
     "x198_materialize_mixture": "materialize mixture: x30's n_sources-row weight aggregates broadcast; ONE per-source cumulative window over the salted ranking; per-source summary aggregate",
 }
