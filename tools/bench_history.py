@@ -207,14 +207,29 @@ def diff_regressions(
             continue
         base = max(raw, floor_sec)
         if t > threshold * base:
+            # "vs" names the best SAME-PROTOCOL round (the cross-era
+            # best would mislabel a protocol level shift as the
+            # comparison point)
+            proto = prior.get("proto", {})
+            times_p = {
+                k: v
+                for k, v in prior.get("times", {}).items()
+                if measure is None or proto.get(k, "count") == measure
+            } or prior.get("times", {})
+            vs = (
+                min(times_p, key=times_p.get)
+                if times_p
+                else prior.get("round")
+            )
+            best_p = times_p.get(vs, prior.get("best"))
             out.append(
                 {
                     "query": name,
                     "sec": t,
                     "ratio": round(t / base, 2),
-                    "vs": prior["round"],
+                    "vs": vs,
                     "baseline_sec": round(base, 3),
-                    "prior_sec": prior["best"],
+                    "prior_sec": best_p,
                 }
             )
     return sorted(out, key=lambda r: -r["ratio"])
