@@ -1237,3 +1237,156 @@ def test_t_closeness_matches_python_reference(spark, rows):
         for r in t_closeness_audit(df, ["lang", "len_bucket"], "source").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------- substring dedup
+
+
+def _py_windows(toks: list[str], k: int):
+    """Replicates operators.dedup._window_occurrences: full k-windows,
+    or ONE partial window for docs shorter than k (e capped at n)."""
+    n = len(toks)
+    out = []
+    for s0 in range(max(n - k + 1, 1)):
+        s, e = s0 + 1, min(s0 + k, n)
+        out.append((s, e, tuple(toks[s0:e])))
+    return out
+
+
+def _py_occurrences(docs: dict[int, list[str]], k: int):
+    occ: dict[tuple, list[tuple[int, int, int]]] = {}
+    for i, toks in sorted(docs.items()):
+        for s, e, gram in _py_windows(toks, k):
+            occ.setdefault(gram, []).append((i, s, e))
+    return occ
+
+
+def _py_substring_spans(docs, k, min_docs=2):
+    occ = _py_occurrences(docs, k)
+    hits: dict[int, list[tuple[int, int, int]]] = {}
+    for gram, lst in occ.items():
+        nd = len({i for i, _, _ in lst})
+        if nd >= min_docs:
+            for i, s, e in lst:
+                hits.setdefault(i, []).append((s, e, nd))
+    spans = []
+    for i, lst in hits.items():
+        lst.sort()
+        cur = None
+        for s, e, nd in lst:
+            if cur is None or s > cur[1] + 1:
+                if cur:
+                    spans.append((i, *cur))
+                cur = [s, e, 1, nd]
+            else:
+                cur[1] = max(cur[1], e)
+                cur[2] += 1
+                cur[3] = max(cur[3], nd)
+        if cur:
+            spans.append((i, *cur))
+    return {
+        (i, s, e, e - s + 1, nw, nd) for i, s, e, nw, nd in spans
+    }
+
+
+def _py_substring_clean(docs, k, min_docs=2):
+    occ = _py_occurrences(docs, k)
+    removals: dict[int, list[tuple[int, int]]] = {}
+    protections: dict[int, list[tuple[int, int]]] = {}
+    for gram, lst in occ.items():
+        if len({i for i, _, _ in lst}) >= min_docs:
+            lst.sort()
+            i, s, e = lst[0]
+            protections.setdefault(i, []).append((s, e))
+            for i, s, e in lst[1:]:
+                removals.setdefault(i, []).append((s, e))
+    out = {}
+    for i, toks in docs.items():
+        kept = [
+            t
+            for p, t in enumerate(toks, start=1)
+            if not any(s <= p <= e for s, e in removals.get(i, ()))
+            or any(s <= p <= e for s, e in protections.get(i, ()))
+        ]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@st.composite
+def substring_corpus(draw):
+    n_docs = draw(st.integers(2, 5))
+    words = ["aa", "bb", "cc", "dd"]
+    return {
+        i: draw(st.lists(st.sampled_from(words), min_size=1, max_size=12))
+        for i in range(n_docs)
+    }
+
+
+@settings(max_examples=15, deadline=None)
+@given(substring_corpus())
+def test_substring_spans_match_python_reference(spark, docs):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len, r.n_windows,
+         r.max_window_docs)
+        for r in substring_dedup_spans(df, k=3, min_docs=2).collect()
+    }
+    assert got == _py_substring_spans(docs, k=3)
+
+
+@settings(max_examples=15, deadline=None)
+@given(substring_corpus())
+def test_substring_clean_matches_python_reference(spark, docs):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens_before, r.n_tokens_removed)
+        for r in substring_dedup_clean(df, k=3, min_docs=2).collect()
+    }
+    assert got == _py_substring_clean(docs, k=3)
+
+
+@settings(max_examples=12, deadline=None)
+@given(substring_corpus())
+def test_self_repetition_trim_matches_python_reference(spark, docs):
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        self_repetition_trim,
+    )
+
+    def ref(toks, k):
+        occ: dict[tuple, list[tuple[int, int]]] = {}
+        for s, e, gram in _py_windows(toks, k):
+            occ.setdefault(gram, []).append((s, e))
+        rem, prot = [], []
+        for lst in occ.values():
+            if len(lst) >= 2:
+                lst.sort()
+                prot.append(lst[0])
+                rem.extend(lst[1:])
+        kept = [
+            t
+            for p, t in enumerate(toks, start=1)
+            if not any(s <= p <= e for s, e in rem)
+            or any(s <= p <= e for s, e in prot)
+        ]
+        return " ".join(kept), len(toks), len(toks) - len(kept)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_tokens_before, r.n_tokens_removed)
+        for r in self_repetition_trim(df, k=3).collect()
+    }
+    assert got == {i: ref(t, 3) for i, t in docs.items()}
