@@ -580,6 +580,14 @@ def ngram_jaccard_pairs(
 
 # ------------------------------------------------- dedup cluster closure
 
+# Measurement hook: materialized-round count of the LAST
+# connected_components call (pointer doubling makes this
+# O(log diameter); tools/x104_stage_pricing.py commits it vs the
+# graph's measured diameter).  Telemetry only — never read by engine
+# code.
+CC_LAST_ROUNDS = 0
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -635,7 +643,10 @@ def connected_components(
         .agg(F.least(F.col("id"), F.min("dst")).alias("component"))
         .localCheckpoint()
     )
+    global CC_LAST_ROUNDS
+    CC_LAST_ROUNDS = 0
     for _ in range(max_iterations):
+        CC_LAST_ROUNDS += 1
         if salt is not None:
             label_side = labels.select(
                 "id",

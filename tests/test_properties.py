@@ -1390,3 +1390,202 @@ def test_self_repetition_trim_matches_python_reference(spark, docs):
         for r in self_repetition_trim(df, k=3).collect()
     }
     assert got == {i: ref(t, 3) for i, t in docs.items()}
+
+
+# ----------------------------------------------------- budget curation (x197/x198)
+#
+# Sequential Python references for the budget family (VERDICT r10
+# item 5): the boundary semantics — budget landing exactly on a
+# level's cumulative edge (<=, not <), source exhaustion below target
+# (utilization < 1), and the empty-source left join — are oracle-
+# pinned but were not property-tested the way the substring family
+# is.  References re-derive EVERYTHING in plain Python (quality
+# score, token count, md5 ranking hash), sharing no Spark expression
+# with the operators under test.
+
+_PY_STOPWORDS = {
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+}
+
+
+def _half_up(x: float, n: int) -> float:
+    """Spark's F.round on doubles: BigDecimal.valueOf (shortest repr,
+    = Python repr) then HALF_UP — NOT Python's banker's rounding."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{n}"), ROUND_HALF_UP))
+
+
+def _py_quality(text: str) -> float:
+    toks = text.lower().split(" ")
+    n = len(toks)
+    length_ok = 1.0 if 20 <= n <= 2000 else 0.5
+    stop = sum(1 for t in toks if t in _PY_STOPWORDS) / n
+    stop_ok = 1.0 if 0.01 <= stop <= 0.6 else 0.5
+    awl = sum(len(t) for t in toks) / n
+    word_ok = 1.0 if 2.0 <= awl <= 12.0 else 0.5
+    return (length_ok + stop_ok + word_ok) / 3.0
+
+
+def _py_threshold_for_budget(texts: list[str], budget_den: int):
+    levels: dict[float, list[int]] = {}
+    corpus = 0
+    for text in texts:
+        q, nt = _py_quality(text), len(text.lower().split(" "))
+        corpus += nt
+        d = levels.setdefault(q, [0, 0])
+        d[0] += 1
+        d[1] += nt
+    budget = corpus // budget_den
+    out, cum_d, cum_t = set(), 0, 0
+    for q in sorted(levels, reverse=True):
+        n_docs, n_tokens = levels[q]
+        cum_d += n_docs
+        cum_t += n_tokens
+        out.add(
+            (_half_up(q + 1e-9, 4), n_docs, n_tokens, cum_d, cum_t,
+             budget, cum_t <= budget)
+        )
+    return out
+
+
+@st.composite
+def budget_corpus(draw):
+    # vocab spans the quality knobs: stopwords ('the', 'and'), short
+    # non-stop words, and an awl-busting long word
+    words = ["the", "and", "data", "x", "zzzzzzzzzzzzzzzzzz"]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(words), min_size=1, max_size=25))
+        src = draw(st.sampled_from(["s1", "s2", "s3"]))
+        docs.append((i, src, " ".join(toks)))
+    return docs, draw(st.integers(1, 8))
+
+
+@settings(max_examples=12, deadline=None)
+@given(budget_corpus())
+def test_quality_threshold_for_budget_matches_python_reference(spark, case):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quality_threshold_for_budget,
+    )
+
+    docs, den = case
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = quality_threshold_for_budget(df, budget_den=den).collect()
+    got = {
+        (r.threshold, r.n_docs, r.n_tokens, r.cum_docs, r.cum_tokens,
+         r.budget_tokens, r.fits_budget)
+        for r in rows
+    }
+    assert got == _py_threshold_for_budget([t for _, _, t in docs], den)
+    # fits_budget is a PREFIX of the desc-threshold walk (cum_tokens
+    # monotone), and a budget landing exactly on a level's cumulative
+    # edge FITS (<=, not <)
+    ordered = sorted(rows, key=lambda r: -r.threshold)
+    fits = [r.fits_budget for r in ordered]
+    assert fits == sorted(fits, reverse=True)
+    for r in rows:
+        if r.cum_tokens == r.budget_tokens:
+            assert r.fits_budget
+
+
+def test_quality_threshold_budget_exact_edge(spark):
+    """Deterministic edge pin: budget == the top level's cumulative
+    tokens exactly -> that level fits; the next does not."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        quality_threshold_for_budget,
+    )
+
+    hi = "the and " + " ".join(["data"] * 23)  # 25 tokens, q = 1.0
+    lo = " ".join(["zzzz"] * 5)  # 5 tokens, no stopwords, short: q = 2/3
+    docs = [(i, "s", hi) for i in range(4)] + [
+        (100 + i, "s", lo) for i in range(20)
+    ]  # totals: 100 hi + 100 lo = 200; den=2 -> budget = 100 = hi cum
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {
+        r.threshold: r
+        for r in quality_threshold_for_budget(df, budget_den=2).collect()
+    }
+    assert rows[1.0].cum_tokens == rows[1.0].budget_tokens == 100
+    assert rows[1.0].fits_budget is True
+    assert rows[_half_up(2 / 3 + 1e-9, 4)].fits_budget is False
+
+
+def _py_materialize_mixture(docs, alpha: float, budget_den: int):
+    import math
+
+    per: dict[str, list] = {}
+    for doc_id, src, text in docs:
+        nt = len(text.lower().split(" "))
+        rk = int(
+            hashlib.md5(f"mixture|{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        per.setdefault(src, []).append((rk, doc_id, nt))
+    corpus = sum(nt for lst in per.values() for _, _, nt in lst)
+    # source_mixture's temperature weights, rounded 6dp as published
+    shares = {s: sum(nt for _, _, nt in lst) / corpus for s, lst in per.items()}
+    pow_sum = sum(sh**alpha for sh in shares.values())
+    budget = corpus // budget_den
+    out = set()
+    for src, lst in per.items():
+        mw = _half_up(shares[src] ** alpha / pow_sum + 1e-9, 6)
+        tgt = math.floor(budget * mw + 1e-6)
+        cum = kd = kt = 0
+        for rk, doc_id, nt in sorted(lst):
+            cum += nt
+            if cum <= tgt:
+                kd += 1
+                kt += nt
+        out.add((src, mw, tgt, kd, kt, _half_up(kt / max(tgt, 1) + 1e-9, 4)))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(budget_corpus())
+def test_materialize_mixture_matches_python_reference(spark, case):
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        materialize_mixture,
+    )
+
+    docs, den = case
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = materialize_mixture(df, alpha=0.5, budget_den=den).collect()
+    got = {
+        (r.source, r.mix_weight, r.target_tokens, r.kept_docs,
+         r.kept_tokens, r.utilization)
+        for r in rows
+    }
+    assert got == _py_materialize_mixture(docs, 0.5, den)
+    for r in rows:
+        # never overshoot the target; utilization is honest (<= 1 up
+        # to the published rounding epsilon)
+        assert r.kept_tokens <= r.target_tokens
+        assert r.utilization <= 1.0 + 1e-9
+    # source exhaustion: a source whose entire token mass fits under
+    # its target keeps EVERYTHING and reports utilization < 1 exactly
+    # when it ran out below target
+    totals: dict[str, int] = {}
+    for _, src, text in docs:
+        totals[src] = totals.get(src, 0) + len(text.split(" "))
+    for r in rows:
+        if totals[r.source] <= r.target_tokens:
+            assert r.kept_tokens == totals[r.source]
+
+
+def test_materialize_mixture_empty_source_left_join(spark):
+    """Budget so large a denominator that every target is 0: the
+    summary must still carry every source (left join), all-zero kept
+    and utilization 0.0 — not drop rows."""
+    from kafka_spark_streaming_pipeline_spark.operators.curation import (
+        materialize_mixture,
+    )
+
+    docs = [(1, "s1", "the and data"), (2, "s2", "x zzzz the")]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = materialize_mixture(df, budget_den=10**9).collect()
+    assert {r.source for r in rows} == {"s1", "s2"}
+    for r in rows:
+        assert (r.target_tokens, r.kept_docs, r.kept_tokens, r.utilization) == (
+            0, 0, 0, 0.0
+        )

@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Root-cause the 7x second-decade band (VERDICT r10 item 1).
+
+The r10 three-point scale record's three steepest second-decade
+ratios — q40 7.16, x104 7.03, x78 6.77 — cluster in a narrow band
+well above the other 41 queries.  All are sublinear (< the 10x data
+ratio), but the record cannot tell local[32] saturation at the
+amplified point (fixed shuffle-partition count, memory pressure) from
+a genuinely near-linear algorithmic term.  This probe separates the
+two causes by measurement:
+
+  for each of the three queries, at BOTH the mid point (sf0.1) and
+  the big point (.scaledata/sf1.0 = 10x mid), best-of-3 under
+  spark.sql.shuffle.partitions in {8, 32, 128}
+
+- If the big-point time drops materially (>25%) as partitions rise
+  from 32 to 128, the 32-partition big point was saturated (too few,
+  too large partitions: spill / single-core stragglers) and the band
+  is a measurement artifact of the record's fixed setting.
+- If the per-setting ratio big/mid stays flat across the sweep, the
+  growth is the query's own data term, and the record should name it:
+    q40  — the dense per-key hourly grid is OUTPUT-proportional
+           (users x span rows materialized under noop-write), and
+           users grow 10x under the amplifier: near-linear by design.
+    x104 — conjunctive-key block populations are joint token
+           frequencies; pair verification cost is sum over blocks of
+           |block|^2, which grows toward linear-in-pairs as
+           populations scale with corpus size.
+    x78  — per-anchor candidate windows fan out with corpus density;
+           triplet output itself grows ~linearly with anchors.
+
+Measurement discipline is bench.py's own `_best_of` (noop-write
+materialization, tracked-cache release + GC nudge per query) so the
+numbers are comparable to BENCH_SCALE.json.  AQE coalescing is ON in
+the session (as everywhere): the sweep therefore moves the AQE
+*initial* partition number, which is exactly the dial a cluster
+operator has.
+
+Writes SCALE_ROOTCAUSE.json at the repo root.
+
+Usage: python3 tools/scale_rootcause.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import _best_of  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.plans import QUERIES  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+
+MID = "/root/testdata/sf0.1"
+BIG = os.path.join(REPO, ".scaledata", "sf1.0")
+TARGETS = [
+    "q40_resample_ffill",
+    "x104_entity_resolution",
+    "x78_contrastive_triplets",
+]
+SWEEP = [8, 32, 128]
+REPEATS = 3
+SATURATION_DROP = 0.25  # 128-partition big time < 75% of 32-partition
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_rootcause")
+    spark.range(1).count()
+    if not os.path.isdir(BIG):
+        print(f"# building {BIG} (10x of {MID})", file=sys.stderr)
+        from tools.make_scale_data import amplify
+
+        amplify(spark, MID, BIG, 10)
+
+    # codegen warm-up (identical generated classes regardless of path)
+    for name in TARGETS:
+        QUERIES[name].builder(spark, "/root/testdata/sf0.001").count()
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+
+    unpersist_tracked()
+
+    default_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    results: dict[str, dict] = {}
+    for name in TARGETS:
+        rec: dict[str, dict] = {"mid": {}, "big": {}}
+        for sp in SWEEP:
+            spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+            t_mid, _ = _best_of(spark, name, MID, REPEATS)
+            t_big, _ = _best_of(spark, name, BIG, REPEATS)
+            rec["mid"][str(sp)] = round(t_mid, 3)
+            rec["big"][str(sp)] = round(t_big, 3)
+            print(
+                f"# {name} sp={sp}: mid={t_mid:.3f}s big={t_big:.3f}s "
+                f"r2={t_big / t_mid:.2f}",
+                file=sys.stderr,
+            )
+        spark.conf.set("spark.sql.shuffle.partitions", default_sp)
+        r2 = {
+            sp: round(rec["big"][sp] / rec["mid"][sp], 2)
+            for sp in rec["big"]
+        }
+        big32, big128 = rec["big"]["32"], rec["big"]["128"]
+        saturated = big128 < (1.0 - SATURATION_DROP) * big32
+        rec["r2_per_setting"] = r2
+        rec["big_drop_32_to_128"] = round(1.0 - big128 / big32, 3)
+        rec["verdict"] = (
+            "saturation (big point starved for partitions at 32)"
+            if saturated
+            else "algorithmic (ratio flat across partition sweep)"
+        )
+        results[name] = rec
+
+    out = {
+        "metric": "second_decade_rootcause_sweep",
+        "sweep_shuffle_partitions": SWEEP,
+        "repeats": REPEATS,
+        "points": {"mid": 0.1, "big": "sf0.1 x10 amplified"},
+        "saturation_criterion": (
+            f"big time at 128 partitions < {1 - SATURATION_DROP:.2f} x "
+            "big time at 32 partitions"
+        ),
+        "queries": results,
+    }
+    path = os.path.join(REPO, "SCALE_ROOTCAUSE.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({n: r["verdict"] for n, r in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
