@@ -95,7 +95,7 @@ AUDITED = {
     "x101_phash_image_neardup": "pHash near-dup: one Arrow decode pass (mapInPandas), codegen dHash words, band groupBy + capped block pairs — never a self-join of payloads",
     "x102_doc_fate": "doc fate: pure projection over the SAME persisted flag frame the funnel aggregates — no extra corpus work",
     "x103_audio_fingerprint_neardup": "audio near-dup: one Arrow decode pass, codegen energy-gradient words, band groupBy + capped block pairs — never a self-join of payloads",
-    "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins. Stage pricing (r8, sf0.1, measured): keys ~0.8s | pairs+verify ~2.1s | closure was ~4.2s dominated by ROUND COUNT (graph diameter 8 -> 8 materialized rounds of a 670-row frame); r8's pointer doubling in connected_components cuts rounds to O(log diameter) (8 -> 4) at identical fixpoint labels — the scale-relevant guarantee, since per-round cost at 100 TB is shuffle-dominated and unchanged",
+    "x104_entity_resolution": "entity resolution: vocabulary-sized token-df broadcast onto the exploded tokens; capped in-block pair expansion (LSH skew-guard machinery); closure over verified matches only — the record set never self-joins. Stage pricing (r11, conjunctive keys + pointer doubling, X104_STAGES.json, best-of-3 over persisted inputs): sf0.1 keys 0.71s | pairs+verify 3.17s | closure 1.73s (1,550 pairs, 3 rounds vs diameter 5); big 10x point keys 0.79s | verify 5.81s | closure 2.95s (15,859 pairs — linear in pairs, 5 rounds vs diameter 6). VERIFY now dominates (r8's closure bottleneck closed by pointer doubling); every stage grows <=1.8x per 10x decade. The scale record's 41s big point was best-of-2 noise + 32-partition saturation (SCALE_ROOTCAUSE.json: 13.4s at 128 partitions, repeats=3)",
     "x105_mmr_rerank": "MMR rerank: corpus touched only by the BM25 shortlist stage (one persisted narrow scan, TakeOrderedAndProject); the n^2 sim matrix is a broadcast self-pair of a constant-size frame",
     "x106_embedding_drift": "embedding drift: one union scan -> one (key, side, dim) aggregate; exact-BIGINT quantized sums make the centroids order-independent; output is keys-sized",
     "x107_key_skew_profile": "skew profile: ONE persisted frequency aggregate per key feeds histogram + top-k; percentile walk over the persisted freq-of-freq rows",
