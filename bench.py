@@ -31,6 +31,7 @@ from kafka_spark_streaming_pipeline_spark.cache import session_gc, unpersist_tra
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
 from tools.bench_history import (
+    baseline_sec,
     compact_regressions,
     diff_regressions,
     diff_throughput_drops,
@@ -244,6 +245,18 @@ def main() -> None:
     regressions = diff_regressions(
         times, history, REGRESSION_THRESHOLD, measure=MEASURE
     )
+    # How many queries the check actually BOUND on: a same-protocol
+    # baseline existed (baseline_sec is None exactly when no committed
+    # round shares this run's materialization protocol).  r10's
+    # "0 regressions" was vacuous by construction — first round of the
+    # noop-write protocol, 0 baselines (VERDICT r10 item 2); the
+    # committed record must distinguish that from a real clean diff.
+    n_baselines = sum(
+        1
+        for name in times
+        if name in history
+        and baseline_sec(history[name], measure=MEASURE) is not None
+    )
     for r in regressions:
         print(
             f"# REGRESSION {r['query']}: {r['ratio']}x vs median "
@@ -431,18 +444,28 @@ def main() -> None:
             f"in {d['vs']})",
             file=sys.stderr,
         )
-    try:
-        merged = merge_history(
-            history, times, "local",
-            regressed={r["query"] for r in regressions},
-            measure=MEASURE,
+    # History folds ONLY canonical-SF runs: a smoke run at another SF
+    # (e.g. sf0.001) would otherwise overwrite the "local" label with
+    # times from a 100x-smaller corpus and poison every median/best
+    # the regression and throughput alerts compare against.
+    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+        try:
+            merged = merge_history(
+                history, times, "local",
+                regressed={r["query"] for r in regressions},
+                measure=MEASURE,
+            )
+            merged = merge_history(merged, metrics, "local")
+            with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
+                json.dump(merged, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except Exception as exc:
+            print(f"# history update failed: {exc}", file=sys.stderr)
+    else:
+        print(
+            f"# history not updated: non-canonical SF dir {sf_dir}",
+            file=sys.stderr,
         )
-        merged = merge_history(merged, metrics, "local")
-        with open(os.path.join(REPO, "BENCH_HISTORY.json"), "w") as fh:
-            json.dump(merged, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except Exception as exc:
-        print(f"# history update failed: {exc}", file=sys.stderr)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -463,6 +486,7 @@ def main() -> None:
         "slope_floor_sec": SLOPE_FLOOR_SEC,
         "slope_data_ratio": data_ratio,
         "regressions_vs_history": regressions,
+        "n_regression_baselines_bound": n_baselines,
         "streaming_events_per_sec": streaming_eps,
         "gate_docs_per_sec": gate_dps,
         "ingest_docs_per_sec": ingest_dps,
@@ -477,12 +501,15 @@ def main() -> None:
         # quoted as "the" streaming throughput.
         "streaming_protocol": "subprocess fresh-JVM best-of-3, 4 micro-batches",
     }
-    try:
-        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
-            json.dump(full, fh, indent=1)
-            fh.write("\n")
-    except Exception as exc:
-        print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+    # Same canonical-SF guard as the history write: the committed
+    # record must never silently carry another SF's numbers.
+    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+        try:
+            with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+                json.dump(full, fh, indent=1)
+                fh.write("\n")
+        except Exception as exc:
+            print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
 
     # Compact driver line: 2-dp times, slope SUMMARY (max reliable
     # ratio + counts), compact separators — budgeted to parse whole
@@ -516,6 +543,7 @@ def main() -> None:
             "full": "BENCH_FULL.json",
         }
     out["n_regressions"] = len(regressions)
+    out["n_reg_baselines"] = n_baselines
     out["n_tp_drops"] = len(tp_drops)
     if tp_drops:
         out["tp_drops"] = [
