@@ -555,11 +555,41 @@ def main() -> None:
     # the parsed line itself ({q, r, vs}; full detail in BENCH_FULL).
     if regressions:
         out["regressions"] = compact_regressions(regressions)
+    print(_fit_tail_window(out))
+
+
+def _fit_tail_window(out: dict, budget: int = 1950) -> str:
+    """Shrink the compact line DETERMINISTICALLY until it parses whole
+    from the driver's 2000-char stdout tail.  A regression-heavy round
+    otherwise overflows exactly when the line matters most (measured:
+    2014 chars with 4 regressions + 3 throughput drops), and the
+    driver would record a truncated, unparseable head.  Shrink order —
+    alert lists first (full detail is always in BENCH_FULL.json), the
+    per-query map last and loudly (``queries_truncated`` names the
+    dropped count; the slowest queries survive)."""
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1950:
-        print(f"# WARNING compact line {len(line)} chars > tail window",
-              file=sys.stderr)
-    print(line)
+    if len(line) <= budget:
+        return line
+    for cap in (3, 2, 1):
+        if "regressions" in out:
+            out["regressions"] = out["regressions"][:cap]
+        if "tp_drops" in out:
+            out["tp_drops"] = out["tp_drops"][:cap]
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    full_q = out["queries"]
+    for keep in (30, 20, 10):
+        out["queries"] = dict(
+            sorted(full_q.items(), key=lambda kv: -kv[1])[:keep]
+        )
+        out["queries_truncated"] = len(full_q) - keep
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    print(f"# WARNING compact line {len(line)} chars > tail window",
+          file=sys.stderr)
+    return line
 
 
 if __name__ == "__main__":

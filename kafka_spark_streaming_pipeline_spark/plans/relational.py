@@ -1953,3 +1953,49 @@ def q52_region_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("supp_region", "cust_region", "yr").agg(
         _r(F.sum("volume"), 2).alias("revenue")
     )
+
+
+@query(
+    "q53_resample_ffill_capped",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1raw
+      FROM events GROUP BY user_id
+    ), capped AS (
+      SELECT user_id, t0,
+             least(t1raw, t0 + INTERVAL 167 HOUR) AS t1,
+             t1raw > t0 + INTERVAL 167 HOUR AS grid_truncated
+      FROM bounds
+    ), grid AS (
+      SELECT user_id, grid_truncated,
+             unnest(generate_series(t0, t1, INTERVAL 1 HOUR))::TIMESTAMP AS bucket
+      FROM capped
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+             count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.grid_truncated, g.bucket,
+           coalesce(h.n, 0) AS n_events,
+           h.sum_value,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+    FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+    """,
+)
+def q53_resample_ffill_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q40's resample with the SPAN-AXIS loud cap engaged (VERDICT r10
+    item 3, oracle-verified form): each key's hourly grid is clamped
+    to its first 168 hours and flagged ``grid_truncated`` — the
+    production setting for corpora whose time span grows with the
+    archive (SPAN_PROBE.json measures that axis: 10x span = 10x grid
+    at ZERO new input rows; the cap returns cost to the bounded-grid
+    magnitude while keeping truncation explicit, never silent).  The
+    oracle replays the clamp exactly (least + interval arithmetic is
+    engine-portable)."""
+    from ..operators.timeseries import resample_ffill
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(events, max_grid_hours=168)

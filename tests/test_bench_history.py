@@ -242,3 +242,44 @@ def test_protocol_aware_baseline_and_regressions():
         measure="noop-write",
     )
     assert "proto" not in merged["streaming_events_per_sec"]
+
+
+def test_fit_tail_window_shrinks_deterministically():
+    """The compact driver line must parse whole from a 2000-char
+    stdout tail even on a regression-heavy round (measured overflow:
+    2014 chars with 4 regressions + 3 throughput drops).  Shrink
+    order: alert lists first, the query map last and loudly."""
+    import json
+
+    from bench import _fit_tail_window
+
+    # small payloads pass through byte-identical
+    small = {"metric": "m", "queries": {"a": 1.0}}
+    assert _fit_tail_window(dict(small)) == json.dumps(
+        small, separators=(",", ":")
+    )
+
+    # an oversized payload: 60 queries + 5 regressions + 3 drops
+    big = {
+        "metric": "headline_query_wall_time",
+        "queries": {f"x{i:03d}_some_query_name": i / 7.0 for i in range(60)},
+        "regressions": [
+            {"q": f"x{i:03d}_some_query_name", "r": 2.0, "vs": "r10"}
+            for i in range(5)
+        ],
+        "tp_drops": [
+            {"m": f"metric_{i}", "r": 3.0, "vs": "r10"} for i in range(3)
+        ],
+    }
+    line = _fit_tail_window(dict(big))
+    assert len(line) <= 1950
+    parsed = json.loads(line)  # parses whole
+    # alert lists shrink before the query map is touched
+    assert len(parsed["regressions"]) <= 5
+    if "queries_truncated" in parsed:
+        # the slowest queries survive truncation
+        kept = parsed["queries"]
+        dropped_max = max(
+            v for k, v in big["queries"].items() if k not in kept
+        )
+        assert min(kept.values()) >= dropped_max

@@ -281,6 +281,7 @@ AUDITED = {
     "q50_large_volume_orders": "Q18 shape: ONE order-key lineitem aggregate; only the HAVING survivors drive the enrichment joins (AQE picks the strategy)",
     "q51_dormant_rich_customers": "Q22 shape: broadcast one-row exact-cents average (no float boundary); anti join on the well-spread customer key; 7-code rollup",
     "q52_region_pair_volume": "Q7 shape: both dimension stacks broadcast after pushed region filters; fact and orders shuffle once on the order key",
+    "q53_resample_ffill_capped": "q40's grid with the span-axis loud cap engaged (max_grid_hours=168): same two-shuffle shape, per-key sequence clamped via least() so grid rows are bounded keys x 168 regardless of archive span; truncation carried as an explicit grid_truncated flag (SPAN_PROBE.json prices the uncapped axis)",
     "x197_quality_budget_threshold": "budget threshold: one scan to a quality-level aggregate (value-set bounded); cumulative window over those few rows (aggregate child); broadcast scalar budget join",
     "x198_materialize_mixture": "materialize mixture: x30's n_sources-row weight aggregates broadcast; ONE per-source cumulative window over the salted ranking; per-source summary aggregate",
 }
