@@ -40,6 +40,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE initialPartitionNum is deliberately NOT raised here.
+        # Measured both ways (AQE_AB.json, r11): 8x initial headroom
+        # cures the one partition-starved amplified-scale point (x104
+        # big: 21s -> 12-19s) and helps other data-heavy shuffles, but
+        # TAXES composed many-small-shuffle pipelines 1.5-3x (x146
+        # detector consensus 1.4s -> 4.0-4.2s, reproducible in both
+        # A/B orders) — AQE's coalescing cannot refund the per-shuffle
+        # overhead of 256 map-output buckets on dozens of tiny
+        # exchanges.  It is a PER-JOB dial: set it (or
+        # spark.sql.shuffle.partitions) generously on data-heavy jobs
+        # at real scale; leave the shared session at the parallelism
+        # default so composed dashboards and streaming micro-batches
+        # stay cheap.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

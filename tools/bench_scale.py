@@ -199,7 +199,10 @@ def main() -> None:
             "32 partitions vs 13.4s at 128, repeats=3 — the one swept "
             "query whose big point is partition-starved); stage pricing "
             "(X104_STAGES.json) shows every stage <=1.8x per decade "
-            "with verify (not closure) now dominant"
+            "with verify (not closure) now dominant.  The remedy is a "
+            "PER-JOB dial, not a session default: AQE_AB.json measures "
+            "8x initialPartitionNum curing this point while taxing "
+            "composed small-shuffle pipelines 1.5-3x (x146)"
         ),
         "x78_contrastive_triplets": (
             "r11 root-cause (SCALE_ROOTCAUSE.json): big-point time is "
