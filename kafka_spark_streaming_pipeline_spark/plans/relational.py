@@ -1999,3 +1999,261 @@ def q53_resample_ffill_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return resample_ffill(events, max_grid_hours=168)
+
+
+@query(
+    "q54_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS order_key,
+           CAST(o.o_orderdate AS DATE)::VARCHAR AS order_date,
+           o.o_orderpriority AS order_priority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, order_date, order_key
+    LIMIT 10
+    """,
+)
+def q54_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10 for
+    one market segment — segment filter pushed into the broadcast
+    customer dimension, date filters pushed to both fact scans, ONE
+    shuffle on the (orderkey, date, priority) group, and the top-10 is
+    TakeOrderedAndProject (per-partition top-k + tiny driver merge —
+    never a global sort).  Ties broken deterministically by
+    (order_date, order_key) so the LIMIT edge is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").cast("string").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "order_date", "order_key")
+        .limit(10)
+    )
+
+
+@query(
+    "q55_returned_item_ranking",
+    oracle="""
+    SELECT c.c_custkey AS cust_key, c.c_name AS cust_name,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue,
+           c.c_acctbal AS acct_bal
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1999-07-01'
+      AND o.o_orderdate < TIMESTAMP '2000-01-01'
+    GROUP BY 1, 2, 3, 5
+    ORDER BY revenue DESC, cust_key
+    LIMIT 20
+    """,
+)
+def q55_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customer ranking): revenue lost
+    to returns in one half-year, per customer, top 20.  The returnflag
+    and date filters are pushed to the two fact scans; customer and
+    nation broadcast (dimension-sized); one shuffle on the customer
+    group; TakeOrderedAndProject for the ranking with a custkey
+    tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1999-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acct_bal"),
+        )
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("cust_key", "cust_name", "nation", "revenue", "acct_bal")
+        .orderBy(F.desc("revenue"), "cust_key")
+        .limit(20)
+    )
+
+
+@query(
+    "q56_order_priority_pipeline",
+    oracle="""
+    SELECT o.o_orderpriority AS order_priority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '2000-01-01'
+      AND o.o_orderdate < TIMESTAMP '2000-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 30
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q56_order_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one
+    half-year with at least one LATE lineitem (shipped >30 days after
+    the order date), counted per priority class — the classic
+    EXISTS-with-correlated-predicate that Catalyst turns into a left
+    SEMI join carrying the non-equi date condition.  Both date filters
+    push to the orders scan; the semi join's build side is the
+    filtered orders slice (AQE broadcasts it when small, shuffles
+    both sides on orderkey when not — no forced hint, the sides scale
+    with data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-07-01").cast("timestamp"))
+    )
+    late = (
+        li["l_orderkey"] == o["o_orderkey"]
+    ) & (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), 30)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("order_priority")
+    )
+
+
+@query(
+    "q57_promo_revenue_share",
+    oracle="""
+    SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END) + 1e-9, 2) AS promo_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS total_revenue,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+             AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l.l_shipdate < TIMESTAMP '2000-01-01'
+    """,
+)
+def q57_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the share of one year's
+    revenue carried by PROMO-typed parts — a conditional aggregate
+    over the fact-to-dimension join.  The date filter pushes to the
+    lineitem scan, part broadcasts (dimension-sized), and both sums
+    come out of ONE pass (the CASE rides the same aggregate) — the
+    fact table is never scanned or shuffled twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r(F.sum(promo), 2).alias("promo_revenue"),
+            _r(F.sum(rev), 2).alias("total_revenue"),
+            _r(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+@query(
+    "q58_disjunctive_brackets",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q58_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets): an
+    OR-of-ANDs predicate spanning BOTH sides of the join — the shape
+    that defeats naive pushdown.  Catalyst extracts the common
+    single-side conjuncts: the brand/size disjunction prunes the
+    broadcast part build side and the quantity-band disjunction
+    (1-11 OR 10-20 OR 20-30 -> quantity between 1 and 30) prunes the
+    lineitem scan, while the full cross-side disjunction evaluates on
+    the joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
