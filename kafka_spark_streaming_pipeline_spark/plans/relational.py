@@ -2257,3 +2257,88 @@ def q58_disjunctive_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q59_market_share",
+    oracle="""
+    WITH sn AS (
+      SELECT s.s_suppkey, n.n_name AS supp_nation
+      FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ), cr AS (
+      SELECT c.c_custkey
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           round(sum(CASE WHEN sn.supp_nation = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END) + 1e-9, 2) AS nation_revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 2)
+             AS market_revenue,
+           round(sum(CASE WHEN sn.supp_nation = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)) + 1e-9, 4)
+             AS market_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN cr ON o.o_custkey = cr.c_custkey
+    JOIN sn ON l.l_suppkey = sn.s_suppkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q59_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one nation's (NATION_7) share of
+    the revenue that ASIA-region customers spend, per year — the
+    share-of-group ratio over a TWO-SIDED dimension join (supplier
+    nation labels the numerator, customer region filters the market).
+    Both dimension stacks broadcast after their pushed filters; the
+    numerator CASE and the denominator come out of ONE grouped pass
+    over the joined fact — never two scans, never two shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sn = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cr = (
+        customer.join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("cn_nk"),
+                    F.col("n_regionkey").alias("cn_rk"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_nk"),
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "ASIA").select(
+                    F.col("r_regionkey").alias("cr_rk")
+                )
+            ),
+            F.col("cn_rk") == F.col("cr_rk"),
+        )
+        .select("c_custkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cr), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            _r(F.sum(nat), 2).alias("nation_revenue"),
+            _r(F.sum(rev), 2).alias("market_revenue"),
+            _r(F.sum(nat) / F.sum(rev), 4).alias("market_share"),
+        )
+        .orderBy("order_year")
+    )
