@@ -27,6 +27,17 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+# The one directory whose runs may fold into BENCH_HISTORY.json /
+# BENCH_FULL.json.  Compared via realpath on BOTH sides so a
+# symlinked or bind-mounted canonical corpus still updates the
+# records (ADVICE r11: abspath comparison silently disabled every
+# record write under a symlink).
+CANONICAL_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _is_canonical(sf_dir: str) -> bool:
+    return os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR)
+
 from kafka_spark_streaming_pipeline_spark.cache import session_gc, unpersist_tracked
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
 from kafka_spark_streaming_pipeline_spark.session import get_spark
@@ -198,7 +209,7 @@ def _best_of(spark, name: str, sf_dir: str, repeats: int) -> tuple[float, int]:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", CANONICAL_SF_DIR)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
@@ -448,7 +459,7 @@ def main() -> None:
     # (e.g. sf0.001) would otherwise overwrite the "local" label with
     # times from a 100x-smaller corpus and poison every median/best
     # the regression and throughput alerts compare against.
-    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+    if _is_canonical(sf_dir):
         try:
             merged = merge_history(
                 history, times, "local",
@@ -503,13 +514,18 @@ def main() -> None:
     }
     # Same canonical-SF guard as the history write: the committed
     # record must never silently carry another SF's numbers.
-    if os.path.abspath(sf_dir) == os.path.abspath("/root/testdata/sf0.1"):
+    if _is_canonical(sf_dir):
         try:
             with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
                 json.dump(full, fh, indent=1)
                 fh.write("\n")
         except Exception as exc:
             print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
+    else:
+        print(
+            f"# BENCH_FULL not updated: non-canonical SF dir {sf_dir}",
+            file=sys.stderr,
+        )
 
     # Compact driver line: 2-dp times, slope SUMMARY (max reliable
     # ratio + counts), compact separators — budgeted to parse whole
@@ -566,7 +582,14 @@ def _fit_tail_window(out: dict, budget: int = 1950) -> str:
     driver would record a truncated, unparseable head.  Shrink order —
     alert lists first (full detail is always in BENCH_FULL.json), the
     per-query map last and loudly (``queries_truncated`` names the
-    dropped count; the slowest queries survive)."""
+    dropped count; the slowest queries survive).  Operates on a copy:
+    the caller's dict (and its nested alert lists) is never mutated
+    (ADVICE r11 — a future reader of ``out`` after this call must not
+    see the shrunken lists)."""
+    out = dict(out)
+    for k in ("regressions", "tp_drops"):
+        if k in out:
+            out[k] = list(out[k])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) <= budget:
         return line

@@ -584,7 +584,11 @@ def ngram_jaccard_pairs(
 # connected_components call (pointer doubling makes this
 # O(log diameter); tools/x104_stage_pricing.py commits it vs the
 # graph's measured diameter).  Telemetry only — never read by engine
-# code.
+# code.  Single-threaded by assumption (ADVICE r11): concurrent
+# driver-side connected_components calls would clobber each other's
+# counts here; the only reader (the stage-pricing tool) runs queries
+# sequentially, so the last-call semantics hold.  Results are
+# unaffected either way — nothing in the engine branches on this.
 CC_LAST_ROUNDS = 0
 
 

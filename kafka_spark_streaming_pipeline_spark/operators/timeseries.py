@@ -313,6 +313,11 @@ def resample_ffill(
     ``grid_truncated`` provenance flag; when unset (default) the
     schema and results are the uncapped exact form — truncation is
     explicit opt-in, never silent."""
+    if max_grid_hours is not None and int(max_grid_hours) < 1:
+        # fail at call time: 0 would build "INTERVAL -1 HOURS", making
+        # t1 < t0, and F.sequence's positive step then dies mid-job
+        # with an opaque executor error (ADVICE r11)
+        raise ValueError("max_grid_hours must be >= 1")
     bounds = events.groupBy(key_col).agg(
         F.date_trunc("hour", F.min(ts_col)).alias("t0"),
         F.date_trunc("hour", F.max(ts_col)).alias("t1"),

@@ -283,3 +283,27 @@ def test_fit_tail_window_shrinks_deterministically():
             v for k, v in big["queries"].items() if k not in kept
         )
         assert min(kept.values()) >= dropped_max
+
+
+def test_fit_tail_window_is_side_effect_free():
+    """_fit_tail_window must not mutate the caller's dict (ADVICE
+    r11): a future reader of ``out`` after the call would otherwise
+    silently see the shrunken alert lists / query map."""
+    import copy
+
+    from bench import _fit_tail_window
+
+    big = {
+        "metric": "headline_query_wall_time",
+        "queries": {f"x{i:03d}_some_query_name": i / 7.0 for i in range(60)},
+        "regressions": [
+            {"q": f"x{i:03d}_some_query_name", "r": 2.0, "vs": "r10"}
+            for i in range(5)
+        ],
+        "tp_drops": [
+            {"m": f"metric_{i}", "r": 3.0, "vs": "r10"} for i in range(3)
+        ],
+    }
+    snapshot = copy.deepcopy(big)
+    _fit_tail_window(big)  # no dict() defense — the function owns it now
+    assert big == snapshot

@@ -3700,3 +3700,23 @@ def test_resample_ffill_grid_cap_truncates_loudly(spark):
         "2024-01-01 02:00:00": 1.0,
         "2024-01-01 03:00:00": 1.0,
     }
+
+
+def test_resample_ffill_rejects_degenerate_cap(spark):
+    """max_grid_hours < 1 must fail AT CALL TIME with a clear error,
+    not deep in the job: 0 would build INTERVAL -1 HOURS (t1 < t0)
+    and F.sequence's positive step dies mid-executor otherwise
+    (ADVICE r11)."""
+    import pytest as _pytest
+
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        resample_ffill,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="max_grid_hours"):
+            resample_ffill(events, max_grid_hours=bad)
