@@ -2342,3 +2342,171 @@ def q59_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ------------------------------------------- correlated-subquery shapes
+# (VERDICT r11 item 2): q34/q47 carry the Q17/Q21 SEMANTICS in their
+# hand-decorrelated production forms; these three hand Catalyst the
+# raw CORRELATED SQL instead, so the plan audit exercises the
+# optimizer's decorrelation itself — a correlated scalar aggregate
+# must compile to aggregate-then-join, nested IN over an aggregated
+# subquery to a semi-join chain, and an EXISTS/NOT-EXISTS pair to a
+# semi + anti join, never a per-row re-scan of the fact table.
+
+
+@query(
+    "q60_correlated_scalar_avg",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_small_orders
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'blue%'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q60_correlated_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) in its RAW correlated
+    form: each lineitem of the filtered parts compared against a
+    scalar subquery re-aggregating the fact table per outer part.
+    Unlike q34 (the same semantics pre-decorrelated by hand), this
+    hands Catalyst the correlated SQL — the optimizer must rewrite
+    the scalar subquery to ONE per-partkey average aggregate joined
+    back on the correlation key.  Executed naively (one fact re-scan
+    per probe row) this is O(|lineitem|^2); decorrelated it is two
+    scans and one join — the single most important rewrite for
+    correlated analytics at 100 TB.  Reference: the reference engine
+    has no subqueries at all (SURVEY §2.3); this is contract surface
+    beyond it."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_small_orders
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'blue%'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@query(
+    "q61_nested_semi_aggregate",
+    oracle="""
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'blue%')
+          AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+          AND l.l_shipdate < TIMESTAMP '2000-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 55
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q61_nested_semi_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential-part-promotion, adapted to the
+    available columns — the corpus has no partsupp table): suppliers
+    who moved more than a threshold quantity of one part family in
+    one year.  The outer IN is a semi-join whose build side is an
+    AGGREGATED subquery (per supplier x part HAVING), and that
+    subquery itself contains a nested IN (the part-name screen) —
+    the two-level semi-join nesting Q20 exists to exercise.  Catalyst
+    must push the nested IN into the fact scan side as a semi-join
+    BEFORE the aggregate (filter-then-aggregate, part side
+    broadcast), then semi-join supplier against the tiny HAVING
+    survivor set — the fact table is scanned exactly once."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'blue%')
+              AND l.l_shipdate >= TIMESTAMP '1999-01-01'
+              AND l.l_shipdate < TIMESTAMP '2000-01-01'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 55
+        )
+        ORDER BY s.s_name
+        """
+    )
+
+
+@query(
+    "q62_correlated_exists_pair",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q62_correlated_exists_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) in its RAW
+    correlated EXISTS + NOT EXISTS form — the hardest decorrelation
+    pattern in the suite: one probe with TWO correlated subqueries of
+    opposite polarity, each carrying a non-equi conjunct (suppkey <>)
+    alongside the equi correlation (orderkey =).  Catalyst must lower
+    them to a left-SEMI and a left-ANTI join on the order key.  Unlike
+    q47 (same semantics, hand-lowered over ONE persisted (orderkey,
+    suppkey, late) frame — the production form at scale, since SQL
+    CTE inlining re-derives the frame per reference), this exercises
+    the optimizer path; counting is per late LINEITEM (stock Q21),
+    where q47 counts distinct (order, supplier) pairs — the two are
+    deliberately non-identical."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM li l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )

@@ -556,3 +556,33 @@ def test_conformal_sets_walk_window_child_is_aggregate(spark):
         assert "HashAggregate" in below or "SortAggregate" in below, (
             lines[i] + "\n" + below
         )
+
+
+def test_pushdown_ratio_counts_all_scans():
+    """The PLANS.md pushed-filter denominator must count ALL
+    data-bearing parquet scans (VERDICT r11 item 5): the simple-mode
+    plan string truncates wide FileScan lines, dropping a scan's
+    PushedFilters attribute entirely, which made q58 read '1/1' while
+    the same entry listed 2 scans.  The extractor now reads the
+    formatted explain, where each scan node prints one untruncated
+    PushedFilters line."""
+    from tools.dump_plans import pushdown_ratio
+
+    fmt = "\n".join(
+        [
+            "(1) Scan parquet ",
+            "Output [3]: [l_partkey, l_quantity, l_extendedprice]",
+            "PushedFilters: [IsNotNull(l_partkey), Or(...)]",
+            "(4) Scan parquet ",
+            "Output [2]: [p_partkey, p_brand]",
+            "PushedFilters: [IsNotNull(p_size), EqualTo(p_brand,B)]",
+            "(9) Scan parquet ",
+            "Output [1]: [n_nationkey]",
+            "PushedFilters: []",
+        ]
+    )
+    assert pushdown_ratio(fmt) == (2, 3)
+    # a scan node whose PushedFilters line got lost entirely still
+    # counts in the denominator (max of node count vs attr count)
+    fmt_lossy = "(1) Scan parquet \n(2) Scan parquet \nPushedFilters: [X]"
+    assert pushdown_ratio(fmt_lossy) == (1, 2)

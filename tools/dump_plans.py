@@ -288,12 +288,30 @@ AUDITED = {
     "q57_promo_revenue_share": "Q14 shape: conditional aggregate over a broadcast dim join — promo and total sums in ONE fact pass, date filter pushed to the lineitem scan",
     "q58_disjunctive_brackets": "Q19 shape: OR-of-ANDs spanning the join; Catalyst extracts single-side conjuncts (brand/size disjunction prunes the part build, quantity 1-30 envelope pushes to the lineitem scan) and evaluates the full disjunction on joined rows",
     "q59_market_share": "Q8 shape: share-of-group ratio over a two-sided dimension join — supplier nation labels the numerator, customer region (pushed into its broadcast stack) filters the market; numerator CASE and denominator in ONE grouped fact pass",
+    "q60_correlated_scalar_avg": "Q17 raw correlated form: Catalyst DECORRELATES the per-part scalar AVG subquery to one grouped aggregate broadcast-joined back on the correlation key — 3 scans / 1 exchange / 2 broadcast joins, never a per-row fact re-scan (q34 is the same semantics pre-lowered by hand)",
+    "q61_nested_semi_aggregate": "Q20 shape, raw nested-IN form: the part-name IN lowers to a semi join BELOW the (suppkey, partkey) aggregate, the outer IN to a semi join against the tiny HAVING survivor set — fact scanned once, 2 semi joins, 1 exchange",
+    "q62_correlated_exists_pair": "Q21 raw correlated form: EXISTS and NOT EXISTS (each with a non-equi suppkey<> conjunct riding the orderkey correlation) lower to one left-SEMI + one left-ANTI join — no per-row re-scan; the CTE inlines 3x (7 textual scans), which is why q47's persisted hand-lowering stays the production form",
     "x197_quality_budget_threshold": "budget threshold: one scan to a quality-level aggregate (value-set bounded); cumulative window over those few rows (aggregate child); broadcast scalar budget join",
     "x198_materialize_mixture": "materialize mixture: x30's n_sources-row weight aggregates broadcast; ONE per-source cumulative window over the salted ranking; per-source summary aggregate",
 }
 
 
-def summarize(plan: str) -> str:
+def pushdown_ratio(fmt: str) -> tuple[int, int]:
+    """(scans with nonempty pushed filters, ALL data-bearing parquet
+    scans) from the FORMATTED explain — the simple-mode toString
+    truncates each FileScan line at ~150 chars, silently dropping the
+    PushedFilters attribute of wide scans, which made the old ratio's
+    denominator under-count (VERDICT r11 item 5: q58 read 1/1 while
+    listing 2 scans).  Formatted mode prints one untruncated
+    PushedFilters line per scan node, so numerator and denominator
+    come from the same lossless source."""
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", fmt))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", fmt)
+    nonempty = [p for p in pushed if p.strip()]
+    return len(nonempty), max(n_scans, len(pushed))
+
+
+def summarize(plan: str, fmt: str | None = None) -> str:
     out = []
     n_scans = plan.count("Scan parquet")
     n_cached = plan.count("InMemoryTableScan")
@@ -309,9 +327,8 @@ def summarize(plan: str) -> str:
     out.append(f"- shuffle exchanges: {plan.count('Exchange hashpartitioning')}")
     out.append(f"- broadcast joins: {plan.count('BroadcastHashJoin')}"
                f" | sort-merge joins: {plan.count('SortMergeJoin')}")
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    nonempty = [p for p in pushed if p.strip()]
-    out.append(f"- scans with pushed filters: {len(nonempty)}/{len(pushed)}")
+    n_pushed, n_all = pushdown_ratio(fmt if fmt is not None else plan)
+    out.append(f"- scans with pushed filters: {n_pushed}/{n_all}")
     for rs in re.findall(r"ReadSchema: struct<([^>]*)", plan)[:4]:
         cols = rs.count(":")
         out.append(f"- scan reads {cols} columns: `{rs[:90]}`")
@@ -329,10 +346,14 @@ def main() -> None:
         "the 100 TB design calls for (README §Scale design).",
         "",
     ]
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
     for name, claim in AUDITED.items():
         df = QUERIES[name].builder(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        lines += [f"## {name}", "", f"*Claim:* {claim}", "", summarize(plan), ""]
+        qe = df._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
+        fmt = qe.explainString(explain_mode.fromString("formatted"))
+        lines += [f"## {name}", "", f"*Claim:* {claim}", "",
+                  summarize(plan, fmt), ""]
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "PLANS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
