@@ -172,6 +172,7 @@ def entity_resolve(
     passes: int = 2,
     max_block_size: int = 128,
     conjunctive: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Full entity resolution: every record labeled with its entity.
 
@@ -180,7 +181,26 @@ def entity_resolve(
     connected match-component (singletons label themselves) and the
     canonical record — the golden-record survivor — is the member
     equal to that minimum.  The closure runs on verified pairs only,
-    so its input is |matches|, not |records|."""
+    so its input is |matches|, not |records|.
+
+    ``shuffle_partitions`` is the measured per-job partition-headroom
+    dial (VERDICT r11 item 1): at 10x the bench corpus this pipeline
+    is STARVED at the session's 32 shuffle partitions
+    (SCALE_ROOTCAUSE.json: 20.8 s -> 13.4 s at 128), and the cure
+    must not be a session default (AQE_AB.json: 8x initial headroom
+    taxes composed small-shuffle pipelines 1.5-3x).  When set, the
+    heavy stages — blocking, capped pair expansion, Jaccard verify,
+    and the iterative closure, which all MATERIALIZE inside this call
+    via the closure's checkpoints — run under a scoped
+    ``spark.sql.shuffle.partitions`` / AQE ``initialPartitionNum``
+    that is restored (even on failure) before returning; AQE still
+    coalesces down where stats are small.  The returned frame's final
+    join/window executes lazily at the caller's action under session
+    defaults — it is output-sized, not pair-scale.  Size the dial to
+    data volume: ~(verified-pair bytes / 128 MB) per the usual
+    partition-sizing rule, or leave None below the saturation point."""
+    from ..session import scoped_shuffle_partitions
+
     pairs = entity_pairs(
         records,
         id_col=id_col,
@@ -190,7 +210,11 @@ def entity_resolve(
         max_block_size=max_block_size,
         conjunctive=conjunctive,
     )
-    labels = connected_components(pairs, "id_a", "id_b")
+    if shuffle_partitions is not None:
+        with scoped_shuffle_partitions(records.sparkSession, shuffle_partitions):
+            labels = connected_components(pairs, "id_a", "id_b")
+    else:
+        labels = connected_components(pairs, "id_a", "id_b")
     out = records.join(labels, records[id_col] == labels.id, "left").select(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("entity_id"),

@@ -76,3 +76,47 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` AND AQE's
+    ``initialPartitionNum`` to ``n`` for the duration of one job, then
+    restore both (unset keys are unset again) even on failure.
+
+    This is the per-job partition-headroom dial the r11 measurements
+    call for: SCALE_ROOTCAUSE.json proved x104's amplified-scale point
+    is STARVED at the session's 32 partitions (20.8 s -> 13.4 s at
+    128, repeats=3) while AQE_AB.json proved raising the session-wide
+    initial partition count taxes composed small-shuffle pipelines
+    1.5-3x and streaming ~30% — so the headroom must be scoped to the
+    data-heavy job, never the shared session.  AQE still coalesces
+    DOWN from ``n`` when the stats are small, so over-provisioning
+    inside the scope costs only map-output bookkeeping.
+
+    Spark reads these confs at ACTION time, so the scope covers
+    exactly the jobs triggered inside the ``with`` block; lazy frames
+    returned out of the scope execute under the restored session
+    defaults (document per-operator which stages materialize
+    inside)."""
+    if int(n) < 1:
+        raise ValueError("shuffle_partitions must be >= 1")
+    conf = spark.conf
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    )
+    prev = {k: conf.get(k, None) for k in keys}
+    for k in keys:
+        conf.set(k, str(int(n)))
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

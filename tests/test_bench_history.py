@@ -307,3 +307,45 @@ def test_fit_tail_window_is_side_effect_free():
     snapshot = copy.deepcopy(big)
     _fit_tail_window(big)  # no dict() defense — the function owns it now
     assert big == snapshot
+
+
+def test_coverage_end_state_matches_committed_bench_record():
+    """COVERAGE.md's end-state headline numbers must be the COMMITTED
+    round record's, not a better uncommitted run (VERDICT r11 item 3:
+    the narrative quoted 51.3s/12,770 ev/s while BENCH_r11.json held
+    55.325s/12,025.7).  Single source: the latest BENCH_r*.json."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    records = sorted(
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    assert records, "no committed BENCH_r*.json"
+    latest = json.load(open(records[-1]))
+    parsed = latest.get("parsed") or json.loads(
+        latest["tail"][latest["tail"].rindex('{"metric"'):]
+    )
+
+    text = open(os.path.join(repo, "COVERAGE.md")).read()
+    # the LAST end-state section is the current one (earlier rounds
+    # keep theirs as history)
+    tail = text[text.rindex("End state:"):]
+    m = re.search(
+        r"headline\s+bench\s+([\d.]+)s.*?"
+        r"streaming\s+([\d.]+)\s+events/s",
+        tail,
+        re.S,
+    )
+    assert m, "COVERAGE.md end-state headline line not found/parseable"
+    assert float(m.group(1)) == parsed["value"], (
+        f"COVERAGE end-state quotes {m.group(1)}s; committed "
+        f"{records[-1]} says {parsed['value']}s"
+    )
+    assert float(m.group(2)) == parsed["streaming_events_per_sec"], (
+        f"COVERAGE end-state quotes {m.group(2)} events/s; committed "
+        f"{records[-1]} says {parsed['streaming_events_per_sec']}"
+    )

