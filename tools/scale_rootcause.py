@@ -146,5 +146,66 @@ def main() -> None:
     print(json.dumps({n: r["verdict"] for n, r in results.items()}))
 
 
+def remeasure_mid(name: str, repeats: int) -> None:
+    """Re-measure ONE query's mid-point row across the sweep at
+    higher repeats and merge it into the committed record (VERDICT
+    r11 item 4: x78's repeats=3 mid row spread 3.2x — 2.28/0.79/2.55s
+    across 8/32/128 — too noisy to support the entry's own verdict,
+    which correctly leans on the stable big point only).  The big
+    rows, the saturation verdict (a function of big alone), and every
+    other query are untouched; only the mid row, the derived
+    r2_per_setting quotients, and a provenance note change."""
+    path = os.path.join(REPO, "SCALE_ROOTCAUSE.json")
+    with open(path) as fh:
+        data = json.load(fh)
+    if name not in data["queries"]:
+        raise SystemExit(f"unknown query in record: {name}")
+    rec = data["queries"][name]
+
+    spark = get_spark(app_name="scale_rootcause_mid")
+    spark.range(1).count()
+    QUERIES[name].builder(spark, "/root/testdata/sf0.001").count()
+    from kafka_spark_streaming_pipeline_spark.cache import unpersist_tracked
+
+    unpersist_tracked()
+
+    default_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    old_mid = dict(rec["mid"])
+    for sp in data["sweep_shuffle_partitions"]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        t_mid, _ = _best_of(spark, name, MID, repeats)
+        rec["mid"][str(sp)] = round(t_mid, 3)
+        print(f"# {name} sp={sp}: mid={t_mid:.3f}s (was "
+              f"{old_mid[str(sp)]}s at repeats={data['repeats']})",
+              file=sys.stderr)
+    spark.conf.set("spark.sql.shuffle.partitions", default_sp)
+    rec["r2_per_setting"] = {
+        sp: round(rec["big"][sp] / rec["mid"][sp], 2) for sp in rec["big"]
+    }
+    rec["mid_remeasure"] = {
+        "repeats": repeats,
+        "previous_mid": old_mid,
+        "note": (
+            "mid row re-measured at higher repeats (VERDICT r11 item "
+            "4); big rows and verdict untouched — the verdict is a "
+            "function of the big point's partition sensitivity only"
+        ),
+    }
+    with open(path, "w") as fh:
+        json.dump(data, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps({name: rec["mid"], "r2": rec["r2_per_setting"]}))
+
+
 if __name__ == "__main__":
-    main()
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--mid-only":
+        if len(argv) not in (2, 4) or (len(argv) == 4 and argv[2] != "--repeats"):
+            raise SystemExit(
+                "usage: scale_rootcause.py --mid-only QUERY [--repeats N]"
+            )
+        remeasure_mid(argv[1], int(argv[3]) if len(argv) == 4 else 5)
+    elif argv:
+        raise SystemExit(f"unknown args: {argv}")
+    else:
+        main()
