@@ -1589,3 +1589,100 @@ def test_materialize_mixture_empty_source_left_join(spark):
         assert (r.target_tokens, r.kept_docs, r.kept_tokens, r.utilization) == (
             0, 0, 0, 0.0
         )
+
+
+# ------------------------------------- streaming substring-clean sink
+# (VERDICT r11 item 7): the batch x193-x196 family is property-tested
+# above; this closes the gap for its streaming twin — arrival-order-
+# partitioned cleanup through make_substring_clean_sink must equal
+# the one-shot batch cleaner on the same corpus, for ANY doc-id-order
+# batch partition, whenever the corpus is free of the one corner
+# streaming causality forbids (a document self-repeating a window
+# that only LATER becomes cross-document shared: the batch cleaner
+# would retroactively trim the already-shipped self-repeat).
+
+
+def _py_has_retroactive_corner(docs: dict[int, list[str]], k: int) -> bool:
+    """True iff some window gram occurs >= 2 times inside one document
+    AND in >= 2 distinct documents — the (conservative) corner where
+    shipped-batches-are-final may diverge from the batch cleaner."""
+    occ = _py_occurrences(docs, k)
+    for lst in occ.values():
+        docs_seen = {i for i, _, _ in lst}
+        if len(docs_seen) >= 2 and len(lst) > len(docs_seen):
+            return True
+    return False
+
+
+@settings(max_examples=10, deadline=None)
+@given(substring_corpus(), st.data())
+def test_streaming_substring_clean_equals_batch_for_any_split(
+    spark, docs, data
+):
+    import shutil
+    import tempfile
+
+    from hypothesis import assume
+
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        substring_dedup_clean,
+    )
+    from kafka_spark_streaming_pipeline_spark.streaming.sinks import (
+        make_substring_clean_sink,
+        substring_clean_view,
+    )
+
+    assume(not _py_has_retroactive_corner(docs, 3))
+
+    ordered = sorted(docs)
+    n_batches = data.draw(st.integers(1, 3), label="n_batches")
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(0, len(ordered)),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+            ),
+            label="cuts",
+        )
+    )
+    bounds = [0, *cuts, len(ordered)]
+    batches = [
+        ordered[bounds[j]:bounds[j + 1]] for j in range(len(bounds) - 1)
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="subclean_prop_")
+    try:
+        sink = make_substring_clean_sink(
+            f"{tmp}/hashes", f"{tmp}/clean", k=3
+        )
+        for bid, ids in enumerate(batches):
+            if not ids:
+                continue
+            sink(
+                spark.createDataFrame(
+                    [(i, " ".join(docs[i])) for i in ids],
+                    "doc_id long, text string",
+                ),
+                bid,
+            )
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_tokens_before,
+                       r.n_tokens_removed)
+            for r in substring_clean_view(spark, f"{tmp}/clean").collect()
+        }
+        full = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        want = {
+            r.doc_id: (r.cleaned_text, r.n_tokens_before,
+                       r.n_tokens_removed)
+            for r in substring_dedup_clean(full, k=3, min_docs=2).collect()
+        }
+        # the python reference pins the batch side too, so a bug that
+        # breaks BOTH engines identically cannot hide
+        assert want == _py_substring_clean(docs, 3)
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
