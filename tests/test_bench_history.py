@@ -313,27 +313,40 @@ def test_coverage_end_state_matches_committed_bench_record():
     """COVERAGE.md's end-state headline numbers must be the COMMITTED
     round record's, not a better uncommitted run (VERDICT r11 item 3:
     the narrative quoted 51.3s/12,770 ev/s while BENCH_r11.json held
-    55.325s/12,025.7).  Single source: the latest BENCH_r*.json."""
+    55.325s/12,025.7).  The end state must NAME the BENCH_r*.json it
+    quotes, and the numbers must equal that record byte-for-byte; the
+    cited record may trail the newest by at most one round (the
+    driver commits BENCH_r{N}.json after the round's narrative is
+    sealed — the next round refreshes the quote)."""
     import glob
     import json
     import os
     import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    records = sorted(
-        glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    rounds = sorted(
+        int(re.search(r"BENCH_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
     )
-    assert records, "no committed BENCH_r*.json"
-    latest = json.load(open(records[-1]))
-    parsed = latest.get("parsed") or json.loads(
-        latest["tail"][latest["tail"].rindex('{"metric"'):]
-    )
+    assert rounds, "no committed BENCH_r*.json"
 
     text = open(os.path.join(repo, "COVERAGE.md")).read()
     # the LAST end-state section is the current one (earlier rounds
     # keep theirs as history)
     tail = text[text.rindex("End state:"):]
+    cited = re.search(r"BENCH_r(\d+)\.json", tail)
+    assert cited, "COVERAGE.md end state must name its BENCH_r*.json source"
+    n = int(cited.group(1))
+    assert n in rounds, f"cited BENCH_r{n}.json is not committed"
+    assert n >= rounds[-1] - 1, (
+        f"end state cites BENCH_r{n}.json but BENCH_r{rounds[-1]}.json "
+        "is committed — refresh the quote"
+    )
+    record = json.load(open(os.path.join(repo, f"BENCH_r{n}.json")))
+    parsed = record.get("parsed") or json.loads(
+        record["tail"][record["tail"].rindex('{"metric"'):]
+    )
+
     m = re.search(
         r"headline\s+bench\s+([\d.]+)s.*?"
         r"streaming\s+([\d.]+)\s+events/s",
@@ -343,9 +356,9 @@ def test_coverage_end_state_matches_committed_bench_record():
     assert m, "COVERAGE.md end-state headline line not found/parseable"
     assert float(m.group(1)) == parsed["value"], (
         f"COVERAGE end-state quotes {m.group(1)}s; committed "
-        f"{records[-1]} says {parsed['value']}s"
+        f"BENCH_r{n}.json says {parsed['value']}s"
     )
     assert float(m.group(2)) == parsed["streaming_events_per_sec"], (
         f"COVERAGE end-state quotes {m.group(2)} events/s; committed "
-        f"{records[-1]} says {parsed['streaming_events_per_sec']}"
+        f"BENCH_r{n}.json says {parsed['streaming_events_per_sec']}"
     )
