@@ -2510,3 +2510,56 @@ def q62_correlated_exists_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "q63_scalar_equality_correlation",
+    oracle="""
+    SELECT DISTINCT p.p_partkey AS part_key, p.p_name AS part_name,
+           s.s_name AS supp_name, s.s_acctbal AS acct_bal
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 3
+      AND s.s_acctbal = (SELECT max(s2.s_acctbal)
+                         FROM lineitem l2
+                         JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                         WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY acct_bal DESC, part_key, supp_name
+    LIMIT 100
+    """,
+)
+def q63_scalar_equality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier, adapted — the corpus has
+    no partsupp, so best-balance supplier per shipped part): the
+    fourth and last classic decorrelation variant the q-series lacked
+    — a correlated scalar aggregate used as an EQUALITY predicate
+    (q60's is an inequality).  The rewrite is subtly different:
+    equality-on-aggregate decorrelates to aggregate-then-join where
+    the aggregate value joins back as a SECOND equi-key alongside the
+    correlation key, so the probe is a pure hash join on (partkey,
+    acctbal) — the plan shape that makes per-group argmax-by-subquery
+    free at 100 TB.  Ties (two suppliers at the part's max balance)
+    both survive, exactly as stock Q2; the top-100 rides
+    TakeOrderedAndProject under a total deterministic order.
+    Per-row acctbal values are stored data (bit-identical across
+    engines) so the oracle needs no rounding."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey AS part_key, p.p_name AS part_name,
+               s.s_name AS supp_name, s.s_acctbal AS acct_bal
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE p.p_size <= 3
+          AND s.s_acctbal = (SELECT max(s2.s_acctbal)
+                             FROM lineitem l2
+                             JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+                             WHERE l2.l_partkey = p.p_partkey)
+        ORDER BY acct_bal DESC, part_key, supp_name
+        LIMIT 100
+        """
+    )

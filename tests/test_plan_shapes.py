@@ -586,3 +586,48 @@ def test_pushdown_ratio_counts_all_scans():
     # counts in the denominator (max of node count vs attr count)
     fmt_lossy = "(1) Scan parquet \n(2) Scan parquet \nPushedFilters: [X]"
     assert pushdown_ratio(fmt_lossy) == (1, 2)
+
+
+def test_q60_scalar_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The RAW correlated scalar-AVG subquery (TPC-H Q17 form) must
+    compile to aggregate-then-join — one grouped per-partkey average
+    joined back — never a per-outer-row re-scan of the fact table.
+    Executed naively this is O(|lineitem|^2); the test pins the
+    rewrite by scan count (3: lineitem probe + lineitem aggregate +
+    part) and the absence of any subquery-execution node."""
+    plan = _plan(spark, sf_dir, "q60_correlated_scalar_avg")
+    assert plan.count("Scan parquet") == 3
+    assert "Subquery" not in plan  # fully decorrelated, no per-row exec
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q61_nested_in_lowers_to_semi_join_chain(spark, sf_dir):
+    """Both IN subqueries (the part screen below the aggregate, the
+    supplier probe above it) must lower to LEFT SEMI hash joins with
+    the fact scanned exactly once."""
+    plan = _plan(spark, sf_dir, "q61_nested_semi_aggregate")
+    assert plan.count("LeftSemi") == 2
+    assert plan.count("Scan parquet") == 4  # lineitem, part, supplier, nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_q62_exists_pair_lowers_to_semi_plus_anti(spark, sf_dir):
+    """The opposite-polarity correlated EXISTS / NOT EXISTS pair
+    (TPC-H Q21 form) must lower to exactly one left-SEMI and one
+    left-ANTI join carrying the non-equi suppkey<> conjunct — never
+    a per-row subquery execution."""
+    plan = _plan(spark, sf_dir, "q62_correlated_exists_pair")
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 1
+    assert "Subquery" not in plan
+
+
+def test_q63_scalar_equality_correlation_decorrelates(spark, sf_dir):
+    """The equality-on-aggregate correlation (TPC-H Q2 form) must
+    decorrelate to aggregate-then-join — the per-part MAX joins back
+    as a second equi-key, never a per-outer-row subquery execution."""
+    plan = _plan(spark, sf_dir, "q63_scalar_equality_correlation")
+    assert "Subquery" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, no global sort
+    assert plan.count("Scan parquet") == 5

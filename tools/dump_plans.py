@@ -291,6 +291,7 @@ AUDITED = {
     "q60_correlated_scalar_avg": "Q17 raw correlated form: Catalyst DECORRELATES the per-part scalar AVG subquery to one grouped aggregate broadcast-joined back on the correlation key — 3 scans / 1 exchange / 2 broadcast joins, never a per-row fact re-scan (q34 is the same semantics pre-lowered by hand)",
     "q61_nested_semi_aggregate": "Q20 shape, raw nested-IN form: the part-name IN lowers to a semi join BELOW the (suppkey, partkey) aggregate, the outer IN to a semi join against the tiny HAVING survivor set — fact scanned once, 2 semi joins, 1 exchange",
     "q62_correlated_exists_pair": "Q21 raw correlated form: EXISTS and NOT EXISTS (each with a non-equi suppkey<> conjunct riding the orderkey correlation) lower to one left-SEMI + one left-ANTI join — no per-row re-scan; the CTE inlines 3x (7 textual scans), which is why q47's persisted hand-lowering stays the production form",
+    "q63_scalar_equality_correlation": "Q2 shape, raw correlated form: a scalar MAX subquery used as an EQUALITY predicate decorrelates to aggregate-then-join with the aggregate value as a SECOND equi-key alongside the correlation key (per-group argmax as a pure hash join); 0 subquery nodes, TakeOrderedAndProject top-100 under a total deterministic order",
     "x197_quality_budget_threshold": "budget threshold: one scan to a quality-level aggregate (value-set bounded); cumulative window over those few rows (aggregate child); broadcast scalar budget join",
     "x198_materialize_mixture": "materialize mixture: x30's n_sources-row weight aggregates broadcast; ONE per-source cumulative window over the salted ranking; per-source summary aggregate",
 }
