@@ -48,11 +48,13 @@ def get_spark(
         # detector consensus 1.4s -> 4.0-4.2s, reproducible in both
         # A/B orders) — AQE's coalescing cannot refund the per-shuffle
         # overhead of 256 map-output buckets on dozens of tiny
-        # exchanges.  It is a PER-JOB dial: set it (or
-        # spark.sql.shuffle.partitions) generously on data-heavy jobs
-        # at real scale; leave the shared session at the parallelism
-        # default so composed dashboards and streaming micro-batches
-        # stay cheap.
+        # exchanges.  It is a PER-JOB dial: use
+        # scoped_shuffle_partitions (below) — it scopes BOTH confs
+        # around one job and restores them even on failure — or the
+        # operator-level knob that applies it
+        # (entity_resolve(shuffle_partitions=...)); leave the shared
+        # session at the parallelism default so composed dashboards
+        # and streaming micro-batches stay cheap.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # --- python exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
