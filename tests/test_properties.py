@@ -1596,21 +1596,42 @@ def test_materialize_mixture_empty_source_left_join(spark):
 # above; this closes the gap for its streaming twin — arrival-order-
 # partitioned cleanup through make_substring_clean_sink must equal
 # the one-shot batch cleaner on the same corpus, for ANY doc-id-order
-# batch partition, whenever the corpus is free of the one corner
-# streaming causality forbids (a document self-repeating a window
-# that only LATER becomes cross-document shared: the batch cleaner
-# would retroactively trim the already-shipped self-repeat).
+# batch partition, whenever the corpus is free of the corners
+# streaming causality forbids (shipped batches are final, so any
+# edit/protection decision that depends on documents arriving LATER
+# cannot be replayed):
+#   1. retroactive removal — a document self-repeats a window that
+#      only later becomes cross-document shared: the batch cleaner
+#      trims the already-shipped self-repeat;
+#   2. retroactive protection — a window's protected FIRST occurrence
+#      overlaps a removal span in the same (earliest-id, so
+#      earliest-shipped) document, but the window only becomes
+#      cross-document when a later doc arrives: the batch cleaner
+#      shields those tokens, the stream has already dropped them.
+# Removals themselves never lag: a non-first occurrence lives in a
+# LARGER doc id, so its gram's first doc has always shipped first.
 
 
 def _py_has_retroactive_corner(docs: dict[int, list[str]], k: int) -> bool:
-    """True iff some window gram occurs >= 2 times inside one document
-    AND in >= 2 distinct documents — the (conservative) corner where
-    shipped-batches-are-final may diverge from the batch cleaner."""
+    """True iff the corpus admits either causality corner above for
+    SOME batch split (conservative: split-independent)."""
     occ = _py_occurrences(docs, k)
+    removals: dict[int, list[tuple[int, int]]] = {}
+    firsts: list[tuple[int, int, int]] = []
     for lst in occ.values():
         docs_seen = {i for i, _, _ in lst}
-        if len(docs_seen) >= 2 and len(lst) > len(docs_seen):
-            return True
+        if len(docs_seen) < 2:
+            continue
+        if len(lst) > len(docs_seen):
+            return True  # corner 1: cross-doc gram self-repeats somewhere
+        lst.sort()
+        i0, s0, e0 = lst[0]
+        firsts.append((i0, s0, e0))
+        for i, s, e in lst[1:]:
+            removals.setdefault(i, []).append((s, e))
+    for i0, s0, e0 in firsts:
+        if any(s <= e0 and s0 <= e for s, e in removals.get(i0, ())):
+            return True  # corner 2: first occurrence overlaps a removal
     return False
 
 
