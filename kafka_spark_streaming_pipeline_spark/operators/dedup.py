@@ -637,15 +637,23 @@ def connected_components(
         part_cols = ["dst"]
     # partition ONCE by the join key: every iteration's
     # edges-to-labels join reuses this layout, so only the (small)
-    # label side shuffles per round
-    edges = edges.repartition(*part_cols).localCheckpoint()
+    # label side shuffles per round.  Checkpoints here and below are
+    # LAZY (eager=False): every round already ends in a count() action
+    # for the convergence check, so that count doubles as the
+    # materializer — eager checkpoints ran one extra driver job per
+    # round (init + round, measured ~2x the job count for identical
+    # compute; r12 optimization pass, guide §1.2 "remove passes").
+    # The blocks still cache on first materialization and the SQL
+    # lineage is still truncated at build time, so the exponential
+    # iterative-plan growth this guards against is unchanged.
+    edges = edges.repartition(*part_cols).localCheckpoint(eager=False)
     # seed each node with min(self, neighbors) — the first propagation
     # round fused into initialization (one aggregate instead of a
     # join + aggregate + convergence action)
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.col("id"), F.min("dst")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     global CC_LAST_ROUNDS
     CC_LAST_ROUNDS = 0
@@ -699,7 +707,9 @@ def connected_components(
                     F.col("changed") | (F.col("pcomp") < F.col("component"))
                 ).alias("changed"),
             )
-        ).localCheckpoint()  # truncate lineage: iterative plans grow exponentially
+        ).localCheckpoint(eager=False)  # truncate lineage: iterative plans grow exponentially
+        # the convergence count IS the round's materializing action
+        # (lazy checkpoint): one job per round, not two
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.drop("changed")
         if n_changed == 0:
