@@ -1243,7 +1243,11 @@ def pq_index_build(
         train = c.filter(F.pmod(train_hash, F.lit(train_sample_mod)) == 0)
     else:
         train = c
-    cb = pq_train_codebooks(train, m, ksub, dsub, portable=portable).localCheckpoint()
+    # lazy: the codebook parquet write below is the materializing
+    # action; the cached blocks then serve the encode pass (r12)
+    cb = pq_train_codebooks(train, m, ksub, dsub, portable=portable).localCheckpoint(
+        eager=False
+    )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     pq_encode(c, cb, m, dsub).select("id", "codes").write.mode("overwrite").parquet(
         f"{path}/codes"

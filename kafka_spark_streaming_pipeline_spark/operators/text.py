@@ -543,7 +543,9 @@ def bpe_train(
             F.split(F.col("word"), "").alias("syms"),
             "freq",
         )
-        .localCheckpoint()
+        # lazy: each round's best-pair collect is the materializing
+        # action (same job-halving as connected_components, r12)
+        .localCheckpoint(eager=False)
     )
     merges = []
     for rank in range(1, n_merges + 1):
@@ -593,7 +595,9 @@ def bpe_train(
             ),
             lambda acc: acc["arr"],
         )
-        words = words.select(merged.alias("syms"), "freq").localCheckpoint()
+        words = words.select(merged.alias("syms"), "freq").localCheckpoint(
+            eager=False  # next round's collect materializes it
+        )
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
@@ -942,8 +946,9 @@ def unigram_lm_train_from_words(
     the streaming view (whose maintained state is exactly these
     sum-mergeable word counts).  The frame is localCheckpoint'ed here:
     candidate mining and every EM iteration's Viterbi pass re-scan
-    it."""
-    wf = word_freqs.localCheckpoint()
+    it (lazily — the vocabulary collect below materializes both
+    checkpoints in one job; r12 optimization pass)."""
+    wf = word_freqs.localCheckpoint(eager=False)
 
     cand = (
         wf.select(
@@ -961,6 +966,10 @@ def unigram_lm_train_from_words(
         .select(F.substring(F.col("w"), F.col("i"), F.col("l")).alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").cast("long").alias("cnt"))
+        # EAGER on purpose: the vocabulary collect below references
+        # this frame through TWO branches (chars + multi) — left cold,
+        # both branches race to recompute the substring aggregate
+        # (measured +0.4s); materializing it first also caches wf.
         .localCheckpoint()
     )
     chars = cand.filter(F.length("piece") == 1)

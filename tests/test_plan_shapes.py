@@ -424,7 +424,6 @@ def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
 
     for name, min_cached in (
         ("x145_autocorrelation", 2),
-        ("x146_detector_consensus", 5),
         ("q47_sole_late_supplier", 3),
         ("x147_holt_winters", 1),
         ("x148_length_psi", 3),
@@ -448,6 +447,44 @@ def test_consensus_and_acf_ride_the_cached_grid(spark, sf_dir):
         else:
             # every textual scan nests inside a cached printout
             assert scans <= cached + 1, (name, scans, cached)
+
+
+def test_consensus_grid_pass_and_checkpoint(spark, sf_dir):
+    """x146's two plan pins after the r12 grid-adaptive scoping:
+
+    (a) the INNER composition (consensus_from_dense over the dense
+        grid) still rides the persisted grid — all five detectors are
+        readers of the cache, one event-log pass (the former x146
+        entry of the loop test above); and
+    (b) the registry builder now returns the consensus as an eagerly
+        materialized bounded checkpoint (hours x types rows) computed
+        under a grid-sized shuffle-partition scope — its final plan is
+        a checkpoint scan with ZERO parquet scans, and the session's
+        shuffle-partition setting is restored afterwards."""
+    from kafka_spark_streaming_pipeline_spark.catalog import load_table
+    from kafka_spark_streaming_pipeline_spark.operators.timeseries import (
+        consensus_from_dense,
+        dense_hourly_counts,
+    )
+    from kafka_spark_streaming_pipeline_spark.plans import QUERIES
+    from kafka_spark_streaming_pipeline_spark.plans.lint import lint_plan
+
+    inner = consensus_from_dense(
+        dense_hourly_counts(load_table(spark, sf_dir, "events"))
+    )
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert lint_plan(inner) == []
+    cached = plan.count("InMemoryTableScan")
+    assert cached >= 5, cached
+    assert plan.count("Scan parquet") <= cached + 1, plan.count("Scan parquet")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = QUERIES["x146_detector_consensus"].builder(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    out_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in out_plan, out_plan
+    assert "Scan ExistingRDD" in out_plan, out_plan
 
 
 def test_nb_score_model_join_is_size_gated(spark):
