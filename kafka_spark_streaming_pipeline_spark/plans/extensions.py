@@ -10623,19 +10623,20 @@ def x176_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("pieces_per_word").alias("metric"),
         val("pieces_per_word").alias("value"),
     )
+    # both metrics in ONE pass via stack (r12, guide §1.2 "don't
+    # compute things twice"): the unionByName form re-ran the whole
+    # fertility aggregate — an unpersisted corpus scan — once per
+    # metric; stack pivots the same row instead.  Row set unchanged.
     fert = tokenizer_fertility(docs, group_col="lang")
     fert_rows = fert.select(
         F.lit("fertility").alias("family"),
         F.col("lang").alias("item"),
-        F.lit("fertility").alias("metric"),
-        val("fertility").alias("value"),
-    ).unionByName(
-        fert.select(
-            F.lit("fertility").alias("family"),
-            F.col("lang").alias("item"),
-            F.lit("bytes_per_token").alias("metric"),
-            val("bytes_per_token").alias("value"),
-        )
+        F.expr(
+            "stack(2,"
+            " 'fertility', CAST(fertility AS DOUBLE),"
+            " 'bytes_per_token', CAST(bytes_per_token AS DOUBLE)"
+            ") AS (metric, value)"
+        ),
     )
     pad_rows = padding_efficiency(docs, max_len=512, bucket_width=64).select(
         F.lit("padding").alias("family"),
@@ -10649,15 +10650,12 @@ def x176_tokenizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr_rows = tr.select(
         F.lit("truncation").alias("family"),
         F.col("max_len").cast("string").alias("item"),
-        F.lit("doc_trunc_frac").alias("metric"),
-        val("doc_trunc_frac").alias("value"),
-    ).unionByName(
-        tr.select(
-            F.lit("truncation").alias("family"),
-            F.col("max_len").cast("string").alias("item"),
-            F.lit("token_loss_frac").alias("metric"),
-            val("token_loss_frac").alias("value"),
-        )
+        F.expr(
+            "stack(2,"
+            " 'doc_trunc_frac', CAST(doc_trunc_frac AS DOUBLE),"
+            " 'token_loss_frac', CAST(token_loss_frac AS DOUBLE)"
+            ") AS (metric, value)"
+        ),
     )
     return cmp_rows.unionByName(fert_rows).unionByName(pad_rows).unionByName(
         tr_rows
