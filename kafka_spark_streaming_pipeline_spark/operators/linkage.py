@@ -127,6 +127,7 @@ def entity_pairs(
     passes: int = 2,
     max_block_size: int = 128,
     conjunctive: bool = False,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Verified match pairs (id_a, id_b): blocked candidates whose
     token-set Jaccard clears ``min_jaccard``.
@@ -142,7 +143,14 @@ def entity_pairs(
     corpora, where single-token block populations grow linearly with
     N but pair-key populations grow with the much smaller joint
     frequency; the single-token-drop recall guarantee carries over
-    (see rare_token_pair_keys)."""
+    (see rare_token_pair_keys).
+
+    ``dedup_pairs=False`` skips the final distinct — a pair can then
+    appear once per shared blocking key (<= passes+1 choose 2 copies).
+    entity_resolve uses it (r12): the closure symmetrizes and
+    distincts its edge set anyway, so the pairs-level distinct was a
+    redundant back-to-back exchange over the same rows; the default
+    keeps the distinct-pairs contract for direct consumers."""
     from ..cache import tracked_persist
 
     toks = tracked_persist(_mention_tokens(records, id_col, text_col))
@@ -157,11 +165,10 @@ def entity_pairs(
     pairs = _capped_block_pairs(prepared, id_col, "__pl", max_block_size)
     inter = F.size(F.array_intersect(F.col("payload_a"), F.col("payload_b")))
     uni = F.size(F.array_union(F.col("payload_a"), F.col("payload_b")))
-    return (
-        pairs.filter(inter / uni >= F.lit(min_jaccard))
-        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .distinct()
+    out = pairs.filter(inter / uni >= F.lit(min_jaccard)).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
     )
+    return out.distinct() if dedup_pairs else out
 
 
 def entity_resolve(
@@ -209,6 +216,9 @@ def entity_resolve(
         passes=passes,
         max_block_size=max_block_size,
         conjunctive=conjunctive,
+        # the closure's symmetrized edge distinct absorbs per-key pair
+        # copies; skipping the pairs-level distinct drops one exchange
+        dedup_pairs=False,
     )
     if shuffle_partitions is not None:
         with scoped_shuffle_partitions(records.sparkSession, shuffle_partitions):
