@@ -1214,8 +1214,10 @@ def detector_consensus(
     century-span, 10k-type grid the same formula yields hundreds of
     partitions, so the dial scales up as well as down; the event-log
     scan itself always runs BEFORE the scope at full parallelism."""
+    from ..cache import mark, release, tracked_since
     from ..session import scoped_shuffle_partitions
 
+    pos = mark()
     dense = dense_hourly_counts(events, ts_col, type_col)
     # materializes the persisted sparse + dense frames (these blocks
     # serve every detector below) and prices the grid in one action
@@ -1225,7 +1227,13 @@ def detector_consensus(
     # exchange out of the plan
     n_parts = max(2, -(-n_grid_rows // 2_600_000))
     with scoped_shuffle_partitions(events.sparkSession, n_parts):
-        return consensus_from_dense(dense).localCheckpoint(eager=True)
+        out = consensus_from_dense(dense).localCheckpoint(eager=True)
+    # the checkpoint holds the finished dashboard rows, so the
+    # operator's internal grid caches have no remaining reader —
+    # release THEM specifically (scoped, not unpersist_tracked: a
+    # caller's own tracked frames must survive this call)
+    release(tracked_since(pos))
+    return out
 
 
 def holt_winters_from_dense(
