@@ -465,28 +465,35 @@ def _capped_block_pairs(
     each doc belongs to exactly ONE block, so no cross-block pair dedup
     is needed.
 
-    The truncation happens BEFORE any payload is collected: phase 1
-    ranks ids inside each block through a window over NARROW (blk, id)
-    rows — linear, sort-spill-backed even for a pathological
-    million-member block — and only the <= max_block_size survivors
-    re-attach their payloads (one id-keyed join) and enter the
-    collect_list.  A collect-then-slice would materialize the whole
-    hot block's payloads in one aggregation buffer, which is exactly
-    the executor blow-up the cap exists to prevent."""
+    The truncation happens BEFORE any payload is collected: the
+    rank/size window runs over the full (blk, id, payload) rows and
+    the <= max_block_size survivors are FILTERED before any
+    collect_list, so the per-block aggregation buffer stays capped —
+    a collect-then-slice would materialize the whole hot block's
+    payloads in one aggregation buffer, which is exactly the executor
+    blow-up the cap exists to prevent.  The window's sort carries the
+    payload bytes, but it is disk-spill-backed and linear even for a
+    pathological million-member block, and carrying the payload
+    through the ONE hash(blk) exchange is strictly fewer payload
+    bytes over the network than the previous narrow-rank + join-back
+    shape (payloads crossed the (blk, id) join exchange AND the
+    groupBy exchange; now the groupBy reuses the window's
+    partitioning, so they cross once — r12 optimization pass, guide
+    §2.4 "two operations keyed the same way share one exchange")."""
     w_rank = W.partitionBy("blk").orderBy(id_col)
     w_all = W.partitionBy("blk")
     ranked = prepared.select(
         "blk",
         F.col(id_col),
+        F.col(payload_col),
         F.row_number().over(w_rank).alias("__rn"),
         F.count("*").over(w_all).alias("__bsz"),
     )
-    # join back on (blk, id): a doc may sit in several blocks (e.g. one
-    # per signature band), and survivorship is per block
-    survivors = ranked.filter(
+    # survivorship is per block: a doc may sit in several blocks (e.g.
+    # one per signature band), each ranked independently
+    kept = ranked.filter(
         (F.col("__bsz") >= 2) & (F.col("__rn") <= max_block_size)
-    ).select("blk", id_col, "__bsz")
-    kept = prepared.join(survivors, ["blk", id_col])
+    )
     buckets = (
         kept.groupBy("blk")
         .agg(

@@ -505,6 +505,36 @@ def test_minhash_bucket_cap_flags_truncation(spark):
     assert "bucket_truncated" not in full.columns
 
 
+def test_capped_block_pairs_single_exchange(spark):
+    """r12 plan pin for the shared pair expansion: rank/size window
+    and the member-collect aggregate share ONE hash(blk) exchange
+    (the groupBy reuses the window's partitioning), and the old
+    narrow-rank + (blk, id) join-back shape is gone — payload bytes
+    cross the network exactly once, with the cap still applied
+    BEFORE any collect_list buffers a block."""
+    from kafka_spark_streaming_pipeline_spark.operators.dedup import (
+        _capped_block_pairs,
+    )
+
+    prepared = spark.createDataFrame(
+        [("b1", i, [f"t{i}", "x"]) for i in range(5)]
+        + [("b2", 10 + i, [f"u{i}"]) for i in range(3)],
+        "blk string, doc_id long, payload array<string>",
+    )
+    pairs = _capped_block_pairs(prepared, "doc_id", "payload", 3)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan, plan
+    rows = pairs.collect()
+    got = {(r.doc_a, r.doc_b): r.block_truncated for r in rows}
+    # b1 capped at its 3 smallest ids -> C(3,2) flagged pairs;
+    # b2 under the cap -> full C(3,2), unflagged
+    assert got == {
+        (0, 1): True, (0, 2): True, (1, 2): True,
+        (10, 11): False, (10, 12): False, (11, 12): False,
+    }
+
+
 def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
     from kafka_spark_streaming_pipeline_spark.catalog import load_table
     from kafka_spark_streaming_pipeline_spark.operators.similarity import (
