@@ -33,10 +33,24 @@ sys.path.insert(0, REPO)
 # records (ADVICE r11: abspath comparison silently disabled every
 # record write under a symlink).
 CANONICAL_SF_DIR = "/root/testdata/sf0.1"
+# ... and the one CORE COUNT (VERDICT r12 item 3): the driver also
+# re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure scaling,
+# and r12's 8-core run overwrote BENCH_FULL.json / merged into
+# BENCH_HISTORY.json — every median/best the regression alerts compare
+# against must come from the same machine shape.
+CANONICAL_CPUS = 32
+
+
+def _session_cpus() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return int(cpus) if cpus else (os.cpu_count() or 0)
 
 
 def _is_canonical(sf_dir: str) -> bool:
-    return os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR)
+    return (
+        os.path.realpath(sf_dir) == os.path.realpath(CANONICAL_SF_DIR)
+        and _session_cpus() == CANONICAL_CPUS
+    )
 
 from kafka_spark_streaming_pipeline_spark.cache import session_gc, unpersist_tracked
 from kafka_spark_streaming_pipeline_spark.plans import QUERIES
@@ -474,7 +488,8 @@ def main() -> None:
             print(f"# history update failed: {exc}", file=sys.stderr)
     else:
         print(
-            f"# history not updated: non-canonical SF dir {sf_dir}",
+            f"# history not updated: non-canonical run "
+            f"(sf_dir {sf_dir}, cpus {_session_cpus()})",
             file=sys.stderr,
         )
 
@@ -523,7 +538,8 @@ def main() -> None:
             print(f"# BENCH_FULL.json write failed: {exc}", file=sys.stderr)
     else:
         print(
-            f"# BENCH_FULL not updated: non-canonical SF dir {sf_dir}",
+            f"# BENCH_FULL not updated: non-canonical run "
+            f"(sf_dir {sf_dir}, cpus {_session_cpus()})",
             file=sys.stderr,
         )
 

@@ -362,3 +362,47 @@ def test_coverage_end_state_matches_committed_bench_record():
         f"COVERAGE end-state quotes {m.group(2)} events/s; committed "
         f"BENCH_r{n}.json says {parsed['streaming_events_per_sec']}"
     )
+
+
+def test_build_history_skips_non_canonical_core_records(tmp_path):
+    """VERDICT r12 item 3: the driver's low-core scaling run
+    (BENCH_r12_c8.json, cpus=8) must not vote into the history's
+    medians/bests — only canonical-core (32) records fold in.  A
+    record with no ``cpus`` field predates the scaling runs and is
+    canonical by construction."""
+    import json
+
+    rec32 = {
+        "cpus": 32,
+        "parsed": {"queries": {"q01": 1.0}, "measure": "noop-write"},
+    }
+    rec8 = {
+        "cpus": 8,
+        "parsed": {"queries": {"q01": 0.4}, "measure": "noop-write"},
+    }
+    legacy = {"parsed": {"queries": {"q01": 1.2}}}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(legacy))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(rec32))
+    (tmp_path / "BENCH_r02_c8.json").write_text(json.dumps(rec8))
+    hist = build_history(str(tmp_path))
+    assert hist["q01"]["times"] == {"r01": 1.2, "r02": 1.0}
+    # the 8-core 0.4s draw must not become the best
+    assert hist["q01"]["best"] == 1.0
+    # measure comes from inside the driver's parsed line; absent means
+    # the count() era
+    assert hist["q01"]["proto"] == {"r01": "count", "r02": "noop-write"}
+
+
+def test_bench_records_gated_on_canonical_cores(monkeypatch):
+    """bench.py writes BENCH_FULL.json / BENCH_HISTORY.json only for
+    the canonical (sf0.1, 32-core) shape: a low-core scaling run must
+    leave both records untouched (VERDICT r12 item 3 — the 8-core run
+    overwrote both)."""
+    import bench
+
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert bench._is_canonical("/root/testdata/sf0.1")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert not bench._is_canonical("/root/testdata/sf0.1")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    assert not bench._is_canonical("/root/testdata/sf0.01")

@@ -24,6 +24,16 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The core count every committed baseline is measured at.  The driver
+# ALSO benches the tree at a lower core count to measure scaling
+# (e.g. BENCH_r12_c8.json, cpus=8); those records are a different
+# machine shape and must not vote into the medians/bests the
+# regression and throughput alerts compare against (VERDICT r12
+# item 3: the 8-core run overwrote BENCH_FULL.json and polluted the
+# history).  Records without a ``cpus`` field predate the scaling runs
+# and are all canonical.
+CANONICAL_CPUS = 32
+
 # A tail may begin mid-number (front-truncated); only trust pairs whose
 # opening quote is present.  Times are "name": 1.234 pairs.
 _PAIR_RE = re.compile(r'"([a-z]\w+)":\s*([0-9]+(?:\.[0-9]+)?)')
@@ -123,8 +133,14 @@ def build_history(repo: str = REPO) -> dict[str, dict]:
             rec = json.load(open(path))
         except Exception:
             continue
+        if rec.get("cpus", CANONICAL_CPUS) != CANONICAL_CPUS:
+            continue  # non-canonical core count (driver scaling run)
         flagged = regressed_from_record(rec)
-        measure = rec.get("measure", "count")
+        # the driver's records carry measure inside the parsed line;
+        # builder-written records carry it at the top level; absent on
+        # both sides means the pre-r10 count() era
+        parsed = rec.get("parsed") or {}
+        measure = rec.get("measure") or parsed.get("measure") or "count"
         for name, t in times_from_record(rec).items():
             cur = history.setdefault(name, {"times": {}})
             cur["times"][label] = t
