@@ -468,18 +468,25 @@ def _capped_block_pairs(
     The truncation happens BEFORE any payload is collected: the
     rank/size window runs over the full (blk, id, payload) rows and
     the <= max_block_size survivors are FILTERED before any
-    collect_list, so the per-block aggregation buffer stays capped —
-    a collect-then-slice would materialize the whole hot block's
-    payloads in one aggregation buffer, which is exactly the executor
-    blow-up the cap exists to prevent.  The window's sort carries the
-    payload bytes, but it is disk-spill-backed and linear even for a
-    pathological million-member block, and carrying the payload
-    through the ONE hash(blk) exchange is strictly fewer payload
-    bytes over the network than the previous narrow-rank + join-back
-    shape (payloads crossed the (blk, id) join exchange AND the
-    groupBy exchange; now the groupBy reuses the window's
-    partitioning, so they cross once — r12 optimization pass, guide
-    §2.4 "two operations keyed the same way share one exchange")."""
+    collect_list, so the per-block COLLECT buffer stays capped — a
+    collect-then-slice would materialize the whole hot block's
+    payloads in one in-memory aggregation buffer, which is exactly
+    the executor blow-up the cap exists to prevent.  Honest caveat
+    (ADVICE r12): the WindowExec sort ahead of that filter buffers a
+    hot block's FULL payload bytes, so for that stage the
+    executor-memory guard is a disk-spill guard — UnsafeExternalSorter
+    spills to disk and stays linear even for a pathological
+    million-member block, but a corpus with extreme block skew pays
+    that spill I/O; if spill pressure shows up, the pre-r12
+    narrow-rank + join-back shape (rank over (blk, id) only, payloads
+    joined back to survivors) trades one extra payload exchange for a
+    payload-free sort.  Carrying the payload through the ONE
+    hash(blk) exchange is strictly fewer payload bytes over the
+    network than that shape (payloads crossed the (blk, id) join
+    exchange AND the groupBy exchange; now the groupBy reuses the
+    window's partitioning, so they cross once — r12 optimization
+    pass, guide §2.4 "two operations keyed the same way share one
+    exchange")."""
     w_rank = W.partitionBy("blk").orderBy(id_col)
     w_all = W.partitionBy("blk")
     ranked = prepared.select(
@@ -653,6 +660,13 @@ def connected_components(
     # The blocks still cache on first materialization and the SQL
     # lineage is still truncated at build time, so the exponential
     # iterative-plan growth this guards against is unchanged.
+    # Accepted cost (ADVICE r12): round 1's convergence count reaches
+    # the COLD edges checkpoint through two branches (the labels seed
+    # lineage and the join probe side), so parts of the edges shuffle
+    # output may be read twice within that first job before the
+    # checkpoint blocks land — bounded to re-reading shuffle output
+    # once, and measured cheaper than the eager alternative's extra
+    # driver job per call (r12 A/B: x104 9.26 -> 6.74s with lazy).
     edges = edges.repartition(*part_cols).localCheckpoint(eager=False)
     # seed each node with min(self, neighbors) — the first propagation
     # round fused into initialization (one aggregate instead of a

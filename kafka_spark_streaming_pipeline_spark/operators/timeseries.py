@@ -1189,43 +1189,65 @@ def consensus_from_dense(
     )
 
 
+def _grid_partition_count(n_grid_rows: int) -> int:
+    """Shuffle-partition count for a grid of ``n_grid_rows`` (h, t,
+    cnt) rows: ~24 B per row, ~64 MB per partition (guide §2.2's
+    sizing rule) => ~2.6M rows per partition; floor 2 keeps a
+    degenerate single-partition exchange out of the plan.  On a
+    century-span, 10k-type grid this yields thousands of partitions,
+    so the dial scales up as well as down."""
+    return max(2, -(-int(n_grid_rows) // 2_600_000))
+
+
 def detector_consensus(
     events: DataFrame,
     ts_col: str = "ts",
     type_col: str = "event_type",
+    grid_partitions: int | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """All five hourly-grid detectors composed into one dashboard
     frame — see ``consensus_from_dense``.
 
-    Partitioning is GRID-ADAPTIVE (r12 optimization pass, guide §2.2
-    "fewer, larger reduce partitions"): after the one event-log pass
-    builds the persisted dense grid at full session parallelism,
-    every remaining stage is grid-sized (hours x types rows, ~KBs per
-    million grid rows) yet inherited the session's shuffle partition
-    count — at local[32] that is ~30 exchanges of 3.6k rows through
-    32-bucket shuffles, and the stage/task bookkeeping dominated the
-    query (measured 4.3s at 32 partitions vs 2.6s at 4 for identical
-    results).  The cure derives the partition count from the MEASURED
-    grid row count (~64 MB per partition, the guide's sizing rule),
-    scopes it with ``scoped_shuffle_partitions``, and materializes
-    the consensus inside the scope via an eager lineage checkpoint —
-    the returned frame is the bounded hours x types dashboard, which
-    is exactly the class ``lineage_checkpoint`` exists for.  On a
-    century-span, 10k-type grid the same formula yields hundreds of
-    partitions, so the dial scales up as well as down; the event-log
-    scan itself always runs BEFORE the scope at full parallelism."""
+    Default: a LAZY composition — one event-log pass into the
+    persisted dense grid, all five detectors readers of that cache,
+    zero driver actions at build time.  The post-aggregate stages are
+    grid-sized (hours x types rows) and run under the session's
+    shuffle settings; AQE's partition coalescing shrinks their tiny
+    exchanges at action time.  The r12 pass materialized the grid
+    eagerly to size those shuffles from a measured row count, but the
+    dedicated count() plus the eager checkpoint cost two extra driver
+    jobs on every cold build — a net loss at bench scale (driver
+    protocol: 1.79s lazy vs 2.92s eager; VERDICT r12 item 1), so the
+    eager cost is now GATED behind the explicit knobs below.
+
+    ``grid_partitions=n`` / ``adaptive=True`` — the grid-sized
+    shuffle-partition scope for production grids where the default
+    partitioning is measurably wrong (the r12 partition sweep: 4.3s at
+    32 partitions vs 2.6s at 4 for identical results on a 3.6k-row
+    grid; conversely a century-span 10k-type grid wants hundreds of
+    partitions).  NOTE: both knobs make the call EAGER — the frame is
+    computed inside the scope and returned as a bounded localCheckpoint
+    (``scoped_shuffle_partitions`` binds at action time, so a lazy
+    return could not ride it), and the operator's internal grid caches
+    are released before returning.  ``adaptive=True`` prices the grid
+    with one count() (the blocks serve every detector anyway) and
+    derives the partition count via ``_grid_partition_count``;
+    ``grid_partitions`` skips the count and scopes to the given value.
+    """
     from ..cache import mark, release, tracked_since
     from ..session import scoped_shuffle_partitions
 
     pos = mark()
     dense = dense_hourly_counts(events, ts_col, type_col)
-    # materializes the persisted sparse + dense frames (these blocks
-    # serve every detector below) and prices the grid in one action
-    n_grid_rows = dense.count()
-    # ~24 B per (h, t, cnt) row, ~64 MB per partition => ~2.6M rows
-    # per partition; floor 2 keeps a degenerate single-partition
-    # exchange out of the plan
-    n_parts = max(2, -(-n_grid_rows // 2_600_000))
+    if grid_partitions is None and not adaptive:
+        return consensus_from_dense(dense)
+
+    n_parts = (
+        int(grid_partitions)
+        if grid_partitions is not None
+        else _grid_partition_count(dense.count())
+    )
     with scoped_shuffle_partitions(events.sparkSession, n_parts):
         out = consensus_from_dense(dense).localCheckpoint(eager=True)
     # the checkpoint holds the finished dashboard rows, so the
