@@ -688,9 +688,20 @@ def bigram_cross_entropy(
     counts identically in Spark and the DuckDB oracle because both
     compute the same md5-derived keys.  Nothing global-sorts and no
     driver state exists."""
+    from ..cache import tracked_persist
+
     narrow, bgc, ctx, vocab = _bigram_model_tables(docs, id_col, text_col)
+    # r13 optimization pass (guide §1.2 "don't compute twice"): the
+    # context counts c(w1) used to regroup bgc and JOIN BACK — bgc's
+    # aggregate over the corpus-sized narrow cache ran once under the
+    # probs side and once under ctx.  A window sum over the SAME
+    # groups is value-identical and reads bgc once; persisting bgc
+    # (bigram-type-sized, orders of magnitude smaller than narrow)
+    # lets the vocab scalar read the cache instead of re-scanning the
+    # narrow frame a third time.
+    bgc = tracked_persist(bgc)
     probs = (
-        bgc.join(ctx, "w1_h")
+        bgc.withColumn("c1", F.sum("c2").over(W.partitionBy("w1_h")))
         .crossJoin(F.broadcast(vocab))
         .select(
             "bg_h",
@@ -748,14 +759,29 @@ def trigram_cross_entropy(
     scalars, and the scoring join keys on the well-spread trigram
     hash.  Docs with < 3 tokens have no trigrams and drop out (the
     x74 inner-join convention)."""
+    from ..cache import tracked_persist
+
     narrow, tgc, ctx12, bgc, ctx2, unic, scalars = _trigram_model_tables(
         docs, id_col, text_col
     )
+    # r13 optimization pass (guide §1.2): ctx12/ctx2 regrouped tgc/bgc
+    # and joined back, so the occurrence-sized narrow cache was
+    # scanned once per tier table AND once per context table AND once
+    # per scalar (8 model-side scans).  Window sums over the same
+    # groups are value-identical and drop the two join-backs; the
+    # three tier tables (n-gram-TYPE-sized — the model, not the
+    # corpus) are persisted so the scalar frame reads their caches.
+    # Model-side narrow scans: 8 -> 3 (one per tier build).
+    tgc = tracked_persist(tgc)
+    bgc = tracked_persist(bgc)
+    unic = tracked_persist(unic)
     l3, l2, l1 = lambdas
     probs = (
-        tgc.join(ctx12, "c12_h")
-        .join(bgc, "b23_h")
-        .join(ctx2, "w2_h")
+        tgc.withColumn("c12", F.sum("c3").over(W.partitionBy("c12_h")))
+        .join(
+            bgc.withColumn("c2", F.sum("c2b").over(W.partitionBy("w2_h"))),
+            "b23_h",
+        )
         .join(unic, "w3_h")
         .crossJoin(F.broadcast(scalars))
         .select(

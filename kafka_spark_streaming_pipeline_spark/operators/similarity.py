@@ -395,7 +395,15 @@ def nearest_cells(
             s["cell"].alias("cell"),
         ),
     )
-    top = F.slice(F.array_sort(sims), 1, n)
+    # n=1 (the k-means/IVF assignment hot path) picks the argmin with
+    # an O(k) array_min instead of the O(k log k) full sort — same
+    # (neg_sim, cell) struct ordering, so ties break identically
+    # (r13 optimization pass, guide §1.2: less per-row work in the
+    # map-only pass over every vector)
+    if n == 1:
+        top = F.array(F.array_min(sims))
+    else:
+        top = F.slice(F.array_sort(sims), 1, n)
     return (
         df.crossJoin(F.broadcast(cent_arr))
         .withColumn(out, F.explode(F.transform(top, lambda s: s["cell"])))
@@ -809,7 +817,9 @@ def semantic_dedup(
     )
     assigned = (
         v.crossJoin(F.broadcast(cent_arr))
-        .withColumn("cell", F.element_at(F.array_sort(sims), 1)["cell"])
+        # O(k) argmin (same struct ordering as sort-then-first, ties
+        # break identically on the cell id — r13, guide §1.2)
+        .withColumn("cell", F.array_min(sims)["cell"])
         .drop("__cents")
     )
     clusters = (
@@ -995,19 +1005,18 @@ def pq_train_codebooks(
         )
     )
     # one Lloyd step: reassign each subvector to its nearest seed
-    # centroid (by position), recompute means
+    # centroid (by position), recompute means.  O(ksub) array_min
+    # replaces the O(ksub log ksub) sort-then-first — same (d, pos)
+    # struct ordering, identical tie-breaking (r13, guide §1.2).
     cb_s = F.element_at(F.col("__cb"), F.col("sub") + 1)
-    argmin = F.element_at(
-        F.array_sort(
-            F.transform(
-                cb_s,
-                lambda cent, ci: F.struct(
-                    F.round(_l2sq(F.col("sv"), cent) + F.lit(1e-9), 6).alias("d"),
-                    ci.alias("pos"),
-                ),
-            )
-        ),
-        1,
+    argmin = F.array_min(
+        F.transform(
+            cb_s,
+            lambda cent, ci: F.struct(
+                F.round(_l2sq(F.col("sv"), cent) + F.lit(1e-9), 6).alias("d"),
+                ci.alias("pos"),
+            ),
+        )
     )["pos"]
     reassigned = (
         subs.crossJoin(F.broadcast(cb0_row))
@@ -1035,21 +1044,22 @@ def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int, dsub: int) -> Da
     attached); at 100 TB this is the pass that shrinks the corpus
     32x (64 floats -> 8 codes) before any search touches it.
     Expects columns ``id`` and ``v``; emits (id, codes array<int>)."""
-    code_for_sub = lambda s: F.element_at(  # noqa: E731
-        F.array_sort(
-            F.transform(
-                F.element_at(F.col("__cb"), s + 1),
-                lambda cent, ci: F.struct(
-                    F.round(
-                        _l2sq(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
-                        + F.lit(1e-9),
-                        6,
-                    ).alias("d"),
-                    ci.alias("pos"),
-                ),
-            )
-        ),
-        1,
+    # O(ksub) argmin per subspace instead of sorting all ksub distances
+    # just to take the first — same (d, pos) struct ordering, identical
+    # tie-breaking (r13, guide §1.2: this map-only pass touches every
+    # corpus vector, so per-row work is the whole cost)
+    code_for_sub = lambda s: F.array_min(  # noqa: E731
+        F.transform(
+            F.element_at(F.col("__cb"), s + 1),
+            lambda cent, ci: F.struct(
+                F.round(
+                    _l2sq(F.slice(F.col("v"), s * dsub + 1, F.lit(dsub)), cent)
+                    + F.lit(1e-9),
+                    6,
+                ).alias("d"),
+                ci.alias("pos"),
+            ),
+        )
     )["pos"]
     return (
         vectors.crossJoin(F.broadcast(codebooks))
