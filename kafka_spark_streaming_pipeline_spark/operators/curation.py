@@ -759,29 +759,24 @@ def trigram_cross_entropy(
     scalars, and the scoring join keys on the well-spread trigram
     hash.  Docs with < 3 tokens have no trigrams and drop out (the
     x74 inner-join convention)."""
-    from ..cache import tracked_persist
-
     narrow, tgc, ctx12, bgc, ctx2, unic, scalars = _trigram_model_tables(
         docs, id_col, text_col
     )
-    # r13 optimization pass (guide §1.2): ctx12/ctx2 regrouped tgc/bgc
-    # and joined back, so the occurrence-sized narrow cache was
-    # scanned once per tier table AND once per context table AND once
-    # per scalar (8 model-side scans).  Window sums over the same
-    # groups are value-identical and drop the two join-backs; the
-    # three tier tables (n-gram-TYPE-sized — the model, not the
-    # corpus) are persisted so the scalar frame reads their caches.
-    # Model-side narrow scans: 8 -> 3 (one per tier build).
-    tgc = tracked_persist(tgc)
-    bgc = tracked_persist(bgc)
-    unic = tracked_persist(unic)
+    # Measured and REJECTED (r13 optimization pass): folding ctx12/ctx2
+    # into window sums over tgc/bgc (the x74 fusion one tier up) —
+    # value-identical, but the windows shuffle the FULL tier rows where
+    # the regroup shuffles map-side-partial-aggregated (key, sum) pairs,
+    # and the tier tables are type-sized (can approach occurrence count
+    # on diverse corpora), so the fused shape measured slower at sf0.1
+    # (0.79 -> 0.94-1.05s) and flat at the 10x amplified point both
+    # with and without persisting the tiers.  The bigram scorer keeps
+    # the fusion because its single context window DID clear the bar
+    # (see bigram_cross_entropy).
     l3, l2, l1 = lambdas
     probs = (
-        tgc.withColumn("c12", F.sum("c3").over(W.partitionBy("c12_h")))
-        .join(
-            bgc.withColumn("c2", F.sum("c2b").over(W.partitionBy("w2_h"))),
-            "b23_h",
-        )
+        tgc.join(ctx12, "c12_h")
+        .join(bgc, "b23_h")
+        .join(ctx2, "w2_h")
         .join(unic, "w3_h")
         .crossJoin(F.broadcast(scalars))
         .select(
