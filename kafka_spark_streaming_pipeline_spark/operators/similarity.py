@@ -1253,10 +1253,13 @@ def pq_index_build(
         train = c.filter(F.pmod(train_hash, F.lit(train_sample_mod)) == 0)
     else:
         train = c
-    # lazy: the codebook parquet write below is the materializing
-    # action; the cached blocks then serve the encode pass (r12)
+    # EAGER (r13, reversing r12's lazy form on measurement — VERDICT
+    # r12 item 7): the codebook write AND the encode pass both read
+    # this frame, and the interleaved A/B measured eager consistently
+    # faster (x95 median 0.67 -> 0.63s; see unigram_lm_train_from_words
+    # for the same finding on the word frame)
     cb = pq_train_codebooks(train, m, ksub, dsub, portable=portable).localCheckpoint(
-        eager=False
+        eager=True
     )
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
     pq_encode(c, cb, m, dsub).select("id", "codes").write.mode("overwrite").parquet(

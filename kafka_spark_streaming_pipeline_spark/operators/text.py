@@ -945,10 +945,15 @@ def unigram_lm_train_from_words(
     word-frequency frame — the shared core of the batch operator and
     the streaming view (whose maintained state is exactly these
     sum-mergeable word counts).  The frame is localCheckpoint'ed here:
-    candidate mining and every EM iteration's Viterbi pass re-scan
-    it (lazily — the vocabulary collect below materializes both
-    checkpoints in one job; r12 optimization pass)."""
-    wf = word_freqs.localCheckpoint(eager=False)
+    candidate mining and every EM iteration's Viterbi pass re-scan it.
+    EAGER (r13, reversing the r12 lazy form on measurement — VERDICT
+    r12 item 7): the candidate aggregate reaches this frame through
+    the substring explode, and the r13 interleaved A/B measured the
+    eager materialization consistently faster (x172 median 1.52 ->
+    1.41s, x176 2.85 -> 2.69s, all three eager totals below all three
+    lazy totals in one band window) — the lazy form's saved job does
+    not pay for the cold-frame recompute exposure here."""
+    wf = word_freqs.localCheckpoint(eager=True)
 
     cand = (
         wf.select(
