@@ -9879,6 +9879,13 @@ def x165_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 50)
     exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    # NOT persisted, on measurement (r13 optimization pass): the frame
+    # feeds both the per-query count and the hit join, but caching it
+    # measured SLOWER (2.63/2.65s -> 2.91/3.32s interleaved) — the
+    # shared SRP-search exchanges are deduplicated at runtime (AQE
+    # exchange reuse), so the persist only added a materialization
+    # barrier + cache write to a subtree that was not actually
+    # computed twice.
     approx = lsh_cosine_topk_multi(
         q, emb, _srp_tables(3), k=10, quantized=True
     ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
