@@ -973,7 +973,11 @@ class Engine:
 
     def monitoring_dashboard(self, **kwargs) -> DataFrame:
         """All hourly-grid detectors composed with a consensus vote
-        (x146)."""
+        (x146).  Lazy by default; passing ``grid_partitions=n`` or
+        ``adaptive=True`` makes the call EAGER — the consensus is
+        computed under a grid-sized shuffle-partition scope and
+        returned as a bounded checkpoint (ADVICE r12: building the
+        frame then executes the query)."""
         from .operators.timeseries import detector_consensus
 
         return detector_consensus(self.table("events"), **kwargs)
